@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Expression vocabulary: the reference's aggregation + window op surface
+  * (`lib/explorer/backend/lazy_series.ex:23-198`) expressed as Catalyst
+  * `Column` constructors. Aggregations take an implicit [[Ctx]] so the same
+  * spelling works in summarise position (plain aggregate → `groupBy.agg`) and
+  * in grouped mutate/filter position (auto-windowed `over(partitionBy(groups))`,
+  * matching the reference's `expr_over` injection, expressions.rs:1206-1209).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` (whole-stage
+  * codegen'd) — no UDFs in the hot path.
+  */
+object exprs {
+
+  // ======== aggregations (lazy_series.ex:182-198; series.ex:2400-3102) ======
+
+  def sum(s: Series)(implicit c: Ctx): Series = c.agg(F.sum(s.col))
+  def min(s: Series)(implicit c: Ctx): Series = c.agg(F.min(s.col))
+  def max(s: Series)(implicit c: Ctx): Series = c.agg(F.max(s.col))
+  def mean(s: Series)(implicit c: Ctx): Series = c.agg(F.avg(s.col))
+  /** Exact median — `percentile`, not approx (SURVEY §7.3: oracle parity). */
+  def median(s: Series)(implicit c: Ctx): Series = c.agg(F.median(s.col))
+  def count(s: Series)(implicit c: Ctx): Series = c.agg(F.count(s.col))
+  def size(implicit c: Ctx): Series = c.agg(F.count(F.lit(1)))
+  def nilCount(s: Series)(implicit c: Ctx): Series =
+    c.agg(F.count_if(s.col.isNull))
+  def first(s: Series)(implicit c: Ctx): Series =
+    c.agg(F.first(s.col, ignoreNulls = false))
+  def last(s: Series)(implicit c: Ctx): Series =
+    c.agg(F.last(s.col, ignoreNulls = false))
+  def nDistinct(s: Series)(implicit c: Ctx): Series =
+    c.agg(F.count_distinct(s.col))
+  def all(s: Series)(implicit c: Ctx): Series = c.agg(F.bool_and(s.col))
+  def any(s: Series)(implicit c: Ctx): Series = c.agg(F.bool_or(s.col))
+
+  /** Single modal value (reference returns the modal *set*, series.ex:2676;
+    * Spark's `mode` picks one — see [[Gdf]]-level `frequencies` for the set). */
+  def mode(s: Series)(implicit c: Ctx): Series = c.agg(F.mode(s.col))
+
+  /** Product via sign/zero-aware log-sum composition — Spark has no product
+    * aggregate (reference `product`, series.ex:2720). */
+  def product(s: Series)(implicit c: Ctx): Series = {
+    val x = s.col
+    val hasZero = F.bool_or(x === 0)
+    val negs = F.count_if(x < 0)
+    val mag = F.exp(F.sum(F.log(F.abs(F.nullif(x.cast(DoubleType), F.lit(0.0))))))
+    c.agg(F.when(hasZero, F.lit(0.0))
+      .otherwise(F.when(negs % 2 === 1, -mag).otherwise(mag)))
+  }
+
+  /** `variance(ddof)` — ddof=1 (default) = var_samp, ddof=0 = var_pop
+    * (reference series.ex:2854). */
+  def variance(s: Series, ddof: Int = 1)(implicit c: Ctx): Series =
+    c.agg(if (ddof == 1) F.var_samp(s.col) else F.var_pop(s.col))
+
+  def standardDeviation(s: Series, ddof: Int = 1)(implicit c: Ctx): Series =
+    c.agg(if (ddof == 1) F.stddev_samp(s.col) else F.stddev_pop(s.col))
+
+  /** Exact interpolating quantile (`percentile`), not `percentile_approx` —
+    * required for DuckDB-oracle parity (SURVEY §7.3). */
+  def quantile(s: Series, q: Double)(implicit c: Ctx): Series =
+    c.agg(F.percentile(s.col, F.lit(q)))
+
+  /** Skewness. `bias = true` (reference default) = population g1 = Spark's
+    * `skewness`; `bias = false` applies the G1 sample adjustment
+    * (reference series.ex:2908-2915). */
+  def skew(s: Series, bias: Boolean = true)(implicit c: Ctx): Series = {
+    val g1 = F.skewness(s.col)
+    if (bias) c.agg(g1)
+    else {
+      val n = F.count(s.col).cast(DoubleType)
+      c.agg(g1 * F.sqrt(n * (n - 1)) / (n - 2))
+    }
+  }
+
+  def correlation(a: Series, b: Series)(implicit c: Ctx): Series =
+    c.agg(F.corr(a.col, b.col))
+
+  def covariance(a: Series, b: Series, ddof: Int = 1)(implicit c: Ctx): Series =
+    c.agg(if (ddof == 1) F.covar_samp(a.col, b.col)
+          else F.covar_pop(a.col, b.col))
+
+  /** `argmin`/`argmax` — position of the extreme (series.ex:2544-2605).
+    * Needs a materialized row index (`Gdf.withRowIndex`). */
+  def argmin(idx: Series, value: Series)(implicit c: Ctx): Series =
+    c.agg(F.min_by(idx.col, value.col))
+  def argmax(idx: Series, value: Series)(implicit c: Ctx): Series =
+    c.agg(F.max_by(idx.col, value.col))
+
+  // ======== positional / window ops (lazy_series.ex:92-118) =================
+  // All row-order-based in the reference; here they window over the Gdf's
+  // declared order (group-partitioned when grouped).
+
+  /** `shift(s, n)` → lag (n>0) / lead (n<0) (reference expressions.rs:257). */
+  def shift(s: Series, n: Int)(implicit c: Ctx): Series =
+    Series(if (n >= 0) F.lag(s.col, n).over(c.orderedWin)
+           else F.lead(s.col, -n).over(c.orderedWin))
+
+  def cumulativeSum(s: Series, reverse: Boolean = false)(implicit c: Ctx): Series =
+    cum(F.sum, s, reverse)
+  def cumulativeMin(s: Series, reverse: Boolean = false)(implicit c: Ctx): Series =
+    cum(F.min, s, reverse)
+  def cumulativeMax(s: Series, reverse: Boolean = false)(implicit c: Ctx): Series =
+    cum(F.max, s, reverse)
+  def cumulativeCount(s: Series, reverse: Boolean = false)(implicit c: Ctx): Series =
+    cum(F.count, s, reverse)
+  /** Cumulative product via iterated multiply is not expressible as a Spark
+    * aggregate; use the log-sum trick (null/zero/sign aware would need the
+    * full [[exprs.product]] treatment — reference series.ex:3147-3326). */
+  def cumulativeProduct(s: Series, reverse: Boolean = false)(implicit c: Ctx): Series = {
+    val w = cumWin(reverse)
+    val x = s.col.cast(DoubleType)
+    val zeros = F.count_if(x === 0).over(w)
+    val negs = F.count_if(x < 0).over(w)
+    val mag = F.exp(F.sum(F.log(F.abs(F.nullif(x, F.lit(0.0))))).over(w))
+    Series(F.when(zeros > 0, 0.0)
+      .otherwise(F.when(negs % 2 === 1, -mag).otherwise(mag)))
+  }
+
+  private def cumWin(reverse: Boolean)(implicit c: Ctx) = {
+    val base = if (reverse)
+      c.part.orderBy(c.rowOrder.map(_.desc): _*)
+    else c.orderedWin
+    base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  }
+  private def cum(f: Column => Column, s: Series, reverse: Boolean)(
+      implicit c: Ctx): Series =
+    Series(f(s.col).over(cumWin(reverse)))
+
+  /** Fixed-size trailing (or centered) rolling window
+    * (reference series.ex:5093-5196; rolling_opts series.rs:731-830).
+    * `minPeriods` nulls out under-filled windows; `weights` applies a
+    * position-wise dot product via higher-order functions (codegen'd). */
+  def rollingWindow(
+      agg: Column => Column, s: Series, size: Int,
+      minPeriods: Int = 1, center: Boolean = false,
+      weights: Seq[Double] = Nil)(implicit c: Ctx): Series = {
+    val (lo, hi) =
+      if (center) (-((size - 1) / 2).toLong, (size / 2).toLong)
+      else (-(size - 1).toLong, 0L)
+    val w = c.orderedWin.rowsBetween(lo, hi)
+    val filled = F.count(s.col).over(w)
+    val core =
+      if (weights.isEmpty) agg(s.col).over(w)
+      else {
+        // collect the window slice, then Σ x_i * w_i with zip_with/aggregate
+        val xs = F.collect_list(s.col.cast(DoubleType)).over(w)
+        val ws = F.array(weights.map(F.lit): _*)
+        F.aggregate(F.zip_with(xs, ws, (x, wt) => x * wt),
+          F.lit(0.0), (acc, v) => acc + v)
+      }
+    Series(F.when(filled >= minPeriods, core))
+  }
+
+  def windowSum(s: Series, size: Int, minPeriods: Int = 1,
+      center: Boolean = false, weights: Seq[Double] = Nil)(implicit c: Ctx): Series =
+    rollingWindow(F.sum, s, size, minPeriods, center, weights)
+  def windowMean(s: Series, size: Int, minPeriods: Int = 1,
+      center: Boolean = false, weights: Seq[Double] = Nil)(implicit c: Ctx): Series =
+    if (weights.isEmpty) rollingWindow(F.avg, s, size, minPeriods, center)
+    else { // weighted mean = weighted sum / Σw over the filled positions
+      val ws = windowSum(s, size, minPeriods, center, weights)
+      Series(ws.col / weights.sum)
+    }
+  def windowMin(s: Series, size: Int, minPeriods: Int = 1,
+      center: Boolean = false)(implicit c: Ctx): Series =
+    rollingWindow(F.min, s, size, minPeriods, center)
+  def windowMax(s: Series, size: Int, minPeriods: Int = 1,
+      center: Boolean = false)(implicit c: Ctx): Series =
+    rollingWindow(F.max, s, size, minPeriods, center)
+  def windowMedian(s: Series, size: Int, minPeriods: Int = 1,
+      center: Boolean = false)(implicit c: Ctx): Series =
+    rollingWindow(F.median, s, size, minPeriods, center)
+  def windowStandardDeviation(s: Series, size: Int, minPeriods: Int = 1,
+      center: Boolean = false)(implicit c: Ctx): Series =
+    rollingWindow(F.stddev_samp, s, size, minPeriods, center)
+
+  /** Rank with Explorer's method set (reference series.ex:2063-2065):
+    * average (default) / min / max / dense / ordinal. */
+  def rank(s: Series, method: String = "average", descending: Boolean = false)(
+      implicit c: Ctx): Series = {
+    val ord = if (descending) s.col.desc else s.col.asc
+    val w = c.part.orderBy(ord)
+    val minRank = F.rank().over(w)
+    lazy val ties = F.count(F.lit(1)).over(
+      Window.partitionBy(c.groups.map(F.col) :+ s.col: _*))
+    method match {
+      case "min" => Series(minRank)
+      case "dense" => Series(F.dense_rank().over(w))
+      case "ordinal" => Series(F.row_number().over(w))
+      case "max" => Series(minRank + ties - 1)
+      case "average" =>
+        Series((minRank.cast(DoubleType) + (ties - 1).cast(DoubleType) / 2.0))
+      case other => throw new IllegalArgumentException(s"rank method $other")
+    }
+  }
+
+  /** Local extrema (reference `peaks`, series.ex:3362-3368). */
+  def peaks(s: Series, kind: String = "max")(implicit c: Ctx): Series = {
+    val prev = F.lag(s.col, 1).over(c.orderedWin)
+    val next = F.lead(s.col, 1).over(c.orderedWin)
+    val cmpPrev = if (kind == "max") s.col > prev else s.col < prev
+    val cmpNext = if (kind == "max") s.col > next else s.col < next
+    Series(F.coalesce(cmpPrev, F.lit(true)) && F.coalesce(cmpNext, F.lit(true)))
+  }
+
+  /** Fill strategies (reference fill_missing_with_strategy,
+    * expressions.rs:315-334). forward/backward need row order. */
+  def fillMissingStrategy(s: Series, strategy: String)(implicit c: Ctx): Series =
+    strategy match {
+      case "forward" =>
+        Series(F.coalesce(s.col, F.last(s.col, ignoreNulls = true).over(
+          c.orderedWin.rowsBetween(Window.unboundedPreceding, -1))))
+      case "backward" =>
+        Series(F.coalesce(s.col, F.first(s.col, ignoreNulls = true).over(
+          c.orderedWin.rowsBetween(1, Window.unboundedFollowing))))
+      case "min" => Series(F.coalesce(s.col, F.min(s.col).over(c.part)))
+      case "max" => Series(F.coalesce(s.col, F.max(s.col).over(c.part)))
+      case "mean" => Series(F.coalesce(s.col, F.avg(s.col).over(c.part)))
+      case "nan" => Series(F.coalesce(s.col, F.lit(Double.NaN)))
+      case "infinity" =>
+        Series(F.coalesce(s.col, F.lit(Double.PositiveInfinity)))
+      case "neg_infinity" =>
+        Series(F.coalesce(s.col, F.lit(Double.NegativeInfinity)))
+      case other => throw new IllegalArgumentException(s"fill strategy $other")
+    }
+
+  /** if-then-else over series (the reference's `select/3` LazySeries op,
+    * built by query `cond/if`, query.ex:452-466). */
+  def iff(cond: Series, ifTrue: Series, ifFalse: Series): Series =
+    Series(F.when(cond.col, ifTrue.col).otherwise(ifFalse.col),
+      cond.isAgg || ifTrue.isAgg || ifFalse.isAgg)
+}

@@ -1,0 +1,287 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Query context passed to the expression callbacks of `filter` / `mutate` /
+  * `summarise` / `sortBy`. Mirrors the reference's QueryFrame + the grouped
+  * translation rules:
+  *
+  *  - the reference injects `expr.over(groups)` for aggregations appearing in
+  *    grouped mutate/filter (`lib/explorer/polars_backend/lazy_frame.ex:437-523`,
+  *    `native/explorer/src/expressions.rs:1206-1209`) — here [[agg]] does the
+  *    same with `Window.partitionBy(groups)`;
+  *  - in summarise position, aggregations stay raw `AggregateExpression`s and
+  *    the verb routes them into `groupBy(...).agg(...)` (`lazyframe.rs:251-275`);
+  *  - positional ops (shift/cumulative/rolling/rank/row_index) are row-order
+  *    based in the reference (`lib/explorer/series.ex:5093-5464`); Spark has no
+  *    physical row order, so they window over [[rowOrder]] — the Gdf's declared
+  *    ordering (see [[Gdf.ordered]]).
+  */
+final case class Ctx(
+    groups: Seq[String],
+    rowOrder: Seq[Column],
+    windowed: Boolean) {
+
+  /** Group-partitioned window (whole frame when ungrouped). */
+  def part: WindowSpec = Window.partitionBy(groups.map(F.col): _*)
+
+  /** Group-partitioned window ordered by the frame's declared row order. */
+  def orderedWin: WindowSpec = {
+    require(rowOrder.nonEmpty,
+      "positional op needs a row order: call .ordered(cols*) first")
+    part.orderBy(rowOrder: _*)
+  }
+
+  /** Route an aggregate: windowed-over-groups in mutate/filter position,
+    * plain aggregation (flagged) in summarise position. */
+  private[graft] def agg(c: Column): Series =
+    if (windowed) Series(c.over(part)) else Series(c, isAgg = true)
+}
+
+/** The dataframe facade — graft's equivalent of `Explorer.DataFrame`
+  * (`lib/explorer/data_frame.ex:30-90`): a Spark DataFrame plus the two pieces
+  * of metadata Explorer keeps outside the data — the active `groups`
+  * (`data_frame.ex:5952-6055`; groups are metadata, not a different type) and,
+  * because Spark rows are unordered, an explicit logical `rowOrder` that
+  * positional verbs (slice/shift/cumulative/rolling) window over.
+  *
+  * All verbs stay lazy Spark plans (Catalyst optimizes the whole pipeline);
+  * `collect`-style materialization is just a Spark action, mirroring how the
+  * reference's eager backend funnels through its lazy engine
+  * (`lib/explorer/polars_backend/data_frame.ex:686-699`).
+  */
+final class Gdf(
+    val sdf: DataFrame,
+    val groups: Seq[String] = Nil,
+    val rowOrder: Seq[Column] = Nil) {
+
+  def spark: SparkSession = sdf.sparkSession
+  def names: Seq[String] = sdf.schema.fieldNames.toSeq
+  def dtypes: Map[String, DType] =
+    sdf.schema.fields.map(f => f.name -> DType.fromSpark(f.dataType)).toMap
+  def schema: StructType = sdf.schema
+
+  private def copy(
+      sdf: DataFrame = sdf,
+      groups: Seq[String] = groups,
+      rowOrder: Seq[Column] = rowOrder): Gdf = new Gdf(sdf, groups, rowOrder)
+
+  private def ctx(windowed: Boolean) = Ctx(groups, rowOrder, windowed)
+
+  // ======== projection / selection (reference data_frame.ex:2458-2522) ======
+
+  def select(cols: String*): Gdf = copy(sdf.select(cols.map(sdf(_)): _*))
+
+  /** Selector variant: keep columns whose name matches `re`. */
+  def selectRe(re: String): Gdf = select(names.filter(_.matches(re)): _*)
+
+  /** Selector variant: keep columns whose dtype satisfies `p`. */
+  def selectWhere(p: DType => Boolean): Gdf = {
+    val ds = dtypes; select(names.filter(n => p(ds(n))): _*)
+  }
+
+  def discard(cols: String*): Gdf = copy(sdf.drop(cols: _*))
+
+  /** `rename/2` (reference data_frame.ex:3915-4041). */
+  def rename(pairs: (String, String)*): Gdf =
+    copy(sdf.withColumnsRenamed(pairs.toMap))
+
+  def renameWith(f: String => String): Gdf =
+    rename(names.map(n => n -> f(n)): _*)
+
+  /** `relocate/3` (reference data_frame.ex:3821-3826). */
+  def relocate(cols: Seq[String], before: Option[String] = None,
+      after: Option[String] = None): Gdf = {
+    val rest = names.filterNot(cols.contains)
+    val at = before.map(rest.indexOf).orElse(after.map(rest.indexOf(_) + 1))
+      .getOrElse(0)
+    val (pre, post) = rest.splitAt(at)
+    select(pre ++ cols ++ post: _*)
+  }
+
+  /** `pull/2` — one column as an expression-position Series. */
+  def pull(name: String): Series = Series(sdf(name))
+
+  // ======== row order ========================================================
+
+  /** Declare the logical row order used by positional verbs. Spark has no
+    * physical row order (SURVEY §7.1 "row order is a first-class problem"),
+    * so the order is explicit here rather than implicit like the reference. */
+  def ordered(cols: Column*): Gdf = copy(rowOrder = cols)
+
+  /** Materialize a 0-based row-index column over the declared order
+    * (reference `row_index`, series.ex:3102). Group-aware. */
+  def withRowIndex(name: String = "row_index"): Gdf = {
+    val c = ctx(true)
+    copy(sdf.withColumn(name, F.row_number().over(c.orderedWin) - 1))
+  }
+
+  // ======== row picking ======================================================
+
+  def head(n: Int = 5): Gdf =
+    if (groups.isEmpty) copy(sdf.limit(n))
+    else sliceGrouped(0, n)
+
+  def tail(n: Int = 5): Gdf = {
+    val c = ctx(true)
+    val w = c.part.orderBy(rowOrder.map(_.desc): _*)
+    copy(sdf.withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") <= n).drop("__rn"))
+  }
+
+  /** `slice/3` (offset, len) over the declared order; group-aware like the
+    * reference (`lazyframe.rs:142-160`). Negative offset counts from end. */
+  def slice(offset: Int, len: Int): Gdf =
+    if (offset >= 0) sliceGrouped(offset, len)
+    else {
+      val c = ctx(true)
+      val cnt = F.count(F.lit(1)).over(c.part)
+      val rn = F.row_number().over(c.orderedWin) - 1
+      copy(sdf.withColumn("__rn", rn).withColumn("__cnt", cnt)
+        .filter(F.col("__rn") >= F.col("__cnt") + offset &&
+                F.col("__rn") < F.col("__cnt") + offset + len)
+        .drop("__rn", "__cnt"))
+    }
+
+  private def sliceGrouped(offset: Int, len: Int): Gdf = {
+    val c = ctx(true)
+    val rn = F.row_number().over(c.orderedWin) - 1
+    copy(sdf.withColumn("__rn", rn)
+      .filter(F.col("__rn") >= offset && F.col("__rn") < offset + len)
+      .drop("__rn"))
+  }
+
+  /** `slice/2` by explicit row indices (positional, needs order). */
+  def sliceIndices(indices: Seq[Long]): Gdf = {
+    val c = ctx(true)
+    val rn = F.row_number().over(c.orderedWin) - 1
+    copy(sdf.withColumn("__rn", rn)
+      .filter(F.col("__rn").isInCollection(indices)).drop("__rn"))
+  }
+
+  /** `sample/2` (reference data_frame.ex:4475-4527). Fraction-based maps to
+    * Spark's distributed Bernoulli sampler; exact-n uses a seeded random sort
+    * (fine at any scale — TakeOrdered is a partial sort). */
+  def sampleFrac(frac: Double, seed: Long = 42L,
+      replace: Boolean = false): Gdf =
+    copy(sdf.sample(replace, frac, seed))
+
+  def sampleN(n: Int, seed: Long = 42L): Gdf =
+    copy(sdf.orderBy(F.rand(seed)).limit(n))
+
+  def shuffle(seed: Long = 42L): Gdf = copy(sdf.orderBy(F.rand(seed)))
+
+  /** `drop_nil/2` (reference data_frame.ex:3751-3757). */
+  def dropNil(cols: String*): Gdf =
+    copy(if (cols.isEmpty) sdf.na.drop() else sdf.na.drop(cols))
+
+  // ======== filter / mutate (reference data_frame.ex:2674-2760, §3.1) =======
+
+  def filter(f: Ctx => Series): Gdf = copy(sdf.filter(f(ctx(true)).col))
+
+  def filterCol(c: Column): Gdf = copy(sdf.filter(c))
+
+  /** Sequential column additions — later pairs may reference earlier ones,
+    * like the reference's mutate. Grouped aggregations broadcast via
+    * window (see [[Ctx.agg]]). */
+  def mutate(pairs: (String, Ctx => Series)*): Gdf = {
+    val c = ctx(true)
+    copy(pairs.foldLeft(sdf) { case (d, (n, f)) => d.withColumn(n, f(c).col) })
+  }
+
+  def mutateCol(name: String, col: Column): Gdf =
+    copy(sdf.withColumn(name, col))
+
+  /** Single-callback mutate: `df.mutateWith { implicit c => Seq(...) }`. */
+  def mutateWith(f: Ctx => Seq[(String, Series)]): Gdf = {
+    val c = ctx(true)
+    copy(f(c).foldLeft(sdf) { case (d, (n, s)) => d.withColumn(n, s.col) })
+  }
+
+  // ======== sorting (reference data_frame.ex:3468-3617) =====================
+
+  /** Multi-key sort. Spark's sort is not stable; `stable = true` emulates the
+    * reference's `maintain_order` by tie-breaking on the declared row order. */
+  def sortBy(keys: Seq[Column], stable: Boolean = false): Gdf = {
+    val tiebreak = if (stable) rowOrder else Nil
+    val full = keys ++ tiebreak
+    val sorted =
+      if (groups.isEmpty) sdf.orderBy(full: _*)
+      // grouped sort = sort within group blocks (lazyframe.rs:202-218)
+      else sdf.orderBy(groups.map(F.col) ++ full: _*)
+    new Gdf(sorted, groups, full)
+  }
+
+  // ======== distinct (reference data_frame.ex:3685-3687) ====================
+
+  /** Distinct on a subset. `keepAll = true` keeps the other columns, taking
+    * the first row per key in the declared order (Polars keep=First under
+    * maintain-order, `lazyframe.rs:220-233`). */
+  def distinct(subset: Seq[String] = Nil, keepAll: Boolean = false): Gdf = {
+    val keys = if (subset.isEmpty) names else subset
+    if (!keepAll) copy(sdf.select(keys.map(sdf(_)): _*).dropDuplicates())
+    else if (rowOrder.isEmpty) copy(sdf.dropDuplicates(keys))
+    else {
+      val w = Window.partitionBy(keys.map(F.col): _*).orderBy(rowOrder: _*)
+      copy(sdf.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") === 1).drop("__rn"))
+    }
+  }
+
+  // ======== grouping (reference data_frame.ex:5952-6053) ====================
+
+  def groupBy(cols: String*): Gdf = copy(groups = groups ++ cols)
+
+  def ungroup(cols: String*): Gdf =
+    copy(groups = if (cols.isEmpty) Nil else groups.filterNot(cols.contains))
+
+  /** `summarise` — consumes the groups (reference data_frame.ex:6128-6183;
+    * `lazyframe.rs:251-275`). Every expression must aggregate. */
+  def summarise(pairs: (String, Ctx => Series)*): Gdf = {
+    val c = ctx(false)
+    val cols = pairs.map { case (n, f) =>
+      val s = f(c)
+      require(s.isAgg, s"summarise expression '$n' must aggregate")
+      s.col.as(n)
+    }
+    val out =
+      if (groups.isEmpty) sdf.agg(cols.head, cols.tail: _*)
+      else sdf.groupBy(groups.map(sdf(_)): _*).agg(cols.head, cols.tail: _*)
+    new Gdf(out, Nil, Nil)
+  }
+
+  /** Single-callback summarise: `df.summariseWith { implicit c => Seq(...) }`. */
+  def summariseWith(f: Ctx => Seq[(String, Series)]): Gdf = {
+    val c = ctx(false)
+    val cols = f(c).map { case (n, s) =>
+      require(s.isAgg, s"summarise expression '$n' must aggregate")
+      s.col.as(n)
+    }
+    val out =
+      if (groups.isEmpty) sdf.agg(cols.head, cols.tail: _*)
+      else sdf.groupBy(groups.map(sdf(_)): _*).agg(cols.head, cols.tail: _*)
+    new Gdf(out, Nil, Nil)
+  }
+
+  // ======== SQL (reference data_frame.ex:6887-6931) =========================
+
+  /** Raw SQL against this frame registered under `tableName` — Spark SQL is
+    * strictly stronger than the reference's Polars SQL passthrough. */
+  def sql(query: String, tableName: String = "df"): Gdf = {
+    sdf.createOrReplaceTempView(tableName)
+    copy(spark.sql(query))
+  }
+
+  // ======== materialization ==================================================
+
+  def collectRows(): Array[org.apache.spark.sql.Row] = sdf.collect()
+  def count(): Long = sdf.count()
+  def cache(): Gdf = copy(sdf.cache())
+}
+
+object Gdf {
+  def apply(df: DataFrame): Gdf = new Gdf(df)
+}

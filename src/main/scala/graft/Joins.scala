@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Join verbs (reference `data_frame.ex:5137-5580`): equi joins
+  * inner/left/right/outer/cross with `_right` suffixing and `nulls_equal`,
+  * plus semi/anti (Spark-native extras) and the as-of join.
+  *
+  * Physical strategy is Catalyst's business (broadcast / SMJ / shuffled-hash
+  * + AQE replace Polars' hash/sort-merge choice wholesale, SURVEY §2.8); the
+  * [[Joins.broadcastRight]] hint covers the small-dimension case explicitly.
+  */
+object Joins {
+
+  /** Equi join. `on` holds (leftCol, rightCol) pairs — same-name pairs give
+    * Explorer's default overlapping-column behavior. Clashing non-key columns
+    * from the right get the `_right` suffix (reference data_frame.ex:5380-5409);
+    * `:outer` keeps both key columns, the right one suffixed (doctest
+    * data_frame.ex:5196-5207). `nullsEqual` uses null-safe `<=>`
+    * (data_frame.ex:5150-5155). */
+  def join(left: Gdf, right: Gdf, on: Seq[(String, String)],
+      how: String = "inner", nullsEqual: Boolean = false,
+      broadcastRight: Boolean = false): Gdf = {
+    require(Set("inner", "left", "right", "outer", "cross", "semi", "anti")
+      .contains(how), s"invalid join type $how")
+    if (how == "cross")
+      return Gdf(left.sdf.crossJoin(
+        if (broadcastRight) F.broadcast(right.sdf) else right.sdf))
+
+    val l = left.sdf
+    val rightKeys = on.map(_._2)
+    val keepRightKeys = how == "outer"
+    // suffix right-side clashes (key cols too, when kept)
+    val clashes = right.names.toSet intersect left.names.toSet
+    val renames = right.names.map { n =>
+      val isKey = rightKeys.contains(n)
+      if (clashes(n) && (!isKey || keepRightKeys)) n -> s"${n}_right" else n -> n
+    }.toMap
+    val r0 = right.sdf.withColumnsRenamed(renames)
+    val r = if (broadcastRight) F.broadcast(r0) else r0
+
+    val cond = on.map { case (lk, rk0) =>
+      val rk = renames(rk0)
+      if (nullsEqual) l(lk) <=> r0(rk) else l(lk) === r0(rk)
+    }.reduce(_ && _)
+
+    val sparkHow = how match {
+      case "outer" => "full"
+      case "semi" => "left_semi"
+      case "anti" => "left_anti"
+      case h => h
+    }
+    val joined = l.join(r, cond, sparkHow)
+    val out = how match {
+      case "inner" | "left" | "semi" | "anti" =>
+        // merged keys: keep left's, drop right's (unless renamed-kept)
+        on.foldLeft(joined) { case (d, (_, rk0)) =>
+          if (renames(rk0) == rk0 || !keepRightKeys) d.drop(r0(renames(rk0))) else d
+        }
+      case "right" =>
+        // reference rewrites right join as swapped left (lazy_frame.ex:600-616);
+        // Spark has native right join — drop the left key, keep right's name
+        on.foldLeft(joined) { case (d, (lk, rk0)) =>
+          d.drop(l(lk)).withColumnRenamed(renames(rk0), rk0)
+        }
+      case "outer" => joined // both key columns kept, right suffixed
+    }
+    Gdf(out)
+  }
+
+  /** Shorthand for same-name keys. */
+  def join(left: Gdf, right: Gdf, on: Seq[String], how: String): Gdf =
+    join(left, right, on.map(k => k -> k), how)
+
+  /** `join_asof/3` (reference data_frame.ex:5416-5580; AsofStrategy
+    * lazyframe.rs:371-426): for each left row, pick the right row with the
+    * greatest key ≤ left key (backward), smallest ≥ (forward), or closest
+    * (nearest), optionally pre-grouped by exact-match `by` keys.
+    *
+    * Spark-first design — a single shuffle on (by, key), no custom physical
+    * operator: union the two sides tagged, sort within (by)-partitions by
+    * (key, side), and carry the latest/earliest right payload across left
+    * rows with `last/first(ignoreNulls) over` an unbounded frame. This is the
+    * classic merge-join formulation: it scales linearly, never broadcasts the
+    * right side, and AQE handles skewed `by` keys.
+    *
+    * Right payload columns arrive packed in one struct so a single window
+    * expression carries them all. */
+  def joinAsof(left: Gdf, right: Gdf, leftOn: String, rightOn: String,
+      by: Seq[String] = Nil, strategy: String = "backward"): Gdf = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val l = left.sdf
+    val payloadCols = right.names.filterNot(n => n == rightOn || by.contains(n))
+    val payload = F.struct(
+      (right.sdf(rightOn).as("__asof_key") +:
+        payloadCols.map(n => right.sdf(n).as(n))): _*)
+    val payloadType = StructType(
+      StructField("__asof_key", right.schema(rightOn).dataType) +:
+        payloadCols.map(n => StructField(n, right.schema(n).dataType)))
+
+    val lTagged = l
+      .withColumn("__asof_k", l(leftOn))
+      .withColumn("__side", F.lit(1))
+      .withColumn("__payload", F.lit(null).cast(payloadType))
+    val rTagged = right.sdf
+      .withColumn("__asof_k", right.sdf(rightOn))
+      .withColumn("__side", F.lit(0))
+      .withColumn("__payload", payload)
+      .select((by.map(F.col) ++ Seq(F.col("__asof_k"), F.col("__side"),
+        F.col("__payload")) ++
+        l.columns.filterNot(c => by.contains(c)).map(c =>
+          F.lit(null).cast(l.schema(c).dataType).as(c))): _*)
+
+    val unioned = lTagged.unionByName(rTagged)
+    val part = Window.partitionBy(by.map(F.col): _*)
+
+    def matched(dir: String): Column = dir match {
+      case "backward" => // right rows sort before left at equal key
+        F.last(F.when(F.col("__side") === 0, F.col("__payload")),
+          ignoreNulls = true).over(part
+            .orderBy(F.col("__asof_k"), F.col("__side"))
+            .rowsBetween(Window.unboundedPreceding, 0))
+      case "forward" => // right rows sort after left at equal key
+        F.first(F.when(F.col("__side") === 0, F.col("__payload")),
+          ignoreNulls = true).over(part
+            .orderBy(F.col("__asof_k"), F.col("__side").desc)
+            .rowsBetween(0, Window.unboundedFollowing))
+    }
+
+    val withMatch = strategy match {
+      case "backward" | "forward" =>
+        unioned.withColumn("__m", matched(strategy))
+      case "nearest" =>
+        import org.apache.spark.sql.types.DoubleType
+        val b = matched("backward"); val f = matched("forward")
+        val k = F.col("__asof_k").cast(DoubleType) // ts → fractional seconds
+        val db = F.abs(k - b.getField("__asof_key").cast(DoubleType))
+        val df_ = F.abs(f.getField("__asof_key").cast(DoubleType) - k)
+        unioned.withColumn("__m",
+          F.when(b.isNull, f).when(f.isNull, b)
+            .when(df_ < db, f).otherwise(b))
+      case other => throw new IllegalArgumentException(s"asof strategy $other")
+    }
+
+    val result = withMatch.filter(F.col("__side") === 1)
+    val out = payloadCols.foldLeft(result) { (d, n) =>
+      val name = if (l.columns.contains(n)) s"${n}_right" else n
+      d.withColumn(name, F.col("__m").getField(n))
+    }.drop("__asof_k", "__side", "__payload", "__m")
+    Gdf(out)
+  }
+}

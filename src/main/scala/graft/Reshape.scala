@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Reshaping verbs (reference SURVEY §2.7) and vertical/horizontal concat
+  * (§2.4). All lazy DataFrame transforms except `transpose`, which is
+  * eager-only in the reference too (`lazy_frame.ex:669-685`). */
+object Reshape {
+
+  /** `pivot_longer/3` (reference data_frame.ex:4819-4821) — wide→long via
+    * Spark's native unpivot (same Polars `unpivot` semantics). Pivoted
+    * columns must share a dtype; numeric mixes are relax-cast like the
+    * reference (double wins). */
+  def pivotLonger(df: Gdf, pivot: Seq[String],
+      namesTo: String = "variable", valuesTo: String = "value"): Gdf = {
+    val ids = df.names.filterNot(pivot.contains)
+    val types = pivot.map(n => df.schema(n).dataType).distinct
+    val src =
+      if (types.size <= 1) df.sdf
+      else pivot.foldLeft(df.sdf)((d, n) => d.withColumn(n, F.col(n).cast(DoubleType)))
+    Gdf(src.unpivot(ids.map(F.col).toArray, pivot.map(F.col).toArray,
+      namesTo, valuesTo))
+  }
+
+  /** `pivot_wider/4` (reference data_frame.ex:5102-5108; dataframe.rs:435-515):
+    * long→wide, values aggregated with `first` (the reference hard-codes
+    * PivotAgg::First). Distinct names are either supplied (scales: avoids the
+    * collect) or discovered. */
+  def pivotWider(df: Gdf, namesFrom: String, valuesFrom: String,
+      namesPrefix: String = "", namesValues: Seq[String] = Nil): Gdf = {
+    val ids = df.names.filterNot(n => n == namesFrom || n == valuesFrom)
+    val values =
+      if (namesValues.nonEmpty) namesValues
+      else df.sdf.select(namesFrom).distinct()
+        .collect().map(_.get(0).toString).sorted.toSeq
+    val g = df.sdf.groupBy(ids.map(F.col): _*).pivot(namesFrom, values)
+      .agg(F.first(F.col(valuesFrom)))
+    val out = if (namesPrefix.isEmpty) g else
+      values.foldLeft(g)((d, v) => d.withColumnRenamed(v, namesPrefix + v))
+    Gdf(out)
+  }
+
+  /** `explode/2` — unnest list column(s) into rows (data_frame.ex:6292).
+    * Multi-column explode zips the lists (Polars multi-col semantics). */
+  def explode(df: Gdf, cols: Seq[String]): Gdf = {
+    val out =
+      if (cols.size == 1)
+        df.sdf.withColumn(cols.head, F.explode_outer(F.col(cols.head)))
+      else {
+        val zipped = df.sdf.withColumn("__z",
+          F.explode_outer(F.arrays_zip(cols.map(F.col): _*)))
+        cols.foldLeft(zipped)((d, n) => d.withColumn(n, F.col("__z").getField(n)))
+          .drop("__z")
+      }
+    Gdf(out)
+  }
+
+  /** `unnest/2` — struct column → one column per field (data_frame.ex:6341). */
+  def unnest(df: Gdf, col: String): Gdf = {
+    val fields = df.schema(col).dataType.asInstanceOf[StructType].fieldNames
+    val others = df.names.filterNot(_ == col)
+    Gdf(df.sdf.select(others.map(F.col) ++
+      fields.map(f => F.col(col).getField(f).as(f)): _*))
+  }
+
+  /** `dummies/2` — one-hot encode (data_frame.ex:4095-4099). Category values
+    * can be supplied to avoid the distinct-collect at scale. */
+  def dummies(df: Gdf, col: String, values: Seq[String] = Nil): Gdf = {
+    val vs = if (values.nonEmpty) values
+      else df.sdf.select(col).distinct().collect()
+        .map(_.get(0).toString).sorted.toSeq
+    val cols = vs.map(v =>
+      F.when(F.col(col) === v, 1).otherwise(0).as(s"${col}_$v"))
+    Gdf(df.sdf.select(df.names.map(F.col) ++ cols: _*))
+  }
+
+  /** `transpose/2` (data_frame.ex:4667) — rows↔columns. Driver-side collect,
+    * eager-only exactly like the reference (dataframe.rs:43); only sane for
+    * small frames (it inverts the scaling axis by definition). */
+  def transpose(df: Gdf, header: Option[String] = None,
+      columns: Seq[String] = Nil): Gdf = {
+    val spark = df.spark
+    val names = header match {
+      case Some(h) => df.names.filterNot(_ == h)
+      case None => df.names
+    }
+    val rows = df.sdf.collect()
+    val colNames: Seq[String] =
+      if (columns.nonEmpty) columns
+      else header match {
+        case Some(h) => rows.map(r => r.get(df.names.indexOf(h)).toString).toSeq
+        case None => rows.indices.map(i => s"column_$i")
+      }
+    val data = names.map { n =>
+      val i = df.names.indexOf(n)
+      Row.fromSeq(n +: rows.map(r =>
+        Option(r.get(i)).map(_.toString).orNull).toSeq)
+    }
+    val schema = StructType(StructField("name", StringType) +:
+      colNames.map(c => StructField(c, StringType)))
+    Gdf(spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toList), schema))
+  }
+
+  /** `concat_rows` (data_frame.ex:5762-5869) — vertical union with column
+    * reconciliation and the reference's relaxed numeric cast (int+float →
+    * float). */
+  def concatRows(dfs: Seq[Gdf]): Gdf = {
+    val allNames = dfs.flatMap(_.names).distinct
+    // promote per-column dtypes across frames
+    val target: Map[String, DataType] = allNames.map { n =>
+      val ts = dfs.flatMap(d =>
+        if (d.names.contains(n)) Some(DType.fromSpark(d.schema(n).dataType))
+        else None)
+      n -> ts.reduce(DType.promote).spark
+    }.toMap
+    val aligned = dfs.map { d =>
+      val cols = allNames.map { n =>
+        if (d.names.contains(n)) F.col(n).cast(target(n)).as(n)
+        else F.lit(null).cast(target(n)).as(n)
+      }
+      d.sdf.select(cols: _*)
+    }
+    Gdf(aligned.reduce(_ union _))
+  }
+
+  /** `concat_columns` (data_frame.ex:5693-5720) — horizontal zip by position.
+    * Spark rows are unordered, so each side is indexed over its declared row
+    * order and equi-joined on the index (Polars `hstack` equivalent). */
+  def concatColumns(dfs: Seq[Gdf]): Gdf = {
+    val indexed = dfs.zipWithIndex.map { case (d, i) =>
+      require(d.rowOrder.nonEmpty,
+        "concat_columns needs .ordered(...) on every input")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(d.rowOrder: _*)
+      val renamed = if (i == 0) d.sdf else {
+        val clashes = dfs.take(i).flatMap(_.names).toSet
+        d.names.foldLeft(d.sdf)((acc, n) =>
+          if (clashes(n)) acc.withColumnRenamed(n, s"${n}_$i") else acc)
+      }
+      renamed.withColumn("__cc_idx", F.row_number().over(w))
+    }
+    val joined = indexed.reduce((a, b) => a.join(b, Seq("__cc_idx"), "inner"))
+    Gdf(joined.drop("__cc_idx"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-backed expression facade — graft's equivalent of the reference's
+  * `Explorer.Series` in *expression* position (its LazySeries IR,
+  * `lib/explorer/backend/lazy_series.ex:12-22`). We do not build our own IR:
+  * Catalyst's `Column` tree IS the IR; this layer adds Explorer's operation
+  * vocabulary, dtype-sensitive casts where Catalyst's coercion differs, and
+  * the aggregation flag that the reference tracks per LazySeries node.
+  *
+  * Construction: `graft.gcol("name")` or implicitly from `Column`.
+  */
+final case class Series(col: Column, isAgg: Boolean = false) {
+  private def lift(f: Column => Column): Series = Series(f(col), isAgg)
+  private def zip(o: Series)(f: (Column, Column) => Column): Series =
+    Series(f(col, o.col), isAgg || o.isAgg)
+
+  // ---- comparison (reference expressions.rs:113-158) -----------------------
+  def ===(o: Series): Series = zip(o)(_ === _)
+  def =!=(o: Series): Series = zip(o)(_ =!= _)
+  def >(o: Series): Series = zip(o)(_ > _)
+  def >=(o: Series): Series = zip(o)(_ >= _)
+  def <(o: Series): Series = zip(o)(_ < _)
+  def <=(o: Series): Series = zip(o)(_ <= _)
+
+  // ---- boolean (expressions.rs:161-183) ------------------------------------
+  def &&(o: Series): Series = zip(o)(_ && _)
+  def ||(o: Series): Series = zip(o)(_ || _)
+  def unary_! : Series = lift(!_)
+  /** `binary_in` — membership against a literal collection. */
+  def isIn(values: Seq[Any]): Series = lift(_.isInCollection(values))
+
+  // ---- null / NaN tests (expressions.rs:185-218) ---------------------------
+  def isNil: Series = lift(_.isNull)
+  def isNotNil: Series = lift(_.isNotNull)
+  def isNan: Series = lift(F.isnan)
+  def isInfinite: Series =
+    lift(c => c === Double.PositiveInfinity || c === Double.NegativeInfinity)
+  def isFinite: Series =
+    lift(c => !F.isnan(c) && c =!= Double.PositiveInfinity && c =!= Double.NegativeInfinity)
+
+  // ---- arithmetic (expressions.rs:336-407) ---------------------------------
+  def +(o: Series): Series = zip(o)(_ + _)
+  def -(o: Series): Series = zip(o)(_ - _)
+  def *(o: Series): Series = zip(o)(_ * _)
+  /** Explorer `divide` always yields float (`series.ex:3595`). */
+  def /(o: Series): Series = zip(o)((a, b) => a.cast(DoubleType) / b)
+  def pow(o: Series): Series = zip(o)(F.pow)
+  /** Integer division truncating toward zero, like Polars int `//` on ints. */
+  def quotient(o: Series): Series = zip(o)((a, b) => (a / b).cast(LongType))
+  /** Remainder with dividend sign — Spark `%` matches Rust/Polars `%`. */
+  def remainder(o: Series): Series = zip(o)(_ % _)
+
+  // ---- math (expressions.rs:409-444) ---------------------------------------
+  def abs: Series = lift(F.abs)
+  def exp: Series = lift(F.exp)
+  def ln: Series = lift(F.log)
+  def log(base: Double): Series = lift(F.log(base, _))
+  def floor: Series = lift(F.floor(_: Column))
+  def ceil: Series = lift(F.ceil(_: Column))
+  def round(decimals: Int): Series = lift(F.round(_, decimals))
+  def clip(min: Series, max: Series): Series =
+    Series(F.greatest(F.least(col, max.col), min.col), isAgg)
+  def sin: Series = lift(F.sin); def cos: Series = lift(F.cos)
+  def tan: Series = lift(F.tan); def asin: Series = lift(F.asin)
+  def acos: Series = lift(F.acos); def atan: Series = lift(F.atan)
+  def degrees: Series = lift(F.degrees)
+  def radians: Series = lift(F.radians)
+
+  // ---- null handling --------------------------------------------------------
+  /** `fill_missing` with a value (reference `series.ex:5594-5628`). */
+  def fillMissing(value: Any): Series = lift(c => F.coalesce(c, lit(value)))
+  def coalesce(o: Series): Series = zip(o)(F.coalesce(_, _))
+
+  // ---- casting ---------------------------------------------------------------
+  def cast(to: DType): Series = lift(_.cast(to.spark))
+  def cast(to: DataType): Series = lift(_.cast(to))
+
+  // ---- naming ----------------------------------------------------------------
+  def as(name: String): Series = lift(_.as(name))
+}
+
+object Series {
+  import scala.language.implicitConversions
+  implicit def fromColumn(c: Column): Series = Series(c)
+  implicit def toColumn(s: Series): Column = s.col
+  implicit def fromLiteral(v: Int): Series = Series(lit(v))
+  implicit def fromLiteralL(v: Long): Series = Series(lit(v))
+  implicit def fromLiteralD(v: Double): Series = Series(lit(v))
+  implicit def fromLiteralS(v: String): Series = Series(lit(v))
+  implicit def fromLiteralB(v: Boolean): Series = Series(lit(v))
+}

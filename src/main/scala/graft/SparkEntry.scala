@@ -1,13 +1,746 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import graft.exprs._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline operators), each with an
+  * equivalent DuckDB oracle in [[oracleSql]] where SQL can express it.
+  *
+  * Oracle-parity conventions used throughout:
+  *  - every query is fully deterministically ordered (ORDER BY in both);
+  *  - float aggregates are rounded on BOTH sides (double accumulation order
+  *    differs between engines in the last ulps);
+  *  - integer-ish derived outputs are cast to BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // ns-precision timestamps (events.ts) read as long ns-since-epoch —
+    // Spark is µs-native (SURVEY §1.2 dtype table)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_agg")(spark, "/root/testdata/sf0.001")
+
+  // ======== core relational surface (SURVEY §2.2-§2.5) ======================
+
+  /** TPC-H-Q1-shaped: filter → grouped summarise → sort (SURVEY §7.2 proof
+    * query). Exercises comparison filter, arithmetic, sum/mean/count. */
+  private val q01: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "lineitem"))
+      .filter { implicit c =>
+        gcol("l_shipdate") <= glit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")) }
+      .groupBy("l_returnflag", "l_linestatus")
+      .summariseWith { implicit c => Seq(
+        "sum_qty" -> sum(gcol("l_quantity")).round(4),
+        "sum_base_price" -> sum(gcol("l_extendedprice")).round(4),
+        "sum_disc_price" ->
+          sum(gcol("l_extendedprice") * (glit(1.0) - gcol("l_discount"))).round(4),
+        "avg_qty" -> mean(gcol("l_quantity")).round(6),
+        "avg_disc" -> mean(gcol("l_discount")).round(6),
+        "count_order" -> size) }
+      .sortBy(Seq(F.col("l_returnflag"), F.col("l_linestatus")))
+      .sdf
+
+  /** select/mutate projection with arithmetic incl. quotient/remainder
+    * (§2.2, §2.3). */
+  private val q02: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "lineitem"))
+      .mutateWith { implicit c => Seq(
+        "revenue" -> ((gcol("l_extendedprice") * (glit(1.0) - gcol("l_discount"))).round(4)),
+        "part_bucket" -> gcol("l_partkey").quotient(glit(100L)),
+        "part_slot" -> gcol("l_partkey").remainder(glit(100L))) }
+      .select("l_orderkey", "l_linenumber", "revenue", "part_bucket", "part_slot")
+      .sortBy(Seq(F.col("l_orderkey"), F.col("l_linenumber")))
+      .sdf
+
+  /** filter: comparisons, boolean ops, membership, null tests (§2.3). */
+  private val q03: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "lineitem"))
+      .filter { implicit c =>
+        gcol("l_returnflag").isIn(Seq("A", "R")) &&
+        gcol("l_quantity") > glit(45.0) &&
+        !(gcol("l_linestatus") === glit("O")) &&
+        gcol("l_shipdate").isNotNil }
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .sortBy(Seq(F.col("l_orderkey"), F.col("l_linenumber")))
+      .sdf
+
+  /** sort_by desc + head → TakeOrderedAndProject top-k (§2.4). */
+  private val q04: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "lineitem"))
+      .sortBy(Seq(F.col("l_extendedprice").desc, F.col("l_orderkey"),
+        F.col("l_linenumber")))
+      .head(100)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .sdf
+
+  /** distinct on a subset (§2.4). */
+  private val q05: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "lineitem"))
+      .distinct(Seq("l_returnflag", "l_linestatus"))
+      .sortBy(Seq(F.col("l_returnflag"), F.col("l_linestatus")))
+      .sdf
+
+  /** 3-way inner join star query: lineitem ⋈ orders ⋈ customer, revenue per
+    * market segment. Dimensions are broadcast (§2.8 scale note). */
+  private val q06: (SparkSession, String) => DataFrame = (s, dir) => {
+    val li = Gdf(t(s, dir, "lineitem"))
+    val ord = Gdf(t(s, dir, "orders"))
+    val cust = Gdf(t(s, dir, "customer"))
+    val j1 = Joins.join(li, ord, Seq("l_orderkey" -> "o_orderkey"), "inner")
+    val j2 = Joins.join(j1, cust, Seq("o_custkey" -> "c_custkey"), "inner",
+      broadcastRight = true)
+    j2.groupBy("c_mktsegment")
+      .summariseWith { implicit c => Seq(
+        "revenue" ->
+          sum(gcol("l_extendedprice") * (glit(1.0) - gcol("l_discount"))).round(4),
+        "n_lineitems" -> size) }
+      .sortBy(Seq(F.col("c_mktsegment")))
+      .sdf
+  }
+
+  /** left join + grouped agg: order stats per customer incl. customers
+    * without orders (§2.8). */
+  private val q07: (SparkSession, String) => DataFrame = (s, dir) => {
+    val cust = Gdf(t(s, dir, "customer"))
+    val ord = Gdf(t(s, dir, "orders"))
+    Joins.join(cust, ord, Seq("c_custkey" -> "o_custkey"), "left")
+      .groupBy("c_custkey")
+      .summariseWith { implicit c => Seq(
+        "n_orders" -> count(gcol("o_orderkey")),
+        "total_spent" -> sum(gcol("o_totalprice")).round(4).fillMissing(0.0)) }
+      .sortBy(Seq(F.col("c_custkey")))
+      .sdf
+  }
+
+  /** anti join: customers with no orders (§2.8, Spark-native extra). */
+  private val q08: (SparkSession, String) => DataFrame = (s, dir) => {
+    val cust = Gdf(t(s, dir, "customer"))
+    val ord = Gdf(t(s, dir, "orders"))
+    Joins.join(cust, ord, Seq("c_custkey" -> "o_custkey"), "anti")
+      .select("c_custkey", "c_name")
+      .sortBy(Seq(F.col("c_custkey")))
+      .sdf
+  }
+
+  /** cross join: region × nation grid (§2.8). */
+  private val q09: (SparkSession, String) => DataFrame = (s, dir) => {
+    val r = Gdf(t(s, dir, "region")).select("r_name")
+    val n = Gdf(t(s, dir, "nation")).select("n_name")
+    Joins.join(r, n, Seq.empty[(String, String)], "cross")
+      .sortBy(Seq(F.col("r_name"), F.col("n_name")))
+      .sdf
+  }
+
+  // ======== window / positional (SURVEY §2.6) ================================
+
+  /** cumulative sum per group over declared row order. */
+  private val q10: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "orders"))
+      .groupBy("o_custkey")
+      .ordered(F.col("o_orderdate"), F.col("o_orderkey"))
+      .mutateWith { implicit c => Seq(
+        "running_spend" -> cumulativeSum(gcol("o_totalprice")).round(4),
+        "order_seq" -> (Series(F.row_number().over(c.orderedWin)) - glit(1))) }
+      .ungroup()
+      .select("o_custkey", "o_orderkey", "order_seq", "running_spend")
+      .sortBy(Seq(F.col("o_custkey"), F.col("o_orderkey")))
+      .sdf
+
+  /** rolling window mean/min/max (trailing 4 rows, min_periods=1). */
+  private val q11: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "orders"))
+      .groupBy("o_custkey")
+      .ordered(F.col("o_orderdate"), F.col("o_orderkey"))
+      .mutateWith { implicit c => Seq(
+        "w_mean" -> windowMean(gcol("o_totalprice"), 4).round(4),
+        "w_min" -> windowMin(gcol("o_totalprice"), 4),
+        "w_max" -> windowMax(gcol("o_totalprice"), 4)) }
+      .ungroup()
+      .select("o_custkey", "o_orderkey", "w_mean", "w_min", "w_max")
+      .sortBy(Seq(F.col("o_custkey"), F.col("o_orderkey")))
+      .sdf
+
+  /** shift (lag/lead) per group (§2.6). */
+  private val q12: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "orders"))
+      .groupBy("o_custkey")
+      .ordered(F.col("o_orderdate"), F.col("o_orderkey"))
+      .mutateWith { implicit c => Seq(
+        "prev_price" -> shift(gcol("o_totalprice"), 1),
+        "next_price" -> shift(gcol("o_totalprice"), -1)) }
+      .ungroup()
+      .select("o_custkey", "o_orderkey", "prev_price", "next_price")
+      .sortBy(Seq(F.col("o_custkey"), F.col("o_orderkey")))
+      .sdf
+
+  /** rank methods: min/dense/ordinal (§2.6 rank). */
+  private val q13: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "customer"))
+      .groupBy("c_mktsegment")
+      .mutateWith { implicit c => Seq(
+        "r_min" -> rank(gcol("c_acctbal"), "min", descending = true),
+        "r_dense" -> rank(gcol("c_acctbal"), "dense", descending = true)) }
+      .ungroup()
+      .select("c_custkey", "c_mktsegment", "r_min", "r_dense")
+      .sortBy(Seq(F.col("c_custkey")))
+      .sdf
+
+  // ======== aggregation statistics (SURVEY §2.5) =============================
+
+  /** variance/stddev/median/quantile/min/max/n_distinct in one grouped pass;
+    * exact (interpolating) percentile for oracle parity. */
+  private val q14: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "lineitem"))
+      .groupBy("l_returnflag")
+      .summariseWith { implicit c => Seq(
+        "var_qty" -> variance(gcol("l_quantity")).round(6),
+        "std_qty" -> standardDeviation(gcol("l_quantity")).round(6),
+        "med_qty" -> median(gcol("l_quantity")).round(6),
+        "q90_price" -> quantile(gcol("l_extendedprice"), 0.9).round(4),
+        "min_qty" -> min(gcol("l_quantity")),
+        "max_qty" -> max(gcol("l_quantity")),
+        "n_parts" -> nDistinct(gcol("l_partkey"))) }
+      .sortBy(Seq(F.col("l_returnflag")))
+      .sdf
+
+  /** correlation + covariance (pearson, ddof=1) global agg (§2.5). */
+  private val q15: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "lineitem"))
+      .summariseWith { implicit c => Seq(
+        "corr_qty_price" ->
+          correlation(gcol("l_quantity"), gcol("l_extendedprice")).round(6),
+        "cov_qty_price" ->
+          covariance(gcol("l_quantity"), gcol("l_extendedprice")).round(4),
+        "skew_price" -> skew(gcol("l_extendedprice")).round(6)) }
+      .sdf
+
+  // ======== reshaping (SURVEY §2.7) ==========================================
+
+  /** pivot_wider: linestatus values → columns, first-agg semantics replaced
+    * by sum for a deterministic oracle. */
+  private val q16: (SparkSession, String) => DataFrame = (s, dir) => {
+    val agg = Gdf(t(s, dir, "lineitem"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .summariseWith { implicit c =>
+        Seq("qty" -> sum(gcol("l_quantity")).round(4)) }
+    Reshape.pivotWider(agg, "l_linestatus", "qty", namesValues = Seq("F", "O", "P"))
+      .sortBy(Seq(F.col("l_returnflag")))
+      .sdf
+  }
+
+  /** pivot_longer: wide numeric columns → (variable, value) long form. */
+  private val q17: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = Gdf(t(s, dir, "lineitem"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    Reshape.pivotLonger(base, Seq("l_quantity", "l_extendedprice"))
+      .sortBy(Seq(F.col("l_orderkey"), F.col("l_linenumber"), F.col("variable")))
+      .sdf
+  }
+
+  /** explode: split document text into words → word frequencies (§2.7). */
+  private val q18: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = Gdf(t(s, dir, "documents"))
+      .mutateCol("word", F.split(F.col("text"), " "))
+    Reshape.explode(docs, Seq("word"))
+      .groupBy("word")
+      .summariseWith { implicit c => Seq("n" -> size) }
+      .sortBy(Seq(F.col("n").desc, F.col("word")))
+      .head(50)
+      .sdf
+  }
+
+  /** unnest: struct column → fields (§2.7); struct built via split_into. */
+  private val q19: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = Gdf(t(s, dir, "documents"))
+      .mutateCol("parts", StringFns.splitInto(F.col("source"), "rc", Seq("s", "num")))
+    Reshape.unnest(docs, "parts")
+      .select("doc_id", "s", "num")
+      .sortBy(Seq(F.col("doc_id")))
+      .sdf
+  }
+
+  /** dummies: one-hot encode order priority (§2.7). */
+  private val q20: (SparkSession, String) => DataFrame = (s, dir) => {
+    val vals = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Reshape.dummies(Gdf(t(s, dir, "orders")), "o_orderpriority", vals)
+      .select("o_orderkey" +: vals.map(v => s"o_orderpriority_$v"): _*)
+      .sortBy(Seq(F.col("o_orderkey")))
+      .sdf
+  }
+
+  // ======== strings / temporal (SURVEY §2.3) =================================
+
+  /** string function battery: case, trim, substring, replace, contains,
+    * concat/format (§2.3 strings). */
+  private val q21: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "part"))
+      .mutateWith { implicit c => Seq(
+        "name_up" -> Series(F.upper(F.col("p_name"))),
+        "name_low" -> Series(F.lower(F.col("p_brand"))),
+        "name_sub" -> Series(StringFns.substring(F.col("p_name"), 0, Some(5))),
+        "name_repl" -> Series(F.regexp_replace(F.col("p_name"), "a", "@")),
+        "has_steel" -> Series(F.col("p_type").contains("STEEL") ||
+          F.col("p_name").contains("steel")),
+        "label" -> Series(StringFns.format(Seq(F.col("p_brand"), F.lit("#"),
+          F.col("p_partkey").cast("string")))) ) }
+      .select("p_partkey", "name_up", "name_low", "name_sub", "name_repl",
+        "has_steel", "label")
+      .sortBy(Seq(F.col("p_partkey")))
+      .sdf
+
+  /** regex battery: re_contains, re_count_matches, re_scan-first (§2.3). */
+  private val q22: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "documents"))
+      .mutateWith { implicit c => Seq(
+        "has_data" -> Series(F.col("text").rlike("data")),
+        "n_vowel_runs" -> Series(StringFns.reCountMatches(F.col("text"), "[aeiou]+")),
+        "first_word_s" -> Series(F.regexp_extract(F.col("text"), "\\b(s[a-z]+)", 1))) }
+      .select("doc_id", "has_data", "n_vowel_runs", "first_word_s")
+      .sortBy(Seq(F.col("doc_id")))
+      .sdf
+
+  /** temporal extractor battery with Explorer conventions (Mon=1 weekday;
+    * ISO week) (§2.3 temporal). */
+  private val q23: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "orders"))
+      .mutateWith { implicit c => Seq(
+        "y" -> Series(TemporalFns.year(F.col("o_orderdate")).cast("long")),
+        "m" -> Series(TemporalFns.month(F.col("o_orderdate")).cast("long")),
+        "d" -> Series(TemporalFns.dayOfMonth(F.col("o_orderdate")).cast("long")),
+        "dow" -> Series(TemporalFns.dayOfWeek(F.col("o_orderdate")).cast("long")),
+        "doy" -> Series(TemporalFns.dayOfYear(F.col("o_orderdate")).cast("long")),
+        "week" -> Series(TemporalFns.weekOfYear(F.col("o_orderdate")).cast("long")),
+        "qtr" -> Series(TemporalFns.quarterOfYear(F.col("o_orderdate")).cast("long"))) }
+      .select("o_orderkey", "y", "m", "d", "dow", "doy", "week", "qtr")
+      .sortBy(Seq(F.col("o_orderkey")))
+      .sdf
+
+  /** strftime/strptime round trip through the chrono-dialect translator
+    * (§2.3 casting; SURVEY §7.3). */
+  private val q24: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "orders"))
+      .mutateWith { implicit c => Seq(
+        "date_str" -> Series(StringFns.strftime(F.col("o_orderdate"), "%Y-%m-%d")),
+        "reparsed" -> Series(F.to_date(
+          StringFns.strptime(StringFns.strftime(F.col("o_orderdate"), "%Y-%m-%d"),
+            "%Y-%m-%d")))) }
+      .select("o_orderkey", "date_str", "reparsed")
+      .sortBy(Seq(F.col("o_orderkey")))
+      .sdf
+
+  /** conditional (when/otherwise = reference `select/3`), coalesce,
+    * fill_missing value + mean strategies (§2.3 null handling). */
+  private val q25: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "events"))
+      .mutateWith { implicit c =>
+        val v = Series(F.nullif(F.col("value"), F.lit(0.0)))
+        Seq(
+          "bucket" -> iff(gcol("value") >= glit(50.0), glit("high"),
+            iff(gcol("value") >= glit(10.0), glit("mid"), glit("low"))),
+          "v_filled" -> v.fillMissing(-1.0),
+          "v_mean_fill" -> fillMissingStrategy(v, "mean").round(6)) }
+      .select("event_id", "bucket", "v_filled", "v_mean_fill")
+      .sortBy(Seq(F.col("event_id")))
+      .sdf
+
+  // ======== as-of join (SURVEY §2.8) =========================================
+
+  /** join_asof backward with `by` pre-grouping: each click matched to the
+    * user's most recent error event. DuckDB ASOF JOIN is the oracle. */
+  private val q26: (SparkSession, String) => DataFrame = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val clicks = Gdf(ev.filter(F.col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value"))
+    val errors = Gdf(ev.filter(F.col("event_type") === "error")
+      .select(F.col("user_id"), F.col("ts"),
+        F.col("value").as("error_value")))
+    Joins.joinAsof(clicks, errors, "ts", "ts", by = Seq("user_id"),
+      strategy = "backward")
+      .select("event_id", "user_id", "error_value")
+      .sortBy(Seq(F.col("event_id")))
+      .sdf
+  }
+
+  // ======== concat / set ops (SURVEY §2.4) ===================================
+
+  /** concat_rows with column reconciliation (union of customer + supplier
+    * directories). */
+  private val q27: (SparkSession, String) => DataFrame = (s, dir) => {
+    val c = Gdf(t(s, dir, "customer"))
+      .select("c_name", "c_acctbal")
+      .rename("c_name" -> "name", "c_acctbal" -> "acctbal")
+      .mutateCol("kind", F.lit("customer"))
+    val su = Gdf(t(s, dir, "supplier"))
+      .select("s_name", "s_acctbal")
+      .rename("s_name" -> "name", "s_acctbal" -> "acctbal")
+      .mutateCol("kind", F.lit("supplier"))
+    Reshape.concatRows(Seq(c, su))
+      .sortBy(Seq(F.col("kind"), F.col("name")))
+      .sdf
+  }
+
+  /** slice (offset, len) over a declared total order (§2.2 positional). */
+  private val q28: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "customer"))
+      .ordered(F.col("c_acctbal").desc, F.col("c_custkey"))
+      .slice(10, 20)
+      .select("c_custkey", "c_acctbal")
+      .sortBy(Seq(F.col("c_custkey")))
+      .sdf
+
+  /** frequencies + distinct-count composition (§2.5 frequencies). */
+  private val q29: (SparkSession, String) => DataFrame = (s, dir) =>
+    Stats.frequencies(Gdf(t(s, dir, "orders")), Seq("o_orderpriority")).sdf
+
+  /** cut: fixed-break binning + per-bin stats (§2.6 cut). */
+  private val q30: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "lineitem"))
+      .mutateCol("qty_bin",
+        Stats.cut(F.col("l_quantity"), Seq(10.0, 25.0, 40.0)))
+      .groupBy("qty_bin")
+      .summariseWith { implicit c => Seq(
+        "n" -> size, "avg_price" -> mean(gcol("l_extendedprice")).round(4)) }
+      .sortBy(Seq(F.col("qty_bin")))
+      .sdf
+
+  // ======== training-data pipeline operators =================================
+
+  /** exact dedup on text hash — keep lowest doc_id per distinct text. */
+  private val d01: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    Gdf(Dedup.exact(docs, F.col("text"), F.col("doc_id")))
+      .select("doc_id", "n_chars")
+      .sortBy(Seq(F.col("doc_id")))
+      .sdf
+  }
+
+  /** token count + subword estimate + fingerprint (text analysis). */
+  private val d02: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "documents"))
+      .mutateWith { implicit c => Seq(
+        "n_tokens" -> Series(TextAnalysis.tokenCount(F.col("text"))),
+        "n_subwords" -> Series(TextAnalysis.subwordCount(F.col("text")))) }
+      .select("doc_id", "n_tokens", "n_subwords")
+      .sortBy(Seq(F.col("doc_id")))
+      .sdf
+
+  /** language-ID heuristic + quality score (text analysis). */
+  private val d03: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "documents"))
+      .mutateWith { implicit c => Seq(
+        "lang_guess" -> Series(TextAnalysis.langId(F.col("text"))),
+        "stop_ratio" -> Series(F.round(TextAnalysis.stopwordRatio(F.col("text")), 6))) }
+      .select("doc_id", "lang_guess", "stop_ratio")
+      .sortBy(Seq(F.col("doc_id")))
+      .sdf
+
+  /** brute-force cosine top-k similarity search (oracle:
+    * DuckDB list_cosine_similarity). */
+  private val d04: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(F.col("vec_id") < 5)
+    Similarity.bruteForceTopK(
+      emb.filter(F.col("vec_id") >= 5), F.col("vec_id"), F.col("embedding"),
+      queries, F.col("vec_id"), F.col("embedding"), k = 5)
+      .withColumn("cosine", F.round(F.col("cosine"), 6))
+      .orderBy("query_id", "rank")
+  }
+
+  /** MinHash+LSH near-dup candidates, Jaccard-verified (rows-only check —
+    * not SQL-expressible in the oracle). */
+  private val d05: (SparkSession, String) => DataFrame = (s, dir) =>
+    // 8 bands × 8 rows: P(candidate) ≈ 1 for the planted J≈0.99 near-dups,
+    // ~2.6e-6 for unrelated J≈0.2 pairs — candidate set stays tiny at scale
+    Dedup.minhashDuplicatePairs(t(s, dir, "documents"),
+      F.col("doc_id"), F.col("text"), threshold = 0.8,
+      shingleSize = 3, numHashes = 64, bands = 8)
+      .withColumn("jaccard", F.round(F.col("jaccard"), 4))
+      .orderBy("id_a", "id_b")
+
+  /** SimHash signatures (rows-only check). */
+  private val d06: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.simhash(t(s, dir, "documents"), F.col("doc_id"), F.col("text"))
+      .orderBy("id")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> q01,
+    "q02_project_arith" -> q02,
+    "q03_filter_predicates" -> q03,
+    "q04_sort_topk" -> q04,
+    "q05_distinct" -> q05,
+    "q06_join_star" -> q06,
+    "q07_join_left_agg" -> q07,
+    "q08_join_anti" -> q08,
+    "q09_join_cross" -> q09,
+    "q10_cumulative" -> q10,
+    "q11_rolling_window" -> q11,
+    "q12_shift" -> q12,
+    "q13_rank" -> q13,
+    "q14_agg_stats" -> q14,
+    "q15_corr_cov" -> q15,
+    "q16_pivot_wider" -> q16,
+    "q17_pivot_longer" -> q17,
+    "q18_explode_words" -> q18,
+    "q19_unnest_struct" -> q19,
+    "q20_dummies" -> q20,
+    "q21_strings" -> q21,
+    "q22_regex" -> q22,
+    "q23_temporal" -> q23,
+    "q24_strptime" -> q24,
+    "q25_conditional_fill" -> q25,
+    "q26_asof_join" -> q26,
+    "q27_concat_rows" -> q27,
+    "q28_slice" -> q28,
+    "q29_frequencies" -> q29,
+    "q30_cut" -> q30,
+    "d01_exact_dedup" -> d01,
+    "d02_token_counts" -> d02,
+    "d03_langid_quality" -> d03,
+    "d04_cosine_topk" -> d04,
+    "d05_minhash_pairs" -> d05,
+    "d06_simhash" -> d06)
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 4) AS sum_qty,
+             round(sum(l_extendedprice), 4) AS sum_base_price,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+             round(avg(l_quantity), 6) AS avg_qty,
+             round(avg(l_discount), 6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q02_project_arith" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice * (1.0 - l_discount), 4) AS revenue,
+             CAST(l_partkey // 100 AS BIGINT) AS part_bucket,
+             CAST(l_partkey % 100 AS BIGINT) AS part_slot
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber""",
+    "q03_filter_predicates" -> """
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+      FROM lineitem
+      WHERE l_returnflag IN ('A','R') AND l_quantity > 45.0
+        AND NOT (l_linestatus = 'O') AND l_shipdate IS NOT NULL
+      ORDER BY l_orderkey, l_linenumber""",
+    "q04_sort_topk" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 100""",
+    "q05_distinct" -> """
+      SELECT DISTINCT l_returnflag, l_linestatus
+      FROM lineitem ORDER BY l_returnflag, l_linestatus""",
+    "q06_join_star" -> """
+      SELECT c_mktsegment,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+             count(*) AS n_lineitems
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q07_join_left_agg" -> """
+      SELECT c_custkey, count(o_orderkey) AS n_orders,
+             coalesce(round(sum(o_totalprice), 4), 0.0) AS total_spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""",
+    "q08_join_anti" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+    "q09_join_cross" -> """
+      SELECT r_name, n_name FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name""",
+    "q10_cumulative" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(row_number() OVER w - 1 AS INT) AS order_seq,
+             round(sum(o_totalprice) OVER
+               (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS running_spend
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""",
+    "q11_rolling_window" -> """
+      SELECT o_custkey, o_orderkey,
+             round(avg(o_totalprice) OVER
+               (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS w_mean,
+             min(o_totalprice) OVER
+               (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w_min,
+             max(o_totalprice) OVER
+               (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w_max
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""",
+    "q12_shift" -> """
+      SELECT o_custkey, o_orderkey,
+             lag(o_totalprice) OVER w AS prev_price,
+             lead(o_totalprice) OVER w AS next_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""",
+    "q13_rank" -> """
+      SELECT c_custkey, c_mktsegment,
+             CAST(rank() OVER w AS INT) AS r_min,
+             CAST(dense_rank() OVER w AS INT) AS r_dense
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+      ORDER BY c_custkey""",
+    "q14_agg_stats" -> """
+      SELECT l_returnflag,
+             round(var_samp(l_quantity), 6) AS var_qty,
+             round(stddev_samp(l_quantity), 6) AS std_qty,
+             round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS q90_price,
+             min(l_quantity) AS min_qty,
+             max(l_quantity) AS max_qty,
+             count(DISTINCT l_partkey) AS n_parts
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q15_corr_cov" -> """
+      SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+             round(skewness(l_extendedprice)
+               * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 6)
+               AS skew_price
+      FROM lineitem""",
+    "q16_pivot_wider" -> """
+      SELECT l_returnflag,
+             round(sum(l_quantity) FILTER (l_linestatus = 'F'), 4) AS "F",
+             round(sum(l_quantity) FILTER (l_linestatus = 'O'), 4) AS "O",
+             round(sum(l_quantity) FILTER (l_linestatus = 'P'), 4) AS "P"
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q17_pivot_longer" -> """
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+             l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, variable""",
+    "q18_explode_words" -> """
+      SELECT word, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+    "q19_unnest_struct" -> """
+      SELECT doc_id,
+             string_split(source, 'rc')[1] AS s,
+             string_split(source, 'rc')[2] AS num
+      FROM documents ORDER BY doc_id""",
+    "q20_dummies" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+          AS "o_orderpriority_1-URGENT",
+        CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END
+          AS "o_orderpriority_2-HIGH",
+        CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END
+          AS "o_orderpriority_3-MEDIUM",
+        CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END
+          AS "o_orderpriority_4-NOT SPECIFIED",
+        CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END
+          AS "o_orderpriority_5-LOW"
+      FROM orders ORDER BY o_orderkey""",
+    "q21_strings" -> """
+      SELECT p_partkey, upper(p_name) AS name_up, lower(p_brand) AS name_low,
+             substr(p_name, 1, 5) AS name_sub,
+             regexp_replace(p_name, 'a', '@', 'g') AS name_repl,
+             (contains(p_type, 'STEEL') OR contains(p_name, 'steel'))
+               AS has_steel,
+             p_brand || '#' || CAST(p_partkey AS VARCHAR) AS label
+      FROM part ORDER BY p_partkey""",
+    "q22_regex" -> """
+      SELECT doc_id, regexp_matches(text, 'data') AS has_data,
+             CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INT)
+               AS n_vowel_runs,
+             coalesce(regexp_extract(text, '\b(s[a-z]+)', 1), '')
+               AS first_word_s
+      FROM documents ORDER BY doc_id""",
+    "q23_temporal" -> """
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(month(o_orderdate) AS BIGINT) AS m,
+             CAST(day(o_orderdate) AS BIGINT) AS d,
+             CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+             CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+             CAST(weekofyear(o_orderdate) AS BIGINT) AS week,
+             CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+      FROM orders ORDER BY o_orderkey""",
+    "q24_strptime" -> """
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+             CAST(o_orderdate AS DATE) AS reparsed
+      FROM orders ORDER BY o_orderkey""",
+    "q25_conditional_fill" -> """
+      SELECT event_id,
+             CASE WHEN value >= 50.0 THEN 'high'
+                  WHEN value >= 10.0 THEN 'mid' ELSE 'low' END AS bucket,
+             coalesce(nullif(value, 0.0), -1.0) AS v_filled,
+             round(coalesce(nullif(value, 0.0),
+               (SELECT avg(nullif(value, 0.0)) FROM events)), 6)
+               AS v_mean_fill
+      FROM events ORDER BY event_id""",
+    "q26_asof_join" -> """
+      SELECT c.event_id, c.user_id, e.value AS error_value
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        ON c.user_id = e.user_id AND c.ts >= e.ts
+      ORDER BY c.event_id""",
+    "q27_concat_rows" -> """
+      SELECT * FROM (
+        SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind
+        FROM customer
+        UNION ALL
+        SELECT s_name, s_acctbal, 'supplier' FROM supplier)
+      ORDER BY kind, name""",
+    "q28_slice" -> """
+      SELECT c_custkey, c_acctbal FROM customer
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 20 OFFSET 10""",
+    "q29_frequencies" -> """
+      SELECT o_orderpriority, count(*) AS counts
+      FROM orders GROUP BY o_orderpriority
+      ORDER BY counts DESC, o_orderpriority""",
+    "q30_cut" -> """
+      SELECT CASE WHEN l_quantity <= 10.0 THEN '(-inf, 10.0]'
+                  WHEN l_quantity <= 25.0 THEN '(10.0, 25.0]'
+                  WHEN l_quantity <= 40.0 THEN '(25.0, 40.0]'
+                  ELSE '(40.0, inf]' END AS qty_bin,
+             count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
+      FROM lineitem GROUP BY qty_bin ORDER BY qty_bin""",
+    "d01_exact_dedup" -> """
+      SELECT min(doc_id) AS doc_id, arg_min(n_chars, doc_id) AS n_chars
+      FROM documents GROUP BY text ORDER BY doc_id""",
+    "d02_token_counts" -> """
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+             END AS n_tokens,
+             CAST(len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_subwords
+      FROM documents ORDER BY doc_id""",
+    "d04_cosine_topk" -> """
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 5),
+           c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE vec_id >= 5),
+           scored AS (
+             SELECT query_id, corpus_id,
+                    list_dot_product(qv, cv) /
+                      (sqrt(list_dot_product(qv, qv)) *
+                       sqrt(list_dot_product(cv, cv))) AS cosine
+             FROM q CROSS JOIN c),
+           ranked AS (
+             SELECT query_id, corpus_id,
+                    CAST(row_number() OVER
+                      (PARTITION BY query_id
+                       ORDER BY cosine DESC, corpus_id) AS INT) AS rank,
+                    round(cosine, 6) AS cosine
+             FROM scored)
+      SELECT query_id, corpus_id, rank, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""")
 }

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** DataFrame-level statistics compositions — like the reference, these are
+  * pure library code built on summarise/groupBy (describe at
+  * data_frame.ex:6678-6741, frequencies at 6784-6800, nil_count at 6760,
+  * correlation/covariance matrices at 6832-6879). */
+object Stats {
+
+  /** `describe/2`: count, nil_count, mean, std, min, percentiles, max per
+    * numeric column — one pass, one job. */
+  def describe(df: Gdf, percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75)): Gdf = {
+    val numeric = df.names.filter(n => df.schema(n).dataType match {
+      case _: NumericType => true; case _ => false
+    })
+    val aggs = numeric.flatMap { n =>
+      val c = F.col(n)
+      Seq(F.count(c).as(s"${n}__count"),
+        F.count_if(c.isNull).as(s"${n}__nil_count"),
+        F.avg(c).as(s"${n}__mean"),
+        F.stddev_samp(c).as(s"${n}__std"),
+        F.min(c).cast(DoubleType).as(s"${n}__min")) ++
+        percentiles.map(p =>
+          F.percentile(c, F.lit(p)).as(s"${n}__p${(p * 100).toInt}")) :+
+        F.max(c).cast(DoubleType).as(s"${n}__max")
+    }
+    val row = df.sdf.agg(aggs.head, aggs.tail: _*)
+    // long form: one row per (column, statistic)
+    val stats = Seq("count", "nil_count", "mean", "std", "min") ++
+      percentiles.map(p => s"p${(p * 100).toInt}") :+ "max"
+    val cols = numeric.map { n =>
+      F.struct(F.lit(n).as("column"),
+        F.array(stats.map(s => F.col(s"${n}__$s").cast(DoubleType)): _*).as("vals"))
+    }
+    val long = row.select(F.explode(F.array(cols: _*)).as("s"))
+      .select(F.col("s.column").as("column"),
+        F.posexplode(F.col("s.vals")).as(Seq("i", "value")))
+      .withColumn("statistic",
+        F.element_at(F.array(stats.map(F.lit): _*), F.col("i") + 1))
+      .select("column", "statistic", "value")
+    Gdf(long)
+  }
+
+  /** `frequencies/1`: value counts, descending (data_frame.ex:6784-6800). */
+  def frequencies(df: Gdf, cols: Seq[String]): Gdf =
+    Gdf(df.sdf.groupBy(cols.map(F.col): _*).agg(F.count(F.lit(1)).as("counts"))
+      .orderBy(F.col("counts").desc +: cols.map(F.col): _*))
+
+  /** Modal set — the reference's multi-value `mode` (series.ex:2676-2679):
+    * all values sharing the max frequency, as a sorted list. */
+  def modeList(df: Gdf, col: String): Gdf = {
+    val counts = df.sdf.groupBy(col).agg(F.count(F.lit(1)).as("__n"))
+    val w = Window.orderBy(F.col("__n").desc)
+    Gdf(counts.withColumn("__r", F.rank().over(w)).filter(F.col("__r") === 1)
+      .select(F.col(col)).orderBy(col))
+  }
+
+  /** `nil_count/1` per column (data_frame.ex:6760). */
+  def nilCount(df: Gdf): Gdf = {
+    val aggs = df.names.map(n => F.count_if(F.col(n).isNull).as(n))
+    Gdf(df.sdf.agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** Pairwise Pearson correlation matrix (data_frame.ex:6832). One job for
+    * the whole matrix — n² aggregate expressions, single pass over the data,
+    * which is the scalable shape (no per-pair jobs). */
+  def correlationMatrix(df: Gdf, cols: Seq[String]): Gdf =
+    pairwise(df, cols, (a, b) => F.corr(a, b), "correlation")
+
+  /** Pairwise sample covariance matrix (data_frame.ex:6879). */
+  def covarianceMatrix(df: Gdf, cols: Seq[String], ddof: Int = 1): Gdf =
+    pairwise(df, cols,
+      (a, b) => if (ddof == 1) F.covar_samp(a, b) else F.covar_pop(a, b),
+      "covariance")
+
+  private def pairwise(df: Gdf, cols: Seq[String],
+      f: (Column, Column) => Column, what: String): Gdf = {
+    val aggs = for { a <- cols; b <- cols }
+      yield f(F.col(a), F.col(b)).as(s"${a}__${b}")
+    val row = df.sdf.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { a =>
+      F.struct((F.lit(a).as("names") +:
+        cols.map(b => F.col(s"${a}__${b}").as(b))): _*)
+    }
+    Gdf(row.select(F.explode(F.array(structs: _*)).as("r")).select("r.*"))
+  }
+
+  /** Spearman rank correlation (reference correlation method=:spearman,
+    * series.ex:2945-2998) = Pearson over average-ranks. Two window passes +
+    * one aggregate. */
+  def spearman(df: Gdf, a: String, b: String): DataFrame = {
+    implicit val c: Ctx = Ctx(Nil, Nil, windowed = false)
+    def avgRank(col: String) = {
+      val minRank = F.rank().over(Window.orderBy(F.col(col)))
+      val ties = F.count(F.lit(1)).over(Window.partitionBy(F.col(col)))
+      minRank.cast(DoubleType) + (ties - 1).cast(DoubleType) / 2.0
+    }
+    df.sdf.withColumn("__ra", avgRank(a)).withColumn("__rb", avgRank(b))
+      .agg(F.corr(F.col("__ra"), F.col("__rb")).as("spearman"))
+  }
+
+  /** `cut/2` — fixed-break binning into labelled categories
+    * (series.ex:4945; series.rs:205-305). Pure `when`-chain: codegen'd,
+    * no shuffle. Labels default to Polars' `(lo, hi]` formatting. */
+  def cut(col: Column, breaks: Seq[Double], labels: Seq[String] = Nil): Column = {
+    val bounds = Double.NegativeInfinity +: breaks :+ Double.PositiveInfinity
+    val labs = if (labels.nonEmpty) labels else bounds.sliding(2).map {
+      case Seq(lo, hi) => s"(${fmt(lo)}, ${fmt(hi)}]"
+    }.toSeq
+    val first = F.when(col <= breaks.head, labs.head)
+    val mid = breaks.indices.drop(1).foldLeft(first) { (acc, i) =>
+      acc.when(col <= breaks(i), labs(i))
+    }
+    mid.otherwise(labs.last)
+  }
+  private def fmt(d: Double): String =
+    if (d.isNegInfinity) "-inf" else if (d.isPosInfinity) "inf"
+    else if (d == d.floor && !d.isInfinite) f"$d%.1f" else d.toString
+
+  /** `qcut/2` — quantile binning (series.ex:5005). Breaks are computed with
+    * exact `percentile` in one aggregate pass (collect of q scalars only),
+    * then reuse [[cut]]. */
+  def qcut(df: Gdf, colName: String, qs: Seq[Double],
+      labels: Seq[String] = Nil): Column = {
+    val row = df.sdf.agg(
+      F.percentile(F.col(colName), F.lit(qs.head)).as("q0"),
+      qs.drop(1).zipWithIndex.map { case (q, i) =>
+        F.percentile(F.col(colName), F.lit(q)).as(s"q${i + 1}") }: _*).head()
+    val breaks = qs.indices.map(row.getDouble)
+    cut(F.col(colName), breaks, labels)
+  }
+}

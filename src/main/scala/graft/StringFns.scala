@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** String operation surface (reference series.ex:5711-6295) plus the
+  * strptime/strftime chrono-dialect translator (SURVEY §7.3): the reference
+  * takes Rust-chrono format strings (`%Y-%m-%d`), Spark takes JVM
+  * datetime patterns (`yyyy-MM-dd`). */
+object StringFns {
+
+  /** chrono → JVM datetime pattern. Covers the directives chrono documents
+    * for strftime that have JVM equivalents; passthrough text is quoted. */
+  def chronoToJvm(fmt: String): String = {
+    val map = Map(
+      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd", 'e' -> "d",
+      'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
+      'f' -> "SSSSSSSSS", 'p' -> "a", 'Z' -> "zzz", 'z' -> "xx",
+      'j' -> "DDD", 'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM",
+      'B' -> "MMMM", 'G' -> "YYYY", 'V' -> "ww", 'u' -> "e",
+      'T' -> "HH:mm:ss", 'D' -> "MM/dd/yy", 'F' -> "yyyy-MM-dd",
+      'R' -> "HH:mm")
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      out ++= (if (s.exists(_.isLetter)) "'" + s.replace("'", "''") + "'" else s)
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt(i) == '%' && i + 1 < fmt.length) {
+        val d = fmt(i + 1)
+        if (d == '%') { lit += '%'; i += 2 }
+        else map.get(d) match {
+          case Some(j) => flush(); out ++= j; i += 2
+          case None =>
+            throw new IllegalArgumentException(s"unsupported directive %$d")
+        }
+      } else { lit += fmt(i); i += 1 }
+    }
+    flush()
+    out.toString
+  }
+
+  /** `strptime` (series.ex:1117) — string → naive datetime. */
+  def strptime(c: Column, chronoFmt: String): Column =
+    F.to_timestamp(c, chronoToJvm(chronoFmt))
+
+  /** `strftime` (series.ex:1145) — datetime → string. */
+  def strftime(c: Column, chronoFmt: String): Column =
+    F.date_format(c, chronoToJvm(chronoFmt))
+
+  /** `split_into(by, fields)` → struct (series.ex:6140). */
+  def splitInto(c: Column, by: String, fields: Seq[String]): Column = {
+    val arr = F.split(c, java.util.regex.Pattern.quote(by))
+    F.struct(fields.zipWithIndex.map { case (f, i) =>
+      F.element_at(arr, i + 1).as(f) }: _*)
+  }
+
+  /** `re_named_captures` → struct of named groups (series.ex:6282). Group
+    * names are parsed from the pattern at the facade, like the reference. */
+  def reNamedCaptures(c: Column, pattern: String): Column = {
+    val names = "\\(\\?<([a-zA-Z][a-zA-Z0-9]*)>".r
+      .findAllMatchIn(pattern).map(_.group(1)).toSeq
+    // regexp_extract addresses groups by index; named groups are also counted
+    val groupIdx = {
+      var idx = 0; var out = Map.empty[String, Int]
+      val g = "\\((\\?<([a-zA-Z][a-zA-Z0-9]*)>)?".r
+      g.findAllMatchIn(pattern).foreach { m =>
+        idx += 1
+        if (m.group(2) != null) out += m.group(2) -> idx
+      }
+      out
+    }
+    F.struct(names.map(n =>
+      F.regexp_extract(c, pattern, groupIdx(n)).as(n)): _*)
+  }
+
+  /** `format(list)` — string concat of columns/literals (query.ex:646-685). */
+  def format(parts: Seq[Column]): Column = F.concat(parts: _*)
+
+  /** `substring` with Explorer's negative-offset semantics
+    * (series.ex:6057-6095): negative counts from the end. */
+  def substring(c: Column, offset: Int, len: Option[Int] = None): Column = {
+    val start =
+      if (offset >= 0) F.lit(offset + 1)
+      else F.greatest(F.length(c) + offset + 1, F.lit(1))
+    val length = len.map(F.lit).getOrElse(F.length(c))
+    F.substring(c, start, length)
+  }
+
+  /** `count_matches` for a literal substring (series.ex:6164). */
+  def countMatches(c: Column, sub: String): Column =
+    ((F.length(c) - F.length(F.replace(c, F.lit(sub), F.lit("")))) /
+      sub.length).cast(LongType)
+
+  /** `re_count_matches` (series.ex:6195). */
+  def reCountMatches(c: Column, pattern: String): Column =
+    F.regexp_count(c, F.lit(pattern))
+
+  /** `re_scan` — all matches as a list (series.ex:6233). */
+  def reScan(c: Column, pattern: String): Column =
+    F.regexp_extract_all(c, F.lit(pattern), F.lit(0))
+}
+
+/** Temporal extractor surface (reference series.ex:6447-6792) with
+  * Explorer's conventions where they differ from Spark's. */
+object TemporalFns {
+  /** Explorer day_of_week is ISO: Monday = 1 (series.ex:6479); Spark's
+    * `dayofweek` is Sunday = 1, `weekday` is Monday = 0. */
+  def dayOfWeek(c: Column): Column = F.weekday(c) + 1
+  def dayOfMonth(c: Column): Column = F.dayofmonth(c)
+  def dayOfYear(c: Column): Column = F.dayofyear(c)
+  def weekOfYear(c: Column): Column = F.weekofyear(c)
+  def month(c: Column): Column = F.month(c)
+  def year(c: Column): Column = F.year(c)
+  def isoYear(c: Column): Column = F.year(c) + F.when(
+    F.weekofyear(c) >= 52 && F.month(c) === 1, -1)
+    .when(F.weekofyear(c) === 1 && F.month(c) === 12, 1).otherwise(0)
+  def quarterOfYear(c: Column): Column = F.quarter(c)
+  def hour(c: Column): Column = F.hour(c)
+  def minute(c: Column): Column = F.minute(c)
+  def second(c: Column): Column = F.second(c)
+  /** Sub-second component in nanoseconds (series.ex:6776); Spark timestamps
+    * are µs so the value is µs-resolution ns, matching the reference's
+    * behavior on `{:datetime, :us}` data. */
+  def nanosecond(c: Column): Column =
+    F.pmod(F.unix_micros(c), F.lit(1000000L)) * 1000L
+  def isLeapYear(c: Column): Column = {
+    val y = F.year(c)
+    (y % 4 === 0 && y % 100 =!= 0) || y % 400 === 0
+  }
+  def daysInMonth(c: Column): Column = F.dayofmonth(F.last_day(c))
+  def toDate(c: Column): Column = F.to_date(c)
+  /** Time-of-day under graft's `time` encoding: ns since midnight (§1.2). */
+  def toTime(c: Column): Column =
+    (F.unix_micros(c) - F.unix_micros(F.date_trunc("DAY", c))) * 1000L
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * `Column` expression compositions — codegen'd, embarrassingly parallel,
+  * no shuffle, so they run at scan speed on any corpus size. */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = F.split(F.lower(F.trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    F.when(F.length(F.trim(text)) === 0, 0L)
+      .otherwise(F.size(tokens(text)).cast(LongType))
+
+  /** BPE-ish subword count estimate: word-piece regex (runs of letters,
+    * digits, or single punctuation), the classic GPT-2 pre-tokenizer shape.
+    * A cheap, deterministic proxy for tokenizer-true counts. */
+  def subwordCount(text: Column): Column =
+    F.size(F.regexp_extract_all(F.lower(text),
+      F.lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), F.lit(0))).cast(LongType)
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "zu", "mit", "den", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du", "que"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "los", "una"))
+
+  /** Per-language stopword hit ratio. */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val toks = tokens(text)
+    val hits = F.size(F.array_intersect(toks,
+      F.array(stopwords(lang).map(F.lit): _*)))
+    // ratio over distinct tokens of the stopword *kinds* present
+    F.when(F.size(toks) > 0,
+      F.size(F.filter(toks, t => t.isInCollection(stopwords(lang))))
+        .cast(DoubleType) / F.size(toks)).otherwise(0.0)
+  }
+
+  /** n-gram-heuristic language ID: the language whose stopword set scores
+    * the highest hit ratio; "und" (undetermined) when nothing hits. */
+  def langId(text: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map { lang =>
+      F.struct(stopwordRatio(text, lang).as("score"), F.lit(lang).as("lang"))
+    }
+    val best = F.array_max(F.array(scored: _*))
+    F.when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(F.lit("und"))
+  }
+
+  /** Quality score in [0,1]: blend of the standard cheap text-quality
+    * signals (Gopher/C4-style): alphabetic ratio, punctuation density,
+    * mean word length in a sane band, stopword presence. */
+  def qualityScore(text: Column): Column = {
+    val len = F.length(text).cast(DoubleType)
+    val alpha = F.length(F.regexp_replace(text, "[^A-Za-z ]", "")).cast(DoubleType)
+    val punct = F.length(F.regexp_replace(text, "[^.,;:!?]", "")).cast(DoubleType)
+    val toks = tokens(text)
+    val nTok = F.size(toks).cast(DoubleType)
+    val meanWordLen = F.when(nTok > 0,
+      F.aggregate(toks, F.lit(0.0), (acc, t) => acc + F.length(t)) / nTok)
+      .otherwise(0.0)
+    val alphaRatio = F.when(len > 0, alpha / len).otherwise(0.0)
+    val punctRatio = F.when(len > 0, punct / len).otherwise(0.0)
+    val wordLenOk = F.when(meanWordLen >= 3 && meanWordLen <= 10, 1.0)
+      .otherwise(0.0)
+    val stopOk = F.when(stopwordRatio(text) > 0.01, 1.0).otherwise(0.0)
+    F.round(
+      alphaRatio * 0.4 + (F.lit(1.0) - F.least(punctRatio * 10, F.lit(1.0))) * 0.2 +
+        wordLenOk * 0.2 + stopOk * 0.2, 6)
+  }
+
+  /** Order-sensitive 64-bit document fingerprint: polynomial rolling hash
+    * over token hashes (acc * 31 + h(token)), one `aggregate` expression.
+    * Equal normalized token streams ⇒ equal fingerprints. */
+  def fingerprint(text: Column): Column =
+    F.aggregate(tokens(text), F.lit(0L),
+      (acc, t) => acc * 31L + F.xxhash64(t))
+}

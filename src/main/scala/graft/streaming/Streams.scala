@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface. The reference has NO event-time/stateful
+  * streaming (SURVEY §1.2 — its "streaming" is Polars' out-of-core engine
+  * toggle), so this module is additive: the standard Spark streaming
+  * wrappers a training-data ingest pipeline needs, consistent with the
+  * batch verbs (same `functions._` expressions work in both).
+  */
+object Streams {
+
+  /** Streaming scan over a directory of parquet files (the batch tables in
+    * /root/testdata double as streaming fixtures via file-source). */
+  def readParquetStream(spark: SparkSession, path: String,
+      schema: StructType, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(path)
+
+  /** Event-time windowed aggregation with a watermark: the canonical
+    * rate-limited, state-bounded shape (append mode safe). */
+  def windowedCounts(events: DataFrame, tsCol: String, watermark: String,
+      window: String, keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(F.window(F.col(tsCol), window) +: keyCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n"), F.sum(F.col("value")).as("total_value"))
+
+  /** Streaming dedup by key within the watermark horizon — state is bounded
+    * by the watermark, so this runs forever at constant memory. */
+  def dedupeStream(events: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Sessionization via session_window (gap-based), the stateful op a
+    * clickstream pipeline needs. */
+  def sessionize(events: DataFrame, tsCol: String, watermark: String,
+      gap: String, keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(F.session_window(F.col(tsCol), gap) +: keyCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n_events"), F.sum(F.col("value")).as("total_value"))
+
+  /** Drive a streaming query to completion against a bounded source and
+    * return the materialized result — the local smoke-test harness
+    * (memory sink + processAllAvailable). */
+  def runToMemory(stream: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append()): DataFrame = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}
