@@ -148,10 +148,13 @@ object exprs {
     val core =
       if (weights.isEmpty) agg(s.col).over(w)
       else {
-        // collect the window slice, then Σ x_i * w_i with zip_with/aggregate
+        // collect the window slice, then Σ x_i * w_i with zip_with/aggregate.
+        // Partial windows use the TRAILING weights (newest value always gets
+        // the last weight); nulls are absent from the slice (collect_list).
         val xs = F.collect_list(s.col.cast(DoubleType)).over(w)
         val ws = F.array(weights.map(F.lit): _*)
-        F.aggregate(F.zip_with(xs, ws, (x, wt) => x * wt),
+        val wsAligned = F.slice(ws, F.lit(size) - F.size(xs) + 1, F.size(xs))
+        F.aggregate(F.zip_with(xs, wsAligned, (x, wt) => x * wt),
           F.lit(0.0), (acc, v) => acc + v)
       }
     Series(F.when(filled >= minPeriods, core))
@@ -179,6 +182,24 @@ object exprs {
   def windowStandardDeviation(s: Series, size: Int, minPeriods: Int = 1,
       center: Boolean = false)(implicit c: Ctx): Series =
     rollingWindow(F.stddev_samp, s, size, minPeriods, center)
+
+  /** Expression-path `ewm_mean` (adjust=true): the direct weighted form
+    * y_t = Σ (1-α)^(t-i) x_i / Σ (1-α)^(t-i) over an expanding window, as a
+    * collect_list + higher-order fold. O(n²) work per group — the correctness
+    * /small-group path; [[graft.Ewm]] is the O(n) scan used at scale. Kept
+    * because the explicit left-fold makes results bit-comparable with other
+    * engines evaluating the same formula. */
+  def ewmMeanExpr(s: Series, alpha: Double)(implicit c: Ctx): Series = {
+    val xs = F.collect_list(s.col.cast(DoubleType)).over(
+      c.orderedWin.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val n = F.size(xs)
+    def wsum(f: (Column, Column) => Column): Column =
+      F.aggregate(F.zip_with(xs, F.sequence(F.lit(1), n), f),
+        F.lit(0.0), (acc, v) => acc + v)
+    val num = wsum((v, i) => v * F.pow(F.lit(1.0 - alpha), (n - i).cast(DoubleType)))
+    val den = wsum((_, i) => F.pow(F.lit(1.0 - alpha), (n - i).cast(DoubleType)))
+    Series(num / den)
+  }
 
   /** Rank with Explorer's method set (reference series.ex:2063-2065):
     * average (default) / min / max / dense / ordinal. */

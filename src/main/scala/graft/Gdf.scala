@@ -180,7 +180,15 @@ final class Gdf(
 
   // ======== filter / mutate (reference data_frame.ex:2674-2760, §3.1) =======
 
-  def filter(f: Ctx => Series): Gdf = copy(sdf.filter(f(ctx(true)).col))
+  /** Filter. Grouped aggregate predicates arrive as window expressions
+    * (see [[Ctx.agg]]) which Spark forbids directly in WHERE — so the
+    * predicate is materialized as a temp column first (Catalyst collapses
+    * the projection for plain predicates, so this costs nothing). */
+  def filter(f: Ctx => Series): Gdf = {
+    val pred = f(ctx(true)).col
+    copy(sdf.withColumn("__pred", pred)
+      .filter(F.col("__pred")).drop("__pred"))
+  }
 
   def filterCol(c: Column): Gdf = copy(sdf.filter(c))
 

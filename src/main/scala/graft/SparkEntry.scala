@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import graft.exprs._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline operators), each with an
@@ -410,6 +410,217 @@ object SparkEntry {
       .sortBy(Seq(F.col("qty_bin")))
       .sdf
 
+  /** ewm_mean via the scalable one-pass scan ([[Ewm]], rows-only check) AND
+    * the expression path (exact oracle) side by side (§2.6 ewm). */
+  private val q31: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = t(s, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val scan = Ewm.ewmMean(base, Seq("o_custkey"),
+      Seq(F.col("o_orderdate"), F.col("o_orderkey")), "o_totalprice",
+      alpha = 0.5, out = "ewm_scan")
+    Gdf(scan)
+      .groupBy("o_custkey")
+      .ordered(F.col("o_orderdate"), F.col("o_orderkey"))
+      .mutateWith { implicit c => Seq(
+        "__expr" -> ewmMeanExpr(gcol("o_totalprice"), 0.5)) }
+      .ungroup()
+      // the O(n) scan path and the O(n²) expression path must agree — any
+      // divergence drops rows here and fails the oracle's row-count check
+      .filterCol(F.abs(F.col("ewm_scan") - F.col("__expr")) <=
+        F.greatest(F.abs(F.col("__expr")) * 1e-9, F.lit(1e-9)))
+      .mutateCol("ewm_mean", F.round(F.col("__expr"), 4))
+      .select("o_custkey", "o_orderkey", "ewm_mean")
+      .sortBy(Seq(F.col("o_custkey"), F.col("o_orderkey")))
+      .sdf
+  }
+
+  /** forward/backward fill over row order per group (§2.3 null handling). */
+  private val q32: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "events"))
+      .mutateCol("v", F.when(F.col("value") >= 10.0, F.col("value")))
+      .groupBy("user_id")
+      .ordered(F.col("ts"), F.col("event_id"))
+      .mutateWith { implicit c => Seq(
+        "v_ffill" -> fillMissingStrategy(gcol("v"), "forward"),
+        "v_bfill" -> fillMissingStrategy(gcol("v"), "backward")) }
+      .ungroup()
+      .select("event_id", "user_id", "v_ffill", "v_bfill")
+      .sortBy(Seq(F.col("event_id")))
+      .sdf
+
+  /** deterministic grouped mode (smallest modal value) (§2.5 mode). */
+  private val q33: (SparkSession, String) => DataFrame = (s, dir) =>
+    Stats.modeBy(Gdf(t(s, dir, "lineitem")), Seq("l_returnflag"),
+      "l_quantity", out = "mode_qty")
+      .sortBy(Seq(F.col("l_returnflag")))
+      .sdf
+
+  /** argmin/argmax (§2.5): order key of the extreme price per priority. */
+  private val q34: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "orders"))
+      .groupBy("o_orderpriority")
+      .summariseWith { implicit c => Seq(
+        "cheapest_order" -> argmin(gcol("o_orderkey"), gcol("o_totalprice")),
+        "priciest_order" -> argmax(gcol("o_orderkey"), gcol("o_totalprice"))) }
+      .sortBy(Seq(F.col("o_orderpriority")))
+      .sdf
+
+  /** product + cumulative product per group (§2.5, §2.6). */
+  private val q35: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "lineitem"))
+      .groupBy("l_orderkey")
+      .summariseWith { implicit c => Seq(
+        "tax_factor" -> product(gcol("l_tax") + glit(1.0)).round(6)) }
+      .sortBy(Seq(F.col("l_orderkey")))
+      .sdf
+
+  /** json_path_match / json_decode over the events props column (§2.3). */
+  private val q36: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "events"))
+      .mutateWith { implicit c => Seq(
+        "k" -> Series(F.get_json_object(F.col("props"), "$.k")
+          .cast(org.apache.spark.sql.types.LongType)),
+        "k_decoded" -> Series(F.from_json(F.col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k"))) }
+      .select("event_id", "k", "k_decoded")
+      .sortBy(Seq(F.col("event_id")))
+      .sdf
+
+  /** list ops: lengths / member? / join / first element (§2.9). */
+  private val q37: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "documents"))
+      .mutateCol("words", F.split(F.col("text"), " "))
+      .mutateWith { implicit c => Seq(
+        "n_words" -> Series(F.size(F.col("words")).cast(
+          org.apache.spark.sql.types.LongType)),
+        "has_the" -> Series(F.array_contains(F.col("words"), "the")),
+        "first3" -> Series(F.array_join(F.slice(F.col("words"), 1, 3), "-"))) }
+      .select("doc_id", "n_words", "has_the", "first3")
+      .sortBy(Seq(F.col("doc_id")))
+      .sdf
+
+  /** peaks (local extrema) + row_index over event time per user (§2.6). */
+  private val q38: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "events"))
+      .groupBy("user_id")
+      .ordered(F.col("ts"), F.col("event_id"))
+      .mutateWith { implicit c => Seq(
+        "is_peak" -> peaks(gcol("value"), "max"),
+        "idx" -> Series((F.row_number().over(c.orderedWin) - 1).cast(
+          org.apache.spark.sql.types.LongType))) }
+      .ungroup()
+      .select("event_id", "user_id", "idx", "is_peak")
+      .sortBy(Seq(F.col("event_id")))
+      .sdf
+
+  /** grouped head (first n per group over declared order) (§2.2). */
+  private val q39: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "orders"))
+      .groupBy("o_custkey")
+      .ordered(F.col("o_orderdate"), F.col("o_orderkey"))
+      .head(2)
+      .ungroup()
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+      .sortBy(Seq(F.col("o_custkey"), F.col("o_orderkey")))
+      .sdf
+
+  /** describe: per-column stats in long form (§2.5 describe). */
+  private val q40: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = Gdf(t(s, dir, "lineitem")).select("l_quantity", "l_discount")
+    Stats.describe(base)
+      .mutateCol("value", F.round(F.col("value"), 4))
+      .sortBy(Seq(F.col("column"), F.col("statistic")))
+      .sdf
+  }
+
+  /** nil_count per column (§2.5). */
+  private val q41: (SparkSession, String) => DataFrame = (s, dir) =>
+    Stats.nilCount(Gdf(t(s, dir, "events"))
+      .mutateCol("value", F.when(F.col("value") >= 10.0, F.col("value")))
+      .mutateCol("event_type", F.nullif(F.col("event_type"), F.lit("error")))
+      .select("event_id", "event_type", "value"))
+      .sdf
+
+  /** spearman rank correlation (§2.5 correlation method=:spearman). */
+  private val q42: (SparkSession, String) => DataFrame = (s, dir) =>
+    Stats.spearman(Gdf(t(s, dir, "lineitem")), "l_quantity", "l_extendedprice")
+      .withColumn("spearman", F.round(F.col("spearman"), 6))
+
+  /** qcut: quartile binning of order totals + per-bin counts (§2.6 qcut).
+    * Breaks rounded to 4dp on both sides so the bin edges are
+    * engine-identical. */
+  private val q43: (SparkSession, String) => DataFrame = (s, dir) => {
+    val df = Gdf(t(s, dir, "orders"))
+    val row = df.sdf.agg(
+      F.round(F.percentile(F.col("o_totalprice"), F.lit(0.25)), 4).as("q1"),
+      F.round(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 4).as("q2"),
+      F.round(F.percentile(F.col("o_totalprice"), F.lit(0.75)), 4).as("q3")).head()
+    val breaks = Seq(row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    df.mutateCol("bin", Stats.cut(F.col("o_totalprice"), breaks,
+      Seq("q1", "q2", "q3", "q4")))
+      .groupBy("bin")
+      .summariseWith { implicit c => Seq("n" -> size) }
+      .sortBy(Seq(F.col("bin")))
+      .sdf
+  }
+
+  /** concat_columns: horizontal zip of two ordered frames (§2.4). */
+  private val q44: (SparkSession, String) => DataFrame = (s, dir) => {
+    val names = Gdf(t(s, dir, "customer")).select("c_custkey", "c_name")
+      .ordered(F.col("c_custkey"))
+    val bals = Gdf(t(s, dir, "customer")
+      .select(F.col("c_acctbal"), F.col("c_custkey").as("__tiebreak")))
+      .ordered(F.col("c_acctbal"), F.col("__tiebreak"))
+    Reshape.concatColumns(Seq(names, bals))
+      .rename("c_acctbal" -> "bal_sorted")
+      .discard("__tiebreak")
+      .sortBy(Seq(F.col("c_custkey")))
+      .sdf
+  }
+
+  /** categories/categorise: dictionary of distinct values with stable codes
+    * (§1.2 category dtype). */
+  private val q45: (SparkSession, String) => DataFrame = (s, dir) => {
+    val cats = Gdf(t(s, dir, "customer"))
+      .distinct(Seq("c_mktsegment"))
+      .sortBy(Seq(F.col("c_mktsegment")))
+    Gdf(cats.sdf.withColumn("code",
+      (F.row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("c_mktsegment")) - 1).cast(
+          org.apache.spark.sql.types.LongType)))
+      .sortBy(Seq(F.col("c_mktsegment")))
+      .sdf
+  }
+
+  /** exact-n sample + shuffle (§2.2 sample) — seeded, rows-only check. */
+  private val q46: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "customer"))
+      .sampleN(100, seed = 42L)
+      .select("c_custkey", "c_name")
+      .sdf
+
+  /** Structured Streaming: event-time hourly windowed counts with watermark,
+    * run to completion on the bounded file source and compared against the
+    * equivalent batch aggregation oracle (beyond-reference, SURVEY §7.2/8). */
+  private val s01: (SparkSession, String) => DataFrame = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = streaming.Streams.readParquetStream(
+      s, dir, schema, maxFilesPerTrigger = 1,
+      globFilter = Some("events.parquet"))
+      .withColumn("evt_ts", F.timestamp_micros((F.col("ts") / 1000L).cast(
+        org.apache.spark.sql.types.LongType)))
+    val agg = streaming.Streams.windowedCounts(
+      stream, "evt_ts", "2 hours", "1 hour", Seq("event_type"))
+    val mem = streaming.Streams.runToMemory(agg, s"s01_win_${dir.hashCode.abs}",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    mem.select(F.col("window.start").as("hour_start"), F.col("event_type"),
+        F.col("n"), F.round(F.col("total_value"), 4).as("total_value"))
+      .orderBy("hour_start", "event_type")
+  }
+
   // ======== training-data pipeline operators =================================
 
   /** exact dedup on text hash — keep lowest doc_id per distinct text. */
@@ -469,6 +680,65 @@ object SparkEntry {
     Dedup.simhash(t(s, dir, "documents"), F.col("doc_id"), F.col("text"))
       .orderBy("id")
 
+  /** n-gram Jaccard near-dup pairs via inverted index (rows-only). */
+  private val d07: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+      F.col("doc_id"), F.col("text"), shingleSize = 3, threshold = 0.8)
+      .withColumn("jaccard", F.round(F.col("jaccard"), 4))
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs via 16-bit band LSH (rows-only). */
+  private val d08: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.simhashDuplicatePairs(t(s, dir, "documents"),
+      F.col("doc_id"), F.col("text"), maxDistance = 6)
+      .orderBy("id_a", "id_b")
+
+  /** LSH-bucketed approximate top-k similarity search (rows-only; recall
+    * vs. the exact [[d04]] is spec-tested). */
+  private val d09: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(
+      emb.filter(F.col("vec_id") >= 5), F.col("vec_id"), F.col("embedding"),
+      emb.filter(F.col("vec_id") < 5), F.col("vec_id"), F.col("embedding"),
+      k = 5, planes = 8, bands = 4)
+      .withColumn("cosine", F.round(F.col("cosine"), 6))
+      .orderBy("query_id", "rank")
+  }
+
+  /** quality score + order-sensitive fingerprint (rows-only). */
+  private val d10: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "documents"))
+      .mutateWith { implicit c => Seq(
+        "quality" -> Series(TextAnalysis.qualityScore(F.col("text"))),
+        "fp" -> Series(TextAnalysis.fingerprint(F.col("text")))) }
+      .select("doc_id", "quality", "fp")
+      .sortBy(Seq(F.col("doc_id")))
+      .sdf
+
+  /** multimodal pipeline: synthetic media table → size-balanced partitions →
+    * stub-decode features → resize → frame-sample; per-kind stats
+    * (rows-only; stub codec is deterministic, SURVEY §7.2 step 8). */
+  private val d11: (SparkSession, String) => DataFrame = (s, dir) => {
+    val media = t(s, dir, "documents").select(
+      F.col("doc_id").as("media_id"),
+      F.when(F.col("doc_id") % 3 === 0, "video")
+        .when(F.col("doc_id") % 3 === 1, "image").otherwise("audio").as("kind"),
+      Multimodal.syntheticPayload(F.col("doc_id"), 64).as("payload"),
+      F.lit(640).as("width"), F.lit(480).as("height"),
+      F.lit(16000).as("sample_rate"),
+      (F.col("doc_id") % 24 + 1).cast("int").as("n_frames"),
+      F.lit("raw").as("format"))
+    val balanced = Multimodal.balanceBySize(media, 8)
+    val feat = Multimodal.extractFeatures(balanced, "payload", dims = 8)
+    val resized = Multimodal.resize(feat, 224, 224)
+    val sampled = Multimodal.sampleFrames(resized, stride = 4)
+    sampled.groupBy("kind")
+      .agg(F.count(F.lit(1)).as("n_rows"),
+        F.round(F.sum(F.aggregate(F.col("features"), F.lit(0.0),
+          (a, v) => a + v)), 4).as("feat_sum"))
+      .orderBy("kind")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg" -> q01,
     "q02_project_arith" -> q02,
@@ -500,12 +770,34 @@ object SparkEntry {
     "q28_slice" -> q28,
     "q29_frequencies" -> q29,
     "q30_cut" -> q30,
+    "q31_ewm" -> q31,
+    "q32_fill_direction" -> q32,
+    "q33_mode" -> q33,
+    "q34_argminmax" -> q34,
+    "q35_product" -> q35,
+    "q36_json" -> q36,
+    "q37_list_ops" -> q37,
+    "q38_peaks_rowindex" -> q38,
+    "q39_head_grouped" -> q39,
+    "q40_describe" -> q40,
+    "q41_nil_count" -> q41,
+    "q42_spearman" -> q42,
+    "q43_qcut" -> q43,
+    "q44_concat_columns" -> q44,
+    "q45_categories" -> q45,
+    "q46_sample" -> q46,
+    "s01_stream_window" -> s01,
     "d01_exact_dedup" -> d01,
     "d02_token_counts" -> d02,
     "d03_langid_quality" -> d03,
     "d04_cosine_topk" -> d04,
     "d05_minhash_pairs" -> d05,
-    "d06_simhash" -> d06)
+    "d06_simhash" -> d06,
+    "d07_ngram_jaccard" -> d07,
+    "d08_simhash_pairs" -> d08,
+    "d09_lsh_topk" -> d09,
+    "d10_quality_fingerprint" -> d10,
+    "d11_multimodal" -> d11)
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" -> """
@@ -712,6 +1004,137 @@ object SparkEntry {
                   ELSE '(40.0, inf]' END AS qty_bin,
              count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
       FROM lineitem GROUP BY qty_bin ORDER BY qty_bin""",
+    "q31_ewm" -> """
+      WITH w AS (
+        SELECT o_custkey, o_orderkey,
+               list(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+        FROM orders)
+      SELECT o_custkey, o_orderkey,
+             round(list_sum(list_transform(xs,
+                     (v, i) -> v * pow(0.5, len(xs) - i))) /
+                   list_sum(list_transform(xs,
+                     (v, i) -> pow(0.5, len(xs) - i))), 4) AS ewm_mean
+      FROM w ORDER BY o_custkey, o_orderkey""",
+    "q32_fill_direction" -> """
+      SELECT event_id, user_id,
+             last_value(v IGNORE NULLS) OVER
+               (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+             first_value(v IGNORE NULLS) OVER
+               (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill
+      FROM (SELECT *, CASE WHEN value >= 10.0 THEN value END AS v FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id""",
+    "q33_mode" -> """
+      SELECT l_returnflag, mode_qty FROM (
+        SELECT l_returnflag, l_quantity AS mode_qty,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY count(*) DESC, l_quantity) AS rn
+        FROM lineitem GROUP BY l_returnflag, l_quantity)
+      WHERE rn = 1 ORDER BY l_returnflag""",
+    "q34_argminmax" -> """
+      SELECT o_orderpriority,
+             arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+             arg_max(o_orderkey, o_totalprice) AS priciest_order
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q35_product" -> """
+      SELECT l_orderkey, round(product(1.0 + l_tax), 6) AS tax_factor
+      FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "q36_json" -> """
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_decoded
+      FROM events ORDER BY event_id""",
+    "q37_list_ops" -> """
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             list_contains(string_split(text, ' '), 'the') AS has_the,
+             array_to_string(list_slice(string_split(text, ' '), 1, 3), '-')
+               AS first3
+      FROM documents ORDER BY doc_id""",
+    "q38_peaks_rowindex" -> """
+      SELECT event_id, user_id,
+             CAST(row_number() OVER w - 1 AS BIGINT) AS idx,
+             (coalesce(value > lag(value) OVER w, true) AND
+              coalesce(value > lead(value) OVER w, true)) AS is_peak
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id""",
+    "q39_head_grouped" -> """
+      SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""",
+    "q40_describe" -> """
+      WITH a AS (SELECT
+        CAST(count(l_quantity) AS DOUBLE) AS "l_quantity__count",
+        CAST(count(*) FILTER (l_quantity IS NULL) AS DOUBLE)
+          AS "l_quantity__nil_count",
+        round(avg(l_quantity), 4) AS "l_quantity__mean",
+        round(stddev_samp(l_quantity), 4) AS "l_quantity__std",
+        round(CAST(min(l_quantity) AS DOUBLE), 4) AS "l_quantity__min",
+        round(quantile_cont(l_quantity, 0.25), 4) AS "l_quantity__p25",
+        round(quantile_cont(l_quantity, 0.5), 4) AS "l_quantity__p50",
+        round(quantile_cont(l_quantity, 0.75), 4) AS "l_quantity__p75",
+        round(CAST(max(l_quantity) AS DOUBLE), 4) AS "l_quantity__max",
+        CAST(count(l_discount) AS DOUBLE) AS "l_discount__count",
+        CAST(count(*) FILTER (l_discount IS NULL) AS DOUBLE)
+          AS "l_discount__nil_count",
+        round(avg(l_discount), 4) AS "l_discount__mean",
+        round(stddev_samp(l_discount), 4) AS "l_discount__std",
+        round(CAST(min(l_discount) AS DOUBLE), 4) AS "l_discount__min",
+        round(quantile_cont(l_discount, 0.25), 4) AS "l_discount__p25",
+        round(quantile_cont(l_discount, 0.5), 4) AS "l_discount__p50",
+        round(quantile_cont(l_discount, 0.75), 4) AS "l_discount__p75",
+        round(CAST(max(l_discount) AS DOUBLE), 4) AS "l_discount__max"
+        FROM lineitem)
+      SELECT split_part(key, '__', 1) AS "column",
+             split_part(key, '__', 2) AS statistic, value
+      FROM (UNPIVOT a ON COLUMNS(*) INTO NAME key VALUE value)
+      ORDER BY "column", statistic""",
+    "q41_nil_count" -> """
+      SELECT count(*) FILTER (event_id IS NULL) AS event_id,
+             count(*) FILTER (event_type = 'error') AS event_type,
+             count(*) FILTER (NOT (value >= 10.0)) AS value
+      FROM events""",
+    "q42_spearman" -> """
+      WITH r AS (SELECT
+        rank() OVER (ORDER BY l_quantity) +
+          (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ra,
+        rank() OVER (ORDER BY l_extendedprice) +
+          (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rb
+      FROM lineitem)
+      SELECT round(corr(ra, rb), 6) AS spearman FROM r""",
+    "q43_qcut" -> """
+      WITH b AS (SELECT
+        round(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+        round(quantile_cont(o_totalprice, 0.5), 4) AS q2,
+        round(quantile_cont(o_totalprice, 0.75), 4) AS q3 FROM orders)
+      SELECT CASE WHEN o_totalprice <= q1 THEN 'q1'
+                  WHEN o_totalprice <= q2 THEN 'q2'
+                  WHEN o_totalprice <= q3 THEN 'q3' ELSE 'q4' END AS bin,
+             count(*) AS n
+      FROM orders, b GROUP BY bin ORDER BY bin""",
+    "q44_concat_columns" -> """
+      WITH a AS (SELECT c_custkey, c_name,
+                   row_number() OVER (ORDER BY c_custkey) AS i FROM customer),
+           b AS (SELECT c_acctbal AS bal_sorted,
+                   row_number() OVER (ORDER BY c_acctbal, c_custkey) AS i
+                 FROM customer)
+      SELECT a.c_custkey, a.c_name, b.bal_sorted
+      FROM a JOIN b USING (i) ORDER BY c_custkey""",
+    "q45_categories" -> """
+      SELECT c_mktsegment,
+             CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT)
+               AS code
+      FROM (SELECT DISTINCT c_mktsegment FROM customer)
+      ORDER BY c_mktsegment""",
+    "s01_stream_window" -> """
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             count(*) AS n, round(sum(value), 4) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
     "d01_exact_dedup" -> """
       SELECT min(doc_id) AS doc_id, arg_min(n_chars, doc_id) AS n_chars
       FROM documents GROUP BY text ORDER BY doc_id""",

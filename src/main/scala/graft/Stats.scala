@@ -59,6 +59,21 @@ object Stats {
       .select(F.col(col)).orderBy(col))
   }
 
+  /** Deterministic grouped mode: the smallest value among those sharing the
+    * max frequency (the reference's multi-value mode collapsed with a defined
+    * tie-break so results are engine-comparable). Two hash aggregations —
+    * (groups, value) counts then per-group arg-max — no windows, scales. */
+  def modeBy(df: Gdf, groups: Seq[String], value: String,
+      out: String = "mode"): Gdf = {
+    val counts = df.sdf.groupBy((groups :+ value).map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__n"))
+    // max over (count, -value) ⇒ max count, ties → smallest value
+    val best = counts.groupBy(groups.map(F.col): _*)
+      .agg(F.max_by(F.col(value),
+        F.struct(F.col("__n"), F.col(value) * -1)).as(out))
+    Gdf(best)
+  }
+
   /** `nil_count/1` per column (data_frame.ex:6760). */
   def nilCount(df: Gdf): Gdf = {
     val aggs = df.names.map(n => F.count_if(F.col(n).isNull).as(n))

@@ -75,10 +75,10 @@ object TextAnalysis {
         wordLenOk * 0.2 + stopOk * 0.2, 6)
   }
 
-  /** Order-sensitive 64-bit document fingerprint: polynomial rolling hash
-    * over token hashes (acc * 31 + h(token)), one `aggregate` expression.
-    * Equal normalized token streams ⇒ equal fingerprints. */
+  /** Order-sensitive 64-bit document fingerprint: a left fold chaining
+    * xxhash64(acc, token) — order-sensitive like a rolling hash but safe
+    * under ANSI mode (`acc * 31 + h` overflow-checks in Spark 4). Equal
+    * normalized token streams ⇒ equal fingerprints. */
   def fingerprint(text: Column): Column =
-    F.aggregate(tokens(text), F.lit(0L),
-      (acc, t) => acc * 31L + F.xxhash64(t))
+    F.aggregate(tokens(text), F.lit(0L), (acc, t) => F.xxhash64(acc, t))
 }

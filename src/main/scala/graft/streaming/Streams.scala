@@ -14,11 +14,16 @@ import org.apache.spark.sql.types.StructType
 object Streams {
 
   /** Streaming scan over a directory of parquet files (the batch tables in
-    * /root/testdata double as streaming fixtures via file-source). */
-  def readParquetStream(spark: SparkSession, path: String,
-      schema: StructType, maxFilesPerTrigger: Int = 1): DataFrame =
-    spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(path)
+    * /root/testdata double as streaming fixtures via file-source). The file
+    * source requires a directory; `globFilter` selects files within it. */
+  def readParquetStream(spark: SparkSession, dir: String,
+      schema: StructType, maxFilesPerTrigger: Int = 1,
+      globFilter: Option[String] = None): DataFrame = {
+    var r = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    globFilter.foreach(g => r = r.option("pathGlobFilter", g))
+    r.parquet(dir)
+  }
 
   /** Event-time windowed aggregation with a watermark: the canonical
     * rate-limited, state-bounded shape (append mode safe). */

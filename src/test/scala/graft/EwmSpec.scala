@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Ewm scan against the reference's own test vectors
+  * (test/explorer/series_test.exs:4660-4860). */
+class EwmSpec extends SparkSpec {
+
+  private val ints: Seq[Any] = (1 to 10).map(_.toDouble)
+  private val withNils: Seq[Any] =
+    Seq(1.0, null, 2.0, null, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)
+
+  private def frame(vals: Seq[Any]) = {
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      Seq[Any]("g", i.toLong, v)
+    }
+    df(schema("g" -> StringType, "i" -> LongType, "v" -> DoubleType), rows: _*)
+  }
+
+  private def run(vals: Seq[Any], out: String,
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Seq[Option[Double]] =
+    f(frame(vals)).orderBy("i").collect()
+      .map(r => Option(r.getAs[Any](out)).map(_.asInstanceOf[Double])).toSeq
+
+  private def check(got: Seq[Option[Double]], exp: Seq[Any]): Unit =
+    got.zip(exp).zipWithIndex.foreach {
+      case ((Some(g), e: Double), i) =>
+        assert(approx(g, e, 1e-9), s"at $i: $g != $e")
+      case ((None, null), _) => ()
+      case ((g, e), i) => fail(s"at $i: $g vs $e")
+    }
+
+  private val order = Seq(F.col("i"))
+
+  test("ewm_mean defaults (alpha 0.5, adjust)") {
+    check(run(ints, "ewm_mean",
+      d => Ewm.ewmMean(d, Seq("g"), order, "v")),
+      Seq(1.0, 1.6666666666666667, 2.4285714285714284, 3.2666666666666666,
+        4.161290322580645, 5.095238095238095, 6.05511811023622,
+        7.031372549019608, 8.017612524461839, 9.009775171065494))
+  }
+
+  test("ewm_mean alpha 0.8") {
+    check(run(ints, "ewm_mean",
+      d => Ewm.ewmMean(d, Seq("g"), order, "v", alpha = 0.8)),
+      Seq(1.0, 1.8333333333333335, 2.7741935483870965, 3.7564102564102564,
+        4.7516005121638925, 5.750384024577572, 6.750089601146894,
+        7.750020480052428, 8.75000460800236, 9.750001024000106))
+  }
+
+  test("ewm_mean min_periods 5") {
+    check(run(ints, "ewm_mean",
+      d => Ewm.ewmMean(d, Seq("g"), order, "v", minPeriods = 5)),
+      Seq(null, null, null, null, 4.161290322580645, 5.095238095238095,
+        6.05511811023622, 7.031372549019608, 8.017612524461839,
+        9.009775171065494))
+  }
+
+  test("ewm_mean ignore_nils=true propagates nils, skips in state") {
+    check(run(withNils, "ewm_mean",
+      d => Ewm.ewmMean(d, Seq("g"), order, "v", ignoreNils = true)),
+      Seq(1.0, null, 1.6666666666666667, null, 2.4285714285714284,
+        3.2666666666666666, 4.161290322580645, 5.095238095238095,
+        6.05511811023622, 7.031372549019608))
+  }
+
+  test("ewm_mean ignore_nils=false decays weights through nils") {
+    check(run(withNils, "ewm_mean",
+      d => Ewm.ewmMean(d, Seq("g"), order, "v", ignoreNils = false)),
+      Seq(1.0, null, 1.8, null, 2.7142857142857144, 3.490566037735849,
+        4.316239316239316, 5.1959183673469385, 6.1177644710578845,
+        7.069101678183613))
+  }
+
+  test("ewm_mean adjust=false recursive form") {
+    check(run(ints, "ewm_mean",
+      d => Ewm.ewmMean(d, Seq("g"), order, "v", adjust = false)),
+      Seq(1.0, 1.5, 2.25, 3.125, 4.0625, 5.03125, 6.015625, 7.0078125,
+        8.00390625, 9.001953125))
+  }
+
+  test("ewm_standard_deviation defaults") {
+    check(run(ints, "ewm_std",
+      d => Ewm.ewmStandardDeviation(d, Seq("g"), order, "v")),
+      Seq(0.0, 0.7071067811865476, 0.9636241116594314, 1.1771636613972951,
+        1.3452425132127066, 1.4709162008918397, 1.5607315639222439,
+        1.6224598916602895, 1.6634845490537977, 1.689976601128564))
+  }
+
+  test("ewm_standard_deviation alpha 0.8") {
+    check(run(ints, "ewm_std",
+      d => Ewm.ewmStandardDeviation(d, Seq("g"), order, "v", alpha = 0.8)),
+      Seq(0.0, 0.7071067811865476, 0.8613567692141088, 0.930593876392466,
+        0.9563763729664396, 0.9647929424175131, 0.9672984330369606,
+        0.9679969383076764, 0.9681825776281606, 0.9682301709724406))
+  }
+
+  test("ewm_standard_deviation ignore_nils=false") {
+    check(run(withNils, "ewm_std",
+      d => Ewm.ewmStandardDeviation(d, Seq("g"), order, "v",
+        ignoreNils = false)).take(7),
+      Seq(0.0, null, 0.7071067811865476, null, 0.8864052604279183,
+        0.9772545497599153, 1.1470897308102692))
+  }
+
+  test("ewm_variance is std squared") {
+    val v = run(ints, "ewm_var", d => Ewm.ewmVariance(d, Seq("g"), order, "v"))
+    val s = run(ints, "ewm_std",
+      d => Ewm.ewmStandardDeviation(d, Seq("g"), order, "v"))
+    v.zip(s).foreach { case (Some(a), Some(b)) => assert(approx(a, b * b)) }
+  }
+
+  test("groups are independent") {
+    val rows = Seq(Seq[Any]("a", 0L, 1.0), Seq[Any]("a", 1L, 2.0),
+      Seq[Any]("b", 0L, 100.0), Seq[Any]("b", 1L, 200.0))
+    val d = df(schema("g" -> StringType, "i" -> LongType, "v" -> DoubleType),
+      rows: _*)
+    val out = Ewm.ewmMean(d, Seq("g"), order, "v")
+      .orderBy("g", "i").collect().map(_.getAs[Double]("ewm_mean")).toSeq
+    check(out.map(Some(_)),
+      Seq(1.0, 1.6666666666666667, 100.0, 166.66666666666666))
+  }
+}

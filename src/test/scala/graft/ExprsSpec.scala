@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import graft.exprs._
+
+/** Window/positional/aggregation expression ops (SURVEY §2.5-2.6). */
+class ExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one group 'a' = [3,1,2], one group 'b' = [10,20]
+  private def base = Gdf(Seq(
+    ("a", 0L, 3.0), ("a", 1L, 1.0), ("a", 2L, 2.0),
+    ("b", 0L, 10.0), ("b", 1L, 20.0)).toDF("g", "i", "v"))
+    .groupBy("g").ordered(F.col("i"))
+
+  private def vals(g: Gdf, c: String): Seq[Double] =
+    g.sdf.orderBy("g", "i").collect().map(_.getAs[Double](c)).toSeq
+
+  test("shift lag and lead") {
+    val d = base.mutateWith { implicit c => Seq(
+      "prev" -> shift(gcol("v"), 1), "next" -> shift(gcol("v"), -1)) }
+    val rows = d.sdf.orderBy("g", "i").collect()
+    assert(rows.map(r => Option(r.getAs[Any]("prev"))).toSeq ==
+      Seq(None, Some(3.0), Some(1.0), None, Some(10.0)))
+    assert(rows.map(r => Option(r.getAs[Any]("next"))).toSeq ==
+      Seq(Some(1.0), Some(2.0), None, Some(20.0), None))
+  }
+
+  test("cumulative sum/min/max, and reverse variant") {
+    val d = base.mutateWith { implicit c => Seq(
+      "cs" -> cumulativeSum(gcol("v")),
+      "cm" -> cumulativeMin(gcol("v")),
+      "cx" -> cumulativeMax(gcol("v")),
+      "csr" -> cumulativeSum(gcol("v"), reverse = true)) }
+    assert(vals(d, "cs") == Seq(3.0, 4.0, 6.0, 10.0, 30.0))
+    assert(vals(d, "cm") == Seq(3.0, 1.0, 1.0, 10.0, 10.0))
+    assert(vals(d, "cx") == Seq(3.0, 3.0, 3.0, 10.0, 20.0))
+    assert(vals(d, "csr") == Seq(6.0, 3.0, 2.0, 30.0, 20.0))
+  }
+
+  test("cumulative product with zero and negative handling") {
+    val d = Gdf(Seq(("a", 0L, 2.0), ("a", 1L, -3.0), ("a", 2L, 0.0),
+      ("a", 3L, 5.0)).toDF("g", "i", "v"))
+      .groupBy("g").ordered(F.col("i"))
+      .mutateWith { implicit c => Seq("cp" -> cumulativeProduct(gcol("v"))) }
+    val got = vals(d, "cp")
+    assert(approx(got(0), 2.0) && approx(got(1), -6.0))
+    assert(got(2) == 0.0 && got(3) == 0.0)
+  }
+
+  test("rolling window mean with minPeriods and center") {
+    val d = base.mutateWith { implicit c => Seq(
+      "m" -> windowMean(gcol("v"), 2),
+      "m2" -> windowMean(gcol("v"), 2, minPeriods = 2),
+      "mc" -> windowMean(gcol("v"), 3, center = true)) }
+    assert(vals(d, "m") == Seq(3.0, 2.0, 1.5, 10.0, 15.0))
+    val m2 = d.sdf.orderBy("g", "i").collect()
+      .map(r => Option(r.getAs[Any]("m2"))).toSeq
+    assert(m2 == Seq(None, Some(2.0), Some(1.5), None, Some(15.0)))
+    assert(vals(d, "mc") == Seq(2.0, 2.0, 1.5, 15.0, 15.0))
+  }
+
+  test("weighted rolling window (reference weights option)") {
+    val d = Gdf(Seq(("a", 0L, 1.0), ("a", 1L, 2.0), ("a", 2L, 3.0))
+      .toDF("g", "i", "v")).groupBy("g").ordered(F.col("i"))
+      .mutateWith { implicit c => Seq(
+        "ws" -> windowSum(gcol("v"), 2, weights = Seq(0.5, 1.0))) }
+    // window [1,2]→0.5*1+1*2=2.5; [2,3]→0.5*2+1*3=4.0; partial first row
+    // aligns to trailing weights: [1]→1.0*1
+    assert(vals(d, "ws") == Seq(1.0, 2.5, 4.0))
+  }
+
+  test("rank methods min/max/dense/ordinal/average") {
+    val d = Gdf(Seq(("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 30.0))
+      .toDF("g", "v")).groupBy("g")
+    val r = d.mutateWith { implicit c => Seq(
+      "rmin" -> rank(gcol("v"), "min"),
+      "rmax" -> rank(gcol("v"), "max"),
+      "rdense" -> rank(gcol("v"), "dense"),
+      "rord" -> rank(gcol("v"), "ordinal"),
+      "ravg" -> rank(gcol("v"), "average")) }
+    val rows = r.sdf.orderBy("v").collect()
+    assert(rows.map(_.getAs[Int]("rmin")).toSeq == Seq(1, 2, 2, 4))
+    assert(rows.map(_.getAs[Long]("rmax")).toSeq == Seq(1L, 3L, 3L, 4L))
+    assert(rows.map(_.getAs[Int]("rdense")).toSeq == Seq(1, 2, 2, 3))
+    assert(rows.map(_.getAs[Int]("rord")).toSeq == Seq(1, 2, 3, 4))
+    assert(rows.map(_.getAs[Double]("ravg")).toSeq == Seq(1.0, 2.5, 2.5, 4.0))
+  }
+
+  test("peaks max/min with boundary nulls treated as smaller") {
+    val d = Gdf(Seq(("a", 0L, 1.0), ("a", 1L, 3.0), ("a", 2L, 2.0),
+      ("a", 3L, 4.0)).toDF("g", "i", "v"))
+      .groupBy("g").ordered(F.col("i"))
+      .mutateWith { implicit c => Seq(
+        "pk" -> peaks(gcol("v"), "max"), "tr" -> peaks(gcol("v"), "min")) }
+    val rows = d.sdf.orderBy("i").collect()
+    assert(rows.map(_.getAs[Boolean]("pk")).toSeq ==
+      Seq(false, true, false, true))
+    assert(rows.map(_.getAs[Boolean]("tr")).toSeq ==
+      Seq(true, false, true, false))
+  }
+
+  test("fill strategies forward/backward/mean") {
+    val d = Gdf(df(schema("g" -> StringType, "i" -> LongType, "v" -> DoubleType),
+      Seq("a", 0L, null), Seq("a", 1L, 2.0), Seq("a", 2L, null),
+      Seq("a", 3L, 4.0)))
+      .groupBy("g").ordered(F.col("i"))
+      .mutateWith { implicit c => Seq(
+        "ff" -> fillMissingStrategy(gcol("v"), "forward"),
+        "bf" -> fillMissingStrategy(gcol("v"), "backward"),
+        "mf" -> fillMissingStrategy(gcol("v"), "mean")) }
+    val rows = d.sdf.orderBy("i").collect()
+    assert(rows.map(r => Option(r.getAs[Any]("ff"))).toSeq ==
+      Seq(None, Some(2.0), Some(2.0), Some(4.0)))
+    assert(rows.map(r => Option(r.getAs[Any]("bf"))).toSeq ==
+      Seq(Some(2.0), Some(2.0), Some(4.0), Some(4.0)))
+    assert(rows.map(_.getAs[Double]("mf")).toSeq == Seq(3.0, 2.0, 3.0, 4.0))
+  }
+
+  test("aggregates: product, mode, argmin/argmax, all/any, nilCount") {
+    val d = Gdf(df(
+      schema("g" -> StringType, "i" -> LongType, "v" -> DoubleType,
+        "b" -> BooleanType),
+      Seq("a", 0L, 2.0, true), Seq("a", 1L, -3.0, false),
+      Seq("a", 2L, null, true)))
+    val r = d.groupBy("g").summariseWith { implicit c => Seq(
+      "prod" -> product(gcol("v")),
+      "am" -> argmin(gcol("i"), gcol("v")),
+      "ax" -> argmax(gcol("i"), gcol("v")),
+      "all_b" -> all(gcol("b")), "any_b" -> any(gcol("b")),
+      "nils" -> nilCount(gcol("v"))) }.sdf.collect()(0)
+    assert(approx(r.getAs[Double]("prod"), -6.0))
+    assert(r.getAs[Long]("am") == 1L && r.getAs[Long]("ax") == 0L)
+    assert(!r.getAs[Boolean]("all_b") && r.getAs[Boolean]("any_b"))
+    assert(r.getAs[Long]("nils") == 1L)
+  }
+
+  test("quantile is exact-interpolating (oracle parity §7.3)") {
+    implicit val c: Ctx = Ctx(Nil, Nil, windowed = false)
+    val d = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val r = d.agg(quantile(gcol("v"), 0.25).col.as("q")).collect()(0)
+    assert(r.getDouble(0) == 1.75) // interpolated, not nearest
+  }
+
+  test("skew bias correction (reference series.ex:2908)") {
+    implicit val c: Ctx = Ctx(Nil, Nil, windowed = false)
+    val d = Seq(1.0, 2.0, 3.0, 10.0).toDF("v")
+    val biased = d.agg(skew(gcol("v")).col.as("s")).collect()(0).getDouble(0)
+    val unbiased = d.agg(skew(gcol("v"), bias = false).col.as("s"))
+      .collect()(0).getDouble(0)
+    // scipy.stats.skew([1,2,3,10]) = 1.0182338, bias=False = 1.7636326
+    assert(approx(biased, 1.0182337649086284, 1e-9))
+    assert(approx(unbiased, 1.763632614803888, 1e-9))
+  }
+
+  test("ewmMeanExpr matches pandas ewm(alpha=0.5, adjust=True)") {
+    val d = Gdf(Seq(("a", 0L, 1.0), ("a", 1L, 2.0), ("a", 2L, 3.0))
+      .toDF("g", "i", "v")).groupBy("g").ordered(F.col("i"))
+      .mutateWith { implicit c => Seq("e" -> ewmMeanExpr(gcol("v"), 0.5)) }
+    val got = vals(d, "e")
+    val exp = Seq(1.0, 1.6666666666666667, 2.4285714285714284)
+    got.zip(exp).foreach { case (g, e) => assert(approx(g, e, 1e-12)) }
+  }
+
+  test("iff nested conditionals") {
+    val d = Seq(5.0, 15.0, 55.0).toDF("v").select(
+      iff(gcol("v") >= glit(50.0), glit("high"),
+        iff(gcol("v") >= glit(10.0), glit("mid"), glit("low"))).col.as("b"))
+    assert(col1[String](d, "b") == Seq("low", "mid", "high"))
+  }
+}

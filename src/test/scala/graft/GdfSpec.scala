@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import graft.exprs._
+
+/** DataFrame verbs: select/mutate/filter/sort/distinct/slice/group/summarise
+  * (reference data_frame.ex; grouped translation rules SURVEY §3.2). */
+class GdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = Gdf(Seq(
+    ("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0),
+    ("b", 4L, 40.0), ("b", 5L, 50.0)).toDF("g", "id", "v"))
+
+  test("select / discard / rename / relocate keep schema order") {
+    assert(base.select("v", "g").names == Seq("v", "g"))
+    assert(base.discard("v").names == Seq("g", "id"))
+    assert(base.rename("v" -> "value").names == Seq("g", "id", "value"))
+    assert(base.relocate(Seq("v"), before = Some("g")).names ==
+      Seq("v", "g", "id"))
+  }
+
+  test("selectRe and selectWhere") {
+    assert(base.selectRe("^[gv]$").names == Seq("g", "v"))
+    assert(base.selectWhere(_ == DType.F(64)).names == Seq("v"))
+  }
+
+  test("mutate sees earlier columns (reference mutate chaining)") {
+    val d = base.mutate(
+      "double_v" -> (_ => Series(F.col("v") * 2)),
+      "quad_v" -> (_ => Series(F.col("double_v") * 2)))
+    assert(col1[Double](d.sdf.orderBy("id"), "quad_v") ==
+      Seq(40.0, 80.0, 120.0, 160.0, 200.0))
+  }
+
+  test("grouped summarise consumes groups; global summarise one row") {
+    val g = base.groupBy("g").summarise(
+      "total" -> (implicit c => sum(gcol("v"))),
+      "n" -> (implicit c => size))
+    assert(g.groups.isEmpty)
+    val rows = g.sdf.orderBy("g").collect()
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(30.0, 120.0))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(2L, 3L))
+    assert(base.summarise("n" -> (implicit c => size)).sdf.count() == 1)
+  }
+
+  test("summarise rejects non-aggregates") {
+    intercept[IllegalArgumentException] {
+      base.groupBy("g").summarise("bad" -> (_ => gcol("v")))
+    }
+  }
+
+  test("grouped mutate windows the aggregation over groups (§3.2)") {
+    val d = base.groupBy("g").mutate(
+      "share" -> (implicit c => (gcol("v") / sum(gcol("v"))).round(4)))
+    val got = d.sdf.orderBy("id").collect().map(_.getAs[Double]("share")).toSeq
+    assert(got == Seq(0.3333, 0.6667, 0.25, 0.3333, 0.4167))
+    assert(d.sdf.count() == 5) // row count preserved, unlike summarise
+  }
+
+  test("grouped filter with aggregate predicate") {
+    val d = base.groupBy("g").filter(implicit c =>
+      gcol("v") > mean(gcol("v")))
+    assert(col1[Long](d.sdf.orderBy("id"), "id") == Seq(2L, 5L))
+  }
+
+  test("sortBy with stable tiebreak over declared order") {
+    val d = Gdf(Seq(("x", 1), ("y", 2), ("x", 3), ("y", 4)).toDF("k", "i"))
+      .ordered(F.col("i"))
+    val s = d.sortBy(Seq(F.col("k")), stable = true)
+    assert(col1[Int](s.sdf, "i") == Seq(1, 3, 2, 4))
+  }
+
+  test("distinct subset / keepAll first-per-key over order") {
+    assert(base.distinct(Seq("g")).sdf.count() == 2)
+    val keep = base.ordered(F.col("id").desc).distinct(Seq("g"), keepAll = true)
+    assert(col1[Long](keep.sdf.orderBy("g"), "id") == Seq(2L, 5L))
+  }
+
+  test("slice positive, negative offset, and indices (positional §2.2)") {
+    val d = base.ordered(F.col("id"))
+    assert(col1[Long](d.slice(1, 2).sdf.orderBy("id"), "id") == Seq(2L, 3L))
+    assert(col1[Long](d.slice(-2, 2).sdf.orderBy("id"), "id") == Seq(4L, 5L))
+    assert(col1[Long](d.sliceIndices(Seq(0L, 4L)).sdf.orderBy("id"), "id") ==
+      Seq(1L, 5L))
+  }
+
+  test("grouped head/tail over order") {
+    val d = base.groupBy("g").ordered(F.col("id"))
+    assert(col1[Long](d.head(1).sdf.orderBy("id"), "id") == Seq(1L, 3L))
+    assert(col1[Long](d.tail(1).sdf.orderBy("id"), "id") == Seq(2L, 5L))
+  }
+
+  test("withRowIndex 0-based over declared order") {
+    val d = base.ordered(F.col("id").desc).withRowIndex("ri")
+    assert(col1[Int](d.sdf.orderBy("id"), "ri") == Seq(4, 3, 2, 1, 0))
+  }
+
+  test("dropNil") {
+    val d = Gdf(df(schema("a" -> DoubleType, "b" -> DoubleType),
+      Seq(1.0, null), Seq(2.0, 3.0), Seq(null, null)))
+    assert(d.dropNil().sdf.count() == 1)
+    assert(d.dropNil("a").sdf.count() == 2)
+  }
+
+  test("sampleN exact size, seeded deterministic") {
+    val d = base.sampleN(3, seed = 7L)
+    assert(d.sdf.count() == 3)
+    assert(col1[Long](d.sdf, "id") == col1[Long](base.sampleN(3, 7L).sdf, "id"))
+  }
+
+  test("sql passthrough via temp view") {
+    val d = base.sql("SELECT g, sum(v) AS s FROM t GROUP BY g ORDER BY g", "t")
+    assert(col1[Double](d.sdf, "s") == Seq(30.0, 120.0))
+  }
+
+  test("pull returns usable column expression") {
+    val b = base // pull and filter must come from the SAME frame instance
+    assert(b.filterCol(b.pull("id").col > 3).sdf.count() == 2)
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import graft.io.GraftIO
+import graft.streaming.Streams
+import java.nio.file.Files
+
+/** IO round-trips (SURVEY §2.1) and Structured Streaming wrappers. */
+class IOStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("csv round trip with options") {
+    val dir = tmp("graft_csv") + "/out"
+    val d = Gdf(Seq((1L, "a;x", 1.5), (2L, "b", 2.5)).toDF("i", "s", "v"))
+    GraftIO.toCsv(d, dir, delimiter = "|")
+    val back = GraftIO.fromCsv(spark, dir, delimiter = "|")
+    assert(back.sdf.count() == 2)
+    assert(back.schema("i").dataType == IntegerType ||
+      back.schema("i").dataType == LongType)
+    assert(col1[String](back.sdf.orderBy("i"), "s") == Seq("a;x", "b"))
+  }
+
+  test("loadCsv parses in-memory string") {
+    val g = GraftIO.loadCsv(spark, "a,b\n1,x\n2,y")
+    assert(g.names == Seq("a", "b"))
+    assert(g.sdf.count() == 2)
+  }
+
+  test("parquet round trip with compression and partitioning") {
+    val dir = tmp("graft_parq") + "/out"
+    val d = Gdf(Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("i", "p", "v"))
+    GraftIO.toParquet(d, dir, compression = "zstd", partitionBy = Seq("p"))
+    val back = GraftIO.fromParquet(spark, dir)
+    assert(back.sdf.count() == 2)
+    val cols = GraftIO.fromParquet(spark, dir, columns = Seq("i"))
+    assert(cols.names == Seq("i"))
+  }
+
+  test("ndjson round trip and loadNdjson") {
+    val dir = tmp("graft_json") + "/out"
+    val d = Gdf(Seq((1L, "x"), (2L, "y")).toDF("i", "s"))
+    GraftIO.toNdjson(d, dir)
+    assert(GraftIO.fromNdjson(spark, dir).sdf.count() == 2)
+    val mem = GraftIO.loadNdjson(spark, "{\"a\": 1}\n{\"a\": 2}")
+    assert(col1[Long](mem.sdf.orderBy("a"), "a") == Seq(1L, 2L))
+  }
+
+  test("fromRows") {
+    val g = GraftIO.fromRows(spark,
+      Seq(org.apache.spark.sql.Row(1L, "a")),
+      schema("i" -> LongType, "s" -> StringType))
+    assert(g.sdf.count() == 1)
+  }
+
+  test("streaming windowed counts equals batch aggregation") {
+    val dir = tmp("graft_stream")
+    val events = (0 until 100).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        s"2024-01-01 0${i % 4}:0${i % 6}:00"), i % 3 match {
+          case 0 => "click"; case 1 => "view"; case _ => "error"
+        }, i.toDouble)
+    }.toDF("event_id", "ts", "event_type", "value")
+    events.write.parquet(dir + "/ev")
+    val stream = Streams.readParquetStream(spark, dir + "/ev", events.schema,
+      maxFilesPerTrigger = 2)
+    val agg = Streams.windowedCounts(stream, "ts", "10 minutes", "1 hour",
+      Seq("event_type"))
+    val got = Streams.runToMemory(agg, "t_win",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .select(F.col("window.start").as("w"), F.col("event_type"), F.col("n"),
+        F.col("total_value"))
+    val exp = events.groupBy(F.window(F.col("ts"), "1 hour").getField("start")
+        .as("w"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("total_value"))
+    assert(got.orderBy("w", "event_type").collect().toSeq ==
+      exp.orderBy("w", "event_type").collect().toSeq)
+  }
+
+  test("streaming dedupe within watermark") {
+    val dir = tmp("graft_dedup")
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 3.0))
+      .toDF("k", "ts", "value")
+    events.write.parquet(dir + "/ev")
+    val s = Streams.readParquetStream(spark, dir + "/ev", events.schema)
+    val out = Streams.runToMemory(
+      Streams.dedupeStream(s, "ts", "1 hour", Seq("k")), "t_dedup")
+    assert(out.count() == 2)
+  }
+
+  test("sessionize groups events by gap") {
+    val dir = tmp("graft_sess")
+    val events = Seq(
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 1.0),
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 1.0))
+      .toDF("user", "ts", "value")
+    events.write.parquet(dir + "/ev")
+    val s = Streams.readParquetStream(spark, dir + "/ev", events.schema)
+    val out = Streams.runToMemory(
+      Streams.sessionize(s, "ts", "10 hours", "30 minutes", Seq("user")),
+      "t_sess", org.apache.spark.sql.streaming.OutputMode.Complete())
+    assert(out.count() == 2) // two sessions separated by the 3h gap
+  }
+}

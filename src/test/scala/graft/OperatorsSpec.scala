@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import graft.operators._
+
+/** Training-data pipeline operators: dedup, similarity, text, multimodal. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps lowest id per key") {
+    val d = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "t")
+    val out = Dedup.exact(d, F.col("t"), F.col("id"))
+    assert(col1[Long](out.orderBy("id"), "id") == Seq(1L, 3L))
+  }
+
+  test("shingles produce distinct word n-grams") {
+    val d = Seq("a b c d").toDF("t")
+      .select(Dedup.shingles(F.col("t"), 2).as("sh"))
+    assert(d.collect()(0).getSeq[String](0).toSet ==
+      Set("a b", "b c", "c d"))
+  }
+
+  test("minhash signature equal for equal shingle sets, length numHashes") {
+    val d = Seq("x y z", "x y z", "totally different words").toDF("t")
+      .select(Dedup.minhashSignature(
+        Dedup.shingles(F.col("t"), 2), 16).as("sig"))
+    val sigs = d.collect().map(_.getSeq[Long](0))
+    assert(sigs(0).length == 16)
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("minhash LSH finds planted near-duplicates, skips unrelated") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the sun sets slowly behind the distant purple mountains"
+    val nearDup = base.replace("slowly", "quickly")
+    val other = "completely unrelated text about database query optimization " +
+      "and distributed systems running on large compute clusters"
+    val d = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("id", "text")
+    val pairs = Dedup.minhashDuplicatePairs(d, F.col("id"), F.col("text"),
+      threshold = 0.5, shingleSize = 3, numHashes = 64, bands = 16)
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("ngram Jaccard exact pairs") {
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "z y x w v"))
+      .toDF("id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, F.col("id"), F.col("text"),
+      shingleSize = 2, threshold = 0.9)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("simhash: identical texts equal, near-dups within small hamming") {
+    val a = "one two three four five six seven eight nine ten"
+    val d = Seq((1L, a), (2L, a), (3L, a.replace("ten", "zzz"))).toDF("id", "t")
+    val sh = Dedup.simhash(d, F.col("id"), F.col("t"))
+      .orderBy("id").collect().map(_.getLong(1))
+    assert(sh(0) == sh(1))
+    val dist = java.lang.Long.bitCount(sh(0) ^ sh(2))
+    assert(dist > 0 && dist <= 16)
+  }
+
+  test("simhashDuplicatePairs finds identical docs at distance 0") {
+    val a = "one two three four five six seven eight nine ten"
+    val d = Seq((1L, a), (2L, a), (3L, "different corpus entirely here"))
+      .toDF("id", "t")
+    val pairs = Dedup.simhashDuplicatePairs(d, F.col("id"), F.col("t"),
+      maxDistance = 0)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+  }
+
+  test("embedding near-dup pairs via hyperplane LSH") {
+    val d = df(schema("id" -> LongType, "v" -> ArrayType(FloatType)),
+      Seq(1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      Seq(2L, Seq(0.999f, 0.001f, 0.0f, 0.0f)),
+      Seq(3L, Seq(-1.0f, 0.5f, 0.2f, 0.0f)))
+    val pairs = Dedup.embeddingDuplicatePairs(d, F.col("id"), F.col("v"),
+      threshold = 0.99, planes = 8)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+  }
+
+  test("cosine / dot higher-order expressions") {
+    val d = df(schema("a" -> ArrayType(DoubleType), "b" -> ArrayType(DoubleType)),
+      Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+      .select(Similarity.dot(F.col("a"), F.col("b")).as("d"),
+        Similarity.cosine(F.col("a"), F.col("a")).as("self"))
+    val r = d.collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(approx(r.getDouble(1), 1.0))
+  }
+
+  test("bruteForceTopK exact ranking with tie-break by corpus id") {
+    val corpus = df(schema("id" -> LongType, "v" -> ArrayType(DoubleType)),
+      Seq(10L, Seq(1.0, 0.0)), Seq(11L, Seq(0.0, 1.0)),
+      Seq(12L, Seq(0.9, 0.1)))
+    val queries = df(schema("id" -> LongType, "v" -> ArrayType(DoubleType)),
+      Seq(1L, Seq(1.0, 0.0)))
+    val r = Similarity.bruteForceTopK(corpus, F.col("id"), F.col("v"),
+      queries, F.col("id"), F.col("v"), k = 2)
+    assert(col1[Long](r.orderBy("rank"), "corpus_id") == Seq(10L, 12L))
+  }
+
+  test("lshTopK recall ≥ 0.5 of exact top-k on clustered vectors") {
+    val dim = 8
+    val mk = (c: Int, i: Int) => (0 until dim).map(j =>
+      (if (j == c) 1.0f else 0.0f) + i * 0.001f)
+    val corpus = (0 until 40).map(i => (i.toLong, mk(i % 4, i)))
+      .toDF("id", "v")
+    val queries = (0 until 4).map(i => (100L + i, mk(i, 0))).toDF("id", "v")
+    val exact = Similarity.bruteForceTopK(corpus, F.col("id"), F.col("v"),
+      queries, F.col("id"), F.col("v"), k = 3)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx_ = Similarity.lshTopK(corpus, F.col("id"), F.col("v"),
+      queries, F.col("id"), F.col("v"), k = 3, planes = 8, bands = 4)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx_.intersect(exact).size >= exact.size / 2)
+  }
+
+  test("tokenCount / subwordCount / langId / quality") {
+    val d = Seq("The quick fox is in the barn", "", "der hund ist von den")
+      .toDF("t").select(
+        TextAnalysis.tokenCount(F.col("t")).as("n"),
+        TextAnalysis.subwordCount(F.col("t")).as("sw"),
+        TextAnalysis.langId(F.col("t")).as("lang"),
+        TextAnalysis.qualityScore(F.col("t")).as("q"))
+    val rows = d.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(7L, 0L, 5L))
+    assert(rows(0).getString(2) == "en")
+    assert(rows(1).getString(2) == "und")
+    assert(rows(2).getString(2) == "de")
+    assert(rows(0).getDouble(3) > rows(1).getDouble(3))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val d = Seq("a b c", "a b c", "c b a").toDF("t")
+      .select(TextAnalysis.fingerprint(F.col("t")).as("fp"))
+    val fps = d.collect().map(_.getLong(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("multimodal pipeline: features, resize metadata, frame sampling") {
+    val media = spark.range(6).select(
+      F.col("id").as("media_id"),
+      F.when(F.col("id") % 2 === 0, "video").otherwise("image").as("kind"),
+      Multimodal.syntheticPayload(F.col("id"), 32).as("payload"),
+      F.lit(640).as("width"), F.lit(480).as("height"),
+      F.lit(16000).as("sample_rate"),
+      F.lit(8).cast("int").as("n_frames"), F.lit("raw").as("format"))
+    val feat = Multimodal.extractFeatures(media, "payload", dims = 4)
+    assert(feat.select("features").collect()
+      .forall(_.getSeq[Double](0).forall(v => v >= 0 && v < 1)))
+    val rs = Multimodal.resize(feat, 224, 224)
+    assert(rs.select("width").collect().forall(_.getInt(0) == 224))
+    val sampled = Multimodal.sampleFrames(rs, stride = 4)
+    // video rows explode to frames 0,4; image rows stay single
+    assert(sampled.count() == 3 * 2 + 3 * 1)
+    // deterministic features: same payload → same features
+    val f2 = Multimodal.extractFeatures(media, "payload", dims = 4)
+      .select("features").collect().map(_.getSeq[Double](0))
+    assert(f2.toSeq == feat.select("features").collect()
+      .map(_.getSeq[Double](0)).toSeq)
+  }
+}

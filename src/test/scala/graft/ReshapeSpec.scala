@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Reshaping verbs (SURVEY §2.7) and concat (§2.4). */
+class ReshapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pivotLonger wide→long with relaxed numeric cast") {
+    val d = Gdf(Seq((1L, 10, 1.5), (2L, 20, 2.5)).toDF("id", "a", "b"))
+    val l = Reshape.pivotLonger(d, Seq("a", "b"))
+    assert(l.names == Seq("id", "variable", "value"))
+    assert(l.sdf.count() == 4)
+    // int a relax-cast to double because b is double
+    assert(l.schema("value").dataType == DoubleType)
+  }
+
+  test("pivotWider long→wide with first-agg semantics") {
+    val d = Gdf(Seq(("r1", "x", 1.0), ("r1", "y", 2.0), ("r2", "x", 3.0))
+      .toDF("id", "name", "val"))
+    val w = Reshape.pivotWider(d, "name", "val")
+    assert(w.names == Seq("id", "x", "y"))
+    val rows = w.sdf.orderBy("id").collect()
+    assert(rows(0).getDouble(1) == 1.0 && rows(0).getDouble(2) == 2.0)
+    assert(rows(1).getDouble(1) == 3.0 && rows(1).isNullAt(2))
+  }
+
+  test("pivotWider duplicate (id,name) keeps first per declared values") {
+    val d = Gdf(Seq(("r1", "x", 1.0), ("r1", "x", 9.0)).toDF("id", "n", "v"))
+    val w = Reshape.pivotWider(d, "n", "v", namesValues = Seq("x"))
+    assert(w.sdf.count() == 1)
+  }
+
+  test("explode single and multi-column zip semantics") {
+    val d = Gdf(Seq((1L, Seq("a", "b"), Seq(10, 20))).toDF("id", "s", "n"))
+    val e1 = Reshape.explode(d, Seq("s"))
+    assert(e1.sdf.count() == 2)
+    val e2 = Reshape.explode(d, Seq("s", "n"))
+    val rows = e2.sdf.orderBy("n").collect()
+    assert(rows.map(r => (r.getAs[String]("s"), r.getAs[Int]("n"))).toSeq ==
+      Seq(("a", 10), ("b", 20)))
+  }
+
+  test("explode of empty/null list keeps row (explode_outer)") {
+    val d = Gdf(df(schema("id" -> LongType,
+      "s" -> ArrayType(StringType)), Seq(1L, null), Seq(2L, Seq("a"))))
+    assert(Reshape.explode(d, Seq("s")).sdf.count() == 2)
+  }
+
+  test("unnest struct into fields") {
+    val d = Gdf(Seq((1L, ("x", 2.0))).toDF("id", "st"))
+    val u = Reshape.unnest(d, "st")
+    assert(u.names == Seq("id", "_1", "_2"))
+  }
+
+  test("dummies one-hot") {
+    val d = Gdf(Seq(("a"), ("b"), ("a")).toDF("c"))
+    val o = Reshape.dummies(d, "c")
+    assert(o.names == Seq("c", "c_a", "c_b"))
+    assert(col1[Int](o.sdf.orderBy("c"), "c_a") == Seq(1, 1, 0))
+  }
+
+  test("transpose rows↔cols with header") {
+    val d = Gdf(Seq(("m1", 1.0, 2.0), ("m2", 3.0, 4.0))
+      .toDF("name", "a", "b"))
+    val t = Reshape.transpose(d, header = Some("name"))
+    assert(t.names == Seq("name", "m1", "m2"))
+    val rows = t.sdf.orderBy("name").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(rows(0).getString(1) == "1.0" && rows(1).getString(2) == "4.0")
+  }
+
+  test("concatRows reconciles columns and promotes dtypes") {
+    val a = Gdf(Seq((1, "x")).toDF("i", "s"))
+    val b = Gdf(Seq((2.5, true)).toDF("i", "t"))
+    val c = Reshape.concatRows(Seq(a, b))
+    assert(c.names.toSet == Set("i", "s", "t"))
+    assert(c.schema("i").dataType == DoubleType)
+    assert(c.sdf.count() == 2)
+  }
+
+  test("concatColumns zips by declared row order") {
+    val a = Gdf(Seq(1L, 2L, 3L).toDF("x")).ordered(F.col("x"))
+    val b = Gdf(Seq("c", "a", "b").toDF("y")).ordered(F.col("y"))
+    val c = Reshape.concatColumns(Seq(a, b))
+    val rows = c.sdf.orderBy("x").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Series expression vocabulary (reference series.ex doctest semantics). */
+class SeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nums = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+
+  test("comparison and boolean ops") {
+    val d = nums.filter((gcol("x") > glit(1.0) && gcol("x") <= glit(3.0)).col)
+    assert(col1[Double](d, "x") == Seq(2.0, 3.0))
+    val e = nums.filter((!(gcol("x") === glit(2.0))).col)
+    assert(col1[Double](e, "x") == Seq(1.0, 3.0, 4.0))
+  }
+
+  test("isIn membership") {
+    val d = nums.filter(gcol("x").isIn(Seq(1.0, 4.0)).col)
+    assert(col1[Double](d, "x") == Seq(1.0, 4.0))
+  }
+
+  test("arithmetic: divide always yields float, quotient/remainder int") {
+    val d = Seq((7L, 2L)).toDF("a", "b")
+      .select(
+        (gcol("a") / gcol("b")).col.as("div"),
+        gcol("a").quotient(gcol("b")).col.as("quot"),
+        gcol("a").remainder(gcol("b")).col.as("rem"))
+    val r = d.collect()(0)
+    assert(r.getDouble(0) == 3.5)
+    assert(r.getLong(1) == 3L)
+    assert(r.getLong(2) == 1L)
+  }
+
+  test("null/NaN tests distinguish nil from NaN (reference series.ex:6374)") {
+    val d = df(schema("x" -> DoubleType),
+      Seq(1.0), Seq(Double.NaN), Seq(null), Seq(Double.PositiveInfinity))
+    assert(d.filter(gcol("x").isNil.col).count() == 1)
+    assert(d.filter(gcol("x").isNan.col).count() == 1)
+    assert(d.filter(gcol("x").isInfinite.col).count() == 1)
+    // finite: only 1.0 (nil → nil like the reference, filtered out)
+    assert(d.filter(gcol("x").isFinite.col).count() == 1)
+  }
+
+  test("clip") {
+    val d = nums.select(gcol("x").clip(glit(1.5), glit(3.5)).col.as("c"))
+    assert(col1[Double](d, "c") == Seq(1.5, 2.0, 3.0, 3.5))
+  }
+
+  test("fillMissing and coalesce") {
+    val d = df(schema("x" -> DoubleType), Seq(1.0), Seq(null))
+    assert(col1[Double](d.select(
+      Series(F.col("x")).fillMissing(-1.0).col.as("f")), "f") == Seq(1.0, -1.0))
+  }
+
+  test("cast via DType") {
+    val d = nums.select(gcol("x").cast(DType.S(64)).col.as("i"))
+    assert(d.schema("i").dataType == LongType)
+    assert(col1[Long](d, "i") == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("math fns") {
+    val d = Seq(-2.5).toDF("x").select(
+      gcol("x").abs.col.as("abs"),
+      gcol("x").floor.col.as("fl"),
+      gcol("x").ceil.col.as("ce"),
+      gcol("x").round(0).col.as("ro"))
+    val r = d.collect()(0)
+    assert(r.getDouble(0) == 2.5 && r.getLong(1) == -3L && r.getLong(2) == -2L)
+  }
+}
+
+/** DType lattice (reference shared.ex:52-114, series.ex:96-112). */
+class DTypeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import DType.{promote, fromSpark, S, U, Bool, Str, Binary, Date, Null,
+    Struct, List => DList, F => DF}
+  test("promotion lattice") {
+    assert(promote(S(32), S(64)) == S(64))
+    assert(promote(S(64), DF(32)) == DF(64))
+    assert(promote(DF(32), DF(32)) == DF(32))
+    assert(promote(DF(32), DF(64)) == DF(64))
+    assert(promote(U(32), U(16)) == U(32))
+    assert(promote(S(8), U(8)) == S(16))
+    assert(promote(Null, S(64)) == S(64))
+  }
+  test("unsigned widening (reference series.ex:96-112)") {
+    assert(U(8).spark == ShortType)
+    assert(U(32).spark == LongType)
+    assert(U(64).spark == DecimalType(20, 0))
+  }
+  test("spark bimap roundtrip on exact types") {
+    val exact = Seq(Bool, S(8), S(16), S(32), S(64), DF(32), DF(64), Str,
+      Binary, Date, DList(S(64)), Struct(Seq("a" -> Str)))
+    exact.foreach(t => assert(fromSpark(t.spark) == t))
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local SparkSession for all specs (one JVM-wide session — specs run
+  * in a single forked JVM, see build.sbt `Test / fork`). */
+object SparkSpec {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+}
+
+abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSpec.spark
+  override def beforeAll(): Unit = { spark.sparkContext.setLogLevel("ERROR") }
+
+  /** Build a small DataFrame from rows of Any (null allowed). */
+  def df(schema: StructType, rows: Seq[Any]*): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row.fromSeq(r)): _*), schema)
+
+  def schema(fields: (String, DataType)*): StructType =
+    StructType(fields.map { case (n, t) => StructField(n, t) })
+
+  /** Collect a single column as a Seq (in the frame's current order). */
+  def col1[T](d: DataFrame, name: String): Seq[T] =
+    d.select(name).collect().toSeq.map(_.getAs[T](0))
+
+  def approx(a: Double, b: Double, tol: Double = 1e-9): Boolean =
+    (a.isNaN && b.isNaN) || math.abs(a - b) <= tol * math.max(1.0, math.abs(b))
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** DataFrame-level statistics compositions (SURVEY §2.5-2.6). */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("describe long form with exact percentiles") {
+    val d = Gdf(Seq(1.0, 2.0, 3.0, 4.0).toDF("v"))
+    val s = Stats.describe(d)
+    val m = s.sdf.collect()
+      .map(r => r.getString(1) -> r.getAs[Double]("value")).toMap
+    assert(m("count") == 4.0 && m("nil_count") == 0.0)
+    assert(m("mean") == 2.5 && m("min") == 1.0 && m("max") == 4.0)
+    assert(m("p25") == 1.75 && m("p50") == 2.5 && m("p75") == 3.25)
+  }
+
+  test("frequencies descending") {
+    val d = Gdf(Seq("a", "b", "a", "a", "b").toDF("c"))
+    val f = Stats.frequencies(d, Seq("c"))
+    val rows = f.sdf.collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 3L), ("b", 2L)))
+  }
+
+  test("modeList returns full modal set sorted") {
+    val d = Gdf(Seq(1, 2, 2, 3, 3).toDF("v"))
+    assert(col1[Int](Stats.modeList(d, "v").sdf, "v") == Seq(2, 3))
+  }
+
+  test("modeBy deterministic smallest modal value per group") {
+    val d = Gdf(Seq(("g1", 5.0), ("g1", 5.0), ("g1", 3.0), ("g1", 3.0),
+      ("g2", 7.0)).toDF("g", "v"))
+    val m = Stats.modeBy(d, Seq("g"), "v")
+    val rows = m.sdf.orderBy("g").collect()
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(3.0, 7.0))
+  }
+
+  test("nilCount per column") {
+    val d = Gdf(df(schema("a" -> DoubleType, "b" -> StringType),
+      Seq(1.0, null), Seq(null, "x"), Seq(null, "y")))
+    val r = Stats.nilCount(d).sdf.collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)
+  }
+
+  test("correlationMatrix pairwise in one pass") {
+    val d = Gdf(Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0))
+      .toDF("x", "y", "z"))
+    val m = Stats.correlationMatrix(d, Seq("x", "y", "z"))
+    val rows = m.sdf.orderBy("names").collect()
+    val x = rows.find(_.getString(0) == "x").get
+    assert(approx(x.getAs[Double]("y"), 1.0) &&
+      approx(x.getAs[Double]("z"), -1.0))
+  }
+
+  test("spearman rank correlation handles ties via average ranks") {
+    val d = Gdf(Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 16.0))
+      .toDF("a", "b"))
+    // monotone → spearman exactly 1 even though pearson < 1
+    val r = Stats.spearman(d, "a", "b").collect()(0).getDouble(0)
+    assert(approx(r, 1.0))
+  }
+
+  test("cut labels (lo, hi] like Polars, custom labels") {
+    val d = Seq(5.0, 15.0, 45.0).toDF("v")
+    val c = d.select(Stats.cut(F.col("v"), Seq(10.0, 25.0, 40.0)).as("bin"))
+    assert(col1[String](c, "bin") ==
+      Seq("(-inf, 10.0]", "(10.0, 25.0]", "(40.0, inf]"))
+    val c2 = d.select(Stats.cut(F.col("v"), Seq(10.0), Seq("lo", "hi")).as("b"))
+    assert(col1[String](c2, "b") == Seq("lo", "hi", "hi"))
+  }
+
+  test("qcut uses exact quantile breaks") {
+    val d = Gdf((1 to 8).map(_.toDouble).toDF("v"))
+    val c = d.sdf.select(F.col("v"),
+      Stats.qcut(d, "v", Seq(0.5), Seq("bottom", "top")).as("b"))
+    val half = c.collect().map(r => r.getString(1)).toSeq
+    assert(half == Seq("bottom", "bottom", "bottom", "bottom",
+      "top", "top", "top", "top"))
+  }
+}
