@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-dedup hot path.
+  *
+  * The `zip_with`/`aggregate` higher-order-function formulations of shingling
+  * and MinHash run on Catalyst's interpreted lambda path (HOFs never
+  * whole-stage-codegen): profiled at sf0.1 they evaluate millions of lambda
+  * nodes per partition and dominate every near-dup operator. These
+  * expressions do the same work in one `eval` call per row with JIT-compiled
+  * imperative loops — the preference order of SURVEY §7.3 (custom Expression
+  * over mapPartitions: stays a column, composes with projection pushdown and
+  * the rest of the plan).
+  *
+  * Hashing is Spark's own XXH64 over UTF-8 word bytes, so results are
+  * stable across executors/JVMs with zero driver state. */
+private[graft] object TextHashing {
+  private val ws = "\\s+".r.pattern
+
+  /** Lowercased whitespace tokens of a document. */
+  def words(text: UTF8String): Array[String] = {
+    val s = text.toString.trim.toLowerCase
+    if (s.isEmpty) Array.empty else ws.split(s)
+  }
+
+  def hashWord(w: String, seed: Long): Long = {
+    val b = UTF8String.fromString(w)
+    XXH64.hashUnsafeBytes(b.getBaseObject, b.getBaseOffset, b.numBytes, seed)
+  }
+
+  /** Hash identities of the word n-grams (not deduplicated). */
+  def shingleHashes(text: UTF8String, n: Int): Array[Long] = {
+    val ws = words(text)
+    if (ws.length < n) return Array.empty
+    val wh = new Array[Long](ws.length)
+    var i = 0
+    while (i < ws.length) { wh(i) = hashWord(ws(i), 42L); i += 1 }
+    val out = new Array[Long](ws.length - n + 1)
+    i = 0
+    while (i < out.length) {
+      var h = wh(i)
+      var j = 1
+      while (j < n) { h = XXH64.hashLong(wh(i + j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+}
+
+/** text → array<bigint>: distinct, sorted word-n-gram hash identities. */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  
+  override def prettyName: String = "shingle_hashes"
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = TextHashing.shingleHashes(input.asInstanceOf[UTF8String], n)
+    java.util.Arrays.sort(hs)
+    // dedupe in place on the sorted array
+    var w = 0
+    var i = 0
+    while (i < hs.length) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+}
+
+/** text → array<bigint>: MinHash signature of the shingle set, fused
+  * (shingling and the k-way min in one pass, no intermediate allocation
+  * proportional to k×shingles). Kirsch-Mitzenmacher family h1 + i·h2 with
+  * 62/56-bit masks (ANSI-safe, order statistics preserved). */
+case class MinHashSignature(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  
+  override def prettyName: String = "minhash_signature"
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val hs = TextHashing.shingleHashes(input.asInstanceOf[UTF8String], n)
+    var i = 0
+    while (i < hs.length) {
+      val s = hs(i)
+      val h1 = s & 0x3FFFFFFFFFFFFFFFL
+      val h2 = XXH64.hashLong(s, 42L) & 0x00FFFFFFFFFFFFFFL
+      var k = 0
+      var h = h1
+      while (k < numHashes) {
+        if (h < sig(k)) sig(k) = h
+        h += h2 // h1 + k·h2, accumulated
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+object TextExprs {
+  def shingleHashes(text: Column, n: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(text), n))
+
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(text), n, numHashes))
+}

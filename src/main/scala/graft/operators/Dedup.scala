@@ -27,26 +27,52 @@ object Dedup {
       .filter(F.col("__rn") === 1).drop("__rn")
   }
 
-  /** Word n-grams (shingles) of `text`, distinct, as an array column.
-    * Pure higher-order functions — codegen'd, no explode. */
+  /** Word n-grams (shingles) of `text`, distinct, as an array column of
+    * strings — the semantic reference form (used where humans debug
+    * near-dup output). The hot pipelines use [[shingleHashes]] instead. */
   def shingles(text: Column, n: Int): Column = {
     val words = F.split(F.lower(F.trim(text)), "\\s+")
     val count = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    F.array_distinct(F.transform(F.sequence(F.lit(0), count - 1),
-      i => F.concat_ws(" ", F.slice(words, i + 1, F.lit(n)))))
+    // zip_with chain over shifted slices — linear, see [[shingleHashes]]
+    val chained = (1 until n).foldLeft(F.slice(words, F.lit(1), count)) { (h, j) =>
+      F.zip_with(h, F.slice(words, F.lit(1 + j), count),
+        (a, b) => F.concat(a, F.lit(" "), b))
+    }
+    F.when(count >= 1, F.array_distinct(chained))
+      .otherwise(F.array().cast("array<string>"))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * min over the shingle set. ONE `aggregate` pass with an array
-    * accumulator — the shingle expression is evaluated once per row (HOFs
-    * run interpreted, so k separate aggregates would re-evaluate the
-    * shingling k times), and no explode/shuffle is involved. */
+  /** Distinct (sorted) word-n-gram identities as 64-bit hashes — the native
+    * [[graft.functions.ShingleHashes]] expression. Equivalent set semantics
+    * to [[shingles]] up to hash collisions (~0 at 2^64); one JIT-compiled
+    * eval per row instead of interpreted per-element HOF lambdas (profiled
+    * ~10× on real documents). */
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.functions.TextExprs.shingleHashes(text, n)
+
+  /** MinHash signature: for each of `numHashes` hash functions, the min over
+    * the shingle set. ONE `aggregate` pass with an array accumulator — no
+    * explode/shuffle. The hash family is Kirsch-Mitzenmacher
+    * (h_i = h1 + i·h2): 2 xxhash64 evaluations per shingle instead of
+    * `numHashes` (HOFs run interpreted, so hashing dominates — this is ~30×
+    * less hashing at k=64). Operands are bit-masked (62/56 bits) so
+    * h1 + i·h2 cannot overflow under ANSI mode while preserving order
+    * statistics. */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    F.aggregate(shingleCol,
+    minhashFromHashes(F.transform(shingleCol, s => F.xxhash64(s)), numHashes)
+
+  /** MinHash over pre-hashed shingles ([[shingleHashes]]). */
+  def minhashFromHashes(hashCol: Column, numHashes: Int): Column = {
+    require(numHashes <= 64, "mask budget supports numHashes <= 64")
+    F.aggregate(hashCol,
       F.array_repeat(F.lit(Long.MaxValue), numHashes),
-      (acc, s) => F.zip_with(acc,
-        F.sequence(F.lit(0), F.lit(numHashes - 1)),
-        (m, seed) => F.least(m, F.xxhash64(seed, s))))
+      (acc, s) => {
+        val h1 = s.bitwiseAND(F.lit(0x3FFFFFFFFFFFFFFFL))
+        val h2 = F.xxhash64(s).bitwiseAND(F.lit(0x00FFFFFFFFFFFFFFL))
+        F.zip_with(acc, F.sequence(F.lit(0), F.lit(numHashes - 1)),
+          (m, i) => F.least(m, h1 + i * h2))
+      })
+  }
 
   /** Within-bucket ordered pairs of a sorted id array: (ids(i), ids(j)) for
     * i < j, via nested `transform` — pair generation stays inside the
@@ -67,7 +93,9 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignature(shingles(text, shingleSize), numHashes)
+    // fused native shingling+minhash — one eval per row (see TextExprs)
+    val sig = graft.functions.TextExprs.minhashSignature(
+      text, shingleSize, numHashes)
     val banded = df.select(id.as("id"), sig.as("sig"))
       .select(F.col("id"), F.posexplode(
         F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -86,11 +114,31 @@ object Dedup {
   def minhashDuplicatePairs(df: DataFrame, id: Column, text: Column,
       threshold: Double, shingleSize: Int = 3, numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
-    val withSh = df.select(id.as("id"), shingles(text, shingleSize).as("sh"))
     val cands = minhashLshCandidates(df, id, text, shingleSize, numHashes, bands)
+    verifyJaccard(df, id, text, cands, shingleSize, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs. Shingles are computed
+    * ONLY for docs appearing in a candidate pair (semi-join pruning) — at
+    * scale the candidate set is orders of magnitude smaller than the corpus,
+    * so this turns two full-corpus shingling passes into two tiny ones. */
+  private def verifyJaccard(df: DataFrame, id: Column, text: Column,
+      cands0: DataFrame, shingleSize: Int, threshold: Double): DataFrame = {
+    // the candidate table is consumed twice (id pruning + the pair join);
+    // without persisting, the whole candidate-generation subtree (shingling,
+    // signatures, LSH shuffle) would execute twice. It is the small end of
+    // the pipeline by construction — pairs of ids — so it caches cheaply
+    // even at corpus scale.
+    val cands = cands0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cands.select(F.explode(F.array(
+      F.col("id_a"), F.col("id_b"))).as("id")).distinct()
+    val verifySh = df.select(id.as("id"), text.as("__t"))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(F.col("id"), shingleHashes(F.col("__t"), shingleSize).as("sh"))
     cands
-      .join(withSh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
-      .join(withSh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .join(verifySh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(verifySh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
       .withColumn("jaccard",
         F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(DoubleType) /
           F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))))
@@ -103,28 +151,28 @@ object Dedup {
     * shuffle), pair generation within postings lists capped by `maxDf`
     * (frequent shingles are dropped — they only generate noise pairs and
     * quadratic blowup at scale). */
+  /** `minCooccur`: a candidate pair must share at least this many rare
+    * shingles before exact verification. At Jaccard ≥ 0.5 true pairs share
+    * a large fraction of their (many) rare shingles, so 2 costs no recall
+    * while cutting the accidental single-collision pairs — the candidate
+    * set is the scale hazard of the inverted-index design. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       shingleSize: Int = 3, threshold: Double = 0.5,
-      maxDf: Int = 100): DataFrame = {
-    val withSh = df.select(id.as("id"), shingles(text, shingleSize).as("sh"))
-    val postings = withSh.select(F.col("id"), F.explode(F.col("sh")).as("g"))
+      maxDf: Int = 20, minCooccur: Int = 2): DataFrame = {
+    // postings carry the 8-byte shingle hash, not the string — the shuffle
+    // and groupBy key stays fixed-width regardless of shingle length
+    val postings = df.select(id.as("id"),
+      F.explode(shingleHashes(text, shingleSize)).as("g"))
     val rare = postings.groupBy("g")
-      .agg(F.collect_list("id").as("ids"), F.count(F.lit(1)).as("df"))
-      .filter(F.col("df") between (2, maxDf))
+      .agg(F.sort_array(F.collect_list("id")).as("ids"))
+      .filter(F.size(F.col("ids")).between(2, maxDf))
     val cands = rare
-      .select(F.explode(F.transform(F.col("ids"), a =>
-        F.transform(F.col("ids"), b => F.struct(a.as("id_a"), b.as("id_b")))))
-        .as("ps"))
-      .select(F.explode(F.col("ps")).as("p")).select("p.*")
-      .filter(F.col("id_a") < F.col("id_b")).distinct()
-    cands
-      .join(withSh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
-      .join(withSh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
-      .withColumn("jaccard",
-        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(DoubleType) /
-          F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))))
-      .filter(F.col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select(F.explode(bucketPairs(F.col("ids"))).as("p"))
+      .select("p.*")
+      .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).as("__cooccur"))
+      .filter(F.col("__cooccur") >= minCooccur)
+      .select("id_a", "id_b")
+    verifyJaccard(df, id, text, cands, shingleSize, threshold)
   }
 
   /** 64-bit SimHash over word tokens: one explode + one groupBy — each bit

@@ -13,6 +13,14 @@ object TextAnalysis {
   /** Whitespace tokens, lowercased. */
   def tokens(text: Column): Column = F.split(F.lower(F.trim(text)), "\\s+")
 
+  /** LET-binding for expressions: evaluates `col` ONCE and passes the bound
+    * value to `body`. Catalyst HOFs evaluate their input array a single time
+    * and lambdas reference only the bound variable — without this, an
+    * expression that mentions `tokens(text)` k times re-tokenizes the
+    * document k times in the interpreted HOF path. */
+  private def let(col: Column)(body: Column => Column): Column =
+    F.element_at(F.transform(F.array(col), body), 1)
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     F.when(F.length(F.trim(text)) === 0, 0L)
@@ -31,27 +39,29 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du", "que"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "los", "una"))
 
-  /** Per-language stopword hit ratio. */
-  def stopwordRatio(text: Column, lang: String = "en"): Column = {
-    val toks = tokens(text)
-    val hits = F.size(F.array_intersect(toks,
-      F.array(stopwords(lang).map(F.lit): _*)))
-    // ratio over distinct tokens of the stopword *kinds* present
+  /** Per-language stopword hit ratio over a pre-bound token array. */
+  private def stopwordRatioT(toks: Column, lang: String): Column =
     F.when(F.size(toks) > 0,
       F.size(F.filter(toks, t => t.isInCollection(stopwords(lang))))
         .cast(DoubleType) / F.size(toks)).otherwise(0.0)
-  }
+
+  /** Per-language stopword hit ratio. */
+  def stopwordRatio(text: Column, lang: String = "en"): Column =
+    let(tokens(text))(stopwordRatioT(_, lang))
 
   /** n-gram-heuristic language ID: the language whose stopword set scores
-    * the highest hit ratio; "und" (undetermined) when nothing hits. */
-  def langId(text: Column): Column = {
-    val scored = stopwords.keys.toSeq.sorted.map { lang =>
-      F.struct(stopwordRatio(text, lang).as("score"), F.lit(lang).as("lang"))
+    * the highest hit ratio; "und" (undetermined) when nothing hits.
+    * Tokenizes once for all languages (let-binding). */
+  def langId(text: Column): Column =
+    let(tokens(text)) { toks =>
+      val scored = stopwords.keys.toSeq.sorted.map { lang =>
+        F.struct(stopwordRatioT(toks, lang).as("score"),
+          F.lit(lang).as("lang"))
+      }
+      val best = F.array_max(F.array(scored: _*))
+      F.when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(F.lit("und"))
     }
-    val best = F.array_max(F.array(scored: _*))
-    F.when(best.getField("score") > 0, best.getField("lang"))
-      .otherwise(F.lit("und"))
-  }
 
   /** Quality score in [0,1]: blend of the standard cheap text-quality
     * signals (Gopher/C4-style): alphabetic ratio, punctuation density,
@@ -60,19 +70,20 @@ object TextAnalysis {
     val len = F.length(text).cast(DoubleType)
     val alpha = F.length(F.regexp_replace(text, "[^A-Za-z ]", "")).cast(DoubleType)
     val punct = F.length(F.regexp_replace(text, "[^.,;:!?]", "")).cast(DoubleType)
-    val toks = tokens(text)
-    val nTok = F.size(toks).cast(DoubleType)
-    val meanWordLen = F.when(nTok > 0,
-      F.aggregate(toks, F.lit(0.0), (acc, t) => acc + F.length(t)) / nTok)
-      .otherwise(0.0)
-    val alphaRatio = F.when(len > 0, alpha / len).otherwise(0.0)
-    val punctRatio = F.when(len > 0, punct / len).otherwise(0.0)
-    val wordLenOk = F.when(meanWordLen >= 3 && meanWordLen <= 10, 1.0)
-      .otherwise(0.0)
-    val stopOk = F.when(stopwordRatio(text) > 0.01, 1.0).otherwise(0.0)
-    F.round(
-      alphaRatio * 0.4 + (F.lit(1.0) - F.least(punctRatio * 10, F.lit(1.0))) * 0.2 +
-        wordLenOk * 0.2 + stopOk * 0.2, 6)
+    let(tokens(text)) { toks =>
+      val nTok = F.size(toks).cast(DoubleType)
+      val meanWordLen = F.when(nTok > 0,
+        F.aggregate(toks, F.lit(0.0), (acc, t) => acc + F.length(t)) / nTok)
+        .otherwise(0.0)
+      val alphaRatio = F.when(len > 0, alpha / len).otherwise(0.0)
+      val punctRatio = F.when(len > 0, punct / len).otherwise(0.0)
+      val wordLenOk = F.when(meanWordLen >= 3 && meanWordLen <= 10, 1.0)
+        .otherwise(0.0)
+      val stopOk = F.when(stopwordRatioT(toks, "en") > 0.01, 1.0).otherwise(0.0)
+      F.round(
+        alphaRatio * 0.4 + (F.lit(1.0) - F.least(punctRatio * 10, F.lit(1.0))) * 0.2 +
+          wordLenOk * 0.2 + stopOk * 0.2, 6)
+    }
   }
 
   /** Order-sensitive 64-bit document fingerprint: a left fold chaining
