@@ -148,9 +148,12 @@ final class Gdf(
 
   private def sliceGrouped(offset: Int, len: Int): Gdf = {
     val c = ctx(true)
-    val rn = F.row_number().over(c.orderedWin) - 1
+    // keep the raw 1-based row_number and a `<=` bound: that exact shape
+    // triggers Spark's WindowGroupLimit rewrite (partial top-k per group
+    // BEFORE the shuffle) — filtering on row_number()-1 arithmetic doesn't
+    val rn = F.row_number().over(c.orderedWin)
     copy(sdf.withColumn("__rn", rn)
-      .filter(F.col("__rn") >= offset && F.col("__rn") < offset + len)
+      .filter(F.col("__rn") > offset && F.col("__rn") <= offset + len)
       .drop("__rn"))
   }
 
