@@ -178,7 +178,10 @@ object exprs {
     rollingWindow(F.max, s, size, minPeriods, center)
   def windowMedian(s: Series, size: Int, minPeriods: Int = 1,
       center: Boolean = false)(implicit c: Ctx): Series =
-    rollingWindow(F.median, s, size, minPeriods, center)
+    // median() rejects window frames in Spark; percentile(.5) is the same
+    // exact-interpolating computation and is frame-capable
+    rollingWindow(col => F.percentile(col, F.lit(0.5)), s, size,
+      minPeriods, center)
   def windowStandardDeviation(s: Series, size: Int, minPeriods: Int = 1,
       center: Boolean = false)(implicit c: Ctx): Series =
     rollingWindow(F.stddev_samp, s, size, minPeriods, center)

@@ -165,6 +165,33 @@ final class Gdf(
       .filter(F.col("__rn").isInCollection(indices)).drop("__rn"))
   }
 
+  /** `mask/2` — boolean row filter (reference data_frame.ex:2573-2589; the
+    * reference takes a positionally-aligned series, which in Spark semantics
+    * is a boolean column of this frame). */
+  def mask(pred: Column): Gdf = filterCol(pred)
+
+  /** `at/2` — positional element access over the declared order
+    * (reference series.ex:2202): the single row at 0-based index `i`. */
+  def at(i: Int): Gdf = sliceGrouped(i, 1)
+
+  /** `at_every/2` — every `k`-th row over the declared order
+    * (reference series.ex:1695). */
+  def atEvery(k: Int): Gdf = {
+    val c = ctx(true)
+    val rn = F.row_number().over(c.orderedWin) - 1
+    copy(sdf.withColumn("__rn", rn)
+      .filter(F.col("__rn") % k === 0).drop("__rn"))
+  }
+
+  /** `index_of/2` — 0-based index of the first row where `col == value`
+    * over the declared order (reference series.ex:7023). */
+  def indexOf(colName: String, value: Any): DataFrame = {
+    val c = ctx(true)
+    val rn = F.row_number().over(c.orderedWin) - 1
+    sdf.withColumn("__rn", rn).filter(F.col(colName) === F.lit(value))
+      .agg(F.min("__rn").as("index"))
+  }
+
   /** `sample/2` (reference data_frame.ex:4475-4527). Fraction-based maps to
     * Spark's distributed Bernoulli sampler; exact-n uses a seeded random sort
     * (fine at any scale — TakeOrdered is a partial sort). */
@@ -284,6 +311,19 @@ final class Gdf(
   def sql(query: String, tableName: String = "df"): Gdf = {
     sdf.createOrReplaceTempView(tableName)
     copy(spark.sql(query))
+  }
+
+  // ======== UDF escape hatch (reference §2.11) ===============================
+
+  /** `DataFrame.transform/3` — arbitrary row-at-a-time host code
+    * (reference data_frame.ex:4613-4630, documented there as expensive;
+    * same warning applies: this leaves Catalyst, so nothing below it is
+    * optimized). Runs distributed via mapPartitions, one partition per task. */
+  def transformRows(outSchema: StructType)(
+      f: Iterator[org.apache.spark.sql.Row] => Iterator[org.apache.spark.sql.Row]): Gdf = {
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    copy(sdf.mapPartitions(f)(enc))
   }
 
   // ======== materialization ==================================================

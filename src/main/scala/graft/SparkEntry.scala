@@ -161,9 +161,13 @@ object SparkEntry {
       .mutateWith { implicit c => Seq(
         "w_mean" -> windowMean(gcol("o_totalprice"), 4).round(4),
         "w_min" -> windowMin(gcol("o_totalprice"), 4),
-        "w_max" -> windowMax(gcol("o_totalprice"), 4)) }
+        "w_max" -> windowMax(gcol("o_totalprice"), 4),
+        "w_med" -> windowMedian(gcol("o_totalprice"), 4).round(4),
+        "w_std" -> windowStandardDeviation(gcol("o_totalprice"), 4,
+          minPeriods = 2).round(4)) }
       .ungroup()
-      .select("o_custkey", "o_orderkey", "w_mean", "w_min", "w_max")
+      .select("o_custkey", "o_orderkey", "w_mean", "w_min", "w_max",
+        "w_med", "w_std")
       .sortBy(Seq(F.col("o_custkey"), F.col("o_orderkey")))
       .sdf
 
@@ -601,6 +605,54 @@ object SparkEntry {
       .select("c_custkey", "c_name")
       .sdf
 
+  /** SQL passthrough (§2.12): raw Spark SQL against the frame registered as
+    * a temp view — strictly stronger than the reference's Polars SQL. */
+  private val q47: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "customer"))
+      .sql("""SELECT c_mktsegment, count(*) AS n,
+              round(avg(c_acctbal), 4) AS avg_bal
+              FROM customers GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        tableName = "customers")
+      .sdf
+
+  /** Duration arithmetic (§1.2 duration dtype): datetime − datetime, as
+    * day and second magnitudes (parquet has no interval type, so durations
+    * are exported as their numeric magnitudes). */
+  private val q48: (SparkSession, String) => DataFrame = (s, dir) => {
+    val li = Gdf(t(s, dir, "lineitem"))
+    val ord = Gdf(t(s, dir, "orders"))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    Joins.join(li, ord, Seq("l_orderkey" -> "o_orderkey"), "inner")
+      .mutateWith { implicit c => Seq(
+        "delay_days" -> Series(F.datediff(F.col("l_shipdate"),
+          F.col("o_orderdate")).cast(LongType)),
+        "delay_secs" -> Series(
+          (F.unix_micros(F.col("l_shipdate").cast(TimestampType)) -
+            F.unix_micros(F.col("o_orderdate").cast(TimestampType))) / 1000000L)) }
+      .select("l_orderkey", "l_linenumber", "delay_days", "delay_secs")
+      .sortBy(Seq(F.col("l_orderkey"), F.col("l_linenumber")))
+      .sdf
+  }
+
+  /** strip/lstrip/rstrip with char sets + the transformRows escape hatch
+    * (§2.3 strings, §2.11 UDF): host-code row transform over partitions. */
+  private val q49: (SparkSession, String) => DataFrame = (s, dir) => {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val base = Gdf(t(s, dir, "part"))
+      .mutateWith { implicit c => Seq(
+        "brand_trim" -> Series(StringFns.strip(F.col("p_brand"), Some("B#"))),
+        "name_r" -> Series(StringFns.rstrip(F.col("p_name"), Some("aeiou")))) }
+      .select("p_partkey", "brand_trim", "name_r")
+    val outSchema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("brand_trim", StringType),
+      StructField("name_r", StringType), StructField("tag", StringType)))
+    base.transformRows(outSchema)(rows => rows.map(r =>
+      org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2),
+        s"${r.getAs[String](1)}:${r.getAs[Long](0) % 7}")))
+      .sortBy(Seq(F.col("p_partkey")))
+      .sdf
+  }
+
   /** Structured Streaming: event-time hourly windowed counts with watermark,
     * run to completion on the bounded file source and compared against the
     * equivalent batch aggregation oracle (beyond-reference, SURVEY §7.2/8). */
@@ -786,6 +838,9 @@ object SparkEntry {
     "q44_concat_columns" -> q44,
     "q45_categories" -> q45,
     "q46_sample" -> q46,
+    "q47_sql" -> q47,
+    "q48_duration" -> q48,
+    "q49_strip_udf" -> q49,
     "s01_stream_window" -> s01,
     "d01_exact_dedup" -> d01,
     "d02_token_counts" -> d02,
@@ -869,7 +924,14 @@ object SparkEntry {
              min(o_totalprice) OVER
                (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w_min,
              max(o_totalprice) OVER
-               (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w_max
+               (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w_max,
+             round(median(o_totalprice) OVER
+               (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS w_med,
+             CASE WHEN count(o_totalprice) OVER
+                    (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) >= 2
+                  THEN round(stddev_samp(o_totalprice) OVER
+                    (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+             END AS w_std
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, o_orderkey""",
@@ -1131,6 +1193,23 @@ object SparkEntry {
                AS code
       FROM (SELECT DISTINCT c_mktsegment FROM customer)
       ORDER BY c_mktsegment""",
+    "q47_sql" -> """
+      SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q48_duration" -> """
+      SELECT l_orderkey, l_linenumber,
+             CAST(datediff('day', CAST(o_orderdate AS DATE),
+               CAST(l_shipdate AS DATE)) AS BIGINT) AS delay_days,
+             CAST(epoch(l_shipdate) - epoch(o_orderdate) AS DOUBLE)
+               AS delay_secs
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ORDER BY l_orderkey, l_linenumber""",
+    "q49_strip_udf" -> """
+      SELECT p_partkey, trim(p_brand, 'B#') AS brand_trim,
+             rtrim(p_name, 'aeiou') AS name_r,
+             trim(p_brand, 'B#') || ':' || CAST(p_partkey % 7 AS VARCHAR)
+               AS tag
+      FROM part ORDER BY p_partkey""",
     "s01_stream_window" -> """
       SELECT date_trunc('hour', ts) AS hour_start, event_type,
              count(*) AS n, round(sum(value), 4) AS total_value

@@ -81,6 +81,15 @@ object StringFns {
   /** `format(list)` — string concat of columns/literals (query.ex:646-685). */
   def format(parts: Seq[Column]): Column = F.concat(parts: _*)
 
+  /** `strip/lstrip/rstrip` with optional character set
+    * (reference series.ex:5909-6032; default = whitespace). */
+  def strip(c: Column, chars: Option[String] = None): Column =
+    chars.map(ch => F.btrim(c, F.lit(ch))).getOrElse(F.trim(c))
+  def lstrip(c: Column, chars: Option[String] = None): Column =
+    chars.map(ch => F.ltrim(c, ch)).getOrElse(F.ltrim(c))
+  def rstrip(c: Column, chars: Option[String] = None): Column =
+    chars.map(ch => F.rtrim(c, ch)).getOrElse(F.rtrim(c))
+
   /** `substring` with Explorer's negative-offset semantics
     * (series.ex:6057-6095): negative counts from the end. */
   def substring(c: Column, offset: Int, len: Option[Int] = None): Column = {

@@ -100,6 +100,26 @@ object GraftIO {
     Gdf(spark.read.json(spark.createDataset(contents.split("\n").toSeq)))
   }
 
+  /** `from_ipc` / `to_ipc` — Arrow IPC file format (data_frame.ex:1104);
+    * `from_ipc_stream` / `to_ipc_stream` — IPC stream framing
+    * (data_frame.ex:1406). See [[org.apache.spark.sql.graftbridge.ArrowIpc]]
+    * for the design. */
+  def fromIpc(spark: SparkSession, path: String): Gdf =
+    Gdf(org.apache.spark.sql.graftbridge.ArrowIpc.readFile(spark, path))
+
+  def toIpc(df: Gdf, path: String): Unit =
+    org.apache.spark.sql.graftbridge.ArrowIpc.writeFile(df.sdf, path)
+
+  def fromIpcStream(spark: SparkSession, path: String): Gdf =
+    Gdf(org.apache.spark.sql.graftbridge.ArrowIpc.readStream(spark, path))
+
+  def toIpcStream(df: Gdf, path: String): Unit =
+    org.apache.spark.sql.graftbridge.ArrowIpc.writeStream(df.sdf, path)
+
+  /** `load_ipc_stream` — parse in-memory Arrow IPC stream bytes. */
+  def loadIpcStream(spark: SparkSession, bytes: Array[Byte]): Gdf =
+    Gdf(org.apache.spark.sql.graftbridge.ArrowIpc.loadStream(spark, bytes))
+
   /** `from_query` (ADBC in the reference, data_frame.ex:518-544) → JDBC. */
   def fromQuery(spark: SparkSession, url: String, query: String,
       properties: java.util.Properties = new java.util.Properties()): Gdf =

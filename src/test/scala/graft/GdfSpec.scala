@@ -115,6 +115,27 @@ class GdfSpec extends SparkSpec {
     assert(col1[Double](d.sdf, "s") == Seq(30.0, 120.0))
   }
 
+  test("mask / at / atEvery / indexOf positional ops") {
+    val d = base.ordered(F.col("id"))
+    assert(d.mask(F.col("v") > 25.0).sdf.count() == 3)
+    assert(col1[Long](d.at(2).sdf, "id") == Seq(3L))
+    assert(col1[Long](d.atEvery(2).sdf.orderBy("id"), "id") ==
+      Seq(1L, 3L, 5L))
+    assert(d.indexOf("v", 30.0).collect()(0).getInt(0) == 2)
+  }
+
+  test("transformRows escape hatch runs host code per partition") {
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(StructField("g", StringType),
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("doubled", DoubleType)))
+    val d = base.transformRows(out)(rows =>
+      rows.map(r => org.apache.spark.sql.Row(
+        r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(2) * 2)))
+    assert(col1[Double](d.sdf.orderBy("id"), "doubled") ==
+      Seq(20.0, 40.0, 60.0, 80.0, 100.0))
+  }
+
   test("pull returns usable column expression") {
     val b = base // pull and filter must come from the SAME frame instance
     assert(b.filterCol(b.pull("id").col > 3).sdf.count() == 2)

@@ -49,6 +49,28 @@ class IOStreamsSpec extends SparkSpec {
     assert(col1[Long](mem.sdf.orderBy("a"), "a") == Seq(1L, 2L))
   }
 
+  test("arrow ipc file round trip preserves schema and values") {
+    val p = tmp("graft_ipc") + "/data.arrow"
+    val d = Gdf(Seq((1L, "x", 1.5, true), (2L, "y", 2.5, false))
+      .toDF("i", "s", "v", "b"))
+    GraftIO.toIpc(d, p)
+    val back = GraftIO.fromIpc(spark, p)
+    assert(back.schema == d.schema)
+    assert(back.sdf.orderBy("i").collect().toSeq ==
+      d.sdf.orderBy("i").collect().toSeq)
+  }
+
+  test("arrow ipc stream round trip + in-memory load") {
+    val p = tmp("graft_ipcs") + "/data.arrows"
+    val d = Gdf(Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0))).toDF("i", "arr"))
+    GraftIO.toIpcStream(d, p)
+    val back = GraftIO.fromIpcStream(spark, p)
+    assert(back.sdf.count() == 2)
+    assert(back.schema == d.schema)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    assert(GraftIO.loadIpcStream(spark, bytes).sdf.count() == 2)
+  }
+
   test("fromRows") {
     val g = GraftIO.fromRows(spark,
       Seq(org.apache.spark.sql.Row(1L, "a")),

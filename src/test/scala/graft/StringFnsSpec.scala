@@ -63,6 +63,19 @@ class StringFnsSpec extends SparkSpec {
     assert(r.getLong(0) == 3L && r.getInt(1) == 3)
   }
 
+  test("strip/lstrip/rstrip with char sets") {
+    val d = Seq("xxhelloxx", "  pad  ").toDF("s").select(
+      StringFns.strip(F.col("s"), Some("x")).as("a"),
+      StringFns.lstrip(F.col("s"), Some("x")).as("l"),
+      StringFns.rstrip(F.col("s"), Some("x")).as("r"),
+      StringFns.strip(F.col("s")).as("w"))
+    val rows = d.collect()
+    assert(rows(0).getString(0) == "hello")
+    assert(rows(0).getString(1) == "helloxx")
+    assert(rows(0).getString(2) == "xxhello")
+    assert(rows(1).getString(3) == "pad")
+  }
+
   test("reScan lists all matches") {
     val d = Seq("a1 b2 c3").toDF("s")
       .select(StringFns.reScan(F.col("s"), "[a-z]\\d").as("m"))
