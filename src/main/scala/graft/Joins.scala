@@ -74,6 +74,26 @@ object Joins {
   def join(left: Gdf, right: Gdf, on: Seq[String], how: String): Gdf =
     join(left, right, on.map(k => k -> k), how)
 
+  /** Skew-salted equi join (scale tooling, SURVEY §7 "salting for skew"):
+    * when a handful of hot keys dominate, a plain shuffle join puts a whole
+    * hot key on one task. Salting splits each left-side key into `buckets`
+    * random sub-keys and replicates the right side once per bucket, so a
+    * hot key fans out over `buckets` tasks. AQE's skew-join handles sort-
+    * merge cases adaptively; explicit salting remains the tool for
+    * deterministic plans and aggregate-after-join pipelines. */
+  def saltedJoin(left: Gdf, right: Gdf, on: Seq[(String, String)],
+      how: String = "inner", buckets: Int = 8, seed: Long = 42L): Gdf = {
+    require(Set("inner", "left").contains(how),
+      "salting supports inner/left joins")
+    val l = left.sdf.withColumn("__salt",
+      F.pmod(F.xxhash64(F.rand(seed)), F.lit(buckets)).cast("int"))
+    val r = right.sdf.withColumn("__salt",
+      F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
+    val out = Joins.join(new Gdf(l), new Gdf(r),
+      on :+ ("__salt" -> "__salt"), how)
+    new Gdf(out.sdf.drop("__salt"))
+  }
+
   /** `join_asof/3` (reference data_frame.ex:5416-5580; AsofStrategy
     * lazyframe.rs:371-426): for each left row, pick the right row with the
     * greatest key ≤ left key (backward), smallest ≥ (forward), or closest

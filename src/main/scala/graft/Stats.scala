@@ -74,6 +74,17 @@ object Stats {
     Gdf(best)
   }
 
+  /** `categorise/2` (reference series.ex:1404): map a value column through
+    * a category dictionary (category → code). Broadcast join — the
+    * dictionary is small by definition. */
+  def categorise(df: Gdf, col: String, categories: Gdf,
+      catCol: String, codeCol: String = "code"): Gdf = {
+    val dict = F.broadcast(categories.sdf
+      .select(F.col(catCol).as("__cat"), F.col(codeCol).as(s"${col}_code")))
+    Gdf(df.sdf.join(dict, df.sdf(col) === F.col("__cat"), "left")
+      .drop("__cat"))
+  }
+
   /** `nil_count/1` per column (data_frame.ex:6760). */
   def nilCount(df: Gdf): Gdf = {
     val aggs = df.names.map(n => F.count_if(F.col(n).isNull).as(n))

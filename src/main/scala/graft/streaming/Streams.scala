@@ -48,6 +48,39 @@ object Streams {
       .groupBy(F.session_window(F.col(tsCol), gap) +: keyCols.map(F.col): _*)
       .agg(F.count(F.lit(1)).as("n_events"), F.sum(F.col("value")).as("total_value"))
 
+  /** Custom keyed state via flatMapGroupsWithState: per-key running count +
+    * running sum emitted on every update, with processing-time timeout
+    * evicting idle keys — the canonical bounded-state custom operator.
+    * (Event-time bounded variants hang state cleanup on the watermark.) */
+  def runningTotals(events: DataFrame, keyCol: String, valueCol: String,
+      idleTimeout: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = events.select(F.col(keyCol).cast("string").as("k"),
+      F.col(valueCol).cast("double").as("v")).as[(String, Double)]
+    def update(key: String, rows: Iterator[(String, Double)],
+        state: GroupState[(Long, Double)]): Iterator[(String, Long, Double)] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+        var n = n0; var s = s0
+        rows.foreach { case (_, v) => n += 1; s += v }
+        state.update((n, s))
+        idleTimeout.foreach(state.setTimeoutDuration)
+        Iterator((key, n, s))
+      }
+    }
+    // processing-time timeout keeps scheduling empty micro-batches to fire
+    // evictions — right for a 24/7 pipeline, never settles on a bounded
+    // source — so the timeout (and the timeout conf) is opt-in
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), timeoutConf)(update)
+      .toDF("key", "n", "total")
+  }
+
   /** Drive a streaming query to completion against a bounded source and
     * return the materialized result — the local smoke-test harness
     * (memory sink + processAllAvailable). */

@@ -116,6 +116,23 @@ class IOStreamsSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("runningTotals custom state accumulates per key") {
+    val dir = tmp("graft_state")
+    val events = Seq(("u1", 1.0), ("u1", 2.0), ("u2", 10.0))
+      .toDF("user", "value")
+    events.write.parquet(dir + "/ev")
+    val s = Streams.readParquetStream(spark, dir + "/ev", events.schema)
+    val out = Streams.runningTotals(s, "user", "value")
+    val res = Streams.runToMemory(out, "t_state",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    // last update per key carries the full running total
+    val finalRows = res.groupBy("key")
+      .agg(F.max("n").as("n"), F.max("total").as("total"))
+      .orderBy("key").collect()
+    assert(finalRows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq == Seq(("u1", 2L, 3.0), ("u2", 1L, 10.0)))
+  }
+
   test("sessionize groups events by gap") {
     val dir = tmp("graft_sess")
     val events = Seq(

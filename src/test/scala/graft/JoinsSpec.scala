@@ -102,6 +102,16 @@ class JoinsSpec extends SparkSpec {
       Seq(99.0, 100.5, 49.0))
   }
 
+  test("saltedJoin equals plain join results") {
+    val l = Gdf((1 to 100).map(i => (i.toLong % 3, i.toLong)).toDF("k", "lv"))
+    val r = Gdf(Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "rv"))
+    val plain = Joins.join(l, r, Seq("k" -> "k"), "inner")
+      .sdf.orderBy("lv").collect().toSeq
+    val salted = Joins.saltedJoin(l, r, Seq("k" -> "k"), "inner", buckets = 4)
+      .sdf.orderBy("lv").collect().toSeq
+    assert(salted == plain)
+  }
+
   test("asof equal keys match backward (right sorts before left)") {
     val l = Gdf(Seq(("A", 5L)).toDF("sym", "t"))
     val r = Gdf(Seq(("A", 5L, 1.0)).toDF("sym", "t", "q"))

@@ -63,6 +63,16 @@ class StatsSpec extends SparkSpec {
     assert(approx(r, 1.0))
   }
 
+  test("categorise maps values through a dictionary") {
+    import org.apache.spark.sql.{functions => F}
+    val d = Gdf(Seq("b", "a", "z").toDF("c"))
+    val cats = Gdf(Seq(("a", 0L), ("b", 1L)).toDF("cat", "code"))
+    val out = Stats.categorise(d, "c", cats, "cat")
+    val got = out.sdf.orderBy("c").collect()
+      .map(r => Option(r.getAs[Any]("c_code"))).toSeq
+    assert(got == Seq(Some(0L), Some(1L), None))
+  }
+
   test("cut labels (lo, hi] like Polars, custom labels") {
     val d = Seq(5.0, 15.0, 45.0).toDF("v")
     val c = d.select(Stats.cut(F.col("v"), Seq(10.0, 25.0, 40.0)).as("bin"))
