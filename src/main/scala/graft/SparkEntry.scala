@@ -653,6 +653,20 @@ object SparkEntry {
       .sdf
   }
 
+  /** Decimal dtype (§1.2): exact fixed-point aggregation — no float fuzz,
+    * the sums must match DuckDB digit for digit. */
+  private val q50: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "lineitem"))
+      .mutateCol("price_dec",
+        F.col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+      .groupBy("l_returnflag")
+      .summariseWith { implicit c => Seq(
+        "sum_dec" -> sum(gcol("price_dec")),
+        "avg_dec" -> Series(F.avg(F.col("price_dec"))
+          .cast(org.apache.spark.sql.types.DecimalType(16, 6)), isAgg = true)) }
+      .sortBy(Seq(F.col("l_returnflag")))
+      .sdf
+
   /** Structured Streaming: event-time hourly windowed counts with watermark,
     * run to completion on the bounded file source and compared against the
     * equivalent batch aggregation oracle (beyond-reference, SURVEY §7.2/8). */
@@ -841,6 +855,7 @@ object SparkEntry {
     "q47_sql" -> q47,
     "q48_duration" -> q48,
     "q49_strip_udf" -> q49,
+    "q50_decimal" -> q50,
     "s01_stream_window" -> s01,
     "d01_exact_dedup" -> d01,
     "d02_token_counts" -> d02,
@@ -1210,6 +1225,12 @@ object SparkEntry {
              trim(p_brand, 'B#') || ':' || CAST(p_partkey % 7 AS VARCHAR)
                AS tag
       FROM part ORDER BY p_partkey""",
+    "q50_decimal" -> """
+      SELECT l_returnflag,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_dec,
+             CAST(avg(CAST(l_extendedprice AS DECIMAL(12,2)))
+               AS DECIMAL(16,6)) AS avg_dec
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "s01_stream_window" -> """
       SELECT date_trunc('hour', ts) AS hour_start, event_type,
              count(*) AS n, round(sum(value), 4) AS total_value
