@@ -200,9 +200,25 @@ final class Gdf(
     copy(sdf.sample(replace, frac, seed))
 
   def sampleN(n: Int, seed: Long = 42L): Gdf =
-    copy(sdf.orderBy(F.rand(seed)).limit(n))
+    if (groups.isEmpty) copy(sdf.orderBy(F.rand(seed)).limit(n))
+    else { // group-aware: n rows per group, seeded (reference sample/2 on
+           // grouped frames); row_number <= n keeps WindowGroupLimit viable
+      val w = Window.partitionBy(groups.map(F.col): _*).orderBy(F.rand(seed))
+      copy(sdf.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n).drop("__rn"))
+    }
 
   def shuffle(seed: Long = 42L): Gdf = copy(sdf.orderBy(F.rand(seed)))
+
+  /** `Series.argsort` (reference series.ex:4823): 0-based original row
+    * indices (over the declared order) in the order that sorts `key`. */
+  def argsort(key: Column, descending: Boolean = false): DataFrame = {
+    val c = ctx(true)
+    val orig = F.row_number().over(c.orderedWin) - 1
+    sdf.withColumn("__orig", orig)
+      .orderBy(if (descending) key.desc else key.asc)
+      .select(F.col("__orig").as("index"))
+  }
 
   /** `drop_nil/2` (reference data_frame.ex:3751-3757). */
   def dropNil(cols: String*): Gdf =

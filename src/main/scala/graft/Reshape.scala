@@ -37,9 +37,14 @@ object Reshape {
         .collect().map(_.get(0).toString).sorted.toSeq
     val g = df.sdf.groupBy(ids.map(F.col): _*).pivot(namesFrom, values)
       .agg(F.first(F.col(valuesFrom)))
-    val out = if (namesPrefix.isEmpty) g else
-      values.foldLeft(g)((d, v) => d.withColumnRenamed(v, namesPrefix + v))
-    Gdf(out)
+    // id-column collision suffixing (reference dataframe.rs:446-511): a
+    // pivoted value equal to an id column name gets a numeric suffix.
+    // Positional rename via toDF — withColumnRenamed would hit both twins.
+    val newNames = ids ++ values.map { v =>
+      val base = if (namesPrefix.isEmpty) v.toString else namesPrefix + v
+      if (ids.contains(base)) s"${base}_1" else base
+    }
+    Gdf(g.toDF(newNames: _*))
   }
 
   /** `explode/2` — unnest list column(s) into rows (data_frame.ex:6292).

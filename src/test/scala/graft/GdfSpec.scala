@@ -104,10 +104,19 @@ class GdfSpec extends SparkSpec {
     assert(d.dropNil("a").sdf.count() == 2)
   }
 
-  test("sampleN exact size, seeded deterministic") {
+  test("sampleN exact size, seeded deterministic; grouped = n per group") {
     val d = base.sampleN(3, seed = 7L)
     assert(d.sdf.count() == 3)
     assert(col1[Long](d.sdf, "id") == col1[Long](base.sampleN(3, 7L).sdf, "id"))
+    val per = base.groupBy("g").sampleN(1, seed = 7L)
+    assert(per.sdf.count() == 2)
+    assert(per.sdf.select("g").distinct().count() == 2)
+  }
+
+  test("argsort returns sorting permutation over declared order") {
+    val d = Gdf(Seq(("r1", 30.0), ("r2", 10.0), ("r3", 20.0)).toDF("k", "v"))
+      .ordered(F.col("k"))
+    assert(col1[Int](d.argsort(F.col("v")), "index") == Seq(1, 2, 0))
   }
 
   test("sql passthrough via temp view") {

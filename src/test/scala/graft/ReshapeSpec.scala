@@ -26,6 +26,12 @@ class ReshapeSpec extends SparkSpec {
     assert(rows(1).getDouble(1) == 3.0 && rows(1).isNullAt(2))
   }
 
+  test("pivotWider suffixes pivot values clashing with id columns") {
+    val d = Gdf(Seq(("r1", "id", 1.0), ("r1", "y", 2.0)).toDF("id", "n", "v"))
+    val w = Reshape.pivotWider(d, "n", "v")
+    assert(w.names == Seq("id", "id_1", "y"))
+  }
+
   test("pivotWider duplicate (id,name) keeps first per declared values") {
     val d = Gdf(Seq(("r1", "x", 1.0), ("r1", "x", 9.0)).toDF("id", "n", "v"))
     val w = Reshape.pivotWider(d, "n", "v", namesValues = Seq("x"))
