@@ -114,7 +114,31 @@ case class MinHashSignature(child: Expression, n: Int, numHashes: Int)
   }
 }
 
+/** text → bigint: number of non-overlapping matches of `pattern`. Same
+  * java.util.regex engine as Spark's regexp_* functions (identical counts),
+  * but counts with a reused Matcher instead of materializing every match
+  * into an array (`size(regexp_extract_all(...))` allocates all matches). */
+case class CountRegexMatches(child: Expression, pattern: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "count_regex_matches"
+  override protected def withNewChildInternal(c: Expression): CountRegexMatches =
+    copy(child = c)
+
+  @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val m = compiled.matcher(input.asInstanceOf[UTF8String].toString)
+    var n = 0L
+    while (m.find()) n += 1
+    n
+  }
+}
+
 object TextExprs {
+  def countRegexMatches(text: Column, pattern: String): Column =
+    Bridge.column(CountRegexMatches(Bridge.expression(text), pattern))
+
   def shingleHashes(text: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text), n))
 

@@ -28,10 +28,12 @@ object TextAnalysis {
 
   /** BPE-ish subword count estimate: word-piece regex (runs of letters,
     * digits, or single punctuation), the classic GPT-2 pre-tokenizer shape.
-    * A cheap, deterministic proxy for tokenizer-true counts. */
+    * A cheap, deterministic proxy for tokenizer-true counts. Counted with
+    * the native [[graft.functions.CountRegexMatches]] (same java.util.regex
+    * engine as regexp_extract_all, without materializing the matches). */
   def subwordCount(text: Column): Column =
-    F.size(F.regexp_extract_all(F.lower(text),
-      F.lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), F.lit(0))).cast(LongType)
+    graft.functions.TextExprs.countRegexMatches(F.lower(text),
+      "[a-z]+|[0-9]|[^a-z0-9\\s]")
 
   private val stopwords = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
