@@ -114,6 +114,41 @@ case class MinHashSignature(child: Expression, n: Int, numHashes: Int)
   }
 }
 
+/** array<bigint> (sorted bucket ids) → array<struct<id_a,id_b>>: all ordered
+  * pairs (i < j). The nested-transform HOF formulation builds every pair
+  * struct through interpreted lambdas — for the ~10^6 pairs a skewed bucket
+  * set produces, the imperative eval is the difference between the pair
+  * expansion being free and being the pipeline's top cost. */
+case class OrderedPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a", LongType, false),
+      org.apache.spark.sql.types.StructField("id_b", LongType, false))),
+    containsNull = false)
+  override def prettyName: String = "ordered_pairs"
+  override protected def withNewChildInternal(c: Expression): OrderedPairs =
+    copy(child = c)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ids = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    val n = ids.length
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** text → bigint: number of non-overlapping matches of `pattern`. Same
   * java.util.regex engine as Spark's regexp_* functions (identical counts),
   * but counts with a reused Matcher instead of materializing every match
@@ -138,6 +173,9 @@ case class CountRegexMatches(child: Expression, pattern: String)
 object TextExprs {
   def countRegexMatches(text: Column, pattern: String): Column =
     Bridge.column(CountRegexMatches(Bridge.expression(text), pattern))
+
+  def orderedPairs(ids: Column): Column =
+    Bridge.column(OrderedPairs(Bridge.expression(ids)))
 
   def shingleHashes(text: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text), n))

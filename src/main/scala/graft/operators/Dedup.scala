@@ -75,14 +75,12 @@ object Dedup {
   }
 
   /** Within-bucket ordered pairs of a sorted id array: (ids(i), ids(j)) for
-    * i < j, via nested `transform` — pair generation stays inside the
-    * bucket's executor, no self-join (a same-lineage self-join degenerates
-    * to a nested-loop join in Spark; groupBy+expand is also one shuffle
-    * cheaper). */
+    * i < j — pair generation stays inside the bucket's executor, no
+    * self-join (a same-lineage self-join degenerates to a nested-loop join
+    * in Spark; groupBy+expand is also one shuffle cheaper). Native
+    * expression: see [[graft.functions.OrderedPairs]]. */
   private def bucketPairs(ids: Column): Column =
-    F.flatten(F.transform(ids, (a, i) =>
-      F.transform(F.slice(ids, i + 2, F.size(ids)),
-        b => F.struct(a.as("id_a"), b.as("id_b")))))
+    graft.functions.TextExprs.orderedPairs(ids)
 
   /** MinHash + LSH banding: rows whose signature agrees on ALL rows of any
     * band become candidates. One explode to `bands` rows per doc, one
