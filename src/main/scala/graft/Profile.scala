@@ -59,6 +59,26 @@ object Profile {
         .sortBy(Seq(F.col("doc_id")))
         .sdf.write.mode("overwrite").format("noop").save()
     }
+    // q14 variants: fused agg (Expand from count_distinct) vs split + join
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    timed("q14 fused (expand)") {
+      li.groupBy("l_returnflag").agg(
+        F.round(F.var_samp(F.col("l_quantity")), 6).as("var_qty"),
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 6).as("med"),
+        F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.9)), 4).as("q90"),
+        F.count_distinct(F.col("l_partkey")).as("nd"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    timed("q14 split+join") {
+      val a = li.groupBy("l_returnflag").agg(
+        F.round(F.var_samp(F.col("l_quantity")), 6).as("var_qty"),
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 6).as("med"),
+        F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.9)), 4).as("q90"))
+      val b = li.groupBy("l_returnflag")
+        .agg(F.count_distinct(F.col("l_partkey")).as("nd"))
+      a.join(b, Seq("l_returnflag"))
+        .write.mode("overwrite").format("noop").save()
+    }
     val q = SparkEntry.queries("d01_exact_dedup")(spark, sfDir)
     timed("d01 via SparkEntry") {
       q.write.mode("overwrite").format("noop").save()

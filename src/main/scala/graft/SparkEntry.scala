@@ -198,10 +198,14 @@ object SparkEntry {
 
   // ======== aggregation statistics (SURVEY §2.5) =============================
 
-  /** variance/stddev/median/quantile/min/max/n_distinct in one grouped pass;
-    * exact (interpolating) percentile for oracle parity. */
-  private val q14: (SparkSession, String) => DataFrame = (s, dir) =>
-    Gdf(t(s, dir, "lineitem"))
+  /** variance/stddev/median/quantile/min/max/n_distinct, exact
+    * (interpolating) percentile for oracle parity. The distinct aggregate
+    * runs as a separate pass joined back: mixing count_distinct with plain
+    * aggregates makes Catalyst Expand every input row once per aggregate
+    * family (measured 2.6× slower than two clean passes at sf0.1). */
+  private val q14: (SparkSession, String) => DataFrame = (s, dir) => {
+    val li = Gdf(t(s, dir, "lineitem"))
+    val plain = li
       .groupBy("l_returnflag")
       .summariseWith { implicit c => Seq(
         "var_qty" -> variance(gcol("l_quantity")).round(6),
@@ -209,10 +213,16 @@ object SparkEntry {
         "med_qty" -> median(gcol("l_quantity")).round(6),
         "q90_price" -> quantile(gcol("l_extendedprice"), 0.9).round(4),
         "min_qty" -> min(gcol("l_quantity")),
-        "max_qty" -> max(gcol("l_quantity")),
-        "n_parts" -> nDistinct(gcol("l_partkey"))) }
+        "max_qty" -> max(gcol("l_quantity"))) }
+    val distincts = li
+      .groupBy("l_returnflag")
+      .summariseWith { implicit c =>
+        Seq("n_parts" -> nDistinct(gcol("l_partkey"))) }
+    Joins.join(plain, distincts, Seq("l_returnflag" -> "l_returnflag"),
+      "inner")
       .sortBy(Seq(F.col("l_returnflag")))
       .sdf
+  }
 
   /** correlation + covariance (pearson, ddof=1) global agg (§2.5). */
   private val q15: (SparkSession, String) => DataFrame = (s, dir) =>

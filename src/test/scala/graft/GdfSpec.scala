@@ -145,6 +145,20 @@ class GdfSpec extends SparkSpec {
       Seq(20.0, 40.0, 60.0, 80.0, 100.0))
   }
 
+  test("empty-frame robustness: verbs return empty, aggregates return null/0") {
+    val empty = base.filterCol(F.lit(false))
+    assert(empty.sdf.count() == 0)
+    assert(empty.distinct(Seq("g")).sdf.count() == 0)
+    assert(empty.ordered(F.col("id")).slice(0, 5).sdf.count() == 0)
+    assert(Reshape.concatRows(Seq(empty, empty)).sdf.count() == 0)
+    val agg = empty.summariseWith { implicit c => Seq(
+      "s" -> exprs.sum(gcol("v")), "n" -> exprs.size) }.sdf.collect()(0)
+    assert(agg.isNullAt(0) && agg.getLong(1) == 0L)
+    // grouped summarise of empty input → zero groups
+    assert(empty.groupBy("g").summariseWith { implicit c =>
+      Seq("n" -> exprs.size) }.sdf.count() == 0)
+  }
+
   test("pull returns usable column expression") {
     val b = base // pull and filter must come from the SAME frame instance
     assert(b.filterCol(b.pull("id").col > 3).sdf.count() == 2)
