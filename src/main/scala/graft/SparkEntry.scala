@@ -682,16 +682,23 @@ object SparkEntry {
     * equivalent batch aggregation oracle (beyond-reference, SURVEY §7.2/8). */
   private val s01: (SparkSession, String) => DataFrame = (s, dir) => {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val stream = streaming.Streams.readParquetStream(
-      s, dir, schema, maxFilesPerTrigger = 1,
-      globFilter = Some("events.parquet"))
-      .withColumn("evt_ts", F.timestamp_micros((F.col("ts") / 1000L).cast(
-        org.apache.spark.sql.types.LongType)))
-    val agg = streaming.Streams.windowedCounts(
-      stream, "evt_ts", "2 hours", "1 hour", Seq("event_type"))
-    val mem = streaming.Streams.runToMemory(agg, s"s01_win_${dir.hashCode.abs}",
-      org.apache.spark.sql.streaming.OutputMode.Complete())
+    // a stateful query materializes one state store per shuffle partition
+    // for its whole lifetime — size to the grouping cardinality (event
+    // types × hour windows here), not to the batch default
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val mem = try {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = streaming.Streams.readParquetStream(
+        s, dir, schema, maxFilesPerTrigger = 1,
+        globFilter = Some("events.parquet"))
+        .withColumn("evt_ts", F.timestamp_micros((F.col("ts") / 1000L).cast(
+          org.apache.spark.sql.types.LongType)))
+      val agg = streaming.Streams.windowedCounts(
+        stream, "evt_ts", "2 hours", "1 hour", Seq("event_type"))
+      streaming.Streams.runToMemory(agg, s"s01_win_${dir.hashCode.abs}",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     mem.select(F.col("window.start").as("hour_start"), F.col("event_type"),
         F.col("n"), F.round(F.col("total_value"), 4).as("total_value"))
       .orderBy("hour_start", "event_type")
