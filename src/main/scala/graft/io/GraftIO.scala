@@ -100,6 +100,22 @@ object GraftIO {
     Gdf(spark.read.json(spark.createDataset(contents.split("\n").toSeq)))
   }
 
+  /** Bucketed managed table (scale tooling, SURVEY §7: "bucketing for
+    * co-located joins"): rows hash-bucketed and sorted by the join key at
+    * write time, so later equi-joins/aggregations on that key read
+    * pre-partitioned data and skip the shuffle entirely. The 100 TB pattern
+    * for fact tables that are repeatedly joined on the same key. */
+  def toBucketTable(df: Gdf, table: String, bucketBy: Seq[String],
+      numBuckets: Int, sortBy: Seq[String] = Nil): Unit = {
+    var w = df.sdf.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketBy.head, bucketBy.tail: _*)
+    if (sortBy.nonEmpty) w = w.sortBy(sortBy.head, sortBy.tail: _*)
+    w.format("parquet").saveAsTable(table)
+  }
+
+  def fromTable(spark: SparkSession, table: String): Gdf =
+    Gdf(spark.table(table))
+
   /** `from_ipc` / `to_ipc` — Arrow IPC file format (data_frame.ex:1104);
     * `from_ipc_stream` / `to_ipc_stream` — IPC stream framing
     * (data_frame.ex:1406). See [[org.apache.spark.sql.graftbridge.ArrowIpc]]

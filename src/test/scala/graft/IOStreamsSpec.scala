@@ -71,6 +71,37 @@ class IOStreamsSpec extends SparkSpec {
     assert(GraftIO.loadIpcStream(spark, bytes).sdf.count() == 2)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    // the catalog is in-memory per JVM: drop any orphaned warehouse dirs
+    // left by a previous test JVM before re-creating the managed tables
+    Seq("bt_a", "bt_b").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(s"spark-warehouse/$tbl")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val a = Gdf((1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "av"))
+    val b = Gdf((1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "bv"))
+    GraftIO.toBucketTable(a, "bt_a", Seq("k"), 4, sortBy = Seq("k"))
+    GraftIO.toBucketTable(b, "bt_b", Seq("k"), 4, sortBy = Seq("k"))
+    val j = Joins.join(GraftIO.fromTable(spark, "bt_a"),
+      GraftIO.fromTable(spark, "bt_b"), Seq("k" -> "k"), "inner")
+    // disable broadcast so the co-located sort-merge path is what's planned
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = j.sdf.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(j.sdf.count() == 100)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("fromRows") {
     val g = GraftIO.fromRows(spark,
       Seq(org.apache.spark.sql.Row(1L, "a")),
