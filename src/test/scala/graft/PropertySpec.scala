@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.io.GraftIO
+
+/** Property-based round-trips and dtype-lattice laws, mirroring the
+  * reference's StreamData property suites (SURVEY §5: dump/load round-trips
+  * over generated dataframes; dtype-inference lattice property). Raw
+  * ScalaCheck generators sampled with fixed seeds (the scalatest bridge
+  * artifact is not in the offline cache). */
+class PropertySpec extends SparkSpec {
+
+  private def forAll[A](g: Gen[A], n: Int = 8)(f: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      g.apply(Gen.Parameters.default.withSize(12), Seed(i.toLong))
+        .foreach(f)
+    }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    (1 to 8).foreach { i =>
+      for {
+        a <- ga.apply(Gen.Parameters.default.withSize(12), Seed(i.toLong))
+        b <- gb.apply(Gen.Parameters.default.withSize(12), Seed(i + 100L))
+      } f(a, b)
+    }
+
+  private val cell: Gen[(Any, Any, Any)] = for {
+    l <- Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)
+    d <- Gen.oneOf(Gen.chooseNum(-1e9, 1e9).map(x => x: Any),
+      Gen.const(null: Any))
+    s <- Gen.oneOf(Gen.alphaNumStr.map(_.take(12): Any), Gen.const(null: Any))
+  } yield (l, d, s)
+
+  private val rowsGen: Gen[List[(Any, Any, Any)]] =
+    Gen.nonEmptyListOf(cell).map(_.take(30))
+
+  private val sch = schema("i" -> LongType, "v" -> DoubleType,
+    "s" -> StringType)
+
+  private def mk(rows: List[(Any, Any, Any)]) =
+    Gdf(df(sch, rows.map(r => Seq(r._1, r._2, r._3)): _*))
+
+  private def canon(g: Gdf): Seq[Row] =
+    g.sdf.collect().toSeq.sortBy(_.toString)
+
+  test("parquet dump/load round-trip is identity") {
+    forAll(rowsGen) { rows =>
+      val d = mk(rows)
+      val dir = java.nio.file.Files.createTempDirectory("prop_parq")
+        .toString + "/t"
+      GraftIO.toParquet(d, dir)
+      val back = GraftIO.fromParquet(spark, dir)
+      assert(back.schema == d.schema && canon(back) == canon(d))
+    }
+  }
+
+  test("arrow ipc dump/load round-trip is identity") {
+    forAll(rowsGen) { rows =>
+      val d = mk(rows)
+      val p = java.nio.file.Files.createTempDirectory("prop_ipc")
+        .toString + "/t.arrow"
+      GraftIO.toIpc(d, p)
+      val back = GraftIO.fromIpc(spark, p)
+      assert(back.schema == d.schema && canon(back) == canon(d))
+    }
+  }
+
+  test("csv dump/load with explicit schema round-trips values") {
+    forAll(rowsGen) { rows =>
+      // CSV cannot represent null vs empty string — restrict to non-null
+      val clean = rows.map { case (l, d0, s) =>
+        (l, if (d0 == null) 0.0 else d0,
+          if (s == null) "x" else s.toString + "x") }
+      val d = mk(clean.asInstanceOf[List[(Any, Any, Any)]])
+      val dir = java.nio.file.Files.createTempDirectory("prop_csv")
+        .toString + "/t"
+      GraftIO.toCsv(d, dir)
+      val back = GraftIO.fromCsv(spark, dir, dtypes = Some(sch))
+      assert(canon(back) == canon(d))
+    }
+  }
+
+  test("concat_rows row count and dtype promotion") {
+    forAll(rowsGen, rowsGen) { (a, b) =>
+      val out = Reshape.concatRows(Seq(mk(a), mk(b)))
+      assert(out.sdf.count() == a.length + b.length)
+      assert(out.schema == sch)
+    }
+  }
+
+  import DType.{promote, S, U, F => DF, Null}
+  private val numericDtype: Gen[DType] = Gen.oneOf(
+    Seq(8, 16, 32, 64).map(S.apply) ++ Seq(8, 16, 32).map(U.apply) ++
+      Seq(32, 64).map(DF.apply) :+ Null)
+
+  test("dtype promotion: idempotent, commutative on numeric lattice") {
+    forAll(numericDtype, numericDtype) { (a, b) =>
+      assert(promote(a, a) == a)
+      assert(promote(a, b) == promote(b, a))
+    }
+  }
+
+  test("dtype promotion is monotone: result fits both inputs' widths") {
+    forAll(numericDtype, numericDtype) { (a, b) =>
+      val p = promote(a, b)
+      def isFloat(t: DType) = t.isInstanceOf[DF]
+      if (isFloat(a) || isFloat(b)) assert(isFloat(p))
+    }
+  }
+}
