@@ -1263,6 +1263,36 @@ object SparkEntry {
              CAST(len(regexp_extract_all(lower(text),
                '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_subwords
       FROM documents ORDER BY doc_id""",
+    "d03_langid_quality" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      r AS (
+        SELECT doc_id,
+          CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN
+            ('der','die','und','das','ist','von','zu','mit','den','ein')))
+            / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS r_de,
+          CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN
+            ('the','and','of','to','a','in','is','it','that','for')))
+            / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS r_en,
+          CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN
+            ('el','la','de','que','y','en','un','es','los','una')))
+            / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS r_es,
+          CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN
+            ('le','la','et','les','des','est','un','une','du','que')))
+            / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS r_fr
+        FROM toks)
+      SELECT doc_id,
+        CASE WHEN greatest(r_de, r_en, r_es, r_fr) = 0 THEN 'und'
+             -- tie-break mirrors array_max over struct(score, lang):
+             -- highest score, then lexicographically LAST language
+             WHEN r_fr = greatest(r_de, r_en, r_es, r_fr) THEN 'fr'
+             WHEN r_es = greatest(r_de, r_en, r_es, r_fr) THEN 'es'
+             WHEN r_en = greatest(r_de, r_en, r_es, r_fr) THEN 'en'
+             ELSE 'de' END AS lang_guess,
+        round(r_en, 6) AS stop_ratio
+      FROM r ORDER BY doc_id""",
     "d04_cosine_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                  FROM embeddings WHERE vec_id < 5),
