@@ -788,13 +788,23 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  /** quality score + order-sensitive fingerprint (rows-only). */
+  /** Gopher/C4-style quality score (oracle: same formula in SQL — all
+    * components are integer-count divisions, so doubles are bit-identical). */
   private val d10: (SparkSession, String) => DataFrame = (s, dir) =>
     Gdf(t(s, dir, "documents"))
       .mutateWith { implicit c => Seq(
-        "quality" -> Series(TextAnalysis.qualityScore(F.col("text"))),
+        "quality" -> Series(TextAnalysis.qualityScore(F.col("text")))) }
+      .select("doc_id", "quality")
+      .sortBy(Seq(F.col("doc_id")))
+      .sdf
+
+  /** order-sensitive xxhash document fingerprint (rows-only — the hash
+    * family has no SQL twin). */
+  private val d12: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "documents"))
+      .mutateWith { implicit c => Seq(
         "fp" -> Series(TextAnalysis.fingerprint(F.col("text")))) }
-      .select("doc_id", "quality", "fp")
+      .select("doc_id", "fp")
       .sortBy(Seq(F.col("doc_id")))
       .sdf
 
@@ -884,7 +894,8 @@ object SparkEntry {
     "d08_simhash_pairs" -> d08,
     "d09_lsh_topk" -> d09,
     "d10_quality_fingerprint" -> d10,
-    "d11_multimodal" -> d11)
+    "d11_multimodal" -> d11,
+    "d12_fingerprint" -> d12)
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" -> """
@@ -1293,6 +1304,63 @@ object SparkEntry {
              ELSE 'de' END AS lang_guess,
         round(r_en, 6) AS stop_ratio
       FROM r ORDER BY doc_id""",
+    // brute-force exact n-gram Jaccard over all pairs — the oracle for BOTH
+    // near-dup pipelines (recall losses in LSH banding / df-capped postings
+    // would surface as missing rows)
+    "d05_minhash_pairs" -> """
+      WITH toks AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+          generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE []::VARCHAR[] END AS s FROM toks),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CASE WHEN len(list_distinct(a.s || b.s)) > 0
+             THEN len(list_intersect(a.s, b.s)) /
+                  CAST(len(list_distinct(a.s || b.s)) AS DOUBLE)
+             ELSE 0.0 END AS j
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs
+      WHERE j >= 0.8 ORDER BY id_a, id_b""",
+    "d07_ngram_jaccard" -> """
+      WITH toks AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+          generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE []::VARCHAR[] END AS s FROM toks),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CASE WHEN len(list_distinct(a.s || b.s)) > 0
+             THEN len(list_intersect(a.s, b.s)) /
+                  CAST(len(list_distinct(a.s || b.s)) AS DOUBLE)
+             ELSE 0.0 END AS j
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs
+      WHERE j >= 0.8 ORDER BY id_a, id_b""",
+    "d10_quality_fingerprint" -> """
+      WITH b AS (SELECT doc_id,
+        CAST(length(text) AS DOUBLE) AS len,
+        CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+          AS alpha,
+        CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+          AS punct,
+        string_split_regex(lower(trim(text)), '\s+') AS t
+       FROM documents),
+      c AS (SELECT doc_id,
+        CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END AS ar,
+        CASE WHEN len > 0 THEN punct / len ELSE 0.0 END AS pr,
+        CASE WHEN len(t) > 0 THEN
+          CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+          ELSE 0.0 END AS mwl,
+        CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN
+          ('the','and','of','to','a','in','is','it','that','for')))
+          / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS sr
+       FROM b)
+      SELECT doc_id,
+        round(ar*0.4 + (1.0 - least(pr*10, 1.0))*0.2 +
+          (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END)*0.2 +
+          (CASE WHEN sr > 0.01 THEN 1.0 ELSE 0.0 END)*0.2, 6) AS quality
+      FROM c ORDER BY doc_id""",
     "d04_cosine_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                  FROM embeddings WHERE vec_id < 5),
