@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
 
 /** Query context passed to the expression callbacks of `filter` / `mutate` /
   * `summarise` / `sortBy`. Mirrors the reference's QueryFrame + the grouped
@@ -112,12 +112,23 @@ final class Gdf(
     * so the order is explicit here rather than implicit like the reference. */
   def ordered(cols: Column*): Gdf = copy(rowOrder = cols)
 
+  /** 0-based row index over the declared order as a LongType column.
+    * Grouped → per-group index via a hash-partitioned window (parallel).
+    * Ungrouped → the distributed [[plans.RowId]] backbone: a global window
+    * here would funnel everything through one task (`Exchange
+    * SinglePartition`), which does not survive scale. */
+  private def withIdxCol(name: String): DataFrame = {
+    require(rowOrder.nonEmpty,
+      "positional op needs a row order: call .ordered(cols*) first")
+    if (groups.isEmpty) plans.RowId.attach(sdf, rowOrder, name)
+    else sdf.withColumn(name,
+      (F.row_number().over(ctx(true).orderedWin) - 1).cast(LongType))
+  }
+
   /** Materialize a 0-based row-index column over the declared order
     * (reference `row_index`, series.ex:3102). Group-aware. */
-  def withRowIndex(name: String = "row_index"): Gdf = {
-    val c = ctx(true)
-    copy(sdf.withColumn(name, F.row_number().over(c.orderedWin) - 1))
-  }
+  def withRowIndex(name: String = "row_index"): Gdf =
+    copy(withIdxCol(name))
 
   // ======== row picking ======================================================
 
@@ -133,14 +144,29 @@ final class Gdf(
   }
 
   /** `slice/3` (offset, len) over the declared order; group-aware like the
-    * reference (`lazyframe.rs:142-160`). Negative offset counts from end. */
+    * reference (`lazyframe.rs:142-160`). Negative offset counts from end.
+    * Ungrouped slices run on the distributed row index; a negative offset
+    * additionally broadcast-joins the total count (a 2-stage scalar agg)
+    * instead of a whole-frame count window. */
   def slice(offset: Int, len: Int): Gdf =
-    if (offset >= 0) sliceGrouped(offset, len)
+    if (groups.nonEmpty) {
+      if (offset >= 0) sliceGrouped(offset, len)
+      else {
+        val c = ctx(true)
+        val cnt = F.count(F.lit(1)).over(c.part)
+        val rn = F.row_number().over(c.orderedWin) - 1
+        copy(sdf.withColumn("__rn", rn).withColumn("__cnt", cnt)
+          .filter(F.col("__rn") >= F.col("__cnt") + offset &&
+                  F.col("__rn") < F.col("__cnt") + offset + len)
+          .drop("__rn", "__cnt"))
+      }
+    } else if (offset >= 0)
+      copy(withIdxCol("__rn")
+        .filter(F.col("__rn") >= offset && F.col("__rn") < offset.toLong + len)
+        .drop("__rn"))
     else {
-      val c = ctx(true)
-      val cnt = F.count(F.lit(1)).over(c.part)
-      val rn = F.row_number().over(c.orderedWin) - 1
-      copy(sdf.withColumn("__rn", rn).withColumn("__cnt", cnt)
+      val total = F.broadcast(sdf.agg(F.count(F.lit(1)).as("__cnt")))
+      copy(withIdxCol("__rn").crossJoin(total)
         .filter(F.col("__rn") >= F.col("__cnt") + offset &&
                 F.col("__rn") < F.col("__cnt") + offset + len)
         .drop("__rn", "__cnt"))
@@ -158,12 +184,9 @@ final class Gdf(
   }
 
   /** `slice/2` by explicit row indices (positional, needs order). */
-  def sliceIndices(indices: Seq[Long]): Gdf = {
-    val c = ctx(true)
-    val rn = F.row_number().over(c.orderedWin) - 1
-    copy(sdf.withColumn("__rn", rn)
+  def sliceIndices(indices: Seq[Long]): Gdf =
+    copy(withIdxCol("__rn")
       .filter(F.col("__rn").isInCollection(indices)).drop("__rn"))
-  }
 
   /** `mask/2` — boolean row filter (reference data_frame.ex:2573-2589; the
     * reference takes a positionally-aligned series, which in Spark semantics
@@ -172,25 +195,19 @@ final class Gdf(
 
   /** `at/2` — positional element access over the declared order
     * (reference series.ex:2202): the single row at 0-based index `i`. */
-  def at(i: Int): Gdf = sliceGrouped(i, 1)
+  def at(i: Int): Gdf = slice(i, 1)
 
   /** `at_every/2` — every `k`-th row over the declared order
     * (reference series.ex:1695). */
-  def atEvery(k: Int): Gdf = {
-    val c = ctx(true)
-    val rn = F.row_number().over(c.orderedWin) - 1
-    copy(sdf.withColumn("__rn", rn)
+  def atEvery(k: Int): Gdf =
+    copy(withIdxCol("__rn")
       .filter(F.col("__rn") % k === 0).drop("__rn"))
-  }
 
   /** `index_of/2` — 0-based index of the first row where `col == value`
     * over the declared order (reference series.ex:7023). */
-  def indexOf(colName: String, value: Any): DataFrame = {
-    val c = ctx(true)
-    val rn = F.row_number().over(c.orderedWin) - 1
-    sdf.withColumn("__rn", rn).filter(F.col(colName) === F.lit(value))
+  def indexOf(colName: String, value: Any): DataFrame =
+    withIdxCol("__rn").filter(F.col(colName) === F.lit(value))
       .agg(F.min("__rn").as("index"))
-  }
 
   /** `sample/2` (reference data_frame.ex:4475-4527). Fraction-based maps to
     * Spark's distributed Bernoulli sampler; exact-n uses a seeded random sort
@@ -211,14 +228,12 @@ final class Gdf(
   def shuffle(seed: Long = 42L): Gdf = copy(sdf.orderBy(F.rand(seed)))
 
   /** `Series.argsort` (reference series.ex:4823): 0-based original row
-    * indices (over the declared order) in the order that sorts `key`. */
-  def argsort(key: Column, descending: Boolean = false): DataFrame = {
-    val c = ctx(true)
-    val orig = F.row_number().over(c.orderedWin) - 1
-    sdf.withColumn("__orig", orig)
+    * indices (over the declared order) in the order that sorts `key`.
+    * Both the index and the output sort are distributed (range shuffles). */
+  def argsort(key: Column, descending: Boolean = false): DataFrame =
+    withIdxCol("__orig")
       .orderBy(if (descending) key.desc else key.asc)
       .select(F.col("__orig").as("index"))
-  }
 
   /** `drop_nil/2` (reference data_frame.ex:3751-3757). */
   def dropNil(cols: String*): Gdf =
@@ -258,14 +273,21 @@ final class Gdf(
   // ======== sorting (reference data_frame.ex:3468-3617) =====================
 
   /** Multi-key sort. Spark's sort is not stable; `stable = true` emulates the
-    * reference's `maintain_order` by tie-breaking on the declared row order. */
-  def sortBy(keys: Seq[Column], stable: Boolean = false): Gdf = {
+    * reference's `maintain_order` by tie-breaking on the declared row order.
+    *
+    * `nilsLast` is Explorer's frame-level `nils: :first/:last` option
+    * (data_frame.ex:3468-3617, series.ex:4779) and defaults to `:last` in
+    * BOTH directions like the reference — the opposite of Spark's ascending
+    * default (nulls first), so every key's null ordering is rewritten
+    * explicitly. */
+  def sortBy(keys: Seq[Column], stable: Boolean = false,
+      nilsLast: Boolean = true): Gdf = {
     val tiebreak = if (stable) rowOrder else Nil
-    val full = keys ++ tiebreak
+    val full = (keys ++ tiebreak).map(Gdf.withNils(_, nilsLast))
     val sorted =
       if (groups.isEmpty) sdf.orderBy(full: _*)
       // grouped sort = sort within group blocks (lazyframe.rs:202-218)
-      else sdf.orderBy(groups.map(F.col) ++ full: _*)
+      else sdf.orderBy(groups.map(g => Gdf.withNils(F.col(g), nilsLast)) ++ full: _*)
     new Gdf(sorted, groups, full)
   }
 
@@ -351,4 +373,11 @@ final class Gdf(
 
 object Gdf {
   def apply(df: DataFrame): Gdf = new Gdf(df)
+
+  /** Force a sort key's null placement. A bare column becomes an ascending
+    * key; a key that is already a SortOrder (`.desc` etc.) keeps its
+    * direction and only the null ordering is replaced (see
+    * [[org.apache.spark.sql.graftbridge.Bridge.withNullOrdering]]). */
+  private[graft] def withNils(key: Column, nilsLast: Boolean): Column =
+    org.apache.spark.sql.graftbridge.Bridge.withNullOrdering(key, nilsLast)
 }

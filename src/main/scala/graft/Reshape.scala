@@ -132,19 +132,20 @@ object Reshape {
   }
 
   /** `concat_columns` (data_frame.ex:5693-5720) — horizontal zip by position.
-    * Spark rows are unordered, so each side is indexed over its declared row
-    * order and equi-joined on the index (Polars `hstack` equivalent). */
+    * Spark rows are unordered, so each side gets a distributed row index over
+    * its declared order ([[graft.plans.RowId]] — no single-task global
+    * window) and the sides are equi-joined on the index (Polars `hstack`
+    * equivalent; the index join is a plain hash shuffle). */
   def concatColumns(dfs: Seq[Gdf]): Gdf = {
     val indexed = dfs.zipWithIndex.map { case (d, i) =>
       require(d.rowOrder.nonEmpty,
         "concat_columns needs .ordered(...) on every input")
-      val w = org.apache.spark.sql.expressions.Window.orderBy(d.rowOrder: _*)
       val renamed = if (i == 0) d.sdf else {
         val clashes = dfs.take(i).flatMap(_.names).toSet
         d.names.foldLeft(d.sdf)((acc, n) =>
           if (clashes(n)) acc.withColumnRenamed(n, s"${n}_$i") else acc)
       }
-      renamed.withColumn("__cc_idx", F.row_number().over(w))
+      graft.plans.RowId.attach(renamed, d.rowOrder, "__cc_idx")
     }
     val joined = indexed.reduce((a, b) => a.join(b, Seq("__cc_idx"), "inner"))
     Gdf(joined.drop("__cc_idx"))

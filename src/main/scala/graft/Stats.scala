@@ -51,11 +51,13 @@ object Stats {
       .orderBy(F.col("counts").desc +: cols.map(F.col): _*))
 
   /** Modal set — the reference's multi-value `mode` (series.ex:2676-2679):
-    * all values sharing the max frequency, as a sorted list. */
+    * all values sharing the max frequency, as a sorted list. The max count is
+    * a scalar aggregate broadcast back — not a rank window over the distinct
+    * values, which would single-task a high-cardinality column. */
   def modeList(df: Gdf, col: String): Gdf = {
     val counts = df.sdf.groupBy(col).agg(F.count(F.lit(1)).as("__n"))
-    val w = Window.orderBy(F.col("__n").desc)
-    Gdf(counts.withColumn("__r", F.rank().over(w)).filter(F.col("__r") === 1)
+    val mx = F.broadcast(counts.agg(F.max(F.col("__n")).as("__mx")))
+    Gdf(counts.crossJoin(mx).filter(F.col("__n") === F.col("__mx"))
       .select(F.col(col)).orderBy(col))
   }
 
@@ -116,16 +118,23 @@ object Stats {
   }
 
   /** Spearman rank correlation (reference correlation method=:spearman,
-    * series.ex:2945-2998) = Pearson over average-ranks. Two window passes +
-    * one aggregate. */
+    * series.ex:2945-2998) = Pearson over average-ranks.
+    *
+    * Ranks are computed scale-safely: a distributed row index over the value
+    * order ([[graft.plans.RowId]] — range shuffle, no single-task global
+    * window), then min-rank and tie counts via windows partitioned BY THE
+    * VALUE (hash shuffle, parallel). avg_rank = min(idx)+1 + (ties-1)/2,
+    * identical to `rank()` + tie averaging. */
   def spearman(df: Gdf, a: String, b: String): DataFrame = {
-    implicit val c: Ctx = Ctx(Nil, Nil, windowed = false)
-    def avgRank(col: String) = {
-      val minRank = F.rank().over(Window.orderBy(F.col(col)))
-      val ties = F.count(F.lit(1)).over(Window.partitionBy(F.col(col)))
-      minRank.cast(DoubleType) + (ties - 1).cast(DoubleType) / 2.0
+    def withAvgRank(d: DataFrame, col: String, out: String): DataFrame = {
+      val idx = graft.plans.RowId.attach(d, Seq(F.col(col)), "__sp_idx")
+      val w = Window.partitionBy(F.col(col))
+      idx.withColumn(out,
+          (F.min(F.col("__sp_idx")).over(w) + 1).cast(DoubleType) +
+          (F.count(F.lit(1)).over(w) - 1).cast(DoubleType) / 2.0)
+        .drop("__sp_idx")
     }
-    df.sdf.withColumn("__ra", avgRank(a)).withColumn("__rb", avgRank(b))
+    withAvgRank(withAvgRank(df.sdf, a, "__ra"), b, "__rb")
       .agg(F.corr(F.col("__ra"), F.col("__rb")).as("spearman"))
   }
 

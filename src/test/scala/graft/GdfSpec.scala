@@ -130,7 +130,7 @@ class GdfSpec extends SparkSpec {
     assert(col1[Long](d.at(2).sdf, "id") == Seq(3L))
     assert(col1[Long](d.atEvery(2).sdf.orderBy("id"), "id") ==
       Seq(1L, 3L, 5L))
-    assert(d.indexOf("v", 30.0).collect()(0).getInt(0) == 2)
+    assert(d.indexOf("v", 30.0).collect()(0).getLong(0) == 2L)
   }
 
   test("transformRows escape hatch runs host code per partition") {
