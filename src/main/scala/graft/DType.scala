@@ -94,8 +94,10 @@ object DType {
   case object Us extends TimeUnit
   case object Ns extends TimeUnit
 
-  /** Best-effort inverse map Spark → logical dtype (loses u/category/time
-    * distinctions, which only exist as facade metadata). */
+  /** Best-effort inverse map Spark → logical dtype. u/category/time
+    * distinctions don't exist physically; they are carried per-column in
+    * `Gdf.logical` (set via `withLogical`/`castLogical`, threaded through
+    * select/rename/mutate/joins) and overlaid by `Gdf.dtypes`. */
   def fromSpark(dt: DataType): DType = dt match {
     case NullType => Null
     case BooleanType => Bool
@@ -127,9 +129,11 @@ object DType {
     case (U(x), U(y)) => U(math.max(x, y))
     case (S(x), U(y)) => S(math.min(64, math.max(x, 2 * y)))
     case (U(x), S(y)) => promote(b, a)
+    // int ⊕ float keeps the float side's width (reference shared.ex:397-398:
+    // {s,_} ⊕ {f,32} → {f,32}) — only f32 ⊕ f64 widens to f64
     case (F(x), F(y)) => F(math.max(x, y))
-    case (F(x), _) => F(64)
-    case (_, F(x)) => F(64)
+    case (F(x), _) => F(x)
+    case (_, F(x)) => F(x)
     case (d: Decimal, _) => d
     case (_, d: Decimal) => d
     case _ =>

@@ -205,9 +205,11 @@ object exprs {
   }
 
   /** Rank with Explorer's method set (reference series.ex:2063-2065):
-    * average (default) / min / max / dense / ordinal. */
-  def rank(s: Series, method: String = "average", descending: Boolean = false)(
-      implicit c: Ctx): Series = {
+    * average (default) / min / max / dense / ordinal / random (seeded
+    * uniform tie-break — kept out of the oracle harness like all seeded
+    * ops, since the tie order is engine-specific). */
+  def rank(s: Series, method: String = "average", descending: Boolean = false,
+      seed: Long = 42L)(implicit c: Ctx): Series = {
     val ord = if (descending) s.col.desc else s.col.asc
     val w = c.part.orderBy(ord)
     val minRank = F.rank().over(w)
@@ -217,6 +219,7 @@ object exprs {
       case "min" => Series(minRank)
       case "dense" => Series(F.dense_rank().over(w))
       case "ordinal" => Series(F.row_number().over(w))
+      case "random" => Series(F.row_number().over(c.part.orderBy(ord, F.rand(seed))))
       case "max" => Series(minRank + ties - 1)
       case "average" =>
         Series((minRank.cast(DoubleType) + (ties - 1).cast(DoubleType) / 2.0))

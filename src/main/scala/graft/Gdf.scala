@@ -56,18 +56,48 @@ final case class Ctx(
 final class Gdf(
     val sdf: DataFrame,
     val groups: Seq[String] = Nil,
-    val rowOrder: Seq[Column] = Nil) {
+    val rowOrder: Seq[Column] = Nil,
+    val logical: Map[String, DType] = Map.empty) {
 
   def spark: SparkSession = sdf.sparkSession
   def names: Seq[String] = sdf.schema.fieldNames.toSeq
+
+  /** Per-column logical dtypes: the physical reverse-map overlaid with the
+    * facade's [[logical]] annotations — this is how `u32`, `:category` and
+    * `:time` survive even though Spark has no such physical types (the
+    * reference tracks dtype per series the same way, lazy_series.ex:12-22).
+    * Annotations for columns that no longer exist are ignored. */
   def dtypes: Map[String, DType] =
-    sdf.schema.fields.map(f => f.name -> DType.fromSpark(f.dataType)).toMap
+    sdf.schema.fields.map { f =>
+      f.name -> logical.getOrElse(f.name, DType.fromSpark(f.dataType))
+    }.toMap
   def schema: StructType = sdf.schema
+
+  /** Annotate columns with logical dtypes (u8/16/32/64, :category, :time,
+    * ns-precision datetimes). The physical Spark type must be the dtype's
+    * backing type — annotation never changes data. */
+  def withLogical(pairs: (String, DType)*): Gdf = {
+    pairs.foreach { case (n, d) =>
+      val phys = sdf.schema(n).dataType
+      require(phys == d.spark,
+        s"column $n is physically $phys; logical $d needs ${d.spark}")
+    }
+    copy(logical = logical ++ pairs)
+  }
+
+  /** Cast a column to a logical dtype: physical cast to the backing type
+    * plus the annotation (reference `Series.cast`, series.ex:1327 for
+    * :category and the u* family). */
+  def castLogical(name: String, d: DType): Gdf =
+    copy(sdf.withColumn(name, sdf(name).cast(d.spark)),
+      logical = logical + (name -> d))
 
   private def copy(
       sdf: DataFrame = sdf,
       groups: Seq[String] = groups,
-      rowOrder: Seq[Column] = rowOrder): Gdf = new Gdf(sdf, groups, rowOrder)
+      rowOrder: Seq[Column] = rowOrder,
+      logical: Map[String, DType] = logical): Gdf =
+    new Gdf(sdf, groups, rowOrder, logical)
 
   private def ctx(windowed: Boolean) = Ctx(groups, rowOrder, windowed)
 
@@ -86,8 +116,11 @@ final class Gdf(
   def discard(cols: String*): Gdf = copy(sdf.drop(cols: _*))
 
   /** `rename/2` (reference data_frame.ex:3915-4041). */
-  def rename(pairs: (String, String)*): Gdf =
-    copy(sdf.withColumnsRenamed(pairs.toMap))
+  def rename(pairs: (String, String)*): Gdf = {
+    val m = pairs.toMap
+    copy(sdf.withColumnsRenamed(m),
+      logical = logical.map { case (k, v) => m.getOrElse(k, k) -> v })
+  }
 
   def renameWith(f: String => String): Gdf =
     rename(names.map(n => n -> f(n)): _*)
@@ -258,16 +291,19 @@ final class Gdf(
     * window (see [[Ctx.agg]]). */
   def mutate(pairs: (String, Ctx => Series)*): Gdf = {
     val c = ctx(true)
-    copy(pairs.foldLeft(sdf) { case (d, (n, f)) => d.withColumn(n, f(c).col) })
+    copy(pairs.foldLeft(sdf) { case (d, (n, f)) => d.withColumn(n, f(c).col) },
+      logical = logical -- pairs.map(_._1)) // recomputed → physical truth
   }
 
   def mutateCol(name: String, col: Column): Gdf =
-    copy(sdf.withColumn(name, col))
+    copy(sdf.withColumn(name, col), logical = logical - name)
 
   /** Single-callback mutate: `df.mutateWith { implicit c => Seq(...) }`. */
   def mutateWith(f: Ctx => Seq[(String, Series)]): Gdf = {
     val c = ctx(true)
-    copy(f(c).foldLeft(sdf) { case (d, (n, s)) => d.withColumn(n, s.col) })
+    val pairs = f(c)
+    copy(pairs.foldLeft(sdf) { case (d, (n, s)) => d.withColumn(n, s.col) },
+      logical = logical -- pairs.map(_._1))
   }
 
   // ======== sorting (reference data_frame.ex:3468-3617) =====================
@@ -288,7 +324,7 @@ final class Gdf(
       if (groups.isEmpty) sdf.orderBy(full: _*)
       // grouped sort = sort within group blocks (lazyframe.rs:202-218)
       else sdf.orderBy(groups.map(g => Gdf.withNils(F.col(g), nilsLast)) ++ full: _*)
-    new Gdf(sorted, groups, full)
+    new Gdf(sorted, groups, full, logical)
   }
 
   // ======== distinct (reference data_frame.ex:3685-3687) ====================
@@ -326,7 +362,7 @@ final class Gdf(
     val out =
       if (groups.isEmpty) sdf.agg(cols.head, cols.tail: _*)
       else sdf.groupBy(groups.map(sdf(_)): _*).agg(cols.head, cols.tail: _*)
-    new Gdf(out, Nil, Nil)
+    new Gdf(out, Nil, Nil, logical.view.filterKeys(groups.contains).toMap)
   }
 
   /** Single-callback summarise: `df.summariseWith { implicit c => Seq(...) }`. */
@@ -339,7 +375,7 @@ final class Gdf(
     val out =
       if (groups.isEmpty) sdf.agg(cols.head, cols.tail: _*)
       else sdf.groupBy(groups.map(sdf(_)): _*).agg(cols.head, cols.tail: _*)
-    new Gdf(out, Nil, Nil)
+    new Gdf(out, Nil, Nil, logical.view.filterKeys(groups.contains).toMap)
   }
 
   // ======== SQL (reference data_frame.ex:6887-6931) =========================

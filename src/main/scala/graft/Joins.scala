@@ -26,8 +26,9 @@ object Joins {
     require(Set("inner", "left", "right", "outer", "cross", "semi", "anti")
       .contains(how), s"invalid join type $how")
     if (how == "cross")
-      return Gdf(left.sdf.crossJoin(
-        if (broadcastRight) F.broadcast(right.sdf) else right.sdf))
+      return new Gdf(left.sdf.crossJoin(
+        if (broadcastRight) F.broadcast(right.sdf) else right.sdf),
+        logical = left.logical ++ right.logical)
 
     val l = left.sdf
     val rightKeys = on.map(_._2)
@@ -67,7 +68,10 @@ object Joins {
         }
       case "outer" => joined // both key columns kept, right suffixed
     }
-    Gdf(out)
+    // logical dtypes ride along, right-side names remapped through the
+    // suffixing (stale entries for dropped key columns are pruned on read)
+    new Gdf(out, logical = left.logical ++
+      right.logical.map { case (k, v) => renames.getOrElse(k, k) -> v })
   }
 
   /** Shorthand for same-name keys. */
@@ -169,6 +173,10 @@ object Joins {
       val name = if (l.columns.contains(n)) s"${n}_right" else n
       d.withColumn(name, F.col("__m").getField(n))
     }.drop("__asof_k", "__side", "__payload", "__m")
-    Gdf(out)
+    new Gdf(out, logical = left.logical ++ payloadCols.flatMap { n =>
+      right.logical.get(n).map { d =>
+        (if (l.columns.contains(n)) s"${n}_right" else n) -> d
+      }
+    }.toMap)
   }
 }

@@ -83,13 +83,19 @@ object Reshape {
 
   /** `transpose/2` (data_frame.ex:4667) — rows↔columns. Driver-side collect,
     * eager-only exactly like the reference (dataframe.rs:43); only sane for
-    * small frames (it inverts the scaling axis by definition). */
+    * small frames (it inverts the scaling axis by definition). When every
+    * transposed column shares one dtype the output keeps it (the reference's
+    * uniform-dtype rule); mixed dtypes relax to string. */
   def transpose(df: Gdf, header: Option[String] = None,
       columns: Seq[String] = Nil): Gdf = {
     val spark = df.spark
     val names = header match {
       case Some(h) => df.names.filterNot(_ == h)
       case None => df.names
+    }
+    val shared: Option[DataType] = {
+      val ts = names.map(n => df.schema(n).dataType).distinct
+      if (ts.size == 1) Some(ts.head) else None
     }
     val rows = df.sdf.collect()
     val colNames: Seq[String] =
@@ -101,10 +107,11 @@ object Reshape {
     val data = names.map { n =>
       val i = df.names.indexOf(n)
       Row.fromSeq(n +: rows.map(r =>
-        Option(r.get(i)).map(_.toString).orNull).toSeq)
+        if (shared.isDefined) r.get(i)
+        else Option(r.get(i)).map(_.toString).orNull).toSeq)
     }
     val schema = StructType(StructField("name", StringType) +:
-      colNames.map(c => StructField(c, StringType)))
+      colNames.map(c => StructField(c, shared.getOrElse(StringType))))
     Gdf(spark.createDataFrame(
       spark.sparkContext.parallelize(data.toList), schema))
   }

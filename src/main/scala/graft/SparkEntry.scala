@@ -677,6 +677,35 @@ object SparkEntry {
       .sortBy(Seq(F.col("l_returnflag")))
       .sdf
 
+  /** Sort over a NULLABLE key with Explorer's nils-last default (§2.2 sort,
+    * reference data_frame.ex:3468-3617): with ~half the values null, the
+    * top-k after the sort only contains non-null rows iff nils really go
+    * last in DESC order too — the oracle's NULLS LAST makes the placement
+    * observable through the row-order-insensitive hash compare. */
+  private val q51: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "events"))
+      .mutateCol("v", F.when(F.col("value") >= 10.0, F.col("value")))
+      .sortBy(Seq(F.col("v").desc, F.col("event_id")))
+      .head(200)
+      .select("event_id", "v")
+      .sdf
+
+  /** Full cut frame shape (§2.6 cut; series.rs:205-243): values/break_point/
+    * category over a NULLABLE input — proves null→null binning (a null used
+    * to fall through the when-chain into the top bin) and the Inf top-bin
+    * break point. */
+  private val q52: (SparkSession, String) => DataFrame = (s, dir) => {
+    val ev = Gdf(t(s, dir, "events"))
+      .mutateCol("v", F.when(F.col("value") >= 10.0, F.col("value")))
+    Stats.cutFrame(ev, "v", Seq(25.0, 50.0, 75.0), includeBreaks = true)
+      .groupBy("category")
+      .summariseWith { implicit c => Seq(
+        "n" -> size,
+        "bp" -> Series(F.max(F.col("break_point")), isAgg = true)) }
+      .sortBy(Seq(F.col("category")))
+      .sdf
+  }
+
   /** Structured Streaming: event-time hourly windowed counts with watermark,
     * run to completion on the bounded file source and compared against the
     * equivalent batch aggregation oracle (beyond-reference, SURVEY §7.2/8). */
@@ -883,6 +912,8 @@ object SparkEntry {
     "q48_duration" -> q48,
     "q49_strip_udf" -> q49,
     "q50_decimal" -> q50,
+    "q51_sort_nils" -> q51,
+    "q52_cut_frame" -> q52,
     "s01_stream_window" -> s01,
     "d01_exact_dedup" -> d01,
     "d02_token_counts" -> d02,
@@ -1103,10 +1134,11 @@ object SparkEntry {
       FROM orders GROUP BY o_orderpriority
       ORDER BY counts DESC, o_orderpriority""",
     "q30_cut" -> """
-      SELECT CASE WHEN l_quantity <= 10.0 THEN '(-inf, 10.0]'
-                  WHEN l_quantity <= 25.0 THEN '(10.0, 25.0]'
-                  WHEN l_quantity <= 40.0 THEN '(25.0, 40.0]'
-                  ELSE '(40.0, inf]' END AS qty_bin,
+      SELECT CASE WHEN l_quantity IS NULL THEN NULL
+                  WHEN l_quantity <= 10.0 THEN '(-inf, 10]'
+                  WHEN l_quantity <= 25.0 THEN '(10, 25]'
+                  WHEN l_quantity <= 40.0 THEN '(25, 40]'
+                  ELSE '(40, inf]' END AS qty_bin,
              count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
       FROM lineitem GROUP BY qty_bin ORDER BY qty_bin""",
     "q31_ewm" -> """
@@ -1259,6 +1291,29 @@ object SparkEntry {
              CAST(avg(CAST(l_extendedprice AS DECIMAL(12,2)))
                AS DECIMAL(16,6)) AS avg_dec
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q51_sort_nils" -> """
+      SELECT event_id, CASE WHEN value >= 10.0 THEN value END AS v
+      FROM events
+      ORDER BY v DESC NULLS LAST, event_id
+      LIMIT 200""",
+    "q52_cut_frame" -> """
+      WITH c AS (
+        SELECT CASE WHEN value >= 10.0 THEN value END AS v FROM events
+      ), b AS (
+        SELECT v,
+          CASE WHEN v IS NULL THEN NULL
+               WHEN v <= 25.0 THEN 25.0
+               WHEN v <= 50.0 THEN 50.0
+               WHEN v <= 75.0 THEN 75.0
+               ELSE CAST('infinity' AS DOUBLE) END AS break_point,
+          CASE WHEN v IS NULL THEN NULL
+               WHEN v <= 25.0 THEN '(-inf, 25]'
+               WHEN v <= 50.0 THEN '(25, 50]'
+               WHEN v <= 75.0 THEN '(50, 75]'
+               ELSE '(75, inf]' END AS category
+        FROM c)
+      SELECT category, count(*) AS n, max(break_point) AS bp
+      FROM b GROUP BY category ORDER BY category""",
     "s01_stream_window" -> """
       SELECT date_trunc('hour', ts) AS hour_start, event_type,
              count(*) AS n, round(sum(value), 4) AS total_value

@@ -140,32 +140,97 @@ object Stats {
 
   /** `cut/2` — fixed-break binning into labelled categories
     * (series.ex:4945; series.rs:205-305). Pure `when`-chain: codegen'd,
-    * no shuffle. Labels default to Polars' `(lo, hi]` formatting. */
-  def cut(col: Column, breaks: Seq[Double], labels: Seq[String] = Nil): Column = {
-    val bounds = Double.NegativeInfinity +: breaks :+ Double.PositiveInfinity
-    val labs = if (labels.nonEmpty) labels else bounds.sliding(2).map {
-      case Seq(lo, hi) => s"(${fmt(lo)}, ${fmt(hi)}]"
-    }.toSeq
-    val first = F.when(col <= breaks.head, labs.head)
-    val mid = breaks.indices.drop(1).foldLeft(first) { (acc, i) =>
-      acc.when(col <= breaks(i), labs(i))
+    * no shuffle. Labels default to Polars' `(lo, hi]` formatting
+    * (`[lo, hi)` when `leftClosed`). A null input yields a null category —
+    * the chain is guarded, otherwise every `when` is null and the value
+    * would silently fall into the top bin. */
+  def cut(col: Column, breaks: Seq[Double], labels: Seq[String] = Nil,
+      leftClosed: Boolean = false): Column = {
+    val labs = cutLabels(breaks, labels, leftClosed)
+    val first = F.when(col.isNull, F.lit(null).cast(StringType))
+    val mid = breaks.indices.foldLeft(first) { (acc, i) =>
+      acc.when(if (leftClosed) col < breaks(i) else col <= breaks(i), labs(i))
     }
     mid.otherwise(labs.last)
   }
+
+  private def cutLabels(breaks: Seq[Double], labels: Seq[String],
+      leftClosed: Boolean): Seq[String] = {
+    if (labels.nonEmpty) {
+      require(labels.size == breaks.size + 1,
+        s"cut needs ${breaks.size + 1} labels, got ${labels.size}")
+      labels
+    } else {
+      val bounds = Double.NegativeInfinity +: breaks :+ Double.PositiveInfinity
+      bounds.sliding(2).map {
+        case Seq(lo, hi) =>
+          if (leftClosed) s"[${fmt(lo)}, ${fmt(hi)})" else s"(${fmt(lo)}, ${fmt(hi)}]"
+      }.toSeq
+    }
+  }
+
+  /** Polars' break formatting: integral doubles print bare (`(2, 4]`,
+    * reference qcut doctest series.ex:4995-5002), non-integral keep the
+    * fraction. */
   private def fmt(d: Double): String =
     if (d.isNegInfinity) "-inf" else if (d.isPosInfinity) "inf"
-    else if (d == d.floor && !d.isInfinite) f"$d%.1f" else d.toString
+    else if (d == d.floor) d.toLong.toString else d.toString
+
+  /** Full `Series.cut/3` shape (series.rs:205-243): a frame with `values`,
+    * `break_point` (when `includeBreaks` — the bin's right endpoint, Inf for
+    * the top bin, null for null input) and `category` (`:category` logical
+    * dtype). */
+  def cutFrame(df: Gdf, colName: String, breaks: Seq[Double],
+      labels: Seq[String] = Nil, breakPointLabel: String = "break_point",
+      categoryLabel: String = "category", leftClosed: Boolean = false,
+      includeBreaks: Boolean = false): Gdf = {
+    val col = F.col(colName)
+    val sorted = breaks.sorted
+    val base = df.sdf.select(col.as("values"))
+    val out =
+      if (!includeBreaks)
+        base.withColumn(categoryLabel, cut(F.col("values"), sorted, labels, leftClosed))
+      else {
+        val bp = {
+          val first = F.when(F.col("values").isNull, F.lit(null).cast(DoubleType))
+          val mid = sorted.indices.foldLeft(first) { (acc, i) =>
+            acc.when(if (leftClosed) F.col("values") < sorted(i)
+                     else F.col("values") <= sorted(i), sorted(i))
+          }
+          mid.otherwise(Double.PositiveInfinity)
+        }
+        base.withColumn(breakPointLabel, bp)
+          .withColumn(categoryLabel, cut(F.col("values"), sorted, labels, leftClosed))
+      }
+    new Gdf(out, logical = Map(categoryLabel -> DType.Category))
+  }
 
   /** `qcut/2` — quantile binning (series.ex:5005). Breaks are computed with
     * exact `percentile` in one aggregate pass (collect of q scalars only),
     * then reuse [[cut]]. */
   def qcut(df: Gdf, colName: String, qs: Seq[Double],
-      labels: Seq[String] = Nil): Column = {
+      labels: Seq[String] = Nil): Column =
+    cut(F.col(colName), qcutBreaks(df, colName, qs), labels)
+
+  /** Full `Series.qcut/3` shape (series.rs:246-285). `allowDuplicates`
+    * collapses equal quantile breaks instead of erroring. */
+  def qcutFrame(df: Gdf, colName: String, qs: Seq[Double],
+      labels: Seq[String] = Nil, breakPointLabel: String = "break_point",
+      categoryLabel: String = "category", allowDuplicates: Boolean = false,
+      leftClosed: Boolean = false, includeBreaks: Boolean = false): Gdf = {
+    val breaks = qcutBreaks(df, colName, qs)
+    val deduped = breaks.distinct
+    if (!allowDuplicates) require(deduped.size == breaks.size,
+      s"qcut quantiles produce duplicated breaks $breaks (allowDuplicates=false)")
+    cutFrame(df, colName, deduped, labels, breakPointLabel, categoryLabel,
+      leftClosed, includeBreaks)
+  }
+
+  private def qcutBreaks(df: Gdf, colName: String, qs: Seq[Double]): Seq[Double] = {
     val row = df.sdf.agg(
       F.percentile(F.col(colName), F.lit(qs.head)).as("q0"),
       qs.drop(1).zipWithIndex.map { case (q, i) =>
         F.percentile(F.col(colName), F.lit(q)).as(s"q${i + 1}") }: _*).head()
-    val breaks = qs.indices.map(row.getDouble)
-    cut(F.col(colName), breaks, labels)
+    qs.indices.map(row.getDouble)
   }
 }

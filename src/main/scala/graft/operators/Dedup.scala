@@ -194,15 +194,25 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-duplicate pairs with Hamming distance ≤ `maxDistance`,
-    * candidates bucketed by 16-bit bands (4 bands ⇒ any pair within
-    * distance 3 shares at least one exact band — standard pigeonhole). */
+  /** SimHash near-duplicate pairs with Hamming distance ≤ `maxDistance`.
+    * The band count is DERIVED from the distance: `maxDistance + 1` bands
+    * guarantee by pigeonhole that any pair within the distance shares at
+    * least one exact band — a fixed band count would silently lose recall
+    * for larger distances (the old 4×16-bit layout only covered ≤ 3). */
   def simhashDuplicatePairs(df: DataFrame, id: Column, text: Column,
       maxDistance: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 32,
+      s"maxDistance $maxDistance out of [0, 32)")
+    val bands = maxDistance + 1
+    val base = 64 / bands
+    val extra = 64 % bands
+    val widths = Seq.tabulate(bands)(i => base + (if (i < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
     val sh = simhash(df, id, text)
     val banded = sh.select(F.col("id"), F.col("simhash"),
-      F.posexplode(F.array((0 until 4).map(b =>
-        F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+      F.posexplode(F.array((0 until bands).map(b =>
+        F.shiftrightunsigned(F.col("simhash"), offsets(b))
+          .bitwiseAND((1L << widths(b)) - 1)): _*))
         .as(Seq("band", "bucket")))
     val pairs = banded.groupBy("band", "bucket")
       .agg(F.sort_array(F.collect_list(F.struct(F.col("id"), F.col("simhash"))))

@@ -88,6 +88,20 @@ class ExprsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("ravg")).toSeq == Seq(1.0, 2.5, 2.5, 4.0))
   }
 
+  test("rank :random breaks ties uniformly but stays a permutation (series.ex:2063)") {
+    val d = Gdf(Seq.fill(20)("a").zipWithIndex
+      .map { case (g, i) => (g, (i % 4).toDouble) }.toDF("g", "v")).groupBy("g")
+    val r = d.mutateWith { implicit c => Seq(
+      "rr" -> rank(gcol("v"), "random", seed = 7L)) }
+    val ranks = r.sdf.collect().map(_.getAs[Int]("rr")).toSeq.sorted
+    assert(ranks == (1 to 20).toList) // permutation: no duplicate ranks on ties
+    // seeded: same seed reproduces
+    val r2 = d.mutateWith { implicit c => Seq(
+      "rr" -> rank(gcol("v"), "random", seed = 7L)) }
+    assert(r.sdf.orderBy("v", "rr").collect().map(_.getInt(2)).toSeq ==
+      r2.sdf.orderBy("v", "rr").collect().map(_.getInt(2)).toSeq)
+  }
+
   test("peaks max/min with boundary nulls treated as smaller") {
     val d = Gdf(Seq(("a", 0L, 1.0), ("a", 1L, 3.0), ("a", 2L, 2.0),
       ("a", 3L, 4.0)).toDF("g", "i", "v"))

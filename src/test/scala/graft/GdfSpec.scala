@@ -45,6 +45,47 @@ class GdfSpec extends SparkSpec {
     assert(base.summarise("n" -> (implicit c => size)).sdf.count() == 1)
   }
 
+  test("sortBy nils last by default, nils first on request (Explorer default)") {
+    // reference sort doctests (series.ex:4779): nils go LAST in both
+    // directions unless nils: :first
+    val d = Gdf(Seq(("a", Some(2.0)), ("b", None), ("c", Some(1.0)),
+      ("d", None), ("e", Some(3.0))).toDF("k", "v"))
+    def ks(g: Gdf) = g.sdf.collect().map(_.getString(0)).toSeq
+    assert(ks(d.sortBy(Seq(F.col("v")))) == Seq("c", "a", "e", "b", "d") ||
+           ks(d.sortBy(Seq(F.col("v")))) == Seq("c", "a", "e", "d", "b"))
+    assert(ks(d.sortBy(Seq(F.col("v").desc))).take(3) == Seq("e", "a", "c"))
+    assert(ks(d.sortBy(Seq(F.col("v")), nilsLast = false)).drop(2) ==
+      Seq("c", "a", "e"))
+    assert(ks(d.sortBy(Seq(F.col("v").desc), nilsLast = false)).drop(2) ==
+      Seq("e", "a", "c"))
+  }
+
+  test("logical dtypes survive select/filter/rename/sort/join; mutate clears") {
+    val d = base.castLogical("id", DType.U(32))
+      .withLogical("g" -> DType.Category)
+    assert(d.dtypes("id") == DType.U(32) && d.schema("id").dataType == LongType)
+    val piped = d.select("g", "id", "v").filterCol(F.col("v") > 15.0)
+      .rename("id" -> "uid").sortBy(Seq(F.col("uid")))
+    assert(piped.dtypes("uid") == DType.U(32))
+    assert(piped.dtypes("g") == DType.Category)
+    val dim = Gdf(Seq(("a", 1L), ("b", 2L)).toDF("g", "code"))
+      .castLogical("code", DType.U(16))
+    val joined = Joins.join(piped, dim, Seq("g" -> "g"), "inner")
+    assert(joined.dtypes("uid") == DType.U(32))
+    assert(joined.dtypes("code") == DType.U(16))
+    assert(joined.dtypes("g") == DType.Category)
+    // mutate recomputes → annotation drops back to physical truth
+    assert(joined.mutateCol("uid", F.col("uid") + 1).dtypes("uid") == DType.S(64))
+    // summarise keeps only group-key annotations
+    val summ = joined.groupBy("g").summarise(
+      "n" -> (implicit c => graft.exprs.size))
+    assert(summ.dtypes("g") == DType.Category)
+    // annotation must match the physical backing type
+    intercept[IllegalArgumentException] {
+      base.withLogical("v" -> DType.U(32))
+    }
+  }
+
   test("summarise rejects non-aggregates") {
     intercept[IllegalArgumentException] {
       base.groupBy("g").summarise("bad" -> (_ => gcol("v")))

@@ -74,6 +74,31 @@ class OperatorsSpec extends SparkSpec {
       Set((1L, 2L)))
   }
 
+  test("simhashDuplicatePairs recall is complete for any maxDistance (pigeonhole)") {
+    // bands are derived from maxDistance, so EVERY pair within distance must
+    // be found — compare against a brute-force hamming join on the hashes
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, words.indices.map(j =>
+        if ((i + j) % 5 == 0) words((j + i) % words.size) else words(j))
+        .mkString(" "))
+    }
+    val d = docs.toDF("id", "t")
+    for (maxD <- Seq(4, 6, 10)) {
+      val got = Dedup.simhashDuplicatePairs(d, F.col("id"), F.col("t"),
+        maxDistance = maxD, maxBucket = 10000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sh = Dedup.simhash(d, F.col("id"), F.col("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = (for {
+        (ia, ha) <- sh; (ib, hb) <- sh if ia < ib
+        if java.lang.Long.bitCount(ha ^ hb) <= maxD
+      } yield (ia, ib)).toSet
+      assert(got == want, s"maxDistance=$maxD: got ${got.size}, want ${want.size}")
+    }
+  }
+
   test("embedding near-dup pairs via hyperplane LSH") {
     val d = df(schema("id" -> LongType, "v" -> ArrayType(FloatType)),
       Seq(1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),

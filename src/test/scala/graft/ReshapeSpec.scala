@@ -67,14 +67,22 @@ class ReshapeSpec extends SparkSpec {
     assert(col1[Int](o.sdf.orderBy("c"), "c_a") == Seq(1, 1, 0))
   }
 
-  test("transpose rows↔cols with header") {
+  test("transpose rows↔cols with header; uniform dtype preserved") {
     val d = Gdf(Seq(("m1", 1.0, 2.0), ("m2", 3.0, 4.0))
       .toDF("name", "a", "b"))
     val t = Reshape.transpose(d, header = Some("name"))
     assert(t.names == Seq("name", "m1", "m2"))
+    // all transposed columns are f64 → output keeps f64 (dataframe.rs:43)
+    assert(t.schema("m1").dataType == DoubleType)
     val rows = t.sdf.orderBy("name").collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
-    assert(rows(0).getString(1) == "1.0" && rows(1).getString(2) == "4.0")
+    assert(rows(0).getDouble(1) == 1.0 && rows(1).getDouble(2) == 4.0)
+    // mixed dtypes relax to string
+    val mixed = Gdf(Seq(("m1", 1.0, true)).toDF("name", "a", "b"))
+    val tm = Reshape.transpose(mixed, header = Some("name"))
+    assert(tm.schema("m1").dataType == StringType)
+    assert(tm.sdf.orderBy("name").collect().map(_.getString(1)).toSeq ==
+      Seq("1.0", "true"))
   }
 
   test("concatRows reconciles columns and promotes dtypes") {

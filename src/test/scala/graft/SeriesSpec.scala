@@ -77,7 +77,9 @@ class DTypeSpec extends org.scalatest.funsuite.AnyFunSuite {
     Struct, List => DList, F => DF}
   test("promotion lattice") {
     assert(promote(S(32), S(64)) == S(64))
-    assert(promote(S(64), DF(32)) == DF(64))
+    // int ⊕ float keeps the float's width (shared.ex:397-398)
+    assert(promote(S(64), DF(32)) == DF(32))
+    assert(promote(DF(32), U(16)) == DF(32))
     assert(promote(DF(32), DF(32)) == DF(32))
     assert(promote(DF(32), DF(64)) == DF(64))
     assert(promote(U(32), U(16)) == U(32))

@@ -73,13 +73,50 @@ class StatsSpec extends SparkSpec {
     assert(got == Seq(Some(0L), Some(1L), None))
   }
 
-  test("cut labels (lo, hi] like Polars, custom labels") {
-    val d = Seq(5.0, 15.0, 45.0).toDF("v")
+  test("cut labels (lo, hi] like Polars, custom labels, null → null") {
+    val d = Seq(Some(5.0), Some(15.0), Some(45.0), None).toDF("v")
     val c = d.select(Stats.cut(F.col("v"), Seq(10.0, 25.0, 40.0)).as("bin"))
-    assert(col1[String](c, "bin") ==
-      Seq("(-inf, 10.0]", "(10.0, 25.0]", "(40.0, inf]"))
+    assert(c.collect().map(r => Option(r.getString(0))).toSeq ==
+      Seq(Some("(-inf, 10]"), Some("(10, 25]"), Some("(40, inf]"), None))
     val c2 = d.select(Stats.cut(F.col("v"), Seq(10.0), Seq("lo", "hi")).as("b"))
-    assert(col1[String](c2, "b") == Seq("lo", "hi", "hi"))
+    assert(c2.collect().map(r => Option(r.getString(0))).toSeq ==
+      Seq(Some("lo"), Some("hi"), Some("hi"), None))
+  }
+
+  test("cutFrame matches the reference doctest shape (series.ex:4927-4942)") {
+    // iex> cut([1.0, 2.0, 3.0], [1.5, 2.5], include_breaks: true)
+    val d = Gdf(Seq(1.0, 2.0, 3.0).toDF("x"))
+    val out = Stats.cutFrame(d, "x", Seq(1.5, 2.5), includeBreaks = true)
+    assert(out.names == Seq("values", "break_point", "category"))
+    assert(out.dtypes("category") == DType.Category)
+    val rows = out.sdf.orderBy("values").collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0))
+    assert(rows.map(_.getDouble(1)).toSeq ==
+      Seq(1.5, 2.5, Double.PositiveInfinity))
+    assert(rows.map(_.getString(2)).toSeq ==
+      Seq("(-inf, 1.5]", "(1.5, 2.5]", "(2.5, inf]"))
+    // without include_breaks: 2 columns
+    assert(Stats.cutFrame(d, "x", Seq(1.5, 2.5)).names ==
+      Seq("values", "category"))
+    // left_closed flips the interval
+    val lc = Stats.cutFrame(d, "x", Seq(2.0), leftClosed = true)
+    assert(lc.sdf.orderBy("values").collect().map(_.getString(1)).toSeq ==
+      Seq("[-inf, 2)", "[2, inf)", "[2, inf)"))
+  }
+
+  test("qcutFrame matches the reference doctest (series.ex:4995-5002)") {
+    // iex> qcut([1.0..5.0], [0.25, 0.75]) → (-inf, 2], (-inf, 2], (2, 4], (2, 4], (4, inf]
+    val d = Gdf(Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("x"))
+    val out = Stats.qcutFrame(d, "x", Seq(0.25, 0.75))
+    assert(out.sdf.orderBy("values").collect().map(_.getString(1)).toSeq ==
+      Seq("(-inf, 2]", "(-inf, 2]", "(2, 4]", "(2, 4]", "(4, inf]"))
+    // duplicate breaks rejected unless allowed
+    val flat = Gdf(Seq(1.0, 1.0, 1.0, 9.0).toDF("x"))
+    intercept[IllegalArgumentException] {
+      Stats.qcutFrame(flat, "x", Seq(0.25, 0.5))
+    }
+    assert(Stats.qcutFrame(flat, "x", Seq(0.25, 0.5), allowDuplicates = true)
+      .sdf.count() == 4)
   }
 
   test("qcut uses exact quantile breaks") {
