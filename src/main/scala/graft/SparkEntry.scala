@@ -663,19 +663,39 @@ object SparkEntry {
       .sdf
   }
 
-  /** Decimal dtype (§1.2): exact fixed-point aggregation — no float fuzz,
-    * the sums must match DuckDB digit for digit. */
-  private val q50: (SparkSession, String) => DataFrame = (s, dir) =>
+  /** Decimal dtype (§1.2): exact fixed-point aggregation AND arithmetic —
+    * precision-promoted products summed digit-for-digit vs DuckDB, plus
+    * overflow-to-null (try_multiply past 38 digits nulls instead of
+    * erroring; the oracle pins the count). */
+  private val q50: (SparkSession, String) => DataFrame = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
     Gdf(t(s, dir, "lineitem"))
-      .mutateCol("price_dec",
-        F.col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+      .mutateCol("price_dec", F.col("l_extendedprice").cast(DecimalType(12, 2)))
+      .mutateCol("qty_dec", F.col("l_quantity").cast(DecimalType(10, 2)))
+      // (12,2) × (10,2) → precision-promoted (23,4) product; the values fit
+      // 18 digits, so cast back down to keep the sum on long-backed decimals
+      .mutateCol("gross",
+        (F.col("price_dec") * F.col("qty_dec")).cast(DecimalType(18, 4)))
+      // overflow-to-null: a guaranteed 38-digit overflow (6-digit price ×
+      // 10^36) nulls under try_multiply. Confined to 1/1000 of rows — the
+      // JVM throws/catches per overflowing row, so overflow-everywhere
+      // costs seconds of pure exception handling for the same proof
+      .mutateCol("overflow", F.when(F.col("l_orderkey") % 1000 === 0,
+        F.try_multiply(F.col("price_dec").cast(DecimalType(38, 0)),
+          F.lit(new java.math.BigDecimal("1" + "0" * 36))))
+        .otherwise(F.col("price_dec").cast(DecimalType(38, 0))))
       .groupBy("l_returnflag")
       .summariseWith { implicit c => Seq(
         "sum_dec" -> sum(gcol("price_dec")),
         "avg_dec" -> Series(F.avg(F.col("price_dec"))
-          .cast(org.apache.spark.sql.types.DecimalType(16, 6)), isAgg = true)) }
+          .cast(DecimalType(16, 6)), isAgg = true),
+        "sum_gross" -> Series(F.sum(F.col("gross"))
+          .cast(DecimalType(38, 4)), isAgg = true),
+        "n_overflow_null" -> Series(
+          F.count_if(F.col("overflow").isNull), isAgg = true)) }
       .sortBy(Seq(F.col("l_returnflag")))
       .sdf
+  }
 
   /** Sort over a NULLABLE key with Explorer's nils-last default (§2.2 sort,
     * reference data_frame.ex:3468-3617): with ~half the values null, the
@@ -837,27 +857,48 @@ object SparkEntry {
       .sortBy(Seq(F.col("doc_id")))
       .sdf
 
-  /** multimodal pipeline: synthetic media table → size-balanced partitions →
-    * stub-decode features → resize → frame-sample; per-kind stats
-    * (rows-only; stub codec is deterministic, SURVEY §7.2 step 8). */
+  /** multimodal pipeline: media table (synthetic audio/video payloads +
+    * REAL generated PNGs for the image rows) → size-balanced partitions →
+    * decode (javax.imageio for images, deterministic fake fallback for the
+    * rest) → real resize → frame-sample; per-kind stats (rows-only; both
+    * codec paths are deterministic, SURVEY §7.2 step 8). */
   private val d11: (SparkSession, String) => DataFrame = (s, dir) => {
-    val media = t(s, dir, "documents").select(
-      F.col("doc_id").as("media_id"),
-      F.when(F.col("doc_id") % 3 === 0, "video")
-        .when(F.col("doc_id") % 3 === 1, "image").otherwise("audio").as("kind"),
-      Multimodal.syntheticPayload(F.col("doc_id"), 64).as("payload"),
-      F.lit(640).as("width"), F.lit(480).as("height"),
-      F.lit(16000).as("sample_rate"),
-      (F.col("doc_id") % 24 + 1).cast("int").as("n_frames"),
-      F.lit("raw").as("format"))
+    // real PNG payloads: doc_id-keyed flat gray squares, generated driver-
+    // side and broadcast through a join (small dictionary of 16 tones)
+    val tones = (0 until 16).map { tone =>
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val v = tone * 16
+      (0 until 16).foreach(y => (0 until 16).foreach(x =>
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (tone.toLong, bos.toByteArray)
+    }
+    val pngDict = F.broadcast(s.createDataFrame(tones).toDF("tone", "png"))
+    val media = t(s, dir, "documents")
+      .withColumn("tone", F.col("doc_id") % 16)
+      .join(pngDict, Seq("tone"))
+      .select(
+        F.col("doc_id").as("media_id"),
+        F.when(F.col("doc_id") % 3 === 0, "video")
+          .when(F.col("doc_id") % 3 === 1, "image").otherwise("audio").as("kind"),
+        F.when(F.col("doc_id") % 3 === 1, F.col("png"))
+          .otherwise(Multimodal.syntheticPayload(F.col("doc_id"), 64)).as("payload"),
+        F.lit(640).as("width"), F.lit(480).as("height"),
+        F.lit(16000).as("sample_rate"),
+        (F.col("doc_id") % 24 + 1).cast("int").as("n_frames"),
+        F.lit("raw").as("format"))
     val balanced = Multimodal.balanceBySize(media, 8)
-    val feat = Multimodal.extractFeatures(balanced, "payload", dims = 8)
-    val resized = Multimodal.resize(feat, 224, 224)
+    val feat = Multimodal.extractFeatures(balanced, "payload", dims = 8,
+      realDecode = true)
+    val resized = Multimodal.resize(feat, 64, 64)
     val sampled = Multimodal.sampleFrames(resized, stride = 4)
     sampled.groupBy("kind")
       .agg(F.count(F.lit(1)).as("n_rows"),
         F.round(F.sum(F.aggregate(F.col("features"), F.lit(0.0),
-          (a, v) => a + v)), 4).as("feat_sum"))
+          (a, v) => a + v)), 4).as("feat_sum"),
+        F.count(F.col("decoded_width")).as("n_decoded"))
       .orderBy("kind")
   }
 
@@ -1289,7 +1330,12 @@ object SparkEntry {
       SELECT l_returnflag,
              sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_dec,
              CAST(avg(CAST(l_extendedprice AS DECIMAL(12,2)))
-               AS DECIMAL(16,6)) AS avg_dec
+               AS DECIMAL(16,6)) AS avg_dec,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                           CAST(l_quantity AS DECIMAL(10,2))
+                      AS DECIMAL(18,4)))
+               AS DECIMAL(38,4)) AS sum_gross,
+             count(*) FILTER (WHERE l_orderkey % 1000 = 0) AS n_overflow_null
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q51_sort_nils" -> """
       SELECT event_id, CASE WHEN value >= 10.0 THEN value END AS v

@@ -59,20 +59,38 @@ object ArrowIpc {
     } finally { reader.close(); allocator.close() }
   }
 
+  // readers always get the decompressing codec factory, so lz4/zstd IPC
+  // files (reference write options, dataframe/io.rs:353-708) read
+  // transparently; uncompressed files are unaffected
+  private def codecFactory =
+    org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE
+
+  private def codecType(compression: Option[String]) = {
+    import org.apache.arrow.vector.compression.CompressionUtil.CodecType
+    compression.map(_.toLowerCase) match {
+      case None | Some("uncompressed") => CodecType.NO_COMPRESSION
+      case Some("lz4") => CodecType.LZ4_FRAME
+      case Some("zstd") => CodecType.ZSTD
+      case Some(other) =>
+        throw new IllegalArgumentException(s"ipc compression $other (lz4|zstd)")
+    }
+  }
+
   def readFile(spark: SparkSession, path: String): DataFrame =
     readVia(spark, alloc =>
-      new ArrowFileReader(new FileInputStream(path).getChannel, alloc))
+      new ArrowFileReader(new FileInputStream(path).getChannel, alloc, codecFactory))
 
   def readStream(spark: SparkSession, path: String): DataFrame =
     readVia(spark, alloc =>
-      new ArrowStreamReader(new FileInputStream(path), alloc))
+      new ArrowStreamReader(new FileInputStream(path), alloc, codecFactory))
 
   /** In-memory variant (`load_ipc`): parse IPC bytes. */
   def loadStream(spark: SparkSession, bytes: Array[Byte]): DataFrame =
     readVia(spark, alloc =>
-      new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), alloc))
+      new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), alloc, codecFactory))
 
-  private def writeVia(df: DataFrame, path: String, stream: Boolean): Unit = {
+  private def writeVia(df: DataFrame, path: String, stream: Boolean,
+      compression: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val schema = df.schema
     val tz = spark.sessionState.conf.sessionLocalTimeZone
@@ -87,8 +105,18 @@ object ArrowIpc {
     val root = VectorSchemaRoot.create(arrowSchema, allocator)
     val loader = new VectorLoader(root)
     val out = new FileOutputStream(path)
+    val opt = org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT
+    val ct = codecType(compression)
+    val compressed =
+      ct != org.apache.arrow.vector.compression.CompressionUtil.CodecType.NO_COMPRESSION
+    // the commons codec factory refuses to build a NO_COMPRESSION codec, so
+    // uncompressed writes take the plain constructors
     val writer =
-      if (stream) new ArrowStreamWriter(root, null, out)
+      if (stream && compressed) new ArrowStreamWriter(root, null,
+        Channels.newChannel(out), opt, codecFactory, ct)
+      else if (stream) new ArrowStreamWriter(root, null, out)
+      else if (compressed) new ArrowFileWriter(root, null, out.getChannel,
+        null, opt, codecFactory, ct)
       else new ArrowFileWriter(root, null, out.getChannel)
     try {
       writer.start()
@@ -103,9 +131,11 @@ object ArrowIpc {
     } finally { writer.close(); out.close(); root.close(); allocator.close() }
   }
 
-  def writeFile(df: DataFrame, path: String): Unit =
-    writeVia(df, path, stream = false)
+  def writeFile(df: DataFrame, path: String,
+      compression: Option[String] = None): Unit =
+    writeVia(df, path, stream = false, compression)
 
-  def writeStream(df: DataFrame, path: String): Unit =
-    writeVia(df, path, stream = true)
+  def writeStream(df: DataFrame, path: String,
+      compression: Option[String] = None): Unit =
+    writeVia(df, path, stream = true, compression)
 }

@@ -17,10 +17,20 @@ import org.apache.spark.sql.types.StructType
   */
 object GraftIO {
 
-  /** `from_csv` (data_frame.ex:607-838; reader opts io.rs:34-51). */
+  /** `from_csv` (data_frame.ex:607-838; reader opts io.rs:34-51).
+    *
+    * `skipRows`/`skipRowsAfterHeader` have no Spark CSV option — the file is
+    * read as text lines, the lines are dropped positionally (distributed
+    * zipWithIndex filter, like the reference's line-skipping in Polars'
+    * reader), and the remainder is parsed with `csv(Dataset[String])`.
+    * Quoted embedded newlines don't survive line-splitting, same limit as
+    * the reference's skip handling. All `nilValues` are honored: the head
+    * maps to Spark's nullValue, the rest are nullified post-parse on
+    * string-typed columns (non-string columns already parse them to null). */
   def fromCsv(spark: SparkSession, path: String,
       delimiter: String = ",", header: Boolean = true,
-      skipRows: Int = 0, maxRows: Option[Int] = None,
+      skipRows: Int = 0, skipRowsAfterHeader: Int = 0,
+      maxRows: Option[Int] = None,
       columns: Seq[String] = Nil, dtypes: Option[StructType] = None,
       inferSchemaLength: Option[Int] = Some(1000),
       nilValues: Seq[String] = Nil, encoding: String = "UTF-8",
@@ -32,8 +42,6 @@ object GraftIO {
       .option("header", header)
       .option("encoding", encoding)
       .option("quote", quoteDelimiter)
-    if (skipRows > 0) r = r.option("skipRows", skipRows)
-    eolDelimiter.foreach(e => r = r.option("lineSep", e))
     if (nilValues.nonEmpty) r = r.option("nullValue", nilValues.head)
     dtypes match {
       case Some(s) => r = r.schema(s)
@@ -41,7 +49,33 @@ object GraftIO {
         r = r.option("inferSchema", inferSchemaLength.isDefined)
         if (parseDates) r = r.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
     }
-    var df = r.csv(path)
+    var df =
+      if (skipRows == 0 && skipRowsAfterHeader == 0) {
+        eolDelimiter.foreach(e => r = r.option("lineSep", e))
+        r.csv(path)
+      } else {
+        import spark.implicits._
+        var tr = spark.read.option("encoding", encoding)
+        eolDelimiter.foreach(e => tr = tr.option("lineSep", e))
+        val lines = tr.textFile(path)
+        val hdr = if (header) 1 else 0
+        val afterHdr = skipRows + hdr
+        val kept = lines.rdd.zipWithIndex.filter { case (_, i) =>
+          i >= skipRows &&
+            (skipRowsAfterHeader == 0 || i < afterHdr ||
+              i >= afterHdr + skipRowsAfterHeader)
+        }.map(_._1)
+        r.csv(spark.createDataset(kept))
+      }
+    if (nilValues.size > 1) {
+      val extras = nilValues.tail
+      df.schema.fields.foreach { f =>
+        if (f.dataType == org.apache.spark.sql.types.StringType)
+          df = df.withColumn(f.name,
+            org.apache.spark.sql.functions.when(
+              df(f.name).isInCollection(extras), null).otherwise(df(f.name)))
+      }
+    }
     if (columns.nonEmpty) df = df.select(columns.map(df(_)): _*)
     maxRows.foreach(n => df = df.limit(n))
     Gdf(df)
@@ -83,12 +117,16 @@ object GraftIO {
   }
 
   /** `from_ndjson` (data_frame.ex:1572) — NDJSON is Spark json's native
-    * framing. */
+    * framing. `inferSchemaLength = Some(n)` matches Explorer: the schema is
+    * inferred from the first n rows only (sampled via a limited text read),
+    * then applied to the full scan; None infers from everything. */
   def fromNdjson(spark: SparkSession, path: String,
-      inferSchemaLength: Option[Int] = None): Gdf = {
-    var r = spark.read
-    inferSchemaLength.foreach(n => r = r.option("samplingRatio", "1.0"))
-    Gdf(r.json(path))
+      inferSchemaLength: Option[Int] = None): Gdf = inferSchemaLength match {
+    case None => Gdf(spark.read.json(path))
+    case Some(n) =>
+      val sample = spark.read.textFile(path).limit(n)
+      val schema = spark.read.json(sample).schema
+      Gdf(spark.read.schema(schema).json(path))
   }
 
   def toNdjson(df: Gdf, path: String): Unit =
@@ -99,6 +137,63 @@ object GraftIO {
     import spark.implicits._
     Gdf(spark.read.json(spark.createDataset(contents.split("\n").toSeq)))
   }
+
+  // ======== dump_* — frame → in-memory binary (data_frame.ex:607-1722) ======
+  // The reference's dump family returns the serialized frame as a binary.
+  // These are driver-sized BY DEFINITION (the result lives in one host
+  // buffer), so they funnel through a single-file write of the same Spark
+  // writer the to_* sink uses — identical quoting/encoding — and read the
+  // bytes back. Parquet stays the at-scale format; dumps are for handoff.
+
+  private def withTempDir[T](f: java.io.File => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dump").toFile
+    try f(dir) finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  private def partFile(dir: java.io.File): java.io.File =
+    dir.listFiles().filter(f => f.getName.startsWith("part-")).head
+
+  /** `dump_csv` (data_frame.ex:860) — the frame as one CSV string. */
+  def dumpCsv(df: Gdf, delimiter: String = ",", header: Boolean = true): String =
+    withTempDir { dir =>
+      val p = new java.io.File(dir, "csv").getPath
+      df.sdf.coalesce(1).write.option("sep", delimiter)
+        .option("header", header).csv(p)
+      new String(java.nio.file.Files.readAllBytes(
+        partFile(new java.io.File(p)).toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+  /** `dump_ndjson` (data_frame.ex:1694) — one JSON object per line. */
+  def dumpNdjson(df: Gdf): String = {
+    val lines = df.sdf.toJSON.collect()
+    if (lines.isEmpty) "" else lines.mkString("", "\n", "\n")
+  }
+
+  /** `dump_parquet` (data_frame.ex:1056) — the frame as parquet bytes. */
+  def dumpParquet(df: Gdf, compression: String = "snappy"): Array[Byte] =
+    withTempDir { dir =>
+      val p = new java.io.File(dir, "pq").getPath
+      df.sdf.coalesce(1).write.option("compression",
+        if (compression == "lz4") "lz4_raw" else compression).parquet(p)
+      java.nio.file.Files.readAllBytes(partFile(new java.io.File(p)).toPath)
+    }
+
+  /** `load_parquet` (data_frame.ex:1022) — parse in-memory parquet bytes. */
+  def loadParquet(spark: SparkSession, bytes: Array[Byte]): Gdf =
+    withTempDir { dir =>
+      val f = new java.io.File(dir, "load.parquet")
+      java.nio.file.Files.write(f.toPath, bytes)
+      // eager: materialize before the temp file is deleted
+      val rows = spark.read.parquet(f.getPath)
+      val collected = rows.collect().toSeq
+      fromRows(spark, collected, rows.schema)
+    }
 
   /** Bucketed managed table (scale tooling, SURVEY §7: "bucketing for
     * co-located joins"): rows hash-bucketed and sorted by the join key at
@@ -123,14 +218,15 @@ object GraftIO {
   def fromIpc(spark: SparkSession, path: String): Gdf =
     Gdf(org.apache.spark.sql.graftbridge.ArrowIpc.readFile(spark, path))
 
-  def toIpc(df: Gdf, path: String): Unit =
-    org.apache.spark.sql.graftbridge.ArrowIpc.writeFile(df.sdf, path)
+  def toIpc(df: Gdf, path: String, compression: Option[String] = None): Unit =
+    org.apache.spark.sql.graftbridge.ArrowIpc.writeFile(df.sdf, path, compression)
 
   def fromIpcStream(spark: SparkSession, path: String): Gdf =
     Gdf(org.apache.spark.sql.graftbridge.ArrowIpc.readStream(spark, path))
 
-  def toIpcStream(df: Gdf, path: String): Unit =
-    org.apache.spark.sql.graftbridge.ArrowIpc.writeStream(df.sdf, path)
+  def toIpcStream(df: Gdf, path: String,
+      compression: Option[String] = None): Unit =
+    org.apache.spark.sql.graftbridge.ArrowIpc.writeStream(df.sdf, path, compression)
 
   /** `load_ipc_stream` — parse in-memory Arrow IPC stream bytes. */
   def loadIpcStream(spark: SparkSession, bytes: Array[Byte]): Gdf =

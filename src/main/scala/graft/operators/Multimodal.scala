@@ -12,10 +12,15 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing is real — schemas, batched `mapPartitions`
   * (the JVM analogue of `mapInPandas`: iterator-of-batches in, iterator
   * out, so decoder state amortizes across a partition), partitioning by
-  * media size to balance decode skew. The codec step itself is STUBBED
-  * with a deterministic fake (this container ships no image/audio libs):
-  * `fakeDecode` derives pixel/sample values from xxhash of the payload, so
-  * every stage downstream of decode is fully testable and reproducible.
+  * media size to balance decode skew.
+  *
+  * IMAGE decode/resize is REAL: `javax.imageio` (in the JDK, no extra
+  * deps) handles PNG/BMP/GIF/JPEG payloads — [[decodeImages]] extracts
+  * true dimensions and luminance-histogram features, [[resize]] re-encodes
+  * scaled PNGs. Audio/video codecs aren't in the JDK, so those payloads
+  * fall back to the deterministic fake ([[fakeDecodeFeatures]], xxhash of
+  * the payload) — the fallback is declared in the plan with `coalesce`, so
+  * the real/fake split is visible and testable.
   */
 object Multimodal {
 
@@ -32,11 +37,14 @@ object Multimodal {
     StructField("n_frames", IntegerType, nullable = true),
     StructField("format", StringType, nullable = true)))
 
-  /** Deterministic fake payload for tests/benchmarks: `n` pseudo-random
-    * bytes derived from the id. */
-  def syntheticPayload(id: Column, n: Int): Column =
-    F.sha2(F.concat(id.cast(StringType), F.lit("payload")), 256)
-      .cast(BinaryType)
+  /** Deterministic fake payload for tests/benchmarks: exactly `n`
+    * pseudo-random bytes derived from the id (sha2 chain, raw digest
+    * bytes — not the hex string). */
+  def syntheticPayload(id: Column, n: Int): Column = {
+    val chunks = (0 until math.max(1, (n + 31) / 32)).map(i =>
+      F.unhex(F.sha2(F.concat(id.cast(StringType), F.lit(s"payload$i")), 256)))
+    F.substring(F.concat(chunks: _*), 1, n)
+  }
 
   /** STUB decode — stands in for an image/audio codec. Deterministic:
     * "decodes" the payload into `dims` float features in [0,1) derived
@@ -46,36 +54,133 @@ object Multimodal {
       (F.pmod(F.xxhash64(payload, i), F.lit(1000000L)).cast(DoubleType)
         / 1000000.0))
 
-  /** Feature extraction stage: payload → fixed-width embedding. Expression
-    * only — runs in whole-stage codegen, no shuffle. */
-  def extractFeatures(df: DataFrame, payloadCol: String,
-      dims: Int = 16): DataFrame =
-    df.withColumn("features", fakeDecodeFeatures(F.col(payloadCol), dims))
+  /** REAL image decode (javax.imageio): PNG/BMP/GIF/JPEG payloads →
+    * (decoded width, decoded height, luminance histogram of `dims`
+    * buckets, values in [0,1]). Undecodable payloads (audio/video/noise)
+    * yield nulls. Batched mapPartitions — the reader is probed once per
+    * row from a shared stream factory, decode state amortizes across the
+    * partition exactly like the `mapInPandas` batch shape. */
+  def decodeImages(df: DataFrame, payloadCol: String,
+      dims: Int = 16): DataFrame = {
+    val outSchema = df.schema
+      .add("decoded_width", IntegerType)
+      .add("decoded_height", IntegerType)
+      .add("img_features", ArrayType(DoubleType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val decoded = decodeOne(payload, dims)
+        val extra: Seq[Any] = decoded match {
+          case Some((w, h, feats)) => Seq(w, h, feats)
+          case None => Seq(null, null, null)
+        }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(enc)
+  }
 
-  /** Resize stage (STUB codec): metadata transform is real — recompute
-    * width/height, preserve aspect policy — payload transform is the
-    * deterministic fake. Batched mapPartitions so a real codec would
-    * amortize per-partition init (the `mapInPandas` batch shape). */
+  /** Container signature sniff: probing ImageIO readers on arbitrary bytes
+    * costs ~ms per call — at millions of audio/video rows that dominates
+    * the stage, so non-image payloads must short-circuit on magic bytes. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) || // jpeg
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
+  /** Driver/executor-side single-image decode: dimensions + `dims`-bucket
+    * luminance histogram (mass-normalized). None if imageio can't parse. */
+  private[operators] def decodeOne(payload: Array[Byte],
+      dims: Int): Option[(Int, Int, Seq[Double])] = {
+    if (!looksLikeImage(payload)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      val hist = new Array[Double](dims)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000 // integer BT.601 luma
+          hist(math.min(dims - 1, lum * dims / 256)) += 1.0
+          x += 1
+        }
+        y += 1
+      }
+      val total = w.toDouble * h
+      Some((w, h, hist.map(_ / total).toSeq))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Feature extraction stage: payload → fixed-width embedding. Real image
+    * features when the payload decodes, deterministic fake otherwise — the
+    * split is a plan-level `coalesce`, codegen'd around the decode stage. */
+  def extractFeatures(df: DataFrame, payloadCol: String,
+      dims: Int = 16, realDecode: Boolean = false): DataFrame =
+    if (!realDecode)
+      df.withColumn("features", fakeDecodeFeatures(F.col(payloadCol), dims))
+    else
+      decodeImages(df, payloadCol, dims)
+        .withColumn("features", F.coalesce(F.col("img_features"),
+          fakeDecodeFeatures(F.col(payloadCol), dims)))
+        .drop("img_features")
+
+  /** Resize stage: REAL for decodable images — decode, bilinear-scale to
+    * (targetW, targetH) via Graphics2D, re-encode as PNG. Undecodable
+    * payloads (no JDK codec: audio/video) keep the old deterministic tag
+    * so the pipeline stays total. Batched mapPartitions amortizes codec
+    * init per partition. */
   def resize(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = df.schema
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     val wIdx = df.schema.fieldIndex("width")
     val hIdx = df.schema.fieldIndex("height")
     val pIdx = df.schema.fieldIndex("payload")
     df.mapPartitions { rows =>
-      // per-partition "codec init" would happen here
       rows.map { r =>
         val vals = r.toSeq.toArray
         vals(wIdx) = targetW
         vals(hIdx) = targetH
-        // STUB: a real codec would re-encode; we tag the payload
         val old = r.getAs[Array[Byte]](pIdx)
-        vals(pIdx) = if (old == null) null
-          else old.take(16) ++ Array[Byte](targetW.toByte, targetH.toByte)
+        vals(pIdx) =
+          if (old == null) null
+          else resizeOne(old, targetW, targetH).getOrElse(
+            // non-image fallback: deterministic tag (documented stub)
+            old.take(16) ++ Array[Byte](targetW.toByte, targetH.toByte))
         Row.fromSeq(vals.toSeq)
       }
     }(enc)
+  }
+
+  private[operators] def resizeOne(payload: Array[Byte], targetW: Int,
+      targetH: Int): Option[Array[Byte]] = {
+    if (!looksLikeImage(payload)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(targetW, targetH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Frame sampling for video rows: every `stride`-th frame index up to

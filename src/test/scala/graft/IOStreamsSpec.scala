@@ -49,6 +49,123 @@ class IOStreamsSpec extends SparkSpec {
     assert(col1[Long](mem.sdf.orderBy("a"), "a") == Seq(1L, 2L))
   }
 
+  test("fromCsv skipRows / skipRowsAfterHeader actually skip") {
+    val dir = tmp("graft_skip")
+    val f = new java.io.File(dir, "in.csv")
+    java.nio.file.Files.write(f.toPath,
+      "garbage line 1\ngarbage line 2\na,b\nskipme,0\n1,x\n2,y\n"
+        .getBytes("UTF-8"))
+    val g = GraftIO.fromCsv(spark, f.getPath, skipRows = 2,
+      skipRowsAfterHeader = 1)
+    assert(g.names == Seq("a", "b"))
+    assert(g.sdf.orderBy("a").collect().map(_.getString(1)).toSeq ==
+      Seq("x", "y"))
+  }
+
+  test("fromCsv honors every nilValue, not just the head") {
+    val dir = tmp("graft_nils")
+    val f = new java.io.File(dir, "in.csv")
+    java.nio.file.Files.write(f.toPath,
+      "a,b\nNA,1\nnull,2\n-,3\nok,4\n".getBytes("UTF-8"))
+    val g = GraftIO.fromCsv(spark, f.getPath,
+      nilValues = Seq("NA", "null", "-"))
+    val got = g.sdf.orderBy("b").collect().map(r => Option(r.getString(0))).toSeq
+    assert(got == Seq(None, None, None, Some("ok")))
+  }
+
+  test("fromNdjson infers schema from the first n rows only") {
+    val dir = tmp("graft_infer")
+    val f = new java.io.File(dir, "in.ndjson")
+    // row 3 adds a field; inferring from 2 rows must not see it
+    java.nio.file.Files.write(f.toPath,
+      "{\"a\": 1}\n{\"a\": 2}\n{\"a\": 3, \"b\": \"x\"}\n".getBytes("UTF-8"))
+    val narrow = GraftIO.fromNdjson(spark, f.getPath, inferSchemaLength = Some(2))
+    assert(narrow.names == Seq("a"))
+    assert(narrow.sdf.count() == 3)
+    val full = GraftIO.fromNdjson(spark, f.getPath)
+    assert(full.names.toSet == Set("a", "b"))
+  }
+
+  test("dump_csv / dump_ndjson / dump_parquet round-trip through load_*") {
+    val d = Gdf(Seq((1L, "x,quoted", 1.5), (2L, "y", 2.5)).toDF("i", "s", "v"))
+    val csv = GraftIO.dumpCsv(d)
+    val backCsv = GraftIO.loadCsv(spark, csv)
+    assert(backCsv.sdf.count() == 2)
+    assert(backCsv.sdf.orderBy("i").collect().map(_.getString(1)).toSeq ==
+      Seq("x,quoted", "y"))
+    val nd = GraftIO.dumpNdjson(d)
+    assert(nd.endsWith("\n") && nd.linesIterator.size == 2)
+    assert(GraftIO.loadNdjson(spark, nd).sdf.count() == 2)
+    val pq = GraftIO.dumpParquet(d, compression = "zstd")
+    val backPq = GraftIO.loadParquet(spark, pq)
+    assert(backPq.sdf.orderBy("i").collect().map(_.getDouble(2)).toSeq ==
+      Seq(1.5, 2.5))
+    assert(backPq.schema("s").dataType == StringType)
+  }
+
+  test("arrow ipc lz4/zstd compressed round trips") {
+    val d = Gdf((1 to 500).map(i => (i.toLong, s"text $i", i * 1.5))
+      .toDF("i", "s", "v"))
+    for (codec <- Seq("lz4", "zstd")) {
+      val f = tmp(s"graft_ipc_$codec") + s"/f.arrow"
+      GraftIO.toIpc(d, f, compression = Some(codec))
+      val back = GraftIO.fromIpc(spark, f)
+      assert(back.sdf.count() == 500, codec)
+      assert(back.sdf.agg(F.sum("v")).head.getDouble(0) == 500 * 501 / 2 * 1.5)
+      val fs = tmp(s"graft_ipcs_$codec") + s"/f.arrows"
+      GraftIO.toIpcStream(d, fs, compression = Some(codec))
+      assert(GraftIO.fromIpcStream(spark, fs).sdf.count() == 500, codec)
+    }
+  }
+
+  test("series from_binary/to_binary/to_iovec reinterpret fixed-width buffers") {
+    import graft.io.SeriesBinary
+    // reference doctest (series.ex:945-947): [1,2,3] s64 → 24 LE bytes
+    val s64 = Gdf(Seq(1L, 2L, 3L).toDF("values"))
+    val bin = SeriesBinary.toBinary(s64, "values")
+    assert(bin.length == 24)
+    val expect = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(1L, 2L, 3L).foreach(expect.putLong)
+    assert(bin.toSeq == expect.array().toSeq)
+    assert(col1[Long](SeriesBinary.fromBinary(spark, bin, DType.S(64)).sdf
+      .orderBy("values"), "values") == Seq(1L, 2L, 3L))
+    // bool packs 1 byte per value (doctest series.ex:949-951)
+    val b = Gdf(Seq(true, false, true).toDF("values"))
+    assert(SeriesBinary.toBinary(b, "values").toSeq ==
+      Seq[Byte](1, 0, 1))
+    // f64, u8 (logical width 1 byte despite the widened physical), date
+    val f = Gdf(Seq(1.5, -2.5).toDF("values"))
+    val fb = SeriesBinary.toBinary(f, "values")
+    assert(fb.length == 16)
+    assert(col1[Double](SeriesBinary.fromBinary(spark, fb, DType.F(64)).sdf
+      .orderBy(F.desc("values")), "values") == Seq(1.5, -2.5))
+    val u8 = SeriesBinary.fromBinary(spark, Array[Byte](0, 127, -1), DType.U(8))
+    assert(u8.dtypes("values") == DType.U(8))
+    assert(col1[Short](u8.sdf.orderBy("values"), "values") ==
+      Seq[Short](0, 127, 255))
+    assert(SeriesBinary.toBinary(u8, "values").toSeq.sorted ==
+      Seq[Byte](-1, 0, 127).sorted)
+    val d = Gdf(Seq(java.sql.Date.valueOf("2020-01-02").toLocalDate)
+      .toDF("values"))
+    val db = SeriesBinary.toBinary(d, "values")
+    assert(db.length == 4)
+    assert(SeriesBinary.fromBinary(spark, db, DType.Date).sdf.head.get(0)
+      .toString == "2020-01-02")
+    // alignment + nil rejection
+    intercept[IllegalArgumentException] {
+      SeriesBinary.fromBinary(spark, Array[Byte](1, 2, 3), DType.S(16))
+    }
+    intercept[org.apache.spark.SparkException] {
+      SeriesBinary.toBinary(
+        Gdf(Seq(Some(1L), None).toDF("values")), "values")
+    }
+    // iovec: one chunk per partition, concat == binary
+    val multi = Gdf(spark.range(0, 100).repartition(4).toDF())
+    val iov = SeriesBinary.toIovec(multi, "id")
+    assert(iov.size == 4 && iov.map(_.length).sum == 800)
+  }
+
   test("arrow ipc file round trip preserves schema and values") {
     val p = tmp("graft_ipc") + "/data.arrow"
     val d = Gdf(Seq((1L, "x", 1.5, true), (2L, "y", 2.5, false))

@@ -191,4 +191,58 @@ class OperatorsSpec extends SparkSpec {
     assert(f2.toSeq == feat.select("features").collect()
       .map(_.getSeq[Double](0)).toSeq)
   }
+
+  test("syntheticPayload yields exactly n raw bytes") {
+    val rows = spark.range(3).select(
+      F.length(Multimodal.syntheticPayload(F.col("id"), 100)).as("len"))
+      .collect()
+    assert(rows.forall(_.getInt(0) == 100))
+  }
+
+  /** A w×h PNG with a deterministic two-tone gradient. */
+  private def pngBytes(w: Int, h: Int, dark: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (dark) 30 else 220
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real image decode: dimensions + luminance features from actual PNGs") {
+    val rows = Seq(
+      (1L, "image", pngBytes(32, 16, dark = true)),
+      (2L, "image", pngBytes(8, 8, dark = false)),
+      (3L, "audio", Array.fill[Byte](64)(7))) // not an image → nulls
+    val df = rows.toDF("media_id", "kind", "payload")
+    val dec = Multimodal.decodeImages(df, "payload", dims = 4)
+      .orderBy("media_id").collect()
+    assert(dec(0).getInt(3) == 32 && dec(0).getInt(4) == 16)
+    // dark image: all luminance mass in the bottom bucket
+    assert(dec(0).getSeq[Double](5).head == 1.0)
+    // bright image: mass in the top bucket
+    assert(dec(1).getSeq[Double](5).last == 1.0)
+    assert(dec(2).isNullAt(3) && dec(2).isNullAt(5))
+    // extractFeatures(realDecode): real for images, fake fallback for audio
+    val feats = Multimodal.extractFeatures(df, "payload", dims = 4,
+      realDecode = true).orderBy("media_id").collect()
+    assert(feats(0).getAs[Seq[Double]]("features").head == 1.0)
+    assert(feats(2).getAs[Seq[Double]]("features").forall(v => v >= 0 && v < 1))
+  }
+
+  test("real image resize re-encodes a scaled PNG") {
+    val df = Seq((1L, "image", pngBytes(64, 64, dark = false), 64, 64,
+      16000, 1, "png"))
+      .toDF("media_id", "kind", "payload", "width", "height",
+        "sample_rate", "n_frames", "format")
+    val out = Multimodal.resize(df, 16, 12).collect().head
+    val payload = out.getAs[Array[Byte]]("payload")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    assert(img != null && img.getWidth == 16 && img.getHeight == 12)
+    assert(out.getAs[Int]("width") == 16 && out.getAs[Int]("height") == 12)
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+/** CI plan assertions (VERDICT r1 #10): the scale-killers found in round 1 —
+  * a Window fed by `Exchange SinglePartition` (whole dataset through one
+  * task) and accidental nested-loop joins — must not regress. Runs on the
+  * sf0.001 fixtures, asserting on the pre-execution physical plan text.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose plans must stay free of single-partition windows and
+    * nested-loop joins. q09 (cross join) and q45 (category-dictionary
+    * window over <= #categories rows) are excluded by design; s01 builds a
+    * streaming query and d11 generates driver-side fixtures — both too
+    * heavy for a plan sweep. */
+  private val guarded = Seq(
+    "q01_agg", "q02_project_arith", "q04_sort_topk", "q06_join_star",
+    "q07_join_left_agg", "q10_cumulative", "q13_rank", "q26_asof_join",
+    "q28_slice", "q31_ewm", "q38_peaks_rowindex", "q39_head_grouped",
+    "q42_spearman", "q44_concat_columns", "q51_sort_nils", "q52_cut_frame",
+    "d01_exact_dedup", "d05_minhash_pairs", "d07_ngram_jaccard")
+
+  /** Lines of the subtree rooted at line `i` (children print below with
+    * deeper operator indentation until a line at or above the root's). */
+  private def subtree(lines: Array[String], i: Int): Seq[String] = {
+    def depth(l: String): Int = {
+      val idx = l.indexWhere(c => c != ' ' && c != ':' && c != '+' && c != '-')
+      if (idx < 0) l.length else idx
+    }
+    val d0 = depth(lines(i))
+    lines.drop(i + 1).takeWhile(l => depth(l) > d0).toSeq
+  }
+
+  /** A Window whose FIRST exchange below is SinglePartition = the whole
+    * dataset funneling through one task. */
+  private def singlePartitionWindows(plan: String): Seq[String] = {
+    val lines = plan.linesIterator.toArray
+    lines.indices.filter { i =>
+      val l = lines(i)
+      (l.contains("Window") || l.contains("WindowGroupLimit")) && {
+        subtree(lines, i).find(_.contains("Exchange"))
+          .exists(_.contains("SinglePartition"))
+      }
+    }.map(lines)
+  }
+
+  for (name <- guarded)
+    test(s"$name: no single-partition window, no nested-loop join") {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val offenders = singlePartitionWindows(plan)
+      assert(offenders.isEmpty,
+        s"single-partition window in $name:\n${offenders.mkString("\n")}\n$plan")
+      assert(!plan.contains("NestedLoop"),
+        s"nested-loop join in $name:\n$plan")
+    }
+}
