@@ -120,23 +120,15 @@ object Stats {
   /** Spearman rank correlation (reference correlation method=:spearman,
     * series.ex:2945-2998) = Pearson over average-ranks.
     *
-    * Ranks are computed scale-safely: a distributed row index over the value
-    * order ([[graft.plans.RowId]] — range shuffle, no single-task global
-    * window), then min-rank and tie counts via windows partitioned BY THE
-    * VALUE (hash shuffle, parallel). avg_rank = min(idx)+1 + (ties-1)/2,
-    * identical to `rank()` + tie averaging. */
-  def spearman(df: Gdf, a: String, b: String): DataFrame = {
-    def withAvgRank(d: DataFrame, col: String, out: String): DataFrame = {
-      val idx = graft.plans.RowId.attach(d, Seq(F.col(col)), "__sp_idx")
-      val w = Window.partitionBy(F.col(col))
-      idx.withColumn(out,
-          (F.min(F.col("__sp_idx")).over(w) + 1).cast(DoubleType) +
-          (F.count(F.lit(1)).over(w) - 1).cast(DoubleType) / 2.0)
-        .drop("__sp_idx")
-    }
-    withAvgRank(withAvgRank(df.sdf, a, "__ra"), b, "__rb")
+    * Ranks are computed scale-safely: per column, ONE range shuffle on the
+    * value ([[graft.plans.RowId.attachAvgRank]]) and a per-partition
+    * run-length scan — ties are co-partitioned by the range partitioner, so
+    * avg_rank = run_start+1 + (ties-1)/2 needs no Window and no second
+    * shuffle. Identical to `rank()` + tie averaging. */
+  def spearman(df: Gdf, a: String, b: String): DataFrame =
+    graft.plans.RowId.attachAvgRank(
+        graft.plans.RowId.attachAvgRank(df.sdf, a, "__ra"), b, "__rb")
       .agg(F.corr(F.col("__ra"), F.col("__rb")).as("spearman"))
-  }
 
   /** `cut/2` — fixed-break binning into labelled categories
     * (series.ex:4945; series.rs:205-305). Pure `when`-chain: codegen'd,

@@ -45,6 +45,72 @@ object Bridge {
     session.internalCreateDataFrame(indexed, df.schema.add(name, LongType, nullable = false))
   }
 
+  /** Average-rank (`rank() + (ties-1)/2`) over an already range-partitioned,
+    * partition-sorted single-column order, computed by a per-partition
+    * run-length scan — no Window, no second shuffle. Sound because Spark's
+    * `RangePartitioner` routes EQUAL keys to the SAME partition (binary
+    * search over the bounds), so after `sortWithinPartitions` every tie run
+    * is contiguous inside one partition: for a run starting at global
+    * position s with length L, every member's average rank is
+    * `s + 1 + (L-1)/2`. One count job (same shuffle-reuse contract as
+    * [[zipWithRowIndex]]) supplies the partition offsets. Rows of a run are
+    * buffered (copied) until the run closes — the same per-key memory
+    * exposure the Window formulation has, without its extra hash shuffle. */
+  def zipWithAvgRank(df: org.apache.spark.sql.DataFrame, colName: String,
+      out: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    import org.apache.spark.sql.types.DoubleType
+    val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ord = df.schema.fieldIndex(colName)
+    val dt = df.schema(colName).dataType
+    val rdd = df.queryExecution.toRdd
+    val counts = rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
+      .collect().toMap
+    val nParts = rdd.getNumPartitions
+    val offsets = new Array[Long](math.max(nParts, 1))
+    var acc = 0L
+    var p = 0
+    while (p < nParts) { offsets(p) = acc; acc += counts.getOrElse(p, 0L); p += 1 }
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
+      new Iterator[InternalRow] {
+        private val extra = new GenericInternalRow(1)
+        private val joined = new JoinedRow
+        private var pos = offsets(pid) // global index of next unread row
+        private val run = new scala.collection.mutable.Queue[InternalRow]
+        private var avg = 0.0
+        private var pending: InternalRow = null // first row of the next run
+        private def fillRun(): Unit = {
+          val first =
+            if (pending != null) pending
+            else if (it.hasNext) it.next().copy()
+            else return
+          pending = null
+          val v = first.get(ord, dt)
+          run += first
+          var open = true
+          while (open && it.hasNext) {
+            val r = it.next()
+            val w = r.get(ord, dt)
+            if (java.util.Objects.equals(v, w)) run += r.copy()
+            else { pending = r.copy(); open = false }
+          }
+          avg = pos + 1 + (run.size - 1) / 2.0
+          pos += run.size
+        }
+        def hasNext: Boolean = run.nonEmpty || { fillRun(); run.nonEmpty }
+        def next(): InternalRow = {
+          if (run.isEmpty) fillRun()
+          extra.update(0, avg)
+          joined(run.dequeue(), extra)
+        }
+      }
+    }
+    session.internalCreateDataFrame(ranked,
+      df.schema.add(out, DoubleType, nullable = false))
+  }
+
   /** Rewrite a sort key's null ordering at the ColumnNode level (Spark 4's
     * Connect-agnostic Column representation). A catalyst SortOrder smuggled
     * into a Column is NOT recognized by Dataset.sort — it gets wrapped in a

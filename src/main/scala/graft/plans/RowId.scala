@@ -52,4 +52,19 @@ object RowId {
       .sortWithinPartitions(order: _*)
     Bridge.zipWithRowIndex(sorted, name)
   }
+
+  /** `df` plus a DoubleType average-rank column over `col`'s value order
+    * (`rank() + (ties-1)/2`, the tie-averaging ranks spearman needs) — ONE
+    * range shuffle, no Window: equal keys land in one partition under range
+    * partitioning, so tie runs are contiguous and a per-partition run-length
+    * scan assigns ranks (see [[Bridge.zipWithAvgRank]]). Replaces the
+    * attach-then-window-by-value formulation, which paid a second (hash)
+    * shuffle per ranked column. */
+  def attachAvgRank(df: DataFrame, col: String, out: String): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val sorted = df
+      .repartitionByRange(parts, df(col))
+      .sortWithinPartitions(df(col))
+    Bridge.zipWithAvgRank(sorted, col, out)
+  }
 }
