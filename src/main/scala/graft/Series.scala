@@ -65,6 +65,9 @@ final case class Series(col: Column, isAgg: Boolean = false) {
   def round(decimals: Int): Series = lift(F.round(_, decimals))
   def clip(min: Series, max: Series): Series =
     Series(F.greatest(F.least(col, max.col), min.col), isAgg)
+  def sqrt: Series = lift(F.sqrt)
+  /** -1/0/1 by sign (Polars `sign`); integer-typed like the reference. */
+  def sign: Series = lift(F.signum(_).cast(LongType))
   def sin: Series = lift(F.sin); def cos: Series = lift(F.cos)
   def tan: Series = lift(F.tan); def asin: Series = lift(F.asin)
   def acos: Series = lift(F.acos); def atan: Series = lift(F.atan)

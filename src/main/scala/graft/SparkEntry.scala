@@ -857,6 +857,129 @@ object SparkEntry {
       .sortBy(Seq(F.col("doc_id")))
       .sdf
 
+  /** embedding-cosine near-dup pairs via BANDED hyperplane LSH + exact
+    * verification, oracle-checked against brute-force all-pairs cosine in
+    * DuckDB. The corpus is augmented with ×2-scaled copies of the first 100
+    * vectors: scaling preserves direction exactly (×2 is exact in float AND
+    * commutes with double rounding), so every (original, copy) pair has the
+    * full 64-bit signature identical — LSH recall is provably 1 for them —
+    * while the natural corpus (max pairwise cosine ≈ 0.51) pressures
+    * precision through the exact cosine filter. */
+  private val d13: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val aug = e.unionAll(e.filter(F.col("vec_id") < 100).select(
+      (F.col("vec_id") + 10000).as("vec_id"),
+      F.transform(F.col("embedding"), x => x * F.lit(2.0f)).as("embedding")))
+    Dedup.embeddingDuplicatePairs(aug, F.col("vec_id"), F.col("embedding"),
+        threshold = 0.999, planes = 64, bands = 8)
+      .select(F.col("id_a"), F.col("id_b"),
+        F.round(F.col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** frame-shape verbs end to end: select / discard / rename / renameWith /
+    * relocate (§2.2; reference data_frame.ex select/discard/rename/relocate
+    * doctests). Column ORDER is relocate's business; the oracle compare is
+    * order-insensitive, so the SQL twin only pins names + values. */
+  private val q53: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "customer"))
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey")
+      .discard("c_nationkey")
+      .rename("c_acctbal" -> "balance")
+      .relocate(Seq("balance"), before = Some("c_name"))
+      .renameWith(n => if (n.startsWith("c_")) n.stripPrefix("c_") else n)
+      .sortBy(Seq(F.col("custkey")))
+      .sdf
+
+  /** positional verbs over a declared order: at_every + mask + drop_nil
+    * (§2.2; reference series.ex:1695 at_every, data_frame.ex mask/drop_nil).
+    * Exercises the distributed row-index backbone on the ungrouped path. */
+  private val q54: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "orders"))
+      .mutateCol("v", F.when(F.col("o_orderstatus") === "O",
+        F.col("o_totalprice")))
+      .ordered(F.col("o_orderkey"))
+      .atEvery(100)
+      .dropNil("v")
+      .mask(F.col("o_totalprice") > 50000)
+      .select("o_orderkey", "v")
+      .sortBy(Seq(F.col("o_orderkey")))
+      .sdf
+
+  /** math/trig battery (§2.3 series.ex sin/cos/tan/asin/atan/log/exp/pow/
+    * sqrt/abs/sign/floor/ceil/clip): all codegen'd `functions._`, rounded
+    * 6dp for cross-libm parity. Trig args bounded (discount/tax ∈ [0,0.1])
+    * so argument reduction can't amplify ulp drift. */
+  private val q55: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "lineitem"))
+      .mutateWith { implicit c =>
+        val d = gcol("l_discount"); val q = gcol("l_quantity")
+        val p = gcol("l_extendedprice")
+        Seq(
+          "sin_d" -> d.sin.round(6),
+          "cos_d" -> d.cos.round(6),
+          "tan_d" -> d.tan.round(6),
+          "asin_d" -> d.asin.round(6),
+          "atan_d" -> d.atan.round(6),
+          "ln_p" -> p.ln.round(6),
+          "log10_p" -> p.log(10.0).round(6),
+          "exp_negd" -> (glit(0.0) - d).exp.round(6),
+          "sqrt_p" -> p.sqrt.round(6),
+          "pow_q" -> q.pow(glit(2.0)).round(6),
+          "abs_c" -> (q - glit(25.0)).abs.round(6),
+          "sign_c" -> (q - glit(25.0)).sign,
+          "floor_p" -> p.floor,
+          "ceil_p" -> p.ceil,
+          "clip_q" -> q.clip(glit(10.0), glit(40.0)).round(6)) }
+      .select("l_orderkey", "l_linenumber", "sin_d", "cos_d", "tan_d",
+        "asin_d", "atan_d", "ln_p", "log10_p", "exp_negd", "sqrt_p",
+        "pow_q", "abs_c", "sign_c", "floor_p", "ceil_p", "clip_q")
+      .sortBy(Seq(F.col("l_orderkey"), F.col("l_linenumber")))
+      .sdf
+
+  /** CSV round trip as an oracle query: parquet → to_csv → from_csv (with
+    * the source schema as dtypes) must reproduce the source values exactly
+    * — doubles survive because Spark writes shortest-round-trip decimal
+    * text (§2.1 from_csv/to_csv). The oracle reads the parquet directly. */
+  private val q56: (SparkSession, String) => DataFrame = (s, dir) => {
+    val src = Gdf(t(s, dir, "customer"))
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q56").toFile.getPath
+    graft.io.GraftIO.toCsv(src, tmp)
+    graft.io.GraftIO.fromCsv(s, tmp, dtypes = Some(src.schema))
+      .sortBy(Seq(F.col("c_custkey")))
+      .sdf
+  }
+
+  /** Arrow IPC round trip as an oracle query: parquet → to_ipc (zstd) →
+    * from_ipc is bit-exact by format (§2.1 from_ipc/to_ipc + compression
+    * options, reference dataframe/io.rs:353-708). */
+  private val q57: (SparkSession, String) => DataFrame = (s, dir) => {
+    val src = Gdf(t(s, dir, "supplier"))
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q57").toFile
+    val f = new java.io.File(tmp, "supplier.arrow").getPath
+    graft.io.GraftIO.toIpc(src, f, compression = Some("zstd"))
+    graft.io.GraftIO.fromIpc(s, f)
+      .sortBy(Seq(F.col("s_suppkey")))
+      .sdf
+  }
+
+  /** transpose with the uniform-dtype rule (§2.7; reference dataframe.rs:43):
+    * an aggregated 3×2 frame of integer-valued doubles transposes into
+    * (name, A, N, R) KEEPING DoubleType — integer-valued so the sums are
+    * exact in any fold order. */
+  private val q58: (SparkSession, String) => DataFrame = (s, dir) => {
+    val agg = Gdf(t(s, dir, "lineitem"))
+      .groupBy("l_returnflag")
+      .summariseWith { implicit c => Seq(
+        "sum_qty" -> sum(gcol("l_quantity")),
+        "n_rows" -> Series(F.count(F.lit(1)).cast(
+          org.apache.spark.sql.types.DoubleType), isAgg = true)) }
+      .sortBy(Seq(F.col("l_returnflag")))
+    Reshape.transpose(agg, header = Some("l_returnflag")).sdf
+  }
+
   /** multimodal pipeline: media table (synthetic audio/video payloads +
     * REAL generated PNGs for the image rows) → size-balanced partitions →
     * decode (javax.imageio for images, deterministic fake fallback for the
@@ -967,7 +1090,14 @@ object SparkEntry {
     "d09_lsh_topk" -> d09,
     "d10_quality_fingerprint" -> d10,
     "d11_multimodal" -> d11,
-    "d12_fingerprint" -> d12)
+    "d12_fingerprint" -> d12,
+    "d13_embedding_neardup" -> d13,
+    "q53_select_shape" -> q53,
+    "q54_positional" -> q54,
+    "q55_math_funcs" -> q55,
+    "q56_csv_roundtrip" -> q56,
+    "q57_ipc_roundtrip" -> q57,
+    "q58_transpose" -> q58)
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" -> """
@@ -1481,5 +1611,66 @@ object SparkEntry {
                     round(cosine, 6) AS cosine
              FROM scored)
       SELECT query_id, corpus_id, rank, cosine FROM ranked
-      WHERE rank <= 5 ORDER BY query_id, rank""")
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    "d13_embedding_neardup" -> """
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           aug AS (SELECT vec_id, v FROM base
+                   UNION ALL
+                   SELECT vec_id + 10000, list_transform(v, x -> x * 2)
+                   FROM base WHERE vec_id < 100),
+           p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                        list_dot_product(a.v, b.v) /
+                          (sqrt(list_dot_product(a.v, a.v)) *
+                           sqrt(list_dot_product(b.v, b.v))) AS c
+                 FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, round(c, 6) AS cosine FROM p
+      WHERE c >= 0.999 ORDER BY id_a, id_b""",
+    "q53_select_shape" -> """
+      SELECT c_custkey AS custkey, c_acctbal AS balance, c_name AS name,
+             c_mktsegment AS mktsegment
+      FROM customer ORDER BY custkey""",
+    "q54_positional" -> """
+      WITH r AS (SELECT o_orderkey, o_totalprice,
+                        CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS v,
+                        row_number() OVER (ORDER BY o_orderkey) - 1 AS i
+                 FROM orders)
+      SELECT o_orderkey, v FROM r
+      WHERE i % 100 = 0 AND v IS NOT NULL AND o_totalprice > 50000
+      ORDER BY o_orderkey""",
+    "q55_math_funcs" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(sin(l_discount), 6) AS sin_d,
+             round(cos(l_discount), 6) AS cos_d,
+             round(tan(l_discount), 6) AS tan_d,
+             round(asin(l_discount), 6) AS asin_d,
+             round(atan(l_discount), 6) AS atan_d,
+             round(ln(l_extendedprice), 6) AS ln_p,
+             round(ln(l_extendedprice) / ln(10), 6) AS log10_p,
+             round(exp(0.0 - l_discount), 6) AS exp_negd,
+             round(sqrt(l_extendedprice), 6) AS sqrt_p,
+             round(pow(l_quantity, 2), 6) AS pow_q,
+             round(abs(l_quantity - 25.0), 6) AS abs_c,
+             CAST(sign(l_quantity - 25.0) AS BIGINT) AS sign_c,
+             CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+             CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+             round(greatest(least(l_quantity, 40.0), 10.0), 6) AS clip_q
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q56_csv_roundtrip" -> """
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      FROM customer ORDER BY c_custkey""",
+    "q57_ipc_roundtrip" -> """
+      SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      FROM supplier ORDER BY s_suppkey""",
+    "q58_transpose" -> """
+      SELECT 'sum_qty' AS name,
+             sum(l_quantity) FILTER (l_returnflag = 'A') AS "A",
+             sum(l_quantity) FILTER (l_returnflag = 'N') AS "N",
+             sum(l_quantity) FILTER (l_returnflag = 'R') AS "R"
+      FROM lineitem
+      UNION ALL
+      SELECT 'n_rows',
+             CAST(count(*) FILTER (l_returnflag = 'A') AS DOUBLE),
+             CAST(count(*) FILTER (l_returnflag = 'N') AS DOUBLE),
+             CAST(count(*) FILTER (l_returnflag = 'R') AS DOUBLE)
+      FROM lineitem""")
 }

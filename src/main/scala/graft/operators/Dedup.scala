@@ -228,13 +228,30 @@ object Dedup {
   }
 
   /** Embedding near-dup: cosine ≥ threshold pairs via random-hyperplane LSH
-    * buckets (see [[Similarity.hyperplaneSignature]]), verified exactly. */
+    * (see [[Similarity.hyperplaneSignature]]), verified exactly.
+    *
+    * Banded OR-construction: the `planes`-bit signature splits into `bands`
+    * sub-signatures; a pair is a candidate if ANY band matches (explode →
+    * groupBy(band, bucket) → in-bucket pair expansion → distinct). Recall for
+    * a pair at angle θ is 1-(1-p^r)^bands with p = 1-θ/π, r = planes/bands —
+    * a single whole-signature bucket (bands = 1) collapses to p^planes,
+    * which is near zero for anything but exactly-collinear vectors.
+    * Same candidate-bounding discipline as the minhash path: `maxBucket`
+    * caps in-bucket expansion, exact cosine filters false positives. */
   def embeddingDuplicatePairs(df: DataFrame, id: Column, vec: Column,
-      threshold: Double, planes: Int = 16, seed: Long = 42,
+      threshold: Double, planes: Int = 64, bands: Int = 8, seed: Long = 42,
       maxBucket: Int = 1000): DataFrame = {
+    require(planes % bands == 0 && planes <= 64,
+      s"planes $planes must be a multiple of bands $bands, at most 64")
+    val bandBits = planes / bands
     val sig = Similarity.hyperplaneSignature(vec, planes, seed)
-    df.select(id.as("id"), vec.as("v"), sig.as("bucket"))
-      .groupBy("bucket")
+    df.select(id.as("id"), vec.as("v"), sig.as("sig"))
+      .select(F.col("id"), F.col("v"),
+        F.posexplode(F.array((0 until bands).map(b =>
+          F.shiftrightunsigned(F.col("sig"), b * bandBits)
+            .bitwiseAND(if (bandBits == 64) -1L else (1L << bandBits) - 1)): _*))
+          .as(Seq("band", "bucket")))
+      .groupBy("band", "bucket")
       .agg(F.sort_array(F.collect_list(F.struct(F.col("id"), F.col("v"))))
         .as("rows"))
       .filter(F.size(F.col("rows")).between(2, maxBucket))
@@ -243,7 +260,7 @@ object Dedup {
           F.struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
             Similarity.cosine(a.getField("v"), b.getField("v"))
               .as("cosine")))))).as("p"))
-      .select("p.*")
+      .select("p.*").distinct()
       .filter(F.col("cosine") >= threshold)
   }
 }

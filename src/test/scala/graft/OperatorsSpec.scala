@@ -105,7 +105,7 @@ class OperatorsSpec extends SparkSpec {
       Seq(2L, Seq(0.999f, 0.001f, 0.0f, 0.0f)),
       Seq(3L, Seq(-1.0f, 0.5f, 0.2f, 0.0f)))
     val pairs = Dedup.embeddingDuplicatePairs(d, F.col("id"), F.col("v"),
-      threshold = 0.99, planes = 8)
+      threshold = 0.99, planes = 8, bands = 4)
     assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((1L, 2L)))
   }

@@ -46,7 +46,12 @@ class RowIdSpec extends SparkSpec {
     // a hash-scramble against a modulus is ~0 but must be finite and stable
     val r2 = Stats.spearman(Gdf(df.repartition(7)), "a", "b").head().getDouble(0)
     assert(!r.isNaN && math.abs(r) < 0.1)
-    assert(r == r2, s"spearman not deterministic: $r vs $r2")
+    // ranks are exact (integers/halves, invariant to partition boundaries);
+    // the only run-to-run jitter is corr's partial-state merge order — a
+    // last-ulp float effect inherent to ANY distributed aggregation. The
+    // oracle rounds to 6dp; assert stability to 1e-9 relative.
+    assert(math.abs(r - r2) <= 1e-9 * math.max(1.0, math.abs(r)),
+      s"spearman not stable: $r vs $r2")
   }
 
   test("RowId is stable under repeated evaluation (deterministic offsets)") {
