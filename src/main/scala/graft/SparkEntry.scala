@@ -934,7 +934,8 @@ object SparkEntry {
       .select("l_orderkey", "l_linenumber", "sin_d", "cos_d", "tan_d",
         "asin_d", "atan_d", "ln_p", "log10_p", "exp_negd", "sqrt_p",
         "pow_q", "abs_c", "sign_c", "floor_p", "ceil_p", "clip_q")
-      .sortBy(Seq(F.col("l_orderkey"), F.col("l_linenumber")))
+      // no sort: the oracle compare is row-order-insensitive, and a global
+      // sort of 17 computed columns would be the query's entire cost
       .sdf
 
   /** CSV round trip as an oracle query: parquet → to_csv → from_csv (with
@@ -1654,7 +1655,7 @@ object SparkEntry {
              CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
              CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
              round(greatest(least(l_quantity, 40.0), 10.0), 6) AS clip_q
-      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+      FROM lineitem""",
     "q56_csv_roundtrip" -> """
       SELECT c_custkey, c_name, c_acctbal, c_mktsegment
       FROM customer ORDER BY c_custkey""",

@@ -54,22 +54,14 @@ object Similarity {
   }
 
   /** Random-hyperplane signature: `planes` sign bits packed into a long.
-    * Hyperplane components are deterministic pseudo-random values derived
-    * from (seed, plane, dim) via xxhash64 — reproducible across executors
-    * with zero driver state, which is what you want on a 1000-node run. */
-  def hyperplaneSignature(vec: Column, planes: Int, seed: Long): Column = {
-    val bits = (0 until planes).map { p =>
-      // pseudo-random ±1 hyperplane h[p][i]; dot(v, h) > 0 → bit p
-      val proj = F.aggregate(
-        F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1),
-          (x, i) => F.when(
-            F.xxhash64(F.lit(seed), F.lit(p), i).bitwiseAND(1L) === 0L,
-            x.cast(DoubleType)).otherwise(-x.cast(DoubleType))),
-        F.lit(0.0), (acc, v) => acc + v)
-      F.when(proj > 0, F.lit(1L << p)).otherwise(0L)
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+    * Hyperplane components are deterministic pseudo-random ±1s derived from
+    * (seed, plane, dim) via xxhash64 — reproducible across executors with
+    * zero driver state, which is what you want on a 1000-node run. Native
+    * expression ([[graft.functions.HyperplaneSig]]): the sign matrix is
+    * derived once per task and the projection is a JIT'd dot loop, not
+    * planes × dims interpreted lambdas per row. */
+  def hyperplaneSignature(vec: Column, planes: Int, seed: Long): Column =
+    graft.functions.VectorExprs.hyperplaneSig(vec, planes, seed)
 
   /** LSH-bucketed approximate top-k: hash corpus and queries with the same
     * hyperplanes, score only bucket collisions. Multi-probe via `bands`
