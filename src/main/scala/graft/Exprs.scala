@@ -38,6 +38,11 @@ object exprs {
   def all(s: Series)(implicit c: Ctx): Series = c.agg(F.bool_and(s.col))
   def any(s: Series)(implicit c: Ctx): Series = c.agg(F.bool_or(s.col))
 
+  /** `all_equal/2` (series.ex): true iff the two series match positionally,
+    * nil == nil (null-safe equality folded with bool_and). */
+  def allEqual(a: Series, b: Series)(implicit c: Ctx): Series =
+    c.agg(F.bool_and(a.col <=> b.col))
+
   /** Single modal value (reference returns the modal *set*, series.ex:2676;
     * Spark's `mode` picks one — see [[Gdf]]-level `frequencies` for the set). */
   def mode(s: Series)(implicit c: Ctx): Series = c.agg(F.mode(s.col))

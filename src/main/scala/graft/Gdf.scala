@@ -145,6 +145,17 @@ final class Gdf(
     * so the order is explicit here rather than implicit like the reference. */
   def ordered(cols: Column*): Gdf = copy(rowOrder = cols)
 
+  /** `reverse/1` (reference series.ex reverse): flip the declared row order
+    * end-for-end — direction AND null placement of every order key invert,
+    * so positional verbs (head/slice/at_every/row_index) read the frame
+    * backwards. Pure metadata: no job, no shuffle until an order-consuming
+    * verb runs. */
+  def reverse: Gdf = {
+    require(rowOrder.nonEmpty, "reverse needs a declared row order (.ordered)")
+    copy(rowOrder = rowOrder.map(
+      org.apache.spark.sql.graftbridge.Bridge.flipSortOrder))
+  }
+
   /** 0-based row index over the declared order as a LongType column.
     * Grouped → per-group index via a hash-partitioned window (parallel).
     * Ungrouped → the distributed [[plans.RowId]] backbone: a global window
@@ -165,15 +176,30 @@ final class Gdf(
 
   // ======== row picking ======================================================
 
+  /** First n rows. With a declared order this is sort+limit —
+    * `TakeOrderedAndProject`, a per-partition partial top-k, no global
+    * sort; with no order it is Spark's limit (frame order, like the
+    * reference's physical order). */
   def head(n: Int = 5): Gdf =
-    if (groups.isEmpty) copy(sdf.limit(n))
-    else sliceGrouped(0, n)
+    if (groups.nonEmpty) sliceGrouped(0, n)
+    else if (rowOrder.nonEmpty) copy(sdf.sort(rowOrder: _*).limit(n))
+    else copy(sdf.limit(n))
 
+  /** Last n rows = head(n) of the flipped order (same
+    * `TakeOrderedAndProject` shape — a global descending window here would
+    * funnel the frame through one task). Grouped → per-group window. */
   def tail(n: Int = 5): Gdf = {
-    val c = ctx(true)
-    val w = c.part.orderBy(rowOrder.map(_.desc): _*)
-    copy(sdf.withColumn("__rn", F.row_number().over(w))
-      .filter(F.col("__rn") <= n).drop("__rn"))
+    import org.apache.spark.sql.graftbridge.Bridge
+    if (groups.isEmpty) {
+      require(rowOrder.nonEmpty,
+        "ungrouped tail needs a row order: call .ordered(cols*) first")
+      copy(sdf.sort(rowOrder.map(Bridge.flipSortOrder): _*).limit(n))
+    } else {
+      val c = ctx(true)
+      val w = c.part.orderBy(rowOrder.map(Bridge.flipSortOrder): _*)
+      copy(sdf.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n).drop("__rn"))
+    }
   }
 
   /** `slice/3` (offset, len) over the declared order; group-aware like the
@@ -404,6 +430,18 @@ final class Gdf(
 
   def collectRows(): Array[org.apache.spark.sql.Row] = sdf.collect()
   def count(): Long = sdf.count()
+
+  /** `shape/1` — (n_rows, n_columns). n_rows runs a count job (the
+    * reference's frame is materialized; a count is the lazy-plan analog). */
+  def shape: (Long, Int) = (sdf.count(), names.size)
+  def nRows: Long = sdf.count()
+  def nColumns: Int = names.size
+
+  /** `estimated_size/1` (data_frame.ex) — Catalyst's optimized-plan size
+    * estimate in bytes. The reference reports the materialized frame's heap
+    * size; for a lazy plan the optimizer's stats estimate is the analog
+    * (exact after a scan of parquet footers, heuristic mid-plan). */
+  def estimatedSize: BigInt = sdf.queryExecution.optimizedPlan.stats.sizeInBytes
   def cache(): Gdf = copy(sdf.cache())
 }
 

@@ -125,4 +125,20 @@ object Bridge {
       case other => Column(SO(other, SO.Ascending, target))
     }
   }
+
+  /** Flip a sort key end-for-end (reference `reverse/1`): direction AND null
+    * placement invert, so the reversed order is exactly the original order
+    * read backwards. Bare columns are treated as Spark's default
+    * (asc, nulls first) and become (desc, nulls last). */
+  def flipSortOrder(key: Column): Column = {
+    import org.apache.spark.sql.internal.{SortOrder => SO}
+    key.node match {
+      case so: SO => Column(so.copy(
+        sortDirection =
+          if (so.sortDirection == SO.Ascending) SO.Descending else SO.Ascending,
+        nullOrdering =
+          if (so.nullOrdering == SO.NullsFirst) SO.NullsLast else SO.NullsFirst))
+      case other => Column(SO(other, SO.Descending, SO.NullsLast))
+    }
+  }
 }

@@ -89,8 +89,15 @@ object ArrowIpc {
     readVia(spark, alloc =>
       new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), alloc, codecFactory))
 
-  private def writeVia(df: DataFrame, path: String, stream: Boolean,
-      compression: Option[String] = None): Unit = {
+  /** In-memory variant of `from_ipc` (`load_ipc`): parse IPC FILE bytes. */
+  def loadFile(spark: SparkSession, bytes: Array[Byte]): DataFrame =
+    readVia(spark, alloc =>
+      new ArrowFileReader(
+        new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(bytes),
+        alloc, codecFactory))
+
+  private def writeVia(df: DataFrame, out: java.io.OutputStream,
+      stream: Boolean, compression: Option[String]): Unit = {
     val spark = df.sparkSession
     val schema = df.schema
     val tz = spark.sessionState.conf.sessionLocalTimeZone
@@ -104,7 +111,7 @@ object ArrowIpc {
     val arrowSchema = ArrowUtils.toArrowSchema(schema, tz, true, false)
     val root = VectorSchemaRoot.create(arrowSchema, allocator)
     val loader = new VectorLoader(root)
-    val out = new FileOutputStream(path)
+    val ch = Channels.newChannel(out)
     val opt = org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT
     val ct = codecType(compression)
     val compressed =
@@ -112,12 +119,12 @@ object ArrowIpc {
     // the commons codec factory refuses to build a NO_COMPRESSION codec, so
     // uncompressed writes take the plain constructors
     val writer =
-      if (stream && compressed) new ArrowStreamWriter(root, null,
-        Channels.newChannel(out), opt, codecFactory, ct)
-      else if (stream) new ArrowStreamWriter(root, null, out)
-      else if (compressed) new ArrowFileWriter(root, null, out.getChannel,
+      if (stream && compressed) new ArrowStreamWriter(root, null, ch, opt,
+        codecFactory, ct)
+      else if (stream) new ArrowStreamWriter(root, null, ch)
+      else if (compressed) new ArrowFileWriter(root, null, ch,
         null, opt, codecFactory, ct)
-      else new ArrowFileWriter(root, null, out.getChannel)
+      else new ArrowFileWriter(root, null, ch)
     try {
       writer.start()
       batches.foreach { b =>
@@ -133,9 +140,25 @@ object ArrowIpc {
 
   def writeFile(df: DataFrame, path: String,
       compression: Option[String] = None): Unit =
-    writeVia(df, path, stream = false, compression)
+    writeVia(df, new FileOutputStream(path), stream = false, compression)
 
   def writeStream(df: DataFrame, path: String,
       compression: Option[String] = None): Unit =
-    writeVia(df, path, stream = true, compression)
+    writeVia(df, new FileOutputStream(path), stream = true, compression)
+
+  /** `dump_ipc` — the frame as Arrow IPC FILE bytes (data_frame.ex:1240). */
+  def dumpFile(df: DataFrame,
+      compression: Option[String] = None): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    writeVia(df, bos, stream = false, compression)
+    bos.toByteArray
+  }
+
+  /** `dump_ipc_stream` — the frame as IPC STREAM bytes (data_frame.ex:1494). */
+  def dumpStream(df: DataFrame,
+      compression: Option[String] = None): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    writeVia(df, bos, stream = true, compression)
+    bos.toByteArray
+  }
 }

@@ -228,6 +228,19 @@ object GraftIO {
       compression: Option[String] = None): Unit =
     org.apache.spark.sql.graftbridge.ArrowIpc.writeStream(df.sdf, path, compression)
 
+  /** `load_ipc` — parse in-memory Arrow IPC FILE bytes (data_frame.ex:1200). */
+  def loadIpc(spark: SparkSession, bytes: Array[Byte]): Gdf =
+    Gdf(org.apache.spark.sql.graftbridge.ArrowIpc.loadFile(spark, bytes))
+
+  /** `dump_ipc` / `dump_ipc_stream` — frame → in-memory IPC bytes
+    * (data_frame.ex:1240, 1494; driver-sized by definition, like all
+    * dump-style exports). */
+  def dumpIpc(df: Gdf, compression: Option[String] = None): Array[Byte] =
+    org.apache.spark.sql.graftbridge.ArrowIpc.dumpFile(df.sdf, compression)
+
+  def dumpIpcStream(df: Gdf, compression: Option[String] = None): Array[Byte] =
+    org.apache.spark.sql.graftbridge.ArrowIpc.dumpStream(df.sdf, compression)
+
   /** `load_ipc_stream` — parse in-memory Arrow IPC stream bytes. */
   def loadIpcStream(spark: SparkSession, bytes: Array[Byte]): Gdf =
     Gdf(org.apache.spark.sql.graftbridge.ArrowIpc.loadStream(spark, bytes))

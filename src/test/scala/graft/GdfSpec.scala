@@ -174,6 +174,37 @@ class GdfSpec extends SparkSpec {
     assert(d.indexOf("v", 30.0).collect()(0).getLong(0) == 2L)
   }
 
+  test("reverse flips the declared order for positional verbs") {
+    val d = base.ordered(F.col("id"))
+    assert(col1[Long](d.reverse.head(2).sdf.orderBy("id"), "id") ==
+      Seq(4L, 5L))
+    assert(col1[Long](d.reverse.at(0).sdf, "id") == Seq(5L))
+    // double reverse restores the original order
+    assert(col1[Long](d.reverse.reverse.at(0).sdf, "id") == Seq(1L))
+    // null keys: reversed order puts nulls where a backwards read would
+    val n = Gdf(Seq((Some(1L), "x"), (None, "y"), (Some(3L), "z"))
+      .toDF("k", "s")).ordered(Gdf.withNils(F.col("k"), nilsLast = true))
+    assert(col1[String](n.reverse.at(0).sdf, "s") == Seq("y"))
+  }
+
+  test("shape / nRows / nColumns / estimatedSize") {
+    assert(base.shape == (5L, 3))
+    assert(base.nRows == 5L && base.nColumns == 3)
+    assert(base.estimatedSize > 0)
+  }
+
+  test("allEqual aggregate (series.ex all_equal, nil == nil)") {
+    val d = Gdf(Seq((Some(1L), Some(1L)), (None, None), (Some(3L), Some(3L)))
+      .toDF("a", "b"))
+    val eq = d.summariseWith { implicit c => Seq(
+      "eq" -> allEqual(Series(F.col("a")), Series(F.col("b")))) }
+    assert(eq.sdf.head.getBoolean(0))
+    val d2 = Gdf(Seq((Some(1L), Some(2L))).toDF("a", "b"))
+    val eq2 = d2.summariseWith { implicit c => Seq(
+      "eq" -> allEqual(Series(F.col("a")), Series(F.col("b")))) }
+    assert(!eq2.sdf.head.getBoolean(0))
+  }
+
   test("transformRows escape hatch runs host code per partition") {
     import org.apache.spark.sql.types._
     val out = StructType(Seq(StructField("g", StringType),

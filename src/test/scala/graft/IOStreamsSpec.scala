@@ -166,6 +166,19 @@ class IOStreamsSpec extends SparkSpec {
     assert(iov.size == 4 && iov.map(_.length).sum == 800)
   }
 
+  test("dump_ipc / dump_ipc_stream round-trip through load_ipc*") {
+    val d = Gdf(Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("i", "s", "v"))
+    val fileBytes = GraftIO.dumpIpc(d)
+    val backF = GraftIO.loadIpc(spark, fileBytes)
+    assert(col1[Double](backF.sdf.orderBy("i"), "v") == Seq(1.5, 2.5))
+    val streamBytes = GraftIO.dumpIpcStream(d, compression = Some("zstd"))
+    val backS = GraftIO.loadIpcStream(spark, streamBytes)
+    assert(col1[String](backS.sdf.orderBy("i"), "s") == Seq("x", "y"))
+    // compressed file-format dump also loads
+    val zf = GraftIO.dumpIpc(d, compression = Some("lz4"))
+    assert(GraftIO.loadIpc(spark, zf).sdf.count() == 2)
+  }
+
   test("arrow ipc file round trip preserves schema and values") {
     val p = tmp("graft_ipc") + "/data.arrow"
     val d = Gdf(Seq((1L, "x", 1.5, true), (2L, "y", 2.5, false))
