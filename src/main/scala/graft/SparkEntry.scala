@@ -741,8 +741,7 @@ object SparkEntry {
       val stream = streaming.Streams.readParquetStream(
         s, dir, schema, maxFilesPerTrigger = 1,
         globFilter = Some("events.parquet"))
-        .withColumn("evt_ts", F.timestamp_micros((F.col("ts") / 1000L).cast(
-          org.apache.spark.sql.types.LongType)))
+        .withColumn("evt_ts", F.timestamp_micros(F.expr("ts DIV 1000")))
       val agg = streaming.Streams.windowedCounts(
         stream, "evt_ts", "2 hours", "1 hour", Seq("event_type"))
       streaming.Streams.runToMemory(agg, s"s01_win_${dir.hashCode.abs}",
@@ -751,6 +750,34 @@ object SparkEntry {
     mem.select(F.col("window.start").as("hour_start"), F.col("event_type"),
         F.col("n"), F.round(F.col("total_value"), 4).as("total_value"))
       .orderBy("hour_start", "event_type")
+  }
+
+  /** Streaming sessionization (session_window, 30-minute gap, per user)
+    * checked against a BATCH gaps-and-islands oracle in DuckDB — same
+    * session boundaries (new session when the inter-event gap ≥ the window
+    * gap), same per-session counts and sums. Complete output mode: every
+    * closed-over session is in the final state, so no watermark truncation
+    * at the tail of the bounded replay. */
+  private val s02: (SparkSession, String) => DataFrame = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val mem = try {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = streaming.Streams.readParquetStream(
+        s, dir, schema, maxFilesPerTrigger = 1,
+        globFilter = Some("events.parquet"))
+        .withColumn("evt_ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .filter(F.col("user_id").isNotNull)
+      val sess = streaming.Streams.sessionize(
+        stream, "evt_ts", "2 hours", "30 minutes", Seq("user_id"))
+      streaming.Streams.runToMemory(sess, s"s02_sess_${dir.hashCode.abs}",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    mem.select(F.col("user_id"),
+        F.col("session_window.start").as("session_start"),
+        F.col("n_events"), F.round(F.col("total_value"), 4).as("total_value"))
+      .orderBy("user_id", "session_start")
   }
 
   // ======== training-data pipeline operators =================================
@@ -1080,6 +1107,7 @@ object SparkEntry {
     "q51_sort_nils" -> q51,
     "q52_cut_frame" -> q52,
     "s01_stream_window" -> s01,
+    "s02_stream_session" -> s02,
     "d01_exact_dedup" -> d01,
     "d02_token_counts" -> d02,
     "d03_langid_quality" -> d03,
@@ -1495,6 +1523,22 @@ object SparkEntry {
       SELECT date_trunc('hour', ts) AS hour_start, event_type,
              count(*) AS n, round(sum(value), 4) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "s02_stream_session" -> """
+      WITH e AS (SELECT user_id, ts, value FROM events
+                 WHERE user_id IS NOT NULL),
+           m AS (SELECT user_id, ts, value,
+                        CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                             WHEN ts >= lag(ts) OVER w
+                                  + INTERVAL 30 MINUTE THEN 1
+                             ELSE 0 END AS brk
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           g AS (SELECT user_id, ts, value,
+                        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM m)
+      SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+             round(sum(value), 4) AS total_value
+      FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "d01_exact_dedup" -> """
       SELECT min(doc_id) AS doc_id, arg_min(n_chars, doc_id) AS n_chars
       FROM documents GROUP BY text ORDER BY doc_id""",
