@@ -904,6 +904,23 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** IVF ANN with EXHAUSTIVE probing (`nprobe = nlist`): every cell is
+    * probed, so the result is exactly brute-force top-k — which makes the
+    * whole IVF pipeline (sampled k-means training, native-expression
+    * assignment, probe explode, cell join, exact rescore) checkable against
+    * the same DuckDB all-pairs oracle as d04. Partial-probe recall is
+    * spec-checked on clustered data (`OperatorsSpec`). */
+  private val d14: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(F.col("vec_id") < 5)
+    Similarity.ivfTopK(
+      emb.filter(F.col("vec_id") >= 5), F.col("vec_id"), F.col("embedding"),
+      queries, F.col("vec_id"), F.col("embedding"), k = 5,
+      nlist = 16, nprobe = 16)
+      .withColumn("cosine", F.round(F.col("cosine"), 6))
+      .orderBy("query_id", "rank")
+  }
+
   /** frame-shape verbs end to end: select / discard / rename / renameWith /
     * relocate (§2.2; reference data_frame.ex select/discard/rename/relocate
     * doctests). Column ORDER is relocate's business; the oracle compare is
@@ -1121,6 +1138,7 @@ object SparkEntry {
     "d11_multimodal" -> d11,
     "d12_fingerprint" -> d12,
     "d13_embedding_neardup" -> d13,
+    "d14_ivf_topk" -> d14,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -1638,6 +1656,26 @@ object SparkEntry {
           (CASE WHEN sr > 0.01 THEN 1.0 ELSE 0.0 END)*0.2, 6) AS quality
       FROM c ORDER BY doc_id""",
     "d04_cosine_topk" -> """
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 5),
+           c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE vec_id >= 5),
+           scored AS (
+             SELECT query_id, corpus_id,
+                    list_dot_product(qv, cv) /
+                      (sqrt(list_dot_product(qv, qv)) *
+                       sqrt(list_dot_product(cv, cv))) AS cosine
+             FROM q CROSS JOIN c),
+           ranked AS (
+             SELECT query_id, corpus_id,
+                    CAST(row_number() OVER
+                      (PARTITION BY query_id
+                       ORDER BY cosine DESC, corpus_id) AS INT) AS rank,
+                    round(cosine, 6) AS cosine
+             FROM scored)
+      SELECT query_id, corpus_id, rank, cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
+    "d14_ivf_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                  FROM embeddings WHERE vec_id < 5),
            c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv

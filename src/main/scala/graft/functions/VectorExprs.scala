@@ -87,7 +87,75 @@ case class HyperplaneSig(child: Expression, planes: Int, seed: Long)
   }
 }
 
+/** Top-`n` centroid cells for a vector by dot product (IVF probe /
+  * assignment). Centroids ride in the expression as literals — broadcast
+  * with the plan, no join, no driver state at eval time. Ties break toward
+  * the lower cell id (deterministic). `n = 1` is the assignment case. */
+case class TopCells(child: Expression, centroids: Seq[Seq[Double]], n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && n <= centroids.size,
+    s"nprobe $n out of [1, ${centroids.size}]")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "top_cells"
+  override protected def withNewChildInternal(c: Expression): TopCells =
+    copy(child = c)
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(s"top_cells over $other")
+  }
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dims = arr.numElements()
+    val v = new Array[Double](dims)
+    var i = 0
+    while (i < dims) {
+      v(i) = if (arr.isNullAt(i)) 0.0
+        else if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val nc = cents.length
+    val dots = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      val cen = cents(c)
+      val d = math.min(dims, cen.length)
+      var dot = 0.0
+      var j = 0
+      while (j < d) { dot += v(j) * cen(j); j += 1 }
+      dots(c) = dot
+      c += 1
+    }
+    // partial selection of the n best cells (n is small)
+    val out = new Array[Int](n)
+    val taken = new Array[Boolean](nc)
+    var k = 0
+    while (k < n) {
+      var best = -1
+      var bestDot = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < nc) {
+        if (!taken(c2) && dots(c2) > bestDot) { best = c2; bestDot = dots(c2) }
+        c2 += 1
+      }
+      taken(best) = true
+      out(k) = best
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExprs {
   def hyperplaneSig(vec: Column, planes: Int, seed: Long): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(vec), planes, seed))
+
+  def topCells(vec: Column, centroids: Seq[Seq[Double]], n: Int): Column =
+    Bridge.column(TopCells(Bridge.expression(vec), centroids, n))
 }

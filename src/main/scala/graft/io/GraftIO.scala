@@ -37,10 +37,18 @@ object GraftIO {
       eolDelimiter: Option[String] = None,
       quoteDelimiter: String = "\"",
       parseDates: Boolean = false): Gdf = {
+    // Explorer's `:utf8_lossy` (io.rs:44): malformed UTF-8 → U+FFFD instead
+    // of an error. Spark's text decode (Hadoop Text) already replaces
+    // malformed sequences, so lossy IS the UTF-8 behavior here; the alias
+    // keeps reference call sites working verbatim.
+    val charset = encoding.toLowerCase match {
+      case "utf8-lossy" | "utf8_lossy" => "UTF-8"
+      case _ => encoding
+    }
     var r = spark.read
       .option("sep", delimiter)
       .option("header", header)
-      .option("encoding", encoding)
+      .option("encoding", charset)
       .option("quote", quoteDelimiter)
     if (nilValues.nonEmpty) r = r.option("nullValue", nilValues.head)
     dtypes match {
@@ -55,7 +63,7 @@ object GraftIO {
         r.csv(path)
       } else {
         import spark.implicits._
-        var tr = spark.read.option("encoding", encoding)
+        var tr = spark.read.option("encoding", charset)
         eolDelimiter.foreach(e => tr = tr.option("lineSep", e))
         val lines = tr.textFile(path)
         val hdr = if (header) 1 else 0

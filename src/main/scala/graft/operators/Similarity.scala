@@ -92,4 +92,99 @@ object Similarity {
       .filter(F.col("rank") <= k)
       .select("query_id", "corpus_id", "rank", "cosine")
   }
+
+  /** IVF (inverted-file) approximate top-k — the FAISS-style ANN scale
+    * path. A coarse spherical k-means quantizer splits the corpus into
+    * `nlist` cells; each query probes its `nprobe` best cells and scores
+    * only those cells' vectors with EXACT cosine.
+    *
+    * Scale shape:
+    *  - training runs Lloyd's on a seeded SAMPLE collected to the driver
+    *    (`trainSample` rows — the standard IVF posture; FAISS trains on a
+    *    subset too). The corpus itself never collects.
+    *  - centroids travel inside a native expression
+    *    ([[graft.functions.TopCells]]) — plan-broadcast literals, JIT'd
+    *    argmax loop, no join for assignment.
+    *  - one distributed pass assigns corpus rows to cells; probing explodes
+    *    each query into `nprobe` (cell, query) rows; candidates come from a
+    *    hash join on cell. Corpus shuffles once, by cell.
+    *
+    * `nprobe = nlist` probes every cell — exact search through the IVF
+    * plumbing (how d14 is oracle-checked); recall at `nprobe < nlist` is
+    * the usual IVF trade and is spec-checked on clustered data.
+    * Deterministic: seeded sample, seeded init, fixed iteration count. */
+  def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+      trainSample: Int = 10000, seed: Long = 42): DataFrame = {
+    import graft.functions.VectorExprs
+    val c = corpus.select(corpusId.as("corpus_id"), corpusVec.as("cv"))
+    // --- train: seeded sample -> driver-side Lloyd's (spherical) ---------
+    val sample = c.orderBy(F.xxhash64(F.col("corpus_id"), F.lit(seed)))
+      .limit(trainSample)
+      .select(F.col("cv").cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "ivfTopK: empty corpus")
+    val centroids = trainSpherical(sample, math.min(nlist, sample.length), iters)
+    val probes = math.min(nprobe, centroids.length)
+    // --- assign corpus (one pass, no shuffle until the candidate join) ---
+    val assigned = c.withColumn("cell",
+      VectorExprs.topCells(F.col("cv"), centroids, 1)(0))
+    val probed = queries
+      .select(queryId.as("query_id"), queryVec.as("qv"))
+      .withColumn("cell",
+        F.explode(VectorExprs.topCells(F.col("qv"), centroids, probes)))
+    val pairs = assigned.join(probed, Seq("cell"))
+      .withColumn("cosine", cosine(F.col("cv"), F.col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cosine").desc, F.col("corpus_id"))
+    pairs.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "corpus_id", "rank", "cosine")
+  }
+
+  /** Driver-side spherical Lloyd's over the training sample: init = first
+    * `nlist` sample rows (the sample is already hash-shuffled, so this is a
+    * seeded random init), assign by max dot with unit centroids, recompute
+    * as the mean of assigned rows re-normalized. Empty cells re-seed from
+    * the sample deterministically. */
+  private def trainSpherical(sample: Array[Array[Double]], nlist: Int,
+      iters: Int): Seq[Seq[Double]] = {
+    val dims = sample.head.length
+    def normalized(v: Array[Double]): Array[Double] = {
+      var n2 = 0.0; var i = 0
+      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      val n = math.sqrt(n2)
+      if (n == 0.0) v.clone() else v.map(_ / n)
+    }
+    var cents = sample.take(nlist).map(normalized)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](nlist, dims)
+      val counts = new Array[Long](nlist)
+      var r = 0
+      while (r < sample.length) {
+        val v = sample(r)
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var cIdx = 0
+        while (cIdx < nlist) {
+          var dot = 0.0; var j = 0
+          val cen = cents(cIdx)
+          while (j < dims) { dot += v(j) * cen(j); j += 1 }
+          if (dot > bestDot) { bestDot = dot; best = cIdx }
+          cIdx += 1
+        }
+        var j = 0
+        while (j < dims) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+        r += 1
+      }
+      cents = Array.tabulate(nlist) { cIdx =>
+        if (counts(cIdx) == 0L) cents(cIdx) // keep; deterministic
+        else normalized(sums(cIdx).map(_ / counts(cIdx)))
+      }
+      it += 1
+    }
+    cents.map(_.toSeq).toSeq
+  }
 }

@@ -62,6 +62,18 @@ class IOStreamsSpec extends SparkSpec {
       Seq("x", "y"))
   }
 
+  test("fromCsv utf8-lossy replaces malformed bytes with U+FFFD") {
+    val dir = tmp("graft_lossy")
+    val f = new java.io.File(dir, "in.csv")
+    // 0xFF is never valid UTF-8
+    val bytes = "a,b\nok,1\nbad".getBytes("UTF-8") ++
+      Array[Byte](0xFF.toByte) ++ ",2\n".getBytes("UTF-8")
+    java.nio.file.Files.write(f.toPath, bytes)
+    val g = GraftIO.fromCsv(spark, f.getPath, encoding = "utf8-lossy")
+    val got = g.sdf.orderBy("b").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("ok", "bad�"))
+  }
+
   test("fromCsv honors every nilValue, not just the head") {
     val dir = tmp("graft_nils")
     val f = new java.io.File(dir, "in.csv")

@@ -192,6 +192,36 @@ class OperatorsSpec extends SparkSpec {
       .map(_.getSeq[Double](0)).toSeq)
   }
 
+  test("IVF top-k: exhaustive probe equals brute force; partial probe recalls clusters") {
+    // 4 well-separated clusters (disjoint dominant axes) + per-cluster queries
+    val corpus = (for { cl <- 0 until 4; i <- 0 until 25 } yield {
+      val v = Array.tabulate(8)(d =>
+        (if (d == cl * 2) 10.0 else 0.0) + ((i * 7 + d * 3) % 5) * 0.1)
+      (cl * 100L + i, v.toSeq)
+    }).toDF("id", "v")
+    val queries = (0 until 4).map { cl =>
+      (1000L + cl, Seq.tabulate(8)(d => if (d == cl * 2) 10.0 else 0.0))
+    }.toDF("id", "v")
+    def ids(d: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      d.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+    val exact = ids(Similarity.bruteForceTopK(corpus, F.col("id"), F.col("v"),
+      queries, F.col("id"), F.col("v"), k = 5))
+    // nprobe = nlist: identical to brute force through the IVF plumbing
+    val exhaustive = ids(Similarity.ivfTopK(corpus, F.col("id"), F.col("v"),
+      queries, F.col("id"), F.col("v"), k = 5, nlist = 8, nprobe = 8,
+      trainSample = 100))
+    assert(exhaustive == exact)
+    // single-probe: each query's neighbors all live in its own cluster cell
+    val probed = ids(Similarity.ivfTopK(corpus, F.col("id"), F.col("v"),
+      queries, F.col("id"), F.col("v"), k = 5, nlist = 4, nprobe = 1,
+      trainSample = 100))
+    val recall = exact.map { case (q, want) =>
+      probed.getOrElse(q, Nil).count(want.contains).toDouble / want.size
+    }.sum / exact.size
+    assert(recall >= 0.8, s"IVF single-probe recall $recall")
+  }
+
   test("syntheticPayload yields exactly n raw bytes") {
     val rows = spark.range(3).select(
       F.length(Multimodal.syntheticPayload(F.col("id"), 100)).as("len"))
