@@ -731,11 +731,14 @@ object SparkEntry {
     * equivalent batch aggregation oracle (beyond-reference, SURVEY §7.2/8). */
   private val s01: (SparkSession, String) => DataFrame = (s, dir) => {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // a stateful query materializes one state store per shuffle partition
-    // for its whole lifetime — size to the grouping cardinality (event
-    // types × hour windows here), not to the batch default
+    // a stateful query materializes state stores per shuffle partition for
+    // its whole lifetime, and each store COMMIT carries a large fixed cost
+    // (measured ~0.5s/store/batch: 32 partitions put 147s cumulative commit
+    // time on a 2-batch join; 2 partitions, 1.4s). At harness SF the state
+    // fits 2 partitions easily; a production run sizes this to state
+    // volume, not to the compute default.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     val mem = try {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = streaming.Streams.readParquetStream(
@@ -761,7 +764,7 @@ object SparkEntry {
   private val s02: (SparkSession, String) => DataFrame = (s, dir) => {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     val mem = try {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = streaming.Streams.readParquetStream(
@@ -902,6 +905,34 @@ object SparkEntry {
       .select(F.col("id_a"), F.col("id_b"),
         F.round(F.col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** Stream-stream interval join (funnel: view → purchase by the same user
+    * within 24h) checked against the equivalent batch join in DuckDB. Inner
+    * join in append mode emits exactly the matched pairs; watermarks + the
+    * range bound keep the join state finite. */
+  private val s03: (SparkSession, String) => DataFrame = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    val mem = try {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def side(kind: String, ts: String, id: String) =
+        streaming.Streams.readParquetStream(s, dir, schema,
+          maxFilesPerTrigger = 1, globFilter = Some("events.parquet"))
+          .filter(F.col("event_type") === kind)
+          .select(F.col("user_id"),
+            F.timestamp_micros(F.expr("ts DIV 1000")).as(ts),
+            F.col("event_id").as(id))
+      val joined = streaming.Streams.intervalJoin(
+        side("view", "view_ts", "view_id"),
+        side("purchase", "purchase_ts", "purchase_id"),
+        "view_ts", "purchase_ts", "1 hour", Seq("user_id"), "24 HOUR")
+        .select("l.user_id", "view_id", "purchase_id")
+      streaming.Streams.runToMemory(joined, s"s03_join_${dir.hashCode.abs}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    mem.orderBy("view_id", "purchase_id")
   }
 
   /** IVF ANN with EXHAUSTIVE probing (`nprobe = nlist`): every cell is
@@ -1125,6 +1156,7 @@ object SparkEntry {
     "q52_cut_frame" -> q52,
     "s01_stream_window" -> s01,
     "s02_stream_session" -> s02,
+    "s03_stream_join" -> s03,
     "d01_exact_dedup" -> d01,
     "d02_token_counts" -> d02,
     "d03_langid_quality" -> d03,
@@ -1557,6 +1589,15 @@ object SparkEntry {
       SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
              round(sum(value), 4) AS total_value
       FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "s03_stream_join" -> """
+      WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+                 WHERE user_id IS NOT NULL)
+      SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'view' AND b.event_type = 'purchase'
+       AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR
+      ORDER BY view_id, purchase_id""",
     "d01_exact_dedup" -> """
       SELECT min(doc_id) AS doc_id, arg_min(n_chars, doc_id) AS n_chars
       FROM documents GROUP BY text ORDER BY doc_id""",

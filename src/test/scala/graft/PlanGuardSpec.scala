@@ -21,7 +21,7 @@ class PlanGuardSpec extends SparkSpec {
     "q42_spearman", "q44_concat_columns", "q51_sort_nils", "q52_cut_frame",
     "q54_positional", "q55_math_funcs",
     "d01_exact_dedup", "d05_minhash_pairs", "d07_ngram_jaccard",
-    "d13_embedding_neardup")
+    "d13_embedding_neardup", "d14_ivf_topk")
 
   /** Lines of the subtree rooted at line `i` (children print below with
     * deeper operator indentation until a line at or above the root's). */
