@@ -47,6 +47,27 @@ class PlanGuardSpec extends SparkSpec {
     }.map(lines)
   }
 
+  test("filter pushdown reaches the parquet scan (q03)") {
+    val plan = SparkEntry.queries("q03_filter_predicates")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters: ["))
+      .mkString("\n")
+    assert(pushed.nonEmpty && !pushed.contains("PushedFilters: []"),
+      s"no pushed filters:\n$plan")
+    assert(pushed.contains("GreaterThan(l_quantity") ||
+      pushed.contains("In(l_returnflag"), pushed)
+  }
+
+  test("column pruning reaches the parquet scan (q01 reads 6 of 11 columns)") {
+    val plan = SparkEntry.queries("q01_agg")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val read = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString("\n")
+    assert(read.nonEmpty, plan)
+    for (unused <- Seq("l_partkey", "l_suppkey", "l_orderkey"))
+      assert(!read.contains(unused), s"unpruned column $unused:\n$read")
+  }
+
   for (name <- guarded)
     test(s"$name: no single-partition window, no nested-loop join") {
       val plan = SparkEntry.queries(name)(spark, dir)
