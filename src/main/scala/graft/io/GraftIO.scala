@@ -255,8 +255,14 @@ object GraftIO {
 
   /** `from_query` (ADBC in the reference, data_frame.ex:518-544) → JDBC. */
   def fromQuery(spark: SparkSession, url: String, query: String,
-      properties: java.util.Properties = new java.util.Properties()): Gdf =
-    Gdf(spark.read.jdbc(url, s"($query) q", properties))
+      properties: java.util.Properties = new java.util.Properties()): Gdf = {
+    // the `query` option lets Spark's per-database dialect wrap the
+    // subquery correctly (Derby needs `AS alias`, most others don't)
+    var r = spark.read.format("jdbc")
+      .option("url", url).option("query", query)
+    properties.forEach((k, v) => r = r.option(k.toString, v.toString))
+    Gdf(r.load())
+  }
 
   /** `new/1` — build from host-language rows (data_frame.ex:1915-2023). */
   def fromRows(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row],

@@ -62,6 +62,23 @@ class IOStreamsSpec extends SparkSpec {
       Seq("x", "y"))
   }
 
+  test("fromQuery reads over JDBC (embedded Derby — Spark's metastore db)") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE people (id INT, name VARCHAR(32), score DOUBLE)")
+      st.execute("INSERT INTO people VALUES (1, 'ada', 9.5), (2, 'bob', 7.25)," +
+        " (3, 'eve', 8.0)")
+      st.close()
+    } finally conn.close()
+    val g = GraftIO.fromQuery(spark, url,
+      "SELECT id, name, score FROM people WHERE score >= 8.0")
+    val rows = g.sdf.orderBy("id").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 3))
+    assert(rows.map(_.getString(1)).toSeq == Seq("ada", "eve"))
+  }
+
   test("fromCsv utf8-lossy replaces malformed bytes with U+FFFD") {
     val dir = tmp("graft_lossy")
     val f = new java.io.File(dir, "in.csv")
