@@ -110,4 +110,53 @@ class PropertySpec extends SparkSpec {
       if (isFloat(a) || isFloat(b)) assert(isFloat(p))
     }
   }
+
+  test("series binary round-trip is identity for s64/f64 buffers") {
+    import org.apache.spark.sql.{functions => F}
+    val longs = Gen.nonEmptyListOf(
+      Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)).map(_.take(40))
+    forAll(longs) { vs =>
+      val g = Gdf(df(schema("values" -> LongType), vs.map(Seq(_)): _*))
+      val bin = graft.io.SeriesBinary.toBinary(g, "values")
+      assert(bin.length == vs.size * 8)
+      val back = graft.io.SeriesBinary
+        .fromBinary(spark, bin, DType.S(64))
+        .sdf.collect().map(_.getLong(0)).toSeq.sorted
+      assert(back == vs.sorted)
+    }
+    val doubles = Gen.nonEmptyListOf(
+      Gen.chooseNum(-1e12, 1e12)).map(_.take(40))
+    forAll(doubles) { vs =>
+      val g = Gdf(df(schema("values" -> DoubleType), vs.map(Seq(_)): _*))
+      val back = graft.io.SeriesBinary.fromBinary(spark,
+          graft.io.SeriesBinary.toBinary(g, "values"), DType.F(64))
+        .sdf.collect().map(_.getDouble(0)).toSeq.sorted
+      assert(back == vs.sorted)
+    }
+  }
+
+  test("spearman equals pearson over explicitly computed average ranks") {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Gen.nonEmptyListOf(for {
+      a <- Gen.chooseNum(0, 20)
+      b <- Gen.chooseNum(-50, 50)
+    } yield (a.toDouble, b.toDouble)).map(_.take(60).tail) // >= 2 rows below
+    forAll(pairs) { vs =>
+      if (vs.size >= 3 && vs.map(_._1).distinct.size > 1 &&
+          vs.map(_._2).distinct.size > 1) {
+        val d = df(schema("a" -> DoubleType, "b" -> DoubleType),
+          vs.map(v => Seq(v._1, v._2)): _*)
+        val got = Stats.spearman(Gdf(d), "a", "b").head.getDouble(0)
+        // single-node reference: rank() + (ties-1)/2 via plain windows
+        val ra = F.rank().over(Window.orderBy("a")) +
+          (F.count(F.lit(1)).over(Window.partitionBy("a")) - 1) / 2.0
+        val rb = F.rank().over(Window.orderBy("b")) +
+          (F.count(F.lit(1)).over(Window.partitionBy("b")) - 1) / 2.0
+        val want = d.withColumn("ra", ra).withColumn("rb", rb)
+          .agg(F.corr(F.col("ra"), F.col("rb"))).head.getDouble(0)
+        assert(approx(got, want, 1e-9), s"spearman $got vs $want")
+      }
+    }
+  }
 }
