@@ -98,6 +98,47 @@ object Joins {
     new Gdf(out.sdf.drop("__salt"))
   }
 
+  /** Point-in-interval RANGE join (beyond-reference; the other operator the
+    * brief names next to as-of). A bare non-equi condition
+    * (`lo <= p AND p <= hi`) gives Spark NO equi key, so Catalyst plans a
+    * BroadcastNestedLoopJoin — all-pairs, the shape the plan guard bans.
+    *
+    * Scale path: bucketize. Every interval replicates to the fixed-width
+    * bins it covers (`sequence(floor(lo/w), floor(hi/w))` explode), every
+    * point probes exactly its own bin — a plain shuffle HASH join on the
+    * bin id plus a residual `BETWEEN` filter. Cost is
+    * O(points + intervals × span/w) shuffle rows, linear and AQE-skew-
+    * handled; pick `binWidth` ≈ the typical interval span so replication
+    * stays near 1. `maxBinsPerInterval` guards against a degenerate wide
+    * interval exploding the build side (same capping discipline as the
+    * dedup bucket caps).
+    *
+    * Columns are LongType (epoch micros for time — caller casts); interval
+    * ends are inclusive. */
+  def rangeJoin(points: Gdf, intervals: Gdf, pointOn: String,
+      loOn: String, hiOn: String, binWidth: Long,
+      maxBinsPerInterval: Int = 1024): Gdf = {
+    require(binWidth > 0, "rangeJoin needs a positive binWidth")
+    val p = points.sdf.withColumn("__bin", F.floor(F.col(pointOn) / binWidth))
+    val iv = intervals.sdf
+      .withColumn("__nbins",
+        (F.floor(F.col(hiOn) / binWidth) - F.floor(F.col(loOn) / binWidth)))
+    // fail loudly rather than silently exploding the shuffle
+    val guarded = iv.withColumn("__nbins",
+      F.when(F.col("__nbins") < maxBinsPerInterval, F.col("__nbins"))
+        .otherwise(F.raise_error(F.concat(F.lit(
+          s"rangeJoin: interval spans more than $maxBinsPerInterval bins " +
+            s"of width $binWidth — raise binWidth: "), F.col(loOn)))))
+    val binned = guarded.withColumn("__bin",
+      F.explode(F.sequence(F.floor(F.col(loOn) / binWidth),
+        F.floor(F.col(loOn) / binWidth) + F.col("__nbins"))))
+      .drop("__nbins")
+    val joined = p.join(binned, Seq("__bin"))
+      .filter(F.col(pointOn) >= F.col(loOn) && F.col(pointOn) <= F.col(hiOn))
+      .drop("__bin")
+    new Gdf(joined, logical = points.logical ++ intervals.logical)
+  }
+
   /** `join_asof/3` (reference data_frame.ex:5416-5580; AsofStrategy
     * lazyframe.rs:371-426): for each left row, pick the right row with the
     * greatest key ≤ left key (backward), smallest ≥ (forward), or closest

@@ -935,6 +935,25 @@ object SparkEntry {
     mem.orderBy("view_id", "purchase_id")
   }
 
+  /** RANGE join (point-in-interval, NO equality key): clicks falling inside
+    * any error's 5-minute aftermath window. A bare non-equi join would plan
+    * BroadcastNestedLoop (all-pairs); [[Joins.rangeJoin]] bucketizes
+    * intervals into fixed-width bins and hash-joins on the bin id. Oracle:
+    * DuckDB's native inequality join over the same windows. */
+  private val q59: (SparkSession, String) => DataFrame = (s, dir) => {
+    val ev = t(s, dir, "events").withColumn("us", F.expr("ts DIV 1000"))
+    val fiveMin = 300000000L // µs
+    val errors = Gdf(ev.filter(F.col("event_type") === "error")
+      .select(F.col("event_id").as("error_id"), F.col("us").as("lo"),
+        (F.col("us") + fiveMin).as("hi")))
+    val clicks = Gdf(ev.filter(F.col("event_type") === "click")
+      .select(F.col("event_id").as("click_id"), F.col("us").as("p")))
+    Joins.rangeJoin(clicks, errors, "p", "lo", "hi", binWidth = fiveMin)
+      .select("error_id", "click_id")
+      .sortBy(Seq(F.col("error_id"), F.col("click_id")))
+      .sdf
+  }
+
   /** IVF ANN with EXHAUSTIVE probing (`nprobe = nlist`): every cell is
     * probed, so the result is exactly brute-force top-k — which makes the
     * whole IVF pipeline (sampled k-means training, native-expression
@@ -1176,7 +1195,8 @@ object SparkEntry {
     "q55_math_funcs" -> q55,
     "q56_csv_roundtrip" -> q56,
     "q57_ipc_roundtrip" -> q57,
-    "q58_transpose" -> q58)
+    "q58_transpose" -> q58,
+    "q59_range_join" -> q59)
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" -> """
@@ -1796,5 +1816,13 @@ object SparkEntry {
              CAST(count(*) FILTER (l_returnflag = 'A') AS DOUBLE),
              CAST(count(*) FILTER (l_returnflag = 'N') AS DOUBLE),
              CAST(count(*) FILTER (l_returnflag = 'R') AS DOUBLE)
-      FROM lineitem""")
+      FROM lineitem""",
+    "q59_range_join" -> """
+      WITH e AS (SELECT event_id AS error_id, ts FROM events
+                 WHERE event_type = 'error'),
+           c AS (SELECT event_id AS click_id, ts FROM events
+                 WHERE event_type = 'click')
+      SELECT error_id, click_id FROM e JOIN c
+        ON c.ts BETWEEN e.ts AND e.ts + INTERVAL 5 MINUTE
+      ORDER BY error_id, click_id""")
 }

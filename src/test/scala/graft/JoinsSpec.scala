@@ -118,4 +118,34 @@ class JoinsSpec extends SparkSpec {
     val j = Joins.joinAsof(l, r, "t", "t", by = Seq("sym"))
     assert(j.sdf.collect()(0).getAs[Double]("q") == 1.0)
   }
+
+  test("rangeJoin matches the non-equi condition, bins crossing boundaries") {
+    val points = Gdf(Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 25L), (5L, 100L))
+      .toDF("pid", "p"))
+    // widths vary; interval (20,10..22) spans three bins at width 8
+    val intervals = Gdf(Seq((10L, 0L, 7L), (20L, 10L, 22L), (30L, 24L, 26L))
+      .toDF("iid", "lo", "hi"))
+    val got = Joins.rangeJoin(points, intervals, "p", "lo", "hi", binWidth = 8)
+      .sdf.select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == Set((10L, 1L), (20L, 2L), (20L, 3L), (30L, 4L)))
+    // inclusive at both ends
+    val edge = Joins.rangeJoin(
+      Gdf(Seq((1L, 10L), (2L, 22L)).toDF("pid", "p")),
+      Gdf(Seq((9L, 10L, 22L)).toDF("iid", "lo", "hi")), "p", "lo", "hi", 8)
+    assert(edge.sdf.count() == 2)
+    // the plan is a hash join on the bin, never a nested loop
+    val plan = Joins.rangeJoin(points, intervals, "p", "lo", "hi", 8)
+      .sdf.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+    // degenerate wide interval fails loudly instead of exploding the shuffle
+    val wide = Joins.rangeJoin(points,
+      Gdf(Seq((1L, 0L, 100000L)).toDF("iid", "lo", "hi")),
+      "p", "lo", "hi", binWidth = 8, maxBinsPerInterval = 16)
+    val ex = intercept[Exception] { wide.sdf.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        (if (x.getCause ne x) messages(x.getCause) else Nil))
+    assert(messages(ex).exists(_.contains("rangeJoin")), ex.toString)
+  }
 }

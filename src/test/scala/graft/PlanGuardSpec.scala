@@ -19,7 +19,7 @@ class PlanGuardSpec extends SparkSpec {
     "q07_join_left_agg", "q10_cumulative", "q13_rank", "q26_asof_join",
     "q28_slice", "q31_ewm", "q38_peaks_rowindex", "q39_head_grouped",
     "q42_spearman", "q44_concat_columns", "q51_sort_nils", "q52_cut_frame",
-    "q54_positional", "q55_math_funcs",
+    "q54_positional", "q55_math_funcs", "q59_range_join",
     "d01_exact_dedup", "d05_minhash_pairs", "d07_ngram_jaccard",
     "d13_embedding_neardup", "d14_ivf_topk")
 
