@@ -69,6 +69,34 @@ class SeriesSpec extends SparkSpec {
     val r = d.collect()(0)
     assert(r.getDouble(0) == 2.5 && r.getLong(1) == -3L && r.getLong(2) == -2L)
   }
+
+  test("duration arithmetic (series/duration_test.exs): dt-dt, +duration, date+duration") {
+    import java.sql.{Date, Timestamp}
+    val d = df(schema("a" -> TimestampType, "b" -> TimestampType,
+        "d" -> DateType),
+      Seq(Timestamp.valueOf("2024-01-02 02:00:00"),
+        Timestamp.valueOf("2024-01-01 00:00:00"), Date.valueOf("2024-03-01")))
+    // datetime - datetime -> duration dtype (reference duration_test "from subtraction")
+    val withDur = d.withColumn("dur", (gcol("a") - gcol("b")).col)
+    assert(DType.fromSpark(withDur.schema("dur").dataType) ==
+      DType.Duration(DType.Us))
+    // duration + datetime restores the original instant
+    val back = withDur.withColumn("a2", (gcol("dur") + gcol("b")).col)
+    assert(back.select("a2").head.getTimestamp(0) ==
+      Timestamp.valueOf("2024-01-02 02:00:00"))
+    // duration + duration
+    val dd = withDur.withColumn("dd", (gcol("dur") + gcol("dur")).col)
+      .select(F.col("dd").cast("string")).head.getString(0)
+    assert(dd.contains("2 04:00:00"), dd) // 2 days 4 hours
+    // date + duration -> date shifted (whole days)
+    val shifted = d.withColumn("d2",
+      (gcol("d") + Series(F.expr("INTERVAL '1' DAY"))).col)
+    assert(shifted.select("d2").head.get(0).toString == "2024-03-02")
+    // scalar multiply: duration * 2 (reference "multiply by integer")
+    val twice = withDur.withColumn("tw", (gcol("dur") * glit(2)).col)
+      .select(F.col("tw").cast("string")).head.getString(0)
+    assert(twice.contains("2 04:00:00"), twice)
+  }
 }
 
 /** DType lattice (reference shared.ex:52-114, series.ex:96-112). */
@@ -96,4 +124,5 @@ class DTypeSpec extends org.scalatest.funsuite.AnyFunSuite {
       Binary, Date, DList(S(64)), Struct(Seq("a" -> Str)))
     exact.foreach(t => assert(fromSpark(t.spark) == t))
   }
+
 }
