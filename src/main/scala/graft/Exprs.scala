@@ -35,6 +35,20 @@ object exprs {
     c.agg(F.last(s.col, ignoreNulls = false))
   def nDistinct(s: Series)(implicit c: Ctx): Series =
     c.agg(F.count_distinct(s.col))
+
+  /** Approximate n_distinct (HyperLogLog++) — beyond-reference scale extra:
+    * exact count_distinct shuffles every distinct value; the sketch is
+    * fixed-size per group and merges map-side. The 100 TB default when the
+    * count feeds a threshold, not an exact report. */
+  def nDistinctApprox(s: Series, rsd: Double = 0.05)(implicit c: Ctx): Series =
+    c.agg(F.approx_count_distinct(s.col, rsd))
+
+  /** Approximate quantile (t-digest style percentile_approx) — the scale
+    * alternative to the exact sort-based `quantile` (same accuracy knob as
+    * Spark SQL's `percentile_approx`). */
+  def quantileApprox(s: Series, q: Double, accuracy: Int = 10000)(
+      implicit c: Ctx): Series =
+    c.agg(F.percentile_approx(s.col, F.lit(q), F.lit(accuracy)))
   def all(s: Series)(implicit c: Ctx): Series = c.agg(F.bool_and(s.col))
   def any(s: Series)(implicit c: Ctx): Series = c.agg(F.bool_or(s.col))
 

@@ -1081,8 +1081,10 @@ object SparkEntry {
     * rest) → real resize → frame-sample; per-kind stats (rows-only; both
     * codec paths are deterministic, SURVEY §7.2 step 8). */
   private val d11: (SparkSession, String) => DataFrame = (s, dir) => {
-    // real PNG payloads: doc_id-keyed flat gray squares, generated driver-
-    // side and broadcast through a join (small dictionary of 16 tones)
+    // real PNG + WAV payloads: doc_id-keyed (flat gray squares / sine
+    // bursts), generated driver-side and broadcast through a join (small
+    // dictionary of 16 tones). Video keeps the declared fake payload —
+    // the JDK ships no video codec.
     val tones = (0 until 16).map { tone =>
       val img = new java.awt.image.BufferedImage(16, 16,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -1091,9 +1093,9 @@ object SparkEntry {
         img.setRGB(x, y, (v << 16) | (v << 8) | v)))
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
-      (tone.toLong, bos.toByteArray)
+      (tone.toLong, bos.toByteArray, wavBytes(200.0 + tone * 100))
     }
-    val pngDict = F.broadcast(s.createDataFrame(tones).toDF("tone", "png"))
+    val pngDict = F.broadcast(s.createDataFrame(tones).toDF("tone", "png", "wav"))
     val media = t(s, dir, "documents")
       .withColumn("tone", F.col("doc_id") % 16)
       .join(pngDict, Seq("tone"))
@@ -1102,6 +1104,7 @@ object SparkEntry {
         F.when(F.col("doc_id") % 3 === 0, "video")
           .when(F.col("doc_id") % 3 === 1, "image").otherwise("audio").as("kind"),
         F.when(F.col("doc_id") % 3 === 1, F.col("png"))
+          .when(F.col("doc_id") % 3 === 2, F.col("wav"))
           .otherwise(Multimodal.syntheticPayload(F.col("doc_id"), 64)).as("payload"),
         F.lit(640).as("width"), F.lit(480).as("height"),
         F.lit(16000).as("sample_rate"),
@@ -1116,8 +1119,29 @@ object SparkEntry {
       .agg(F.count(F.lit(1)).as("n_rows"),
         F.round(F.sum(F.aggregate(F.col("features"), F.lit(0.0),
           (a, v) => a + v)), 4).as("feat_sum"),
-        F.count(F.col("decoded_width")).as("n_decoded"))
+        F.count_if(F.col("decoded_width").isNotNull ||
+          F.col("decoded_rate").isNotNull).as("n_decoded"))
       .orderBy("kind")
+  }
+
+  /** Deterministic PCM16 mono WAV: a `freq`-Hz sine burst (8 kHz, 400
+    * frames). StrictMath keeps the samples bit-identical across JVMs. */
+  private def wavBytes(freq: Double): Array[Byte] = {
+    val rate = 8000f; val n = 400
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val sm = (StrictMath.sin(2 * StrictMath.PI * freq * i / rate) * 12000)
+        .toInt.toShort
+      pcm(2 * i) = (sm & 0xFF).toByte
+      pcm(2 * i + 1) = ((sm >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

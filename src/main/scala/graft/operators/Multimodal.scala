@@ -119,18 +119,87 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** REAL audio decode (javax.sound.sampled, in the JDK): WAV/AIFF/AU
+    * payloads → (sample rate, frame count, `dims`-segment RMS envelope in
+    * [0,1]). Non-audio payloads yield nulls. Same batched-mapPartitions
+    * shape as [[decodeImages]]. */
+  def decodeAudio(df: DataFrame, payloadCol: String,
+      dims: Int = 16): DataFrame = {
+    val outSchema = df.schema
+      .add("decoded_rate", IntegerType)
+      .add("decoded_frames", LongType)
+      .add("audio_features", ArrayType(DoubleType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val extra: Seq[Any] =
+          decodeAudioOne(r.getAs[Array[Byte]](pIdx), dims) match {
+            case Some((rate, frames, feats)) => Seq(rate, frames, feats)
+            case None => Seq(null, null, null)
+          }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(enc)
+  }
+
+  /** RIFF/WAVE, AIFF (FORM) and AU (.snd) magic bytes. */
+  private def looksLikeAudio(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 && (
+      (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') ||
+      (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') ||
+      (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'))
+
+  /** Single-payload audio decode: PCM frames → `dims` segment RMS values
+    * normalized to [0,1] (full-scale sine ≈ 0.71). None if the JDK can't
+    * parse the container. */
+  private[operators] def decodeAudioOne(payload: Array[Byte],
+      dims: Int): Option[(Int, Long, Seq[Double])] = {
+    if (!looksLikeAudio(payload)) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) return None
+        val bytes = in.readAllBytes()
+        val be = fmt.isBigEndian
+        val n = bytes.length / 2
+        if (n == 0) return None
+        val rms = new Array[Double](dims)
+        val counts = new Array[Long](dims)
+        var i = 0
+        while (i < n) {
+          val lo = bytes(2 * i + (if (be) 1 else 0)) & 0xFF
+          val hi = bytes(2 * i + (if (be) 0 else 1)).toInt
+          val sample = ((hi << 8) | lo).toShort / 32768.0
+          val seg = math.min(dims - 1, (i.toLong * dims / n).toInt)
+          rms(seg) += sample * sample
+          counts(seg) += 1
+          i += 1
+        }
+        val feats = Array.tabulate(dims)(s =>
+          if (counts(s) == 0) 0.0 else math.sqrt(rms(s) / counts(s)))
+        Some((fmt.getSampleRate.toInt, in.getFrameLength, feats.toSeq))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Feature extraction stage: payload → fixed-width embedding. Real image
-    * features when the payload decodes, deterministic fake otherwise — the
-    * split is a plan-level `coalesce`, codegen'd around the decode stage. */
+    * and audio features when the payload decodes (PNG/JPEG/... via imageio,
+    * WAV/AIFF/AU via javax.sound), deterministic fake otherwise (video has
+    * no JDK codec — declared stub) — the split is a plan-level `coalesce`. */
   def extractFeatures(df: DataFrame, payloadCol: String,
       dims: Int = 16, realDecode: Boolean = false): DataFrame =
     if (!realDecode)
       df.withColumn("features", fakeDecodeFeatures(F.col(payloadCol), dims))
     else
-      decodeImages(df, payloadCol, dims)
+      decodeAudio(decodeImages(df, payloadCol, dims), payloadCol, dims)
         .withColumn("features", F.coalesce(F.col("img_features"),
+          F.col("audio_features"),
           fakeDecodeFeatures(F.col(payloadCol), dims)))
-        .drop("img_features")
+        .drop("img_features", "audio_features")
 
   /** Resize stage: REAL for decodable images — decode, bilinear-scale to
     * (targetW, targetH) via Graphics2D, re-encode as PNG. Undecodable

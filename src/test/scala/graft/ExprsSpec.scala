@@ -183,4 +183,18 @@ class ExprsSpec extends SparkSpec {
         iff(gcol("v") >= glit(10.0), glit("mid"), glit("low"))).col.as("b"))
     assert(col1[String](d, "b") == Seq("low", "mid", "high"))
   }
+
+  test("approx aggregates track the exact ones (scale extras)") {
+    val d = spark.range(0, 20000)
+      .selectExpr("cast(id % 137 as double) as v")
+    implicit val c: Ctx = Ctx(Nil, Nil, windowed = false)
+    val r = d.agg(
+      nDistinct(Series(F.col("v"))).col.as("exact"),
+      nDistinctApprox(Series(F.col("v"))).col.as("approx"),
+      quantile(Series(F.col("v")), 0.5).col.as("q_exact"),
+      quantileApprox(Series(F.col("v")), 0.5).col.as("q_approx")).head
+    val (exact, app) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(app - exact).toDouble / exact < 0.1, s"$app vs $exact")
+    assert(math.abs(r.getDouble(2) - r.getDouble(3)) <= 5.0)
+  }
 }

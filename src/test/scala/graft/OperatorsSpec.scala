@@ -263,6 +263,44 @@ class OperatorsSpec extends SparkSpec {
     assert(feats(2).getAs[Seq[Double]]("features").forall(v => v >= 0 && v < 1))
   }
 
+  test("real audio decode: rate/frames + RMS envelope from actual WAVs") {
+    def wav(amp: Double): Array[Byte] = {
+      val rate = 8000f; val n = 160
+      val pcm = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val s = (StrictMath.sin(2 * StrictMath.PI * 440 * i / rate) *
+          amp * 32767).toInt.toShort
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, "audio", wav(0.9)),
+      (2L, "audio", wav(0.1)),
+      (3L, "image", Array.fill[Byte](64)(7))) // not audio → nulls
+    val df0 = rows.toDF("media_id", "kind", "payload")
+    val dec = Multimodal.decodeAudio(df0, "payload", dims = 4)
+      .orderBy("media_id").collect()
+    assert(dec(0).getInt(3) == 8000 && dec(0).getLong(4) == 160L)
+    val loud = dec(0).getSeq[Double](5)
+    val quiet = dec(1).getSeq[Double](5)
+    assert(loud.forall(v => v > 0.5 && v <= 1.0), loud.toString)
+    assert(quiet.forall(v => v < 0.12), quiet.toString)
+    assert(dec(2).isNullAt(3) && dec(2).isNullAt(5))
+    // extractFeatures(realDecode): real RMS for audio, fake for the rest
+    val feats = Multimodal.extractFeatures(df0, "payload", dims = 4,
+      realDecode = true).orderBy("media_id").collect()
+    val f0 = feats(0).getSeq[Double](feats(0).fieldIndex("features"))
+    assert(f0.toList == loud.toList)
+  }
+
   test("real image resize re-encodes a scaled PNG") {
     val df = Seq((1L, "image", pngBytes(64, 64, dark = false), 64, 64,
       16000, 1, "png"))
