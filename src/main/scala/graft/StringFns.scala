@@ -101,6 +101,14 @@ object StringFns {
   }
 
   /** `count_matches` for a literal substring (series.ex:6164). */
+  /** `replace/3` — literal substring replace (series.ex). */
+  def replace(c: Column, pat: String, rep: String): Column =
+    F.replace(c, F.lit(pat), F.lit(rep))
+
+  /** `re_replace/3` — regex replace (series.ex). */
+  def reReplace(c: Column, pattern: String, rep: String): Column =
+    F.regexp_replace(c, pattern, rep)
+
   def countMatches(c: Column, sub: String): Column =
     ((F.length(c) - F.length(F.replace(c, F.lit(sub), F.lit("")))) /
       sub.length).cast(LongType)

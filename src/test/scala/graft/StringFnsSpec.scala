@@ -104,4 +104,13 @@ class StringFnsSpec extends SparkSpec {
     assert(col1[Long](d, "ns") ==
       Seq(((1 * 3600 + 2 * 60 + 3) * 1000000L + 500000L) * 1000L))
   }
+
+  test("replace literal vs re_replace regex (series.ex replace/re_replace)") {
+    val d = Seq("a.b.c").toDF("s").select(
+      StringFns.replace(F.col("s"), ".", "-").as("lit"),
+      StringFns.reReplace(F.col("s"), "[abc]", "x").as("re"))
+    val r = d.collect()(0)
+    assert(r.getString(0) == "a-b-c") // literal dot, not regex any-char
+    assert(r.getString(1) == "x.x.x")
+  }
 }
