@@ -38,6 +38,19 @@ class IOStreamsSpec extends SparkSpec {
     assert(back.sdf.count() == 2)
     val cols = GraftIO.fromParquet(spark, dir, columns = Seq("i"))
     assert(cols.names == Seq("i"))
+    // a filter on the partition column prunes partitions at plan time —
+    // the scan lists one partition directory, not all of them
+    val pruned = back.sdf.filter(org.apache.spark.sql.functions.col("p") === "x")
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty, pruned.queryExecution.executedPlan.toString)
+    assert(scan.get.metadata.get("PartitionFilters")
+      .exists(_.contains("p")), scan.get.metadata.toString)
+    assert(pruned.count() == 1)
+    // the scan's file listing keeps only the matching partition directory
+    assert(scan.get.selectedPartitions.totalNumberOfFiles == 1L &&
+      scan.get.selectedPartitions.partitionCount == 1)
   }
 
   test("ndjson round trip and loadNdjson") {
