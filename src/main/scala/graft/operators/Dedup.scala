@@ -245,22 +245,35 @@ object Dedup {
       s"planes $planes must be a multiple of bands $bands, at most 64")
     val bandBits = planes / bands
     val sig = Similarity.hyperplaneSignature(vec, planes, seed)
-    df.select(id.as("id"), vec.as("v"), sig.as("sig"))
-      .select(F.col("id"), F.col("v"),
+    // candidate generation buckets carry ONLY ids (8 bytes/row, same
+    // discipline as the minhash path) — collecting the vectors themselves
+    // would put maxBucket × dims floats in every aggregation buffer
+    val cands0 = df.select(id.as("id"), sig.as("sig"))
+      .select(F.col("id"),
         F.posexplode(F.array((0 until bands).map(b =>
           F.shiftrightunsigned(F.col("sig"), b * bandBits)
             .bitwiseAND(if (bandBits == 64) -1L else (1L << bandBits) - 1)): _*))
           .as(Seq("band", "bucket")))
       .groupBy("band", "bucket")
-      .agg(F.sort_array(F.collect_list(F.struct(F.col("id"), F.col("v"))))
-        .as("rows"))
-      .filter(F.size(F.col("rows")).between(2, maxBucket))
-      .select(F.explode(F.flatten(F.transform(F.col("rows"), (a, i) =>
-        F.transform(F.slice(F.col("rows"), i + 2, F.size(F.col("rows"))), b =>
-          F.struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
-            Similarity.cosine(a.getField("v"), b.getField("v"))
-              .as("cosine")))))).as("p"))
+      .agg(F.sort_array(F.collect_list("id")).as("ids"))
+      .filter(F.size(F.col("ids")).between(2, maxBucket))
+      .select(F.explode(bucketPairs(F.col("ids"))).as("p"))
       .select("p.*").distinct()
+    // exact verification: semi-join-prune the corpus to candidate ids, then
+    // join the vectors back per pair side (verifyJaccard pattern)
+    val cands = cands0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cands.select(F.explode(F.array(
+      F.col("id_a"), F.col("id_b"))).as("vid")).distinct()
+    val vecs = df.select(id.as("vid"), vec.as("vv"))
+      .join(candIds, Seq("vid"), "left_semi")
+    cands
+      .join(vecs.select(F.col("vid").as("id_a"), F.col("vv").as("__va")),
+        Seq("id_a"))
+      .join(vecs.select(F.col("vid").as("id_b"), F.col("vv").as("__vb")),
+        Seq("id_b"))
+      .withColumn("cosine", Similarity.cosine(F.col("__va"), F.col("__vb")))
       .filter(F.col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
   }
 }

@@ -134,7 +134,12 @@ object Similarity {
       .select(queryId.as("query_id"), queryVec.as("qv"))
       .withColumn("cell",
         F.explode(VectorExprs.topCells(F.col("qv"), centroids, probes)))
-    val pairs = assigned.join(probed, Seq("cell"))
+    // queries are small by construction (same contract as bruteForceTopK):
+    // broadcast them so the corpus NEVER shuffles — a plain hash join here
+    // would repartition the whole corpus on `cell` (only nlist distinct
+    // values: guaranteed skew). A large query set would instead bucket both
+    // sides by cell at write time.
+    val pairs = assigned.join(F.broadcast(probed), Seq("cell"))
       .withColumn("cosine", cosine(F.col("cv"), F.col("qv")))
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("cosine").desc, F.col("corpus_id"))
