@@ -901,7 +901,7 @@ object SparkEntry {
       (F.col("vec_id") + 10000).as("vec_id"),
       F.transform(F.col("embedding"), x => x * F.lit(2.0f)).as("embedding")))
     Dedup.embeddingDuplicatePairs(aug, F.col("vec_id"), F.col("embedding"),
-        threshold = 0.999, planes = 64, bands = 8)
+        threshold = 0.999, planes = 64, bands = 4)
       .select(F.col("id_a"), F.col("id_b"),
         F.round(F.col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")

@@ -235,11 +235,15 @@ object Dedup {
     * groupBy(band, bucket) → in-bucket pair expansion → distinct). Recall for
     * a pair at angle θ is 1-(1-p^r)^bands with p = 1-θ/π, r = planes/bands —
     * a single whole-signature bucket (bands = 1) collapses to p^planes,
-    * which is near zero for anything but exactly-collinear vectors.
+    * which is near zero for anything but exactly-collinear vectors. Band
+    * WIDTH is the precision dial: 16-bit bands collide on random pairs at
+    * ~2^-16 per band (near-zero junk candidates); 8-bit bands at ~0.4%
+    * per band, which against n²/2 pairs floods verification. Default 4×16
+    * keeps recall ≥ 0.999 for cosine ≥ 0.999 with precision to match.
     * Same candidate-bounding discipline as the minhash path: `maxBucket`
     * caps in-bucket expansion, exact cosine filters false positives. */
   def embeddingDuplicatePairs(df: DataFrame, id: Column, vec: Column,
-      threshold: Double, planes: Int = 64, bands: Int = 8, seed: Long = 42,
+      threshold: Double, planes: Int = 64, bands: Int = 4, seed: Long = 42,
       maxBucket: Int = 1000): DataFrame = {
     require(planes % bands == 0 && planes <= 64,
       s"planes $planes must be a multiple of bands $bands, at most 64")
