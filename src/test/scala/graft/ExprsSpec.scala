@@ -184,6 +184,19 @@ class ExprsSpec extends SparkSpec {
     assert(col1[String](d, "b") == Seq("low", "mid", "high"))
   }
 
+  test("NaN vs null in aggregations (SURVEY §7.4.2: null skipped, NaN propagates)") {
+    val d = df(schema("x" -> DoubleType),
+      Seq(1.0), Seq(Double.NaN), Seq(null), Seq(3.0))
+    implicit val c: Ctx = Ctx(Nil, Nil, windowed = false)
+    val r = d.agg(
+      sum(Series(F.col("x"))).col.as("s"),
+      max(Series(F.col("x"))).col.as("mx"),
+      count(Series(F.col("x"))).col.as("n")).head
+    assert(r.getDouble(0).isNaN)          // NaN propagates through sum
+    assert(r.getDouble(1).isNaN)          // NaN sorts above every double
+    assert(r.getLong(2) == 3L)            // null is skipped, NaN is counted
+  }
+
   test("approx aggregates track the exact ones (scale extras)") {
     val d = spark.range(0, 20000)
       .selectExpr("cast(id % 137 as double) as v")
