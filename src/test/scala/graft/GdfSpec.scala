@@ -174,6 +174,25 @@ class GdfSpec extends SparkSpec {
     assert(d.indexOf("v", 30.0).collect()(0).getLong(0) == 2L)
   }
 
+  test("grouped positional matrix: slice/at/atEvery/rowIndex/sort (§7.4.6)") {
+    val d = base.ordered(F.col("id")).groupBy("g") // a→(1,2), b→(3,4,5)
+    // grouped negative slice: last 2 per group
+    assert(col1[Long](d.slice(-2, 2).sdf.orderBy("id"), "id") ==
+      Seq(1L, 2L, 4L, 5L))
+    // grouped at: 2nd row of each group
+    assert(col1[Long](d.at(1).sdf.orderBy("id"), "id") == Seq(2L, 4L))
+    // grouped atEvery(2): positions 0, 2, ... within each group
+    assert(col1[Long](d.atEvery(2).sdf.orderBy("id"), "id") ==
+      Seq(1L, 3L, 5L))
+    // grouped rowIndex restarts per group
+    val ri = d.withRowIndex("ri").sdf.orderBy("id")
+    assert(ri.collect().map(_.getAs[Long]("ri")).toSeq ==
+      Seq(0L, 1L, 0L, 1L, 2L))
+    // grouped sort orders within contiguous group blocks
+    val gs = base.groupBy("g").sortBy(Seq(F.col("v").desc))
+    assert(col1[Long](gs.sdf, "id") == Seq(2L, 1L, 5L, 4L, 3L))
+  }
+
   test("reverse flips the declared order for positional verbs") {
     val d = base.ordered(F.col("id"))
     assert(col1[Long](d.reverse.head(2).sdf.orderBy("id"), "id") ==
