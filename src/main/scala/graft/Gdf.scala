@@ -437,6 +437,13 @@ final class Gdf(
   def nRows: Long = sdf.count()
   def nColumns: Int = names.size
 
+  /** `to_table_string` / `print/2` (data_frame.ex print, table inspect):
+    * the frame rendered as an ASCII table, `limit` rows. */
+  def toTableString(limit: Int = 5, truncate: Int = 20): String =
+    org.apache.spark.sql.graftbridge.Bridge.showString(sdf, limit, truncate)
+
+  def printTable(limit: Int = 5): Unit = println(toTableString(limit))
+
   /** `estimated_size/1` (data_frame.ex) — Catalyst's optimized-plan size
     * estimate in bytes. The reference reports the materialized frame's heap
     * size; for a lazy plan the optimizer's stats estimate is the analog

@@ -126,6 +126,13 @@ object Bridge {
     }
   }
 
+  /** Rendered table text (reference `print/2` / table inspect). Spark's
+    * `showString` is private[sql]; one-hop accessor. */
+  def showString(df: org.apache.spark.sql.DataFrame, numRows: Int,
+      truncate: Int): String =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .showString(numRows, truncate)
+
   /** Flip a sort key end-for-end (reference `reverse/1`): direction AND null
     * placement invert, so the reversed order is exactly the original order
     * read backwards. Bare columns are treated as Spark's default

@@ -212,6 +212,12 @@ class GdfSpec extends SparkSpec {
     assert(base.estimatedSize > 0)
   }
 
+  test("toTableString renders an ASCII table (print/2)") {
+    val t = base.toTableString(limit = 2)
+    assert(t.contains("g") && t.contains("id") && t.contains("v"))
+    assert(t.contains("only showing top 2 rows") || t.linesIterator.size >= 4)
+  }
+
   test("allEqual aggregate (series.ex all_equal, nil == nil)") {
     val d = Gdf(Seq((Some(1L), Some(1L)), (None, None), (Some(3L), Some(3L)))
       .toDF("a", "b"))
