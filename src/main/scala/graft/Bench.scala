@@ -32,7 +32,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // each query is an independent job: drop its persisted candidate
+      // tables / localCheckpoint blocks so they don't squeeze executor
+      // memory for every query that happens to run later in the sweep
+      // (measured: late expression queries ran 2-6x slower without this)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -121,6 +121,23 @@ object DType {
     * int⊕float → f64 (unless f32⊕f32), any division → float. Catalyst's own
     * coercion differs (e.g. int/int), so arithmetic in [[Series]] casts
     * explicitly where the rules diverge. */
+  /** `Series.iotype` (reference series.ex:1294-1300 + shared.ex:498-511):
+    * the fixed-width raw-buffer element type, as (sign-char, bits), that a
+    * series of this dtype reinterprets to/from in [[graft.io.SeriesBinary]];
+    * None for variable-width dtypes (string/binary/list/struct). */
+  def iotype(d: DType): Option[(Char, Int)] = d match {
+    case F(b) => Some(('f', b))
+    case S(b) => Some(('s', b))
+    case U(b) => Some(('u', b))
+    case Bool => Some(('u', 8))
+    case Date => Some(('s', 32))
+    case Time => Some(('s', 64))
+    case NaiveDatetime(_) | Datetime(_, _) | Duration(_) => Some(('s', 64))
+    case Category => Some(('u', 32))
+    case Decimal(_, _) => Some(('s', 128))
+    case _ => None
+  }
+
   def promote(a: DType, b: DType): DType = (a, b) match {
     case (x, y) if x == y => x
     case (Null, y) => y

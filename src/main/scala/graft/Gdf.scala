@@ -138,6 +138,10 @@ final class Gdf(
   /** `pull/2` — one column as an expression-position Series. */
   def pull(name: String): Series = Series(sdf(name))
 
+  /** Access `pop/2` (reference data_frame.ex:419-429): detach columns —
+    * (the popped columns as their own frame, the frame without them). */
+  def pop(cols: String*): (Gdf, Gdf) = (select(cols: _*), discard(cols: _*))
+
   // ======== row order ========================================================
 
   /** Declare the logical row order used by positional verbs. Spark has no

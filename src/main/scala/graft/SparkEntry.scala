@@ -971,6 +971,24 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Connected components over the verified near-dup pairs: per-doc cluster
+    * label = min doc id reachable through the pair graph (distributed
+    * min-label propagation; oracle = DuckDB recursive-CTE transitive
+    * closure over the same brute-force Jaccard pairs). */
+  private val d15: (SparkSession, String) => DataFrame = (s, dir) => {
+    val pairs = Dedup.minhashDuplicatePairs(t(s, dir, "documents"),
+      F.col("doc_id"), F.col("text"), threshold = 0.8,
+      shingleSize = 3, numHashes = 64, bands = 8)
+    Dedup.duplicateClusters(pairs).orderBy("id")
+  }
+
+  /** End-to-end near-dedup: one canonical doc (min id) per cluster plus all
+    * unpaired docs. */
+  private val d16: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.dedupNear(t(s, dir, "documents"), F.col("doc_id"), F.col("text"),
+      threshold = 0.8, shingleSize = 3, numHashes = 64, bands = 8)
+      .select("doc_id").orderBy("doc_id")
+
   /** frame-shape verbs end to end: select / discard / rename / renameWith /
     * relocate (§2.2; reference data_frame.ex select/discard/rename/relocate
     * doctests). Column ORDER is relocate's business; the oracle compare is
@@ -1214,6 +1232,8 @@ object SparkEntry {
     "d12_fingerprint" -> d12,
     "d13_embedding_neardup" -> d13,
     "d14_ivf_topk" -> d14,
+    "d15_dedup_clusters" -> d15,
+    "d16_dedup_near" -> d16,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -1793,6 +1813,45 @@ object SparkEntry {
                  FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
       SELECT id_a, id_b, round(c, 6) AS cosine FROM p
       WHERE c >= 0.999 ORDER BY id_a, id_b""",
+    "d15_dedup_clusters" -> """
+      WITH RECURSIVE toks AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+          generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE []::VARCHAR[] END AS s FROM toks),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_distinct(a.s || b.s)) > 0
+          AND len(list_intersect(a.s, b.s)) /
+              CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach AS (SELECT src AS id, src AS r FROM edges
+                UNION
+                SELECT e.src, t.r FROM edges e JOIN reach t ON t.id = e.dst)
+      SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""",
+    "d16_dedup_near" -> """
+      WITH RECURSIVE toks AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+          generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE []::VARCHAR[] END AS s FROM toks),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_distinct(a.s || b.s)) > 0
+          AND len(list_intersect(a.s, b.s)) /
+              CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach AS (SELECT src AS id, src AS r FROM edges
+                UNION
+                SELECT e.src, t.r FROM edges e JOIN reach t ON t.id = e.dst),
+      clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster)
+      ORDER BY doc_id""",
     "q53_select_shape" -> """
       SELECT c_custkey AS custkey, c_acctbal AS balance, c_name AS name,
              c_mktsegment AS mktsegment

@@ -161,4 +161,60 @@ object ArrowIpc {
     writeVia(df, bos, stream = true, compression)
     bos.toByteArray
   }
+
+  /** `dump_ipc_schema` (data_frame.ex:1260-1263): ONLY the encapsulated
+    * Arrow schema message for this frame's schema — the header a bare
+    * record-batch stream is prefixed with in wire protocols. */
+  def dumpSchema(df: DataFrame): Array[Byte] = {
+    val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val arrowSchema = ArrowUtils.toArrowSchema(df.schema, tz, true, false)
+    val bos = new ByteArrayOutputStream()
+    MessageSerializer.serialize(
+      new WriteChannel(Channels.newChannel(bos)), arrowSchema)
+    bos.toByteArray
+  }
+
+  /** `dump_ipc_record_batch` (data_frame.ex:1298-1300): the frame's data as
+    * a list of encapsulated Arrow record-batch messages (no schema, no file
+    * container) — one binary per partition-batch, pairing with
+    * [[dumpSchema]] for hand-rolled IPC framing. Batches are serialized on
+    * executors ([[ArrowConverters.toBatchIterator]]); compression re-frames
+    * each batch through an Arrow codec on the driver. */
+  def dumpRecordBatches(df: DataFrame,
+      compression: Option[String] = None): Seq[Array[Byte]] = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val batches = df.queryExecution.toRdd.mapPartitions { iter =>
+      ArrowConverters.toBatchIterator(iter, schema, 10000, tz,
+        true, false, TaskContext.get())
+    }.collect().toSeq
+    val ct = codecType(compression)
+    if (ct == org.apache.arrow.vector.compression.CompressionUtil.CodecType.NO_COMPRESSION) {
+      // toBatchIterator already yields encapsulated record-batch messages
+      batches
+    } else {
+      val allocator = new RootAllocator(Long.MaxValue)
+      val arrowSchema = ArrowUtils.toArrowSchema(schema, tz, true, false)
+      val root = VectorSchemaRoot.create(arrowSchema, allocator)
+      val loader = new VectorLoader(root)
+      val codec = codecFactory.createCodec(ct)
+      try batches.map { b =>
+        val rb = MessageSerializer.deserializeRecordBatch(
+          new org.apache.arrow.vector.ipc.ReadChannel(
+            Channels.newChannel(new java.io.ByteArrayInputStream(b))),
+          allocator)
+        try {
+          loader.load(rb)
+          val out = new VectorUnloader(root, true, codec, true).getRecordBatch
+          try {
+            val bos = new ByteArrayOutputStream()
+            MessageSerializer.serialize(
+              new WriteChannel(Channels.newChannel(bos)), out)
+            bos.toByteArray
+          } finally out.close()
+        } finally rb.close()
+      } finally { root.close(); allocator.close() }
+    }
+  }
 }

@@ -249,6 +249,16 @@ object GraftIO {
   def dumpIpcStream(df: Gdf, compression: Option[String] = None): Array[Byte] =
     org.apache.spark.sql.graftbridge.ArrowIpc.dumpStream(df.sdf, compression)
 
+  /** `dump_ipc_schema` / `dump_ipc_record_batch` (data_frame.ex:1260,1298) —
+    * raw encapsulated Arrow messages for hand-rolled wire framing: the
+    * schema header, and one binary per record batch (no container). */
+  def dumpIpcSchema(df: Gdf): Array[Byte] =
+    org.apache.spark.sql.graftbridge.ArrowIpc.dumpSchema(df.sdf)
+
+  def dumpIpcRecordBatches(df: Gdf,
+      compression: Option[String] = None): Seq[Array[Byte]] =
+    org.apache.spark.sql.graftbridge.ArrowIpc.dumpRecordBatches(df.sdf, compression)
+
   /** `load_ipc_stream` — parse in-memory Arrow IPC stream bytes. */
   def loadIpcStream(spark: SparkSession, bytes: Array[Byte]): Gdf =
     Gdf(org.apache.spark.sql.graftbridge.ArrowIpc.loadStream(spark, bytes))

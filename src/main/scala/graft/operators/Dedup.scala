@@ -227,6 +227,72 @@ object Dedup {
     pairs.filter(F.col("distance") <= maxDistance)
   }
 
+  /** Connected components over a near-duplicate pair table: each doc in a
+    * pair gets a `cluster` label = the MINIMUM doc id reachable through the
+    * pair graph (so one near-dup "family" shares one label, and the label
+    * itself is the canonical member).
+    *
+    * Algorithm: distributed min-label propagation — every iteration each
+    * vertex takes the min of its own label and its neighbors' labels (one
+    * join + one groupBy per round), until a fixed point. Converges in
+    * O(component diameter) rounds; near-dup components are stars/cliques
+    * around a template (diameter ≤ 2-3 in practice), so 3-4 rounds is
+    * typical. Lineage is cut with an eager `localCheckpoint` every round —
+    * without it the plan doubles per iteration and the job dies long before
+    * 100 TB. For adversarially long chain-shaped graphs swap in
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"), which converges in O(log² n); not needed for
+    * dedup workloads.
+    *
+    * The convergence probe (`isEmpty` on the changed-label set) is one extra
+    * cheap job per round over the LABEL table (pairs-scale, not
+    * corpus-scale). */
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs
+      .select(F.col("id_a").as("src"), F.col("id_b").as("dst"))
+      .union(pairs.select(F.col("id_b").as("src"), F.col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(F.col("src").as("id"))
+      .distinct()
+      .withColumn("cluster", F.col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(F.col("dst").as("id"), F.col("cluster"))
+      val next = labels.union(neighborMin)
+        .groupBy("id").agg(F.min("cluster").as("cluster"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("cluster", "__prev"), "id")
+        .filter(F.col("cluster") =!= F.col("__prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(F.col("id"), F.col("cluster"))
+  }
+
+  /** End-to-end near-dedup: MinHash-LSH pairs → connected components →
+    * keep ONE canonical doc per cluster (the min id) plus every unpaired
+    * doc. The anti-join key set (non-canonical cluster members) is
+    * pairs-scale, so Spark broadcasts it in the common case where dups are
+    * a small fraction of the corpus. */
+  def dedupNear(df: DataFrame, id: Column, text: Column,
+      threshold: Double, shingleSize: Int = 3, numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val pairs = minhashDuplicatePairs(df, id, text, threshold, shingleSize,
+      numHashes, bands)
+    val losers = duplicateClusters(pairs)
+      .filter(F.col("id") =!= F.col("cluster"))
+      .select(F.col("id").as("__loser"))
+    df.join(losers, id === F.col("__loser"), "left_anti")
+  }
+
   /** Embedding near-dup: cosine ≥ threshold pairs via random-hyperplane LSH
     * (see [[Similarity.hyperplaneSignature]]), verified exactly.
     *

@@ -260,4 +260,10 @@ class GdfSpec extends SparkSpec {
     val b = base // pull and filter must come from the SAME frame instance
     assert(b.filterCol(b.pull("id").col > 3).sdf.count() == 2)
   }
+
+  test("pop detaches columns (Access pop/2, data_frame.ex:419-429)") {
+    val (popped, rest) = base.pop("id")
+    assert(popped.names == Seq("id") && !rest.names.contains("id"))
+    assert(popped.sdf.count() == base.sdf.count())
+  }
 }

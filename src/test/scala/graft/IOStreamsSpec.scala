@@ -221,6 +221,24 @@ class IOStreamsSpec extends SparkSpec {
     assert(GraftIO.loadIpc(spark, zf).sdf.count() == 2)
   }
 
+  test("dump_ipc_schema + dump_ipc_record_batch assemble into a valid stream") {
+    val d = Gdf(Seq((1L, "x", 1.5), (2L, "y", 2.5), (3L, "z", 3.5))
+      .toDF("i", "s", "v"))
+    val schemaMsg = GraftIO.dumpIpcSchema(d)
+    val batches = GraftIO.dumpIpcRecordBatches(d)
+    assert(schemaMsg.nonEmpty && batches.nonEmpty)
+    // hand-frame an IPC stream: schema message ++ batch messages ++ EOS —
+    // proves the dumps are genuine encapsulated Arrow messages
+    val eos = Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0)
+    val stream = schemaMsg ++ batches.flatten ++ eos
+    val back = GraftIO.loadIpcStream(spark, stream)
+    assert(col1[String](back.sdf.orderBy("i"), "s") == Seq("x", "y", "z"))
+    // compressed batches frame the same way and decompress on read
+    val zb = GraftIO.dumpIpcRecordBatches(d, compression = Some("zstd"))
+    val zstream = schemaMsg ++ zb.flatten ++ eos
+    assert(GraftIO.loadIpcStream(spark, zstream).sdf.count() == 3)
+  }
+
   test("arrow ipc file round trip preserves schema and values") {
     val p = tmp("graft_ipc") + "/data.arrow"
     val d = Gdf(Seq((1L, "x", 1.5, true), (2L, "y", 2.5, false))

@@ -45,6 +45,31 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("duplicateClusters: min-label connected components over pairs") {
+    // two components: {1,2,3} via chain 1-2, 2-3 (diameter 2, needs
+    // propagation past one hop) and {7,9}; 5 is unpaired → absent
+    val pairs = Seq((2L, 1L), (2L, 3L), (9L, 7L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("dedupNear keeps one canonical doc per near-dup family") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the sun sets slowly behind the distant purple mountains"
+    val d = Seq(
+      (1L, base),
+      (2L, base.replace("slowly", "quickly")),
+      (3L, base.replace("sun", "moon")),
+      (9L, "completely unrelated text about database query optimization " +
+        "and distributed systems running on large compute clusters"))
+      .toDF("id", "text")
+    val kept = Dedup.dedupNear(d, F.col("id"), F.col("text"),
+      threshold = 0.5, numHashes = 64, bands = 16)
+    assert(col1[Long](kept.orderBy("id"), "id") == Seq(1L, 9L))
+  }
+
   test("ngram Jaccard exact pairs") {
     val d = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "z y x w v"))
       .toDF("id", "text")

@@ -135,6 +135,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("duplicateClusters equals a local union-find on random pair graphs") {
+    import org.apache.spark.sql.{functions => F}
+    val edgesGen = Gen.nonEmptyListOf(for {
+      a <- Gen.chooseNum(0L, 25L)
+      d <- Gen.chooseNum(1L, 5L)
+    } yield (a, a + d)).map(_.take(40))
+    forAll(edgesGen, n = 6) { es =>
+      if (es.nonEmpty) {
+        val pairs = df(schema("id_a" -> LongType, "id_b" -> LongType),
+          es.map(e => Seq(e._1, e._2)): _*)
+        val got = operators.Dedup.duplicateClusters(pairs).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // local union-find reference
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(v => v -> find(v)).toMap
+        assert(got == want, s"clusters $got vs $want for edges $es")
+      }
+    }
+  }
+
   test("spearman equals pearson over explicitly computed average ranks") {
     import org.apache.spark.sql.{functions => F}
     import org.apache.spark.sql.expressions.Window

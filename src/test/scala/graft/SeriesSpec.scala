@@ -125,4 +125,20 @@ class DTypeSpec extends org.scalatest.funsuite.AnyFunSuite {
     exact.foreach(t => assert(fromSpark(t.spark) == t))
   }
 
+  test("iotype (series.ex:1294-1300, shared.ex:498-511)") {
+    import DType.{iotype, Category, Decimal, Time, Duration, Us,
+      NaiveDatetime}
+    assert(iotype(S(32)) == Some(('s', 32)))
+    assert(iotype(U(8)) == Some(('u', 8)))
+    assert(iotype(DF(64)) == Some(('f', 64)))
+    assert(iotype(Bool) == Some(('u', 8)))
+    assert(iotype(Date) == Some(('s', 32)))
+    assert(iotype(Time) == Some(('s', 64)))
+    assert(iotype(NaiveDatetime(Us)) == Some(('s', 64)))
+    assert(iotype(Duration(Us)) == Some(('s', 64)))
+    assert(iotype(Category) == Some(('u', 32)))
+    assert(iotype(Decimal(20, 2)) == Some(('s', 128)))
+    assert(iotype(Str).isEmpty && iotype(Binary).isEmpty)
+    assert(iotype(DList(S(64))).isEmpty)
+  }
 }
