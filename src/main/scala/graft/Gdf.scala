@@ -293,10 +293,18 @@ final class Gdf(
   /** `Series.argsort` (reference series.ex:4823): 0-based original row
     * indices (over the declared order) in the order that sorts `key`.
     * Both the index and the output sort are distributed (range shuffles). */
-  def argsort(key: Column, descending: Boolean = false): DataFrame =
+  /** `argsort` (reference series.ex:4823, sort opts shared.ex:583-584):
+    * positions of rows in key order. `stable` (reference default false)
+    * tie-breaks equal keys by original position; nils sort last like the
+    * reference's default. */
+  def argsort(key: Column, descending: Boolean = false,
+      stable: Boolean = false): DataFrame = {
+    val k = Gdf.withNils(if (descending) key.desc else key.asc, nilsLast = true)
+    val order = if (stable) Seq(k, F.col("__orig").asc) else Seq(k)
     withIdxCol("__orig")
-      .orderBy(if (descending) key.desc else key.asc)
+      .orderBy(order: _*)
       .select(F.col("__orig").as("index"))
+  }
 
   /** `drop_nil/2` (reference data_frame.ex:3751-3757). */
   def dropNil(cols: String*): Gdf =

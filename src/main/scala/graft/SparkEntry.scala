@@ -954,6 +954,31 @@ object SparkEntry {
       .sdf
   }
 
+  /** series utilities in one oracle row: `index_of` (first match position
+    * over the declared order, series.ex:7023) + `all_equal` (null-safe
+    * whole-series equality, series.ex:220). */
+  private val q60: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "lineitem"))
+      .ordered(F.col("l_orderkey"), F.col("l_linenumber"))
+      .withRowIndex("__i")
+      .summariseWith { implicit c => Seq(
+        // index_of = min row index where the predicate holds — ONE
+        // aggregate pass fused with the equality aggregates (no join)
+        "index" -> min(iff(gcol("l_returnflag") === glit("R"),
+          gcol("__i"), glit(null))),
+        "flags_equal" -> allEqual(gcol("l_returnflag"), gcol("l_linestatus")),
+        "self_equal" -> allEqual(gcol("l_returnflag"), gcol("l_returnflag")))
+      }.sdf
+
+  /** `argsort` with stable tie-break (series.ex:4823): the first 100
+    * positions by key over the declared order — orderBy+limit collapses to
+    * TakeOrderedAndProject (partial top-k, no global window/shuffle). */
+  private val q61: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gdf(t(s, dir, "lineitem"))
+      .ordered(F.col("l_orderkey"), F.col("l_linenumber"))
+      .argsort(F.col("l_extendedprice"), stable = true)
+      .limit(100)
+
   /** IVF ANN with EXHAUSTIVE probing (`nprobe = nlist`): every cell is
     * probed, so the result is exactly brute-force top-k — which makes the
     * whole IVF pipeline (sampled k-means training, native-expression
@@ -1240,7 +1265,9 @@ object SparkEntry {
     "q56_csv_roundtrip" -> q56,
     "q57_ipc_roundtrip" -> q57,
     "q58_transpose" -> q58,
-    "q59_range_join" -> q59)
+    "q59_range_join" -> q59,
+    "q60_series_utils" -> q60,
+    "q61_argsort" -> q61)
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" -> """
@@ -1907,5 +1934,20 @@ object SparkEntry {
                  WHERE event_type = 'click')
       SELECT error_id, click_id FROM e JOIN c
         ON c.ts BETWEEN e.ts AND e.ts + INTERVAL 5 MINUTE
-      ORDER BY error_id, click_id""")
+      ORDER BY error_id, click_id""",
+    "q60_series_utils" -> """
+      SELECT
+        (SELECT min(i) FROM
+           (SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS i,
+                   l_returnflag
+            FROM lineitem) WHERE l_returnflag = 'R') AS "index",
+        bool_and(l_returnflag = l_linestatus) AS flags_equal,
+        bool_and(l_returnflag = l_returnflag) AS self_equal
+      FROM lineitem""",
+    "q61_argsort" -> """
+      SELECT i AS "index" FROM
+        (SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS i,
+                l_extendedprice
+         FROM lineitem)
+      ORDER BY l_extendedprice, i LIMIT 100""")
 }

@@ -158,6 +158,14 @@ class GdfSpec extends SparkSpec {
     val d = Gdf(Seq(("r1", 30.0), ("r2", 10.0), ("r3", 20.0)).toDF("k", "v"))
       .ordered(F.col("k"))
     assert(col1[Int](d.argsort(F.col("v")), "index") == Seq(1, 2, 0))
+    // stable: equal keys keep original relative order; nils last
+    val ties = Gdf(Seq(("r1", java.lang.Double.valueOf(2.0)),
+      ("r2", java.lang.Double.valueOf(1.0)),
+      ("r3", null.asInstanceOf[java.lang.Double]),
+      ("r4", java.lang.Double.valueOf(2.0))).toDF("k", "v"))
+      .ordered(F.col("k"))
+    assert(col1[Int](ties.argsort(F.col("v"), stable = true), "index") ==
+      Seq(1, 0, 3, 2))
   }
 
   test("sql passthrough via temp view") {

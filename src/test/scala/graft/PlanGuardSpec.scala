@@ -20,6 +20,7 @@ class PlanGuardSpec extends SparkSpec {
     "q28_slice", "q31_ewm", "q38_peaks_rowindex", "q39_head_grouped",
     "q42_spearman", "q44_concat_columns", "q51_sort_nils", "q52_cut_frame",
     "q54_positional", "q55_math_funcs", "q59_range_join",
+    "q60_series_utils", "q61_argsort",
     "d01_exact_dedup", "d05_minhash_pairs", "d07_ngram_jaccard",
     "d13_embedding_neardup", "d14_ivf_topk")
 
