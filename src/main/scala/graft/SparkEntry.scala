@@ -1014,6 +1014,28 @@ object SparkEntry {
       threshold = 0.8, shingleSize = 3, numHashes = 64, bands = 8)
       .select("doc_id").orderBy("doc_id")
 
+  /** Canonical text normalization (lowercase + native NFD accent-strip +
+    * whitespace collapse). Accented input is synthesized via `translate` so
+    * the oracle (DuckDB `strip_accents`) genuinely exercises the NFD path
+    * on this ASCII corpus. */
+  private val d17: (SparkSession, String) => DataFrame = (s, dir) =>
+    t(s, dir, "documents").select(F.col("doc_id"),
+      TextAnalysis.normalize(
+        F.translate(F.col("text"), "aeo", "áéö")).as("norm"))
+      .orderBy("doc_id")
+
+  /** Corpus vocabulary with document-frequency banding. */
+  private val d18: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.vocabulary(t(s, dir, "documents"),
+      F.col("doc_id"), F.col("text"), minDf = 2L, maxDfRatio = 0.5)
+      .orderBy("token")
+
+  /** Top-5 TF-IDF terms per document. */
+  private val d19: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.tfidfTopTerms(t(s, dir, "documents"),
+      F.col("doc_id"), F.col("text"), k = 5)
+      .orderBy("doc_id", "rank")
+
   /** frame-shape verbs end to end: select / discard / rename / renameWith /
     * relocate (§2.2; reference data_frame.ex select/discard/rename/relocate
     * doctests). Column ORDER is relocate's business; the oracle compare is
@@ -1259,6 +1281,9 @@ object SparkEntry {
     "d14_ivf_topk" -> d14,
     "d15_dedup_clusters" -> d15,
     "d16_dedup_near" -> d16,
+    "d17_normalize" -> d17,
+    "d18_vocabulary" -> d18,
+    "d19_tfidf" -> d19,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -1879,6 +1904,43 @@ object SparkEntry {
       SELECT doc_id FROM documents
       WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster)
       ORDER BY doc_id""",
+    "d17_normalize" -> """
+      SELECT doc_id,
+             trim(regexp_replace(
+               lower(strip_accents(translate(text, 'aeo', 'áéö'))),
+               '\s+', ' ', 'g')) AS norm
+      FROM documents ORDER BY doc_id""",
+    "d18_vocabulary" -> """
+      WITH toks AS (SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+             FROM documents),
+      perdoc AS (SELECT doc_id, token, count(*) AS tf
+                 FROM toks GROUP BY doc_id, token),
+      vocab AS (SELECT token, count(*) AS doc_freq, sum(tf) AS term_freq
+                FROM perdoc GROUP BY token)
+      SELECT token, doc_freq, term_freq FROM vocab
+      WHERE doc_freq >= 2
+        AND doc_freq <= CAST(0.5 * (SELECT count(*) FROM documents) AS BIGINT)
+      ORDER BY token""",
+    "d19_tfidf" -> """
+      WITH toks AS (SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+             FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf
+             FROM toks GROUP BY doc_id, token),
+      dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token
+              HAVING count(*) <= CAST(0.5 * (SELECT count(*) FROM documents) AS BIGINT)),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      scored AS (SELECT doc_id, token, tf, df,
+                        round(tf * ln(n.n / df), 6) AS score
+                 FROM tf JOIN dfq USING (token) CROSS JOIN n),
+      ranked AS (SELECT doc_id, token, score,
+                        CAST(row_number() OVER
+                          (PARTITION BY doc_id
+                           ORDER BY score DESC, token) AS INT) AS rank
+                 FROM scored)
+      SELECT doc_id, token, score, rank FROM ranked
+      WHERE rank <= 5 ORDER BY doc_id, rank""",
     "q53_select_shape" -> """
       SELECT c_custkey AS custkey, c_acctbal AS balance, c_name AS name,
              c_mktsegment AS mktsegment

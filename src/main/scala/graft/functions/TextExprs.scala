@@ -170,9 +170,34 @@ case class CountRegexMatches(child: Expression, pattern: String)
   }
 }
 
+/** text → text with diacritics removed: Unicode NFD decomposition, then
+  * drop combining marks (á→a, ö→o). No Spark builtin covers this; the JDK
+  * normalizer does it without a UDF's serialization overhead. Matches
+  * DuckDB's `strip_accents` on Latin text (oracle-checked). */
+case class StripAccents(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_accents"
+  override protected def withNewChildInternal(c: Expression): StripAccents =
+    copy(child = c)
+
+  @transient private lazy val marks =
+    java.util.regex.Pattern.compile("\\p{M}+")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val decomposed = java.text.Normalizer.normalize(
+      s, java.text.Normalizer.Form.NFD)
+    UTF8String.fromString(marks.matcher(decomposed).replaceAll(""))
+  }
+}
+
 object TextExprs {
   def countRegexMatches(text: Column, pattern: String): Column =
     Bridge.column(CountRegexMatches(Bridge.expression(text), pattern))
+
+  def stripAccents(text: Column): Column =
+    Bridge.column(StripAccents(Bridge.expression(text)))
 
   def orderedPairs(ids: Column): Column =
     Bridge.column(OrderedPairs(Bridge.expression(ids)))

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -94,4 +95,68 @@ object TextAnalysis {
     * normalized token streams ⇒ equal fingerprints. */
   def fingerprint(text: Column): Column =
     F.aggregate(tokens(text), F.lit(0L), (acc, t) => F.xxhash64(acc, t))
+
+  /** Canonical text normalization (the standard pre-dedup/pre-tokenize
+    * step): lowercase, strip diacritics (native NFD expression — no Spark
+    * builtin), collapse whitespace runs to one space, trim. Pure per-row
+    * expression pipeline, scan speed. */
+  def normalize(text: Column, lowercase: Boolean = true,
+      stripAccents: Boolean = true, collapseWhitespace: Boolean = true): Column = {
+    val lowered = if (lowercase) F.lower(text) else text
+    val stripped =
+      if (stripAccents) graft.functions.TextExprs.stripAccents(lowered)
+      else lowered
+    if (collapseWhitespace)
+      F.trim(F.regexp_replace(stripped, "\\s+", " "))
+    else stripped
+  }
+
+  /** Corpus vocabulary with document-frequency banding: one row per token
+    * with `doc_freq` (documents containing it) and `term_freq` (total
+    * occurrences), keeping `minDf <= doc_freq <= maxDfRatio * N`.
+    *
+    * Scale shape: explode → two-level aggregation — groupBy(token, doc)
+    * partial-counts map-side, then groupBy(token) — instead of
+    * `count_distinct(doc)`, whose per-group distinct-set buffers are the
+    * classic OOM at web-corpus vocabulary sizes. Both shuffles carry
+    * fixed-width keys after the first combine. */
+  def vocabulary(df: DataFrame, id: Column, text: Column,
+      minDf: Long = 1L, maxDfRatio: Double = 1.0): DataFrame = {
+    val n = df.count() // one metadata-cheap job for the banding bound
+    val perDoc = df
+      .select(id.as("__doc"), F.explode(tokens(text)).as("token"))
+      .groupBy("__doc", "token").agg(F.count(F.lit(1)).as("__tf"))
+    perDoc.groupBy("token")
+      .agg(F.count(F.lit(1)).as("doc_freq"), F.sum("__tf").as("term_freq"))
+      .filter(F.col("doc_freq") >= minDf &&
+        F.col("doc_freq") <= (maxDfRatio * n).toLong)
+  }
+
+  /** Top-k TF-IDF terms per document: tf(doc, token) · ln(N / df(token)),
+    * deterministic tie-break (score desc, token asc).
+    *
+    * Scale shape: the per-token doc-frequency table is vocabulary-sized
+    * (≪ corpus) and hash-joins back onto the (doc, token) counts; the
+    * top-k window partitions by doc id — hash-distributed, never a global
+    * window. `maxDfRatio` drops ubiquitous tokens BEFORE the join, which
+    * both bounds the join's skew (stopword postings are the hot keys) and
+    * matches the IDF intuition that they score ~0 anyway. */
+  def tfidfTopTerms(df: DataFrame, id: Column, text: Column, k: Int,
+      maxDfRatio: Double = 0.5): DataFrame = {
+    val n = df.count()
+    val tf = df
+      .select(id.as("doc_id"), F.explode(tokens(text)).as("token"))
+      .groupBy("doc_id", "token").agg(F.count(F.lit(1)).as("tf"))
+    val docFreq = tf.groupBy("token")
+      .agg(F.count(F.lit(1)).as("df"))
+      .filter(F.col("df") <= (maxDfRatio * n).toLong)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(F.col("score").desc, F.col("token").asc)
+    tf.join(docFreq, "token")
+      .withColumn("score",
+        F.round(F.col("tf") * F.log(F.lit(n.toDouble) / F.col("df")), 6))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("doc_id", "token", "score", "rank")
+  }
 }

@@ -45,6 +45,41 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("normalize: lowercase, NFD accent strip, whitespace collapse") {
+    val d = Seq("  Crème  BRÛLÉE\tà gogo ", "ünïcödé", "plain").toDF("t")
+      .select(TextAnalysis.normalize(F.col("t")).as("n"))
+    assert(col1[String](d, "n") ==
+      Seq("creme brulee a gogo", "unicode", "plain"))
+  }
+
+  test("vocabulary: doc_freq banding + term_freq totals") {
+    val d = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "banana date")).toDF("id", "t")
+    // banana df=3 (> 0.67*3=2) is banded out; singletons df=1 < minDf=2 out
+    val v = TextAnalysis.vocabulary(d, F.col("id"), F.col("t"),
+      minDf = 2L, maxDfRatio = 0.67)
+    assert(v.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet == Set.empty)
+    val v2 = TextAnalysis.vocabulary(d, F.col("id"), F.col("t"),
+      minDf = 2L, maxDfRatio = 1.0)
+    assert(v2.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet == Set(("banana", 3L, 3L)))
+    val all = TextAnalysis.vocabulary(d, F.col("id"), F.col("t"))
+    assert(all.filter(F.col("token") === "apple").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("tfidf top terms: rare terms outrank common ones, deterministic") {
+    val d = Seq((1L, "rare common common"), (2L, "common other"),
+      (3L, "common third")).toDF("id", "t")
+    val top = TextAnalysis.tfidfTopTerms(d, F.col("id"), F.col("t"),
+      k = 2, maxDfRatio = 1.0)
+    val doc1 = top.filter(F.col("doc_id") === 1L).orderBy("rank").collect()
+    // "rare" (df=1, idf=ln 3) beats "common" (df=3, idf=0 → score 0)
+    assert(doc1.map(_.getString(1)).toSeq == Seq("rare", "common"))
+    assert(doc1.head.getDouble(2) > doc1.last.getDouble(2))
+  }
+
   test("duplicateClusters: min-label connected components over pairs") {
     // two components: {1,2,3} via chain 1-2, 2-3 (diameter 2, needs
     // propagation past one hop) and {7,9}; 5 is unpaired → absent

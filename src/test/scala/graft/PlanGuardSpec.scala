@@ -22,7 +22,8 @@ class PlanGuardSpec extends SparkSpec {
     "q54_positional", "q55_math_funcs", "q59_range_join",
     "q60_series_utils", "q61_argsort",
     "d01_exact_dedup", "d05_minhash_pairs", "d07_ngram_jaccard",
-    "d13_embedding_neardup", "d14_ivf_topk")
+    "d13_embedding_neardup", "d14_ivf_topk",
+    "d17_normalize", "d18_vocabulary", "d19_tfidf")
 
   /** Lines of the subtree rooted at line `i` (children print below with
     * deeper operator indentation until a line at or above the root's). */
