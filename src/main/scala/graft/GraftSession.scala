@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: a SparkSession pre-configured the way every verb in
+  * this engine expects (the settings Verify/Bench/specs run under).
+  *
+  * The interesting choices, and why they are defaults here:
+  *  - AQE with partition coalescing + skew-join splitting stays ON: grouped
+  *    verbs and the dedup family shuffle on data-dependent keys, and AQE's
+  *    runtime re-plan is the first line of defense against skew at scale.
+  *  - `shuffle.partitions` sized to the session's parallelism for local
+  *    runs (Spark's 200 default thrashes a laptop; on a cluster, leave
+  *    unset / size to ~2-3x total cores).
+  *  - UTC session timezone: Explorer datetimes are tz-less
+  *    (`{:naive_datetime, _}`, SURVEY §1.2); a non-UTC session would shift
+  *    them on parquet read.
+  *  - `parquet.nanosAsLong`: ns-precision timestamps read as long ns since
+  *    Spark is µs-native (SURVEY §1.2 deviation; conversion helpers in
+  *    [[StringFns]]).
+  */
+object GraftSession {
+
+  /** The conf map [[local]]/[[builder]] apply — exposed as data so it is
+    * spec-testable and copyable into an existing cluster submit. */
+  def recommendedConfs(parallelism: Int): Map[String, String] = Map(
+    "spark.sql.shuffle.partitions" -> parallelism.toString,
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Builder with the recommended confs applied; caller picks master. */
+  def builder(appName: String = "graft",
+      parallelism: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
+    recommendedConfs(parallelism).foldLeft(
+      SparkSession.builder().appName(appName)) {
+      case (b, (k, v)) => b.config(k, v)
+    }
+
+  /** Local development session: all cores, shuffle width = core count. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    builder(parallelism = cores).master(s"local[$cores]").getOrCreate()
+}

@@ -248,16 +248,20 @@ object Dedup {
     * cheap job per round over the LABEL table (pairs-scale, not
     * corpus-scale). */
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
-    val edges = pairs
+    // the edges union references `pairs` TWICE — without caching, the whole
+    // upstream pair-generation pipeline (LSH + verification) would execute
+    // twice inside the first job
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p
       .select(F.col("id_a").as("src"), F.col("id_b").as("dst"))
-      .union(pairs.select(F.col("id_b").as("src"), F.col("id_a").as("dst")))
+      .union(p.select(F.col("id_b").as("src"), F.col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(F.col("src").as("id"))
       .distinct()
       .withColumn("cluster", F.col("id"))
-      .localCheckpoint()
+      .localCheckpoint() // eager: materializes (and caches) edges + pairs
+    p.unpersist(false)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {

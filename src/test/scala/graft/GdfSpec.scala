@@ -274,4 +274,13 @@ class GdfSpec extends SparkSpec {
     assert(popped.names == Seq("id") && !rest.names.contains("id"))
     assert(popped.sdf.count() == base.sdf.count())
   }
+
+  test("GraftSession recommended confs cover the engine's invariants") {
+    val c = GraftSession.recommendedConfs(16)
+    assert(c("spark.sql.shuffle.partitions") == "16")
+    assert(c("spark.sql.adaptive.enabled") == "true")
+    assert(c("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(c("spark.sql.session.timeZone") == "UTC")
+    assert(c("spark.sql.legacy.parquet.nanosAsLong") == "true")
+  }
 }
