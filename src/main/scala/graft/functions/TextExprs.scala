@@ -149,6 +149,54 @@ case class OrderedPairs(child: Expression)
   }
 }
 
+/** array<struct<id,simhash>> (sorted bucket rows) → array<struct<id_a,
+  * id_b,distance>>: ordered pairs (i < j) whose Hamming distance is at most
+  * `maxDistance` — pair expansion, popcount(xor) and the distance filter
+  * fused in one imperative eval. The HOF formulation (`transform` over
+  * `slice`) re-evaluates the bucket array per element (the quadratic
+  * interpreted-lambda trap this file exists to avoid), and emitting only
+  * surviving pairs keeps degenerate buckets from materializing ~maxBucket²
+  * rejected structs. */
+case class HammingPairs(child: Expression, maxDistance: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a", LongType, false),
+      org.apache.spark.sql.types.StructField("id_b", LongType, false),
+      org.apache.spark.sql.types.StructField("distance",
+        org.apache.spark.sql.types.IntegerType, false))),
+    containsNull = false)
+  override def prettyName: String = "hamming_pairs"
+  override protected def withNewChildInternal(c: Expression): HammingPairs =
+    copy(child = c)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val rows = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = rows.numElements()
+    val ids = new Array[Long](n)
+    val sigs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = rows.getStruct(i, 2)
+      ids(i) = r.getLong(0); sigs(i) = r.getLong(1)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val d = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+        if (d <= maxDistance)
+          out += org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j), d)
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** text → bigint: number of non-overlapping matches of `pattern`. Same
   * java.util.regex engine as Spark's regexp_* functions (identical counts),
   * but counts with a reused Matcher instead of materializing every match
@@ -167,6 +215,41 @@ case class CountRegexMatches(child: Expression, pattern: String)
     var n = 0L
     while (m.find()) n += 1
     n
+  }
+}
+
+/** text → bigint: 64-bit SimHash over word tokens — each bit is the sign
+  * of the ±1 vote sum across token hashes (token multiplicity counts).
+  * Same tokenization + XXH64(seed 42) as `xxhash64(token)`, so it is
+  * bit-identical to the explode → groupBy(sum per bit) formulation it
+  * replaces — except that formulation shuffled EVERY TOKEN of the corpus
+  * to aggregate votes, while this is one eval per row: the signature
+  * stage of simhash dedup drops from two stages + a token-wide exchange
+  * to scan speed. Empty documents yield 0L. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ws = TextHashing.words(input.asInstanceOf[UTF8String])
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < ws.length) {
+      val h = TextHashing.hashWord(ws(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
   }
 }
 
@@ -198,6 +281,12 @@ object TextExprs {
 
   def stripAccents(text: Column): Column =
     Bridge.column(StripAccents(Bridge.expression(text)))
+
+  def simhash64(text: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(text)))
+
+  def hammingPairs(rows: Column, maxDistance: Int): Column =
+    Bridge.column(HammingPairs(Bridge.expression(rows), maxDistance))
 
   def orderedPairs(ids: Column): Column =
     Bridge.column(OrderedPairs(Bridge.expression(ids)))

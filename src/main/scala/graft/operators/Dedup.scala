@@ -173,23 +173,16 @@ object Dedup {
     verifyJaccard(df, id, text, cands, shingleSize, threshold)
   }
 
-  /** 64-bit SimHash over word tokens: one explode + one groupBy — each bit
-    * is the sign of the Σ±1 vote across token hashes. Near-dup detection
-    * then compares popcount(xor) ≤ k within LSH buckets on bit-bands. */
-  def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val tokens = df.select(id.as("id"),
-      F.explode(F.split(F.lower(F.trim(text)), "\\s+")).as("tok"))
-      .withColumn("h", F.xxhash64(F.col("tok")))
-    val bitVotes = (0 until 64).map { i =>
-      F.sum(F.when(F.col("h").bitwiseAND(1L << i) =!= 0, 1).otherwise(-1))
-        .as(s"b$i")
-    }
-    val votes = tokens.groupBy("id").agg(bitVotes.head, bitVotes.tail: _*)
-    val sim = (0 until 64).map { i =>
-      F.when(F.col(s"b$i") > 0, F.lit(1L << i)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    votes.select(F.col("id"), sim.as("simhash"))
-  }
+  /** 64-bit SimHash over word tokens: each bit is the sign of the Σ±1 vote
+    * across token hashes. ONE native eval per row
+    * ([[graft.functions.SimHash64]]) — the previous explode → groupBy
+    * formulation shuffled every token of the corpus just to sum votes;
+    * signatures are embarrassingly parallel and belong in the scan.
+    * Near-dup detection then compares popcount(xor) ≤ k within LSH buckets
+    * on bit-bands. */
+  def simhash(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"),
+      graft.functions.TextExprs.simhash64(text).as("simhash"))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
@@ -214,17 +207,17 @@ object Dedup {
         F.shiftrightunsigned(F.col("simhash"), offsets(b))
           .bitwiseAND((1L << widths(b)) - 1)): _*))
         .as(Seq("band", "bucket")))
-    val pairs = banded.groupBy("band", "bucket")
+    // pair expansion + distance + threshold fused in the native
+    // HammingPairs expression — the nested-transform HOF formulation
+    // re-evaluated the bucket array per element (quadratic interpreted
+    // lambdas) and materialized every rejected pair
+    banded.groupBy("band", "bucket")
       .agg(F.sort_array(F.collect_list(F.struct(F.col("id"), F.col("simhash"))))
         .as("rows"))
       .filter(F.size(F.col("rows")).between(2, maxBucket))
-      .select(F.explode(F.flatten(F.transform(F.col("rows"), (a, i) =>
-        F.transform(F.slice(F.col("rows"), i + 2, F.size(F.col("rows"))), b =>
-          F.struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
-            hamming(a.getField("simhash"), b.getField("simhash"))
-              .as("distance")))))).as("p"))
+      .select(F.explode(graft.functions.TextExprs.hammingPairs(
+        F.col("rows"), maxDistance)).as("p"))
       .select("p.*").distinct()
-    pairs.filter(F.col("distance") <= maxDistance)
   }
 
   /** Connected components over a near-duplicate pair table: each doc in a
