@@ -149,6 +149,54 @@ case class OrderedPairs(child: Expression)
   }
 }
 
+/** text → array<bigint>: per-band bucket hashes of the MinHash signature,
+  * fully fused — shingling, the k-way min, AND the per-band fold in one
+  * eval, never materializing the signature array as a column. Replaces
+  * `transform(sequence(0,bands-1), b -> xxhash64(slice(sig,...)))`, which
+  * ran interpreted and allocated `bands` slices per row. Bucket ids are a
+  * different (but equally collision-resistant) hash of the same band
+  * content, so LSH semantics — equal band ⇒ same bucket — are unchanged. */
+case class MinHashBandHashes(child: Expression, n: Int, numHashes: Int,
+    bands: Int) extends UnaryExpression with CodegenFallback {
+  require(numHashes % bands == 0, s"numHashes $numHashes % bands $bands != 0")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_hashes"
+  override protected def withNewChildInternal(c: Expression): MinHashBandHashes =
+    copy(child = c)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val hs = TextHashing.shingleHashes(input.asInstanceOf[UTF8String], n)
+    var i = 0
+    while (i < hs.length) {
+      val s = hs(i)
+      val h1 = s & 0x3FFFFFFFFFFFFFFFL
+      val h2 = XXH64.hashLong(s, 42L) & 0x00FFFFFFFFFFFFFFL
+      var k = 0
+      var h = h1
+      while (k < numHashes) {
+        if (h < sig(k)) sig(k) = h
+        h += h2
+        k += 1
+      }
+      i += 1
+    }
+    val rows = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      var k = b * rows
+      val end = k + rows
+      while (k < end) { h = XXH64.hashLong(sig(k), h); k += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** array<struct<id,simhash>> (sorted bucket rows) → array<struct<id_a,
   * id_b,distance>>: ordered pairs (i < j) whose Hamming distance is at most
   * `maxDistance` — pair expansion, popcount(xor) and the distance filter
@@ -287,6 +335,10 @@ object TextExprs {
 
   def hammingPairs(rows: Column, maxDistance: Int): Column =
     Bridge.column(HammingPairs(Bridge.expression(rows), maxDistance))
+
+  def minhashBandHashes(text: Column, n: Int, numHashes: Int,
+      bands: Int): Column =
+    Bridge.column(MinHashBandHashes(Bridge.expression(text), n, numHashes, bands))
 
   def orderedPairs(ids: Column): Column =
     Bridge.column(OrderedPairs(Bridge.expression(ids)))

@@ -90,15 +90,12 @@ object Dedup {
   def minhashLshCandidates(df: DataFrame, id: Column, text: Column,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       maxBucket: Int = 1000): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    // fused native shingling+minhash — one eval per row (see TextExprs)
-    val sig = graft.functions.TextExprs.minhashSignature(
-      text, shingleSize, numHashes)
-    val banded = df.select(id.as("id"), sig.as("sig"))
-      .select(F.col("id"), F.posexplode(
-        F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
-          b => F.xxhash64(F.slice(F.col("sig"), b * rowsPerBand + 1, F.lit(rowsPerBand)))))
-        .as(Seq("band", "bucket")))
+    // fully fused native shingling + minhash + banding — one eval per row
+    // emitting the band bucket hashes directly (see TextExprs); the
+    // signature array never materializes as a column
+    val banded = df.select(id.as("id"), F.posexplode(
+      graft.functions.TextExprs.minhashBandHashes(
+        text, shingleSize, numHashes, bands)).as(Seq("band", "bucket")))
     banded.groupBy("band", "bucket")
       .agg(F.sort_array(F.collect_list("id")).as("ids"))
       .filter(F.size(F.col("ids")).between(2, maxBucket))
