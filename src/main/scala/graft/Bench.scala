@@ -1,9 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query against
+  * `SPARK_GRAFT_SF_DIR`, `SPARK_GRAFT_BENCH_RUNS` times each (default 3),
+  * and prints ONE JSON line. Per-query value = MEDIAN across runs (the r3
+  * verdict found single-shot timings on this VM swing 2-6× under external
+  * load, which made the 2×-regression gate unenforceable); `queries_min`
+  * carries the per-query minima — the best observable proxy for the
+  * machine-independent cost — and `runs` the full grid for auditing. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,7 +33,14 @@ object Bench {
     val picked =
       if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
       else SparkEntry.queries
-    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = picked.keys.toSeq.sorted
+    // run the whole sweep nRuns times (round-robin, not back-to-back per
+    // query): a load spike on the VM then lands on DIFFERENT queries in
+    // different runs instead of wiping out all of one query's samples
+    val samples = collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to nRuns; name <- names) {
+      val fn = picked(name)
       val t0 = System.nanoTime()
       // noop sink evaluates EVERY column of the result (count() would let
       // Catalyst prune computed projections away and fake the timing)
@@ -33,17 +49,34 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      samples(name) = samples(name) :+ dt
       // each query is an independent job: drop its persisted candidate
       // tables / localCheckpoint blocks so they don't squeeze executor
       // memory for every query that happens to run later in the sweep
-      // (measured: late expression queries ran 2-6x slower without this)
+      // (measured: late expression queries ran 2-6x slower without this).
+      // clearCache() unpersists AND deregisters CacheManager entries (raw
+      // unpersist left InMemoryRelations registered — a later query with a
+      // matching subtree would route through a never-re-cached plan); the
+      // RDD sweep then frees localCheckpoint blocks, which live outside
+      // the CacheManager
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> dt
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    def obj(f: String => Double): String = names
+      .map(n => s"\"" + n + "\":" + f(n)).mkString("{", ",", "}")
+    val med = obj(n => median(samples(n)))
+    val mins = obj(n => if (samples(n).isEmpty) 0.0 else samples(n).min)
+    val runsJson = names.map(n =>
+      s"\"" + n + "\":" + samples(n).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = names.map(n => median(samples(n))).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mins,"runs":$runsJson,"n_runs":$nRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

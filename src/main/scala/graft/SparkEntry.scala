@@ -668,7 +668,7 @@ object SparkEntry {
     * overflow-to-null (try_multiply past 38 digits nulls instead of
     * erroring; the oracle pins the count). */
   private val q50: (SparkSession, String) => DataFrame = (s, dir) => {
-    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
     Gdf(t(s, dir, "lineitem"))
       .mutateCol("price_dec", F.col("l_extendedprice").cast(DecimalType(12, 2)))
       .mutateCol("qty_dec", F.col("l_quantity").cast(DecimalType(10, 2)))
@@ -685,12 +685,22 @@ object SparkEntry {
           F.lit(new java.math.BigDecimal("1" + "0" * 36))))
         .otherwise(F.col("price_dec").cast(DecimalType(38, 0))))
       .groupBy("l_returnflag")
+      // result rendering is pinned on BOTH sides (r3 verdict: Spark's
+      // DECIMAL(22,2) vs DuckDB's DECIMAL(38,2)/HUGEINT render differently
+      // through the driver's pandas hash): the exact sums go out as STRINGS
+      // of an explicit-scale decimal — digit-for-digit compare, no float
+      // repr in the loop — and the avg as a double rounded at 6, computed
+      // sum/count the same way on both engines (Spark's decimal avg rounds
+      // HALF_UP at scale 6; DuckDB's avg is a double — pinning the
+      // division to double on both sides removes the rule mismatch)
       .summariseWith { implicit c => Seq(
-        "sum_dec" -> sum(gcol("price_dec")),
-        "avg_dec" -> Series(F.avg(F.col("price_dec"))
-          .cast(DecimalType(16, 6)), isAgg = true),
+        "sum_dec" -> Series(F.sum(F.col("price_dec"))
+          .cast(DecimalType(38, 2)).cast(StringType), isAgg = true),
+        "avg_dec" -> Series(F.round(
+          F.sum(F.col("price_dec")).cast(DoubleType) / F.count(F.lit(1)), 6),
+          isAgg = true),
         "sum_gross" -> Series(F.sum(F.col("gross"))
-          .cast(DecimalType(38, 4)), isAgg = true),
+          .cast(DecimalType(38, 4)).cast(StringType), isAgg = true),
         "n_overflow_null" -> Series(
           F.count_if(F.col("overflow").isNull), isAgg = true)) }
       .sortBy(Seq(F.col("l_returnflag")))
@@ -1026,8 +1036,10 @@ object SparkEntry {
 
   /** Corpus vocabulary with document-frequency banding. */
   private val d18: (SparkSession, String) => DataFrame = (s, dir) =>
+    // maxDfRatio 0.9 keeps ~31 tokens in-band at sf0.01 (0.5 left a single
+    // row, so the oracle hash had almost no teeth)
     TextAnalysis.vocabulary(t(s, dir, "documents"),
-      F.col("doc_id"), F.col("text"), minDf = 2L, maxDfRatio = 0.5)
+      F.col("doc_id"), F.col("text"), minDf = 2L, maxDfRatio = 0.9)
       .orderBy("token")
 
   /** Top-5 TF-IDF terms per document. */
@@ -1035,6 +1047,16 @@ object SparkEntry {
     TextAnalysis.tfidfTopTerms(t(s, dir, "documents"),
       F.col("doc_id"), F.col("text"), k = 5)
       .orderBy("doc_id", "rank")
+
+  /** Candidate-volume per stage of the d07 pipeline (r3 verdict #8): lets
+    * a bench regression in the dedup family be split into "more
+    * candidates" vs "slower plumbing" by diffing these counts across
+    * rounds. */
+  private val d20: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.ngramStageCounts(t(s, dir, "documents"),
+      F.col("doc_id"), F.col("text"), shingleSize = 3, maxDf = 20,
+      minCooccur = 2)
+      .orderBy("stage")
 
   /** frame-shape verbs end to end: select / discard / rename / renameWith /
     * relocate (§2.2; reference data_frame.ex select/discard/rename/relocate
@@ -1284,6 +1306,7 @@ object SparkEntry {
     "d17_normalize" -> d17,
     "d18_vocabulary" -> d18,
     "d19_tfidf" -> d19,
+    "d20_ngram_stages" -> d20,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -1653,13 +1676,14 @@ object SparkEntry {
       FROM part ORDER BY p_partkey""",
     "q50_decimal" -> """
       SELECT l_returnflag,
-             sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_dec,
-             CAST(avg(CAST(l_extendedprice AS DECIMAL(12,2)))
-               AS DECIMAL(16,6)) AS avg_dec,
-             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+               AS DECIMAL(38,2)) AS VARCHAR) AS sum_dec,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+               AS DOUBLE) / count(*), 6) AS avg_dec,
+             CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
                            CAST(l_quantity AS DECIMAL(10,2))
                       AS DECIMAL(18,4)))
-               AS DECIMAL(38,4)) AS sum_gross,
+               AS DECIMAL(38,4)) AS VARCHAR) AS sum_gross,
              count(*) FILTER (WHERE l_orderkey % 1000 = 0) AS n_overflow_null
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q51_sort_nils" -> """
@@ -1916,12 +1940,35 @@ object SparkEntry {
              FROM documents),
       perdoc AS (SELECT doc_id, token, count(*) AS tf
                  FROM toks GROUP BY doc_id, token),
-      vocab AS (SELECT token, count(*) AS doc_freq, sum(tf) AS term_freq
+      vocab AS (SELECT token, count(*) AS doc_freq,
+                       CAST(sum(tf) AS BIGINT) AS term_freq
                 FROM perdoc GROUP BY token)
       SELECT token, doc_freq, term_freq FROM vocab
       WHERE doc_freq >= 2
-        AND doc_freq <= CAST(0.5 * (SELECT count(*) FROM documents) AS BIGINT)
+        AND doc_freq <=
+          CAST(FLOOR(0.9 * (SELECT count(*) FROM documents)) AS BIGINT)
       ORDER BY token""",
+    "d20_ngram_stages" -> """
+      WITH toks AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+          generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE []::VARCHAR[] END AS s FROM toks),
+      posting AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      buckets AS (SELECT g, count(*) AS df FROM posting GROUP BY g),
+      rare AS (SELECT g, df FROM buckets WHERE df BETWEEN 2 AND 20),
+      rp AS (SELECT p.g, p.doc_id FROM posting p JOIN rare r ON p.g = r.g),
+      co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+             FROM rp a JOIN rp b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+      SELECT stage, n FROM (
+        SELECT '1_postings' AS stage, count(*) AS n FROM posting
+        UNION ALL SELECT '2_rare_shingles', count(*) FROM rare
+        UNION ALL SELECT '3_candidate_pairs',
+          COALESCE(CAST(sum(df * (df - 1) // 2) AS BIGINT), 0) FROM rare
+        UNION ALL SELECT '4_cooccur_pairs', count(*) FROM co WHERE c >= 2
+      ) ORDER BY stage""",
     "d19_tfidf" -> """
       WITH toks AS (SELECT doc_id,
              unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
@@ -1929,7 +1976,8 @@ object SparkEntry {
       tf AS (SELECT doc_id, token, count(*) AS tf
              FROM toks GROUP BY doc_id, token),
       dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token
-              HAVING count(*) <= CAST(0.5 * (SELECT count(*) FROM documents) AS BIGINT)),
+              HAVING count(*) <=
+                CAST(FLOOR(0.5 * (SELECT count(*) FROM documents)) AS BIGINT)),
       n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
       scored AS (SELECT doc_id, token, tf, df,
                         round(tf * ln(n.n / df), 6) AS score

@@ -29,7 +29,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // free this query's persisted/localCheckpoint blocks (see Bench)
+      // free this query's persisted/localCheckpoint blocks (see Bench):
+      // deregister cached plans, then drop checkpoint blocks
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

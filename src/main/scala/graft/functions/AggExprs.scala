@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Saturating accumulator: counts every element exactly, but STORES at most
+  * `cap + 1` — enough to decide "size within [2, cap]" without ever holding
+  * a degenerate group's full contents. */
+private[functions] final class CappedBuf(var seen: Long, var n: Int,
+    var items: Array[Long]) {
+  def add(cap: Int, v: Long): Unit = {
+    seen += 1L
+    if (n <= cap) { // keep cap+1 so saturation is observable from items too
+      if (n == items.length)
+        items = java.util.Arrays.copyOf(items, math.min(items.length * 2, cap + 2))
+      items(n) = v; n += 1
+    }
+  }
+}
+
+/** Capped `sort_array(collect_list(id))` for LSH/inverted-index bucket
+  * stages, evaluating to NULL unless the group's true size is in
+  * [2, cap] — the exact semantics of the
+  * `collect_list → size.between(2, cap)` idiom every candidate generator
+  * used, with two scale properties that idiom lacks:
+  *
+  *  - bounded buffers: a degenerate bucket (boilerplate shingle, all-zero
+  *    simhash) holds ≤ cap+1 longs instead of its full posting list — the
+  *    classic web-corpus OOM;
+  *  - bounded shuffle: the PARTIAL aggregation saturates map-side too, so a
+  *    hot key ships ≤ cap+1 elements per map task instead of every id it
+  *    matched, which un-skews the reducer that would otherwise receive the
+  *    whole posting list only to drop it in the size filter.
+  *
+  * Group sizes are still counted exactly (`seen`), so the [2, cap] band is
+  * decided on true cardinality, never on the truncated store. */
+case class CappedSortedIds(child: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CappedBuf] with UnaryLike[Expression] {
+  require(cap >= 2, s"cap $cap must be >= 2")
+
+  override def prettyName: String = "capped_sorted_ids"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): CappedBuf =
+    new CappedBuf(0L, 0, new Array[Long](8))
+
+  override def update(b: CappedBuf, input: InternalRow): CappedBuf = {
+    val v = child.eval(input)
+    if (v != null) b.add(cap, v.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: CappedBuf, o: CappedBuf): CappedBuf = {
+    b.seen += o.seen - o.n // add() below re-counts o's stored items
+    var i = 0
+    while (i < o.n) { b.add(cap, o.items(i)); i += 1 }
+    b
+  }
+
+  override def eval(b: CappedBuf): Any =
+    if (b.seen < 2L || b.seen > cap) null
+    else {
+      val out = java.util.Arrays.copyOf(b.items, b.n)
+      java.util.Arrays.sort(out)
+      new GenericArrayData(out)
+    }
+
+  override def serialize(b: CappedBuf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 * b.n)
+    bb.putLong(b.seen); bb.putInt(b.n)
+    var i = 0
+    while (i < b.n) { bb.putLong(b.items(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CappedBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val seen = bb.getLong; val n = bb.getInt
+    val items = new Array[Long](math.max(n, 8))
+    var i = 0
+    while (i < n) { items(i) = bb.getLong; i += 1 }
+    new CappedBuf(seen, n, items)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CappedSortedIds =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CappedSortedIds =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CappedSortedIds =
+    copy(child = c)
+}
+
+/** [[CappedSortedIds]] over `struct<bigint,bigint>` elements (the simhash
+  * bucket rows): two parallel capped long arrays, emitted sorted by
+  * (first, second) as `array<struct<id,simhash>>` — drop-in for
+  * `sort_array(collect_list(struct(id, simhash)))` + size band. */
+case class CappedSortedIdSigs(child: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[(CappedBuf, CappedBuf)]
+    with UnaryLike[Expression] {
+  require(cap >= 2, s"cap $cap must be >= 2")
+
+  override def prettyName: String = "capped_sorted_id_sigs"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, false),
+    StructField("simhash", LongType, false))), containsNull = false)
+
+  override def createAggregationBuffer(): (CappedBuf, CappedBuf) =
+    (new CappedBuf(0L, 0, new Array[Long](8)),
+      new CappedBuf(0L, 0, new Array[Long](8)))
+
+  override def update(b: (CappedBuf, CappedBuf), input: InternalRow): (CappedBuf, CappedBuf) = {
+    val v = child.eval(input)
+    if (v != null) {
+      val r = v.asInstanceOf[InternalRow]
+      b._1.add(cap, r.getLong(0)); b._2.add(cap, r.getLong(1))
+    }
+    b
+  }
+
+  override def merge(b: (CappedBuf, CappedBuf), o: (CappedBuf, CappedBuf)): (CappedBuf, CappedBuf) = {
+    b._1.seen += o._1.seen - o._1.n
+    b._2.seen += o._2.seen - o._2.n
+    var i = 0
+    while (i < o._1.n) {
+      b._1.add(cap, o._1.items(i)); b._2.add(cap, o._2.items(i)); i += 1
+    }
+    b
+  }
+
+  override def eval(b: (CappedBuf, CappedBuf)): Any =
+    if (b._1.seen < 2L || b._1.seen > cap) null
+    else {
+      val n = b._1.n
+      val idx = Array.range(0, n).sortBy(i => (b._1.items(i), b._2.items(i)))
+      val rows = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        rows(i) = InternalRow(b._1.items(idx(i)), b._2.items(idx(i)))
+        i += 1
+      }
+      new GenericArrayData(rows)
+    }
+
+  override def serialize(b: (CappedBuf, CappedBuf)): Array[Byte] = {
+    val n = b._1.n
+    val bb = java.nio.ByteBuffer.allocate(12 + 16 * n)
+    bb.putLong(b._1.seen); bb.putInt(n)
+    var i = 0
+    while (i < n) { bb.putLong(b._1.items(i)); bb.putLong(b._2.items(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): (CappedBuf, CappedBuf) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val seen = bb.getLong; val n = bb.getInt
+    val a = new Array[Long](math.max(n, 8)); val s = new Array[Long](math.max(n, 8))
+    var i = 0
+    while (i < n) { a(i) = bb.getLong; s(i) = bb.getLong; i += 1 }
+    (new CappedBuf(seen, n, a), new CappedBuf(seen, n, s))
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CappedSortedIdSigs =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CappedSortedIdSigs =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CappedSortedIdSigs =
+    copy(child = c)
+}
+
+object AggExprs {
+  /** `sort_array(collect_list(id))` bounded at `cap`: NULL unless the
+    * group's true size is in [2, cap]. */
+  def cappedSortedIds(id: Column, cap: Int): Column =
+    Bridge.column(
+      CappedSortedIds(Bridge.expression(id), cap).toAggregateExpression())
+
+  /** Struct variant for (id, simhash) bucket rows. */
+  def cappedSortedIdSigs(row: Column, cap: Int): Column =
+    Bridge.column(
+      CappedSortedIdSigs(Bridge.expression(row), cap).toAggregateExpression())
+}

@@ -111,6 +111,19 @@ object Bridge {
       df.schema.add(out, DoubleType, nullable = false))
   }
 
+  /** A single-row/single-column DataFrame as a scalar Column — catalyst's
+    * `ScalarSubquery`, the exact plan shape `spark.sql` gives a
+    * `(SELECT count(*) FROM t)` predicate: the subquery executes once and
+    * its value is injected into the consuming plan as a literal. The
+    * DataFrame-API alternatives are all worse: a driver-side `.count()` is
+    * an eager extra action, and a crossJoin of a 1-row aggregate
+    * constant-folds its key away and re-plans as a BroadcastNestedLoopJoin
+    * (measured on the vocabulary operator). */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        df.queryExecution.analyzed))
+
   /** Rewrite a sort key's null ordering at the ColumnNode level (Spark 4's
     * Connect-agnostic Column representation). A catalyst SortOrder smuggled
     * into a Column is NOT recognized by Dataset.sort — it gets wrapped in a

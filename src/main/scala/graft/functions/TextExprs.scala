@@ -126,6 +126,17 @@ case class OrderedPairs(child: Expression)
       org.apache.spark.sql.types.StructField("id_a", LongType, false),
       org.apache.spark.sql.types.StructField("id_b", LongType, false))),
     containsNull = false)
+  // the eval reads raw longs out of UnsafeArrayData — any other element
+  // type would read garbage silently, so the bigint-id contract is checked
+  // at analysis time, not left to a runtime cast
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ordered_pairs requires array<bigint> ids, got ${other.sql}")
+    }
   override def prettyName: String = "ordered_pairs"
   override protected def withNewChildInternal(c: Expression): OrderedPairs =
     copy(child = c)
@@ -214,6 +225,18 @@ case class HammingPairs(child: Expression, maxDistance: Int)
       org.apache.spark.sql.types.StructField("distance",
         org.apache.spark.sql.types.IntegerType, false))),
     containsNull = false)
+  // same bigint-id contract as OrderedPairs: getLong on a non-long struct
+  // field would throw (or silently misread UnsafeRow-backed arrays), so
+  // reject anything but struct<bigint,bigint> elements at analysis time
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(s: org.apache.spark.sql.types.StructType, _)
+          if s.length == 2 && s.forall(_.dataType == LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hamming_pairs requires array<struct<bigint,bigint>>, got ${other.sql}")
+    }
   override def prettyName: String = "hamming_pairs"
   override protected def withNewChildInternal(c: Expression): HammingPairs =
     copy(child = c)

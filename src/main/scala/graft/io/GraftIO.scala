@@ -17,6 +17,85 @@ import org.apache.spark.sql.types.StructType
   */
 object GraftIO {
 
+  // ======== cloud / remote URLs (reference lib/explorer/fss.ex:53-223,
+  // cloud_writer.rs) ==========================================================
+  // Every reader/writer accepts the reference's URL schemes:
+  //  - s3://bucket/key   → rewritten to Hadoop's s3a:// connector (the
+  //    connector jar ships on real clusters; configure credentials with
+  //    [[configureS3]] — the FSS entries endpoint/access_key_id/
+  //    secret_access_key/region map onto fs.s3a.*).
+  //  - http(s)://...     → fetched once on the driver to a local temp file
+  //    (exactly the reference's posture: FSS downloads single HTTP objects,
+  //    they are not a distributed filesystem), then read locally.
+  //  - file://, hdfs://, s3a://, and bare paths pass through to Hadoop.
+
+  /** Map the reference's S3 `FSS.Config` fields onto Hadoop's s3a
+    * connector (fss.ex:53-150: access_key_id, secret_access_key, region,
+    * endpoint, token). `pathStyle` is what MinIO-style endpoints need. */
+  def configureS3(spark: SparkSession, accessKeyId: String,
+      secretAccessKey: String, region: Option[String] = None,
+      endpoint: Option[String] = None, sessionToken: Option[String] = None,
+      pathStyle: Boolean = false): Unit = {
+    val c = spark.sparkContext.hadoopConfiguration
+    c.set("fs.s3a.access.key", accessKeyId)
+    c.set("fs.s3a.secret.key", secretAccessKey)
+    region.foreach(c.set("fs.s3a.endpoint.region", _))
+    endpoint.foreach(c.set("fs.s3a.endpoint", _))
+    sessionToken.foreach { t =>
+      c.set("fs.s3a.session.token", t)
+      c.set("fs.s3a.aws.credentials.provider",
+        "org.apache.hadoop.fs.s3a.auth.TemporaryAWSCredentialsProvider")
+    }
+    if (pathStyle) c.set("fs.s3a.path.style.access", "true")
+  }
+
+  /** Normalize a user-facing URL to something Hadoop can scan. Public so
+    * sinks/tools outside this facade can reuse the exact same rules. */
+  def resolveUrl(path: String): String =
+    if (path.startsWith("s3://")) "s3a://" + path.stripPrefix("s3://")
+    else if (path.startsWith("http://") || path.startsWith("https://"))
+      fetchToLocal(path)
+    else path
+
+  /** [[resolveUrl]] for readers that open LOCAL java.io streams (Arrow IPC
+    * — a single framed file, not a splittable distributed format): http(s)
+    * fetches land as a filesystem path, and file:// URIs unwrap to one. */
+  private def resolveLocal(path: String): String = {
+    val u = resolveUrl(path)
+    if (u.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(u))
+      .toString
+    else u
+  }
+
+  /** Sink-side URL rules: s3:// rewrites to the s3a connector; http(s) is
+    * read-only (the reference's cloud_writer.rs writes S3 only, too). */
+  private def resolveWriteUrl(path: String): String = {
+    require(!path.startsWith("http://") && !path.startsWith("https://"),
+      s"cannot write to an http(s) URL: $path")
+    if (path.startsWith("s3://")) "s3a://" + path.stripPrefix("s3://") else path
+  }
+
+  /** Driver-side single-object HTTP fetch → `file://` temp path. The
+    * reference does the same for http(s) sources (fss.ex:156-223): an HTTP
+    * URL names ONE object, so a distributed scan gains nothing — fetch it
+    * once, then let every reader treat it as a local file. */
+  private def fetchToLocal(url: String): String = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL).build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .GET().build()
+    val tmp = java.nio.file.Files.createTempFile("graft_http",
+      url.replaceAll(".*/", "_"))
+    tmp.toFile.deleteOnExit()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofFile(tmp,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
+    require(resp.statusCode() / 100 == 2,
+      s"HTTP ${resp.statusCode()} fetching $url")
+    tmp.toUri.toString // file:///...
+  }
+
   /** `from_csv` (data_frame.ex:607-838; reader opts io.rs:34-51).
     *
     * `skipRows`/`skipRowsAfterHeader` have no Spark CSV option — the file is
@@ -60,12 +139,12 @@ object GraftIO {
     var df =
       if (skipRows == 0 && skipRowsAfterHeader == 0) {
         eolDelimiter.foreach(e => r = r.option("lineSep", e))
-        r.csv(path)
+        r.csv(resolveUrl(path))
       } else {
         import spark.implicits._
         var tr = spark.read.option("encoding", charset)
         eolDelimiter.foreach(e => tr = tr.option("lineSep", e))
-        val lines = tr.textFile(path)
+        val lines = tr.textFile(resolveUrl(path))
         val hdr = if (header) 1 else 0
         val afterHdr = skipRows + hdr
         val kept = lines.rdd.zipWithIndex.filter { case (_, i) =>
@@ -102,13 +181,13 @@ object GraftIO {
   def toCsv(df: Gdf, path: String, delimiter: String = ",",
       header: Boolean = true): Unit =
     df.sdf.write.mode("overwrite").option("sep", delimiter)
-      .option("header", header).csv(path)
+      .option("header", header).csv(resolveWriteUrl(path))
 
   /** `from_parquet` (data_frame.ex:872; lazy scan lazyframe/io.rs:11-61).
     * Column projection and `max_rows` push into the scan via Catalyst. */
   def fromParquet(spark: SparkSession, path: String,
       columns: Seq[String] = Nil, maxRows: Option[Int] = None): Gdf = {
-    var df = spark.read.parquet(path)
+    var df = spark.read.parquet(resolveUrl(path))
     if (columns.nonEmpty) df = df.select(columns.map(df(_)): _*)
     maxRows.foreach(n => df = df.limit(n))
     Gdf(df)
@@ -121,7 +200,7 @@ object GraftIO {
     var w = df.sdf.write.mode("overwrite").option("compression",
       if (compression == "lz4") "lz4_raw" else compression)
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
-    w.parquet(path)
+    w.parquet(resolveWriteUrl(path))
   }
 
   /** `from_ndjson` (data_frame.ex:1572) — NDJSON is Spark json's native
@@ -130,15 +209,16 @@ object GraftIO {
     * then applied to the full scan; None infers from everything. */
   def fromNdjson(spark: SparkSession, path: String,
       inferSchemaLength: Option[Int] = None): Gdf = inferSchemaLength match {
-    case None => Gdf(spark.read.json(path))
+    case None => Gdf(spark.read.json(resolveUrl(path)))
     case Some(n) =>
-      val sample = spark.read.textFile(path).limit(n)
+      val url = resolveUrl(path)
+      val sample = spark.read.textFile(url).limit(n)
       val schema = spark.read.json(sample).schema
-      Gdf(spark.read.schema(schema).json(path))
+      Gdf(spark.read.schema(schema).json(url))
   }
 
   def toNdjson(df: Gdf, path: String): Unit =
-    df.sdf.write.mode("overwrite").json(path)
+    df.sdf.write.mode("overwrite").json(resolveWriteUrl(path))
 
   /** `load_ndjson` — parse in-memory NDJSON (data_frame.ex:1648). */
   def loadNdjson(spark: SparkSession, contents: String): Gdf = {
@@ -224,13 +304,13 @@ object GraftIO {
     * (data_frame.ex:1406). See [[org.apache.spark.sql.graftbridge.ArrowIpc]]
     * for the design. */
   def fromIpc(spark: SparkSession, path: String): Gdf =
-    Gdf(org.apache.spark.sql.graftbridge.ArrowIpc.readFile(spark, path))
+    Gdf(org.apache.spark.sql.graftbridge.ArrowIpc.readFile(spark, resolveLocal(path)))
 
   def toIpc(df: Gdf, path: String, compression: Option[String] = None): Unit =
     org.apache.spark.sql.graftbridge.ArrowIpc.writeFile(df.sdf, path, compression)
 
   def fromIpcStream(spark: SparkSession, path: String): Gdf =
-    Gdf(org.apache.spark.sql.graftbridge.ArrowIpc.readStream(spark, path))
+    Gdf(org.apache.spark.sql.graftbridge.ArrowIpc.readStream(spark, resolveLocal(path)))
 
   def toIpcStream(df: Gdf, path: String,
       compression: Option[String] = None): Unit =

@@ -82,6 +82,13 @@ object Dedup {
   private def bucketPairs(ids: Column): Column =
     graft.functions.TextExprs.orderedPairs(ids)
 
+  /** The native pair expressions read ids as raw longs, so every candidate
+    * generator normalizes the caller's id to bigint before it enters a
+    * bucket (int/short ids widen losslessly; a non-numeric id fails at
+    * analysis time with the expressions' type check instead of a runtime
+    * ClassCastException). Pair outputs are therefore always bigint ids. */
+  private def asLongId(id: Column): Column = id.cast(LongType)
+
   /** MinHash + LSH banding: rows whose signature agrees on ALL rows of any
     * band become candidates. One explode to `bands` rows per doc, one
     * groupBy per (band, bucket), pairs expanded bucket-locally. `maxBucket`
@@ -93,12 +100,17 @@ object Dedup {
     // fully fused native shingling + minhash + banding — one eval per row
     // emitting the band bucket hashes directly (see TextExprs); the
     // signature array never materializes as a column
-    val banded = df.select(id.as("id"), F.posexplode(
+    val banded = df.select(asLongId(id).as("id"), F.posexplode(
       graft.functions.TextExprs.minhashBandHashes(
         text, shingleSize, numHashes, bands)).as(Seq("band", "bucket")))
+    // capped saturating collect (see [[graft.functions.CappedSortedIds]]):
+    // same [2, maxBucket] band semantics as collect_list + size filter, but
+    // a degenerate bucket buffers and ships <= maxBucket+1 ids instead of
+    // its whole posting list
     banded.groupBy("band", "bucket")
-      .agg(F.sort_array(F.collect_list("id")).as("ids"))
-      .filter(F.size(F.col("ids")).between(2, maxBucket))
+      .agg(graft.functions.AggExprs.cappedSortedIds(F.col("id"), maxBucket)
+        .as("ids"))
+      .filter(F.col("ids").isNotNull)
       .select(F.explode(bucketPairs(F.col("ids"))).as("p"))
       .select("p.*").distinct()
   }
@@ -156,11 +168,14 @@ object Dedup {
       maxDf: Int = 20, minCooccur: Int = 2): DataFrame = {
     // postings carry the 8-byte shingle hash, not the string — the shuffle
     // and groupBy key stays fixed-width regardless of shingle length
-    val postings = df.select(id.as("id"),
+    val postings = df.select(asLongId(id).as("id"),
       F.explode(shingleHashes(text, shingleSize)).as("g"))
+    // saturating collect: common shingles (df ≫ maxDf — boilerplate) never
+    // materialize their posting lists; see CappedSortedIds
     val rare = postings.groupBy("g")
-      .agg(F.sort_array(F.collect_list("id")).as("ids"))
-      .filter(F.size(F.col("ids")).between(2, maxDf))
+      .agg(graft.functions.AggExprs.cappedSortedIds(F.col("id"), maxDf)
+        .as("ids"))
+      .filter(F.col("ids").isNotNull)
     val cands = rare
       .select(F.explode(bucketPairs(F.col("ids"))).as("p"))
       .select("p.*")
@@ -168,6 +183,41 @@ object Dedup {
       .filter(F.col("__cooccur") >= minCooccur)
       .select("id_a", "id_b")
     verifyJaccard(df, id, text, cands, shingleSize, threshold)
+  }
+
+  /** Candidate-volume diagnostics for [[ngramJaccardPairs]]: one row per
+    * pipeline stage with its cardinality — `(stage, n)` for postings,
+    * rare-shingle buckets, expanded candidate pairs, and pairs surviving
+    * the `minCooccur` gate. The point (r3 verdict): when the dedup family's
+    * wall-time moves between rounds, these counts separate "the corpus
+    * generates more candidates" from "the plumbing got slower" without a
+    * profiling session. Oracle-checkable (the counts are exact set sizes,
+    * hash-free semantics up to 64-bit collisions). The input is re-derived
+    * per stage but postings are persisted, so the corpus is scanned once. */
+  def ngramStageCounts(df: DataFrame, id: Column, text: Column,
+      shingleSize: Int = 3, maxDf: Int = 20, minCooccur: Int = 2): DataFrame = {
+    val postings = df.select(asLongId(id).as("id"),
+      F.explode(shingleHashes(text, shingleSize)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rareBuckets = postings.groupBy("g")
+      .agg(graft.functions.AggExprs.cappedSortedIds(F.col("id"), maxDf)
+        .as("ids"))
+      .filter(F.col("ids").isNotNull)
+    val pairCounts = rareBuckets
+      .select(F.explode(bucketPairs(F.col("ids"))).as("p")).select("p.*")
+      .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).as("__co"))
+    def stageOf(stage: String, d: DataFrame): DataFrame =
+      d.agg(F.count(F.lit(1)).as("n"))
+        .select(F.lit(stage).as("stage"), F.col("n"))
+    stageOf("1_postings", postings)
+      .unionAll(stageOf("2_rare_shingles", rareBuckets))
+      .unionAll(rareBuckets
+        .select(F.size(F.col("ids")).cast(LongType).as("sz"))
+        // sz*(sz-1) is even, so `div 2` is exact
+        .agg(F.coalesce(F.sum(F.expr("sz * (sz - 1) div 2")), F.lit(0L)).as("n"))
+        .select(F.lit("3_candidate_pairs").as("stage"), F.col("n")))
+      .unionAll(stageOf("4_cooccur_pairs",
+        pairCounts.filter(F.col("__co") >= minCooccur)))
   }
 
   /** 64-bit SimHash over word tokens: each bit is the sign of the Σ±1 vote
@@ -198,7 +248,7 @@ object Dedup {
     val extra = 64 % bands
     val widths = Seq.tabulate(bands)(i => base + (if (i < extra) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _).init
-    val sh = simhash(df, id, text)
+    val sh = simhash(df, asLongId(id), text)
     val banded = sh.select(F.col("id"), F.col("simhash"),
       F.posexplode(F.array((0 until bands).map(b =>
         F.shiftrightunsigned(F.col("simhash"), offsets(b))
@@ -209,9 +259,9 @@ object Dedup {
     // re-evaluated the bucket array per element (quadratic interpreted
     // lambdas) and materialized every rejected pair
     banded.groupBy("band", "bucket")
-      .agg(F.sort_array(F.collect_list(F.struct(F.col("id"), F.col("simhash"))))
-        .as("rows"))
-      .filter(F.size(F.col("rows")).between(2, maxBucket))
+      .agg(graft.functions.AggExprs.cappedSortedIdSigs(
+        F.struct(F.col("id"), F.col("simhash")), maxBucket).as("rows"))
+      .filter(F.col("rows").isNotNull)
       .select(F.explode(graft.functions.TextExprs.hammingPairs(
         F.col("rows"), maxDistance)).as("p"))
       .select("p.*").distinct()
@@ -268,6 +318,18 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // min-label propagation moves a label one hop per round: a component
+    // with diameter > maxIterations would exit here with WRONG labels and
+    // no symptom — dedupNear would then keep the wrong canonical docs.
+    // Fail loudly instead of returning silently-wrong clusters; the
+    // escape hatch for adversarially chain-shaped graphs is the
+    // large-star/small-star O(log² n) variant cited above.
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge within $maxIterations rounds — " +
+          "the pair graph has a component with diameter > maxIterations. " +
+          "Raise maxIterations, or use a large-star/small-star variant for " +
+          "chain-shaped duplicate graphs.")
     labels.select(F.col("id"), F.col("cluster"))
   }
 
@@ -312,15 +374,16 @@ object Dedup {
     // candidate generation buckets carry ONLY ids (8 bytes/row, same
     // discipline as the minhash path) — collecting the vectors themselves
     // would put maxBucket × dims floats in every aggregation buffer
-    val cands0 = df.select(id.as("id"), sig.as("sig"))
+    val cands0 = df.select(asLongId(id).as("id"), sig.as("sig"))
       .select(F.col("id"),
         F.posexplode(F.array((0 until bands).map(b =>
           F.shiftrightunsigned(F.col("sig"), b * bandBits)
             .bitwiseAND(if (bandBits == 64) -1L else (1L << bandBits) - 1)): _*))
           .as(Seq("band", "bucket")))
       .groupBy("band", "bucket")
-      .agg(F.sort_array(F.collect_list("id")).as("ids"))
-      .filter(F.size(F.col("ids")).between(2, maxBucket))
+      .agg(graft.functions.AggExprs.cappedSortedIds(F.col("id"), maxBucket)
+        .as("ids"))
+      .filter(F.col("ids").isNotNull)
       .select(F.explode(bucketPairs(F.col("ids"))).as("p"))
       .select("p.*").distinct()
     // exact verification: semi-join-prune the corpus to candidate ids, then

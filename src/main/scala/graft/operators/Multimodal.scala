@@ -102,11 +102,17 @@ object Multimodal {
       if (img == null) return None
       val w = img.getWidth; val h = img.getHeight
       val hist = new Array[Double](dims)
+      // bulk raster path: one getRGB call per ROW into a reused buffer —
+      // per-pixel getRGB re-does the color-model lookup and bounds checks
+      // per call (r3 verdict: dominated d11 when decode is the bottleneck);
+      // row-chunked keeps the buffer w ints regardless of image size
+      val rowBuf = new Array[Int](w)
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = rowBuf(x)
           val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
             (rgb & 0xFF) * 114) / 1000 // integer BT.601 luma
           hist(math.min(dims - 1, lum * dims / 256)) += 1.0

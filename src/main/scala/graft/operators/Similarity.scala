@@ -65,15 +65,24 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: hash corpus and queries with the same
     * hyperplanes, score only bucket collisions. Multi-probe via `bands`
-    * sub-signatures raises recall (a pair collides if any band matches). */
+    * sub-signatures raises recall (a pair collides if any band matches).
+    *
+    * Scale shape (the [[graft.operators.Dedup.embeddingDuplicatePairs]]
+    * discipline): the banded explode, the band join, and the candidate
+    * `distinct` carry ONLY (id, band, bucket) — 8-byte rows. Embeddings
+    * re-enter AFTER dedup, via semi-join-pruned vector lookups on each
+    * side. The previous formulation carried both full vectors through the
+    * bands× replication and dedup'd rows containing two embedding payloads
+    * — at 100 TB that shuffles the corpus `bands` times with vectors
+    * attached. */
   def lshTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, planes: Int = 16, bands: Int = 4, seed: Long = 42): DataFrame = {
     val bandBits = planes / bands
     def banded(df: DataFrame, id: Column, vec: Column, idName: String) = {
       val sig = hyperplaneSignature(vec, planes, seed)
-      df.select(id.as(idName), vec.as(s"__v_$idName"), sig.as("sig"))
-        .select(F.col(idName), F.col(s"__v_$idName"),
+      df.select(id.as(idName), sig.as("sig"))
+        .select(F.col(idName),
           F.posexplode(F.array((0 until bands).map(b =>
             F.shiftrightunsigned(F.col("sig"), b * bandBits)
               .bitwiseAND((1L << bandBits) - 1)): _*))
@@ -81,11 +90,19 @@ object Similarity {
     }
     val c = banded(corpus, corpusId, corpusVec, "corpus_id")
     val q = banded(queries, queryId, queryVec, "query_id")
-    val pairs = c.join(q, Seq("band", "bucket"))
-      .select("corpus_id", "__v_corpus_id", "query_id", "__v_query_id")
+    // candidate pairs: ids only through the join and the distinct
+    val cands = c.join(q, Seq("band", "bucket"))
+      .select("corpus_id", "query_id")
       .distinct()
-      .withColumn("cosine",
-        cosine(F.col("__v_corpus_id"), F.col("__v_query_id")))
+      // consumed three times below (two id-prunes + the pair join);
+      // pairs-scale by construction, caches cheaply
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cv = corpus.select(corpusId.as("corpus_id"), corpusVec.as("__cv"))
+      .join(cands.select("corpus_id").distinct(), Seq("corpus_id"), "left_semi")
+    val qv = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
+      .join(cands.select("query_id").distinct(), Seq("query_id"), "left_semi")
+    val pairs = cands.join(cv, "corpus_id").join(qv, "query_id")
+      .withColumn("cosine", cosine(F.col("__cv"), F.col("__qv")))
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("cosine").desc, F.col("corpus_id"))
     pairs.withColumn("rank", F.row_number().over(w))

@@ -111,25 +111,40 @@ object TextAnalysis {
     else stripped
   }
 
+  /** Corpus size N, kept INSIDE the consuming query plan as a scalar
+    * subquery (no separate driver-side count() action per operator; for a
+    * parquet source the count is footer-only). */
+  private def corpusSize(df: DataFrame): Column =
+    org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+      df.select(F.count(F.lit(1))))
+
+  /** The df-banding upper bound: floor(maxDfRatio · N). `floor` (not
+    * round) on BOTH the engine and every oracle twin — truncation vs
+    * round-to-nearest differ by 1 for odd N, which would make
+    * verification data-dependent. */
+  private def dfBound(df: DataFrame, maxDfRatio: Double): Column =
+    F.floor(F.lit(maxDfRatio) * corpusSize(df))
+
   /** Corpus vocabulary with document-frequency banding: one row per token
     * with `doc_freq` (documents containing it) and `term_freq` (total
-    * occurrences), keeping `minDf <= doc_freq <= maxDfRatio * N`.
+    * occurrences), keeping `minDf <= doc_freq <= floor(maxDfRatio * N)`.
     *
     * Scale shape: explode → two-level aggregation — groupBy(token, doc)
     * partial-counts map-side, then groupBy(token) — instead of
     * `count_distinct(doc)`, whose per-group distinct-set buffers are the
     * classic OOM at web-corpus vocabulary sizes. Both shuffles carry
-    * fixed-width keys after the first combine. */
+    * fixed-width keys after the first combine. N enters as a scalar
+    * subquery in the same plan (parquet count is footer-only), not a
+    * separate full-corpus action. */
   def vocabulary(df: DataFrame, id: Column, text: Column,
       minDf: Long = 1L, maxDfRatio: Double = 1.0): DataFrame = {
-    val n = df.count() // one metadata-cheap job for the banding bound
     val perDoc = df
       .select(id.as("__doc"), F.explode(tokens(text)).as("token"))
       .groupBy("__doc", "token").agg(F.count(F.lit(1)).as("__tf"))
     perDoc.groupBy("token")
       .agg(F.count(F.lit(1)).as("doc_freq"), F.sum("__tf").as("term_freq"))
       .filter(F.col("doc_freq") >= minDf &&
-        F.col("doc_freq") <= (maxDfRatio * n).toLong)
+        F.col("doc_freq") <= dfBound(df, maxDfRatio))
   }
 
   /** Top-k TF-IDF terms per document: tf(doc, token) · ln(N / df(token)),
@@ -143,18 +158,18 @@ object TextAnalysis {
     * matches the IDF intuition that they score ~0 anyway. */
   def tfidfTopTerms(df: DataFrame, id: Column, text: Column, k: Int,
       maxDfRatio: Double = 0.5): DataFrame = {
-    val n = df.count()
     val tf = df
       .select(id.as("doc_id"), F.explode(tokens(text)).as("token"))
       .groupBy("doc_id", "token").agg(F.count(F.lit(1)).as("tf"))
     val docFreq = tf.groupBy("token")
       .agg(F.count(F.lit(1)).as("df"))
-      .filter(F.col("df") <= (maxDfRatio * n).toLong)
+      .filter(F.col("df") <= dfBound(df, maxDfRatio))
     val w = Window.partitionBy("doc_id")
       .orderBy(F.col("score").desc, F.col("token").asc)
     tf.join(docFreq, "token")
       .withColumn("score",
-        F.round(F.col("tf") * F.log(F.lit(n.toDouble) / F.col("df")), 6))
+        F.round(F.col("tf") *
+          F.log(corpusSize(df).cast(DoubleType) / F.col("df")), 6))
       .withColumn("rank", F.row_number().over(w))
       .filter(F.col("rank") <= k)
       .select("doc_id", "token", "score", "rank")

@@ -22,7 +22,7 @@ class PlanGuardSpec extends SparkSpec {
     "q54_positional", "q55_math_funcs", "q59_range_join",
     "q60_series_utils", "q61_argsort",
     "d01_exact_dedup", "d05_minhash_pairs", "d07_ngram_jaccard",
-    "d13_embedding_neardup", "d14_ivf_topk",
+    "d09_lsh_topk", "d13_embedding_neardup", "d14_ivf_topk",
     "d17_normalize", "d18_vocabulary", "d19_tfidf")
 
   /** Lines of the subtree rooted at line `i` (children print below with
@@ -36,6 +36,29 @@ class PlanGuardSpec extends SparkSpec {
     lines.drop(i + 1).takeWhile(l => depth(l) > d0).toSeq
   }
 
+  /** Drop the subtrees of scalar `Subquery` nodes: a scalar subquery's own
+    * global aggregate legitimately exchanges to a single partition (it
+    * produces ONE row) and is printed inline under its consumer — without
+    * this the guard would flag e.g. a corpus-count subquery as the
+    * window's input exchange. */
+  private def withoutSubqueries(lines: Seq[String]): Seq[String] = {
+    def depth(l: String): Int = {
+      val idx = l.indexWhere(c => c != ' ' && c != ':' && c != '+' && c != '-')
+      if (idx < 0) l.length else idx
+    }
+    val out = Seq.newBuilder[String]
+    var skipDeeperThan = -1
+    for (l <- lines) {
+      val d = depth(l)
+      if (skipDeeperThan >= 0 && d <= skipDeeperThan) skipDeeperThan = -1
+      if (skipDeeperThan < 0) {
+        if (l.contains("Subquery subquery#")) skipDeeperThan = d
+        else out += l
+      }
+    }
+    out.result()
+  }
+
   /** A Window whose FIRST exchange below is SinglePartition = the whole
     * dataset funneling through one task. */
   private def singlePartitionWindows(plan: String): Seq[String] = {
@@ -43,7 +66,7 @@ class PlanGuardSpec extends SparkSpec {
     lines.indices.filter { i =>
       val l = lines(i)
       (l.contains("Window") || l.contains("WindowGroupLimit")) && {
-        subtree(lines, i).find(_.contains("Exchange"))
+        withoutSubqueries(subtree(lines, i)).find(_.contains("Exchange"))
           .exists(_.contains("SinglePartition"))
       }
     }.map(lines)
@@ -68,6 +91,24 @@ class PlanGuardSpec extends SparkSpec {
     assert(read.nonEmpty, plan)
     for (unused <- Seq("l_partkey", "l_suppkey", "l_orderkey"))
       assert(!read.contains(unused), s"unpruned column $unused:\n$read")
+  }
+
+  test("d09 lshTopK: banded explode + candidate distinct carry ids only " +
+      "(r3 verdict #4: no vector payload below the distinct)") {
+    val plan = SparkEntry.queries("d09_lsh_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val explodes = plan.linesIterator
+      .filter(_.contains("Generate posexplode")).toSeq
+    assert(explodes.nonEmpty, s"no banded explode found:\n$plan")
+    for (g <- explodes)
+      assert(!g.contains("embedding") && !g.contains("__cv") && !g.contains("__qv"),
+        s"vector payload replicated through the banded explode:\n$g")
+    val distincts = plan.linesIterator
+      .filter(_.contains("HashAggregate(keys=[corpus_id")).toSeq
+    assert(distincts.nonEmpty, s"no candidate distinct found:\n$plan")
+    for (d <- distincts)
+      assert(!d.contains("embedding") && !d.contains("__cv") && !d.contains("__qv"),
+        s"vector payload inside the candidate distinct:\n$d")
   }
 
   for (name <- guarded)
