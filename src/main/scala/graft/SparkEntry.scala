@@ -1058,6 +1058,38 @@ object SparkEntry {
       minCooccur = 2)
       .orderBy("stage")
 
+  /** Repetition quality signals (Gopher-style rep-filters). The corpus has
+    * little natural line structure, so both engine and oracle append the
+    * doc's own 40-char prefix twice as extra lines — deterministic,
+    * identical on both sides, and guarantees the duplicate-line stats are
+    * non-trivially exercised. */
+  private val d21: (SparkSession, String) => DataFrame = (s, dir) => {
+    val tx = F.concat_ws("\n", F.col("text"),
+      F.substring(F.col("text"), 1, 40), F.substring(F.col("text"), 1, 40))
+    t(s, dir, "documents")
+      .select(F.col("doc_id"), TextAnalysis.repetitionStats(tx).as("r"))
+      .select(F.col("doc_id"),
+        F.round(F.col("r.dup_line_frac"), 6).as("dup_line_frac"),
+        F.round(F.col("r.dup_line_char_frac"), 6).as("dup_line_char_frac"),
+        F.round(F.col("r.top_bigram_share"), 6).as("top_bigram_share"))
+      .orderBy("doc_id")
+  }
+
+  /** PII/link scrub over text with injected synthetic email/URL/IP (same
+    * injection in the oracle SQL; patterns restricted to syntax identical
+    * in java.util.regex and DuckDB's RE2). */
+  private val d22: (SparkSession, String) => DataFrame = (s, dir) => {
+    import org.apache.spark.sql.types.StringType
+    val id = F.col("doc_id").cast(StringType)
+    val tx = F.concat(F.col("text"), F.lit(" contact user"), id,
+      F.lit("@example.com or http://site"), id,
+      F.lit(".example/path?q=1 at 10.0."),
+      (F.col("doc_id") % 256).cast(StringType), F.lit(".7 end"))
+    t(s, dir, "documents")
+      .select(F.col("doc_id"), TextAnalysis.scrub(tx).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
   /** frame-shape verbs end to end: select / discard / rename / renameWith /
     * relocate (§2.2; reference data_frame.ex select/discard/rename/relocate
     * doctests). Column ORDER is relocate's business; the oracle compare is
@@ -1307,6 +1339,8 @@ object SparkEntry {
     "d18_vocabulary" -> d18,
     "d19_tfidf" -> d19,
     "d20_ngram_stages" -> d20,
+    "d21_repetition" -> d21,
+    "d22_scrub" -> d22,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -1948,6 +1982,48 @@ object SparkEntry {
         AND doc_freq <=
           CAST(FLOOR(0.9 * (SELECT count(*) FROM documents)) AS BIGINT)
       ORDER BY token""",
+    "d21_repetition" -> """
+      WITH t AS (SELECT doc_id,
+        text || chr(10) || substr(text, 1, 40) || chr(10) ||
+          substr(text, 1, 40) AS tx FROM documents),
+      lines AS (SELECT doc_id,
+        unnest(list_filter(string_split(tx, chr(10)), l -> len(l) > 0))
+          AS line FROM t),
+      lc AS (SELECT doc_id, line, count(*) AS c, len(line) AS ln
+             FROM lines GROUP BY doc_id, line),
+      lstat AS (SELECT doc_id, sum(c) AS n_lines, sum(c * ln) AS chars,
+                       sum(c - 1) AS dup_lines, sum((c - 1) * ln) AS dup_chars
+                FROM lc GROUP BY doc_id),
+      toks AS (SELECT doc_id,
+        string_split_regex(lower(trim(tx)), '\s+') AS w FROM t),
+      bi AS (SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])) AS g
+        FROM toks WHERE len(w) >= 2),
+      bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+      bstat AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot
+                FROM bc GROUP BY doc_id)
+      SELECT d.doc_id,
+        round(COALESCE(l.dup_lines * 1.0 / NULLIF(l.n_lines, 0), 0), 6)
+          AS dup_line_frac,
+        round(COALESCE(l.dup_chars * 1.0 / NULLIF(l.chars, 0), 0), 6)
+          AS dup_line_char_frac,
+        round(COALESCE(b.mx * 1.0 / NULLIF(b.tot, 0), 0), 6)
+          AS top_bigram_share
+      FROM documents d
+      LEFT JOIN lstat l USING (doc_id) LEFT JOIN bstat b USING (doc_id)
+      ORDER BY d.doc_id""",
+    "d22_scrub" -> """
+      WITH t AS (SELECT doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+          '@example.com or http://site' || CAST(doc_id AS VARCHAR) ||
+          '.example/path?q=1 at 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+          '.7 end' AS tx FROM documents)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(tx,
+          'https?://[^\s]+', '<URL>', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+      FROM t ORDER BY doc_id""",
     "d20_ngram_stages" -> """
       WITH toks AS (SELECT doc_id,
              string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

@@ -346,9 +346,78 @@ case class StripAccents(child: Expression)
   }
 }
 
+/** text → struct<dup_line_frac, dup_line_char_frac, top_bigram_share>:
+  * the standard repetition quality signals (Gopher §A1.1 / RefinedWeb
+  * rep-filters) in ONE eval per row:
+  *  - dup_line_frac: duplicated lines / non-empty lines;
+  *  - dup_line_char_frac: characters in the 2nd+ occurrence of each
+  *    repeated line / all line characters;
+  *  - top_bigram_share: occurrences of the most frequent word bigram /
+  *    all bigrams.
+  * The SQL formulation needs two explode → groupBy(doc, line|gram) →
+  * groupBy(doc) rounds — two corpus-wide shuffles to compute per-ROW
+  * facts; this stays in the scan. All ratios 0.0 when the denominator is
+  * empty. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("dup_line_frac",
+      org.apache.spark.sql.types.DoubleType, false),
+    org.apache.spark.sql.types.StructField("dup_line_char_frac",
+      org.apache.spark.sql.types.DoubleType, false),
+    org.apache.spark.sql.types.StructField("top_bigram_share",
+      org.apache.spark.sql.types.DoubleType, false)))
+  override def prettyName: String = "repetition_stats"
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
+    copy(child = c)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // lines: non-empty after \n split
+    val lineCounts = new java.util.HashMap[String, Int]()
+    var nLines = 0L; var lineChars = 0L; var dupLines = 0L; var dupChars = 0L
+    var start = 0
+    val len = s.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == '\n') {
+        if (i > start) {
+          val line = s.substring(start, i)
+          nLines += 1; lineChars += line.length
+          val prev = lineCounts.merge(line, 1, Integer.sum)
+          if (prev > 1) { dupLines += 1; dupChars += line.length }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    // word bigrams over the shared tokenization
+    val ws = TextHashing.words(input.asInstanceOf[UTF8String])
+    var topBigram = 0; val nBigrams = math.max(ws.length - 1, 0)
+    if (nBigrams > 0) {
+      val biCounts = new java.util.HashMap[Long, Int]()
+      var j = 0
+      while (j < nBigrams) {
+        val h = XXH64.hashLong(TextHashing.hashWord(ws(j + 1), 42L),
+          TextHashing.hashWord(ws(j), 42L))
+        val c = biCounts.merge(h, 1, Integer.sum)
+        if (c > topBigram) topBigram = c
+        j += 1
+      }
+    }
+    InternalRow(
+      if (nLines == 0L) 0.0 else dupLines.toDouble / nLines,
+      if (lineChars == 0L) 0.0 else dupChars.toDouble / lineChars,
+      if (nBigrams == 0) 0.0 else topBigram.toDouble / nBigrams)
+  }
+}
+
 object TextExprs {
   def countRegexMatches(text: Column, pattern: String): Column =
     Bridge.column(CountRegexMatches(Bridge.expression(text), pattern))
+
+  def repetitionStats(text: Column): Column =
+    Bridge.column(RepetitionStats(Bridge.expression(text)))
 
   def stripAccents(text: Column): Column =
     Bridge.column(StripAccents(Bridge.expression(text)))

@@ -96,6 +96,35 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     F.aggregate(tokens(text), F.lit(0L), (acc, t) => F.xxhash64(acc, t))
 
+  /** Repetition quality signals (Gopher §A1.1 / RefinedWeb): duplicated
+    * line fraction, duplicated-line character fraction, top word-bigram
+    * share — the standard filters for boilerplate/spam/templating. One
+    * native eval per row (struct of 3 doubles), scan speed; see
+    * [[graft.functions.RepetitionStats]]. */
+  def repetitionStats(text: Column): Column =
+    graft.functions.TextExprs.repetitionStats(text)
+
+  /** PII / link scrub: redact emails, URLs and IPv4 addresses with typed
+    * placeholder tokens — the standard pre-training hygiene pass. Pure
+    * codegen'd `regexp_replace` chain; patterns deliberately use only
+    * syntax with identical semantics in java.util.regex and RE2 so the
+    * operation is oracle-checkable against DuckDB. */
+  def scrub(text: Column,
+      emails: Boolean = true, urls: Boolean = true,
+      ips: Boolean = true): Column = {
+    var c = text
+    // URLs first: an URL may contain an @ (userinfo) or digits that the
+    // later patterns would partially redact
+    if (urls) c = F.regexp_replace(c, "https?://[^\\s]+", "<URL>")
+    if (emails)
+      c = F.regexp_replace(c,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    if (ips)
+      c = F.regexp_replace(c,
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    c
+  }
+
   /** Canonical text normalization (the standard pre-dedup/pre-tokenize
     * step): lowercase, strip diacritics (native NFD expression — no Spark
     * builtin), collapse whitespace runs to one space, trim. Pure per-row

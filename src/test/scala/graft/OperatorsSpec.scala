@@ -222,6 +222,31 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(0).getDouble(3) > rows(1).getDouble(3))
   }
 
+  test("repetitionStats: dup-line fractions and top-bigram share") {
+    // non-empty lines: "aa bb", "cc", "aa bb", "cc aa bb" — the repeated
+    // "aa bb" contributes 1 of 4 lines and 5 of 20 line chars; tokens
+    // across lines: aa bb cc aa bb cc aa bb -> 7 bigrams, (aa,bb) x3
+    val d = Seq("aa bb\ncc\n\naa bb\ncc aa bb", "", "x y z")
+      .toDF("t")
+      .select(TextAnalysis.repetitionStats(F.col("t")).as("r"))
+      .select("r.dup_line_frac", "r.dup_line_char_frac", "r.top_bigram_share")
+    val rows = d.collect()
+    assert(rows(0).getDouble(0) === 1.0 / 4)
+    assert(rows(0).getDouble(1) === 5.0 / 20)
+    assert(rows(0).getDouble(2) === 3.0 / 7)
+    assert(rows(1).toSeq === Seq(0.0, 0.0, 0.0)) // empty text: all zero
+    assert(rows(2).getDouble(2) === 1.0 / 2)     // all bigrams unique
+  }
+
+  test("scrub redacts emails, urls, ips with typed placeholders") {
+    val d = Seq("mail a.b+c@ex.org or https://x.io/p?q=1 from 10.0.0.7 ok",
+      "no pii here").toDF("t")
+      .select(TextAnalysis.scrub(F.col("t")).as("s"))
+    val out = d.collect().map(_.getString(0))
+    assert(out(0) === "mail <EMAIL> or <URL> from <IP> ok")
+    assert(out(1) === "no pii here")
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val d = Seq("a b c", "a b c", "c b a").toDF("t")
       .select(TextAnalysis.fingerprint(F.col("t")).as("fp"))

@@ -23,7 +23,8 @@ class PlanGuardSpec extends SparkSpec {
     "q60_series_utils", "q61_argsort",
     "d01_exact_dedup", "d05_minhash_pairs", "d07_ngram_jaccard",
     "d09_lsh_topk", "d13_embedding_neardup", "d14_ivf_topk",
-    "d17_normalize", "d18_vocabulary", "d19_tfidf")
+    "d17_normalize", "d18_vocabulary", "d19_tfidf",
+    "d21_repetition", "d22_scrub")
 
   /** Lines of the subtree rooted at line `i` (children print below with
     * deeper operator indentation until a line at or above the root's). */
