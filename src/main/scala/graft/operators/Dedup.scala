@@ -297,9 +297,13 @@ object Dedup {
       .union(p.select(F.col("id_b").as("src"), F.col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(F.col("src").as("id"))
-      .distinct()
-      .withColumn("cluster", F.col("id"))
+    // seed with min(id, min(neighbors)) rather than id: star/clique
+    // components — the shape near-dup families take — then converge at
+    // iteration 0 and pay only the confirming round, instead of one full
+    // propagation round to learn what the groupBy already knew
+    var labels = edges.groupBy("src")
+      .agg(F.least(F.col("src"), F.min(F.col("dst"))).as("cluster"))
+      .withColumnRenamed("src", "id")
       .localCheckpoint() // eager: materializes (and caches) edges + pairs
     p.unpersist(false)
     var iter = 0
