@@ -1090,6 +1090,36 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Benchmark-contamination scan: 20 "eval items" (200-char prefixes of
+    * every 25th doc) checked for 3-gram overlap against the whole corpus.
+    * Each item is guaranteed contaminated at least by its own source doc,
+    * so the oracle always has teeth; near-dup families add more hits. */
+  private val d23: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(F.col("doc_id") % 25 === 0)
+      .select(F.col("doc_id").as("bid"),
+        F.substring(F.col("text"), 1, 200).as("btext"))
+    Dedup.contamination(docs, F.col("doc_id"), F.col("text"),
+      bench, F.col("bid"), F.col("btext"), shingleSize = 3, minOverlap = 5)
+      .withColumn("overlap_ratio", F.round(F.col("overlap_ratio"), 6))
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** Cross-document line dedup (C4-style boilerplate removal). The corpus
+    * has no natural line structure, so both engine and oracle append a
+    * shared footer line (7 variants → ~71 docs each, removed at
+    * minDocs=10) and a per-doc unique line (kept). */
+  private val d24: (SparkSession, String) => DataFrame = (s, dir) => {
+    val tx = F.concat(F.col("text"),
+      F.lit("\nshared footer "), (F.col("doc_id") % 7).cast("string"),
+      F.lit("\nunique line "), F.col("doc_id").cast("string"))
+    Dedup.dedupLines(
+      t(s, dir, "documents").select(F.col("doc_id"), tx.as("tx")),
+      F.col("doc_id"), F.col("tx"), minDocs = 10)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** frame-shape verbs end to end: select / discard / rename / renameWith /
     * relocate (§2.2; reference data_frame.ex select/discard/rename/relocate
     * doctests). Column ORDER is relocate's business; the oracle compare is
@@ -1341,6 +1371,8 @@ object SparkEntry {
     "d20_ngram_stages" -> d20,
     "d21_repetition" -> d21,
     "d22_scrub" -> d22,
+    "d23_contamination" -> d23,
+    "d24_dedup_lines" -> d24,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -2024,6 +2056,44 @@ object SparkEntry {
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
       FROM t ORDER BY doc_id""",
+    "d23_contamination" -> """
+      WITH toks AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+          generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE []::VARCHAR[] END AS s FROM toks),
+      btoks AS (SELECT doc_id AS bench_id,
+             string_split_regex(lower(trim(substr(text, 1, 200))), '\s+') AS t
+             FROM documents WHERE doc_id % 25 = 0),
+      bsh AS (SELECT bench_id,
+        CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+          generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE []::VARCHAR[] END AS s FROM btoks),
+      pairs AS (SELECT c.doc_id, b.bench_id,
+          CAST(len(list_intersect(c.s, b.s)) AS BIGINT) AS n_shared,
+          len(b.s) AS bn
+        FROM sh c CROSS JOIN bsh b)
+      SELECT doc_id, bench_id, n_shared,
+             round(n_shared * 1.0 / bn, 6) AS overlap_ratio
+      FROM pairs WHERE n_shared >= 5 ORDER BY doc_id, bench_id""",
+    "d24_dedup_lines" -> """
+      WITH t AS (SELECT doc_id,
+        text || chr(10) || 'shared footer ' || CAST(doc_id % 7 AS VARCHAR)
+             || chr(10) || 'unique line ' || CAST(doc_id AS VARCHAR) AS tx
+        FROM documents),
+      l AS (SELECT doc_id, string_split(tx, chr(10)) AS ls FROM t),
+      lines AS (SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(ls)),
+          i -> struct_pack(pos := i, line := ls[i]))) AS z FROM l),
+      lp AS (SELECT doc_id, z.pos AS pos, z.line AS line FROM lines),
+      freq AS (SELECT trim(line) AS key, count(DISTINCT doc_id) AS nd
+               FROM lp GROUP BY 1),
+      keep AS (SELECT lp.doc_id, lp.pos, lp.line
+               FROM lp JOIN freq ON trim(lp.line) = freq.key
+               WHERE freq.nd < 10)
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM keep GROUP BY doc_id ORDER BY doc_id""",
     "d20_ngram_stages" -> """
       WITH toks AS (SELECT doc_id,
              string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

@@ -353,6 +353,74 @@ object Dedup {
     df.join(losers, id === F.col("__loser"), "left_anti")
   }
 
+  /** Benchmark-contamination detection — the standard decontamination pass
+    * before training (GPT-3 appx C / PaLM-style n-gram overlap): for every
+    * (corpus doc, benchmark doc) pair sharing at least `minOverlap` distinct
+    * word `shingleSize`-grams, emit the shared-shingle count and the overlap
+    * ratio `n_shared / |benchmark shingle set|` (the fraction of the eval
+    * item's n-grams present in the training doc).
+    *
+    * Scale shape: the benchmark side is small by construction (eval suites
+    * are thousands of rows; the corpus is the 100 TB side), so its exploded
+    * (shingle-hash, bench_id) postings BROADCAST — the corpus streams
+    * through shingling + a broadcast hash join and never shuffles; only
+    * matched (doc, bench) pairs enter the single aggregation shuffle.
+    * Shingle identities are 64-bit hashes ([[shingleHashes]]) so the join
+    * key is fixed-width regardless of n-gram length. */
+  def contamination(corpus: DataFrame, corpusId: Column, corpusText: Column,
+      bench: DataFrame, benchId: Column, benchText: Column,
+      shingleSize: Int = 3, minOverlap: Int = 2): DataFrame = {
+    val corpusPost = corpus.select(asLongId(corpusId).as("doc_id"),
+      F.explode(shingleHashes(corpusText, shingleSize)).as("g"))
+    val benchSh = bench.select(asLongId(benchId).as("bench_id"),
+      shingleHashes(benchText, shingleSize).as("s"))
+    val benchPost = benchSh.select(F.col("bench_id"),
+      F.explode(F.col("s")).as("g"))
+    val benchSizes = benchSh.select(F.col("bench_id"),
+      F.size(F.col("s")).as("__bn"))
+    // shingleHashes is distinct-per-doc, so the per-(doc, bench) match
+    // count IS the intersection size
+    corpusPost.join(F.broadcast(benchPost), Seq("g"))
+      .groupBy("doc_id", "bench_id").agg(F.count(F.lit(1)).as("n_shared"))
+      .filter(F.col("n_shared") >= minOverlap)
+      .join(F.broadcast(benchSizes), Seq("bench_id"))
+      .select(F.col("doc_id"), F.col("bench_id"), F.col("n_shared"),
+        (F.col("n_shared").cast(DoubleType) / F.col("__bn"))
+          .as("overlap_ratio"))
+  }
+
+  /** Cross-document line-level dedup (the C4/RefinedWeb boilerplate pass):
+    * drop every line whose TRIMMED form occurs in at least `minDocs`
+    * distinct documents (nav bars, cookie banners, shared footers), then
+    * reassemble each document from its surviving lines in original order.
+    * Documents left with no surviving lines are dropped, matching C4.
+    *
+    * Scale shape: lines explode scan-side; line document-frequency
+    * aggregates on `xxhash64(trim(line))` — an 8-byte shuffle key, with the
+    * (key, doc) distinct as a map-side-combinable first level — and the
+    * duplicated-key set joins back as a hash join (it is the small side:
+    * only lines that actually repeat across `minDocs` docs). Reassembly is
+    * one groupBy(doc) over surviving lines; per-group state is one
+    * document's lines. The corpus is scanned twice (frequency pass + the
+    * rebuild pass) — inherent to any two-sided frequency filter; at 100 TB
+    * the first pass's output (the dup-key set) is the only thing retained. */
+  def dedupLines(df: DataFrame, id: Column, text: Column,
+      minDocs: Int = 2): DataFrame = {
+    val lines = df.select(asLongId(id).as("id"),
+      F.posexplode(F.split(text, "\n")).as(Seq("pos", "line")))
+      .withColumn("__k", F.xxhash64(F.trim(F.col("line"))))
+    val dupKeys = lines.select("__k", "id").distinct()
+      .groupBy("__k").agg(F.count(F.lit(1)).as("__ndocs"))
+      .filter(F.col("__ndocs") >= minDocs)
+      .select("__k")
+    lines.join(dupKeys, Seq("__k"), "left_anti")
+      .groupBy("id")
+      .agg(F.array_join(
+        F.transform(
+          F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("line")))),
+          s => s.getField("line")), "\n").as("text"))
+  }
+
   /** Embedding near-dup: cosine ≥ threshold pairs via random-hyperplane LSH
     * (see [[Similarity.hyperplaneSignature]]), verified exactly.
     *

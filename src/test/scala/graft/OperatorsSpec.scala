@@ -398,4 +398,58 @@ class OperatorsSpec extends SparkSpec {
     assert(img != null && img.getWidth == 16 && img.getHeight == 12)
     assert(out.getAs[Int]("width") == 16 && out.getAs[Int]("height") == 12)
   }
+
+  test("contamination counts shared n-grams against a benchmark set") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox sleeps all day long here"),
+      (3L, "completely unrelated text about spark query engines")
+    ).toDF("id", "t")
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("bid", "bt")
+    val out = Dedup.contamination(corpus, F.col("id"), F.col("t"),
+      bench, F.col("bid"), F.col("bt"), shingleSize = 3, minOverlap = 2)
+      .orderBy("doc_id").collect()
+    // bench item has 7 distinct 3-grams; doc 1 contains all 7, doc 2
+    // shares exactly "the quick brown" + "quick brown fox"; doc 3 none
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val byDoc = out.map(r => r.getLong(0) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    assert(byDoc(1L)._1 == 7L && math.abs(byDoc(1L)._2 - 1.0) < 1e-9)
+    assert(byDoc(2L)._1 == 2L && math.abs(byDoc(2L)._2 - 2.0 / 7) < 1e-9)
+  }
+
+  test("contamination respects the minOverlap gate") {
+    val corpus = Seq((1L, "a b c d e")).toDF("id", "t")
+    val bench = Seq((9L, "a b c x y")).toDF("bid", "bt")
+    // exactly one shared 3-gram ("a b c")
+    assert(Dedup.contamination(corpus, F.col("id"), F.col("t"),
+      bench, F.col("bid"), F.col("bt"), 3, minOverlap = 2).isEmpty)
+    assert(Dedup.contamination(corpus, F.col("id"), F.col("t"),
+      bench, F.col("bid"), F.col("bt"), 3, minOverlap = 1).count() == 1L)
+  }
+
+  test("dedupLines removes cross-doc boilerplate, keeps order, drops empty") {
+    val d = Seq(
+      (1L, "unique one\nSHARED FOOTER\nunique two"),
+      (2L, "SHARED FOOTER\nonly in two"),
+      (3L, "  SHARED FOOTER  "), // trims to the shared key; doc empties out
+      (4L, "solo document line")
+    ).toDF("id", "t")
+    val out = Dedup.dedupLines(d, F.col("id"), F.col("t"), minDocs = 3)
+      .orderBy("id").collect()
+    assert(out.map(r => r.getLong(0) -> r.getString(1)).toSeq == Seq(
+      1L -> "unique one\nunique two",
+      2L -> "only in two",
+      4L -> "solo document line"))
+  }
+
+  test("dedupLines counts distinct docs, not occurrences") {
+    // the dup line appears 3 times but in only 2 docs -> survives minDocs=3
+    val d = Seq((1L, "dup\ndup\nx"), (2L, "dup\ny")).toDF("id", "t")
+    val out = Dedup.dedupLines(d, F.col("id"), F.col("t"), minDocs = 3)
+      .orderBy("id").collect()
+    assert(out.map(r => r.getLong(0) -> r.getString(1)).toSeq == Seq(
+      1L -> "dup\ndup\nx", 2L -> "dup\ny"))
+  }
 }
