@@ -24,7 +24,7 @@ class PlanGuardSpec extends SparkSpec {
     "d01_exact_dedup", "d05_minhash_pairs", "d07_ngram_jaccard",
     "d09_lsh_topk", "d13_embedding_neardup", "d14_ivf_topk",
     "d17_normalize", "d18_vocabulary", "d19_tfidf",
-    "d21_repetition", "d22_scrub")
+    "d21_repetition", "d22_scrub", "d23_contamination", "d24_dedup_lines")
 
   /** Lines of the subtree rooted at line `i` (children print below with
     * deeper operator indentation until a line at or above the root's). */
@@ -110,6 +110,15 @@ class PlanGuardSpec extends SparkSpec {
     for (d <- distincts)
       assert(!d.contains("embedding") && !d.contains("__cv") && !d.contains("__qv"),
         s"vector payload inside the candidate distinct:\n$d")
+  }
+
+  test("d23 contamination: bench postings broadcast — the corpus side " +
+      "streams through the match join without shuffling") {
+    val plan = SparkEntry.queries("d23_contamination")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join in contamination:\n$plan")
   }
 
   for (name <- guarded)
