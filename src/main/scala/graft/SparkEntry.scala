@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import graft.exprs._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline operators), each with an
@@ -1120,6 +1120,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Token-budget sequence packing: shard the corpus into contiguous bins
+    * of ~2000 whitespace tokens over doc_id order. The exclusive prefix sum
+    * comes from the distributed zipWithPrefixSum backbone (one range
+    * shuffle + a partials job), never a single-partition window. */
+  private val d25: (SparkSession, String) => DataFrame = (s, dir) =>
+    Packing.packSequences(t(s, dir, "documents"),
+      TextAnalysis.tokenCount(F.col("text")), budget = 2000L,
+      order = Seq(F.col("doc_id")))
+      .select("doc_id", "tokens_before", "bin")
+      .orderBy("doc_id")
+
   /** frame-shape verbs end to end: select / discard / rename / renameWith /
     * relocate (§2.2; reference data_frame.ex select/discard/rename/relocate
     * doctests). Column ORDER is relocate's business; the oracle compare is
@@ -1373,6 +1384,7 @@ object SparkEntry {
     "d22_scrub" -> d22,
     "d23_contamination" -> d23,
     "d24_dedup_lines" -> d24,
+    "d25_pack_sequences" -> d25,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -2094,6 +2106,18 @@ object SparkEntry {
                WHERE freq.nd < 10)
       SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
       FROM keep GROUP BY doc_id ORDER BY doc_id""",
+    "d25_pack_sequences" -> """
+      WITH tok AS (SELECT doc_id,
+          CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS t
+        FROM documents),
+      c AS (SELECT doc_id, t,
+          COALESCE(sum(t) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+        FROM tok)
+      SELECT doc_id, CAST(p AS BIGINT) AS tokens_before,
+             CAST(p // 2000 AS BIGINT) AS bin
+      FROM c ORDER BY doc_id""",
     "d20_ngram_stages" -> """
       WITH toks AS (SELECT doc_id,
              string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

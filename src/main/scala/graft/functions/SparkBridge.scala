@@ -111,6 +111,50 @@ object Bridge {
       df.schema.add(out, DoubleType, nullable = false))
   }
 
+  /** Exclusive prefix sum of a LongType column over an already
+    * range-partitioned, partition-sorted plan: appends `out` = the sum of
+    * `colName` over all PRECEDING rows in the global order (0 for the first
+    * row). Same two-job shape as [[zipWithRowIndex]] — one tiny pass sums
+    * each partition (shuffle output reused by RDD identity, never
+    * recomputed), offsets are the scan of those partials, then a
+    * per-partition running sum with zero data movement. The distributed
+    * replacement for `sum().over(Window.orderBy(...).rowsBetween(...))`,
+    * which funnels everything through one task. */
+  def zipWithPrefixSum(df: org.apache.spark.sql.DataFrame, colName: String,
+      out: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    import org.apache.spark.sql.types.LongType
+    val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ord = df.schema.fieldIndex(colName)
+    require(df.schema(colName).dataType == LongType,
+      s"zipWithPrefixSum needs a LongType column, got ${df.schema(colName).dataType}")
+    val rdd = df.queryExecution.toRdd
+    val partials = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => if (!r.isNullAt(ord)) s += r.getLong(ord))
+        Iterator((pid, s))
+      }
+      .collect().toMap
+    val nParts = rdd.getNumPartitions
+    val offsets = new Array[Long](math.max(nParts, 1))
+    var acc = 0L
+    var p = 0
+    while (p < nParts) { offsets(p) = acc; acc += partials.getOrElse(p, 0L); p += 1 }
+    val summed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val extra = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      var run = offsets(pid)
+      it.map { row =>
+        extra.setLong(0, run)
+        if (!row.isNullAt(ord)) run += row.getLong(ord)
+        joined(row, extra): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    session.internalCreateDataFrame(summed,
+      df.schema.add(out, LongType, nullable = false))
+  }
+
   /** A single-row/single-column DataFrame as a scalar Column — catalyst's
     * `ScalarSubquery`, the exact plan shape `spark.sql` gives a
     * `(SELECT count(*) FROM t)` predicate: the subquery executes once and

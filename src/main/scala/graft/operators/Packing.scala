@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Token-budget sequence packing / corpus sharding — the step that turns a
+  * filtered, deduplicated corpus into fixed-token-budget shards for
+  * training (each shard feeds one tokenizer/packer worker or one training
+  * shard file). Beyond the reference's surface; first-class for
+  * training-data pipelines.
+  *
+  * Semantics: documents are laid out in the caller's declared total order;
+  * a document's `bin` is `floor(exclusive_prefix_sum(tokens) / budget)` —
+  * i.e. bins are contiguous runs of the order, each closing as soon as its
+  * cumulative token count reaches the budget. Deterministic for a total
+  * order, and exactly the chunking a streaming single-node packer would
+  * produce with "close the shard when it is full" semantics (a document
+  * larger than the whole budget closes its bin and advances several bin
+  * ids — no splitting, matching packers that keep documents atomic).
+  *
+  * Scale shape: ONE range shuffle on the declared order (Catalyst-planned),
+  * then the [[Bridge.zipWithPrefixSum]] backbone — a per-partition sum job
+  * that reuses the sort's shuffle files by RDD identity, plus a
+  * zero-movement per-partition running sum. No single-partition window
+  * (the naive `sum().over(Window.orderBy(...))` formulation funnels the
+  * corpus through one task), no driver-side iteration: the only driver
+  * state is one partial sum per partition.
+  */
+object Packing {
+
+  /** `df` + `bin` (LongType shard id) + `tokens_before` (the exclusive
+    * prefix sum backing it, useful for offset bookkeeping), packed over
+    * `order` with `budget` tokens per bin. `tokens` must be a non-negative
+    * integral count column (cast to long internally; nulls count 0). */
+  def packSequences(df: DataFrame, tokens: Column, budget: Long,
+      order: Seq[Column]): DataFrame = {
+    require(budget > 0, s"packSequences budget must be positive, got $budget")
+    require(order.nonEmpty, "packSequences needs a declared total order")
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val sorted = df
+      .withColumn("__tok", tokens.cast(LongType))
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    Bridge.zipWithPrefixSum(sorted, "__tok", "tokens_before")
+      .withColumn("bin", F.floor(F.col("tokens_before") / budget))
+      .drop("__tok")
+  }
+
+  /** Per-bin shard manifest: document count and token total per bin —
+    * the writer-side view of a packing (one row per output shard). A plain
+    * hash aggregation over [[packSequences]] output. */
+  def binStats(packed: DataFrame, tokens: Column): DataFrame =
+    packed.groupBy("bin")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(tokens.cast(LongType)).as("n_tokens"))
+}

@@ -444,6 +444,33 @@ class OperatorsSpec extends SparkSpec {
       4L -> "solo document line"))
   }
 
+  test("packSequences: exclusive prefix + bins across many partitions") {
+    val d = spark.range(0, 1000).toDF("id")
+      .withColumn("tok", F.lit(7L)).repartition(13)
+    val rows = Packing.packSequences(d, F.col("tok"), 100L, Seq(F.col("id")))
+      .select("id", "tokens_before", "bin").orderBy("id").collect()
+    assert(rows.length == 1000)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i && r.getLong(1) == 7L * i &&
+        r.getLong(2) == (7L * i) / 100, s"row $i: $r")
+    }
+  }
+
+  test("packSequences: oversized doc closes its bin; nulls count zero") {
+    val d = Seq((1L, Some(10L)), (2L, Some(500L)), (3L, None), (4L, Some(10L)))
+      .toDF("id", "tok")
+    val out = Packing.packSequences(d, F.col("tok"), 100L, Seq(F.col("id")))
+      .select("id", "tokens_before", "bin").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 10L, 0L),
+      (3L, 510L, 5L), (4L, 510L, 5L)))
+    val stats = Packing.binStats(
+      Packing.packSequences(d, F.col("tok"), 100L, Seq(F.col("id"))),
+      F.col("tok")).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stats.toSeq == Seq((0L, 2L, 510L), (5L, 2L, 10L)))
+  }
+
   test("dedupLines counts distinct docs, not occurrences") {
     // the dup line appears 3 times but in only 2 docs -> survives minDocs=3
     val d = Seq((1L, "dup\ndup\nx"), (2L, "dup\ny")).toDF("id", "t")
