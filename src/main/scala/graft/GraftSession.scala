@@ -24,6 +24,9 @@ object GraftSession {
   /** The conf map [[local]]/[[builder]] apply — exposed as data so it is
     * spec-testable and copyable into an existing cluster submit. */
   def recommendedConfs(parallelism: Int): Map[String, String] = Map(
+    // graft's native expressions as plain SQL functions (shingle_hashes,
+    // simhash64, strip_accents, ... — see [[GraftExtensions]])
+    "spark.sql.extensions" -> "graft.GraftExtensions",
     "spark.sql.shuffle.partitions" -> parallelism.toString,
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",

@@ -1131,6 +1131,16 @@ object SparkEntry {
       .select("doc_id", "tokens_before", "bin")
       .orderBy("doc_id")
 
+  /** Quality-quantile gate: keep the top half of the corpus by quality
+    * score (threshold = exact median, computed as a scalar subquery inside
+    * the same plan — no driver action). */
+  private val d26: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.quantileFilter(t(s, dir, "documents"),
+      TextAnalysis.qualityScore(F.col("text")), q = 0.5)
+      .select(F.col("doc_id"),
+        TextAnalysis.qualityScore(F.col("text")).as("quality"))
+      .orderBy("doc_id")
+
   /** frame-shape verbs end to end: select / discard / rename / renameWith /
     * relocate (§2.2; reference data_frame.ex select/discard/rename/relocate
     * doctests). Column ORDER is relocate's business; the oracle compare is
@@ -1385,6 +1395,7 @@ object SparkEntry {
     "d23_contamination" -> d23,
     "d24_dedup_lines" -> d24,
     "d25_pack_sequences" -> d25,
+    "d26_quality_gate" -> d26,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -2106,6 +2117,33 @@ object SparkEntry {
                WHERE freq.nd < 10)
       SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
       FROM keep GROUP BY doc_id ORDER BY doc_id""",
+    "d26_quality_gate" -> """
+      WITH b AS (SELECT doc_id,
+        CAST(length(text) AS DOUBLE) AS len,
+        CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+          AS alpha,
+        CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+          AS punct,
+        string_split_regex(lower(trim(text)), '\s+') AS t
+       FROM documents),
+      c AS (SELECT doc_id,
+        CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END AS ar,
+        CASE WHEN len > 0 THEN punct / len ELSE 0.0 END AS pr,
+        CASE WHEN len(t) > 0 THEN
+          CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+          ELSE 0.0 END AS mwl,
+        CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN
+          ('the','and','of','to','a','in','is','it','that','for')))
+          / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS sr
+       FROM b),
+      qual AS (SELECT doc_id,
+        round(ar*0.4 + (1.0 - least(pr*10, 1.0))*0.2 +
+          (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END)*0.2 +
+          (CASE WHEN sr > 0.01 THEN 1.0 ELSE 0.0 END)*0.2, 6) AS quality
+       FROM c)
+      SELECT doc_id, quality FROM qual
+      WHERE quality >= (SELECT quantile_cont(quality, 0.5) FROM qual)
+      ORDER BY doc_id""",
     "d25_pack_sequences" -> """
       WITH tok AS (SELECT doc_id,
           CASE WHEN len(trim(text)) = 0 THEN 0

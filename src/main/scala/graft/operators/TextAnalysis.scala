@@ -140,6 +140,23 @@ object TextAnalysis {
     else stripped
   }
 
+  /** Quantile gate: keep rows whose `score` is at or above the corpus-wide
+    * `q`-th quantile of that score — the standard "top-(1-q) by quality"
+    * selection step of a filtering pipeline. The threshold is an EXACT
+    * interpolated percentile computed as a scalar subquery in the same
+    * plan (one extra aggregation pass over the score column — inherent to
+    * any self-referential quantile filter; no driver-side action). At
+    * 100 TB swap `percentile` for `approx_percentile` if the exact
+    * single-pass aggregation's per-partition buffers bite — the operator
+    * shape is unchanged. */
+  def quantileFilter(df: DataFrame, score: Column, q: Double): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile q=$q out of [0, 1]")
+    val scored = df.withColumn("__score", score)
+    val thr = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+      scored.select(F.percentile(F.col("__score"), F.lit(q))))
+    scored.filter(F.col("__score") >= thr).drop("__score")
+  }
+
   /** Corpus size N, kept INSIDE the consuming query plan as a scalar
     * subquery (no separate driver-side count() action per operator; for a
     * parquet source the count is footer-only). */

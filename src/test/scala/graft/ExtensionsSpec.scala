@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{functions => F}
+import graft.functions.TextExprs
+
+/** SQL registration of the native expressions ([[GraftExtensions]]):
+  * the SQL path must be the SAME expression the Column API builds. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftExtensions.register(spark)
+  }
+
+  test("extensions class wires every function without error") {
+    // the injection list must be structurally sound (names, infos,
+    // builders) — apply() walks it end to end
+    new GraftExtensions().apply(new SparkSessionExtensions)
+    assert(GraftExtensions.functions.map(_._1.funcName).distinct.size ==
+      GraftExtensions.functions.size)
+  }
+
+  test("scalar functions match their Column-API twins") {
+    val r = spark.sql(
+      """SELECT simhash64('the quick brown fox') AS sh,
+                strip_accents('café naïve') AS sa,
+                count_regex_matches('a1b22c333', '[0-9]+') AS crm,
+                shingle_hashes('a b c d', 2) AS sg,
+                minhash_signature('a b c d e', 2, 16) AS mh""").collect().head
+    val twin = spark.range(1).select(
+      TextExprs.simhash64(F.lit("the quick brown fox")).as("sh"),
+      TextExprs.stripAccents(F.lit("café naïve")).as("sa"),
+      TextExprs.countRegexMatches(F.lit("a1b22c333"), "[0-9]+").as("crm"),
+      TextExprs.shingleHashes(F.lit("a b c d"), 2).as("sg"),
+      TextExprs.minhashSignature(F.lit("a b c d e"), 2, 16).as("mh"))
+      .collect().head
+    assert(r.getLong(0) == twin.getLong(0))
+    assert(r.getString(1) == "cafe naive" && r.getString(1) == twin.getString(1))
+    assert(r.getLong(2) == 3L && r.getLong(2) == twin.getLong(2))
+    assert(r.getSeq[Long](3) == twin.getSeq[Long](3) &&
+      r.getSeq[Long](3).size == 3)
+    assert(r.getSeq[Long](4) == twin.getSeq[Long](4))
+  }
+
+  test("pair expansion + capped aggregate compose in pure SQL") {
+    val pairs = spark.sql(
+      "SELECT explode(ordered_pairs(array(3L, 1L, 2L))) AS p").collect()
+    assert(pairs.map(r => (r.getStruct(0).getLong(0),
+      r.getStruct(0).getLong(1))).toSet ==
+      Set((3L, 1L), (3L, 2L), (1L, 2L)))
+    Seq((1, 10L), (1, 11L), (1, 12L), (2, 20L))
+      .toDF("bucket", "id").createOrReplaceTempView("ext_ids")
+    val agg = spark.sql(
+      """SELECT bucket, capped_sorted_ids(id, 2) AS ids
+         FROM ext_ids GROUP BY bucket ORDER BY bucket""").collect()
+    assert(agg(0).isNullAt(1), "3 ids with cap 2 must saturate to null")
+    assert(agg(1).isNullAt(1), "singleton bucket yields null")
+    val hp = spark.sql(
+      """SELECT explode(hamming_pairs(
+           array(named_struct('id', 1L, 'sig', 0L),
+                 named_struct('id', 2L, 'sig', 3L),
+                 named_struct('id', 3L, 'sig', -1L)), 2)) AS p""").collect()
+    assert(hp.map(r => (r.getStruct(0).getLong(0),
+      r.getStruct(0).getLong(1), r.getStruct(0).getInt(2))).toSeq ==
+      Seq((1L, 2L, 2)))
+  }
+
+  test("hyperplane_sig in SQL matches the Column API") {
+    val d = Seq((1L, Array(0.5f, -0.25f, 1.0f))).toDF("id", "v")
+    d.createOrReplaceTempView("ext_vecs")
+    val sqlSig = spark.sql(
+      "SELECT hyperplane_sig(v, 16, 42) AS s FROM ext_vecs").collect().head.getLong(0)
+    val apiSig = d.select(graft.functions.VectorExprs
+      .hyperplaneSig(F.col("v"), 16, 42L).as("s")).collect().head.getLong(0)
+    assert(sqlSig == apiSig)
+  }
+
+  test("config arguments must be literals — analysis-time failure") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes('a b c', length('xx'))").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      e.getMessage.contains("shingle_hashes"), e.getMessage)
+  }
+
+  test("recommended confs carry the extensions registration") {
+    assert(GraftSession.recommendedConfs(8)("spark.sql.extensions") ==
+      "graft.GraftExtensions")
+  }
+}

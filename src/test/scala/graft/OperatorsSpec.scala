@@ -471,6 +471,17 @@ class OperatorsSpec extends SparkSpec {
     assert(stats.toSeq == Seq((0L, 2L, 510L), (5L, 2L, 10L)))
   }
 
+  test("quantileFilter keeps rows at or above the interpolated quantile") {
+    val d = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    // median of 1..10 interpolates to 5.5 -> keep 6..10
+    assert(col1[Long](TextAnalysis.quantileFilter(d, F.col("v"), 0.5)
+      .orderBy("id"), "id") == (6L to 10L))
+    // q=0 keeps everything; boundary row AT the quantile is kept
+    assert(TextAnalysis.quantileFilter(d, F.col("v"), 0.0).count() == 10L)
+    assert(col1[Long](TextAnalysis.quantileFilter(d, F.col("v"), 1.0), "id")
+      == Seq(10L))
+  }
+
   test("dedupLines counts distinct docs, not occurrences") {
     // the dup line appears 3 times but in only 2 docs -> survives minDocs=3
     val d = Seq((1L, "dup\ndup\nx"), (2L, "dup\ny")).toDF("id", "t")
