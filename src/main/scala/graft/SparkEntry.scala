@@ -1141,6 +1141,19 @@ object SparkEntry {
         TextAnalysis.qualityScore(F.col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** Stateless decontamination gate: the d23 bench set collected to sorted
+    * shingle hashes, folded into the scan as a plan literal; docs sharing
+    * >= 5 shingles with the UNION of bench items are dropped. */
+  private val d27: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(F.col("doc_id") % 25 === 0)
+      .select(F.substring(F.col("text"), 1, 200).as("btext"))
+    val hashes = Dedup.benchShingleHashes(bench, F.col("btext"), 3)
+    Dedup.decontaminate(docs, F.col("text"), hashes, shingleSize = 3,
+      minOverlap = 5)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** frame-shape verbs end to end: select / discard / rename / renameWith /
     * relocate (§2.2; reference data_frame.ex select/discard/rename/relocate
     * doctests). Column ORDER is relocate's business; the oracle compare is
@@ -1396,6 +1409,7 @@ object SparkEntry {
     "d24_dedup_lines" -> d24,
     "d25_pack_sequences" -> d25,
     "d26_quality_gate" -> d26,
+    "d27_decontaminate" -> d27,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -2117,6 +2131,23 @@ object SparkEntry {
                WHERE freq.nd < 10)
       SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
       FROM keep GROUP BY doc_id ORDER BY doc_id""",
+    "d27_decontaminate" -> """
+      WITH toks AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+          generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE []::VARCHAR[] END AS s FROM toks),
+      btoks AS (SELECT string_split_regex(lower(trim(substr(text, 1, 200))),
+          '\s+') AS t FROM documents WHERE doc_id % 25 = 0),
+      bsh AS (SELECT
+        CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+          generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE []::VARCHAR[] END AS s FROM btoks),
+      bu AS (SELECT list_distinct(flatten(list(s))) AS u FROM bsh)
+      SELECT doc_id FROM sh, bu
+      WHERE len(list_intersect(sh.s, bu.u)) < 5
+      ORDER BY doc_id""",
     "d26_quality_gate" -> """
       WITH b AS (SELECT doc_id,
         CAST(length(text) AS DOUBLE) AS len,

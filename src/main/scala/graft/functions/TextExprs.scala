@@ -268,6 +268,42 @@ case class HammingPairs(child: Expression, maxDistance: Int)
   }
 }
 
+/** array<bigint> → bigint: how many of the row's elements are present in
+  * the SORTED reference set, by per-element binary search. The set lives
+  * in the expression instance — a plan-broadcast literal shipped once per
+  * task (like IVF centroids in TopCells), NOT rebuilt per row the way
+  * `array_intersect`'s hash set is — so a 10^5-entry benchmark set costs
+  * each row only `s·log B` comparisons. The contamination gate's hot loop:
+  * stateless, shuffle-free, and therefore legal in Structured Streaming
+  * scans. */
+case class SortedSetOverlap(child: Expression, set: Array[Long])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_set_overlap requires array<bigint>, got ${other.sql}")
+    }
+  override def prettyName: String = "sorted_set_overlap"
+  override protected def withNewChildInternal(c: Expression): SortedSetOverlap =
+    copy(child = c)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    var n = 0L
+    var i = 0
+    while (i < xs.length) {
+      if (java.util.Arrays.binarySearch(set, xs(i)) >= 0) n += 1
+      i += 1
+    }
+    n
+  }
+}
+
 /** text → bigint: number of non-overlapping matches of `pattern`. Same
   * java.util.regex engine as Spark's regexp_* functions (identical counts),
   * but counts with a reused Matcher instead of materializing every match
@@ -434,6 +470,9 @@ object TextExprs {
 
   def orderedPairs(ids: Column): Column =
     Bridge.column(OrderedPairs(Bridge.expression(ids)))
+
+  def sortedSetOverlap(xs: Column, set: Array[Long]): Column =
+    Bridge.column(SortedSetOverlap(Bridge.expression(xs), set))
 
   def shingleHashes(text: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text), n))

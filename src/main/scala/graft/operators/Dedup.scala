@@ -389,6 +389,39 @@ object Dedup {
           .as("overlap_ratio"))
   }
 
+  /** The benchmark side of [[decontaminate]], collected ONCE: the distinct
+    * shingle-hash identities of the eval suite, sorted for binary search.
+    * Eval suites are small by construction (thousands of items), so the
+    * collect is bounded — the same posture as IVF centroid training. */
+  def benchShingleHashes(bench: DataFrame, benchText: Column,
+      shingleSize: Int = 3): Array[Long] = {
+    val hs = bench
+      .select(F.explode(shingleHashes(benchText, shingleSize)).as("g"))
+      .distinct().collect().map(_.getLong(0))
+    java.util.Arrays.sort(hs)
+    hs
+  }
+
+  /** Contamination overlap as a pure per-row Column: how many of the doc's
+    * distinct shingles appear in the benchmark set (see
+    * [[graft.functions.SortedSetOverlap]] — binary search against a
+    * plan-literal sorted array, not a per-row hash set). */
+  def contaminationOverlap(text: Column, benchHashes: Array[Long],
+      shingleSize: Int = 3): Column =
+    graft.functions.TextExprs.sortedSetOverlap(
+      shingleHashes(text, shingleSize), benchHashes)
+
+  /** Drop documents sharing at least `minOverlap` shingles with the
+    * benchmark set — the decontamination filter as a STATELESS scan
+    * expression: no join, no shuffle, no state, which makes it legal (and
+    * cheap) in a Structured Streaming ingest pipeline as well as batch.
+    * Use [[contamination]] when you need per-(doc, bench-item) attribution;
+    * use this to gate a 100 TB scan (or a live stream) at full speed. */
+  def decontaminate(df: DataFrame, text: Column, benchHashes: Array[Long],
+      shingleSize: Int = 3, minOverlap: Int = 2): DataFrame =
+    df.filter(
+      contaminationOverlap(text, benchHashes, shingleSize) < minOverlap)
+
   /** Cross-document line-level dedup (the C4/RefinedWeb boilerplate pass):
     * drop every line whose TRIMMED form occurs in at least `minDocs`
     * distinct documents (nav bars, cookie banners, shared footers), then

@@ -429,6 +429,32 @@ class OperatorsSpec extends SparkSpec {
       bench, F.col("bid"), F.col("bt"), 3, minOverlap = 1).count() == 1L)
   }
 
+  test("decontaminate: stateless gate agrees with contamination attribution") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox sleeps all day long here"),
+      (3L, "completely unrelated text about spark query engines")
+    ).toDF("id", "t")
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("bid", "bt")
+    val hashes = Dedup.benchShingleHashes(bench, F.col("bt"), 3)
+    assert(hashes.length == 7)
+    val ov = corpus.select(F.col("id"),
+      Dedup.contaminationOverlap(F.col("t"), hashes, 3).as("o"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ov.toSeq == Seq((1L, 7L), (2L, 2L), (3L, 0L)))
+    assert(col1[Long](Dedup.decontaminate(corpus, F.col("t"), hashes, 3, 2)
+      .orderBy("id"), "id") == Seq(3L))
+    // streaming twin: same gate over a file-source stream, zero state
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    corpus.write.parquet(dir + "/docs")
+    val stream = graft.streaming.Streams.readParquetStream(
+      spark, dir + "/docs", corpus.schema)
+    val got = graft.streaming.Streams.runToMemory(
+      Dedup.decontaminate(stream, F.col("t"), hashes, 3, 2), "t_decon")
+    assert(col1[Long](got.orderBy("id"), "id") == Seq(3L))
+  }
+
   test("dedupLines removes cross-doc boilerplate, keeps order, drops empty") {
     val d = Seq(
       (1L, "unique one\nSHARED FOOTER\nunique two"),
