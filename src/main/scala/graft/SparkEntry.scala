@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import graft.exprs._
-import graft.operators.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline operators), each with an
@@ -1154,6 +1154,48 @@ object SparkEntry {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Deterministic hash split (train/val/test 80/10/10): sticky, portable
+    * (md5-hex bucket on both engines), pure scan expression. */
+  private val d28: (SparkSession, String) => DataFrame = (s, dir) =>
+    Sampling.hashSplit(t(s, dir, "documents"), F.col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s42")
+      .select("doc_id", "split").orderBy("doc_id")
+
+  /** Domain-mixture sampling: 2:1:1 token mix over sources src0/src1/src2
+    * with an 8000-token total budget (src3/src4 excluded from the mix).
+    * Bucket-granular admission — the oracle twin replays the same
+    * two-level cumulative-bucket plan in SQL. */
+  private val d29: (SparkSession, String) => DataFrame = (s, dir) =>
+    Sampling.mixture(t(s, dir, "documents"), F.col("source"),
+      F.col("doc_id"), TextAnalysis.tokenCount(F.col("text")),
+      weights = Map("src0" -> 2.0, "src1" -> 1.0, "src2" -> 1.0),
+      totalBudget = 8000L, salt = "m1")
+      .select("doc_id", "source").orderBy("doc_id")
+
+  /** Cross-corpus near dedup: even docs (the "new batch") deduped against
+    * odd docs (the "accepted corpus") at Jaccard ≥ 0.8 — the incremental
+    * ingest gate. Oracle = brute-force cross-side Jaccard in DuckDB. */
+  private val d30: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    Dedup.dedupAgainstNear(
+      docs.filter(F.col("doc_id") % 2 === 0), F.col("doc_id"), F.col("text"),
+      docs.filter(F.col("doc_id") % 2 === 1), F.col("doc_id"), F.col("text"),
+      threshold = 0.8)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** Bloom-filter membership gate: all docs gated against the first-50
+    * texts as a blocklist (fpp 1e-3). Probabilistic by nature (false
+    * positives are engine-specific) → rows-only check; exactness lives in
+    * the spec (planted members never survive, FPR bounded). */
+  private val d31: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    Dedup.bloomGate(docs, F.col("text"),
+      docs.filter(F.col("doc_id") < 50), F.col("text"),
+      expectedItems = 100L, fpp = 0.001)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** frame-shape verbs end to end: select / discard / rename / renameWith /
     * relocate (§2.2; reference data_frame.ex select/discard/rename/relocate
     * doctests). Column ORDER is relocate's business; the oracle compare is
@@ -1410,6 +1452,10 @@ object SparkEntry {
     "d25_pack_sequences" -> d25,
     "d26_quality_gate" -> d26,
     "d27_decontaminate" -> d27,
+    "d28_hash_split" -> d28,
+    "d29_mixture" -> d29,
+    "d30_dedup_against" -> d30,
+    "d31_bloom_gate" -> d31,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -2147,6 +2193,48 @@ object SparkEntry {
       bu AS (SELECT list_distinct(flatten(list(s))) AS u FROM bsh)
       SELECT doc_id FROM sh, bu
       WHERE len(list_intersect(sh.s, bu.u)) < 5
+      ORDER BY doc_id""",
+    // thresholds are floor(cum_weight * 65536) as 4-hex-char strings:
+    // 0.8 -> cccc, 0.9 -> e666; lexicographic hex order == numeric order
+    "d28_hash_split" -> """
+      SELECT doc_id,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 's42'), 1, 4) < 'cccc'
+               THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR) || 's42'), 1, 4) < 'e666'
+               THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id""",
+    "d29_mixture" -> """
+      WITH tok AS (SELECT doc_id, source,
+          substr(md5(CAST(doc_id AS VARCHAR) || 'm1'), 1, 4) AS h4,
+          CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS t
+        FROM documents),
+      pb AS (SELECT source, h4, sum(t) AS btok FROM tok GROUP BY 1, 2),
+      cum AS (SELECT source, h4,
+          COALESCE(sum(btok) OVER (PARTITION BY source ORDER BY h4
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        FROM pb),
+      adm AS (SELECT source, h4 FROM cum
+        WHERE bef < CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 2000
+                    WHEN 'src2' THEN 2000 ELSE 0 END)
+      SELECT tok.doc_id, tok.source FROM tok JOIN adm USING (source, h4)
+      ORDER BY doc_id""",
+    "d30_dedup_against" -> """
+      WITH toks AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+          generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE []::VARCHAR[] END AS s FROM toks),
+      loser AS (SELECT DISTINCT a.doc_id FROM sh a, sh b
+        WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+          AND CASE WHEN len(list_distinct(a.s || b.s)) > 0
+               THEN len(list_intersect(a.s, b.s)) /
+                    CAST(len(list_distinct(a.s || b.s)) AS DOUBLE)
+               ELSE 0.0 END >= 0.8)
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM loser)
       ORDER BY doc_id""",
     "d26_quality_gate" -> """
       WITH b AS (SELECT doc_id,

@@ -454,6 +454,78 @@ object Dedup {
           s => s.getField("line")), "\n").as("text"))
   }
 
+  /** Cross-corpus EXACT dedup — drop rows of `df` whose `key` appears in
+    * the reference corpus (incremental ingest: dedup a new batch against
+    * the already-accepted corpus without re-deduping the corpus itself).
+    * One anti join on 8-byte `xxhash64(key)` — the shuffle carries hashes,
+    * never the text, on both sides. */
+  def dedupAgainstExact(df: DataFrame, key: Column,
+      ref: DataFrame, refKey: Column): DataFrame =
+    df.join(ref.select(F.xxhash64(refKey).as("__rk")).distinct(),
+      F.xxhash64(key) === F.col("__rk"), "left_anti")
+
+  /** Cross-corpus NEAR dedup: drop documents of `df` with MinHash-verified
+    * Jaccard ≥ `threshold` against ANY reference document — the
+    * incremental-ingest twin of [[dedupNear]] (new-vs-new duplicates are
+    * deliberately kept: dedup within the batch is [[dedupNear]]'s job).
+    *
+    * Scale shape: both corpora run the same fused shingle→minhash→band
+    * scan and meet ONLY inside (band, bucket) groups — the reference side
+    * never re-pairs against itself and the candidate set is cross-side
+    * pairs only, so adding a 100 TB accepted corpus costs its banding scan
+    * plus bucket-local work, never a corpus×corpus join. Implemented by
+    * running [[minhashLshCandidates]] over the tagged union (reference ids
+    * encoded negative — ordered pairs then put the reference member first,
+    * making cross-side pairs a constant-time filter) and verifying exact
+    * Jaccard on the surviving pairs only.
+    *
+    * Both id columns must be non-negative (they are widened to long; the
+    * negative range encodes the reference side). */
+  def dedupAgainstNear(df: DataFrame, id: Column, text: Column,
+      ref: DataFrame, refId: Column, refText: Column,
+      threshold: Double, shingleSize: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
+    val newSide = df.select(asLongId(id).as("__uid"), text.as("__ut"))
+    val refSide = ref.select((-asLongId(refId) - 1).as("__uid"),
+      refText.as("__ut"))
+    val union = newSide.unionAll(refSide)
+    val cross = minhashLshCandidates(union, F.col("__uid"), F.col("__ut"),
+      shingleSize, numHashes, bands, maxBucket)
+      // pairs come out sorted (id_a < id_b): a cross-side pair is exactly
+      // "negative (reference) first, non-negative (new) second"
+      .filter(F.col("id_a") < 0 && F.col("id_b") >= 0)
+    val contaminated = verifyJaccard(union, F.col("__uid"), F.col("__ut"),
+      cross, shingleSize, threshold)
+      .select(F.col("id_b").as("__loser")).distinct()
+    df.join(contaminated, asLongId(id) === F.col("__loser"), "left_anti")
+  }
+
+  /** Membership gate against a reference key set WITHOUT a join: build a
+    * Bloom filter over `xxhash64(refKey)` (distributed tree aggregation;
+    * the filter itself is the only driver-held artifact — sized by
+    * `expectedItems`/`fpp`, ~1.2 GB per 10^9 keys at 0.1%), then drop every
+    * row of `df` whose key MIGHT be in the set, as a pure scan predicate
+    * folded into the plan as a literal (native
+    * `BloomFilterMightContain` — codegen'd, no shuffle, streaming-legal).
+    *
+    * False-positive direction is the SAFE one for hygiene filters: a false
+    * positive drops an extra row (rate `fpp`), a true member is NEVER kept.
+    * Use [[dedupAgainstExact]] when exact semantics are worth the join. */
+  def bloomGate(df: DataFrame, key: Column, ref: DataFrame, refKey: Column,
+      expectedItems: Long, fpp: Double = 0.001): DataFrame = {
+    val bf = ref.select(F.xxhash64(refKey).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val mightContain = bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bos.toByteArray, BinaryType),
+        bridge.expression(F.xxhash64(key))))
+    df.filter(!mightContain)
+  }
+
   /** Embedding near-dup: cosine ≥ threshold pairs via random-hyperplane LSH
     * (see [[Similarity.hyperplaneSignature]]), verified exactly.
     *

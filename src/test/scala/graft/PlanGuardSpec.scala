@@ -24,7 +24,8 @@ class PlanGuardSpec extends SparkSpec {
     "d01_exact_dedup", "d05_minhash_pairs", "d07_ngram_jaccard",
     "d09_lsh_topk", "d13_embedding_neardup", "d14_ivf_topk",
     "d17_normalize", "d18_vocabulary", "d19_tfidf",
-    "d21_repetition", "d22_scrub", "d23_contamination", "d24_dedup_lines")
+    "d21_repetition", "d22_scrub", "d23_contamination", "d24_dedup_lines",
+    "d28_hash_split", "d29_mixture", "d30_dedup_against")
 
   /** Lines of the subtree rooted at line `i` (children print below with
     * deeper operator indentation until a line at or above the root's). */
@@ -119,6 +120,38 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"corpus-side shuffle join in contamination:\n$plan")
+  }
+
+  test("hashSplit is a pure scan expression — no exchange, no sort, no join") {
+    import org.apache.spark.sql.{functions => F}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.operators.Sampling.hashSplit(docs, F.col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s42")
+      .queryExecution.executedPlan.toString
+    for (op <- Seq("Exchange", "Sort", "Join"))
+      assert(!plan.contains(op), s"hashSplit plan contains $op:\n$plan")
+  }
+
+  test("bloomGate is a scan-side filter — no join or shuffle in the gated plan") {
+    import org.apache.spark.sql.{functions => F}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.operators.Dedup.bloomGate(docs, F.col("text"),
+      docs.limit(20), F.col("text"), expectedItems = 20L, fpp = 0.01)
+      .queryExecution.executedPlan.toString
+    for (op <- Seq("Exchange", "Join"))
+      assert(!plan.contains(op), s"bloomGate plan contains $op:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"bloom predicate not folded into the scan plan:\n$plan")
+  }
+
+  test("d29 mixture: admission joins back as a broadcast semi-join — the " +
+      "corpus never shuffle-joins") {
+    val plan = SparkEntry.queries("d29_mixture")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"no broadcast semi-join admission:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join in mixture:\n$plan")
   }
 
   for (name <- guarded)

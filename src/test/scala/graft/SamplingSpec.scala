@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.operators.{Dedup, Sampling}
+
+/** Deterministic sampling / splitting / mixture + cross-corpus dedup. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: deterministic, sticky, and near the declared fractions") {
+    val d = (0L until 5000L).toDF("id")
+    val s1 = Sampling.hashSplit(d, F.col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000L)
+    // binomial(5000, 0.8) is within ±3σ ≈ ±85 of 4000 essentially always
+    assert(math.abs(counts("train") - 4000L) < 150,
+      s"train count ${counts("train")} too far from 4000")
+    assert(math.abs(counts("val") - 500L) < 100)
+    assert(math.abs(counts("test") - 500L) < 100)
+    // sticky: the same key maps to the same split regardless of the rest
+    // of the corpus (subset re-run agrees row-for-row)
+    val sub = Sampling.hashSplit(
+      (0L until 100L).toDF("id"), F.col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+    val full = s1.filter(F.col("id") < 100)
+    assert(sub.except(full).isEmpty && full.except(sub).isEmpty)
+    // salt changes the assignment
+    val s2 = Sampling.hashSplit(d, F.col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "other")
+    assert(s1.join(s2, Seq("id"))
+      .filter(s1("split") =!= s2("split")).count() > 0)
+  }
+
+  test("hashSplit: single label and weight normalization") {
+    val d = (0L until 50L).toDF("id")
+    val one = Sampling.hashSplit(d, F.col("id"), Seq("all" -> 1.0))
+    assert(one.filter(F.col("split") === "all").count() == 50)
+    // weights 8/1/1 ≡ 0.8/0.1/0.1 (normalized)
+    val a = Sampling.hashSplit(d, F.col("id"),
+      Seq("x" -> 8.0, "y" -> 1.0, "z" -> 1.0), salt = "n")
+    val b = Sampling.hashSplit(d, F.col("id"),
+      Seq("x" -> 0.8, "y" -> 0.1, "z" -> 0.1), salt = "n")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("sampleByHash: monotone in fraction, deterministic") {
+    val d = (0L until 2000L).toDF("id")
+    val s30 = Sampling.sampleByHash(d, F.col("id"), 0.3, "z")
+    val s50 = Sampling.sampleByHash(d, F.col("id"), 0.5, "z")
+    assert(s30.except(s50).isEmpty, "sample(0.3) must be a subset of sample(0.5)")
+    assert(math.abs(s50.count() - 1000L) < 150)
+    assert(Sampling.sampleByHash(d, F.col("id"), 1.0, "z").count() == 2000)
+    assert(Sampling.sampleByHash(d, F.col("id"), 0.0, "z").count() == 0)
+  }
+
+  test("sampleToBudget: per-domain budgets honored with one-bucket overshoot") {
+    val d = (0L until 600L).map(i => (i, s"dom${i % 3}", 10L))
+      .toDF("id", "dom", "tok")
+    val budgets = Map("dom0" -> 500L, "dom1" -> 250L) // dom2 absent → dropped
+    val out = Sampling.sampleToBudget(d, F.col("dom"), F.col("id"),
+      F.col("tok"), budgets, salt = "b")
+    val perDom = out.groupBy("dom").agg(F.sum("tok").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!perDom.contains("dom2"), "unbudgeted domain must be dropped")
+    // admission is bucket-granular: overshoot bounded by one bucket's
+    // tokens (here every bucket is one 10-token doc, so ≤ budget + 10)
+    assert(perDom("dom0") <= 510 && perDom("dom0") >= 500)
+    assert(perDom("dom1") <= 260 && perDom("dom1") >= 250)
+    // deterministic
+    val again = Sampling.sampleToBudget(d, F.col("dom"), F.col("id"),
+      F.col("tok"), budgets, salt = "b")
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
+  test("mixture: budget split by normalized weights") {
+    val d = (0L until 400L).map(i => (i, s"dom${i % 2}", 5L))
+      .toDF("id", "dom", "tok")
+    val out = Sampling.mixture(d, F.col("dom"), F.col("id"), F.col("tok"),
+      Map("dom0" -> 3.0, "dom1" -> 1.0), totalBudget = 400L, salt = "mx")
+    val perDom = out.groupBy("dom").agg(F.sum("tok").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // dom0 gets 300, dom1 gets 100; one-bucket (5-token) overshoot allowed
+    assert(perDom("dom0") >= 300 && perDom("dom0") <= 305)
+    assert(perDom("dom1") >= 100 && perDom("dom1") <= 105)
+  }
+
+  test("dedupAgainstExact drops only reference-matching keys") {
+    val batch = Seq((1L, "keep me"), (2L, "drop me"), (3L, "also keep"))
+      .toDF("id", "t")
+    val ref = Seq((10L, "drop me"), (11L, "unrelated")).toDF("rid", "rt")
+    val out = Dedup.dedupAgainstExact(batch, F.col("t"), ref, F.col("rt"))
+    assert(col1[Long](out.orderBy("id"), "id") == Seq(1L, 3L))
+  }
+
+  test("dedupAgainstNear drops near-dups of the reference, keeps batch dups") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the sun sets slowly behind the distant purple mountains"
+    val nearRef = base.replace("slowly", "quickly")
+    val other = "completely unrelated text about database query optimization " +
+      "and distributed systems running on large compute clusters"
+    // batch: 1 near-dups the reference; 2 and 3 duplicate EACH OTHER but
+    // not the reference (must both survive — within-batch dedup is
+    // dedupNear's job); 4 is unrelated
+    val batch = Seq((1L, nearRef), (2L, other), (3L, other),
+      (4L, "short interlude about cooking pasta properly al dente tonight"))
+      .toDF("id", "text")
+    val ref = Seq((7L, base)).toDF("rid", "rtext")
+    val out = Dedup.dedupAgainstNear(batch, F.col("id"), F.col("text"),
+      ref, F.col("rid"), F.col("rtext"),
+      threshold = 0.5, shingleSize = 3, numHashes = 64, bands = 16)
+    assert(col1[Long](out.orderBy("id"), "id") == Seq(2L, 3L, 4L))
+  }
+
+  test("bloomGate: members never survive, FPR bounded") {
+    val ref = (0L until 500L).map(i => s"blocked $i").toDF("rt")
+    val members = (0L until 500L).map(i => (i, s"blocked $i"))
+    val clean = (500L until 2500L).map(i => (i, s"fresh document $i"))
+    val d = (members ++ clean).toDF("id", "t")
+    val out = Dedup.bloomGate(d, F.col("t"), ref, F.col("rt"),
+      expectedItems = 500L, fpp = 0.01)
+    // no false negatives: every planted member is dropped
+    assert(out.filter(F.col("id") < 500).count() == 0)
+    // false positives bounded: 2000 clean rows at fpp=0.01 → expect ~20,
+    // allow generous slack (deterministic given the build, but sized for
+    // any hash family drift)
+    val kept = out.count()
+    assert(kept >= 2000 - 100, s"only $kept clean rows survived the gate")
+  }
+}
