@@ -1196,6 +1196,13 @@ object SparkEntry {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Deterministic 10-per-source sample (md5-ordered per-domain top-k:
+    * WindowGroupLimit shape — map-side pre-pruned, never a corpus sort). */
+  private val d32: (SparkSession, String) => DataFrame = (s, dir) =>
+    Sampling.topKByHash(t(s, dir, "documents"), F.col("source"),
+      F.col("doc_id"), k = 10, salt = "t1")
+      .select("doc_id", "source").orderBy("doc_id")
+
   /** frame-shape verbs end to end: select / discard / rename / renameWith /
     * relocate (§2.2; reference data_frame.ex select/discard/rename/relocate
     * doctests). Column ORDER is relocate's business; the oracle compare is
@@ -1456,6 +1463,7 @@ object SparkEntry {
     "d29_mixture" -> d29,
     "d30_dedup_against" -> d30,
     "d31_bloom_gate" -> d31,
+    "d32_topk_sample" -> d32,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -2236,6 +2244,13 @@ object SparkEntry {
       SELECT doc_id FROM documents
       WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM loser)
       ORDER BY doc_id""",
+    "d32_topk_sample" -> """
+      WITH r AS (SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR) || 't1'),
+                     CAST(doc_id AS VARCHAR)) AS rn
+        FROM documents)
+      SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""",
     "d26_quality_gate" -> """
       WITH b AS (SELECT doc_id,
         CAST(length(text) AS DOUBLE) AS len,

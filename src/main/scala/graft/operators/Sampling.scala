@@ -125,6 +125,29 @@ object Sampling {
       "left_semi")
   }
 
+  /** Full md5 hex of `key || salt` — the per-key pseudo-random TOTAL order
+    * behind [[topKByHash]] (the 4-char bucket of [[hashBucket]] collides on
+    * purpose; this does not, to 2^-64). */
+  def hashOrder(key: Column, salt: String = ""): Column =
+    F.md5(F.concat(key.cast(StringType), F.lit(salt)).cast(BinaryType))
+
+  /** Deterministic k-per-domain sample: the k smallest keys per domain in
+    * md5 order (ties broken by the key itself) — "give me k representative
+    * examples per source", sticky and portable like every operator here.
+    *
+    * Scale shape: `row_number <= k` over a domain-partitioned window plans
+    * as `WindowGroupLimit`, so each map task pre-prunes to its local top-k
+    * BEFORE the shuffle — the bytes moved are O(domains · k), not the
+    * corpus, and a giant domain never funnels through one task unpruned. */
+  def topKByHash(df: DataFrame, domain: Column, key: Column, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0, s"topKByHash k must be positive, got $k")
+    val w = Window.partitionBy(domain)
+      .orderBy(hashOrder(key, salt), key.cast(StringType))
+    df.withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") <= k).drop("__rn")
+  }
+
   /** Domain-mixture sampling: splits `totalBudget` tokens across domains
     * by `weights` (normalized), then applies [[sampleToBudget]] — the
     * "hit a target domain mix for a training run" step. Domains absent

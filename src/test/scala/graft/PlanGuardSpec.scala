@@ -25,7 +25,7 @@ class PlanGuardSpec extends SparkSpec {
     "d09_lsh_topk", "d13_embedding_neardup", "d14_ivf_topk",
     "d17_normalize", "d18_vocabulary", "d19_tfidf",
     "d21_repetition", "d22_scrub", "d23_contamination", "d24_dedup_lines",
-    "d28_hash_split", "d29_mixture", "d30_dedup_against")
+    "d28_hash_split", "d29_mixture", "d30_dedup_against", "d32_topk_sample")
 
   /** Lines of the subtree rooted at line `i` (children print below with
     * deeper operator indentation until a line at or above the root's). */
@@ -152,6 +152,14 @@ class PlanGuardSpec extends SparkSpec {
       s"no broadcast semi-join admission:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"corpus-side shuffle join in mixture:\n$plan")
+  }
+
+  test("d32 topKByHash plans as WindowGroupLimit — map-side top-k pruning " +
+      "before the shuffle, no full per-domain sort-and-number") {
+    val plan = SparkEntry.queries("d32_topk_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing:\n$plan")
   }
 
   for (name <- guarded)

@@ -113,6 +113,52 @@ class SamplingSpec extends SparkSpec {
     assert(col1[Long](out.orderBy("id"), "id") == Seq(2L, 3L, 4L))
   }
 
+  test("topKByHash: exactly k per domain, deterministic, corpus-independent") {
+    val d = (0L until 300L).map(i => (i, s"dom${i % 3}")).toDF("id", "dom")
+    val out = Sampling.topKByHash(d, F.col("dom"), F.col("id"), k = 7,
+      salt = "t")
+    val counts = out.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("dom0" -> 7L, "dom1" -> 7L, "dom2" -> 7L))
+    // sticky: a kept key stays kept when unrelated NON-SELECTED rows leave
+    // (the sample is the k hash-smallest — removing larger-hash rows
+    // cannot change membership)
+    val keptIds = col1[Long](out.orderBy("id"), "id").toSet
+    val shrunk = d.filter(F.col("id").isin(
+      (keptIds ++ Set(298L, 299L)).toSeq.map(Long.box): _*))
+    val again = Sampling.topKByHash(shrunk, F.col("dom"), F.col("id"), 7, "t")
+    assert(col1[Long](again.orderBy("id"), "id").toSet == keptIds)
+    // k larger than the domain keeps everything
+    val all = Sampling.topKByHash(d.limit(5), F.col("dom"), F.col("id"),
+      1000, "t")
+    assert(all.count() == 5)
+  }
+
+  test("hashSplit and bloomGate are stateless — run unchanged on a stream") {
+    val d = (0L until 40L).map(i => (i, s"doc $i")).toDF("id", "t")
+    val ref = (0L until 10L).map(i => s"doc $i").toDF("rt")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sampling").toString
+    d.write.parquet(dir + "/docs")
+    val stream = graft.streaming.Streams.readParquetStream(
+      spark, dir + "/docs", d.schema)
+    // batch twins
+    val splitBatch = Sampling.hashSplit(d, F.col("id"),
+      Seq("train" -> 0.5, "test" -> 0.5), salt = "st")
+    val gateBatch = Dedup.bloomGate(d, F.col("t"), ref, F.col("rt"),
+      expectedItems = 10L, fpp = 0.001)
+    // the same Column expressions applied to the streaming frame
+    val splitStream = graft.streaming.Streams.runToMemory(
+      Sampling.hashSplit(stream, F.col("id"),
+        Seq("train" -> 0.5, "test" -> 0.5), salt = "st"), "t_split")
+    assert(splitStream.except(splitBatch).isEmpty &&
+      splitBatch.except(splitStream).isEmpty)
+    val bf = Dedup.bloomGate(stream, F.col("t"), ref, F.col("rt"),
+      expectedItems = 10L, fpp = 0.001)
+    val gateStream = graft.streaming.Streams.runToMemory(bf, "t_gate")
+    assert(gateStream.except(gateBatch).isEmpty &&
+      gateBatch.except(gateStream).isEmpty)
+  }
+
   test("bloomGate: members never survive, FPR bounded") {
     val ref = (0L until 500L).map(i => s"blocked $i").toDF("rt")
     val members = (0L until 500L).map(i => (i, s"blocked $i"))
