@@ -1196,6 +1196,15 @@ object SparkEntry {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Token-window chunking, 40-token chunks with 8-token overlap — the
+    * doc→sequence step for long-document training / retrieval indexing.
+    * Pure scan-side explode; oracle replays the slicing in DuckDB. */
+  private val d33: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.chunk(t(s, dir, "documents"), F.col("doc_id"),
+      F.col("text"), size = 40, overlap = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "chunk_id")
+
   /** Deterministic 10-per-source sample (md5-ordered per-domain top-k:
     * WindowGroupLimit shape — map-side pre-pruned, never a corpus sort). */
   private val d32: (SparkSession, String) => DataFrame = (s, dir) =>
@@ -1464,6 +1473,7 @@ object SparkEntry {
     "d30_dedup_against" -> d30,
     "d31_bloom_gate" -> d31,
     "d32_topk_sample" -> d32,
+    "d33_chunk" -> d33,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -2251,6 +2261,23 @@ object SparkEntry {
                      CAST(doc_id AS VARCHAR)) AS rn
         FROM documents)
       SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""",
+    // size=40, overlap=8 -> stride=32; DuckDB list slices are 1-based
+    // inclusive and clamp at the list end, matching Spark's slice()
+    "d33_chunk" -> """
+      WITH toks AS (SELECT doc_id,
+          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
+        FROM documents),
+      c AS (SELECT doc_id, t, len(t) AS n,
+          GREATEST(CAST(ceil((len(t) - 40) / 32.0) AS BIGINT), 0) AS extra
+        FROM toks WHERE len(t) > 0),
+      e AS (SELECT doc_id, t, n,
+          unnest(generate_series(0, extra)) AS chunk_id FROM c)
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        array_to_string(t[(chunk_id*32+1):(chunk_id*32+40)], ' ')
+          AS chunk_text,
+        LEAST(40, n - chunk_id*32) AS n_tokens
+      FROM e ORDER BY doc_id, chunk_id""",
     "d26_quality_gate" -> """
       WITH b AS (SELECT doc_id,
         CAST(length(text) AS DOUBLE) AS len,

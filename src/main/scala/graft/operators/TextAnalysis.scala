@@ -140,6 +140,41 @@ object TextAnalysis {
     else stripped
   }
 
+  /** Token-window chunking: split each document into chunks of `size`
+    * whitespace tokens, consecutive chunks sharing `overlap` tokens
+    * (stride = size − overlap) — the standard doc→sequence step for
+    * long-document training and retrieval indexing. Chunk i covers tokens
+    * `[1 + i·stride, 1 + i·stride + size)`; the final chunk may be
+    * shorter; a document shorter than `size` yields exactly one chunk;
+    * empty/whitespace documents yield none.
+    *
+    * Scale shape: one `posexplode` over a per-row chunk-index sequence —
+    * pure scan-side row expansion (the sequence is O(n/stride) ints, the
+    * chunk texts are slices of one tokenization), no shuffle, no state,
+    * streaming-legal. Output: `id, chunk_id, chunk_text, n_tokens`. */
+  def chunk(df: DataFrame, id: Column, text: Column,
+      size: Int, overlap: Int = 0): DataFrame = {
+    require(size > 0, s"chunk size must be positive, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap $overlap must be in [0, size=$size)")
+    val stride = size - overlap
+    val toks = tokens(text)
+    val n = F.when(F.length(F.trim(text)) === 0, 0)
+      .otherwise(F.size(toks))
+    // extra chunks past the first: ceil((n - size) / stride), floored at 0
+    val extra = F.greatest(
+      F.ceil((n - size).cast(DoubleType) / stride).cast(IntegerType), F.lit(0))
+    val idx = F.when(n > 0, F.sequence(F.lit(0), extra)).otherwise(
+      F.array().cast(ArrayType(IntegerType)))
+    df.select(id.as("id"), toks.as("__toks"), n.as("__n"),
+        F.explode(idx).as("chunk_id"))
+      .select(F.col("id"), F.col("chunk_id"),
+        F.array_join(F.slice(F.col("__toks"),
+          F.col("chunk_id") * stride + 1, F.lit(size)), " ").as("chunk_text"),
+        F.least(F.lit(size), F.col("__n") - F.col("chunk_id") * stride)
+          .cast(LongType).as("n_tokens"))
+  }
+
   /** Quantile gate: keep rows whose `score` is at or above the corpus-wide
     * `q`-th quantile of that score — the standard "top-(1-q) by quality"
     * selection step of a filtering pipeline. The threshold is an EXACT

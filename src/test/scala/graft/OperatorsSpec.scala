@@ -455,6 +455,31 @@ class OperatorsSpec extends SparkSpec {
     assert(col1[Long](got.orderBy("id"), "id") == Seq(3L))
   }
 
+  test("chunk: token windows with overlap, short tail, empty-doc drop") {
+    val d = Seq(
+      (1L, "a b c d e f g"), // 7 tokens
+      (2L, "x y"),           // shorter than size -> one chunk
+      (3L, "   ")            // whitespace-only -> no chunks
+    ).toDF("id", "t")
+    // size 3, overlap 1 -> stride 2: starts at tokens 1, 3, 5
+    val out = TextAnalysis.chunk(d, F.col("id"), F.col("t"), 3, 1)
+      .orderBy("id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0, "a b c", 3L), (1L, 1, "c d e", 3L), (1L, 2, "e f g", 3L),
+      (2L, 0, "x y", 2L)))
+    // exact-fit boundary: 4 tokens, size 2, no overlap -> 2 full chunks
+    val fit = TextAnalysis.chunk(Seq((9L, "p q r s")).toDF("id", "t"),
+      F.col("id"), F.col("t"), 2, 0)
+    assert(fit.count() == 2)
+    // chunks re-join to the normalized doc when overlap = 0
+    val rejoin = TextAnalysis.chunk(d.filter(F.col("id") === 1),
+      F.col("id"), F.col("t"), 2, 0)
+      .orderBy("chunk_id")
+      .agg(F.array_join(F.collect_list("chunk_text"), " ").as("whole"))
+    assert(col1[String](rejoin, "whole") == Seq("a b c d e f g"))
+  }
+
   test("dedupLines removes cross-doc boilerplate, keeps order, drops empty") {
     val d = Seq(
       (1L, "unique one\nSHARED FOOTER\nunique two"),

@@ -25,7 +25,8 @@ class PlanGuardSpec extends SparkSpec {
     "d09_lsh_topk", "d13_embedding_neardup", "d14_ivf_topk",
     "d17_normalize", "d18_vocabulary", "d19_tfidf",
     "d21_repetition", "d22_scrub", "d23_contamination", "d24_dedup_lines",
-    "d28_hash_split", "d29_mixture", "d30_dedup_against", "d32_topk_sample")
+    "d28_hash_split", "d29_mixture", "d30_dedup_against", "d32_topk_sample",
+    "d33_chunk")
 
   /** Lines of the subtree rooted at line `i` (children print below with
     * deeper operator indentation until a line at or above the root's). */
@@ -152,6 +153,17 @@ class PlanGuardSpec extends SparkSpec {
       s"no broadcast semi-join admission:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"corpus-side shuffle join in mixture:\n$plan")
+  }
+
+  test("chunk is scan-side row expansion — no exchange, no join") {
+    import org.apache.spark.sql.{functions => F}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.operators.TextAnalysis.chunk(docs, F.col("doc_id"),
+      F.col("text"), size = 40, overlap = 8)
+      .queryExecution.executedPlan.toString
+    for (op <- Seq("Exchange", "Join"))
+      assert(!plan.contains(op), s"chunk plan contains $op:\n$plan")
+    assert(plan.contains("Generate explode"), s"no scan-side explode:\n$plan")
   }
 
   test("d32 topKByHash plans as WindowGroupLimit — map-side top-k pruning " +
