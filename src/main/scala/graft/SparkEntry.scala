@@ -1134,12 +1134,17 @@ object SparkEntry {
   /** Quality-quantile gate: keep the top half of the corpus by quality
     * score (threshold = exact median, computed as a scalar subquery inside
     * the same plan — no driver action). */
-  private val d26: (SparkSession, String) => DataFrame = (s, dir) =>
-    TextAnalysis.quantileFilter(t(s, dir, "documents"),
-      TextAnalysis.qualityScore(F.col("text")), q = 0.5)
+  private val d26: (SparkSession, String) => DataFrame = (s, dir) => {
+    // score into a named column FIRST: the gate's threshold subquery and
+    // filter then reference it instead of re-evaluating the regex-heavy
+    // quality expression per pass (3 evals -> the 2 inherent to any
+    // self-referential quantile)
+    val scored = t(s, dir, "documents")
       .select(F.col("doc_id"),
         TextAnalysis.qualityScore(F.col("text")).as("quality"))
+    TextAnalysis.quantileFilter(scored, F.col("quality"), q = 0.5)
       .orderBy("doc_id")
+  }
 
   /** Stateless decontamination gate: the d23 bench set collected to sorted
     * shingle hashes, folded into the scan as a plan literal; docs sharing
