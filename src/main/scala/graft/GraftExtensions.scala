@@ -139,5 +139,29 @@ object GraftExtensions {
       args =>
         arity("capped_sorted_ids", 2, args)
         CappedSortedIds(args(0), litInt("capped_sorted_ids", "cap", args(1)))
+    },
+    fd("sorted_set_overlap", classOf[SortedSetOverlap],
+      "sorted_set_overlap(hashes, set) - how many hashes are in the literal bigint set") {
+      args =>
+        arity("sorted_set_overlap", 2, args)
+        // the set parameterizes the expression (sorted for binary search),
+        // exactly like the Column-API decontamination gate — it must fold
+        // at analysis time, it is not a per-row operand
+        val setExpr = args(1)
+        if (!setExpr.foldable) throw new IllegalArgumentException(
+          "sorted_set_overlap: argument 'set' must be a foldable array " +
+            s"literal, got ${setExpr.sql}")
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        val longs = (setExpr.eval(), setExpr.dataType) match {
+          case (null, _) => Array.empty[Long]
+          case (a: ArrayData, org.apache.spark.sql.types.ArrayType(LongType, _)) =>
+            a.toLongArray()
+          case (a: ArrayData, org.apache.spark.sql.types.ArrayType(IntegerType, _)) =>
+            a.toIntArray().map(_.toLong)
+          case (_, dt) => throw new IllegalArgumentException(
+            s"sorted_set_overlap: 'set' must be array<bigint>, got ${dt.sql}")
+        }
+        java.util.Arrays.sort(longs)
+        SortedSetOverlap(args(0), longs)
     })
 }

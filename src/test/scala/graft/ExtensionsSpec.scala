@@ -77,6 +77,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(sqlSig == apiSig)
   }
 
+  test("sorted_set_overlap in SQL: foldable set, matches the Column API") {
+    val n = spark.sql(
+      """SELECT sorted_set_overlap(shingle_hashes('a b c d', 2),
+           shingle_hashes('a b c x', 2)) AS n""").collect().head.getLong(0)
+    // shared 2-shingles of "a b c d" vs "a b c x": "a b", "b c" -> 2
+    assert(n == 2L)
+    val setHashes = spark.range(1)
+      .select(TextExprs.shingleHashes(F.lit("a b c x"), 2).as("h"))
+      .collect().head.getSeq[Long](0).toArray.sorted
+    val twin = spark.range(1).select(TextExprs.sortedSetOverlap(
+      TextExprs.shingleHashes(F.lit("a b c d"), 2), setHashes).as("n"))
+      .collect().head.getLong(0)
+    assert(twin == 2L)
+    // int literals widen; non-foldable sets fail at analysis time
+    assert(spark.sql("SELECT sorted_set_overlap(array(1L,2L), array(1,3))")
+      .collect().head.getLong(0) == 1L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT sorted_set_overlap(array(1L), array(id)) FROM range(2)")
+        .collect()
+    }
+    assert(e.getMessage.contains("foldable"), e.getMessage)
+  }
+
   test("config arguments must be literals — analysis-time failure") {
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_hashes('a b c', length('xx'))").collect()
