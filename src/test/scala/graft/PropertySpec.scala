@@ -163,6 +163,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunk invariants: full coverage, window sizes, overlap stitching") {
+    import org.apache.spark.sql.{functions => F}
+    val docGen = for {
+      nTok <- Gen.chooseNum(0, 37)
+      size <- Gen.chooseNum(1, 12)
+      overlap <- Gen.chooseNum(0, 11).map(o => math.min(o, size - 1))
+    } yield (nTok, size, overlap)
+    forAll(docGen, n = 8) { case (nTok, size, overlap) =>
+      val text = (0 until nTok).map(i => s"w$i").mkString(" ")
+      val d = df(schema("id" -> LongType, "t" -> StringType),
+        Seq(1L, text))
+      val chunks = operators.TextAnalysis
+        .chunk(d, F.col("id"), F.col("t"), size, overlap)
+        .orderBy("chunk_id").collect()
+        .map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+      val stride = size - overlap
+      if (nTok == 0) assert(chunks.isEmpty)
+      else {
+        // every chunk but the last is exactly `size` tokens; sizes agree
+        // with the reported n_tokens; stitching drops `overlap` tokens
+        // from each successor and reproduces the token stream exactly
+        val toks = chunks.map(_._2.split(" ").toSeq)
+        toks.init.foreach(t => assert(t.size == size))
+        chunks.zip(toks).foreach { case ((_, _, n), t) =>
+          assert(t.size == n, s"n_tokens $n vs ${t.size}") }
+        val stitched = toks.head ++ toks.tail.flatMap(_.drop(overlap))
+        assert(stitched == (0 until nTok).map(i => s"w$i"),
+          s"stitch mismatch: nTok=$nTok size=$size overlap=$overlap")
+        // chunk count: 1 + ceil(max(n - size, 0) / stride)
+        val want = 1 + math.ceil(math.max(nTok - size, 0).toDouble / stride).toInt
+        assert(chunks.length == want)
+      }
+    }
+  }
+
   test("spearman equals pearson over explicitly computed average ranks") {
     import org.apache.spark.sql.{functions => F}
     import org.apache.spark.sql.expressions.Window
