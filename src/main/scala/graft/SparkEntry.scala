@@ -1201,6 +1201,17 @@ object SparkEntry {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Same clustering as d15 but through the large-star/small-star
+    * O(log² n) rounds variant — the chain-diameter escape hatch, checked
+    * against the same recursive-CTE closure oracle (labels must agree
+    * with min-label propagation exactly). */
+  private val d34: (SparkSession, String) => DataFrame = (s, dir) => {
+    val pairs = Dedup.minhashDuplicatePairs(t(s, dir, "documents"),
+      F.col("doc_id"), F.col("text"), threshold = 0.8,
+      shingleSize = 3, numHashes = 64, bands = 8)
+    Dedup.duplicateClustersStar(pairs).orderBy("id")
+  }
+
   /** Token-window chunking, 40-token chunks with 8-token overlap — the
     * doc→sequence step for long-document training / retrieval indexing.
     * Pure scan-side explode; oracle replays the slicing in DuckDB. */
@@ -1479,6 +1490,7 @@ object SparkEntry {
     "d31_bloom_gate" -> d31,
     "d32_topk_sample" -> d32,
     "d33_chunk" -> d33,
+    "d34_clusters_star" -> d34,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -1489,7 +1501,13 @@ object SparkEntry {
     "q60_series_utils" -> q60,
     "q61_argsort" -> q61)
 
-  def oracleSql: Map[String, String] = Map(
+  // d34 runs a different distributed algorithm (star contraction) over the
+  // same pair graph as d15 — the label contract is identical, so it is
+  // checked against the identical closure oracle (appended after the map).
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    ("d34_clusters_star" -> oracleSqlBase("d15_dedup_clusters"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q01_agg" -> """
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 4) AS sum_qty,

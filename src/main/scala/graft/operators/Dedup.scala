@@ -337,6 +337,76 @@ object Dedup {
     labels.select(F.col("id"), F.col("cluster"))
   }
 
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the O(log² n)-round variant that [[duplicateClusters]]'s scaladoc
+    * cites as the escape hatch for chain-shaped duplicate graphs, where
+    * one-hop min-label propagation needs O(diameter) rounds. Same output
+    * contract as [[duplicateClusters]]: every node of the pair graph
+    * labeled with its component's MINIMUM id.
+    *
+    * Each round is two aggregate+join passes over the edge table (always
+    * pairs-scale, monotonically shrinking toward one star edge per
+    * non-root node):
+    *  - large-star: every node attaches its LARGER neighbors to the
+    *    minimum of its neighborhood (including itself);
+    *  - small-star: every node attaches its smaller-or-equal neighbors
+    *    (and itself) to that minimum.
+    * Edges stay canonically (hi, lo); a fixed point — reached in
+    * O(log² n) rounds on ANY graph shape — is exactly the star forest
+    * whose centers are the component minima. Per-round
+    * `localCheckpoint` cuts lineage like every iterative operator here. */
+  def duplicateClustersStar(pairs: DataFrame,
+      maxIterations: Int = 30): DataFrame = {
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // canonical (hi, lo), deduped, self-loops dropped
+    var edges = p
+      .select(F.greatest(F.col("id_a"), F.col("id_b")).as("hi"),
+        F.least(F.col("id_a"), F.col("id_b")).as("lo"))
+      .filter(F.col("hi") =!= F.col("lo")).distinct()
+      .localCheckpoint()
+    p.unpersist(false)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIterations) {
+      // ---- large-star: attach strictly-larger neighbors to the
+      // neighborhood minimum m(u) = min(Γ(u) ∪ {u})
+      val bidir = edges.select(F.col("hi").as("u"), F.col("lo").as("v"))
+        .unionAll(edges.select(F.col("lo").as("u"), F.col("hi").as("v")))
+      val mLarge = bidir.groupBy("u")
+        .agg(F.least(F.col("u"), F.min("v")).as("m"))
+      val large = bidir.join(mLarge, "u")
+        .filter(F.col("v") > F.col("u") && F.col("v") =!= F.col("m"))
+        .select(F.col("v").as("hi"), F.col("m").as("lo"))
+        .distinct()
+      // ---- small-star: attach every ≤ neighbor (and the node itself) to
+      // m(hi) = min(Γ≤(hi) ∪ {hi}) — all los are < hi, so m = min(lo)
+      val mSmall = large.groupBy("hi").agg(F.min("lo").as("m"))
+      val next = large.join(mSmall, "hi")
+        .filter(F.col("lo") =!= F.col("m"))
+        .select(F.col("lo").as("hi"), F.col("m").as("lo"))
+        .unionAll(mSmall.select(F.col("hi"), F.col("m").as("lo")))
+        .distinct()
+        .localCheckpoint()
+      // fixed point: both star operations leave the edge set unchanged.
+      // Counts are free on the checkpointed tables; the except runs only
+      // when they agree.
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClustersStar did not converge within $maxIterations " +
+          "rounds — raise maxIterations (bound is O(log² n) star rounds).")
+    // fixed point = star forest (child, root): children label to their
+    // root, roots label to themselves
+    edges.select(F.col("hi").as("id"), F.col("lo").as("cluster"))
+      .unionAll(edges.select(F.col("lo").as("id"), F.col("lo").as("cluster")))
+      .distinct()
+  }
+
   /** End-to-end near-dedup: MinHash-LSH pairs → connected components →
     * keep ONE canonical doc per cluster (the min id) plus every unpaired
     * doc. The anti-join key set (non-canonical cluster members) is

@@ -163,6 +163,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("duplicateClustersStar equals union-find on random graphs and chains") {
+    import org.apache.spark.sql.{functions => F}
+    val edgesGen = Gen.nonEmptyListOf(for {
+      a <- Gen.chooseNum(0L, 25L)
+      d <- Gen.chooseNum(1L, 5L)
+    } yield (a, a + d)).map(_.take(40))
+    def unionFind(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(v => v -> find(v)).toMap
+    }
+    forAll(edgesGen, n = 4) { es =>
+      if (es.nonEmpty) {
+        val pairs = df(schema("id_a" -> LongType, "id_b" -> LongType),
+          es.map(e => Seq(e._1, e._2)): _*)
+        val got = operators.Dedup.duplicateClustersStar(pairs).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == unionFind(es), s"star clusters differ for $es")
+      }
+    }
+    // the escape-hatch case: a 40-edge chain (diameter 40). Star rounds
+    // collapse it in O(log² n); one-hop min-label propagation provably
+    // CANNOT within 8 rounds and must throw rather than mislabel.
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val chainDf = df(schema("id_a" -> LongType, "id_b" -> LongType),
+      chain.map(e => Seq(e._1, e._2)): _*)
+    val star = operators.Dedup.duplicateClustersStar(chainDf, maxIterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == (0L to 40L).map(_ -> 0L).toMap)
+    intercept[IllegalStateException] {
+      operators.Dedup.duplicateClusters(chainDf, maxIterations = 8)
+    }
+  }
+
   test("chunk invariants: full coverage, window sizes, overlap stitching") {
     import org.apache.spark.sql.{functions => F}
     val docGen = for {
