@@ -1201,6 +1201,11 @@ object SparkEntry {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** One-row corpus profile: doc/token totals, exact token-count
+    * percentiles, English share — one aggregation pass, one scan. */
+  private val d35: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.corpusStats(t(s, dir, "documents"), F.col("text"))
+
   /** Same clustering as d15 but through the large-star/small-star
     * O(log² n) rounds variant — the chain-diameter escape hatch, checked
     * against the same recursive-CTE closure oracle (labels must agree
@@ -1491,6 +1496,7 @@ object SparkEntry {
     "d32_topk_sample" -> d32,
     "d33_chunk" -> d33,
     "d34_clusters_star" -> d34,
+    "d35_corpus_stats" -> d35,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -1969,6 +1975,40 @@ object SparkEntry {
              ELSE 'de' END AS lang_guess,
         round(r_en, 6) AS stop_ratio
       FROM r ORDER BY doc_id""",
+    "d35_corpus_stats" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS t,
+               CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+               END AS tok
+        FROM documents),
+      r AS (
+        SELECT tok,
+          CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN
+            ('der','die','und','das','ist','von','zu','mit','den','ein')))
+            / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS r_de,
+          CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN
+            ('the','and','of','to','a','in','is','it','that','for')))
+            / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS r_en,
+          CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN
+            ('el','la','de','que','y','en','un','es','los','una')))
+            / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS r_es,
+          CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN
+            ('le','la','et','les','des','est','un','une','du','que')))
+            / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS r_fr
+        FROM toks)
+      SELECT count(*) AS n_docs,
+        CAST(sum(tok) AS BIGINT) AS n_tokens,
+        round(avg(tok), 6) AS avg_doc_tokens,
+        round(quantile_cont(tok, 0.5), 6) AS p50_tokens,
+        round(quantile_cont(tok, 0.9), 6) AS p90_tokens,
+        max(tok) AS max_tokens,
+        count(*) FILTER (WHERE greatest(r_de, r_en, r_es, r_fr) > 0
+          AND r_en = greatest(r_de, r_en, r_es, r_fr)
+          AND r_es <> greatest(r_de, r_en, r_es, r_fr)
+          AND r_fr <> greatest(r_de, r_en, r_es, r_fr)) AS n_english
+      FROM r""",
     // brute-force exact n-gram Jaccard over all pairs — the oracle for BOTH
     // near-dup pipelines (recall losses in LSH banding / df-capped postings
     // would surface as missing rows)

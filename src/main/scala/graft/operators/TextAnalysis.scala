@@ -192,6 +192,23 @@ object TextAnalysis {
     scored.filter(F.col("__score") >= thr).drop("__score")
   }
 
+  /** One-row corpus profile — the `describe` of a text corpus: document
+    * and token totals, token-count distribution (exact interpolated
+    * percentiles), and the English share by stopword language ID. ONE
+    * aggregation pass over one scan (every input is a per-row expression);
+    * at 100 TB swap the exact percentiles for `approx_percentile` if the
+    * single-pass sort buffers bite — same shape, documented trade. */
+  def corpusStats(df: DataFrame, text: Column): DataFrame =
+    df.select(tokenCount(text).as("__tok"), langId(text).as("__lang"))
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum("__tok").as("n_tokens"),
+        F.round(F.avg("__tok"), 6).as("avg_doc_tokens"),
+        F.round(F.percentile(F.col("__tok"), F.lit(0.5)), 6).as("p50_tokens"),
+        F.round(F.percentile(F.col("__tok"), F.lit(0.9)), 6).as("p90_tokens"),
+        F.max("__tok").as("max_tokens"),
+        F.count_if(F.col("__lang") === "en").as("n_english"))
+
   /** Corpus size N, kept INSIDE the consuming query plan as a scalar
     * subquery (no separate driver-side count() action per operator; for a
     * parquet source the count is footer-only). */

@@ -455,6 +455,22 @@ class OperatorsSpec extends SparkSpec {
     assert(col1[Long](got.orderBy("id"), "id") == Seq(3L))
   }
 
+  test("corpusStats: one-row profile with exact percentiles and en share") {
+    val d = Seq(
+      "the cat sat on the mat for a while",   // en (9 tokens)
+      "der hund ist von den bergen gekommen", // de (7 tokens)
+      "one two three",                        // 3 tokens, no stopword hits
+      ""                                      // 0 tokens
+    ).toDF("t")
+    val r = TextAnalysis.corpusStats(d, F.col("t")).collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_tokens") == 19L)
+    assert(r.getAs[Long]("max_tokens") == 9L)
+    // sorted token counts (0, 3, 7, 9): p50 = 3 + 0.5*(7-3) = 5.0
+    assert(r.getAs[Double]("p50_tokens") == 5.0)
+    assert(r.getAs[Long]("n_english") == 1L)
+  }
+
   test("chunk: token windows with overlap, short tail, empty-doc drop") {
     val d = Seq(
       (1L, "a b c d e f g"), // 7 tokens
