@@ -1201,6 +1201,27 @@ object SparkEntry {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Int8 embedding quantization over the embeddings table: per-vector
+    * scale, code sum, first-8 codes, and reconstruction cosine — the 4×
+    * storage trade for corpus-scale embedding tables, all-double
+    * arithmetic so DuckDB replays it exactly. */
+  private val d36: (SparkSession, String) => DataFrame = (s, dir) => {
+    val q = Similarity.quantizeInt8(F.col("embedding"))
+    t(s, dir, "embeddings")
+      .withColumn("__q", q)
+      .select(F.col("vec_id"),
+        F.round(F.col("__q.scale"), 6).as("scale"),
+        F.aggregate(F.transform(F.col("__q.q"),
+          x => x.cast(org.apache.spark.sql.types.LongType)),
+          F.lit(0L), (a, x) => a + x).as("q_sum"),
+        F.array_join(F.transform(F.slice(F.col("__q.q"), 1, 8),
+          x => x.cast(org.apache.spark.sql.types.StringType)), ",")
+          .as("q_head"),
+        F.round(Similarity.cosine(F.col("embedding"),
+          Similarity.dequantizeInt8(F.col("__q"))), 4).as("recon_cos"))
+      .orderBy("vec_id")
+  }
+
   /** One-row corpus profile: doc/token totals, exact token-count
     * percentiles, English share — one aggregation pass, one scan. */
   private val d35: (SparkSession, String) => DataFrame = (s, dir) =>
@@ -1497,6 +1518,7 @@ object SparkEntry {
     "d33_chunk" -> d33,
     "d34_clusters_star" -> d34,
     "d35_corpus_stats" -> d35,
+    "d36_quantize" -> d36,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -2317,6 +2339,26 @@ object SparkEntry {
       SELECT doc_id FROM documents
       WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM loser)
       ORDER BY doc_id""",
+    "d36_quantize" -> """
+      WITH b AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      s AS (SELECT vec_id, v,
+          list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM b),
+      q AS (SELECT vec_id, v, scale,
+          CASE WHEN scale > 0
+               THEN list_transform(v, x -> CAST(round(x / scale) AS BIGINT))
+               ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qs
+        FROM s),
+      d AS (SELECT vec_id, v, scale, qs,
+          list_transform(qs, x -> x * scale) AS dq FROM q)
+      SELECT vec_id, round(scale, 6) AS scale,
+        CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        array_to_string(qs[1:8], ',') AS q_head,
+        round(list_dot_product(v, dq) /
+          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq))), 4)
+          AS recon_cos
+      FROM d ORDER BY vec_id""",
     "d32_topk_sample" -> """
       WITH r AS (SELECT doc_id, source,
           row_number() OVER (PARTITION BY source

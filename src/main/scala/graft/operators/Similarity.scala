@@ -36,6 +36,39 @@ object Similarity {
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Unit-L2 copy of the vector (double elements; zero vectors pass
+    * through unchanged rather than dividing by zero). Normalizing once at
+    * ingest turns every later cosine into a plain dot product — the
+    * standard precompute for ANN pipelines. */
+  def l2Normalize(a: Column): Column = {
+    val n = norm(a)
+    F.when(n > 0, F.transform(a, x => x.cast(DoubleType) / n)).otherwise(
+      F.transform(a, x => x.cast(DoubleType)))
+  }
+
+  /** Symmetric int8 quantization: `struct(scale, q)` with
+    * `scale = max(|v|)/127` and `q_i = round(v_i / scale)` in [-127, 127]
+    * — 4× smaller than float32 at ~0.3% cosine error, the standard
+    * storage/IO trade for corpus-scale embedding tables. All arithmetic
+    * is double (deterministic, oracle-checkable); zero vectors quantize
+    * to scale 0 with all-zero codes. */
+  def quantizeInt8(a: Column): Column = {
+    val absMax = F.aggregate(a, F.lit(0.0),
+      (acc, x) => F.greatest(acc, F.abs(x.cast(DoubleType))))
+    val scale = absMax / 127.0
+    F.struct(
+      scale.as("scale"),
+      F.when(scale > 0,
+        F.transform(a, x =>
+          F.round(x.cast(DoubleType) / scale).cast(ByteType)))
+        .otherwise(F.transform(a, x => F.lit(0).cast(ByteType))).as("q"))
+  }
+
+  /** Reconstruct approximate float values from [[quantizeInt8]] output. */
+  def dequantizeInt8(quantized: Column): Column =
+    F.transform(quantized.getField("q"),
+      x => x.cast(DoubleType) * quantized.getField("scale"))
+
   /** Exact top-k nearest corpus rows per query row, by cosine.
     * `queries` is broadcast; result columns: query id, corpus id, rank,
     * cosine. Ties broken by corpus id for determinism. */

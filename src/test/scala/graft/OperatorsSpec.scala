@@ -455,6 +455,41 @@ class OperatorsSpec extends SparkSpec {
     assert(col1[Long](got.orderBy("id"), "id") == Seq(3L))
   }
 
+  test("quantizeInt8 round trip: codes in range, bounded error, zero vec") {
+    val d = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.127f)),
+      (2L, Array(0.0f, 0.0f)),                // zero vector
+      (3L, Array(127.0f, -127.0f, 63.5f))
+    ).toDF("id", "v")
+    val out = d.select(F.col("id"),
+      Similarity.quantizeInt8(F.col("v")).as("q"),
+      F.col("v"))
+      .select(F.col("id"), F.col("q.scale").as("scale"), F.col("q.q").as("codes"),
+        Similarity.dequantizeInt8(F.col("q")).as("dq"), F.col("v"))
+      .orderBy("id").collect()
+    // codes bounded by construction
+    out.foreach(r => r.getSeq[Byte](2).foreach(c =>
+      assert(c >= -127 && c <= 127, s"code $c out of range")))
+    // max |elementwise error| <= scale/2 (round-to-nearest)
+    out.filter(_.getDouble(1) > 0).foreach { r =>
+      val scale = r.getDouble(1)
+      val v = r.getSeq[Float](4)
+      val dq = r.getSeq[Double](3)
+      v.zip(dq).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= scale / 2 + 1e-12,
+          s"error ${math.abs(x - y)} exceeds half-scale $scale") }
+    }
+    // zero vector: scale 0, all-zero codes, zero reconstruction
+    val z = out(1)
+    assert(z.getDouble(1) == 0.0 && z.getSeq[Byte](2).forall(_ == 0) &&
+      z.getSeq[Double](3).forall(_ == 0.0))
+    // l2Normalize: unit norm, cosine preserved; zero vec passes through
+    val n = d.select(F.col("id"),
+      Similarity.norm(Similarity.l2Normalize(F.col("v"))).as("nn"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(approx(n(1L), 1.0) && approx(n(3L), 1.0) && n(2L) == 0.0)
+  }
+
   test("corpusStats: one-row profile with exact percentiles and en share") {
     val d = Seq(
       "the cat sat on the mat for a while",   // en (9 tokens)
