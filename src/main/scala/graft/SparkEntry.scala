@@ -23,9 +23,12 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows > 0. The
+    * end-to-end ingest pipeline (d37: normalize → quality gate →
+    * decontaminate → train split → chunk) — one plan through five
+    * oracle-proven operators (737 chunk rows at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_agg")(spark, "/root/testdata/sf0.001")
+    queries("d37_pipeline")(spark, "/root/testdata/sf0.001")
 
   // ======== core relational surface (SURVEY §2.2-§2.5) ======================
 
@@ -1201,6 +1204,36 @@ object SparkEntry {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Flagship ingest pipeline in ONE plan: normalize (accent injection as
+    * in d17 so the NFD strip does real work) → quality-quantile gate (top
+    * half) → stateless decontamination vs the d23 bench set → sticky
+    * train split → token-window chunking. Every stage is one of the
+    * individually-oracle-proven operators; this query proves they COMPOSE
+    * — the DuckDB twin replays the whole pipeline. */
+  private val d37: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val normed = docs.select(F.col("doc_id"),
+      TextAnalysis.normalize(
+        F.translate(F.col("text"), "aeo", "áéö")).as("norm"))
+    val scored = normed.withColumn("quality",
+      TextAnalysis.qualityScore(F.col("norm")))
+    val gated = TextAnalysis.quantileFilter(scored, F.col("quality"), 0.5)
+    val bench = docs.filter(F.col("doc_id") % 25 === 0)
+      .select(TextAnalysis.normalize(
+        F.translate(F.substring(F.col("text"), 1, 200), "aeo", "áéö"))
+        .as("bnorm"))
+    val hashes = Dedup.benchShingleHashes(bench, F.col("bnorm"), 3)
+    val clean = Dedup.decontaminate(gated, F.col("norm"), hashes,
+      shingleSize = 3, minOverlap = 5)
+    val train = Sampling.hashSplit(clean, F.col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "p1")
+      .filter(F.col("split") === "train")
+    TextAnalysis.chunk(train, F.col("doc_id"), F.col("norm"),
+      size = 40, overlap = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Int8 embedding quantization over the embeddings table: per-vector
     * scale, code sum, first-8 codes, and reconstruction cosine — the 4×
     * storage trade for corpus-scale embedding tables, all-double
@@ -1519,6 +1552,7 @@ object SparkEntry {
     "d34_clusters_star" -> d34,
     "d35_corpus_stats" -> d35,
     "d36_quantize" -> d36,
+    "d37_pipeline" -> d37,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -2339,6 +2373,64 @@ object SparkEntry {
       SELECT doc_id FROM documents
       WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM loser)
       ORDER BY doc_id""",
+    "d37_pipeline" -> """
+      WITH norm AS (SELECT doc_id,
+          trim(regexp_replace(
+            lower(strip_accents(translate(text, 'aeo', 'áéö'))),
+            '\s+', ' ', 'g')) AS n
+        FROM documents),
+      qb AS (SELECT doc_id, n,
+          CAST(length(n) AS DOUBLE) AS len,
+          CAST(length(regexp_replace(n, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+            AS alpha,
+          CAST(length(regexp_replace(n, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+            AS punct,
+          CASE WHEN len(trim(n)) = 0 THEN []::VARCHAR[]
+               ELSE string_split_regex(lower(trim(n)), '\s+') END AS t
+        FROM norm),
+      qual AS (SELECT doc_id, n, t,
+          round((CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) * 0.4
+            + (1.0 - least((CASE WHEN len > 0 THEN punct / len
+                ELSE 0.0 END) * 10, 1.0)) * 0.2
+            + (CASE WHEN len(t) > 0
+                 AND CAST(list_sum(list_transform(t, x -> length(x)))
+                   AS DOUBLE) / len(t) BETWEEN 3 AND 10
+               THEN 1.0 ELSE 0.0 END) * 0.2
+            + (CASE WHEN len(t) > 0 AND len(list_filter(t, x -> x IN
+                 ('the','and','of','to','a','in','is','it','that','for')))
+                 / CAST(len(t) AS DOUBLE) > 0.01
+               THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality
+        FROM qb),
+      gated AS (SELECT doc_id, n, t FROM qual
+        WHERE quality >= (SELECT quantile_cont(quality, 0.5) FROM qual)),
+      bn AS (SELECT trim(regexp_replace(
+            lower(strip_accents(translate(substr(text, 1, 200),
+              'aeo', 'áéö'))), '\s+', ' ', 'g')) AS b
+        FROM documents WHERE doc_id % 25 = 0),
+      btok AS (SELECT string_split_regex(lower(trim(b)), '\s+') AS t FROM bn),
+      bsh AS (SELECT CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(generate_series(1, len(t)-2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE []::VARCHAR[] END AS s FROM btok),
+      bu AS (SELECT list_distinct(flatten(list(s))) AS u FROM bsh),
+      gsh AS (SELECT doc_id, n, t, CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(generate_series(1, len(t)-2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE []::VARCHAR[] END AS s FROM gated),
+      clean AS (SELECT doc_id, n, t FROM gsh, bu
+        WHERE len(list_intersect(gsh.s, bu.u)) < 5),
+      train AS (SELECT doc_id, n, t FROM clean
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'p1'), 1, 4) < 'cccc'),
+      c AS (SELECT doc_id, t, len(t) AS ntok,
+          GREATEST(CAST(ceil((len(t) - 40) / 32.0) AS BIGINT), 0) AS extra
+        FROM train WHERE len(trim(n)) > 0),
+      e AS (SELECT doc_id, t, ntok,
+          unnest(generate_series(0, extra)) AS chunk_id FROM c)
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        array_to_string(t[(chunk_id*32+1):(chunk_id*32+40)], ' ')
+          AS chunk_text,
+        LEAST(40, ntok - chunk_id*32) AS n_tokens
+      FROM e ORDER BY doc_id, chunk_id""",
     "d36_quantize" -> """
       WITH b AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
