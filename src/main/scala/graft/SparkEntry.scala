@@ -1215,8 +1215,13 @@ object SparkEntry {
     val normed = docs.select(F.col("doc_id"),
       TextAnalysis.normalize(
         F.translate(F.col("text"), "aeo", "áéö")).as("norm"))
+    // normalize+quality are the regex-heavy scan work and feed BOTH the
+    // quantile threshold subquery and the surviving pipeline — persist so
+    // the corpus is normalized once (the 100 TB posture is the same:
+    // materialize normalized text at ingest, filter and chunk from it)
     val scored = normed.withColumn("quality",
       TextAnalysis.qualityScore(F.col("norm")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gated = TextAnalysis.quantileFilter(scored, F.col("quality"), 0.5)
     val bench = docs.filter(F.col("doc_id") % 25 === 0)
       .select(TextAnalysis.normalize(
