@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver tail-parses the LAST stdout line as JSON. Two sbt
+// defaults break that: LoggedOutput re-logs forked stdout with an
+// "[info] " prefix, and the "[success] Total time" banner prints after
+// the program's final line. Pass forked output through raw and drop the
+// banner so graft.Bench's compact JSON line is genuinely last.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

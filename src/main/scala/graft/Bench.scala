@@ -98,11 +98,23 @@ object Bench {
       if (prefix.values.toSet.size == names.size) prefix
       else names.map(n => n -> n).toMap // prefix collision: keep full names
     val sfShort = sfDir.split("/").last
+    // Locale.ROOT: a comma-decimal default locale would render 0,44 and
+    // produce invalid JSON (round-5 ADVICE #1)
+    def fmt(pat: String, x: Double): String =
+      String.format(java.util.Locale.ROOT, pat, Double.box(x))
     val medShort = names.map(n =>
-      "\"" + short(n) + "\":" + f"${median(samples(n))}%.2f")
+      "\"" + short(n) + "\":" + fmt("%.2f", median(samples(n))))
       .mkString("{", ",", "}")
-    val totalShort = f"$total%.1f"
-    println(s"""{"metric":"total","value":$totalShort,"unit":"sec","queries":$medShort,"n_runs":$nRuns,"sf":"$sfShort","detail":"$detailPath"}""")
+    val compact = s"""{"metric":"total","value":${fmt("%.1f", total)},"unit":"sec","queries":$medShort,"n_runs":$nRuns,"sf":"$sfShort","detail":"$detailPath"}"""
+    // spark.stop() FIRST: its shutdown logging (stderr) must not land
+    // after the compact line in a 2>&1 capture. The println below is the
+    // process's final output; with run/outputStrategy := StdoutOutput and
+    // Global/showSuccess := false (build.sbt) nothing sbt-side follows it
+    // either, so the driver's last-2000-chars tail parse finally sees a
+    // bare JSON line (BENCH_r01/r03/r05 all archived "parsed": null).
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(compact)
+    System.out.flush()
   }
 }
