@@ -1145,7 +1145,12 @@ object SparkEntry {
     val scored = t(s, dir, "documents")
       .select(F.col("doc_id"),
         TextAnalysis.qualityScore(F.col("text")).as("quality"))
-    TextAnalysis.quantileFilter(scored, F.col("quality"), q = 0.5)
+    // exact = true HERE ONLY for cross-engine oracle parity (DuckDB can
+    // replay an exact interpolated percentile, not Spark's GK sketch);
+    // the operator DEFAULT is approx — the 100 TB posture, exercised and
+    // tolerance-verified by d38_quality_gate_approx
+    TextAnalysis.quantileFilter(scored, F.col("quality"), q = 0.5,
+      exact = true)
       .orderBy("doc_id")
   }
 
@@ -1222,7 +1227,12 @@ object SparkEntry {
     val scored = normed.withColumn("quality",
       TextAnalysis.qualityScore(F.col("norm")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val gated = TextAnalysis.quantileFilter(scored, F.col("quality"), 0.5)
+    // exact percentile solely for the DuckDB replay; the operator default
+    // (approx_percentile sketch) is the documented 100 TB posture — at
+    // scale this call site drops `exact` and the rest of the pipeline is
+    // unchanged (d38 proves the approx path within tolerance)
+    val gated = TextAnalysis.quantileFilter(scored, F.col("quality"), 0.5,
+      exact = true)
     val bench = docs.filter(F.col("doc_id") % 25 === 0)
       .select(TextAnalysis.normalize(
         F.translate(F.substring(F.col("text"), 1, 200), "aeo", "áéö"))
@@ -1237,6 +1247,61 @@ object SparkEntry {
       size = 40, overlap = 8)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Approx-path twin of d26 — the quality gate on its DEFAULT
+    * (approx_percentile sketch) threshold, the 100 TB posture. A sketch
+    * value is engine-specific, so the oracle is TOLERANCE-BASED: the query
+    * outputs the ε-quantile contract itself — `count(≤thr)/n ≥ q − 0.01`
+    * and `count(<thr)/n ≤ q + 0.01` (tie-safe by construction; the
+    * sketch's guarantee is ε = 1/accuracy = 1e-4) — plus the gate-boundary
+    * identity `min(kept quality) ≥ thr`, all as ints the oracle pins to 1,
+    * and the exactly-matchable corpus count. */
+  private val d38: (SparkSession, String) => DataFrame = (s, dir) => {
+    val scored = t(s, dir, "documents")
+      .select(F.col("doc_id"),
+        TextAnalysis.qualityScore(F.col("text")).as("quality"))
+    val thr = TextAnalysis.quantileThreshold(scored, F.col("quality"), 0.5)
+    val gated = TextAnalysis.quantileFilter(scored, F.col("quality"), 0.5)
+    val minKept = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+      gated.agg(F.min("quality")))
+    scored
+      .select(F.col("quality"), thr.as("__thr"), minKept.as("__min_kept"))
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        (F.count_if(F.col("quality") <= F.col("__thr")) >=
+          F.count(F.lit(1)) * 0.49).cast("int").as("rank_lower_ok"),
+        (F.count_if(F.col("quality") < F.col("__thr")) <=
+          F.count(F.lit(1)) * 0.51).cast("int").as("rank_upper_ok"),
+        (F.min("__min_kept") >= F.min("__thr")).cast("int")
+          .as("gate_min_ok"))
+  }
+
+  /** Approx-path twin of d35 — corpusStats on its DEFAULT sketch
+    * percentiles. Totals/max are exactly oracle-matched; the approx
+    * p50/p90 are validated against the ε-quantile contract (rank window
+    * ±0.01·n, sketch guarantee 1e-4) as oracle-pinned ints. */
+  private val d39: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val stats = TextAnalysis.corpusStats(docs, F.col("text"))
+    val br = org.apache.spark.sql.graftbridge.Bridge
+    val p50 = br.scalarSubquery(stats.select("p50_tokens"))
+    val p90 = br.scalarSubquery(stats.select("p90_tokens"))
+    docs
+      .select(TextAnalysis.tokenCount(F.col("text")).as("__tok"),
+        p50.as("__p50"), p90.as("__p90"))
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum("__tok").as("n_tokens"),
+        F.max("__tok").as("max_tokens"),
+        (F.count_if(F.col("__tok") <= F.col("__p50")) >=
+          F.count(F.lit(1)) * 0.49).cast("int").as("p50_lower_ok"),
+        (F.count_if(F.col("__tok") < F.col("__p50")) <=
+          F.count(F.lit(1)) * 0.51).cast("int").as("p50_upper_ok"),
+        (F.count_if(F.col("__tok") <= F.col("__p90")) >=
+          F.count(F.lit(1)) * 0.89).cast("int").as("p90_lower_ok"),
+        (F.count_if(F.col("__tok") < F.col("__p90")) <=
+          F.count(F.lit(1)) * 0.91).cast("int").as("p90_upper_ok"))
   }
 
   /** Int8 embedding quantization over the embeddings table: per-vector
@@ -1260,10 +1325,13 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
-  /** One-row corpus profile: doc/token totals, exact token-count
-    * percentiles, English share — one aggregation pass, one scan. */
+  /** One-row corpus profile: doc/token totals, token-count percentiles,
+    * English share — one aggregation pass, one scan. Exact percentiles
+    * here only for DuckDB parity; the operator default is the
+    * approx_percentile sketch (d39 exercises it within tolerance). */
   private val d35: (SparkSession, String) => DataFrame = (s, dir) =>
-    TextAnalysis.corpusStats(t(s, dir, "documents"), F.col("text"))
+    TextAnalysis.corpusStats(t(s, dir, "documents"), F.col("text"),
+      exact = true)
 
   /** Same clustering as d15 but through the large-star/small-star
     * O(log² n) rounds variant — the chain-diameter escape hatch, checked
@@ -1558,6 +1626,8 @@ object SparkEntry {
     "d35_corpus_stats" -> d35,
     "d36_quantize" -> d36,
     "d37_pipeline" -> d37,
+    "d38_quality_gate_approx" -> d38,
+    "d39_corpus_stats_approx" -> d39,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -2070,6 +2140,25 @@ object SparkEntry {
           AND r_es <> greatest(r_de, r_en, r_es, r_fr)
           AND r_fr <> greatest(r_de, r_en, r_es, r_fr)) AS n_english
       FROM r""",
+    // tolerance-based oracles for the approx (sketch) quantile paths: the
+    // Spark queries output the ε-quantile contract as ints; the oracle
+    // pins them to 1 and exactly matches the non-sketch aggregates
+    "d38_quality_gate_approx" -> """
+      SELECT count(*) AS n_docs,
+        1 AS rank_lower_ok, 1 AS rank_upper_ok, 1 AS gate_min_ok
+      FROM documents""",
+    "d39_corpus_stats_approx" -> """
+      WITH toks AS (
+        SELECT CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+               END AS tok
+        FROM documents)
+      SELECT count(*) AS n_docs,
+        CAST(sum(tok) AS BIGINT) AS n_tokens,
+        max(tok) AS max_tokens,
+        1 AS p50_lower_ok, 1 AS p50_upper_ok,
+        1 AS p90_lower_ok, 1 AS p90_upper_ok
+      FROM toks""",
     // brute-force exact n-gram Jaccard over all pairs — the oracle for BOTH
     // near-dup pipelines (recall losses in LSH banding / df-capped postings
     // would surface as missing rows)

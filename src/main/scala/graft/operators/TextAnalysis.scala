@@ -175,37 +175,70 @@ object TextAnalysis {
           .cast(LongType).as("n_tokens"))
   }
 
+  /** The quantile aggregate behind [[quantileFilter]] and [[corpusStats]].
+    * Default is `approx_percentile` — a Greenwald-Khanna sketch whose merge
+    * buffer is O(accuracy·log n) REGARDLESS of corpus size, with the
+    * ε-quantile guarantee `rank(v)/n ∈ [q − 1/accuracy, q + 1/accuracy]`.
+    * That is the only shape that survives 100 TB: Spark's EXACT
+    * `percentile` aggregate accumulates the full value multiset into one
+    * final merge buffer — an OOM on a web corpus of near-unique double
+    * scores. `exact = true` opts into the exact interpolated percentile
+    * for small frames and cross-engine oracle parity (exact results are
+    * engine-portable; sketch results are not). */
+  private def percentileAgg(c: Column, q: Double, exact: Boolean,
+      accuracy: Int): Column = {
+    require(q >= 0.0 && q <= 1.0, s"quantile q=$q out of [0, 1]")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    if (exact) F.percentile(c, F.lit(q))
+    // cast: approx_percentile returns the input type (an actual element of
+    // the multiset, no interpolation); exact percentile returns double —
+    // pin both paths to one threshold/output schema
+    else F.approx_percentile(c, F.lit(q), F.lit(accuracy)).cast(DoubleType)
+  }
+
+  /** The corpus-wide `q`-th quantile of `score` as a scalar-subquery
+    * Column: the aggregation executes once inside the consuming plan and
+    * its value is injected as a literal — no driver-side action. Approx
+    * (sketch) by default; see [[percentileAgg]] for the trade. */
+  def quantileThreshold(df: DataFrame, score: Column, q: Double,
+      exact: Boolean = false, accuracy: Int = 10000): Column =
+    org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+      df.select(percentileAgg(score, q, exact, accuracy)))
+
   /** Quantile gate: keep rows whose `score` is at or above the corpus-wide
     * `q`-th quantile of that score — the standard "top-(1-q) by quality"
-    * selection step of a filtering pipeline. The threshold is an EXACT
-    * interpolated percentile computed as a scalar subquery in the same
-    * plan (one extra aggregation pass over the score column — inherent to
-    * any self-referential quantile filter; no driver-side action). At
-    * 100 TB swap `percentile` for `approx_percentile` if the exact
-    * single-pass aggregation's per-partition buffers bite — the operator
-    * shape is unchanged. */
-  def quantileFilter(df: DataFrame, score: Column, q: Double): DataFrame = {
-    require(q >= 0.0 && q <= 1.0, s"quantile q=$q out of [0, 1]")
+    * selection step of a filtering pipeline. The threshold is computed as
+    * a scalar subquery in the same plan (one extra aggregation pass over
+    * the score column — inherent to any self-referential quantile filter;
+    * no driver-side action). Default threshold is `approx_percentile`
+    * (bounded-memory sketch — the 100 TB posture); `exact = true` swaps in
+    * the exact interpolated percentile, whose merge buffer holds the full
+    * score multiset — small-frame / oracle-parity use only. */
+  def quantileFilter(df: DataFrame, score: Column, q: Double,
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
     val scored = df.withColumn("__score", score)
-    val thr = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
-      scored.select(F.percentile(F.col("__score"), F.lit(q))))
+    val thr = quantileThreshold(scored, F.col("__score"), q, exact, accuracy)
     scored.filter(F.col("__score") >= thr).drop("__score")
   }
 
   /** One-row corpus profile — the `describe` of a text corpus: document
-    * and token totals, token-count distribution (exact interpolated
-    * percentiles), and the English share by stopword language ID. ONE
-    * aggregation pass over one scan (every input is a per-row expression);
-    * at 100 TB swap the exact percentiles for `approx_percentile` if the
-    * single-pass sort buffers bite — same shape, documented trade. */
-  def corpusStats(df: DataFrame, text: Column): DataFrame =
+    * and token totals, token-count distribution percentiles, and the
+    * English share by stopword language ID. ONE aggregation pass over one
+    * scan (every input is a per-row expression). Percentiles default to
+    * the `approx_percentile` sketch (bounded merge buffers — the 100 TB
+    * posture); `exact = true` opts into exact interpolated percentiles
+    * for small frames and cross-engine oracle parity. */
+  def corpusStats(df: DataFrame, text: Column,
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame =
     df.select(tokenCount(text).as("__tok"), langId(text).as("__lang"))
       .agg(
         F.count(F.lit(1)).as("n_docs"),
         F.sum("__tok").as("n_tokens"),
         F.round(F.avg("__tok"), 6).as("avg_doc_tokens"),
-        F.round(F.percentile(F.col("__tok"), F.lit(0.5)), 6).as("p50_tokens"),
-        F.round(F.percentile(F.col("__tok"), F.lit(0.9)), 6).as("p90_tokens"),
+        F.round(percentileAgg(F.col("__tok"), 0.5, exact, accuracy), 6)
+          .as("p50_tokens"),
+        F.round(percentileAgg(F.col("__tok"), 0.9, exact, accuracy), 6)
+          .as("p90_tokens"),
         F.max("__tok").as("max_tokens"),
         F.count_if(F.col("__lang") === "en").as("n_english"))
 

@@ -497,7 +497,8 @@ class OperatorsSpec extends SparkSpec {
       "one two three",                        // 3 tokens, no stopword hits
       ""                                      // 0 tokens
     ).toDF("t")
-    val r = TextAnalysis.corpusStats(d, F.col("t")).collect().head
+    val r = TextAnalysis.corpusStats(d, F.col("t"), exact = true)
+      .collect().head
     assert(r.getAs[Long]("n_docs") == 4L)
     assert(r.getAs[Long]("n_tokens") == 19L)
     assert(r.getAs[Long]("max_tokens") == 9L)
@@ -576,12 +577,40 @@ class OperatorsSpec extends SparkSpec {
   test("quantileFilter keeps rows at or above the interpolated quantile") {
     val d = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
     // median of 1..10 interpolates to 5.5 -> keep 6..10
-    assert(col1[Long](TextAnalysis.quantileFilter(d, F.col("v"), 0.5)
-      .orderBy("id"), "id") == (6L to 10L))
+    assert(col1[Long](
+      TextAnalysis.quantileFilter(d, F.col("v"), 0.5, exact = true)
+        .orderBy("id"), "id") == (6L to 10L))
     // q=0 keeps everything; boundary row AT the quantile is kept
-    assert(TextAnalysis.quantileFilter(d, F.col("v"), 0.0).count() == 10L)
-    assert(col1[Long](TextAnalysis.quantileFilter(d, F.col("v"), 1.0), "id")
+    assert(TextAnalysis.quantileFilter(d, F.col("v"), 0.0, exact = true)
+      .count() == 10L)
+    assert(col1[Long](
+      TextAnalysis.quantileFilter(d, F.col("v"), 1.0, exact = true), "id")
       == Seq(10L))
+  }
+
+  test("quantileFilter approx default satisfies the ε-quantile contract") {
+    // 1000 near-unique doubles; accuracy 10000 -> rank error < 1 row
+    val d = (1 to 1000).map(i => (i.toLong, i * 0.001)).toDF("id", "v")
+    val kept = TextAnalysis.quantileFilter(d, F.col("v"), 0.5).count()
+    // kept fraction must sit within q ± 1/accuracy (+1 row of slack for
+    // the at-or-above boundary)
+    assert(math.abs(kept - 500L) <= 2L, s"approx gate kept $kept of 1000")
+    // the sketch threshold is an ACTUAL element (no interpolation): the
+    // kept set's minimum must be a value present in the column
+    val minKept = TextAnalysis.quantileFilter(d, F.col("v"), 0.5)
+      .agg(F.min("v")).collect().head.getDouble(0)
+    assert((minKept * 1000).round >= 499 && (minKept * 1000).round <= 501)
+  }
+
+  test("corpusStats approx percentiles are elements within rank tolerance") {
+    val docs = (1 to 200).map(i => ("w " * i).trim).toDF("t") // i tokens
+    val r = TextAnalysis.corpusStats(docs, F.col("t")).collect().head
+    assert(r.getAs[Long]("n_docs") == 200L)
+    assert(r.getAs[Long]("n_tokens") == (1 to 200).sum.toLong)
+    // approx p50/p90 are actual token counts within ε·n = 0.02 ranks of
+    // the true quantile on this 200-row frame
+    assert(math.abs(r.getAs[Double]("p50_tokens") - 100.0) <= 1.0)
+    assert(math.abs(r.getAs[Double]("p90_tokens") - 180.0) <= 1.0)
   }
 
   test("dedupLines counts distinct docs, not occurrences") {

@@ -174,6 +174,42 @@ class PlanGuardSpec extends SparkSpec {
       s"rank-limit pushdown missing:\n$plan")
   }
 
+  test("quantile gates: approx_percentile sketch on the default path, " +
+      "exact percentile only on opt-in") {
+    import org.apache.spark.sql.{functions => F}
+    // exact `percentile` buffers the full value multiset in one merge
+    // buffer — the default (100 TB) path must plan the GK sketch instead
+    val exactPct = "(?<!approx_)percentile\\(".r
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val score = F.length(F.col("text")).cast("double")
+    val approxPlan = graft.operators.TextAnalysis
+      .quantileFilter(docs, score, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(approxPlan.contains("approx_percentile"),
+      s"default gate does not plan the sketch:\n$approxPlan")
+    assert(exactPct.findFirstIn(approxPlan).isEmpty,
+      s"exact percentile on the default gate path:\n$approxPlan")
+    val exactPlan = graft.operators.TextAnalysis
+      .quantileFilter(docs, score, 0.5, exact = true)
+      .queryExecution.executedPlan.toString
+    assert(exactPct.findFirstIn(exactPlan).nonEmpty,
+      s"exact=true did not plan the exact percentile:\n$exactPlan")
+    val statsPlan = graft.operators.TextAnalysis
+      .corpusStats(docs, F.col("text"))
+      .queryExecution.executedPlan.toString
+    assert(statsPlan.contains("approx_percentile") &&
+      exactPct.findFirstIn(statsPlan).isEmpty,
+      s"corpusStats default path not on the sketch:\n$statsPlan")
+    // the registered approx twins really run the sketch path
+    for (name <- Seq("d38_quality_gate_approx", "d39_corpus_stats_approx")) {
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("approx_percentile") &&
+        exactPct.findFirstIn(p).isEmpty,
+        s"$name not on the sketch path:\n$p")
+    }
+  }
+
   for (name <- guarded)
     test(s"$name: no single-partition window, no nested-loop join") {
       val plan = SparkEntry.queries(name)(spark, dir)
