@@ -1215,6 +1215,15 @@ object SparkEntry {
     * train split → token-window chunking. Every stage is one of the
     * individually-oracle-proven operators; this query proves they COMPOSE
     * — the DuckDB twin replays the whole pipeline. */
+  /** The one live d37 corpus cache: the lambda can't unpersist after its
+    * caller's action (it only returns the plan), so each invocation
+    * RETIRES the previous invocation's cache instead — repeated runs (the
+    * bench n=3 sweep, Verify + entry in one session) hold at most one
+    * cached corpus instead of accumulating until LRU pressure evicts
+    * other queries' caches. */
+  private val d37LiveCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   private val d37: (SparkSession, String) => DataFrame = (s, dir) => {
     val docs = t(s, dir, "documents")
     val normed = docs.select(F.col("doc_id"),
@@ -1227,6 +1236,8 @@ object SparkEntry {
     val scored = normed.withColumn("quality",
       TextAnalysis.qualityScore(F.col("norm")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = d37LiveCache.getAndSet(scored)
+    if (prev != null && (prev ne scored)) prev.unpersist(blocking = false)
     // exact percentile solely for the DuckDB replay; the operator default
     // (approx_percentile sketch) is the documented 100 TB posture — at
     // scale this call site drops `exact` and the rest of the pipeline is

@@ -89,6 +89,19 @@ object Dedup {
     * ClassCastException). Pair outputs are therefore always bigint ids. */
   private def asLongId(id: Column): Column = id.cast(LongType)
 
+  /** [[asLongId]] plus a fail-loud non-negativity check, for operators
+    * that encode side/provenance in the id's sign ([[dedupAgainstNear]]):
+    * `assert_true` returns null when the predicate holds (so the `when`
+    * falls through to the id) and aborts the job on the first negative or
+    * null id — a pure row expression, no extra pass over the data. */
+  private def checkedNonNegId(id: Column, what: String): Column = {
+    val idL = asLongId(id)
+    F.when(
+      F.assert_true(idL >= 0,
+        F.lit(s"$what must be a non-negative, non-null integer")).isNull,
+      idL)
+  }
+
   /** MinHash + LSH banding: rows whose signature agrees on ALL rows of any
     * band become candidates. One explode to `bands` rows per doc, one
     * groupBy per (band, bucket), pairs expanded bucket-locally. `maxBucket`
@@ -365,9 +378,29 @@ object Dedup {
         F.least(F.col("id_a"), F.col("id_b")).as("lo"))
       .filter(F.col("hi") =!= F.col("lo")).distinct()
       .localCheckpoint()
+    // nodes appearing ONLY in self-loop pairs: the hi =!= lo filter drops
+    // them from the star rounds, but [[duplicateClusters]] labels them to
+    // themselves — honor the same-output contract by unioning them back at
+    // the end. Eager checkpoint: evaluated while `p` is still cached.
+    val selfNodes = p.filter(F.col("id_a") === F.col("id_b"))
+      .select(F.col("id_a").as("id")).distinct()
+      .localCheckpoint()
     p.unpersist(false)
+    // order-independent edge-set signature: (count, XOR of row hashes).
+    // One cheap agg job over the checkpointed table — the per-round
+    // convergence screen. XOR is commutative and overflow-free (the tables
+    // are distinct, so multiset vs set is moot); a signature collision
+    // between DIFFERENT edge sets is caught by the exceptAll confirmation,
+    // which now runs only on signature agreement (≈ once per call) instead
+    // of on every count tie.
+    def sigOf(e: DataFrame): (Long, Long) = {
+      val r = e.agg(F.count(F.lit(1)).as("c"),
+        F.expr("bit_xor(xxhash64(hi, lo))").as("x")).collect().head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     var iter = 0
     var converged = edges.isEmpty
+    var prevSig = if (converged) (0L, 0L) else sigOf(edges)
     while (!converged && iter < maxIterations) {
       // ---- large-star: attach strictly-larger neighbors to the
       // neighborhood minimum m(u) = min(Γ(u) ∪ {u})
@@ -389,10 +422,11 @@ object Dedup {
         .distinct()
         .localCheckpoint()
       // fixed point: both star operations leave the edge set unchanged.
-      // Counts are free on the checkpointed tables; the except runs only
-      // when they agree.
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      // Signatures screen every round; the exceptAll confirmation runs
+      // only when they agree.
+      val nextSig = sigOf(next)
+      converged = nextSig == prevSig && next.exceptAll(edges).isEmpty
+      prevSig = nextSig
       edges = next
       iter += 1
     }
@@ -402,9 +436,13 @@ object Dedup {
           "rounds — raise maxIterations (bound is O(log² n) star rounds).")
     // fixed point = star forest (child, root): children label to their
     // root, roots label to themselves
-    edges.select(F.col("hi").as("id"), F.col("lo").as("cluster"))
+    val labeled = edges
+      .select(F.col("hi").as("id"), F.col("lo").as("cluster"))
       .unionAll(edges.select(F.col("lo").as("id"), F.col("lo").as("cluster")))
       .distinct()
+    labeled.unionAll(
+      selfNodes.join(labeled, Seq("id"), "left_anti")
+        .select(F.col("id"), F.col("id").as("cluster")))
   }
 
   /** End-to-end near-dedup: MinHash-LSH pairs → connected components →
@@ -550,13 +588,20 @@ object Dedup {
     * Jaccard on the surviving pairs only.
     *
     * Both id columns must be non-negative (they are widened to long; the
-    * negative range encodes the reference side). */
+    * negative range encodes the reference side). ENFORCED, not assumed: a
+    * negative or null id on either side would be silently misclassified
+    * as the other side and corrupt the losers set, so each `__uid`
+    * projection folds an `assert_true` over the row — the job fails loudly
+    * at the first violating row, at scan speed, with no extra pass. */
   def dedupAgainstNear(df: DataFrame, id: Column, text: Column,
       ref: DataFrame, refId: Column, refText: Column,
       threshold: Double, shingleSize: Int = 3, numHashes: Int = 32,
       bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
-    val newSide = df.select(asLongId(id).as("__uid"), text.as("__ut"))
-    val refSide = ref.select((-asLongId(refId) - 1).as("__uid"),
+    val newSide = df.select(
+      checkedNonNegId(id, "dedupAgainstNear: df id").as("__uid"),
+      text.as("__ut"))
+    val refSide = ref.select(
+      (-checkedNonNegId(refId, "dedupAgainstNear: ref id") - 1).as("__uid"),
       refText.as("__ut"))
     val union = newSide.unionAll(refSide)
     val cross = minhashLshCandidates(union, F.col("__uid"), F.col("__ut"),

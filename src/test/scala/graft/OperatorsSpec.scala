@@ -613,6 +613,18 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("p90_tokens") - 180.0) <= 1.0)
   }
 
+  test("d37 repeated invocations hold at most one cached corpus") {
+    val dir = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    for (_ <- 1 to 3)
+      SparkEntry.queries("d37_pipeline")(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"d37 cache grew from $before to $after persisted RDDs over 3 runs")
+  }
+
   test("dedupLines counts distinct docs, not occurrences") {
     // the dup line appears 3 times but in only 2 docs -> survives minDocs=3
     val d = Seq((1L, "dup\ndup\nx"), (2L, "dup\ny")).toDF("id", "t")

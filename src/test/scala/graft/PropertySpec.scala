@@ -202,6 +202,15 @@ class PropertySpec extends SparkSpec {
     intercept[IllegalStateException] {
       operators.Dedup.duplicateClusters(chainDf, maxIterations = 8)
     }
+    // same-output contract on self-loops: a node appearing ONLY as a
+    // self-loop pair must come back labeled to itself from BOTH variants
+    val withSelf = df(schema("id_a" -> LongType, "id_b" -> LongType),
+      Seq(1L, 2L), Seq(9L, 9L))
+    val expect = Map(1L -> 1L, 2L -> 1L, 9L -> 9L)
+    assert(operators.Dedup.duplicateClustersStar(withSelf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+    assert(operators.Dedup.duplicateClusters(withSelf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
   }
 
   test("chunk invariants: full coverage, window sizes, overlap stitching") {

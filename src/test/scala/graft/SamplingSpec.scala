@@ -113,6 +113,29 @@ class SamplingSpec extends SparkSpec {
     assert(col1[Long](out.orderBy("id"), "id") == Seq(2L, 3L, 4L))
   }
 
+  test("dedupAgainstNear fails loudly on a negative id instead of " +
+      "misclassifying the row's side") {
+    // a negative id in the NEW batch would land in the reference id range
+    // and silently corrupt the losers set — the __uid projection must
+    // abort the job instead
+    val batch = Seq((-1L, "some text here"), (2L, "other text there"))
+      .toDF("id", "text")
+    val ref = Seq((7L, "reference text body")).toDF("rid", "rtext")
+    val bad = intercept[Exception] {
+      Dedup.dedupAgainstNear(batch, F.col("id"), F.col("text"),
+        ref, F.col("rid"), F.col("rtext"), threshold = 0.5).collect()
+    }
+    assert(bad.getMessage.contains("non-negative"), bad.getMessage)
+    // same enforcement on the reference side
+    val badRef = intercept[Exception] {
+      Dedup.dedupAgainstNear(
+        Seq((1L, "some text here")).toDF("id", "text"), F.col("id"),
+        F.col("text"), Seq((-7L, "reference text body")).toDF("rid", "rtext"),
+        F.col("rid"), F.col("rtext"), threshold = 0.5).collect()
+    }
+    assert(badRef.getMessage.contains("non-negative"), badRef.getMessage)
+  }
+
   test("topKByHash: exactly k per domain, deterministic, corpus-independent") {
     val d = (0L until 300L).map(i => (i, s"dom${i % 3}")).toDF("id", "dom")
     val out = Sampling.topKByHash(d, F.col("dom"), F.col("id"), k = 7,
