@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Generate scaled-up `documents.parquet` tables for the SCALING.md
+time-vs-rows study (builder-side tooling, never shipped library code).
+
+Extends the driver's observed generative law (measured on
+/root/testdata/sf0.1: 20 uniform sources, uniform 10-100 whitespace
+tokens per doc drawn from a small vocabulary, ~5%% of docs paired with
+ONE near-duplicate at 3-shingle Jaccard >= 0.8, a handful of exact
+dups) to larger row counts, keeping per-row work and pair density
+LINEAR in corpus size — the property that makes the timing curves
+interpretable.
+
+Usage: python3 scripts/gen_scale.py <n_docs> <out_dir> [seed]
+"""
+import random
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1])
+    out_dir = sys.argv[2]
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 420
+    rng = random.Random(seed)
+
+    # vocabulary + frequencies measured from the driver corpus
+    src = pq.read_table("/root/testdata/sf0.1/documents.parquet")
+    freq: dict[str, int] = {}
+    for chunk in src.column("text").to_pylist():
+        for w in chunk.split():
+            freq[w] = freq.get(w, 0) + 1
+    vocab = sorted(freq)
+    weights = [freq[w] for w in vocab]
+    langs = [v for v in src.column("lang").to_pylist()]
+
+    docs: list[str] = []
+    for _ in range(n_docs):
+        n_tok = rng.randint(10, 100)
+        docs.append(" ".join(rng.choices(vocab, weights=weights, k=n_tok)))
+
+    # near-dups: pair 5% of docs with a copy mutated in ~2% of positions
+    # (>= 0.8 3-shingle Jaccard on a 10-100 token doc), matching the
+    # measured 25 pairs per 500 docs
+    n_pairs = n_docs // 20
+    for i in range(n_pairs):
+        base = docs[i * 2].split()
+        n_mut = max(1, len(base) // 50)
+        for _ in range(n_mut):
+            base[rng.randrange(len(base))] = rng.choice(vocab)
+        docs[i * 2 + 1] = " ".join(base)
+    # a sprinkle of exact dups (8 per 5000 at sf0.1)
+    for i in range(max(1, n_docs // 625)):
+        docs[n_pairs * 2 + i * 2 + 1] = docs[n_pairs * 2 + i * 2]
+
+    order = list(range(n_docs))
+    rng.shuffle(order)
+    table = pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array([docs[i] for i in order]),
+        "lang": pa.array([langs[rng.randrange(len(langs))]
+                          for _ in range(n_docs)]),
+        "source": pa.array([f"src{i % 20}" for i in range(n_docs)]),
+        "n_chars": pa.array([len(docs[i]) for i in order], pa.int64()),
+    })
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(table, f"{out_dir}/documents.parquet")
+    print(f"wrote {n_docs} docs -> {out_dir}/documents.parquet")
+
+
+if __name__ == "__main__":
+    main()

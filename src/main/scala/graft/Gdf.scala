@@ -103,7 +103,12 @@ final class Gdf(
 
   // ======== projection / selection (reference data_frame.ex:2458-2522) ======
 
-  def select(cols: String*): Gdf = copy(sdf.select(cols.map(sdf(_)): _*))
+  /** Grouped rule (reference data_frame.ex:2483-2487): group columns are
+    * always kept — `select` appends any group column missing from the
+    * selection, `discard` refuses to drop a group column (ungroup first,
+    * exactly like the reference). */
+  def select(cols: String*): Gdf =
+    copy(sdf.select((cols ++ groups.filterNot(cols.contains)).map(sdf(_)): _*))
 
   /** Selector variant: keep columns whose name matches `re`. */
   def selectRe(re: String): Gdf = select(names.filter(_.matches(re)): _*)
@@ -113,12 +118,15 @@ final class Gdf(
     val ds = dtypes; select(names.filter(n => p(ds(n))): _*)
   }
 
-  def discard(cols: String*): Gdf = copy(sdf.drop(cols: _*))
+  def discard(cols: String*): Gdf =
+    copy(sdf.drop(cols.filterNot(groups.contains): _*))
 
-  /** `rename/2` (reference data_frame.ex:3915-4041). */
+  /** `rename/2` (reference data_frame.ex:3915-4041). Renaming a group
+    * column renames the group metadata with it. */
   def rename(pairs: (String, String)*): Gdf = {
     val m = pairs.toMap
     copy(sdf.withColumnsRenamed(m),
+      groups = groups.map(g => m.getOrElse(g, g)),
       logical = logical.map { case (k, v) => m.getOrElse(k, k) -> v })
   }
 
@@ -369,9 +377,14 @@ final class Gdf(
 
   /** Distinct on a subset. `keepAll = true` keeps the other columns, taking
     * the first row per key in the declared order (Polars keep=First under
-    * maintain-order, `lazyframe.rs:220-233`). */
+    * maintain-order, `lazyframe.rs:220-233`). Grouped rule (reference
+    * data_frame.ex distinct doc): the group columns are ADDED to the
+    * distinct subset and the groups are kept on the result. */
   def distinct(subset: Seq[String] = Nil, keepAll: Boolean = false): Gdf = {
-    val keys = if (subset.isEmpty) names else subset
+    val keys = {
+      val base = if (subset.isEmpty) names else subset
+      (groups.filterNot(base.contains) ++ base).toSeq
+    }
     if (!keepAll) copy(sdf.select(keys.map(sdf(_)): _*).dropDuplicates())
     else if (rowOrder.isEmpty) copy(sdf.dropDuplicates(keys))
     else {

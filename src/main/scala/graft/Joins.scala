@@ -28,6 +28,7 @@ object Joins {
     if (how == "cross")
       return new Gdf(left.sdf.crossJoin(
         if (broadcastRight) F.broadcast(right.sdf) else right.sdf),
+        groups = left.groups,
         logical = left.logical ++ right.logical)
 
     val l = left.sdf
@@ -68,9 +69,17 @@ object Joins {
         }
       case "outer" => joined // both key columns kept, right suffixed
     }
+    // grouped rule (reference data_frame.ex join docs): inner/left/semi/
+    // anti/outer keep the LEFT side's groups, a right join keeps the
+    // RIGHT side's (remapped through the suffixing); either way only
+    // groups whose column survived the join remain
+    val outGroups = (how match {
+      case "right" => right.groups.map(g => renames.getOrElse(g, g))
+      case _ => left.groups
+    }).filter(out.columns.contains)
     // logical dtypes ride along, right-side names remapped through the
     // suffixing (stale entries for dropped key columns are pruned on read)
-    new Gdf(out, logical = left.logical ++
+    new Gdf(out, groups = outGroups, logical = left.logical ++
       right.logical.map { case (k, v) => renames.getOrElse(k, k) -> v })
   }
 

@@ -47,6 +47,9 @@ object Profile {
       Dedup.shingleHashes(F.col("text"), 3), 64)
     timed("minhash signatures")(
       docs.select(F.avg(F.element_at(sig, 1))).collect())
+    timed("minhash lsh candidates")(
+      println("  cands=" + Dedup.minhashLshCandidates(docs,
+        F.col("doc_id"), F.col("text"), 3, 64, 8).count()))
     timed("d05 full")(
       println("  pairs=" + Dedup.minhashDuplicatePairs(docs,
         F.col("doc_id"), F.col("text"), 0.8, 3, 64, 8).count()))

@@ -20,8 +20,10 @@ object Reshape {
     val src =
       if (types.size <= 1) df.sdf
       else pivot.foldLeft(df.sdf)((d, n) => d.withColumn(n, F.col(n).cast(DoubleType)))
-    Gdf(src.unpivot(ids.map(F.col).toArray, pivot.map(F.col).toArray,
-      namesTo, valuesTo))
+    // grouped rule (reference data_frame.ex pivot_longer doc): groups that
+    // are pivoted away are removed, the rest are kept
+    new Gdf(src.unpivot(ids.map(F.col).toArray, pivot.map(F.col).toArray,
+      namesTo, valuesTo), groups = df.groups.filterNot(pivot.contains))
   }
 
   /** `pivot_wider/4` (reference data_frame.ex:5102-5108; dataframe.rs:435-515):
@@ -44,7 +46,9 @@ object Reshape {
       val base = if (namesPrefix.isEmpty) v.toString else namesPrefix + v
       if (ids.contains(base)) s"${base}_1" else base
     }
-    Gdf(g.toDF(newNames: _*))
+    // grouped rule (reference data_frame.ex pivot_wider doc): groups that
+    // are not ID columns are discarded
+    new Gdf(g.toDF(newNames: _*), groups = df.groups.filter(ids.contains))
   }
 
   /** `explode/2` — unnest list column(s) into rows (data_frame.ex:6292).
@@ -59,15 +63,17 @@ object Reshape {
         cols.foldLeft(zipped)((d, n) => d.withColumn(n, F.col("__z").getField(n)))
           .drop("__z")
       }
-    Gdf(out)
+    // groups survive an explode (the grouping columns are untouched)
+    new Gdf(out, groups = df.groups)
   }
 
   /** `unnest/2` — struct column → one column per field (data_frame.ex:6341). */
   def unnest(df: Gdf, col: String): Gdf = {
     val fields = df.schema(col).dataType.asInstanceOf[StructType].fieldNames
     val others = df.names.filterNot(_ == col)
-    Gdf(df.sdf.select(others.map(F.col) ++
-      fields.map(f => F.col(col).getField(f).as(f)): _*))
+    new Gdf(df.sdf.select(others.map(F.col) ++
+      fields.map(f => F.col(col).getField(f).as(f)): _*),
+      groups = df.groups.filterNot(_ == col))
   }
 
   /** `dummies/2` — one-hot encode (data_frame.ex:4095-4099). Category values
@@ -78,6 +84,8 @@ object Reshape {
         .map(_.get(0).toString).sorted.toSeq
     val cols = vs.map(v =>
       F.when(F.col(col) === v, 1).otherwise(0).as(s"${col}_$v"))
+    // grouped rule (reference data_frame.ex dummies doc): all groups are
+    // removed — Gdf.apply returns an ungrouped frame
     Gdf(df.sdf.select(df.names.map(F.col) ++ cols: _*))
   }
 
@@ -135,7 +143,9 @@ object Reshape {
       }
       d.sdf.select(cols: _*)
     }
-    Gdf(aligned.reduce(_ union _))
+    // grouped rule (reference data_frame.ex concat_rows doc): only the
+    // FIRST frame's groups are kept
+    new Gdf(aligned.reduce(_ union _), groups = dfs.head.groups)
   }
 
   /** `concat_columns` (data_frame.ex:5693-5720) — horizontal zip by position.
@@ -155,6 +165,8 @@ object Reshape {
       graft.plans.RowId.attach(renamed, d.rowOrder, "__cc_idx")
     }
     val joined = indexed.reduce((a, b) => a.join(b, Seq("__cc_idx"), "inner"))
-    Gdf(joined.drop("__cc_idx"))
+    // grouped rule (reference data_frame.ex concat_columns doc): only the
+    // FIRST frame's groups are kept
+    new Gdf(joined.drop("__cc_idx"), groups = dfs.head.groups)
   }
 }

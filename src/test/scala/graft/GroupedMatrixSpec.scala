@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** The grouped twin of every §2 verb (VERDICT r5 next #8), mirroring the
+  * reference's `grouped_test.exs` semantics. Two kinds of twin:
+  *
+  *  - DATA twins — grouping changes the result rows: summarise, mutate,
+  *    filter, sort, head/tail/slice/sample, distinct (group cols added to
+  *    the key), rank/shift/cumulative (windows partition by groups). Most
+  *    are covered in GdfSpec; the additions here close distinct + the
+  *    reshape family.
+  *  - METADATA twins — grouping changes only the `groups` metadata the
+  *    result carries: select/discard/rename (group cols protected and
+  *    remapped), pivot_longer/wider (pivoted / non-id groups discarded),
+  *    dummies (all groups dropped), explode/unnest (kept), concat_rows/
+  *    concat_columns (first frame's groups), join (left side's groups;
+  *    right join takes the right side's), put/shuffle (ignore groups but
+  *    keep them).
+  *
+  * Explicit N/A rows (no grouped twin BY REFERENCE CONTRACT): the IO verbs
+  * (`to_csv` etc. — "Groups are ignored"), `describe` ("Groups are
+  * ignored"), `transpose` (output columns are new), `pull`/`to_series`
+  * (series extraction), `sql` (operates on the bare relation). */
+class GroupedMatrixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = new Gdf(
+    Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0), ("b", 4L, 40.0),
+      ("b", 5L, 50.0)).toDF("g", "id", "v"),
+    groups = Seq("g"))
+
+  // ---- projection keeps / protects / remaps group columns ----------------
+
+  test("grouped select always keeps the group columns") {
+    val out = base.select("v")
+    assert(out.names == Seq("v", "g"), "group column must be appended")
+    assert(out.groups == Seq("g"))
+  }
+
+  test("grouped discard refuses to drop a group column") {
+    val out = base.discard("g", "v")
+    assert(out.names == Seq("g", "id"), "g is a group — must survive")
+    assert(out.groups == Seq("g"))
+  }
+
+  test("rename remaps group metadata with the column") {
+    val out = base.rename("g" -> "grp")
+    assert(out.groups == Seq("grp") && out.names.contains("grp"))
+  }
+
+  // ---- distinct: group columns join the key ------------------------------
+
+  test("grouped distinct adds group columns to the subset and keeps groups") {
+    val d = new Gdf(
+      Seq(("a", 1L), ("a", 1L), ("b", 1L)).toDF("g", "k"),
+      groups = Seq("g"))
+    val out = d.distinct(Seq("k"))
+    // ungrouped distinct on k would yield ONE row; the group column in
+    // the key keeps one per (g, k)
+    assert(out.count() == 2L)
+    assert(out.groups == Seq("g"))
+    assert(out.names.toSet == Set("g", "k"))
+  }
+
+  // ---- reshape family ----------------------------------------------------
+
+  test("grouped pivot_longer drops pivoted groups, keeps the rest") {
+    val d = new Gdf(
+      Seq(("a", "x", 1.0, 2.0)).toDF("g", "h", "p1", "p2"),
+      groups = Seq("g", "h"))
+    assert(Reshape.pivotLonger(d, Seq("p1", "p2")).groups == Seq("g", "h"))
+    // a group that IS pivoted away is removed from the metadata
+    val d2 = new Gdf(
+      Seq((1.0, "x", 2.0)).toDF("p1", "h", "p2"), groups = Seq("p1", "h"))
+    assert(Reshape.pivotLonger(d2, Seq("p1", "p2")).groups == Seq("h"))
+  }
+
+  test("grouped pivot_wider keeps only groups that are id columns") {
+    val d = new Gdf(
+      Seq(("a", "mon", 1L), ("a", "tue", 2L), ("b", "mon", 3L))
+        .toDF("team", "day", "hour"),
+      groups = Seq("team", "day"))
+    val out = Reshape.pivotWider(d, "day", "hour")
+    // "day" is consumed by the pivot -> discarded from groups;
+    // "team" is an id column -> kept
+    assert(out.groups == Seq("team"))
+    assert(out.names == Seq("team", "mon", "tue"))
+    // the data itself is the ungrouped pivot (grouping is metadata-only)
+    val rows = out.sdf.orderBy("team").collect()
+      .map(r => (r.getString(0), r.get(1), r.get(2))).toSeq
+    assert(rows == Seq(("a", 1L, 2L), ("b", 3L, null)))
+  }
+
+  test("grouped dummies removes all groups") {
+    val out = Reshape.dummies(base, "g")
+    assert(out.groups.isEmpty)
+    assert(out.names.contains("g_a") && out.names.contains("g_b"))
+  }
+
+  test("grouped explode and unnest keep the groups") {
+    val d = new Gdf(
+      Seq(("a", Seq(1, 2)), ("b", Seq(3))).toDF("g", "xs"),
+      groups = Seq("g"))
+    assert(Reshape.explode(d, Seq("xs")).groups == Seq("g"))
+    val s = new Gdf(
+      Seq(("a", (1, 2))).toDF("g", "st"), groups = Seq("g"))
+    assert(Reshape.unnest(s, "st").groups == Seq("g"))
+  }
+
+  test("grouped concat_rows / concat_columns keep the FIRST frame's groups") {
+    val left = new Gdf(Seq(("a", 1L)).toDF("g", "x"), groups = Seq("g"))
+    val right = new Gdf(Seq(("b", 2L)).toDF("g", "x"), groups = Nil)
+    assert(Reshape.concatRows(Seq(left, right)).groups == Seq("g"))
+    assert(Reshape.concatRows(Seq(right.groupBy("x"), left)).groups
+      == Seq("x"))
+    val l2 = new Gdf(Seq(("a", 1L)).toDF("g", "x"), groups = Seq("g"))
+      .ordered(F.col("x"))
+    val r2 = new Gdf(Seq(9.5).toDF("y"), groups = Nil).ordered(F.col("y"))
+    assert(Reshape.concatColumns(Seq(l2, r2)).groups == Seq("g"))
+  }
+
+  // ---- joins: side rules -------------------------------------------------
+
+  test("join keeps left groups for inner/left/semi/anti/outer, right " +
+      "groups for right joins") {
+    val left = new Gdf(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "lg"), groups = Seq("lg"))
+    val right = new Gdf(
+      Seq((1L, "x"), (3L, "y")).toDF("k", "rg"), groups = Seq("rg"))
+    for (how <- Seq("inner", "left", "semi", "anti", "outer"))
+      assert(Joins.join(left, right, Seq("k"), how).groups == Seq("lg"),
+        s"$how join must keep the left groups")
+    assert(Joins.join(left, right, Seq("k"), "right").groups == Seq("rg"))
+    // a group column that does not survive the join is pruned:
+    // semi/anti joins drop the right side entirely, so right groups never
+    // leak; grouping by the LEFT key survives every how
+    assert(Joins.join(left.ungroup().groupBy("k"), right, Seq("k"), "inner")
+      .groups == Seq("k"))
+  }
+
+  // ---- verbs that ignore groups but keep the metadata --------------------
+
+  test("put/mutateCol and shuffle ignore groups but keep the metadata") {
+    val out = base.mutateCol("w", F.col("v") * 2)
+    assert(out.groups == Seq("g") && out.names.contains("w"))
+    val sh = base.shuffle(seed = 7L)
+    assert(sh.groups == Seq("g") && sh.count() == 5L)
+  }
+
+  // ---- grouped aggregation / window data twins (beyond GdfSpec) ----------
+
+  test("grouped summarise with the full §2.5 aggregate battery") {
+    val out = base.summariseWith { implicit c => Seq(
+      "n" -> graft.exprs.size,
+      "s" -> graft.exprs.sum(gcol("v")),
+      "m" -> graft.exprs.mean(gcol("v")),
+      "nd" -> graft.exprs.nDistinct(gcol("id"))) }
+      .sortBy(Seq(F.col("g")))
+    val rows = out.sdf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(rows == Seq(("a", 2L, 30.0, 15.0, 2L),
+      ("b", 3L, 120.0, 40.0, 3L)))
+  }
+
+  test("grouped window verbs partition by group: rank and cumsum restart") {
+    val out = base.ordered(F.col("id")).mutateWith { implicit c => Seq(
+      "r" -> graft.exprs.rank(gcol("v"), method = "dense"),
+      "cs" -> graft.exprs.cumulativeSum(gcol("v"))) }
+      .sortBy(Seq(F.col("id")))
+    val rows = out.sdf.collect()
+      .map(r => (r.getLong(1), r.getInt(3), r.getDouble(4))).toSeq
+    assert(rows == Seq((1L, 1, 10.0), (2L, 2, 30.0),
+      (3L, 1, 30.0), (4L, 2, 70.0), (5L, 3, 120.0)))
+  }
+}
