@@ -33,6 +33,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Second JDBC engine for the from_query cross-engine spec: the DuckDB
+// JDBC driver is already present in the image's pre-warmed artifact cache
+// (no new dependency resolution, zero egress). Attached as a test-scope
+// unmanaged jar only when found — the spec skips itself otherwise.
+Test / unmanagedJars ++= {
+  val cacheRoot = file(sys.env.getOrElse("COURSIER_CACHE",
+    sys.props("user.home") + "/.cache/coursier"))
+  (cacheRoot ** "duckdb_jdbc-*.jar").get.take(1).map(Attributed.blank(_))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
