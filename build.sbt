@@ -46,4 +46,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // ad-hoc JVM flags for forked runs (GC logs, profilers) without
+  // editing the build, e.g. SPARK_GRAFT_JVM_OPTS="-Xlog:gc:file=/tmp/gc.log"
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

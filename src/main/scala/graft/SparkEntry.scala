@@ -1235,9 +1235,15 @@ object SparkEntry {
     // materialize normalized text at ingest, filter and chunk from it)
     val scored = normed.withColumn("quality",
       TextAnalysis.qualityScore(F.col("norm")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // retire the previous invocation's cache BEFORE persisting the new
+    // one: the CacheManager matches by logical-plan EQUALITY, and two
+    // invocations on the same dir build identical plans — unpersisting
+    // prev after scored.persist() would deregister the entry just
+    // created and silently run every d37 after the first uncached
+    // (measured: 3× on the bench's n=3 loop)
     val prev = d37LiveCache.getAndSet(scored)
     if (prev != null && (prev ne scored)) prev.unpersist(blocking = false)
+    scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact percentile solely for the DuckDB replay; the operator default
     // (approx_percentile sketch) is the documented 100 TB posture — at
     // scale this call site drops `exact` and the rest of the pipeline is

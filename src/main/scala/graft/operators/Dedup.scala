@@ -148,14 +148,32 @@ object Dedup {
     // without persisting, the whole candidate-generation subtree (shingling,
     // signatures, LSH shuffle) would execute twice. It is the small end of
     // the pipeline by construction — pairs of ids — so it caches cheaply
-    // even at corpus scale.
-    val cands = cands0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // even at corpus scale. The explicit repartition PINS the cached
+    // partitioning: without it, whichever consumer materializes the cache
+    // first decides it, and when the broadcast-subquery thread (computing
+    // the id-pruning side) wins the race it bakes its
+    // coalesced-for-broadcast layout (~2 partitions) into the cache — the
+    // downstream verification joins then run near-single-threaded
+    // (measured: bimodal 5 s / 42 s on identical input). The partition
+    // COUNT must be explicit: a column-only repartition is advisory
+    // (REPARTITION_BY_COL — AQE may still coalesce it), an explicit count
+    // is binding. Hashing on (id_a, id_b) also co-locates the pair join's
+    // probe side.
+    val nPart = cands0.sparkSession.sessionState.conf.numShufflePartitions
+    val cands = cands0
+      .repartition(nPart, F.col("id_a"), F.col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cands.select(F.explode(F.array(
       F.col("id_a"), F.col("id_b"))).as("id")).distinct()
+    // the shingle side gets the same binding repartition: the pair join
+    // below is borderline-broadcastable from EITHER side, and whichever
+    // side AQE probes from must not inherit the raw scan's partition
+    // count (a small parquet corpus reads as 1-2 splits — the probe would
+    // run near-single-threaded on a 32-core executor)
     val verifySh = df.select(id.as("id"), text.as("__t"))
       .join(candIds, Seq("id"), "left_semi")
       .select(F.col("id"), shingleHashes(F.col("__t"), shingleSize).as("sh"))
+      .repartition(nPart, F.col("id"))
     cands
       .join(verifySh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(verifySh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
