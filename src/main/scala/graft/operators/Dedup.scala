@@ -697,13 +697,20 @@ object Dedup {
       .select(F.explode(bucketPairs(F.col("ids"))).as("p"))
       .select("p.*").distinct()
     // exact verification: semi-join-prune the corpus to candidate ids, then
-    // join the vectors back per pair side (verifyJaccard pattern)
-    val cands = cands0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // join the vectors back per pair side (verifyJaccard pattern). Same
+    // binding repartitions as verifyJaccard: the cached candidate layout
+    // and the pair join's probe side must never inherit a
+    // coalesced-for-broadcast or raw-scan partition count (see the
+    // cached-partitioning race writeup in SCALING.md)
+    val nPart = cands0.sparkSession.sessionState.conf.numShufflePartitions
+    val cands = cands0
+      .repartition(nPart, F.col("id_a"), F.col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cands.select(F.explode(F.array(
       F.col("id_a"), F.col("id_b"))).as("vid")).distinct()
     val vecs = df.select(id.as("vid"), vec.as("vv"))
       .join(candIds, Seq("vid"), "left_semi")
+      .repartition(nPart, F.col("vid"))
     cands
       .join(vecs.select(F.col("vid").as("id_a"), F.col("vv").as("__va")),
         Seq("id_a"))
