@@ -1321,6 +1321,18 @@ object SparkEntry {
           F.count(F.lit(1)) * 0.91).cast("int").as("p90_upper_ok"))
   }
 
+  /** Duplicated-span dedup (ExactSubstr): strip every 8-token span that
+    * recurs across >= 2 documents, reassemble the survivors — the
+    * token-level boilerplate pass. Oracle replays k-gram frequency +
+    * coverage + positional reassembly in DuckDB on the gram STRINGS
+    * (the engine's 8-byte xxhash64 keys are an internal detail — the
+    * surviving text is hash-agnostic). */
+  private val d40: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.dedupSpans(t(s, dir, "documents"), F.col("doc_id"),
+      F.col("text"), k = 8, minDocs = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Int8 embedding quantization over the embeddings table: per-vector
     * scale, code sum, first-8 codes, and reconstruction cosine — the 4×
     * storage trade for corpus-scale embedding tables, all-double
@@ -1645,6 +1657,7 @@ object SparkEntry {
     "d37_pipeline" -> d37,
     "d38_quality_gate_approx" -> d38,
     "d39_corpus_stats_approx" -> d39,
+    "d40_dedup_spans" -> d40,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -2176,6 +2189,30 @@ object SparkEntry {
         1 AS p50_lower_ok, 1 AS p50_upper_ok,
         1 AS p90_lower_ok, 1 AS p90_upper_ok
       FROM toks""",
+    // duplicated-span dedup: k-gram frequency + coverage + positional
+    // reassembly on gram strings (engine keys are xxhash64 — internal)
+    "d40_dedup_spans" -> """
+      WITH toks AS (SELECT doc_id,
+          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
+        FROM documents),
+      kg AS (SELECT doc_id, z.hp AS hp, z.gram AS gram FROM (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(t) - 7),
+            i -> struct_pack(hp := i,
+                   gram := array_to_string(t[i:i+7], ' ')))) AS z
+          FROM toks WHERE len(t) >= 8)),
+      hot AS (SELECT gram FROM (SELECT gram, doc_id FROM kg GROUP BY 1, 2)
+              GROUP BY gram HAVING count(*) >= 2),
+      hits AS (SELECT doc_id, hp FROM kg JOIN hot USING (gram)),
+      pos AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t
+              FROM toks WHERE len(t) > 0),
+      kept AS (SELECT p.doc_id, p.i, p.t[p.i] AS tok FROM pos p
+               WHERE NOT EXISTS (SELECT 1 FROM hits h
+                 WHERE h.doc_id = p.doc_id
+                   AND h.hp <= p.i AND p.i < h.hp + 8))
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+      FROM kept GROUP BY doc_id ORDER BY doc_id""",
     // brute-force exact n-gram Jaccard over all pairs — the oracle for BOTH
     // near-dup pipelines (recall losses in LSH banding / df-capped postings
     // would surface as missing rows)

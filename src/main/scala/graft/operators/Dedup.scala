@@ -580,6 +580,63 @@ object Dedup {
           s => s.getField("line")), "\n").as("text"))
   }
 
+  /** Cross-document duplicated-SPAN dedup — the token-level ExactSubstr
+    * pass (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499; one granularity finer than
+    * [[dedupLines]]): remove every `k`-token span whose exact token
+    * sequence occurs in at least `minDocs` distinct documents, then
+    * reassemble each document from the surviving tokens in original
+    * order. A token is removed iff SOME duplicated span covers it;
+    * documents left with no surviving tokens are dropped (the
+    * [[dedupLines]] contract). Tokens are the whitespace split of the
+    * lowercased trimmed text, matching the shingle family.
+    *
+    * Scale shape: k-gram postings explode scan-side carrying
+    * `(id, pos, xxhash64(gram))` — fixed-width 8-byte keys regardless of
+    * span text; document frequency aggregates two-level ((key, doc)
+    * distinct first, map-side combinable) exactly like [[dedupLines]];
+    * the duplicated-span key set is the SMALL side by construction (only
+    * spans that actually repeat — boilerplate) and hash-joins back onto
+    * the postings; coverage + rebuild is one groupBy(doc) whose state is
+    * one document's hit positions and tokens. Two corpus scans — inherent
+    * to any two-sided frequency filter; the only cross-document artifact
+    * retained between them is the hot-key set. Token filtering is
+    * O(tokens × hits-per-doc) per row — hits are boilerplate occurrences,
+    * a vanishing fraction of tokens on real corpora. */
+  def dedupSpans(df: DataFrame, id: Column, text: Column,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 1, s"span length k must be >= 1, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = F.when(F.length(F.trim(text)) === 0,
+      F.array().cast(ArrayType(StringType)))
+      .otherwise(F.split(F.lower(F.trim(text)), "\\s+"))
+    val base = df.select(asLongId(id).as("id"), toks.as("__t"))
+    // k-gram postings with 1-based start positions; sequence() must be
+    // guarded (Spark's sequence(1, 0) runs DESCENDING, not empty)
+    val starts = F.when(F.size(F.col("__t")) >= k,
+      F.sequence(F.lit(1), F.size(F.col("__t")) - (k - 1)))
+      .otherwise(F.array().cast(ArrayType(IntegerType)))
+    val grams = base.select(F.col("id"), F.explode(
+      F.transform(starts, i => F.struct(i.as("hp"),
+        F.xxhash64(F.array_join(F.slice(F.col("__t"), i, F.lit(k)), " "))
+          .as("__g")))).as("z"))
+      .select(F.col("id"), F.col("z.hp"), F.col("z.__g"))
+    val hot = grams.select("__g", "id").distinct()
+      .groupBy("__g").agg(F.count(F.lit(1)).as("__nd"))
+      .filter(F.col("__nd") >= minDocs)
+      .select("__g")
+    val perDocHits = grams.join(hot, Seq("__g"))
+      .groupBy("id").agg(F.collect_list("hp").as("__hits"))
+    val hitsArr = F.coalesce(F.col("__hits"),
+      F.array().cast(ArrayType(IntegerType)))
+    val kept = F.filter(F.col("__t"),
+      (_, i0) => !F.exists(hitsArr, p => p <= i0 + 1 && i0 + 1 < p + k))
+    base.join(perDocHits, Seq("id"), "left")
+      .select(F.col("id"), kept.as("__kept"))
+      .filter(F.size(F.col("__kept")) > 0)
+      .select(F.col("id"), F.array_join(F.col("__kept"), " ").as("text"))
+  }
+
   /** Cross-corpus EXACT dedup — drop rows of `df` whose `key` appears in
     * the reference corpus (incremental ingest: dedup a new batch against
     * the already-accepted corpus without re-deduping the corpus itself).

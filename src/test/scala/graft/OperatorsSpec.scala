@@ -625,6 +625,40 @@ class OperatorsSpec extends SparkSpec {
       s"d37 cache grew from $before to $after persisted RDDs over 3 runs")
   }
 
+  test("dedupSpans strips covered tokens, keeps order, drops emptied docs") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta unique one"),
+      (2L, "zzz alpha beta gamma delta other"),  // shares the 4-gram
+      (3L, "totally different words here"),
+      (4L, "alpha beta gamma delta")             // nothing survives -> dropped
+    ).toDF("id", "t")
+    val out = Dedup.dedupSpans(d, F.col("id"), F.col("t"),
+      k = 4, minDocs = 2)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getString(1))
+    // "alpha beta gamma delta" occurs in docs 1, 2, 4 -> its 4 tokens are
+    // covered wherever it appears; everything else survives in order
+    assert(out.toSeq == Seq(
+      1L -> "unique one",
+      2L -> "zzz other",
+      3L -> "totally different words here"))
+    // a span below minDocs survives: same corpus at minDocs = 4
+    val loose = Dedup.dedupSpans(d, F.col("id"), F.col("t"),
+      k = 4, minDocs = 4)
+    assert(loose.count() == 4L)
+    // overlapping hot spans union their coverage: doc pair sharing a
+    // 5-token run has TWO hot 4-grams; all 5 tokens must go
+    val ov = Seq((1L, "a b c d e tail1"), (2L, "a b c d e tail2"))
+      .toDF("id", "t")
+    val o = Dedup.dedupSpans(ov, F.col("id"), F.col("t"), k = 4,
+      minDocs = 2).orderBy("id").collect().map(_.getString(1))
+    assert(o.toSeq == Seq("tail1", "tail2"))
+    // empty / shorter-than-k docs pass through untouched
+    val short = Dedup.dedupSpans(
+      Seq((9L, "just three words")).toDF("id", "t"), F.col("id"),
+      F.col("t"), k = 8, minDocs = 2)
+    assert(col1[String](short, "text") == Seq("just three words"))
+  }
+
   test("dedupLines counts distinct docs, not occurrences") {
     // the dup line appears 3 times but in only 2 docs -> survives minDocs=3
     val d = Seq((1L, "dup\ndup\nx"), (2L, "dup\ny")).toDF("id", "t")
