@@ -280,12 +280,26 @@ final class Gdf(
     withIdxCol("__rn").filter(F.col(colName) === F.lit(value))
       .agg(F.min("__rn").as("index"))
 
-  /** `sample/2` (reference data_frame.ex:4475-4527). Fraction-based maps to
-    * Spark's distributed Bernoulli sampler; exact-n uses a seeded random sort
-    * (fine at any scale — TakeOrdered is a partial sort). */
+  /** `sample/2` (reference data_frame.ex:4475-4527). Ungrouped
+    * fraction-based maps to Spark's distributed Bernoulli sampler; grouped
+    * takes the reference's exact `floor(frac · group size)` rows per group
+    * (iris grouped 0.1 → exactly 5 of each 50 in the doctest) via a
+    * seeded per-group random rank. `replace = true` stays on the global
+    * Bernoulli sampler (per-group with-replacement has no distributed
+    * one-pass analogue; the reference's seeded draws are engine-specific
+    * either way). Exact-n uses a seeded random sort (fine at any scale —
+    * TakeOrdered is a partial sort). */
   def sampleFrac(frac: Double, seed: Long = 42L,
       replace: Boolean = false): Gdf =
-    copy(sdf.sample(replace, frac, seed))
+    if (groups.isEmpty || replace) copy(sdf.sample(replace, frac, seed))
+    else {
+      val w = Window.partitionBy(groups.map(F.col): _*).orderBy(F.rand(seed))
+      val cw = Window.partitionBy(groups.map(F.col): _*)
+      copy(sdf.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__gn", F.count(F.lit(1)).over(cw))
+        .filter(F.col("__rn") <= F.floor(F.col("__gn") * frac))
+        .drop("__rn", "__gn"))
+    }
 
   def sampleN(n: Int, seed: Long = 42L): Gdf =
     if (groups.isEmpty) copy(sdf.orderBy(F.rand(seed)).limit(n))

@@ -140,6 +140,21 @@ class GroupedMatrixSpec extends SparkSpec {
       .groups == Seq("k"))
   }
 
+  test("grouped sampleFrac takes exactly floor(frac * n) rows per group") {
+    val d = new Gdf(
+      (1 to 50).map(i => (s"g${i % 2}", i.toLong)).toDF("g", "v"),
+      groups = Seq("g"))
+    val out = d.sampleFrac(0.2, seed = 11L)
+    val counts = out.sdf.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("g0" -> 5L, "g1" -> 5L), counts.toString)
+    assert(out.groups == Seq("g"))
+    // deterministic under the same seed
+    assert(d.sampleFrac(0.2, seed = 11L).sdf.collect().map(_.getLong(1))
+      .sorted.toSeq ==
+      out.sdf.collect().map(_.getLong(1)).sorted.toSeq)
+  }
+
   // ---- verbs that ignore groups but keep the metadata --------------------
 
   test("put/mutateCol and shuffle ignore groups but keep the metadata") {
