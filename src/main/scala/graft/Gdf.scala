@@ -290,7 +290,10 @@ final class Gdf(
     * either way). Exact-n uses a seeded random sort (fine at any scale —
     * TakeOrdered is a partial sort). */
   def sampleFrac(frac: Double, seed: Long = 42L,
-      replace: Boolean = false): Gdf =
+      replace: Boolean = false): Gdf = {
+    require(frac <= 1.0 || replace,
+      s"cannot take a larger sample than the total population without " +
+        s"replacement (frac=$frac)")
     if (groups.isEmpty || replace) copy(sdf.sample(replace, frac, seed))
     else {
       val w = Window.partitionBy(groups.map(F.col): _*).orderBy(F.rand(seed))
@@ -300,15 +303,68 @@ final class Gdf(
         .filter(F.col("__rn") <= F.floor(F.col("__gn") * frac))
         .drop("__rn", "__gn"))
     }
+  }
 
-  def sampleN(n: Int, seed: Long = 42L): Gdf =
-    if (groups.isEmpty) copy(sdf.orderBy(F.rand(seed)).limit(n))
-    else { // group-aware: n rows per group, seeded (reference sample/2 on
-           // grouped frames); row_number <= n keeps WindowGroupLimit viable
-      val w = Window.partitionBy(groups.map(F.col): _*).orderBy(F.rand(seed))
-      copy(sdf.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n).drop("__rn"))
+  /** Exact-n sample, per group when grouped. Without replacement an
+    * oversized request RAISES ("cannot take a larger sample than the
+    * total population" — the reference contract) via an `assert_true`
+    * folded into the plan: a scalar-subquery count (ungrouped) or a
+    * per-group count window (grouped) — no driver-side action. The size
+    * check inherently reads every group's full size, so the grouped path
+    * gives up the WindowGroupLimit pruning the unchecked shape had — the
+    * price of raising, which the reference also pays.
+    *
+    * With replacement: n seeded uniform draws per (group ×) frame —
+    * `range(n)` (or group keys × sequence) picks random positional
+    * indices joined back on the per-group row index; duplicate picks
+    * duplicate rows, which is the point. Needs the declared row order
+    * (like every positional verb) to make the index well-defined. */
+  def sampleN(n: Int, seed: Long = 42L, replace: Boolean = false): Gdf = {
+    require(n >= 0, s"sample size must be non-negative, got $n")
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    def oversize(cnt: Column): Column =
+      F.when(F.assert_true(F.lit(n.toLong) <= cnt,
+        F.lit(s"cannot take a larger sample than the total population " +
+          s"without replacement (n=$n)")).isNull, F.lit(true))
+    if (!replace) {
+      if (groups.isEmpty) {
+        val cnt = bridge.scalarSubquery(sdf.select(F.count(F.lit(1))))
+        copy(sdf.filter(oversize(cnt)).orderBy(F.rand(seed)).limit(n))
+      } else {
+        val part = Window.partitionBy(groups.map(F.col): _*)
+        val w = part.orderBy(F.rand(seed))
+        copy(sdf
+          .withColumn("__rn", F.row_number().over(w))
+          .withColumn("__ok", oversize(F.count(F.lit(1)).over(part)))
+          .filter(F.col("__ok") && F.col("__rn") <= n)
+          .drop("__rn", "__ok"))
+      }
+    } else if (groups.isEmpty) {
+      val cnt = bridge.scalarSubquery(sdf.select(F.count(F.lit(1))))
+      val draws = spark.range(n.toLong)
+        .select(F.floor(F.rand(seed) * cnt).cast(LongType).as("__pick"))
+      copy(withIdxCol("__idx")
+        .join(draws, F.col("__idx") === F.col("__pick"))
+        .drop("__idx", "__pick"))
+    } else {
+      // draw keys renamed: the draws table derives from this frame, and a
+      // same-lineage equi-join on identically-named columns resolves
+      // ambiguously (the classic Spark self-join trap)
+      val counts = sdf.groupBy(groups.map(F.col): _*)
+        .agg(F.count(F.lit(1)).as("__gcnt"))
+      val draws = counts
+        .select(groups.map(F.col) :+
+          F.explode(F.sequence(F.lit(1), F.lit(n))).as("__j") :+
+          F.col("__gcnt"): _*)
+        .select(groups.map(g => F.col(g).as(s"__dk_$g")) :+
+          F.floor(F.rand(seed) * F.col("__gcnt")).cast(LongType)
+            .as("__pick"): _*)
+      copy(withIdxCol("__idx")
+        .join(draws, groups.map(g => F.col(g) === F.col(s"__dk_$g"))
+          .reduce(_ && _) && F.col("__idx") === F.col("__pick"))
+        .select(names.map(F.col): _*))
     }
+  }
 
   def shuffle(seed: Long = 42L): Gdf = copy(sdf.orderBy(F.rand(seed)))
 

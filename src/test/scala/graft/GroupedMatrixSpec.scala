@@ -155,6 +155,37 @@ class GroupedMatrixSpec extends SparkSpec {
       out.sdf.collect().map(_.getLong(1)).sorted.toSeq)
   }
 
+  test("oversized sample without replacement raises; with replacement " +
+      "draws n per group (reference sample/2 contract)") {
+    // 2 groups x 25 rows; the declared order makes the draw index defined
+    val d = new Gdf(
+      (1 to 50).map(i => (s"g${i % 2}", i.toLong)).toDF("g", "v"),
+      groups = Seq("g")).ordered(F.col("v"))
+    // n > group size without replacement -> the plan-folded assert fires
+    val err = intercept[Exception] {
+      d.sampleN(60, seed = 100L).sdf.collect()
+    }
+    assert(err.getMessage.contains("larger sample"), err.getMessage)
+    intercept[IllegalArgumentException] { d.sampleFrac(1.2, seed = 100L) }
+    // with replacement: 60 draws per 25-row group -> 120 rows, values
+    // drawn from the right group, duplicates expected
+    val rep = d.sampleN(60, seed = 100L, replace = true)
+    assert(rep.count() == 120L)
+    val byGroup = rep.sdf.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup == Map("g0" -> 60L, "g1" -> 60L))
+    assert(rep.sdf.filter(F.col("g") === "g0" && F.col("v") % 2 =!= 0)
+      .count() == 0L, "a draw crossed groups")
+    // ungrouped with replacement: exactly n rows, all from the frame
+    val u = new Gdf((1 to 10).map(_.toLong).toDF("v")).ordered(F.col("v"))
+    val ur = u.sampleN(25, seed = 7L, replace = true)
+    assert(ur.count() == 25L)
+    assert(ur.sdf.filter(F.col("v") < 1 || F.col("v") > 10).count() == 0L)
+    // within-bounds sampleN still exact and seeded
+    assert(d.sampleN(5, seed = 3L).sdf.groupBy("g").count().collect()
+      .forall(_.getLong(1) == 5L))
+  }
+
   // ---- verbs that ignore groups but keep the metadata --------------------
 
   test("put/mutateCol and shuffle ignore groups but keep the metadata") {
