@@ -471,32 +471,47 @@ final class Gdf(
   def ungroup(cols: String*): Gdf =
     copy(groups = if (cols.isEmpty) Nil else groups.filterNot(cols.contains))
 
+  /** Shared summarise back end. Aggregations OVER window functions
+    * (reference `summarise(max: max(window_mean(x, 2)))` — legal there,
+    * illegal inside Spark's `groupBy.agg`) are supported by
+    * auto-materialization: every `WindowExpression` found under an
+    * aggregate is projected as a hidden column first and the aggregate is
+    * rewritten to consume it — one extra window pass over the grouped
+    * frame, which is what the reference's engine does internally too. */
+  private def summariseCols(cols: Seq[(String, Series)]): Gdf = {
+    cols.foreach { case (n, s) =>
+      require(s.isAgg, s"summarise expression '$n' must aggregate")
+    }
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    var extra = Vector.empty[(String, Column)]
+    val rewritten = cols.map { case (n, s) =>
+      val (c, wins) = bridge.extractWindows(s.col, s"__win_${extra.size}_")
+      extra ++= wins
+      c.as(n)
+    }
+    val src =
+      if (extra.isEmpty) sdf
+      else sdf.select(F.col("*") +: extra.map { case (n, c) => c.as(n) }: _*)
+    val out =
+      if (groups.isEmpty) src.agg(rewritten.head, rewritten.tail: _*)
+      else src.groupBy(groups.map(src(_)): _*)
+        .agg(rewritten.head, rewritten.tail: _*)
+    new Gdf(out, Nil, Nil, logical.view.filterKeys(groups.contains).toMap)
+  }
+
   /** `summarise` — consumes the groups (reference data_frame.ex:6128-6183;
-    * `lazyframe.rs:251-275`). Every expression must aggregate. */
+    * `lazyframe.rs:251-275`). Every expression must aggregate; window
+    * functions INSIDE an aggregation are auto-materialized (see
+    * [[summariseCols]]). */
   def summarise(pairs: (String, Ctx => Series)*): Gdf = {
     val c = ctx(false)
-    val cols = pairs.map { case (n, f) =>
-      val s = f(c)
-      require(s.isAgg, s"summarise expression '$n' must aggregate")
-      s.col.as(n)
-    }
-    val out =
-      if (groups.isEmpty) sdf.agg(cols.head, cols.tail: _*)
-      else sdf.groupBy(groups.map(sdf(_)): _*).agg(cols.head, cols.tail: _*)
-    new Gdf(out, Nil, Nil, logical.view.filterKeys(groups.contains).toMap)
+    summariseCols(pairs.map { case (n, f) => n -> f(c) })
   }
 
   /** Single-callback summarise: `df.summariseWith { implicit c => Seq(...) }`. */
   def summariseWith(f: Ctx => Seq[(String, Series)]): Gdf = {
     val c = ctx(false)
-    val cols = f(c).map { case (n, s) =>
-      require(s.isAgg, s"summarise expression '$n' must aggregate")
-      s.col.as(n)
-    }
-    val out =
-      if (groups.isEmpty) sdf.agg(cols.head, cols.tail: _*)
-      else sdf.groupBy(groups.map(sdf(_)): _*).agg(cols.head, cols.tail: _*)
-    new Gdf(out, Nil, Nil, logical.view.filterKeys(groups.contains).toMap)
+    summariseCols(f(c))
   }
 
   // ======== SQL (reference data_frame.ex:6887-6931) =========================

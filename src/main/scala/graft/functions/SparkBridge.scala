@@ -168,6 +168,47 @@ object Bridge {
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
         df.queryExecution.analyzed))
 
+  /** Extract every window-function subtree of `c` (a ColumnNode-level
+    * rewrite — the catalyst bridge wraps the whole node tree in one opaque
+    * `ColumnNodeExpression`, so catalyst `transform` cannot see windows
+    * inside it), replacing each with an `UnresolvedAttribute` named
+    * `prefix<i>`. Returns the rewritten column plus the extracted
+    * (name, window column) pairs, for callers that pre-project the
+    * windows — how `summarise` supports aggregations OVER window
+    * functions, which Spark's `groupBy.agg` rejects outright. The
+    * rewriter walks the node shapes our expression vocabulary can place
+    * above a window (functions, casts, aliases, case/when); a window
+    * under anything else fails loudly rather than falling through to the
+    * analyzer's opaque error. */
+  def extractWindows(c: Column, prefix: String): (Column, Seq[(String, Column)]) = {
+    import org.apache.spark.sql.{internal => in}
+    val found = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+    def rewrite(n: in.ColumnNode): in.ColumnNode = n match {
+      case w: in.Window =>
+        val name = s"$prefix${found.size}"
+        found += name -> Column(w)
+        in.UnresolvedAttribute(Seq(name), None, isMetadataColumn = false,
+          in.ColumnNode.NO_ORIGIN)
+      case f: in.UnresolvedFunction =>
+        f.copy(arguments = f.arguments.map(rewrite))
+      case a: in.Alias => a.copy(child = rewrite(a.child))
+      case ct: in.Cast => ct.copy(child = rewrite(ct.child))
+      case cw: in.CaseWhenOtherwise =>
+        cw.copy(
+          branches = cw.branches.map(b => (rewrite(b._1), rewrite(b._2))),
+          otherwise = cw.otherwise.map(rewrite))
+      case s: in.SortOrder => s.copy(child = rewrite(s.child))
+      case other =>
+        val buried = other.collect { case w: in.Window => w }
+        require(buried.isEmpty,
+          s"window function nested under unsupported node " +
+            s"${other.getClass.getSimpleName} in an aggregation — " +
+            "materialize it with mutate(...) first")
+        other
+    }
+    (Column(rewrite(c.node)), found.toSeq)
+  }
+
   /** Rewrite a sort key's null ordering at the ColumnNode level (Spark 4's
     * Connect-agnostic Column representation). A catalyst SortOrder smuggled
     * into a Column is NOT recognized by Dataset.sort — it gets wrapped in a

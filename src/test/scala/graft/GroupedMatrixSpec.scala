@@ -211,6 +211,25 @@ class GroupedMatrixSpec extends SparkSpec {
       ("b", 3L, 120.0, 40.0, 3L)))
   }
 
+  test("summarise with a window function INSIDE the aggregation " +
+      "(reference max(window_mean(x, 2)) shape)") {
+    val out = base.ordered(F.col("id")).summariseWith { implicit c => Seq(
+      "n" -> graft.exprs.size,
+      "max_wm" -> graft.exprs.max(
+        graft.exprs.windowMean(gcol("v"), size = 2))) }
+      .sortBy(Seq(F.col("g")))
+    // g=a: v 10,20 -> win means 10, 15 -> max 15
+    // g=b: v 30,40,50 -> win means 30, 35, 45 -> max 45
+    val rows = out.sdf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("a", 2L, 15.0), ("b", 3L, 45.0)))
+    // window OVER an aggregation stays rejected (reference raises too)
+    intercept[IllegalArgumentException] {
+      base.ordered(F.col("id")).summariseWith { implicit c => Seq(
+        "bad" -> graft.exprs.shift(graft.exprs.sum(gcol("v")), 1)) }
+    }
+  }
+
   test("grouped window verbs partition by group: rank and cumsum restart") {
     val out = base.ordered(F.col("id")).mutateWith { implicit c => Seq(
       "r" -> graft.exprs.rank(gcol("v"), method = "dense"),
