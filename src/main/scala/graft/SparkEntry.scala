@@ -1333,6 +1333,23 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Gopher rule battery (published web-corpus heuristics): per-document
+    * signals + the standard pass/fail gate, fully replayed in DuckDB
+    * (every signal is a deterministic string/list expression). */
+  private val d41: (SparkSession, String) => DataFrame = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("__g", TextAnalysis.gopherStats(F.col("text")))
+      .select(F.col("doc_id"),
+        F.col("__g.word_count").as("word_count"),
+        F.col("__g.mean_word_len").as("mean_word_len"),
+        F.col("__g.symbol_word_ratio").as("symbol_word_ratio"),
+        F.col("__g.bullet_line_frac").as("bullet_line_frac"),
+        F.col("__g.ellipsis_line_frac").as("ellipsis_line_frac"),
+        F.col("__g.alpha_word_frac").as("alpha_word_frac"),
+        F.col("__g.req_stopword_hits").as("req_stopword_hits"),
+        TextAnalysis.gopherPasses(F.col("__g")).cast("int").as("passes"))
+      .orderBy("doc_id")
+
   /** Int8 embedding quantization over the embeddings table: per-vector
     * scale, code sum, first-8 codes, and reconstruction cosine — the 4×
     * storage trade for corpus-scale embedding tables, all-double
@@ -1658,6 +1675,7 @@ object SparkEntry {
     "d38_quality_gate_approx" -> d38,
     "d39_corpus_stats_approx" -> d39,
     "d40_dedup_spans" -> d40,
+    "d41_gopher_rules" -> d41,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -2213,6 +2231,50 @@ object SparkEntry {
                    AND h.hp <= p.i AND p.i < h.hp + 8))
       SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
       FROM kept GROUP BY doc_id ORDER BY doc_id""",
+    // Gopher rule battery: every signal is a deterministic string/list
+    // expression, replayed 1:1 (same tokenization, regexes with identical
+    // java.util.regex/RE2 semantics, 6-dp rounding both sides)
+    "d41_gopher_rules" -> """
+      WITH base AS (SELECT doc_id, text,
+          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks,
+          string_split(text, chr(10)) AS lines
+        FROM documents),
+      sig AS (SELECT doc_id,
+        len(toks)::BIGINT AS word_count,
+        CASE WHEN len(toks) > 0 THEN round(
+          list_aggregate(list_transform(toks, t -> length(t)), 'sum')::DOUBLE
+            / len(toks), 6) ELSE 0.0 END AS mean_word_len,
+        CASE WHEN len(toks) > 0 THEN round(
+          len(regexp_extract_all(text, '#|\.\.\.'))::DOUBLE / len(toks), 6)
+          ELSE 0.0 END AS symbol_word_ratio,
+        round(len(list_filter(lines,
+            l -> regexp_matches(l, '^\s*[-*•‣▪]')))::DOUBLE
+          / len(lines), 6) AS bullet_line_frac,
+        round(len(list_filter(lines,
+            l -> regexp_matches(l, '(\.\.\.|…)\s*$')))::DOUBLE
+          / len(lines), 6) AS ellipsis_line_frac,
+        CASE WHEN len(toks) > 0 THEN round(
+          len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+            / len(toks), 6) ELSE 0.0 END AS alpha_word_frac,
+        ((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)
+         )::BIGINT AS req_stopword_hits
+        FROM base)
+      SELECT *, (word_count BETWEEN 50 AND 100000
+          AND mean_word_len BETWEEN 3 AND 10
+          AND symbol_word_ratio <= 0.1
+          AND bullet_line_frac <= 0.9
+          AND ellipsis_line_frac <= 0.3
+          AND alpha_word_frac >= 0.8
+          AND req_stopword_hits >= 2)::INT AS passes
+      FROM sig ORDER BY doc_id""",
     // brute-force exact n-gram Jaccard over all pairs — the oracle for BOTH
     // near-dup pipelines (recall losses in LSH banding / df-capped postings
     // would surface as missing rows)

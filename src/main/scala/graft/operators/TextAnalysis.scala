@@ -89,6 +89,90 @@ object TextAnalysis {
     }
   }
 
+  /** The Gopher rule set's required stopwords (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1): a document is expected to contain at least
+    * two of these to count as running English prose. */
+  private val requiredStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document-quality signals (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1 — the published web-corpus filtering
+    * heuristics; a training-pipeline extension beyond the reference's
+    * surface): word count, mean word length, symbol-to-word ratio
+    * (`#` and `...`), bullet-started and ellipsis-ended line fractions,
+    * fraction of words containing a letter, and the required-stopword hit
+    * count. One tokenization and one line split per row (let-bound), all
+    * per-row expressions — scan speed, no shuffle, streaming-legal.
+    * Ratios are rounded to 6 dp so cross-engine oracles can hash-match. */
+  def gopherStats(text: Column): Column =
+    let(tokens(text)) { toks =>
+      let(F.split(text, "\n")) { lines =>
+        val nTok = F.when(F.length(F.trim(text)) === 0, 0)
+          .otherwise(F.size(toks))
+        val n = nTok.cast(DoubleType)
+        val nLines = F.size(lines).cast(DoubleType)
+        val meanWordLen = F.when(nTok > 0, F.round(
+          F.aggregate(toks, F.lit(0L), (a, t) => a + F.length(t))
+            .cast(DoubleType) / n, 6)).otherwise(0.0)
+        val symbols = graft.functions.TextExprs.countRegexMatches(
+          text, "#|\\.\\.\\.")
+        val symbolRatio = F.when(nTok > 0,
+          F.round(symbols.cast(DoubleType) / n, 6)).otherwise(0.0)
+        val bulletFrac = F.round(F.size(F.filter(lines,
+          l => l.rlike("^\\s*[-*•‣▪]"))).cast(DoubleType)
+          / nLines, 6)
+        val ellipsisFrac = F.round(F.size(F.filter(lines,
+          l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast(DoubleType)
+          / nLines, 6)
+        val alphaFrac = F.when(nTok > 0, F.round(
+          F.size(F.filter(toks, t => t.rlike("[a-z]"))).cast(DoubleType) / n,
+          6)).otherwise(0.0)
+        val stopHits = requiredStopwords.map(w =>
+          F.array_contains(toks, w).cast(IntegerType)).reduce(_ + _)
+        F.struct(
+          nTok.cast(LongType).as("word_count"),
+          meanWordLen.as("mean_word_len"),
+          symbolRatio.as("symbol_word_ratio"),
+          bulletFrac.as("bullet_line_frac"),
+          ellipsisFrac.as("ellipsis_line_frac"),
+          alphaFrac.as("alpha_word_frac"),
+          stopHits.cast(LongType).as("req_stopword_hits"))
+      }
+    }
+
+  /** The Gopher document gate over a [[gopherStats]] struct; thresholds
+    * default to the published rule set (word count 50–100k, mean word
+    * length 3–10, symbol ratio ≤ 0.1, bullet lines ≤ 90%, ellipsis lines
+    * ≤ 30%, ≥ 80% of words alphabetic, ≥ 2 required stopwords). */
+  def gopherPasses(stats: Column,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3, maxMeanWordLen: Double = 10,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      minAlphaFrac: Double = 0.8, minStopwordHits: Long = 2): Column =
+    stats.getField("word_count").between(minWords, maxWords) &&
+      stats.getField("mean_word_len")
+        .between(minMeanWordLen, maxMeanWordLen) &&
+      stats.getField("symbol_word_ratio") <= maxSymbolRatio &&
+      stats.getField("bullet_line_frac") <= maxBulletFrac &&
+      stats.getField("ellipsis_line_frac") <= maxEllipsisFrac &&
+      stats.getField("alpha_word_frac") >= minAlphaFrac &&
+      stats.getField("req_stopword_hits") >= minStopwordHits
+
+  /** Keep the documents that pass the Gopher gate. Purely row-local —
+    * unlike [[quantileFilter]] there is no corpus-wide state, so this is
+    * the cheaper FIRST stage of a filtering pipeline (drop the obvious
+    * junk at scan speed, spend the quantile gate on what remains). */
+  def gopherFilter(df: DataFrame, text: Column,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3, maxMeanWordLen: Double = 10,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      minAlphaFrac: Double = 0.8, minStopwordHits: Long = 2): DataFrame =
+    df.filter(gopherPasses(gopherStats(text),
+      minWords, maxWords, minMeanWordLen, maxMeanWordLen, maxSymbolRatio,
+      maxBulletFrac, maxEllipsisFrac, minAlphaFrac, minStopwordHits))
+
   /** Order-sensitive 64-bit document fingerprint: a left fold chaining
     * xxhash64(acc, token) — order-sensitive like a rolling hash but safe
     * under ANSI mode (`acc * 31 + h` overflow-checks in Spark 4). Equal

@@ -222,6 +222,54 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(0).getDouble(3) > rows(1).getDouble(3))
   }
 
+  test("gopherStats: hand-computed signals; gate rejects each rule breaker") {
+    // 64 words: 4 stopwords + 60 x "word"; mean len (3+2+2+3+60*4)/64
+    val good = (Seq("the", "be", "of", "and") ++ Seq.fill(60)("word"))
+      .mkString(" ")
+    val tiny = "the of and be tiny" // < 50 words
+    val bullety = Seq.fill(60)("- the item of note").mkString("\n") // all bullets
+    val dotty = Seq.fill(20)("the thing of it goes on...").mkString("\n")
+    val taggy = (Seq("the", "of") ++ Seq.fill(58)("#tag")).mkString(" ")
+    val numeric = (Seq("the", "of") ++ Seq.fill(58)("12345")).mkString(" ")
+    val nostop = Seq.fill(60)("plain words here again").mkString(" ")
+    val d = Seq(good, tiny, bullety, dotty, taggy, numeric, nostop, "")
+      .toDF("t")
+      .withColumn("g", TextAnalysis.gopherStats(F.col("t")))
+      .withColumn("p", TextAnalysis.gopherPasses(F.col("g")))
+      .select("g.word_count", "g.mean_word_len", "g.symbol_word_ratio",
+        "g.bullet_line_frac", "g.ellipsis_line_frac", "g.alpha_word_frac",
+        "g.req_stopword_hits", "p")
+    val rows = d.collect()
+    assert(rows(0).getLong(0) == 64L)
+    assert(rows(0).getDouble(1) === math.rint(250.0 / 64 * 1e6) / 1e6)
+    assert(rows(0).getDouble(5) === 1.0)       // every word alphabetic
+    assert(rows(0).getLong(6) == 4L)           // the, be, of, and
+    assert(rows(0).getBoolean(7))              // the only passer
+    assert(rows(1).getLong(0) == 5L && !rows(1).getBoolean(7))
+    assert(rows(2).getDouble(3) === 1.0 && !rows(2).getBoolean(7))
+    assert(rows(3).getDouble(4) === 1.0 && !rows(3).getBoolean(7))
+    assert(rows(4).getDouble(2) > 0.1 && !rows(4).getBoolean(7))
+    assert(rows(5).getDouble(5) < 0.8 && !rows(5).getBoolean(7))
+    assert(rows(6).getLong(6) == 0L && !rows(6).getBoolean(7))
+    assert(rows(7).getLong(0) == 0L && !rows(7).getBoolean(7)) // empty
+  }
+
+  test("gopherFilter is stateless — runs unchanged on a stream") {
+    val good = (Seq("the", "be", "of", "and") ++ Seq.fill(60)("word"))
+      .mkString(" ")
+    val docs = Seq((1L, good), (2L, "too short"), (3L, good + " extra"))
+      .toDF("id", "t")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gopher").toString
+    docs.write.parquet(dir + "/docs")
+    val stream = graft.streaming.Streams.readParquetStream(
+      spark, dir + "/docs", docs.schema)
+    val batch = TextAnalysis.gopherFilter(docs, F.col("t"))
+    val streamed = graft.streaming.Streams.runToMemory(
+      TextAnalysis.gopherFilter(stream, F.col("t")), "t_gopher")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    assert(batch.count() == 2)
+  }
+
   test("repetitionStats: dup-line fractions and top-bigram share") {
     // non-empty lines: "aa bb", "cc", "aa bb", "cc aa bb" — the repeated
     // "aa bb" contributes 1 of 4 lines and 5 of 20 line chars; tokens

@@ -26,7 +26,7 @@ class PlanGuardSpec extends SparkSpec {
     "d17_normalize", "d18_vocabulary", "d19_tfidf",
     "d21_repetition", "d22_scrub", "d23_contamination", "d24_dedup_lines",
     "d28_hash_split", "d29_mixture", "d30_dedup_against", "d32_topk_sample",
-    "d33_chunk", "d36_quantize", "d40_dedup_spans")
+    "d33_chunk", "d36_quantize", "d40_dedup_spans", "d41_gopher_rules")
 
   /** Lines of the subtree rooted at line `i` (children print below with
     * deeper operator indentation until a line at or above the root's). */
@@ -131,6 +131,16 @@ class PlanGuardSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     for (op <- Seq("Exchange", "Sort", "Join"))
       assert(!plan.contains(op), s"hashSplit plan contains $op:\n$plan")
+  }
+
+  test("gopherFilter is a pure scan-side gate — no exchange, no sort, no join") {
+    import org.apache.spark.sql.{functions => F}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.operators.TextAnalysis
+      .gopherFilter(docs, F.col("text"))
+      .queryExecution.executedPlan.toString
+    for (op <- Seq("Exchange", "Sort", "Join"))
+      assert(!plan.contains(op), s"gopherFilter plan contains $op:\n$plan")
   }
 
   test("bloomGate is a scan-side filter — no join or shuffle in the gated plan") {
