@@ -56,37 +56,44 @@ object TextAnalysis {
     * the highest hit ratio; "und" (undetermined) when nothing hits.
     * Tokenizes once for all languages (let-binding). */
   def langId(text: Column): Column =
-    let(tokens(text)) { toks =>
-      val scored = stopwords.keys.toSeq.sorted.map { lang =>
-        F.struct(stopwordRatioT(toks, lang).as("score"),
-          F.lit(lang).as("lang"))
-      }
-      val best = F.array_max(F.array(scored: _*))
-      F.when(best.getField("score") > 0, best.getField("lang"))
-        .otherwise(F.lit("und"))
-    }
+    // explicit null guard: the let-bound scoring would otherwise turn a
+    // null document into all-zero scores and answer "und" — null in,
+    // null out is the engine-wide convention (SURVEY §1.3)
+    F.when(text.isNull, F.lit(null).cast(StringType)).otherwise(
+      let(tokens(text)) { toks =>
+        val scored = stopwords.keys.toSeq.sorted.map { lang =>
+          F.struct(stopwordRatioT(toks, lang).as("score"),
+            F.lit(lang).as("lang"))
+        }
+        val best = F.array_max(F.array(scored: _*))
+        F.when(best.getField("score") > 0, best.getField("lang"))
+          .otherwise(F.lit("und"))
+      })
 
   /** Quality score in [0,1]: blend of the standard cheap text-quality
     * signals (Gopher/C4-style): alphabetic ratio, punctuation density,
     * mean word length in a sane band, stopword presence. */
   def qualityScore(text: Column): Column = {
+    // null guard as in langId: the zero-defaulted blend would otherwise
+    // score a null document 0.2 instead of null
     val len = F.length(text).cast(DoubleType)
     val alpha = F.length(F.regexp_replace(text, "[^A-Za-z ]", "")).cast(DoubleType)
     val punct = F.length(F.regexp_replace(text, "[^.,;:!?]", "")).cast(DoubleType)
-    let(tokens(text)) { toks =>
-      val nTok = F.size(toks).cast(DoubleType)
-      val meanWordLen = F.when(nTok > 0,
-        F.aggregate(toks, F.lit(0.0), (acc, t) => acc + F.length(t)) / nTok)
-        .otherwise(0.0)
-      val alphaRatio = F.when(len > 0, alpha / len).otherwise(0.0)
-      val punctRatio = F.when(len > 0, punct / len).otherwise(0.0)
-      val wordLenOk = F.when(meanWordLen >= 3 && meanWordLen <= 10, 1.0)
-        .otherwise(0.0)
-      val stopOk = F.when(stopwordRatioT(toks, "en") > 0.01, 1.0).otherwise(0.0)
-      F.round(
-        alphaRatio * 0.4 + (F.lit(1.0) - F.least(punctRatio * 10, F.lit(1.0))) * 0.2 +
-          wordLenOk * 0.2 + stopOk * 0.2, 6)
-    }
+    F.when(text.isNull, F.lit(null).cast(DoubleType)).otherwise(
+      let(tokens(text)) { toks =>
+        val nTok = F.size(toks).cast(DoubleType)
+        val meanWordLen = F.when(nTok > 0,
+          F.aggregate(toks, F.lit(0.0), (acc, t) => acc + F.length(t)) / nTok)
+          .otherwise(0.0)
+        val alphaRatio = F.when(len > 0, alpha / len).otherwise(0.0)
+        val punctRatio = F.when(len > 0, punct / len).otherwise(0.0)
+        val wordLenOk = F.when(meanWordLen >= 3 && meanWordLen <= 10, 1.0)
+          .otherwise(0.0)
+        val stopOk = F.when(stopwordRatioT(toks, "en") > 0.01, 1.0).otherwise(0.0)
+        F.round(
+          alphaRatio * 0.4 + (F.lit(1.0) - F.least(punctRatio * 10, F.lit(1.0))) * 0.2 +
+            wordLenOk * 0.2 + stopOk * 0.2, 6)
+      })
   }
 
   /** The Gopher rule set's required stopwords (Rae et al. 2021,
@@ -105,6 +112,11 @@ object TextAnalysis {
     * per-row expressions — scan speed, no shuffle, streaming-legal.
     * Ratios are rounded to 6 dp so cross-engine oracles can hash-match. */
   def gopherStats(text: Column): Column =
+    // null in, null struct out (engine-wide convention; the gate then
+    // drops null documents because null passes no threshold)
+    F.when(text.isNull, F.lit(null)).otherwise(gopherStatsNonNull(text))
+
+  private def gopherStatsNonNull(text: Column): Column =
     let(tokens(text)) { toks =>
       let(F.split(text, "\n")) { lines =>
         val nTok = F.when(F.length(F.trim(text)) === 0, 0)

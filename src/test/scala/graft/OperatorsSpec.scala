@@ -270,6 +270,32 @@ class OperatorsSpec extends SparkSpec {
     assert(batch.count() == 2)
   }
 
+  test("text battery null-propagates: no operator throws on a null document") {
+    val d = Seq((1L, "the quick fox"), (2L, null))
+      .toDF("id", "t")
+    val out = d.select(F.col("id"),
+      TextAnalysis.tokenCount(F.col("t")).as("n"),
+      TextAnalysis.subwordCount(F.col("t")).as("sw"),
+      TextAnalysis.langId(F.col("t")).as("lang"),
+      TextAnalysis.qualityScore(F.col("t")).as("q"),
+      TextAnalysis.gopherStats(F.col("t")).as("g"),
+      TextAnalysis.fingerprint(F.col("t")).as("fp"),
+      TextAnalysis.normalize(F.col("t")).as("norm"),
+      TextAnalysis.scrub(F.col("t")).as("scrubbed"),
+      TextAnalysis.repetitionStats(F.col("t")).as("rep"))
+      .orderBy("id").collect()
+    val nullRow = out(1)
+    // every signal on a null document is null, never an exception
+    for (i <- 1 until nullRow.length)
+      assert(nullRow.isNullAt(i), s"column $i not null for null text")
+    assert(out(0).getLong(1) == 3L) // the non-null row still computes
+    // and the gates drop null documents rather than erroring
+    assert(TextAnalysis.gopherFilter(d, F.col("t")).count() == 0)
+    assert(TextAnalysis.quantileFilter(
+      d.withColumn("s", TextAnalysis.qualityScore(F.col("t"))),
+      F.col("s"), 0.5).count() == 1)
+  }
+
   test("repetitionStats: dup-line fractions and top-bigram share") {
     // non-empty lines: "aa bb", "cc", "aa bb", "cc aa bb" — the repeated
     // "aa bb" contributes 1 of 4 lines and 5 of 20 line chars; tokens
