@@ -70,5 +70,32 @@ def main() -> None:
     print(f"wrote {n_docs} docs -> {out_dir}/documents.parquet")
 
 
+def gen_embeddings() -> None:
+    """--emb mode: scaled `embeddings.parquet` matching the driver law
+    measured on /root/testdata/sf0.1: 64-dim float32, L2-normalized
+    (norm 1.0 exactly), ~isotropic directions (max natural pairwise
+    cosine ~0.5 at 2k vectors), labels uniform over 0..9."""
+    n_vecs = int(sys.argv[2])
+    out_dir = sys.argv[3]
+    seed = int(sys.argv[4]) if len(sys.argv) > 4 else 420
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n_vecs, 64)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    table = pa.table({
+        "vec_id": pa.array(range(n_vecs), pa.int64()),
+        "embedding": pa.array([row for row in v.tolist()],
+                              pa.list_(pa.float32())),
+        "label": pa.array((np.arange(n_vecs) % 10).tolist(), pa.int32()),
+    })
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(table, f"{out_dir}/embeddings.parquet")
+    print(f"wrote {n_vecs} vectors -> {out_dir}/embeddings.parquet")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--emb":
+        gen_embeddings()
+    else:
+        main()

@@ -168,7 +168,14 @@ object Similarity {
     * `nprobe = nlist` probes every cell — exact search through the IVF
     * plumbing (how d14 is oracle-checked); recall at `nprobe < nlist` is
     * the usual IVF trade and is spec-checked on clustered data.
-    * Deterministic: seeded sample, seeded init, fixed iteration count. */
+    * Deterministic: seeded sample, seeded init, fixed iteration count.
+    *
+    * When it pays (measured, SCALING.md): the assignment pass costs
+    * `nlist` centroid dots per corpus vector while brute force costs
+    * |queries| dots per vector — IVF wins once the query set outnumbers
+    * `nlist` (or the assignment is precomputed and reused across query
+    * batches); for one-shot small-query-set lookups use [[lshTopK]],
+    * whose per-vector index cost is `planes` XOR-cheap hyperplane signs. */
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
