@@ -179,7 +179,27 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
-      trainSample: Int = 10000, seed: Long = 42): DataFrame = {
+      trainSample: Int = 10000, seed: Long = 42): DataFrame =
+    ivfSearch(ivfIndex(corpus, corpusId, corpusVec, nlist, iters,
+      trainSample, seed), queries, queryId, queryVec, k, nprobe)
+
+  /** A trained IVF index: the unit centroids plus the cell-assigned
+    * corpus (`corpus_id, cv, cell`). Training + assignment is the
+    * per-corpus cost that [[ivfSearch]] amortizes across query batches
+    * (measured break-even vs brute force is |queries| ≈ `nlist`,
+    * SCALING.md). At scale, persist `assigned` — or better, write it
+    * `partitionBy("cell")` to parquet and hand the re-read frame to
+    * [[ivfSearch]]: the probe filter then becomes a static partition
+    * filter and only the probed cells' FILES are ever scanned. */
+  final case class IvfIndex(centroids: Seq[Seq[Double]], assigned: DataFrame)
+
+  /** Train the coarse quantizer on a bounded seeded sample (driver-side
+    * Lloyd's — the corpus itself never collects) and assign every corpus
+    * vector to its cell in one scan-side pass (centroids ride as plan
+    * literals inside [[graft.functions.TopCells]] — no join). */
+  def ivfIndex(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      nlist: Int = 16, iters: Int = 5,
+      trainSample: Int = 10000, seed: Long = 42): IvfIndex = {
     import graft.functions.VectorExprs
     val c = corpus.select(corpusId.as("corpus_id"), corpusVec.as("cv"))
     // --- train: seeded sample -> driver-side Lloyd's (spherical) ---------
@@ -187,22 +207,39 @@ object Similarity {
       .limit(trainSample)
       .select(F.col("cv").cast(ArrayType(DoubleType)))
       .collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "ivfTopK: empty corpus")
+    require(sample.nonEmpty, "ivfIndex: empty corpus")
     val centroids = trainSpherical(sample, math.min(nlist, sample.length), iters)
-    val probes = math.min(nprobe, centroids.length)
     // --- assign corpus (one pass, no shuffle until the candidate join) ---
-    val assigned = c.withColumn("cell",
-      VectorExprs.topCells(F.col("cv"), centroids, 1)(0))
+    IvfIndex(centroids, c.withColumn("cell",
+      VectorExprs.topCells(F.col("cv"), centroids, 1)(0)))
+  }
+
+  /** Probe a trained [[IvfIndex]]: each query scores the exact cosine
+    * against only its `nprobe` best cells' vectors. The probed cell set
+    * is collected (bounded by |queries|·nprobe ints — queries are small
+    * by the same contract as [[bruteForceTopK]]) and pushed as an
+    * `IN`-filter on the index scan, so a cell-partitioned parquet index
+    * prunes to the probed partitions statically; the candidate join then
+    * broadcasts the probes — the corpus never shuffles. */
+  def ivfSearch(index: IvfIndex, queries: DataFrame,
+      queryId: Column, queryVec: Column,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    import graft.functions.VectorExprs
+    val probes = math.min(nprobe, index.centroids.length)
     val probed = queries
       .select(queryId.as("query_id"), queryVec.as("qv"))
       .withColumn("cell",
-        F.explode(VectorExprs.topCells(F.col("qv"), centroids, probes)))
+        F.explode(VectorExprs.topCells(F.col("qv"), index.centroids, probes)))
+    val cells = probed.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
     // queries are small by construction (same contract as bruteForceTopK):
     // broadcast them so the corpus NEVER shuffles — a plain hash join here
     // would repartition the whole corpus on `cell` (only nlist distinct
     // values: guaranteed skew). A large query set would instead bucket both
     // sides by cell at write time.
-    val pairs = assigned.join(F.broadcast(probed), Seq("cell"))
+    val pairs = index.assigned
+      .filter(F.col("cell").isin(cells.map(Int.box): _*))
+      .join(F.broadcast(probed), Seq("cell"))
       .withColumn("cosine", cosine(F.col("cv"), F.col("qv")))
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("cosine").desc, F.col("corpus_id"))

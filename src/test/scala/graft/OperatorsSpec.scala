@@ -381,6 +381,46 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF single-probe recall $recall")
   }
 
+  test("IVF index reuse: one ivfIndex serves query batches; a cell-" +
+      "partitioned parquet index prunes the scan to the probed cells") {
+    val corpus = (for { cl <- 0 until 4; i <- 0 until 25 } yield {
+      val v = Array.tabulate(8)(d =>
+        (if (d == cl * 2) 10.0 else 0.0) + ((i * 7 + d * 3) % 5) * 0.1)
+      (cl * 100L + i, v.toSeq)
+    }).toDF("id", "v")
+    val queries = (0 until 4).map { cl =>
+      (1000L + cl, Seq.tabulate(8)(d => if (d == cl * 2) 10.0 else 0.0))
+    }.toDF("id", "v")
+    val idx = Similarity.ivfIndex(corpus, F.col("id"), F.col("v"),
+      nlist = 4, trainSample = 100)
+    // two query batches against ONE index == the one-shot operator
+    for (batch <- Seq(queries.filter(F.col("id") < 1002),
+        queries.filter(F.col("id") >= 1002))) {
+      val reused = Similarity.ivfSearch(idx, batch,
+        F.col("id"), F.col("v"), k = 5, nprobe = 1).collect().toSet
+      val oneShot = Similarity.ivfTopK(corpus, F.col("id"), F.col("v"),
+        batch, F.col("id"), F.col("v"), k = 5, nlist = 4, nprobe = 1,
+        trainSample = 100).collect().toSet
+      assert(reused == oneShot)
+    }
+    // the at-scale path: index written partitionBy(cell), re-read — the
+    // probe filter must prune the scan to the probed cells' partitions
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    idx.assigned.write.partitionBy("cell").parquet(dir + "/index")
+    val reread = spark.read.parquet(dir + "/index")
+    val oneQuery = queries.filter(F.col("id") === 1000L)
+    val fromDisk = Similarity.ivfSearch(
+      Similarity.IvfIndex(idx.centroids, reread), oneQuery,
+      F.col("id"), F.col("v"), k = 5, nprobe = 1)
+    assert(fromDisk.collect().toSet ==
+      Similarity.ivfSearch(idx, oneQuery, F.col("id"), F.col("v"),
+        k = 5, nprobe = 1).collect().toSet)
+    val scan = fromDisk.queryExecution.executedPlan.toString
+    val pf = scan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("cell")),
+      s"probe filter not pushed to partition pruning:\n$scan")
+  }
+
   test("syntheticPayload yields exactly n raw bytes") {
     val rows = spark.range(3).select(
       F.length(Multimodal.syntheticPayload(F.col("id"), 100)).as("len"))
