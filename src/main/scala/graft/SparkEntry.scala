@@ -1350,6 +1350,13 @@ object SparkEntry {
         TextAnalysis.gopherPasses(F.col("__g")).cast("int").as("passes"))
       .orderBy("doc_id")
 
+  /** Corpus-wide top-25 bigrams — the boilerplate-discovery scan; exact
+    * multiset counts, so DuckDB replays it 1:1 (same tokenization, same
+    * count-desc/gram-asc tie-break). */
+  private val d42: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.topNgrams(t(s, dir, "documents"), F.col("text"),
+      n = 2, k = 25)
+
   /** Int8 embedding quantization over the embeddings table: per-vector
     * scale, code sum, first-8 codes, and reconstruction cosine — the 4×
     * storage trade for corpus-scale embedding tables, all-double
@@ -1676,6 +1683,7 @@ object SparkEntry {
     "d39_corpus_stats_approx" -> d39,
     "d40_dedup_spans" -> d40,
     "d41_gopher_rules" -> d41,
+    "d42_top_ngrams" -> d42,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -2275,6 +2283,17 @@ object SparkEntry {
           AND alpha_word_frac >= 0.8
           AND req_stopword_hits >= 2)::INT AS passes
       FROM sig ORDER BY doc_id""",
+    // top-k bigrams: exact multiset counts with a pinned tie-break
+    "d42_top_ngrams" -> """
+      WITH toks AS (SELECT
+          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
+        FROM documents),
+      g AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i+1])) AS ngram
+            FROM toks WHERE len(t) >= 2)
+      SELECT ngram, count(*)::BIGINT AS freq FROM g
+      GROUP BY ngram ORDER BY freq DESC, ngram ASC LIMIT 25""",
     // brute-force exact n-gram Jaccard over all pairs — the oracle for BOTH
     // near-dup pipelines (recall losses in LSH banding / df-capped postings
     // would surface as missing rows)

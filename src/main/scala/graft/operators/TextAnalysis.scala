@@ -271,6 +271,33 @@ object TextAnalysis {
           .cast(LongType).as("n_tokens"))
   }
 
+  /** Corpus-wide top-k token n-grams by occurrence count (multiset, not
+    * the per-document distinct sets [[graft.operators.Dedup.shingles]]
+    * feeds to MinHash) — the standard boilerplate-discovery scan used to
+    * calibrate repetition filters and spot templating.
+    *
+    * Scale shape: per-row gram expansion (a transform over ONE let-bound
+    * tokenization — no join, no state) → explode → count groupBy with
+    * map-side partial aggregation → `orderBy.limit(k)`, which plans as
+    * TakeOrderedAndProject (per-partition top-k heaps + driver merge of k
+    * rows — never a global sort). Deterministic tie-break: count desc,
+    * gram asc. */
+  def topNgrams(df: DataFrame, text: Column, n: Int = 2, k: Int = 20): DataFrame = {
+    require(n >= 1, s"n-gram size must be positive, got $n")
+    require(k >= 1, s"top-k must be positive, got $k")
+    val grams = let(tokens(text)) { toks =>
+      val m = F.size(toks) - (n - 1)
+      F.when(F.length(F.trim(text)) === 0 || m <= 0,
+        F.array().cast(ArrayType(StringType)))
+        .otherwise(F.transform(F.sequence(F.lit(1), m),
+          i => F.array_join(F.slice(toks, i, F.lit(n)), " ")))
+    }
+    df.select(F.explode(grams).as("ngram"))
+      .groupBy("ngram").agg(F.count(F.lit(1)).as("freq"))
+      .orderBy(F.col("freq").desc, F.col("ngram").asc)
+      .limit(k)
+  }
+
   /** The quantile aggregate behind [[quantileFilter]] and [[corpusStats]].
     * Default is `approx_percentile` — a Greenwald-Khanna sketch whose merge
     * buffer is O(accuracy·log n) REGARDLESS of corpus size, with the

@@ -270,6 +270,21 @@ class OperatorsSpec extends SparkSpec {
     assert(batch.count() == 2)
   }
 
+  test("topNgrams: multiset counts, count-desc/gram-asc tie-break, " +
+      "short and empty docs contribute nothing") {
+    val d = Seq("a b a b", "a b c", "x", "").toDF("t")
+    // "a b a b" -> a b, b a, a b; "a b c" -> a b, b c
+    val out = TextAnalysis.topNgrams(d, F.col("t"), n = 2, k = 10)
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+    // top-k plans as per-partition heaps + driver merge, never a global sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k did not plan as TakeOrderedAndProject:\n$plan")
+    val tri = TextAnalysis.topNgrams(d, F.col("t"), n = 3, k = 2).collect()
+    assert(tri.map(_.getString(0)).toSeq == Seq("a b a", "a b c"))
+  }
+
   test("text battery null-propagates: no operator throws on a null document") {
     val d = Seq((1L, "the quick fox"), (2L, null))
       .toDF("id", "t")
