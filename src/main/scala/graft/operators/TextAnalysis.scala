@@ -298,6 +298,31 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-group top-k n-grams (e.g. per-source/domain boilerplate): same
+    * expansion and counts as [[topNgrams]], with the top-k taken inside
+    * each group by a rank window partitioned on the group column — Spark
+    * plans the rank-≤-k filter as WindowGroupLimit (map-side per-group
+    * heaps before the shuffle), never a global sort or a driver loop. */
+  def topNgramsBy(df: DataFrame, group: Column, text: Column,
+      n: Int = 2, k: Int = 20): DataFrame = {
+    require(n >= 1, s"n-gram size must be positive, got $n")
+    require(k >= 1, s"top-k must be positive, got $k")
+    val grams = let(tokens(text)) { toks =>
+      val m = F.size(toks) - (n - 1)
+      F.when(F.length(F.trim(text)) === 0 || m <= 0,
+        F.array().cast(ArrayType(StringType)))
+        .otherwise(F.transform(F.sequence(F.lit(1), m),
+          i => F.array_join(F.slice(toks, i, F.lit(n)), " ")))
+    }
+    val w = Window.partitionBy("group")
+      .orderBy(F.col("freq").desc, F.col("ngram").asc)
+    df.select(group.as("group"), F.explode(grams).as("ngram"))
+      .groupBy("group", "ngram").agg(F.count(F.lit(1)).as("freq"))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("group", "ngram", "freq", "rank")
+  }
+
   /** The quantile aggregate behind [[quantileFilter]] and [[corpusStats]].
     * Default is `approx_percentile` — a Greenwald-Khanna sketch whose merge
     * buffer is O(accuracy·log n) REGARDLESS of corpus size, with the

@@ -285,6 +285,19 @@ class OperatorsSpec extends SparkSpec {
     assert(tri.map(_.getString(0)).toSeq == Seq("a b a", "a b c"))
   }
 
+  test("topNgramsBy: per-group top-k, WindowGroupLimit plan") {
+    val d = Seq(("s1", "a b a b"), ("s1", "a b c"), ("s2", "x y"),
+      ("s2", "x y"), ("s2", "y z")).toDF("src", "t")
+    val out = TextAnalysis.topNgramsBy(d, F.col("src"), F.col("t"),
+      n = 2, k = 1)
+    assert(out.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
+      Set(("s1", "a b", 3L), ("s2", "x y", 2L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-group top-k did not plan as WindowGroupLimit:\n$plan")
+  }
+
   test("text battery null-propagates: no operator throws on a null document") {
     val d = Seq((1L, "the quick fox"), (2L, null))
       .toDF("id", "t")
