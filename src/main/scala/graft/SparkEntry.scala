@@ -1357,6 +1357,27 @@ object SparkEntry {
     TextAnalysis.topNgrams(t(s, dir, "documents"), F.col("text"),
       n = 2, k = 25)
 
+  /** The IVF DISK-index path end-to-end: train + assign, write the index
+    * `partitionBy("cell")` to parquet, re-read, search with every cell
+    * probed — the probe IN-filter prunes to the probed partitions
+    * statically, and exhaustive probing makes the result exactly brute
+    * force, so the d04 DuckDB oracle checks this path too. */
+  private val d43: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val idx = Similarity.ivfIndex(emb.filter(F.col("vec_id") >= 5),
+      F.col("vec_id"), F.col("embedding"), nlist = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d43")
+      .toFile.getPath
+    idx.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(tmp)
+    Similarity.ivfSearch(
+      Similarity.IvfIndex(idx.centroids, s.read.parquet(tmp)),
+      emb.filter(F.col("vec_id") < 5), F.col("vec_id"), F.col("embedding"),
+      k = 5, nprobe = 8)
+      .withColumn("cosine", F.round(F.col("cosine"), 6))
+      .orderBy("query_id", "rank")
+  }
+
   /** Int8 embedding quantization over the embeddings table: per-vector
     * scale, code sum, first-8 codes, and reconstruction cosine — the 4×
     * storage trade for corpus-scale embedding tables, all-double
@@ -1684,6 +1705,7 @@ object SparkEntry {
     "d40_dedup_spans" -> d40,
     "d41_gopher_rules" -> d41,
     "d42_top_ngrams" -> d42,
+    "d43_ivf_disk_index" -> d43,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -1698,7 +1720,10 @@ object SparkEntry {
   // same pair graph as d15 — the label contract is identical, so it is
   // checked against the identical closure oracle (appended after the map).
   def oracleSql: Map[String, String] = oracleSqlBase +
-    ("d34_clusters_star" -> oracleSqlBase("d15_dedup_clusters"))
+    ("d34_clusters_star" -> oracleSqlBase("d15_dedup_clusters")) +
+    // exhaustive-probe IVF over the disk index == brute force by
+    // construction — same oracle as the brute-force query
+    ("d43_ivf_disk_index" -> oracleSqlBase("d04_cosine_topk"))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q01_agg" -> """

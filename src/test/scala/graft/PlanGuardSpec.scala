@@ -27,7 +27,7 @@ class PlanGuardSpec extends SparkSpec {
     "d21_repetition", "d22_scrub", "d23_contamination", "d24_dedup_lines",
     "d28_hash_split", "d29_mixture", "d30_dedup_against", "d32_topk_sample",
     "d33_chunk", "d36_quantize", "d40_dedup_spans", "d41_gopher_rules",
-    "d42_top_ngrams")
+    "d42_top_ngrams", "d43_ivf_disk_index")
 
   /** Lines of the subtree rooted at line `i` (children print below with
     * deeper operator indentation until a line at or above the root's). */
