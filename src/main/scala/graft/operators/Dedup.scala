@@ -128,6 +128,28 @@ object Dedup {
       .select("p.*").distinct()
   }
 
+  /** Band planner for MinHash LSH (the MMDS §3.4.3 s-curve rule): among
+    * the (bands, rowsPerBand) factorizations of `numHashes`, pick the one
+    * whose detection-probability midpoint `(1/bands)^(1/rows)` — the
+    * Jaccard at which a pair has ~50% candidate probability — sits
+    * closest to the target threshold. Wider bands (more rows each) push
+    * the midpoint UP, cutting the collision floor on low-similarity
+    * corpora; more bands push it DOWN, buying recall near the threshold.
+    * This is the 100 TB tuning knob SCALING.md's d05 analysis points at:
+    * call it once with the corpus threshold instead of hand-picking.
+    * Returns (bands, rowsPerBand, midpoint). */
+  def lshPlan(numHashes: Int, threshold: Double): (Int, Int, Double) = {
+    require(numHashes >= 1, s"numHashes must be positive, got $numHashes")
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0, 1), got $threshold")
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .map { b =>
+        val r = numHashes / b
+        (b, r, math.pow(1.0 / b, 1.0 / r))
+      }
+      .minBy { case (_, _, mid) => math.abs(mid - threshold) }
+  }
+
   /** Near-dedup via MinHash LSH + exact Jaccard verification: candidates
     * from [[minhashLshCandidates]], verified against true shingle-set
     * Jaccard ≥ threshold. Returns (id_a, id_b, jaccard) confirmed pairs. */

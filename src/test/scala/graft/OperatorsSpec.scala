@@ -21,6 +21,22 @@ class OperatorsSpec extends SparkSpec {
       Set("a b", "b c", "c d"))
   }
 
+  test("lshPlan picks the s-curve midpoint closest to the threshold") {
+    // 64 hashes, threshold 0.8: midpoints are (1/b)^(b/64) over divisors;
+    // 8x8 gives 0.771 — the closest, and exactly d05's banding
+    val (b, r, mid) = Dedup.lshPlan(64, 0.8)
+    assert((b, r) == (8, 8))
+    assert(math.abs(mid - math.pow(1.0 / 8, 1.0 / 8)) < 1e-12)
+    // a low threshold wants many narrow bands; a high one wants few wide
+    assert(Dedup.lshPlan(64, 0.2)._1 > 8)
+    assert(Dedup.lshPlan(64, 0.95)._1 < 8)
+    // the planner's midpoint is always the best divisor's
+    val all = (1 to 64).filter(64 % _ == 0)
+      .map(bb => math.pow(1.0 / bb, bb / 64.0))
+    assert(all.map(m => math.abs(m - 0.8)).min ==
+      math.abs(Dedup.lshPlan(64, 0.8)._3 - 0.8))
+  }
+
   test("minhash signature equal for equal shingle sets, length numHashes") {
     val d = Seq("x y z", "x y z", "totally different words").toDF("t")
       .select(Dedup.minhashSignature(
