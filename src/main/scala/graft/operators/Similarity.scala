@@ -93,6 +93,29 @@ object Similarity {
     * expression ([[graft.functions.HyperplaneSig]]): the sign matrix is
     * derived once per task and the projection is a JIT'd dot loop, not
     * planes × dims interpreted lambdas per row. */
+  /** Band planner for hyperplane (sign-random-projection) LSH — the
+    * cosine twin of [[graft.operators.Dedup.lshPlan]]. A plane bit agrees
+    * for vectors at angle θ with p = 1 − θ/π (Charikar 2002); a band of
+    * r bits matches with p^r and b bands fire with 1 − (1 − p^r)^b, so
+    * the 50%-candidate midpoint is p_mid = (1 − 2^(−1/b))^(1/r), i.e.
+    * cos_mid = cos(π(1 − p_mid)). Among the (bands, rows) factorizations
+    * of `planes`, pick the one whose cos_mid sits closest to the target
+    * cosine — fewer, wider bands for near-identical thresholds; more,
+    * narrower bands when recall further from 1 matters. Returns
+    * (bands, rowsPerBand, cosMidpoint). */
+  def hyperplanePlan(planes: Int, cosineThreshold: Double): (Int, Int, Double) = {
+    require(planes >= 1, s"planes must be positive, got $planes")
+    require(cosineThreshold > -1 && cosineThreshold < 1,
+      s"cosine threshold must be in (-1, 1), got $cosineThreshold")
+    (1 to planes).filter(planes % _ == 0)
+      .map { b =>
+        val r = planes / b
+        val pMid = math.pow(1.0 - math.pow(0.5, 1.0 / b), 1.0 / r)
+        (b, r, math.cos(math.Pi * (1.0 - pMid)))
+      }
+      .minBy { case (_, _, c) => math.abs(c - cosineThreshold) }
+  }
+
   def hyperplaneSignature(vec: Column, planes: Int, seed: Long): Column =
     graft.functions.VectorExprs.hyperplaneSig(vec, planes, seed)
 

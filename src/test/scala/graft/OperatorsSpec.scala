@@ -37,6 +37,37 @@ class OperatorsSpec extends SparkSpec {
       math.abs(Dedup.lshPlan(64, 0.8)._3 - 0.8))
   }
 
+  test("hyperplanePlan: cosine midpoints, monotone band counts") {
+    // 64 planes at cosine ~0.94: 4 bands x 16 rows (d13's banding)
+    val (b, r, mid) = Similarity.hyperplanePlan(64, 0.94)
+    assert((b, r) == (4, 16))
+    assert(mid > 0.9 && mid < 0.98)
+    // near-identical threshold -> fewer, wider bands; looser -> more bands
+    assert(Similarity.hyperplanePlan(64, 0.999)._1 <= 2)
+    assert(Similarity.hyperplanePlan(64, 0.5)._1 > 4)
+    // midpoint formula sanity: one 64-bit band fires at p = 0.5^(1/64)
+    val (_, _, one) = Similarity.hyperplanePlan(64, 0.9995)
+    assert(math.abs(one -
+      math.cos(math.Pi * (1.0 - math.pow(0.5, 1.0 / 64)))) < 1e-12)
+  }
+
+  test("dedup and text operators return empty results on an empty corpus") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "t")
+    assert(Dedup.exact(empty, F.col("t"), F.col("id")).count() == 0)
+    assert(Dedup.minhashDuplicatePairs(empty, F.col("id"), F.col("t"),
+      threshold = 0.8).count() == 0)
+    assert(Dedup.ngramJaccardPairs(empty, F.col("id"), F.col("t"),
+      shingleSize = 3, threshold = 0.8).count() == 0)
+    assert(Dedup.dedupSpans(empty, F.col("id"), F.col("t"),
+      k = 8, minDocs = 2).count() == 0)
+    assert(TextAnalysis.topNgrams(empty, F.col("t")).count() == 0)
+    assert(TextAnalysis.gopherFilter(empty, F.col("t")).count() == 0)
+    assert(TextAnalysis.vocabulary(empty, F.col("id"), F.col("t"))
+      .count() == 0)
+    assert(TextAnalysis.chunk(empty, F.col("id"), F.col("t"), size = 10)
+      .count() == 0)
+  }
+
   test("minhash signature equal for equal shingle sets, length numHashes") {
     val d = Seq("x y z", "x y z", "totally different words").toDF("t")
       .select(Dedup.minhashSignature(
