@@ -776,20 +776,27 @@ object Dedup {
       .select(F.explode(bucketPairs(F.col("ids"))).as("p"))
       .select("p.*").distinct()
     // exact verification: semi-join-prune the corpus to candidate ids, then
-    // join the vectors back per pair side (verifyJaccard pattern). Same
-    // binding repartitions as verifyJaccard: the cached candidate layout
-    // and the pair join's probe side must never inherit a
-    // coalesced-for-broadcast or raw-scan partition count (see the
-    // cached-partitioning race writeup in SCALING.md)
-    val nPart = cands0.sparkSession.sessionState.conf.numShufflePartitions
+    // join the vectors back per pair side (verifyJaccard pattern) — but
+    // deliberately WITHOUT verifyJaccard's persist + binding repartitions.
+    // Those exist to make a cross-consumer CACHE layout deterministic (the
+    // cached-partitioning race, SCALING.md); here every consumer of the
+    // candidate table sits inside ONE action's DAG, so Spark's exchange
+    // reuse (ReusedExchange / AQE stage reuse) already runs the expensive
+    // subtree — signatures, banding shuffle, pair distinct — exactly once,
+    // with no InMemoryRelation whose layout a racing materializer could
+    // decide. Verified in round 7: the unconditional pins cost d13 an
+    // extra ~2.3× on the driver VM (three exchanges + two forced
+    // sort-merge joins on a pairs-scale table) while buying nothing —
+    // hash(id_a,id_b) satisfies neither join's hash(id_a)/hash(id_b)
+    // requirement anyway. Verification work here is a per-pair cosine on
+    // pruned vectors (light), not verifyJaccard's per-doc shingling
+    // (heavy), so AQE's size-based orientation is safe at every scale:
+    // tiny sides broadcast, big sides shuffle on real stats.
     val cands = cands0
-      .repartition(nPart, F.col("id_a"), F.col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cands.select(F.explode(F.array(
       F.col("id_a"), F.col("id_b"))).as("vid")).distinct()
     val vecs = df.select(id.as("vid"), vec.as("vv"))
       .join(candIds, Seq("vid"), "left_semi")
-      .repartition(nPart, F.col("vid"))
     cands
       .join(vecs.select(F.col("vid").as("id_a"), F.col("vv").as("__va")),
         Seq("id_a"))

@@ -146,23 +146,29 @@ object Similarity {
     }
     val c = banded(corpus, corpusId, corpusVec, "corpus_id")
     val q = banded(queries, queryId, queryVec, "query_id")
-    // candidate pairs: ids only through the join and the distinct
+    // candidate pairs: ids only through the join and the distinct.
+    // Consumed three times below (two id-prunes + the pair join). The
+    // persist is load-bearing here — unlike [[Dedup.embeddingDuplicatePairs]]
+    // (cache-free, exchange reuse): the two prune consumers project a
+    // SINGLE id column before their distinct, and Catalyst's column
+    // pruning specializes each copy of the candidate subtree (the
+    // query-side banding even drops its id), so the three copies stop
+    // being canonically equal and AQE stage reuse cannot deduplicate them
+    // — without the cache the full corpus banding scan would run three
+    // times. The single binding repartition pins the cached layout
+    // against the materialization race (SCALING.md) at pairs-scale cost;
+    // the round-6 repartitions on the vector sides are gone — they forced
+    // sort-merge joins where AQE's size-based orientation is safe.
     val nPart = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val cands = c.join(q, Seq("band", "bucket"))
       .select("corpus_id", "query_id")
       .distinct()
-      // consumed three times below (two id-prunes + the pair join);
-      // pairs-scale by construction, caches cheaply. Binding repartition:
-      // the cached layout must not be decided by whichever consumer
-      // materializes it first (cached-partitioning race, SCALING.md)
       .repartition(nPart, F.col("corpus_id"), F.col("query_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cv = corpus.select(corpusId.as("corpus_id"), corpusVec.as("__cv"))
       .join(cands.select("corpus_id").distinct(), Seq("corpus_id"), "left_semi")
-      .repartition(nPart, F.col("corpus_id"))
     val qv = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
       .join(cands.select("query_id").distinct(), Seq("query_id"), "left_semi")
-      .repartition(nPart, F.col("query_id"))
     val pairs = cands.join(cv, "corpus_id").join(qv, "query_id")
       .withColumn("cosine", cosine(F.col("__cv"), F.col("__qv")))
     val w = Window.partitionBy("query_id")

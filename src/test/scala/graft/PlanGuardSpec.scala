@@ -115,6 +115,47 @@ class PlanGuardSpec extends SparkSpec {
         s"vector payload inside the candidate distinct:\n$d")
   }
 
+  test("d13 embedding near-dup: cache-free single-DAG verification — no " +
+      "InMemoryTableScan, no binding repartition, candidate subtree " +
+      "shared via exchange/stage reuse (r6 verdict: the unconditional " +
+      "pins cost d13 2.3x for nothing)") {
+    val df = SparkEntry.queries("d13_embedding_neardup")(spark, dir)
+    // execute THIS QueryExecution so AQE finalizes it — stage reuse is
+    // a runtime decision (df.write would plan a fresh clone and leave
+    // df's own plan isFinalPlan=false)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("InMemoryTableScan"),
+      s"d13 verification path went through a cache:\n$plan")
+    assert(!plan.contains("REPARTITION_BY_NUM"),
+      s"d13 still carries a binding repartition:\n$plan")
+    // the banded candidate subtree is consumed from multiple places in
+    // ONE DAG; it must be computed once — visible as a ReusedExchange
+    // (static planning) or a repeated ShuffleQueryStage id (AQE)
+    val stageIds = raw"ShuffleQueryStage (\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val reused = plan.contains("ReusedExchange") ||
+      stageIds.distinct.size < stageIds.size
+    assert(reused, s"d13 candidate subtree not reused:\n$plan")
+  }
+
+  test("d09 lshTopK: candidate table cached once (column pruning " +
+      "specializes the three consumer copies, defeating exchange reuse — " +
+      "the cache is what keeps the corpus banding scan single-pass) and " +
+      "the vector sides carry no forced repartition") {
+    val df = SparkEntry.queries("d09_lsh_topk")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TableCacheQueryStage") ||
+        plan.contains("InMemoryTableScan"),
+      s"d09 candidate table no longer cached — banding scan runs 3x:\n$plan")
+    // exactly the one layout-pinning repartition (inside the cached
+    // relation), none on the vector lookup sides
+    val pins = plan.linesIterator.count(_.contains("REPARTITION_BY_NUM"))
+    assert(pins <= 1, s"d09 carries forced vector-side repartitions:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("d23 contamination: bench postings broadcast — the corpus side " +
       "streams through the match join without shuffling") {
     val plan = SparkEntry.queries("d23_contamination")(spark, dir)
