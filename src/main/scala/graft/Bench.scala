@@ -105,7 +105,13 @@ object Bench {
     val medShort = names.map(n =>
       "\"" + short(n) + "\":" + fmt("%.2f", median(samples(n))))
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt("%.1f", total)},"unit":"sec","queries":$medShort,"n_runs":$nRuns,"sf":"$sfShort","detail":"$detailPath"}"""
+    // value_min = sum of per-query minima: the noise-robust stat (the
+    // driver VM's 2-4x external-load variance inflates medians; minima
+    // are the best machine-independent cost proxy — r6 verdict #6). One
+    // short key so the compact line still fits the 2000-char tail.
+    val totalMin = names
+      .map(n => if (samples(n).isEmpty) 0.0 else samples(n).min).sum
+    val compact = s"""{"metric":"total","value":${fmt("%.1f", total)},"value_min":${fmt("%.1f", totalMin)},"unit":"sec","queries":$medShort,"n_runs":$nRuns,"sf":"$sfShort","detail":"$detailPath"}"""
     // spark.stop() FIRST: its shutdown logging (stderr) must not land
     // after the compact line in a 2>&1 capture. The println below is the
     // process's final output; with run/outputStrategy := StdoutOutput and

@@ -1378,6 +1378,72 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** RECALL contract for the LSH top-k path (d09's correctness signal,
+    * r6 verdict #1): run [[Similarity.lshTopK]] and the exact
+    * [[Similarity.bruteForceTopK]] on the SAME fixture as d04/d09 and
+    * emit per-query contract ints — `full_k` (LSH returned exactly k
+    * results) and `recall_ok` (≥ 3 of the exact top-5 recovered). The
+    * oracle pins both to 1 for every query (the d38/d39 ε-contract
+    * pattern): bucket contents are engine-specific, but with seeded
+    * hyperplanes the recall itself is deterministic, so a floor with
+    * margin is a hard cross-engine contract. d09 itself stays the pure
+    * LSH query — folding brute force into it would invalidate the
+    * SCALING.md sublinearity comparison (d09 vs d04 at 200k vectors). */
+  private val d44: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.filter(F.col("vec_id") >= 5)
+    val queries = emb.filter(F.col("vec_id") < 5)
+    val approx = Similarity.lshTopK(
+      corpus, F.col("vec_id"), F.col("embedding"),
+      queries, F.col("vec_id"), F.col("embedding"),
+      k = 5, planes = 8, bands = 4)
+    val exact = Similarity.bruteForceTopK(
+      corpus, F.col("vec_id"), F.col("embedding"),
+      queries, F.col("vec_id"), F.col("embedding"), k = 5)
+    val hits = approx.join(exact, Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy("query_id").agg(F.count(F.lit(1)).as("__hits"))
+    val returned = approx.groupBy("query_id")
+      .agg(F.count(F.lit(1)).as("__n"))
+    queries.select(F.col("vec_id").as("query_id"))
+      .join(returned, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(F.col("query_id"),
+        (F.coalesce(F.col("__n"), F.lit(0L)) === 5).cast("int").as("full_k"),
+        (F.coalesce(F.col("__hits"), F.lit(0L)) >= 3).cast("int")
+          .as("recall_ok"))
+      .orderBy("query_id")
+  }
+
+  /** Planted-duplicate RECALL contract for the SimHash family (d06/d08's
+    * correctness signal, r6 verdict #3): the signature values are
+    * engine-specific (seeded xxhash family — d06/d08 stay rows-only by
+    * nature), but two IDENTICAL texts get the identical signature in any
+    * correct implementation, and [[Dedup.simhashDuplicatePairs]]'
+    * maxDistance+1 banding guarantees by pigeonhole that a Hamming-0 pair
+    * shares an exact band — so planting verbatim copies makes recall a
+    * deterministic cross-engine contract: every planted (source, copy)
+    * pair MUST surface, at distance exactly 0. The oracle pins `found`
+    * and `dist_zero` to 1 for all 50 planted docs. */
+  private val d45: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val planted = docs.filter(F.col("doc_id") < 50)
+      .select((F.col("doc_id") + 100000L).as("doc_id"), F.col("text"))
+    val union = docs.select(F.col("doc_id"), F.col("text"))
+      .unionAll(planted)
+    val pairs = Dedup.simhashDuplicatePairs(union, F.col("doc_id"),
+      F.col("text"), maxDistance = 6)
+    val found = pairs
+      .filter(F.col("id_b") === F.col("id_a") + 100000L)
+      .select(F.col("id_a").as("doc_id"), F.lit(1).as("found"),
+        (F.col("distance") === 0).cast("int").as("dist_zero"))
+    docs.filter(F.col("doc_id") < 50).select("doc_id")
+      .join(found, Seq("doc_id"), "left")
+      .select(F.col("doc_id"),
+        F.coalesce(F.col("found"), F.lit(0)).as("found"),
+        F.coalesce(F.col("dist_zero"), F.lit(0)).as("dist_zero"))
+      .orderBy("doc_id")
+  }
+
   /** Int8 embedding quantization over the embeddings table: per-vector
     * scale, code sum, first-8 codes, and reconstruction cosine — the 4×
     * storage trade for corpus-scale embedding tables, all-double
@@ -1706,6 +1772,8 @@ object SparkEntry {
     "d41_gopher_rules" -> d41,
     "d42_top_ngrams" -> d42,
     "d43_ivf_disk_index" -> d43,
+    "d44_lsh_recall" -> d44,
+    "d45_simhash_planted" -> d45,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -2228,6 +2296,19 @@ object SparkEntry {
       SELECT count(*) AS n_docs,
         1 AS rank_lower_ok, 1 AS rank_upper_ok, 1 AS gate_min_ok
       FROM documents""",
+    // LSH top-k recall contract: seeded hyperplanes make recall
+    // deterministic; the oracle pins full-k and the >=3/5 recall floor
+    // to 1 for every query (bucket CONTENTS stay engine-specific — the
+    // raw d09 rows remain rows-only by nature)
+    "d44_lsh_recall" -> """
+      SELECT vec_id AS query_id, 1 AS full_k, 1 AS recall_ok
+      FROM embeddings WHERE vec_id < 5 ORDER BY query_id""",
+    // simhash planted-duplicate recall: identical text => identical
+    // signature => Hamming 0 => banding MUST pair it (pigeonhole);
+    // signature values themselves stay engine-specific
+    "d45_simhash_planted" -> """
+      SELECT doc_id, 1 AS found, 1 AS dist_zero
+      FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
     "d39_corpus_stats_approx" -> """
       WITH toks AS (
         SELECT CASE WHEN len(trim(text)) = 0 THEN 0
