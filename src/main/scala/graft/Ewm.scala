@@ -22,8 +22,20 @@ import org.apache.spark.sql.types._
   * Scale design: rows are hash-partitioned by the group keys and sorted
   * within partitions — each group's scan runs sequentially but groups run
   * in parallel across executors (the same contract as any
-  * `mapGroups`-style stateful op). With no keys the scan is a single
-  * partition — inherently so, same as the single-node reference. */
+  * `mapGroups`-style stateful op).
+  *
+  * UNGROUPED scans are distributed too (round 7; r6 verdict #4): the EWM
+  * recurrence is affine, so the running state is equivalent to four
+  * exponentially-discounted sums — W = Σwᵢdᵗ⁻ⁱ, W² with d², A = Σwᵢdᵗ⁻ⁱxᵢ,
+  * B = Σwᵢdᵗ⁻ⁱxᵢ² (mean = A/W, m2 = B − A²/W) — and discounted sums
+  * compose associatively across segments: S_AB = S_A·D_B + S_B with D the
+  * segment's total decay. That rides the [[org.apache.spark.sql.graftbridge.Bridge.zipWithPrefixSum]]
+  * two-job shape: one range shuffle on the declared order, a tiny
+  * per-partition summary job (shuffle reused by RDD identity), a
+  * driver-side scan of ≤ numPartitions summaries into carry-in states,
+  * then a per-partition seeded run of the SAME weighted-Welford kernel
+  * with zero extra data movement. The only sequential fragment left is
+  * the O(partitions) driver fold. */
 object Ewm {
 
   def ewmMean(df: DataFrame, keys: Seq[String], order: Seq[Column],
@@ -50,11 +62,12 @@ object Ewm {
   private def run(df: DataFrame, keys: Seq[String], order: Seq[Column],
       value: String, alpha: Double, adjust: Boolean, ignoreNils: Boolean,
       minPeriods: Int, outNames: Seq[String], wants: Seq[String]): DataFrame = {
+    if (keys.isEmpty)
+      return runUngrouped(df, order, value, alpha, adjust, ignoreNils,
+        minPeriods, outNames, wants)
     val sorted =
-      if (keys.nonEmpty)
-        df.repartition(keys.map(F.col): _*)
-          .sortWithinPartitions(keys.map(F.col) ++ order: _*)
-      else df.coalesce(1).sortWithinPartitions(order: _*)
+      df.repartition(keys.map(F.col): _*)
+        .sortWithinPartitions(keys.map(F.col) ++ order: _*)
 
     val outSchema = StructType(df.schema.fields ++
       outNames.map(n => StructField(n, DoubleType, nullable = true)))
@@ -113,5 +126,146 @@ object Ewm {
         Row.fromSeq(r.toSeq ++ outVals)
       }
     }(enc)
+  }
+
+  /** Distributed ungrouped EWM — see the object Scaladoc for the algebra.
+    * Per-partition continuation summaries assume a preceding observation
+    * exists (every step decays); the one case where that is wrong — the
+    * partition holding the GLOBAL first observation under `adjust=false`,
+    * whose first weight is 1 instead of α — is corrected driver-side from
+    * (firstX, fd): the first observation's value and the decay it has
+    * accumulated since. */
+  private def runUngrouped(df: DataFrame, order: Seq[Column], value: String,
+      alpha: Double, adjust: Boolean, ignoreNils: Boolean, minPeriods: Int,
+      outNames: Seq[String], wants: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val sorted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val rdd = sorted.queryExecution.toRdd
+    val vIdx = df.schema.fieldIndex(value)
+    val getX: InternalRow => Double = df.schema(vIdx).dataType match {
+      case DoubleType => r => r.getDouble(vIdx)
+      case FloatType => r => r.getFloat(vIdx).toDouble
+      case LongType => r => r.getLong(vIdx).toDouble
+      case IntegerType => r => r.getInt(vIdx).toDouble
+      case ShortType => r => r.getShort(vIdx).toDouble
+      case ByteType => r => r.getByte(vIdx).toDouble
+      case d: DecimalType =>
+        r => r.getDecimal(vIdx, d.precision, d.scale).toDouble
+      case other =>
+        throw new IllegalArgumentException(s"ewm over non-numeric $other")
+    }
+    val a = alpha
+    val decay = 1.0 - a
+    // job 1: per-partition discounted-sum summaries
+    // (n, D, Wc, W2c, Ac, Bc, firstX, fd)
+    val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; var dTot = 1.0
+      var wc, w2c, ac, bc = 0.0
+      var firstX = 0.0; var fd = 1.0; var seen = false
+      it.foreach { r =>
+        if (!r.isNullAt(vIdx)) {
+          val x = getX(r)
+          val w = if (adjust) 1.0 else a
+          dTot *= decay
+          wc = wc * decay + w; w2c = w2c * decay * decay + w * w
+          ac = ac * decay + w * x; bc = bc * decay + w * x * x
+          if (seen) fd *= decay else { firstX = x; seen = true }
+          n += 1L
+        } else if (!ignoreNils) {
+          dTot *= decay
+          wc *= decay; w2c *= decay * decay; ac *= decay; bc *= decay
+          if (seen) fd *= decay
+        }
+      }
+      Iterator((pid, (n, dTot, wc, w2c, ac, bc, firstX, fd)))
+    }.collect().toMap
+    // driver fold: O(partitions) carry-in states
+    val nParts = rdd.getNumPartitions
+    val offsets = new Array[(Long, Double, Double, Double, Double)](
+      math.max(nParts, 1))
+    var n = 0L; var w = 0.0; var w2 = 0.0; var aa = 0.0; var bb = 0.0
+    var p = 0
+    while (p < nParts) {
+      offsets(p) = (n, w, w2, aa, bb)
+      partials.get(p).foreach { case (np, d, wc, w2c, ac, bc, fx, fd) =>
+        if (n == 0L) {
+          if (!adjust && np > 0L) {
+            // global first obs carries weight 1, not α
+            w = wc + (1.0 - a) * fd
+            w2 = w2c + (1.0 - a * a) * fd * fd
+            aa = ac + (1.0 - a) * fd * fx
+            bb = bc + (1.0 - a) * fd * fx * fx
+          } else { w = wc; w2 = w2c; aa = ac; bb = bc }
+          n = np
+        } else {
+          w = w * d + wc; w2 = w2 * d * d + w2c
+          aa = aa * d + ac; bb = bb * d + bc
+          n += np
+        }
+      }
+      p += 1
+    }
+    // job 2: seeded per-partition Welford scan, zero data movement
+    val wantsArr = wants
+    val scanned = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val (n0, w0, w20, a0, b0) = offsets(pid)
+      var nObs = n0
+      var sumW = w0; var sumW2 = w20
+      var mean = if (w0 > 0) a0 / w0 else 0.0
+      var m2 = if (w0 > 0) math.max(b0 - a0 * a0 / w0, 0.0) else 0.0
+      val extra = new GenericInternalRow(wantsArr.length)
+      val joined = new JoinedRow
+      it.map { r =>
+        val isNull = r.isNullAt(vIdx)
+        if (!isNull) {
+          val x = getX(r)
+          val wgt = if (adjust || nObs == 0L) 1.0 else a
+          val scale = if (adjust || nObs > 0L) decay else 1.0
+          if (nObs > 0L) {
+            sumW *= scale; sumW2 *= scale * scale; m2 *= scale
+          }
+          val newSumW = sumW + wgt
+          val delta = x - mean
+          mean += (wgt / newSumW) * delta
+          m2 += wgt * delta * (x - mean)
+          sumW = newSumW
+          sumW2 += wgt * wgt
+          nObs += 1L
+        } else if (!ignoreNils && nObs > 0L) {
+          sumW *= decay; sumW2 *= decay * decay; m2 *= decay
+        }
+        val emit = !isNull && nObs >= minPeriods
+        var i = 0
+        while (i < wantsArr.length) {
+          wantsArr(i) match {
+            case "mean" =>
+              if (emit) extra.update(i, mean) else extra.update(i, null)
+            case "var" | "std" =>
+              if (!emit) extra.update(i, null)
+              else {
+                val denom = sumW - sumW2 / sumW
+                if (denom <= 0)
+                  if (nObs >= 1L) extra.update(i, 0.0)
+                  else extra.update(i, null)
+                else {
+                  val v = m2 / denom
+                  extra.update(i,
+                    if (wantsArr(i) == "std") math.sqrt(math.max(v, 0.0))
+                    else v)
+                }
+              }
+          }
+          i += 1
+        }
+        joined(r, extra): InternalRow
+      }
+    }
+    org.apache.spark.sql.graftbridge.Bridge.createFromInternalRows(
+      df.sparkSession, scanned,
+      StructType(df.schema.fields ++
+        outNames.map(nm => StructField(nm, DoubleType, nullable = true))))
   }
 }

@@ -12,6 +12,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame from an InternalRow RDD — `internalCreateDataFrame` is
+    * private[sql], so distributed-scan operators living outside the sql
+    * package tree (e.g. [[graft.Ewm]]'s seeded-scan path) bridge through
+    * here. */
+  def createFromInternalRows(session: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** RDD-level zipWithIndex over an already sorted/partitioned plan: appends
     * a LongType `name` column holding the global 0-based row position. Works
     * on the plan's `toRdd` (InternalRow, no encoder round-trip); the
