@@ -298,9 +298,14 @@ final class Gdf(
     else {
       val w = Window.partitionBy(groups.map(F.col): _*).orderBy(F.rand(seed))
       val cw = Window.partitionBy(groups.map(F.col): _*)
+      // round at 1e-9 before flooring: `gn * frac` in doubles can land
+      // just below the exact integer for fractions without a binary
+      // representation (e.g. 50 * 0.1 = 4.999...), which would keep one
+      // row fewer than the reference's floor(frac·n) (r6 ADVICE #5)
       copy(sdf.withColumn("__rn", F.row_number().over(w))
         .withColumn("__gn", F.count(F.lit(1)).over(cw))
-        .filter(F.col("__rn") <= F.floor(F.col("__gn") * frac))
+        .filter(F.col("__rn") <=
+          F.floor(F.round(F.col("__gn") * frac, 9)))
         .drop("__rn", "__gn"))
     }
   }
@@ -328,8 +333,23 @@ final class Gdf(
           s"without replacement (n=$n)")).isNull, F.lit(true))
     if (!replace) {
       if (groups.isEmpty) {
-        val cnt = bridge.scalarSubquery(sdf.select(F.count(F.lit(1))))
-        copy(sdf.filter(oversize(cnt)).orderBy(F.rand(seed)).limit(n))
+        // the assert lives INSIDE the scalar subquery: an aggregate always
+        // yields one row, so the check fires even when the frame is EMPTY
+        // at runtime (a row-level assert would never evaluate there and an
+        // oversize request would silently return empty — r6 ADVICE #1).
+        // One corner remains open by optimizer design: a STATICALLY empty
+        // frame (literal empty relation) is folded away by
+        // PropagateEmptyRelation together with the subquery, and returns
+        // empty without raising. Grouped frames need no guard at all: an
+        // empty frame has no groups, and every existing group evaluates
+        // its window-count assert.
+        val cnt = bridge.scalarSubquery(sdf.select(
+          F.when(F.assert_true(F.lit(n.toLong) <= F.count(F.lit(1)),
+            F.lit(s"cannot take a larger sample than the total " +
+              s"population without replacement (n=$n)")).isNull,
+            F.count(F.lit(1)))))
+        copy(sdf.filter(F.lit(n.toLong) <= cnt)
+          .orderBy(F.rand(seed)).limit(n))
       } else {
         val part = Window.partitionBy(groups.map(F.col): _*)
         val w = part.orderBy(F.rand(seed))

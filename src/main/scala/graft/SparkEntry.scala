@@ -1242,7 +1242,15 @@ object SparkEntry {
     // created and silently run every d37 after the first uncached
     // (measured: 3× on the bench's n=3 loop)
     val prev = d37LiveCache.getAndSet(scored)
-    if (prev != null && (prev ne scored)) prev.unpersist(blocking = false)
+    // guard the retirement: the cache is process-wide, so `prev` can
+    // belong to an earlier, now-STOPPED SparkSession in the same JVM —
+    // unpersist would then throw on the dead context and pin the old
+    // session against GC (r6 ADVICE #3); a stopped session has nothing
+    // cached to retire anyway
+    if (prev != null && (prev ne scored) &&
+        !prev.sparkSession.sparkContext.isStopped)
+      try prev.unpersist(blocking = false)
+      catch { case _: IllegalStateException => () }
     scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact percentile solely for the DuckDB replay; the operator default
     // (approx_percentile sketch) is the documented 100 TB posture — at
@@ -1362,12 +1370,30 @@ object SparkEntry {
     * probed — the probe IN-filter prunes to the probed partitions
     * statically, and exhaustive probing makes the result exactly brute
     * force, so the d04 DuckDB oracle checks this path too. */
+  /** Per-process scratch root for disk-index round-trip queries: a FIXED
+    * path per query name (mode overwrite — repeated bench/verify runs
+    * reuse it instead of leaking one directory per invocation, r6 ADVICE
+    * #4), removed recursively on JVM exit. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_scratch_${ProcessHandle.current().pid()}")
+    java.nio.file.Files.createDirectories(p)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(p.toFile)
+    }))
+    p
+  }
+  private def scratch(name: String): String =
+    scratchRoot.resolve(name).toString
+
   private val d43: (SparkSession, String) => DataFrame = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val idx = Similarity.ivfIndex(emb.filter(F.col("vec_id") >= 5),
       F.col("vec_id"), F.col("embedding"), nlist = 8)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_d43")
-      .toFile.getPath
+    val tmp = scratch("d43_index")
     idx.assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(tmp)
     Similarity.ivfSearch(
@@ -1411,6 +1437,43 @@ object SparkEntry {
         (F.coalesce(F.col("__n"), F.lit(0L)) === 5).cast("int").as("full_k"),
         (F.coalesce(F.col("__hits"), F.lit(0L)) >= 3).cast("int")
           .as("recall_ok"))
+      .orderBy("query_id")
+  }
+
+  /** SQ8 (int8-in-index) IVF disk path end-to-end (r6 verdict #7): train,
+    * quantize ([[Similarity.ivfIndexQuantized]] — 4× smaller index), write
+    * `partitionBy("cell")`, re-read, search with every cell probed
+    * through the DEQUANTIZED scoring path, and pin the result against the
+    * exact brute-force twin: per query, ≥4 of the exact top-5 recovered,
+    * every matched cosine within 0.01 of exact, exactly k rows returned —
+    * all as oracle-pinned contract ints (scores are approximate by
+    * design, so the d43 exact-equality oracle can't apply). */
+  private val d46: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.filter(F.col("vec_id") >= 5)
+    val queries = emb.filter(F.col("vec_id") < 5)
+    val idx = Similarity.ivfIndex(corpus, F.col("vec_id"),
+      F.col("embedding"), nlist = 8)
+    val tmp = scratch("d46_index")
+    Similarity.ivfIndexQuantized(idx).write.mode("overwrite")
+      .partitionBy("cell").parquet(tmp)
+    val approx = Similarity.ivfSearchQuantized(idx.centroids,
+      s.read.parquet(tmp), queries, F.col("vec_id"), F.col("embedding"),
+      k = 5, nprobe = 8)
+    val exact = Similarity.bruteForceTopK(corpus, F.col("vec_id"),
+      F.col("embedding"), queries, F.col("vec_id"), F.col("embedding"),
+      k = 5)
+    approx
+      .join(exact.select(F.col("query_id"), F.col("corpus_id"),
+        F.col("cosine").as("__ec")), Seq("query_id", "corpus_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        (F.count_if(F.col("__ec").isNotNull) >= 4).cast("int")
+          .as("recall_ok"),
+        F.coalesce(
+          F.max(F.abs(F.col("cosine") - F.col("__ec"))) <= 0.01,
+          F.lit(false)).cast("int").as("cos_err_ok"),
+        (F.count(F.lit(1)) === 5).cast("int").as("full_k"))
       .orderBy("query_id")
   }
 
@@ -1774,6 +1837,7 @@ object SparkEntry {
     "d43_ivf_disk_index" -> d43,
     "d44_lsh_recall" -> d44,
     "d45_simhash_planted" -> d45,
+    "d46_ivf_sq8" -> d46,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -2309,6 +2373,12 @@ object SparkEntry {
     "d45_simhash_planted" -> """
       SELECT doc_id, 1 AS found, 1 AS dist_zero
       FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    // SQ8 IVF: dequantized scores are approximate by design; the oracle
+    // pins the recall/error/row-count contracts per query
+    "d46_ivf_sq8" -> """
+      SELECT vec_id AS query_id, 1 AS recall_ok, 1 AS cos_err_ok,
+        1 AS full_k
+      FROM embeddings WHERE vec_id < 5 ORDER BY query_id""",
     "d39_corpus_stats_approx" -> """
       WITH toks AS (
         SELECT CASE WHEN len(trim(text)) = 0 THEN 0

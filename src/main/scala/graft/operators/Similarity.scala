@@ -253,23 +253,71 @@ object Similarity {
   def ivfSearch(index: IvfIndex, queries: DataFrame,
       queryId: Column, queryVec: Column,
       k: Int, nprobe: Int = 4): DataFrame = {
+    val probed = collectProbes(index.centroids, queries, queryId, queryVec,
+      nprobe)
+    val pairs = index.assigned
+      .filter(F.col("cell").isin(probed.cells.map(Int.box): _*))
+      .join(F.broadcast(probed.frame), Seq("cell"))
+      .withColumn("cosine", cosine(F.col("cv"), F.col("qv")))
+    topKByQuery(pairs, k)
+  }
+
+  /** SQ8 view of a trained index: per-vector symmetric int8 codes + scale
+    * instead of the float vectors — 4× smaller on disk/in shuffle at
+    * ~0.3% cosine error ([[quantizeInt8]]). Write it
+    * `partitionBy("cell")` exactly like the float index; searching
+    * dequantizes candidate codes inside the scoring expression, so the
+    * probe pruning, broadcast shape and partition filters are identical
+    * to [[ivfSearch]] — only the candidate payload shrinks. The standard
+    * FAISS SQ8 trade: scores are approximate (no exact rescoring pass —
+    * at corpus scale that pass would re-scan the full-precision corpus
+    * and forfeit the 4× IO win); d46 pins recall and the cosine error
+    * against the exact brute-force twin as oracle contracts. */
+  def ivfIndexQuantized(index: IvfIndex): DataFrame =
+    index.assigned
+      .withColumn("__q8", quantizeInt8(F.col("cv")))
+      .select(F.col("corpus_id"), F.col("__q8.scale").as("scale"),
+        F.col("__q8.q").as("q"), F.col("cell"))
+
+  /** Probe an SQ8 index frame (`corpus_id, scale, q, cell` — from
+    * [[ivfIndexQuantized]], typically round-tripped through
+    * cell-partitioned parquet). Same plan shape as [[ivfSearch]]. */
+  def ivfSearchQuantized(centroids: Seq[Seq[Double]], indexQ: DataFrame,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val probed = collectProbes(centroids, queries, queryId, queryVec, nprobe)
+    val pairs = indexQ
+      .filter(F.col("cell").isin(probed.cells.map(Int.box): _*))
+      .join(F.broadcast(probed.frame), Seq("cell"))
+      .withColumn("cosine", cosine(
+        dequantizeInt8(F.struct(F.col("scale").as("scale"),
+          F.col("q").as("q"))), F.col("qv")))
+    topKByQuery(pairs, k)
+  }
+
+  private final case class Probes(frame: DataFrame, cells: Seq[Int])
+
+  /** Explode queries into their `nprobe` best cells and collect ONCE:
+    * both the probed-cell IN-filter and the broadcast join side are built
+    * from the same collected rows, so a nondeterministic query plan
+    * (sample/rand-derived) cannot disagree between the two consumers
+    * (r6 ADVICE #2). Bounded by the small-queries contract
+    * (|queries|·nprobe rows). */
+  private def collectProbes(centroids: Seq[Seq[Double]], queries: DataFrame,
+      queryId: Column, queryVec: Column, nprobe: Int): Probes = {
     import graft.functions.VectorExprs
-    val probes = math.min(nprobe, index.centroids.length)
+    val probes = math.min(nprobe, centroids.length)
     val probed = queries
       .select(queryId.as("query_id"), queryVec.as("qv"))
       .withColumn("cell",
-        F.explode(VectorExprs.topCells(F.col("qv"), index.centroids, probes)))
-    val cells = probed.select("cell").distinct()
-      .collect().map(_.getInt(0)).sorted
-    // queries are small by construction (same contract as bruteForceTopK):
-    // broadcast them so the corpus NEVER shuffles — a plain hash join here
-    // would repartition the whole corpus on `cell` (only nlist distinct
-    // values: guaranteed skew). A large query set would instead bucket both
-    // sides by cell at write time.
-    val pairs = index.assigned
-      .filter(F.col("cell").isin(cells.map(Int.box): _*))
-      .join(F.broadcast(probed), Seq("cell"))
-      .withColumn("cosine", cosine(F.col("cv"), F.col("qv")))
+        F.explode(VectorExprs.topCells(F.col("qv"), centroids, probes)))
+    val rows = probed.collect()
+    val local = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), probed.schema)
+    Probes(local, rows.map(_.getAs[Int]("cell")).distinct.sorted.toSeq)
+  }
+
+  private def topKByQuery(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("cosine").desc, F.col("corpus_id"))
     pairs.withColumn("rank", F.row_number().over(w))

@@ -155,6 +155,37 @@ class GroupedMatrixSpec extends SparkSpec {
       out.sdf.collect().map(_.getLong(1)).sorted.toSeq)
   }
 
+  test("sampleN on a runtime-EMPTY frame still raises for n > 0 (the " +
+      "assert lives in the scalar count subquery, not per row — r6 " +
+      "ADVICE #1)") {
+    // runtime-empty, not statically empty: a filtered scan the optimizer
+    // cannot fold away (PropagateEmptyRelation removes plan-level asserts
+    // along with a LITERAL empty relation — that corner is documented on
+    // sampleN)
+    val empty = new Gdf(
+      spark.range(10).toDF("v").filter(F.col("v") < -1))
+    val err = intercept[Exception] { empty.sampleN(3).sdf.collect() }
+    // the subquery failure surfaces wrapped ("Exception thrown in
+    // awaitResult") — the contract message is in the cause chain
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("larger sample")), msgs(err))
+    // n = 0 on an empty frame is a legal no-op
+    assert(empty.sampleN(0).sdf.collect().isEmpty)
+  }
+
+  test("grouped sampleFrac floor is the MATHEMATICAL floor, immune to " +
+      "double rounding (100 * 0.29 = 28.999999999999996 — r6 ADVICE #5)") {
+    val d = new Gdf(
+      (1 to 200).map(i => (s"g${i % 2}", i.toLong)).toDF("g", "v"),
+      groups = Seq("g"))
+    val counts = d.sampleFrac(0.29, seed = 3L).sdf
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("g0" -> 29L, "g1" -> 29L), counts.toString)
+  }
+
   test("oversized sample without replacement raises; with replacement " +
       "draws n per group (reference sample/2 contract)") {
     // 2 groups x 25 rows; the declared order makes the draw index defined

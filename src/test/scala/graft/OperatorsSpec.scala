@@ -496,6 +496,43 @@ class OperatorsSpec extends SparkSpec {
       s"probe filter not pushed to partition pruning:\n$scan")
   }
 
+  test("ivfSearchQuantized: SQ8 disk index prunes to probed partitions " +
+      "and scores within quantization tolerance of the float path") {
+    val corpus = (for { cl <- 0 until 4; i <- 0 until 25 } yield {
+      val v = Array.tabulate(8)(d =>
+        (if (d == cl * 2) 10.0 else 0.0) + ((i * 7 + d * 3) % 5) * 0.1)
+      (cl * 100L + i, v.toSeq)
+    }).toDF("id", "v")
+    val queries = (0 until 4).map { cl =>
+      (1000L + cl, Seq.tabulate(8)(d => if (d == cl * 2) 10.0 else 0.0))
+    }.toDF("id", "v")
+    val idx = Similarity.ivfIndex(corpus, F.col("id"), F.col("v"),
+      nlist = 4, trainSample = 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8").toString
+    Similarity.ivfIndexQuantized(idx).write.partitionBy("cell")
+      .parquet(dir + "/index")
+    val reread = spark.read.parquet(dir + "/index")
+    val oneQuery = queries.filter(F.col("id") === 1000L)
+    val fromDisk = Similarity.ivfSearchQuantized(idx.centroids, reread,
+      oneQuery, F.col("id"), F.col("v"), k = 5, nprobe = 1)
+    val sq8 = fromDisk.collect()
+      .map(r => (r.getLong(1), r.getDouble(3))).toMap
+    val float = Similarity.ivfSearch(idx, oneQuery, F.col("id"),
+      F.col("v"), k = 5, nprobe = 1).collect()
+      .map(r => (r.getLong(1), r.getDouble(3))).toMap
+    // ≥4/5 of the float path's ids recovered; every shared id's cosine
+    // within the SQ8 error envelope
+    assert(float.keySet.intersect(sq8.keySet).size >= 4,
+      s"SQ8 recall too low: ${sq8.keySet} vs ${float.keySet}")
+    for (id <- float.keySet.intersect(sq8.keySet))
+      assert(math.abs(sq8(id) - float(id)) <= 0.01,
+        s"SQ8 cosine off for $id: ${sq8(id)} vs ${float(id)}")
+    val scan = fromDisk.queryExecution.executedPlan.toString
+    val pf = scan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("cell")),
+      s"SQ8 probe filter not pushed to partition pruning:\n$scan")
+  }
+
   test("syntheticPayload yields exactly n raw bytes") {
     val rows = spark.range(3).select(
       F.length(Multimodal.syntheticPayload(F.col("id"), 100)).as("len"))
