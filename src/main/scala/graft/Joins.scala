@@ -145,7 +145,10 @@ object Joins {
     val joined = p.join(binned, Seq("__bin"))
       .filter(F.col(pointOn) >= F.col(loOn) && F.col(pointOn) <= F.col(hiOn))
       .drop("__bin")
-    new Gdf(joined, logical = points.logical ++ intervals.logical)
+    // left (points) side's groups kept — the Joins.join rule, now actually
+    // propagated (the grouped-verb matrix previously only asserted it)
+    new Gdf(joined, groups = points.groups,
+      logical = points.logical ++ intervals.logical)
   }
 
   /** `join_asof/3` (reference data_frame.ex:5416-5580; AsofStrategy
@@ -223,7 +226,10 @@ object Joins {
       val name = if (l.columns.contains(n)) s"${n}_right" else n
       d.withColumn(name, F.col("__m").getField(n))
     }.drop("__asof_k", "__side", "__payload", "__m")
-    new Gdf(out, logical = left.logical ++ payloadCols.flatMap { n =>
+    // left side's groups kept — the Joins.join rule, now actually
+    // propagated (the grouped-verb matrix previously only asserted it)
+    new Gdf(out, groups = left.groups,
+      logical = left.logical ++ payloadCols.flatMap { n =>
       right.logical.get(n).map { d =>
         (if (l.columns.contains(n)) s"${n}_right" else n) -> d
       }

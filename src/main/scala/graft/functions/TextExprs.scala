@@ -325,6 +325,82 @@ case class CountRegexMatches(child: Expression, pattern: String)
   }
 }
 
+/** text → bigint: BPE token count under a caller-supplied ranked merge
+  * table — the pluggable tokenizer for token budgets (packing, mixture,
+  * corpus stats), so budgets can match a real training tokenizer instead
+  * of whitespace counts (r6 verdict #8). Pre-tokenization is whitespace
+  * splitting; each word seeds as its character sequence and the standard
+  * BPE encode loop runs: find the lowest-RANK adjacent pair, merge ALL
+  * its occurrences left-to-right, repeat until no mergeable pair remains
+  * (the GPT-2 `bpe()` loop — load a published merges.txt's pairs in file
+  * order for tokenizer-true counts). The merge table rides as a plan
+  * literal and the rank map is built ONCE per task (the TopCells /
+  * SortedSetOverlap posture), not per row — at GPT-2 scale that is one
+  * ~50k-entry map per task. Whitespace itself is not counted (no
+  * byte-level space marker), so counts equal Σ over words of |BPE(word)|. */
+case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_token_count"
+  override protected def withNewChildInternal(c: Expression): BpeTokenCount =
+    copy(child = c)
+
+  // a space joins the pair halves: words are whitespace-split, so no
+  // merge symbol can contain one — the concatenation is collision-free
+  // (and matches the "A B" line format of published merges files)
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    merges.foreach { case (a, b) =>
+      m.putIfAbsent(a + " " + b, Integer.valueOf(i)); i += 1
+    }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val buf = new scala.collection.mutable.ArrayBuffer[String](16)
+    var count = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        buf.clear()
+        var j = start
+        while (j < i) { buf += String.valueOf(s.charAt(j)); j += 1 }
+        var done = buf.length < 2
+        while (!done) {
+          var bestRank = Int.MaxValue
+          var bestIdx = -1
+          var p = 0
+          while (p < buf.length - 1) {
+            val r = rank.get(buf(p) + " " + buf(p + 1))
+            if (r != null && r < bestRank) { bestRank = r; bestIdx = p }
+            p += 1
+          }
+          if (bestIdx < 0) done = true
+          else {
+            val a = buf(bestIdx)
+            val b = buf(bestIdx + 1)
+            var w = 0
+            while (w < buf.length - 1) {
+              if (buf(w) == a && buf(w + 1) == b) {
+                buf(w) = a + b; buf.remove(w + 1)
+              } else w += 1
+            }
+            done = buf.length < 2
+          }
+        }
+        count += buf.length
+      }
+    }
+    count
+  }
+}
+
 /** text → bigint: 64-bit SimHash over word tokens — each bit is the sign
   * of the ±1 vote sum across token hashes (token multiplicity counts).
   * Same tokenization + XXH64(seed 42) as `xxhash64(token)`, so it is
@@ -479,4 +555,7 @@ object TextExprs {
 
   def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(text), n, numHashes))
+
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeTokenCount(Bridge.expression(text), merges))
 }

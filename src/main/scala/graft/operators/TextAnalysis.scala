@@ -36,6 +36,17 @@ object TextAnalysis {
     graft.functions.TextExprs.countRegexMatches(F.lower(text),
       "[a-z]+|[0-9]|[^a-z0-9\\s]")
 
+  /** Tokenizer-TRUE token count: BPE under a caller-supplied ranked merge
+    * table ([[graft.functions.BpeTokenCount]] — load a published
+    * merges.txt's pairs in file order). Drop-in for every token-budget
+    * column parameter — [[graft.operators.Packing.packSequences]],
+    * [[graft.operators.Sampling.mixture]], [[corpusStats]] all take the
+    * count as a Column, so `bpeTokenCount(text, merges)` swaps in for
+    * [[tokenCount]] without touching the operators; the whitespace
+    * default stays the oracle-checked one (DuckDB can replay it). */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.TextExprs.bpeTokenCount(text, merges)
+
   private val stopwords = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
     "de" -> Seq("der", "die", "und", "das", "ist", "von", "zu", "mit", "den", "ein"),

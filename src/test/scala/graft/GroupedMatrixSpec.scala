@@ -140,6 +140,36 @@ class GroupedMatrixSpec extends SparkSpec {
       .groups == Seq("k"))
   }
 
+  test("join_asof and range join keep the LEFT side's groups — the " +
+      "matrix's last 'follows the join rule' entry, now evidence " +
+      "(r6 verdict #9)") {
+    val trades = new Gdf(
+      Seq(("A", 3L, 10.0), ("A", 7L, 11.0), ("B", 4L, 20.0))
+        .toDF("sym", "t", "px"), groups = Seq("sym"))
+    val quotes = new Gdf(
+      Seq(("A", 2L, 9.5), ("A", 6L, 10.5), ("B", 1L, 19.5))
+        .toDF("sym", "qt", "bid"))
+    val asof = Joins.joinAsof(trades, quotes, "t", "qt", by = Seq("sym"))
+    assert(asof.groups == Seq("sym"), "asof join dropped the left groups")
+    // and the data under the grouped-by keys is the backward match
+    assert(asof.sdf.select("sym", "t", "bid").orderBy("sym", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq == Seq(("A", 3L, 9.5), ("A", 7L, 10.5), ("B", 4L, 19.5)))
+    // the grouped frame keeps working as a grouped frame downstream
+    assert(asof.sampleN(1, seed = 5L).sdf.groupBy("sym").count()
+      .collect().map(_.getLong(1)).forall(_ == 1L))
+
+    val points = new Gdf(
+      Seq(("g1", 5L), ("g2", 15L)).toDF("pg", "p"), groups = Seq("pg"))
+    val ivals = new Gdf(
+      Seq((0L, 9L, "lo"), (10L, 19L, "hi")).toDF("lo", "hi", "tag"))
+    val rj = Joins.rangeJoin(points, ivals, "p", "lo", "hi", binWidth = 10)
+    assert(rj.groups == Seq("pg"), "range join dropped the left groups")
+    assert(rj.sdf.select("pg", "tag").orderBy("pg").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("g1", "lo"), ("g2", "hi")))
+  }
+
   test("grouped sampleFrac takes exactly floor(frac * n) rows per group") {
     val d = new Gdf(
       (1 to 50).map(i => (s"g${i % 2}", i.toLong)).toDF("g", "v"),
