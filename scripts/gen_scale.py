@@ -94,8 +94,47 @@ def gen_embeddings() -> None:
     print(f"wrote {n_vecs} vectors -> {out_dir}/embeddings.parquet")
 
 
+def gen_events() -> None:
+    """--events mode: scaled `events.parquet` matching the driver law
+    measured on /root/testdata/sf{0.01,0.1}: a FIXED 30-day span
+    (2024-01-01..2024-01-30, so the windowed-agg state/window count stays
+    constant while rows-per-window grows), users scaling with rows
+    (1500 per 100k events), 5 uniform event types, uniform value, small
+    json props, event_id in ts order, TIMESTAMP(NANOS) like the driver
+    parquet."""
+    n_events = int(sys.argv[2])
+    out_dir = sys.argv[3]
+    seed = int(sys.argv[4]) if len(sys.argv) > 4 else 420
+    rng = random.Random(seed)
+    n_users = max(10, int(n_events * 1500 / 100000))
+    types = ["view", "click", "purchase", "signup", "error"]
+    span_ns = 30 * 24 * 3600 * 10**9
+    base_ns = 1704067200 * 10**9  # 2024-01-01T00:00:00Z
+    ts = sorted(rng.randrange(span_ns) for _ in range(n_events))
+    table = pa.table({
+        "event_id": pa.array(range(n_events), pa.int64()),
+        "ts": pa.array([base_ns + t for t in ts],
+                       pa.timestamp("ns")),
+        "user_id": pa.array([rng.randrange(n_users) for _ in range(n_events)],
+                            pa.int64()),
+        "event_type": pa.array([types[rng.randrange(5)]
+                                for _ in range(n_events)]),
+        "value": pa.array([round(rng.uniform(0, 150), 2)
+                           for _ in range(n_events)], pa.float64()),
+        "props": pa.array(['{"k": %d}' % rng.randrange(100)
+                           for _ in range(n_events)]),
+    })
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(table, f"{out_dir}/events.parquet")
+    print(f"wrote {n_events} events ({n_users} users) -> "
+          f"{out_dir}/events.parquet")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--emb":
         gen_embeddings()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--events":
+        gen_events()
     else:
         main()

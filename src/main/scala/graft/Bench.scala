@@ -29,9 +29,13 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // optional args = query names, for focused re-timing; the driver
-    // passes none and gets the full sweep
+    // passes none and gets the full sweep. Bench-only queries (scaling
+    // studies, e.g. the sketch-path pipeline twin) run ONLY when named —
+    // the no-args sweep stays the driver's comparable artifact.
     val picked =
-      if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
+      if (args.nonEmpty)
+        (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)
+          .filter(kv => args.contains(kv._1))
       else SparkEntry.queries
     val names = picked.keys.toSeq.sorted
     // run the whole sweep nRuns times (round-robin, not back-to-back per

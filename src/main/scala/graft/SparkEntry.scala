@@ -1224,7 +1224,21 @@ object SparkEntry {
   private val d37LiveCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
-  private val d37: (SparkSession, String) => DataFrame = (s, dir) => {
+  private val d37: (SparkSession, String) => DataFrame = (s, dir) =>
+    d37Body(s, dir, exact = true)
+
+  /** d37's pipeline with the quantile gate on its DEFAULT sketch path
+    * (`exact = false`) — the 100 TB posture, bench-only: the sketch
+    * threshold is engine-specific so the chunk rows have no DuckDB twin
+    * (d38 proves the sketch within tolerance; d37 proves the exact-path
+    * composition). Lives in [[benchOnlyQueries]]: runnable by name for
+    * the SCALING.md sketch-path curves, excluded from the driver's
+    * correctness and full-bench sweeps. */
+  private val d47: (SparkSession, String) => DataFrame = (s, dir) =>
+    d37Body(s, dir, exact = false)
+
+  private def d37Body(s: SparkSession, dir: String,
+      exact: Boolean): DataFrame = {
     val docs = t(s, dir, "documents")
     val normed = docs.select(F.col("doc_id"),
       TextAnalysis.normalize(
@@ -1252,12 +1266,12 @@ object SparkEntry {
       try prev.unpersist(blocking = false)
       catch { case _: IllegalStateException => () }
     scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // exact percentile solely for the DuckDB replay; the operator default
-    // (approx_percentile sketch) is the documented 100 TB posture — at
-    // scale this call site drops `exact` and the rest of the pipeline is
-    // unchanged (d38 proves the approx path within tolerance)
+    // exact percentile solely for the DuckDB replay (d37); the operator
+    // default (approx_percentile sketch) is the documented 100 TB posture
+    // — d47 runs this same body with `exact = false` for the SCALING.md
+    // sketch-path curves (d38 proves the approx path within tolerance)
     val gated = TextAnalysis.quantileFilter(scored, F.col("quality"), 0.5,
-      exact = true)
+      exact = exact)
     val bench = docs.filter(F.col("doc_id") % 25 === 0)
       .select(TextAnalysis.normalize(
         F.translate(F.substring(F.col("text"), 1, 200), "aeo", "áéö"))
@@ -1847,6 +1861,14 @@ object SparkEntry {
     "q59_range_join" -> q59,
     "q60_series_utils" -> q60,
     "q61_argsort" -> q61)
+
+  /** Bench-only queries: runnable BY NAME through `graft.Bench` for
+    * scaling studies, but excluded from [[queries]] — the driver's
+    * correctness gate and full bench sweep never see them (d47's sketch
+    * threshold has no DuckDB twin; registering it would add an
+    * unnecessary rows-only row). */
+  def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("d47_pipeline_approx" -> d47)
 
   // d34 runs a different distributed algorithm (star contraction) over the
   // same pair graph as d15 — the label contract is identical, so it is
