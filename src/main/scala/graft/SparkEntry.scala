@@ -992,6 +992,31 @@ object SparkEntry {
       .argsort(F.col("l_extendedprice"), stable = true)
       .limit(100)
 
+  /** Structural contract for seeded sampling (q46's correctness signal):
+    * the DRAWN rows are engine-specific (q46 stays rows-only by nature),
+    * but the contracts are not — exact-n returns exactly n rows, all of
+    * them from the source frame, and grouped exact-n returns exactly n
+    * per group. Oracle pins all three per group. */
+  private val q62: (SparkSession, String) => DataFrame = (s, dir) => {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val cust = t(s, dir, "customer")
+    val samp = Gdf(cust).sampleN(100, seed = 42L).sdf
+    val nOut = bridge.scalarSubquery(samp.agg(F.count(F.lit(1))))
+    val nForeign = bridge.scalarSubquery(
+      samp.select("c_custkey")
+        .join(cust.select(F.col("c_custkey").as("__ck")),
+          F.col("c_custkey") === F.col("__ck"), "left_anti")
+        .agg(F.count(F.lit(1))))
+    Gdf(t(s, dir, "lineitem")).groupBy("l_returnflag")
+      .sampleN(2, seed = 7L).sdf
+      .groupBy("l_returnflag")
+      .agg(F.count(F.lit(1)).cast("int").as("n_grouped"))
+      .select(F.col("l_returnflag"), F.col("n_grouped"),
+        (nOut === 100L).cast("int").as("n_out_ok"),
+        (nForeign === 0L).cast("int").as("member_ok"))
+      .orderBy("l_returnflag")
+  }
+
   /** IVF ANN with EXHAUSTIVE probing (`nprobe = nlist`): every cell is
     * probed, so the result is exactly brute-force top-k — which makes the
     * whole IVF pipeline (sampled k-means training, native-expression
@@ -1491,6 +1516,64 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** Determinism contract for the order-sensitive fingerprint (d12's
+    * correctness signal): hash VALUES are engine-specific (seeded xxhash
+    * chain — d12 stays rows-only by nature), but identical text MUST
+    * fingerprint identically, so planting verbatim copies pins
+    * `fp(copy) == fp(source)` as a cross-engine contract the oracle
+    * fixes to 1 for all 50 planted docs. */
+  private val d48: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val planted = docs.filter(F.col("doc_id") < 50)
+      .select((F.col("doc_id") + 100000L).as("doc_id"), F.col("text"))
+    val fps = docs.select(F.col("doc_id"), F.col("text"))
+      .unionAll(planted)
+      .select(F.col("doc_id"),
+        TextAnalysis.fingerprint(F.col("text")).as("__fp"))
+    val src = fps.filter(F.col("doc_id") < 50)
+      .select(F.col("doc_id"), F.col("__fp").as("__fa"))
+    val cp = fps.filter(F.col("doc_id") >= 100000L)
+      .select((F.col("doc_id") - 100000L).as("doc_id"),
+        F.col("__fp").as("__fb"))
+    src.join(cp, Seq("doc_id"))
+      .select(F.col("doc_id"),
+        (F.col("__fa") === F.col("__fb")).cast("int").as("fp_match"))
+      .orderBy("doc_id")
+  }
+
+  /** Membership/FP-budget contract for the Bloom gate (d31's correctness
+    * signal): which non-members get false-dropped is engine-specific
+    * (d31 stays rows-only), but two properties are deterministic and
+    * DuckDB-pinnable: NO true member survives (the filter direction
+    * guarantee), and the false-drop count respects the fpp budget. The
+    * budget scales with the corpus IN-PLAN — 10 + 3·fpp·n — so the
+    * contract holds at every SF (E[FP] = fpp · non-members ≈ 0.45 at
+    * sf0.01, 4.5 at sf0.1; the slack keeps the failure odds ~1e-10).
+    * Same fixture as d31. */
+  private val d49: (SparkSession, String) => DataFrame = (s, dir) => {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val docs = t(s, dir, "documents")
+    val ref = docs.filter(F.col("doc_id") < 50)
+    val kept = Dedup.bloomGate(docs, F.col("text"), ref, F.col("text"),
+      expectedItems = 100L, fpp = 0.001)
+    // true members = every doc whose TEXT is in the blocklist set (the
+    // corpus contains exact dups, so this can exceed 50 ids)
+    val members = docs.join(
+      ref.select(F.col("text").as("__rt")).distinct(),
+      F.col("text") === F.col("__rt"), "left_semi")
+    val nDocs = bridge.scalarSubquery(docs.agg(F.count(F.lit(1))))
+    val nKept = bridge.scalarSubquery(kept.agg(F.count(F.lit(1))))
+    val nMembers = bridge.scalarSubquery(members.agg(F.count(F.lit(1))))
+    val nKeptMembers = bridge.scalarSubquery(
+      kept.join(members.select("doc_id"), Seq("doc_id"), "left_semi")
+        .agg(F.count(F.lit(1))))
+    docs.sparkSession.range(1).select(
+      nDocs.as("n_docs"),
+      (nKeptMembers === 0L).cast("int").as("no_member_kept"),
+      (nDocs - nKept - nMembers <= F.ceil(nDocs * 0.003) + 10L)
+        .cast("int").as("fp_budget_ok"))
+  }
+
   /** Planted-duplicate RECALL contract for the SimHash family (d06/d08's
     * correctness signal, r6 verdict #3): the signature values are
     * engine-specific (seeded xxhash family — d06/d08 stay rows-only by
@@ -1852,6 +1935,9 @@ object SparkEntry {
     "d44_lsh_recall" -> d44,
     "d45_simhash_planted" -> d45,
     "d46_ivf_sq8" -> d46,
+    "d48_fingerprint_planted" -> d48,
+    "d49_bloom_contract" -> d49,
+    "q62_sample_contract" -> q62,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
     "q55_math_funcs" -> q55,
@@ -2401,6 +2487,22 @@ object SparkEntry {
       SELECT vec_id AS query_id, 1 AS recall_ok, 1 AS cos_err_ok,
         1 AS full_k
       FROM embeddings WHERE vec_id < 5 ORDER BY query_id""",
+    // fingerprint determinism: identical text => identical fingerprint
+    // (values engine-specific; equality is the cross-engine contract)
+    "d48_fingerprint_planted" -> """
+      SELECT doc_id, 1 AS fp_match
+      FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    // bloom gate: no true member survives; false drops within the fpp
+    // budget (which docs get false-dropped stays engine-specific)
+    "d49_bloom_contract" -> """
+      SELECT count(*) AS n_docs, 1 AS no_member_kept, 1 AS fp_budget_ok
+      FROM documents""",
+    // seeded sampling: structural contracts (cardinalities, membership);
+    // the drawn rows themselves are engine-specific
+    "q62_sample_contract" -> """
+      SELECT DISTINCT l_returnflag, 2 AS n_grouped, 1 AS n_out_ok,
+        1 AS member_ok
+      FROM lineitem ORDER BY l_returnflag""",
     "d39_corpus_stats_approx" -> """
       WITH toks AS (
         SELECT CASE WHEN len(trim(text)) = 0 THEN 0
