@@ -1170,6 +1170,11 @@ object SparkEntry {
     val scored = t(s, dir, "documents")
       .select(F.col("doc_id"),
         TextAnalysis.qualityScore(F.col("text")).as("quality"))
+    // the gate reads `scored` twice (threshold subquery + the filter
+    // pass) and the quality regex battery dominates the scan — cache the
+    // scored frame so the corpus is regex-scored ONCE per invocation
+    // (rotating cache, same posture as d37; measured ~1.6x on d26/d38)
+    rotateCache("d26", scored)
     // exact = true HERE ONLY for cross-engine oracle parity (DuckDB can
     // replay an exact interpolated percentile, not Spark's GK sketch);
     // the operator DEFAULT is approx — the 100 TB posture, exercised and
@@ -1240,14 +1245,27 @@ object SparkEntry {
     * train split → token-window chunking. Every stage is one of the
     * individually-oracle-proven operators; this query proves they COMPOSE
     * — the DuckDB twin replays the whole pipeline. */
-  /** The one live d37 corpus cache: the lambda can't unpersist after its
+  /** Live per-query caches: a query lambda can't unpersist after its
     * caller's action (it only returns the plan), so each invocation
-    * RETIRES the previous invocation's cache instead — repeated runs (the
-    * bench n=3 sweep, Verify + entry in one session) hold at most one
-    * cached corpus instead of accumulating until LRU pressure evicts
-    * other queries' caches. */
-  private val d37LiveCache =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    * RETIRES the previous invocation's cache under the same key instead —
+    * repeated runs (the bench n≥3 sweep, Verify + entry in one session)
+    * hold at most one cached frame per query instead of accumulating
+    * until LRU pressure evicts other queries' caches. Retirement happens
+    * BEFORE the new persist (CacheManager matches by plan equality — see
+    * the d37 rotation note) and is skipped when the previous frame's
+    * context is already stopped. */
+  private val liveCaches =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def rotateCache(key: String, df: DataFrame): DataFrame = {
+    val prev = liveCaches.put(key, df)
+    if (prev != null && (prev ne df) &&
+        !prev.sparkSession.sparkContext.isStopped)
+      try prev.unpersist(blocking = false)
+      catch { case _: IllegalStateException => () }
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
 
   private val d37: (SparkSession, String) => DataFrame = (s, dir) =>
     d37Body(s, dir, exact = true)
@@ -1280,17 +1298,7 @@ object SparkEntry {
     // prev after scored.persist() would deregister the entry just
     // created and silently run every d37 after the first uncached
     // (measured: 3× on the bench's n=3 loop)
-    val prev = d37LiveCache.getAndSet(scored)
-    // guard the retirement: the cache is process-wide, so `prev` can
-    // belong to an earlier, now-STOPPED SparkSession in the same JVM —
-    // unpersist would then throw on the dead context and pin the old
-    // session against GC (r6 ADVICE #3); a stopped session has nothing
-    // cached to retire anyway
-    if (prev != null && (prev ne scored) &&
-        !prev.sparkSession.sparkContext.isStopped)
-      try prev.unpersist(blocking = false)
-      catch { case _: IllegalStateException => () }
-    scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rotateCache("d37", scored)
     // exact percentile solely for the DuckDB replay (d37); the operator
     // default (approx_percentile sketch) is the documented 100 TB posture
     // — d47 runs this same body with `exact = false` for the SCALING.md
@@ -1325,6 +1333,10 @@ object SparkEntry {
     val scored = t(s, dir, "documents")
       .select(F.col("doc_id"),
         TextAnalysis.qualityScore(F.col("text")).as("quality"))
+    // four consumers of the regex-heavy scored frame (threshold sketch,
+    // gate filter, min-kept subquery, the contract aggregation) — score
+    // the corpus once (rotating cache, d37 posture)
+    rotateCache("d38", scored)
     val thr = TextAnalysis.quantileThreshold(scored, F.col("quality"), 0.5)
     val gated = TextAnalysis.quantileFilter(scored, F.col("quality"), 0.5)
     val minKept = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
