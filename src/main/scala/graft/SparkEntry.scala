@@ -1781,7 +1781,18 @@ object SparkEntry {
     * decode (javax.imageio for images, deterministic fake fallback for the
     * rest) → real resize → frame-sample; per-kind stats (rows-only; both
     * codec paths are deterministic, SURVEY §7.2 step 8). */
-  private val d11: (SparkSession, String) => DataFrame = (s, dir) => {
+  private val d11: (SparkSession, String) => DataFrame = (s, dir) =>
+    d11Chain(s, dir)
+      .groupBy("kind")
+      .agg(F.count(F.lit(1)).as("n_rows"),
+        F.round(F.sum(F.aggregate(F.col("features"), F.lit(0.0),
+          (a, v) => a + v)), 4).as("feat_sum"),
+        F.count_if(F.col("decoded_width").isNotNull ||
+          F.col("decoded_rate").isNotNull).as("n_decoded"))
+      .orderBy("kind")
+
+  /** The shared d11/d50 multimodal pipeline up to frame sampling. */
+  private def d11Chain(s: SparkSession, dir: String): DataFrame = {
     // real PNG + WAV payloads: doc_id-keyed (flat gray squares / sine
     // bursts), generated driver-side and broadcast through a join (small
     // dictionary of 16 tones). Video keeps the declared fake payload —
@@ -1815,15 +1826,28 @@ object SparkEntry {
     val feat = Multimodal.extractFeatures(balanced, "payload", dims = 8,
       realDecode = true)
     val resized = Multimodal.resize(feat, 64, 64)
-    val sampled = Multimodal.sampleFrames(resized, stride = 4)
-    sampled.groupBy("kind")
-      .agg(F.count(F.lit(1)).as("n_rows"),
-        F.round(F.sum(F.aggregate(F.col("features"), F.lit(0.0),
-          (a, v) => a + v)), 4).as("feat_sum"),
-        F.count_if(F.col("decoded_width").isNotNull ||
-          F.col("decoded_rate").isNotNull).as("n_decoded"))
-      .orderBy("kind")
+    Multimodal.sampleFrames(resized, stride = 4)
   }
+
+  /** Structural contract for the multimodal pipeline (d11's correctness
+    * signal): feature VALUES are decoder-specific (d11 stays rows-only),
+    * but the pipeline's shape is deterministic and DuckDB-replayable —
+    * per-kind row counts after frame sampling (video rows explode to
+    * ceil(n_frames/stride) frames; n_frames = doc_id%24+1) and decode
+    * coverage (every image/audio payload decodes via the REAL
+    * javax.imageio / javax.sound path, no video decodes — the declared
+    * stub). */
+  private val d50: (SparkSession, String) => DataFrame = (s, dir) =>
+    d11Chain(s, dir)
+      .groupBy("kind")
+      .agg(F.count(F.lit(1)).as("n_rows"),
+        F.count_if(F.col("decoded_width").isNotNull ||
+          F.col("decoded_rate").isNotNull).as("__nd"))
+      .select(F.col("kind"), F.col("n_rows"),
+        F.when(F.col("kind") === "video", F.col("__nd") === 0L)
+          .otherwise(F.col("__nd") === F.col("n_rows"))
+          .cast("int").as("decoded_ok"))
+      .orderBy("kind")
 
   /** Deterministic PCM16 mono WAV: a `freq`-Hz sine burst (8 kHz, 400
     * frames). StrictMath keeps the samples bit-identical across JVMs. */
@@ -1949,6 +1973,7 @@ object SparkEntry {
     "d46_ivf_sq8" -> d46,
     "d48_fingerprint_planted" -> d48,
     "d49_bloom_contract" -> d49,
+    "d50_multimodal_contract" -> d50,
     "q62_sample_contract" -> q62,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
@@ -2509,6 +2534,19 @@ object SparkEntry {
     "d49_bloom_contract" -> """
       SELECT count(*) AS n_docs, 1 AS no_member_kept, 1 AS fp_budget_ok
       FROM documents""",
+    // multimodal pipeline shape: per-kind row counts after frame
+    // sampling + decode coverage (feature values stay decoder-specific)
+    "d50_multimodal_contract" -> """
+      WITH m AS (SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'video'
+               WHEN doc_id % 3 = 1 THEN 'image' ELSE 'audio' END AS kind,
+          doc_id % 24 + 1 AS n_frames
+        FROM documents)
+      SELECT kind,
+        CAST(sum(CASE WHEN kind = 'video' THEN 1 + (n_frames - 1) // 4
+                      ELSE 1 END) AS BIGINT) AS n_rows,
+        1 AS decoded_ok
+      FROM m GROUP BY kind ORDER BY kind""",
     // seeded sampling: structural contracts (cardinalities, membership);
     // the drawn rows themselves are engine-specific
     "q62_sample_contract" -> """
