@@ -163,5 +163,38 @@ object GraftExtensions {
         }
         java.util.Arrays.sort(longs)
         SortedSetOverlap(args(0), longs)
+    },
+    fd("bpe_token_count", classOf[BpeTokenCount],
+      "bpe_token_count(text, merges) - BPE token count under a ranked " +
+        "merge table: array(array('l','o'), array('lo','w'), ...) in " +
+        "merges-file order") {
+      args =>
+        arity("bpe_token_count", 2, args)
+        // the merge table parameterizes the expression (rank map built
+        // once per task) — a foldable array<array<string>> literal, each
+        // inner array an (a, b) pair in rank order
+        val mExpr = args(1)
+        if (!mExpr.foldable) throw new IllegalArgumentException(
+          "bpe_token_count: argument 'merges' must be a foldable " +
+            s"array<array<string>> literal, got ${mExpr.sql}")
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        import org.apache.spark.unsafe.types.UTF8String
+        val merges = (mExpr.eval(), mExpr.dataType) match {
+          case (null, _) => Seq.empty[(String, String)]
+          case (a: ArrayData, org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.ArrayType(StringType, _), _)) =>
+            (0 until a.numElements()).map { i =>
+              val pair = a.getArray(i)
+              if (pair == null || pair.numElements() != 2)
+                throw new IllegalArgumentException(
+                  s"bpe_token_count: merge #$i must be a 2-element pair")
+              (pair.getUTF8String(0).toString,
+                pair.getUTF8String(1).toString)
+            }
+          case (_, dt) => throw new IllegalArgumentException(
+            "bpe_token_count: 'merges' must be array<array<string>>, " +
+              s"got ${dt.sql}")
+        }
+        BpeTokenCount(args(0), merges)
     })
 }

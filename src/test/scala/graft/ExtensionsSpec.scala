@@ -100,6 +100,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("foldable"), e.getMessage)
   }
 
+  test("bpe_token_count in SQL: foldable merge table, matches the " +
+      "Column API") {
+    // "lower lower" under merges (l,o),(lo,w),(e,r): [low, er] x2 = 4
+    val n = spark.sql(
+      """SELECT bpe_token_count('lower lower',
+           array(array('l','o'), array('lo','w'), array('e','r'))) AS n""")
+      .collect().head.getLong(0)
+    assert(n == 4L)
+    val twin = spark.range(1).select(TextExprs.bpeTokenCount(
+      F.lit("lower lower"),
+      Seq("l" -> "o", "lo" -> "w", "e" -> "r")).as("n"))
+      .collect().head.getLong(0)
+    assert(twin == 4L)
+    // non-foldable merge tables fail at analysis time
+    val e = intercept[Exception] {
+      spark.sql("""SELECT bpe_token_count('x',
+          array(array(cast(id AS string), 'o'))) FROM range(2)""").collect()
+    }
+    assert(e.getMessage.contains("foldable"), e.getMessage)
+    // malformed pairs fail loudly
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT bpe_token_count('x', array(array('a')))").collect()
+    }
+    assert(e2.getMessage.contains("2-element"), e2.getMessage)
+  }
+
   test("config arguments must be literals — analysis-time failure") {
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_hashes('a b c', length('xx'))").collect()
