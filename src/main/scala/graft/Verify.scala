@@ -46,7 +46,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // a focused run (explicit query names) declares only those queries in
+    // oracle_sql.json — check.py's universe is the declared keys (fail-
+    // closed), so the dump must match what was actually attempted
+    val json = SparkEntry.oracleSql.filter(kv => picked.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -188,10 +188,8 @@ class GroupedMatrixSpec extends SparkSpec {
   test("sampleN on a runtime-EMPTY frame still raises for n > 0 (the " +
       "assert lives in the scalar count subquery, not per row — r6 " +
       "ADVICE #1)") {
-    // runtime-empty, not statically empty: a filtered scan the optimizer
-    // cannot fold away (PropagateEmptyRelation removes plan-level asserts
-    // along with a LITERAL empty relation — that corner is documented on
-    // sampleN)
+    // runtime-empty: a filtered scan the optimizer cannot fold away (the
+    // statically-empty corner is exercised below)
     val empty = new Gdf(
       spark.range(10).toDF("v").filter(F.col("v") < -1))
     val err = intercept[Exception] { empty.sampleN(3).sdf.collect() }
@@ -201,6 +199,13 @@ class GroupedMatrixSpec extends SparkSpec {
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(err).exists(_.contains("larger sample")), msgs(err))
+    // STATICALLY empty relation (r7 verdict nit): PropagateEmptyRelation
+    // folds the whole sampling leg away, but the assert rides a sentinel
+    // union leg on range(1) that can't be folded — the raise still fires
+    val static = new Gdf(df(schema("v" -> LongType)))
+    val serr = intercept[Throwable] { static.sampleN(3).sdf.collect() }
+    assert(msgs(serr).exists(_.contains("larger sample")), msgs(serr))
+    assert(static.sampleN(0).sdf.collect().isEmpty)
     // n = 0 on an empty frame is a legal no-op
     assert(empty.sampleN(0).sdf.collect().isEmpty)
   }
