@@ -7,7 +7,11 @@ import org.apache.spark.sql.SparkSession
   * verdict found single-shot timings on this VM swing 2-6× under external
   * load, which made the 2×-regression gate unenforceable); `queries_min`
   * carries the per-query minima — the best observable proxy for the
-  * machine-independent cost — and `runs` the full grid for auditing. */
+  * machine-independent cost — and `runs` the full grid for auditing.
+  * FAIL-CLOSED (r8 verdict #1): throwing runs never enter the sample
+  * grid, failures surface as `errs` (counts on the compact line, full
+  * messages in the detail artifact), and the process exits nonzero if
+  * any query failed every run. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,17 +47,27 @@ object Bench {
     // different runs instead of wiping out all of one query's samples
     val samples = collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // FAIL-CLOSED (r8 verdict #1): a run that throws must NOT enter the
+    // sample grid — r7's four analysis-dead queries were timed at ~0.06 s
+    // each by the old catch-and-continue, which made breakage read as a
+    // 40× speedup in the artifact. Failures are recorded per query and
+    // the process exits nonzero if any query failed EVERY run.
+    val errs = collection.mutable.Map.empty[String, Vector[String]]
+      .withDefaultValue(Vector.empty)
     for (_ <- 1 to nRuns; name <- names) {
       val fn = picked(name)
       val t0 = System.nanoTime()
       // noop sink evaluates EVERY column of the result (count() would let
       // Catalyst prune computed projections away and fake the timing)
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        samples(name) = samples(name) :+ dt
+      } catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[bench] $name failed: $msg")
+        errs(name) = errs(name) :+ msg.linesIterator.take(1).mkString.take(200)
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      samples(name) = samples(name) :+ dt
       // each query is an independent job: drop its persisted candidate
       // tables / localCheckpoint blocks so they don't squeeze executor
       // memory for every query that happens to run later in the sweep
@@ -80,7 +94,15 @@ object Bench {
       s"\"" + n + "\":" + samples(n).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val total = names.map(n => median(samples(n))).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mins,"runs":$runsJson,"n_runs":$nRuns,"sf":"$sfDir"}"""
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val errsJson = errs.keys.toSeq.sorted.map(n =>
+      jstr(n) + ":" + errs(n).map(jstr).mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mins,"runs":$runsJson,"errs":$errsJson,"n_runs":$nRuns,"sf":"$sfDir"}"""
     // The driver archives only the LAST 2000 CHARS of stdout and parses
     // the JSON from that tail: the full per-query line (~10 KB at 99
     // queries) was silently truncated there in every previous round
@@ -115,7 +137,15 @@ object Bench {
     // short key so the compact line still fits the 2000-char tail.
     val totalMin = names
       .map(n => if (samples(n).isEmpty) 0.0 else samples(n).min).sum
-    val compact = s"""{"metric":"total","value":${fmt("%.1f", total)},"value_min":${fmt("%.1f", totalMin)},"unit":"sec","queries":$medShort,"n_runs":$nRuns,"sf":"$sfShort","detail":"$detailPath"}"""
+    // compact line carries failure COUNTS only (full messages live in the
+    // detail artifact) so the 2000-char stdout-tail budget holds; the key
+    // is omitted entirely on a clean sweep
+    val errsCompact =
+      if (errs.isEmpty) ""
+      else errs.keys.toSeq.sorted
+        .map(n => "\"" + short.getOrElse(n, n) + "\":" + errs(n).size)
+        .mkString(""""errs":{""", ",", "},")
+    val compact = s"""{"metric":"total","value":${fmt("%.1f", total)},"value_min":${fmt("%.1f", totalMin)},"unit":"sec",$errsCompact"queries":$medShort,"n_runs":$nRuns,"sf":"$sfShort","detail":"$detailPath"}"""
     // spark.stop() FIRST: its shutdown logging (stderr) must not land
     // after the compact line in a 2>&1 capture. The println below is the
     // process's final output; with run/outputStrategy := StdoutOutput and
@@ -126,5 +156,13 @@ object Bench {
     spark.stop()
     println(compact)
     System.out.flush()
+    // fail-closed exit: a query that produced NO successful run means the
+    // artifact's 0.0 entry is a failure marker, not a timing — make the
+    // process say so
+    val dead = names.filter(n => samples(n).isEmpty)
+    if (dead.nonEmpty) {
+      System.err.println(s"[bench] FAILED every run: ${dead.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
