@@ -28,13 +28,17 @@ def canon(df):
     return df
 
 fails, passes, skips = [], [], []
-# fail-closed universe: every DECLARED query (oracle_sql.json keys) plus
-# every produced output dir. A query that died before writing is a FAIL,
-# not silence (r7 verdict #2: iterating outdir alone hid 4 dead queries
-# behind a "PASS 103, FAIL 0" banner).
+# fail-closed universe: every ATTEMPTED query (queries.json — the full
+# list Verify picked, including rows-only queries with no oracle entry)
+# plus declared oracle keys plus every produced output dir. A query that
+# died before writing is a FAIL, not silence (r7 verdict #2: iterating
+# outdir alone hid 4 dead queries behind a "PASS 103, FAIL 0" banner;
+# r8 verdict #2: oracle keys alone still hid rows-only deaths).
 produced = [n for n in os.listdir(outdir)
             if os.path.isdir(os.path.join(outdir, n))]
-for name in sorted(set(produced) | set(oracle)):
+qpath = os.path.join(outdir, "queries.json")
+attempted = json.load(open(qpath)) if os.path.exists(qpath) else []
+for name in sorted(set(produced) | set(oracle) | set(attempted)):
     d = os.path.join(outdir, name)
     files = glob.glob(f"{d}/*.parquet")
     if not files:

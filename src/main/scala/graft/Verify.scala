@@ -52,6 +52,13 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => picked.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the FULL attempted-query list (r8 verdict #2): oracle_sql.json alone
+    // leaves the ~7 rows-only queries outside the fail-closed universe — one
+    // that dies before writing its output dir would appear in neither set
+    // and vanish silently. check.py iterates this list, so a missing output
+    // is a FAIL even for queries with no oracle.
+    val attempted = picked.keys.toSeq.sorted.map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/queries.json"), attempted)
     spark.stop()
   }
 }
