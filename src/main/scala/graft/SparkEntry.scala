@@ -22,7 +22,8 @@ object SparkEntry {
     // TIMESTAMP(NANOS) files; µs-encoded writers arrive as (NTZ) timestamps
     // and are normalized to the same epoch-ns convention by TsNorm.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    TsNorm.normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
+    TsNorm.normalizeTs(s.read.parquet(s"$dir/$name.parquet"),
+      assertNsRange = true)
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. The
@@ -758,7 +759,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = TsNorm.normalizeTs(streaming.Streams.readParquetStream(
         s, dir, schema, maxFilesPerTrigger = 1,
-        globFilter = Some("events.parquet")))
+        globFilter = Some("events.parquet")), assertNsRange = true)
         .withColumn("evt_ts", F.timestamp_micros(F.expr("ts DIV 1000")))
       val agg = streaming.Streams.windowedCounts(
         stream, "evt_ts", "2 hours", "1 hour", Seq("event_type"))
@@ -784,7 +785,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = TsNorm.normalizeTs(streaming.Streams.readParquetStream(
         s, dir, schema, maxFilesPerTrigger = 1,
-        globFilter = Some("events.parquet")))
+        globFilter = Some("events.parquet")), assertNsRange = true)
         .withColumn("evt_ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         .filter(F.col("user_id").isNotNull)
       val sess = streaming.Streams.sessionize(
@@ -934,7 +935,8 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       def side(kind: String, ts: String, id: String) =
         TsNorm.normalizeTs(streaming.Streams.readParquetStream(s, dir, schema,
-          maxFilesPerTrigger = 1, globFilter = Some("events.parquet")))
+          maxFilesPerTrigger = 1, globFilter = Some("events.parquet")),
+          assertNsRange = true)
           .filter(F.col("event_type") === kind)
           .select(F.col("user_id"),
             F.timestamp_micros(F.expr("ts DIV 1000")).as(ts),
@@ -1477,6 +1479,22 @@ object SparkEntry {
   private val d44ExactCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long)]]()
 
+  /** Cache key = canonical dir + embeddings file identity (size + mtime,
+    * per part-file for a directory layout): a raw dir-string key served
+    * stale pairs when the data at the path was regenerated in-process or
+    * the same dir was spelled two ways (r8 ADVICE). */
+  private def d44CacheKey(dir: String): String = {
+    val root = new java.io.File(dir).getCanonicalFile
+    val emb = new java.io.File(root, "embeddings.parquet")
+    val files =
+      if (emb.isDirectory)
+        Option(emb.listFiles()).map(_.toSeq.sortBy(_.getName))
+          .getOrElse(Seq(emb))
+      else Seq(emb)
+    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(root.getPath + "|", ",", "")
+  }
+
   private val d44: (SparkSession, String) => DataFrame = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val corpus = emb.filter(F.col("vec_id") >= 5)
@@ -1485,7 +1503,7 @@ object SparkEntry {
       corpus, F.col("vec_id"), F.col("embedding"),
       queries, F.col("vec_id"), F.col("embedding"),
       k = 5, planes = 8, bands = 4)
-    val exactPairs = d44ExactCache.computeIfAbsent(dir, _ =>
+    val exactPairs = d44ExactCache.computeIfAbsent(d44CacheKey(dir), _ =>
       Similarity.bruteForceTopK(
         corpus, F.col("vec_id"), F.col("embedding"),
         queries, F.col("vec_id"), F.col("embedding"), k = 5)

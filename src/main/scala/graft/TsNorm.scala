@@ -24,20 +24,55 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   */
 object TsNorm {
 
+  /** ns-since-epoch for 1970-02-22: every µs/ms/s encoding of any date
+    * before ~2100 falls BELOW this (µs for 2100 ≈ 4.1e15), and every ns
+    * encoding of a modern date falls above it — a clean discriminator for
+    * the plain-INT64 misscale trap (r8 ADVICE: a writer that materialized
+    * epoch-µs as untyped INT64 arrives as LongType and would silently
+    * pass through 1000× off). */
+  private val MinPlausibleNs = 1L << 52
+
   /** Normalize `col` to long ns-since-epoch whatever its arrival type:
     * LongType passes through (TIMESTAMP(NANOS) read via `nanosAsLong`, or
     * a writer that already materialized epoch-ns), timestamp types go
-    * through `unix_micros · 1000`. Absent column or other types: no-op.
-    * Works on batch and streaming frames alike (pure projection). */
-  def normalizeTs(df: DataFrame, col: String = "ts"): DataFrame =
+    * through `unix_micros · 1000`. Absent column or other types: no-op
+    * (logged when the column exists but has an unhandled type — a string
+    * or int32-millis ts would otherwise skip normalization silently).
+    * Works on batch and streaming frames alike (pure projection).
+    *
+    * `assertNsRange` (event-time ingest sites set it): rides a per-row
+    * `assert_true` on the LongType passthrough that aborts the query if a
+    * value is non-null yet below [[MinPlausibleNs]] — i.e. the file's
+    * untyped INT64 was NOT epoch-ns. The assert lives in a FILTER (pass →
+    * true → row kept), not a column rewrite: the column stays the raw scan
+    * attribute, so time predicates on it still reach parquet PushedFilters
+    * / row-group pruning (the non-convertible assert conjunct simply stays
+    * as a post-scan filter). One codegen'd comparison per row; no extra
+    * job, streaming-safe. Off by default because pre-1970-02-22 instants
+    * legitimately violate it; event tables are modern-dated. */
+  def normalizeTs(df: DataFrame, col: String = "ts",
+                  assertNsRange: Boolean = false): DataFrame =
     df.schema.find(_.name == col).map(_.dataType) match {
-      case Some(LongType) => df
+      case Some(LongType) =>
+        if (!assertNsRange) df
+        else df.filter(
+          F.when(F.assert_true(
+            F.col(col).isNull || F.abs(F.col(col)) >= MinPlausibleNs,
+            F.lit(s"column '$col' arrived as INT64 with a magnitude too " +
+              "small for ns-since-epoch — the writer likely materialized " +
+              "epoch-us/ms/s as untyped INT64; normalize it explicitly")
+          ).isNull, F.lit(true)))
       case Some(TimestampType) =>
         df.withColumn(col, F.unix_micros(F.col(col)) * F.lit(1000L))
       case Some(TimestampNTZType) =>
         // NTZ → instant through the (UTC) session tz, then to epoch-µs
         df.withColumn(col,
           F.unix_micros(F.col(col).cast(TimestampType)) * F.lit(1000L))
-      case _ => df
+      case Some(other) =>
+        System.err.println(s"[graft] TsNorm: column '$col' has unhandled " +
+          s"type $other — passing through UNNORMALIZED (expected INT64 " +
+          "ns, TIMESTAMP, or TIMESTAMP_NTZ)")
+        df
+      case None => df
     }
 }

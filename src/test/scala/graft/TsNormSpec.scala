@@ -129,6 +129,36 @@ class TsNormSpec extends SparkSpec {
     assert(TsNorm.normalizeTs(d) eq d)
   }
 
+  test("assertNsRange catches untyped-INT64 epoch-us misscale, passes " +
+      "real ns and nulls (r8 ADVICE: plain INT64 us would silently flow " +
+      "through 1000x off)") {
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // epoch-µs magnitudes arriving as bare LongType: the guarded
+    // passthrough must abort, naming the misscale
+    val us = rows.map { case (id, u, _, _, _) => (id, u) }
+      .toDF("event_id", "ts")
+    val err = intercept[Throwable] {
+      TsNorm.normalizeTs(us, assertNsRange = true).collect()
+    }
+    assert(msgs(err).exists(_.contains("ns-since-epoch")), msgs(err))
+    // the same values at ns scale (with a null mixed in) pass untouched
+    val ns = rows.map { case (id, u, _, _, _) =>
+      (id, if (id == 6L) None else Some(u * 1000L)) }
+      .toDF("event_id", "ts")
+    val got = TsNorm.normalizeTs(ns, assertNsRange = true)
+      .select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSeq.sortBy(_._1)
+    val expected = rows.map { case (id, u, _, _, _) =>
+      (id, if (id == 6L) None else Some(u * 1000L)) }.sortBy(_._1)
+    assert(got == expected)
+    // unguarded passthrough stays the identity (zero-cost default)
+    assert(TsNorm.normalizeTs(us) eq us)
+  }
+
   test("q59 range join returns the same pairs under every encoding") {
     // in-spec expectation: clicks within [error.ts, error.ts + 5 min]
     // event 3 (1 min after error 2) matches; event 4 (5:20 after) and
