@@ -105,16 +105,22 @@ def gen_events() -> None:
     n_events = int(sys.argv[2])
     out_dir = sys.argv[3]
     seed = int(sys.argv[4]) if len(sys.argv) > 4 else 420
+    # optional 5th arg: timestamp unit ("ns" default | "us") — the µs
+    # variant regenerates the SAME logical instants (truncated to µs)
+    # under the other physical encoding, for the TsNorm
+    # encoding-portability scaling comparison (r8 verdict #5)
+    unit = sys.argv[5] if len(sys.argv) > 5 else "ns"
     rng = random.Random(seed)
     n_users = max(10, int(n_events * 1500 / 100000))
     types = ["view", "click", "purchase", "signup", "error"]
     span_ns = 30 * 24 * 3600 * 10**9
     base_ns = 1704067200 * 10**9  # 2024-01-01T00:00:00Z
     ts = sorted(rng.randrange(span_ns) for _ in range(n_events))
+    ts_vals = ([base_ns + t for t in ts] if unit == "ns"
+               else [(base_ns + t) // 1000 for t in ts])
     table = pa.table({
         "event_id": pa.array(range(n_events), pa.int64()),
-        "ts": pa.array([base_ns + t for t in ts],
-                       pa.timestamp("ns")),
+        "ts": pa.array(ts_vals, pa.timestamp(unit)),
         "user_id": pa.array([rng.randrange(n_users) for _ in range(n_events)],
                             pa.int64()),
         "event_type": pa.array([types[rng.randrange(5)]

@@ -26,6 +26,18 @@ object SparkEntry {
       assertNsRange = true)
   }
 
+  /** [[t]] with a time slice `[loNs, hiNs)` applied in the file's NATIVE
+    * encoding before normalization ([[TsNorm.sliceNs]]) — the bound reaches
+    * parquet PushedFilters / row-group pruning whatever the writer's
+    * timestamp convention. The 100 TB posture for time-sliced scans. */
+  private def tSliced(s: SparkSession, dir: String, name: String,
+                      loNs: Long, hiNs: Long): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    TsNorm.normalizeTs(
+      TsNorm.sliceNs(s.read.parquet(s"$dir/$name.parquet"), loNs, hiNs),
+      assertNsRange = true)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. The
     * end-to-end ingest pipeline (d37: normalize → quality gate →
     * decontaminate → train split → chunk) — one plan through five
@@ -1019,6 +1031,31 @@ object SparkEntry {
         (nOut === 100L).cast("int").as("n_out_ok"),
         (nForeign === 0L).cast("int").as("member_ok"))
       .orderBy("l_returnflag")
+  }
+
+  /** TIME-SLICED range join (q59's shape restricted to one UTC day):
+    * the slice is applied through [[TsNorm.sliceNs]], i.e. as a constant
+    * bound on the RAW `ts` column in the file's native encoding, so it
+    * lands in parquet PushedFilters and prunes row groups by min/max —
+    * where a filter on the normalized `unix_micros(ts)*1000` projection
+    * would force a full scan (r8 verdict watch item #3). At 100 TB this is
+    * the canonical access pattern: time-sliced scans must read a day, not
+    * a decade. Plan-guarded in TsNormSpec (µs fixtures) + PlanGuardSpec. */
+  private val q63: (SparkSession, String) => DataFrame = (s, dir) => {
+    val dayNs = 86400L * 1000000000L
+    val loNs = 1704844800L * 1000000000L // 2024-01-10 00:00:00 UTC
+    val ev = tSliced(s, dir, "events", loNs, loNs + dayNs)
+      .withColumn("us", F.expr("ts DIV 1000"))
+    val fiveMin = 300000000L // µs
+    val errors = Gdf(ev.filter(F.col("event_type") === "error")
+      .select(F.col("event_id").as("error_id"), F.col("us").as("lo"),
+        (F.col("us") + fiveMin).as("hi")))
+    val clicks = Gdf(ev.filter(F.col("event_type") === "click")
+      .select(F.col("event_id").as("click_id"), F.col("us").as("p")))
+    Joins.rangeJoin(clicks, errors, "p", "lo", "hi", binWidth = fiveMin)
+      .select("error_id", "click_id")
+      .sortBy(Seq(F.col("error_id"), F.col("click_id")))
+      .sdf
   }
 
   /** IVF ANN with EXHAUSTIVE probing (`nprobe = nlist`): every cell is
@@ -2019,7 +2056,8 @@ object SparkEntry {
     "q58_transpose" -> q58,
     "q59_range_join" -> q59,
     "q60_series_utils" -> q60,
-    "q61_argsort" -> q61)
+    "q61_argsort" -> q61,
+    "q63_time_slice" -> q63)
 
   /** Bench-only queries: runnable BY NAME through `graft.Bench` for
     * scaling studies, but excluded from [[queries]] — the driver's
@@ -3222,6 +3260,17 @@ object SparkEntry {
       WITH e AS (SELECT event_id AS error_id, ts FROM events
                  WHERE event_type = 'error'),
            c AS (SELECT event_id AS click_id, ts FROM events
+                 WHERE event_type = 'click')
+      SELECT error_id, click_id FROM e JOIN c
+        ON c.ts BETWEEN e.ts AND e.ts + INTERVAL 5 MINUTE
+      ORDER BY error_id, click_id""",
+    "q63_time_slice" -> """
+      WITH ev AS (SELECT event_id, ts, event_type FROM events
+                  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+                    AND ts <  TIMESTAMP '2024-01-11 00:00:00'),
+           e AS (SELECT event_id AS error_id, ts FROM ev
+                 WHERE event_type = 'error'),
+           c AS (SELECT event_id AS click_id, ts FROM ev
                  WHERE event_type = 'click')
       SELECT error_id, click_id FROM e JOIN c
         ON c.ts BETWEEN e.ts AND e.ts + INTERVAL 5 MINUTE

@@ -50,6 +50,54 @@ object TsNorm {
     * as a post-scan filter). One codegen'd comparison per row; no extra
     * job, streaming-safe. Off by default because pre-1970-02-22 instants
     * legitimately violate it; event tables are modern-dated. */
+  /** Time-slice `df` to `[loNs, hiNs)` (ns-since-epoch domain) BEFORE
+    * normalization, with the bound translated into the file's NATIVE
+    * encoding so it reaches parquet `PushedFilters` and row-group min/max
+    * pruning. This is the inverse of [[normalizeTs]]'s column rewrite: a
+    * filter on the normalized column (`unix_micros(ts)*1000 >= lo`) is not
+    * invertible to the scan, so at 100 TB a time-sliced query would read
+    * every row group; filtering the RAW column against a translated
+    * constant keeps the scan prunable — the difference between reading a
+    * day and reading a decade on a time-partitioned corpus.
+    *
+    * Bound translation ns→µs is exact for µs-encoded files: with
+    * `ceilDiv(x) = (x + 999) / 1000`, `us*1000 >= loNs ⟺ us >= ceilDiv(loNs)`
+    * and `us*1000 < hiNs ⟺ us < ceilDiv(hiNs)` (integer `us`), so the
+    * native predicate is EQUIVALENT to the ns-domain slice, not merely a
+    * superset — no residual post-filter is needed. Timestamp literals are
+    * built foldable (`timestamp_micros(lit)`), so ConstantFolding collapses
+    * them before filter→parquet translation.
+    *
+    * Unhandled `ts` types throw: a slice silently returning unsliced (or
+    * mis-sliced) data would be corrupt at any scale. Compose as
+    * `normalizeTs(sliceNs(raw, lo, hi))`. */
+  def sliceNs(df: DataFrame, loNs: Long, hiNs: Long,
+              col: String = "ts"): DataFrame = {
+    require(loNs <= hiNs, s"empty/inverted slice [$loNs, $hiNs)")
+    def ceilDivUs(ns: Long) = Math.floorDiv(Math.addExact(ns, 999L), 1000L)
+    df.schema.find(_.name == col).map(_.dataType) match {
+      case Some(LongType) => // epoch-ns passthrough: bound already native
+        df.filter(F.col(col) >= F.lit(loNs) && F.col(col) < F.lit(hiNs))
+      case Some(TimestampType) =>
+        df.filter(
+          F.col(col) >= F.timestamp_micros(F.lit(ceilDivUs(loNs))) &&
+          F.col(col) < F.timestamp_micros(F.lit(ceilDivUs(hiNs))))
+      case Some(TimestampNTZType) =>
+        // literal built as instant then cast to NTZ through the (UTC)
+        // session tz — value-preserving, still foldable to an NTZ literal
+        df.filter(
+          F.col(col) >= F.timestamp_micros(F.lit(ceilDivUs(loNs)))
+            .cast(TimestampNTZType) &&
+          F.col(col) < F.timestamp_micros(F.lit(ceilDivUs(hiNs)))
+            .cast(TimestampNTZType))
+      case Some(other) => throw new IllegalArgumentException(
+        s"cannot time-slice column '$col' of type $other — expected INT64 " +
+          "ns, TIMESTAMP, or TIMESTAMP_NTZ")
+      case None => throw new IllegalArgumentException(
+        s"cannot time-slice: no column '$col' in ${df.schema.fieldNames.mkString(",")}")
+    }
+  }
+
   def normalizeTs(df: DataFrame, col: String = "ts",
                   assertNsRange: Boolean = false): DataFrame =
     df.schema.find(_.name == col).map(_.dataType) match {

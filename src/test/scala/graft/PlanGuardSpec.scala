@@ -20,7 +20,7 @@ class PlanGuardSpec extends SparkSpec {
     "q28_slice", "q31_ewm", "q38_peaks_rowindex", "q39_head_grouped",
     "q42_spearman", "q44_concat_columns", "q51_sort_nils", "q52_cut_frame",
     "q54_positional", "q55_math_funcs", "q59_range_join",
-    "q60_series_utils", "q61_argsort",
+    "q60_series_utils", "q61_argsort", "q63_time_slice",
     "d01_exact_dedup", "d05_minhash_pairs", "d07_ngram_jaccard",
     "d09_lsh_topk", "d13_embedding_neardup", "d14_ivf_topk",
     "d17_normalize", "d18_vocabulary", "d19_tfidf",
@@ -85,6 +85,19 @@ class PlanGuardSpec extends SparkSpec {
       s"no pushed filters:\n$plan")
     assert(pushed.contains("GreaterThan(l_quantity") ||
       pushed.contains("In(l_returnflag"), pushed)
+  }
+
+  test("q63 time slice: the ts bound reaches the parquet scan as a pushed " +
+      "filter (r8 verdict watch #3 — a filter on the normalized " +
+      "unix_micros(ts)*1000 projection would force a full scan at 100 TB)") {
+    val plan = SparkEntry.queries("q63_time_slice")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters: ["))
+      .filter(l => l.contains("(ts") || l.contains("ts,") || l.contains("ts)"))
+      .mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(ts") &&
+      pushed.contains("LessThan(ts"),
+      s"ts slice not pushed to the scan:\n$plan")
   }
 
   test("column pruning reaches the parquet scan (q01 reads 6 of 11 columns)") {

@@ -159,6 +159,44 @@ class TsNormSpec extends SparkSpec {
     assert(TsNorm.normalizeTs(us) eq us)
   }
 
+  test("sliceNs selects identical rows under every encoding, with exact " +
+      "ns->us bound translation (bounds deliberately NOT multiples of " +
+      "1000 ns)") {
+    // [error - 500ns, purchase + 1ns): events 2..5; the sub-us offsets
+    // exercise the ceil-division bound translation — a naive truncating
+    // divide would drop event 2 (lo) or event 5 (hi)
+    val lo = (base + 120000000L) * 1000L - 500L
+    val hi = (base + 600000000L) * 1000L + 1L
+    for ((enc, dir) <- fixtures) {
+      val got = TsNorm.normalizeTs(TsNorm.sliceNs(readEvents(dir), lo, hi))
+        .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(got == Seq(2L, 3L, 4L, 5L), enc)
+    }
+  }
+
+  test("sliceNs bound reaches parquet PushedFilters in every encoding " +
+      "(the 100 TB row-group-pruning contract)") {
+    val lo = (base + 120000000L) * 1000L
+    val hi = (base + 600000000L) * 1000L
+    for ((enc, dir) <- fixtures) {
+      val plan = TsNorm.sliceNs(readEvents(dir), lo, hi)
+        .queryExecution.executedPlan.toString
+      val pushed = plan.linesIterator.filter(_.contains("PushedFilters: ["))
+        .mkString("\n")
+      assert(pushed.contains("GreaterThanOrEqual(ts") &&
+        pushed.contains("LessThan(ts"), s"$enc: ts bound not pushed:\n$plan")
+    }
+  }
+
+  test("sliceNs fails loudly on an un-sliceable ts type (a silent " +
+      "unsliced return would be corrupt at any scale)") {
+    import spark.implicits._
+    val strTs = Seq((1L, "2024-01-01")).toDF("event_id", "ts")
+    intercept[IllegalArgumentException] { TsNorm.sliceNs(strTs, 0L, 1L) }
+    intercept[IllegalArgumentException] {
+      TsNorm.sliceNs(strTs.drop("ts"), 0L, 1L) }
+  }
+
   test("q59 range join returns the same pairs under every encoding") {
     // in-spec expectation: clicks within [error.ts, error.ts + 5 min]
     // event 3 (1 min after error 2) matches; event 4 (5:20 after) and
