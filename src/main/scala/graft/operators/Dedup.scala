@@ -359,6 +359,17 @@ object Dedup {
       .withColumnRenamed("src", "id")
       .localCheckpoint() // eager: materializes (and caches) edges + pairs
     p.unpersist(false)
+    // convergence probe: labels are MONOTONE non-increasing per id (next =
+    // min over a union that includes the previous label) over a fixed id
+    // set, so the exact decimal label sum is strictly decreasing until the
+    // fixed point — sum unchanged ⟺ every label unchanged. One cheap
+    // aggregate job per round over the checkpointed label table, replacing
+    // the old join-based changed-row probe (same exactness, fewer stages).
+    def labelSum(l: DataFrame): java.math.BigDecimal = {
+      val r = l.agg(F.sum(F.col("cluster").cast("decimal(38,0)"))).collect().head
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
@@ -368,9 +379,9 @@ object Dedup {
       val next = labels.union(neighborMin)
         .groupBy("id").agg(F.min("cluster").as("cluster"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("cluster", "__prev"), "id")
-        .filter(F.col("cluster") =!= F.col("__prev"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
@@ -407,8 +418,9 @@ object Dedup {
     *    (and itself) to that minimum.
     * Edges stay canonically (hi, lo); a fixed point — reached in
     * O(log² n) rounds on ANY graph shape — is exactly the star forest
-    * whose centers are the component minima. Per-round
-    * `localCheckpoint` cuts lineage like every iterative operator here. */
+    * whose centers are the component minima, detected IN the round that
+    * produces it (see the in-loop comment). Per-round `localCheckpoint`
+    * cuts lineage like every iterative operator here. */
   def duplicateClustersStar(pairs: DataFrame,
       maxIterations: Int = 30): DataFrame = {
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -426,24 +438,15 @@ object Dedup {
       .select(F.col("id_a").as("id")).distinct()
       .localCheckpoint()
     p.unpersist(false)
-    // order-independent edge-set signature: (count, XOR of row hashes).
-    // One cheap agg job over the checkpointed table — the per-round
-    // convergence screen. XOR is commutative and overflow-free (the tables
-    // are distinct, so multiset vs set is moot); a signature collision
-    // between DIFFERENT edge sets is caught by the exceptAll confirmation,
-    // which now runs only on signature agreement (≈ once per call) instead
-    // of on every count tie.
-    def sigOf(e: DataFrame): (Long, Long) = {
-      val r = e.agg(F.count(F.lit(1)).as("c"),
-        F.expr("bit_xor(xxhash64(hi, lo))").as("x")).collect().head
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
     var iter = 0
     var converged = edges.isEmpty
-    var prevSig = if (converged) (0L, 0L) else sigOf(edges)
     while (!converged && iter < maxIterations) {
       // ---- large-star: attach strictly-larger neighbors to the
-      // neighborhood minimum m(u) = min(Γ(u) ∪ {u})
+      // neighborhood minimum m(u) = min(Γ(u) ∪ {u}). NO intra-round
+      // distinct: the only consumers are min-aggregates and `next`'s own
+      // distinct, neither of which a duplicate row can perturb, and the
+      // duplicate volume is bounded by |bidir| = 2|E| — dropping the
+      // dedup shuffle saves two stages per round.
       val bidir = edges.select(F.col("hi").as("u"), F.col("lo").as("v"))
         .unionAll(edges.select(F.col("lo").as("u"), F.col("hi").as("v")))
       val mLarge = bidir.groupBy("u")
@@ -451,7 +454,6 @@ object Dedup {
       val large = bidir.join(mLarge, "u")
         .filter(F.col("v") > F.col("u") && F.col("v") =!= F.col("m"))
         .select(F.col("v").as("hi"), F.col("m").as("lo"))
-        .distinct()
       // ---- small-star: attach every ≤ neighbor (and the node itself) to
       // m(hi) = min(Γ≤(hi) ∪ {hi}) — all los are < hi, so m = min(lo)
       val mSmall = large.groupBy("hi").agg(F.min("lo").as("m"))
@@ -461,12 +463,25 @@ object Dedup {
         .unionAll(mSmall.select(F.col("hi"), F.col("m").as("lo")))
         .distinct()
         .localCheckpoint()
-      // fixed point: both star operations leave the edge set unchanged.
-      // Signatures screen every round; the exceptAll confirmation runs
-      // only when they agree.
-      val nextSig = sigOf(next)
-      converged = nextSig == prevSig && next.exceptAll(edges).isEmpty
-      prevSig = nextSig
+      // IN-ROUND fixed-point detection. Both star ops preserve the
+      // invariant lo < hi, so the alternation's fixed point — each
+      // component one star centered on its minimum — is EXACTLY "the edge
+      // set is a star forest": no hi repeats (one root per child) and no
+      // node is both child (hi) and root (lo). Any non-forest set has a
+      // mergeable node and is not fixed; any forest with lo < hi has
+      // centers = component minima and both ops are the identity on it.
+      // One union+aggregate job over the checkpointed table, detecting
+      // convergence in the round that PRODUCES the fixed point — the old
+      // (count, xor) signature screen needed one more identity round to
+      // see the signature repeat, plus an exceptAll confirmation against
+      // hash collisions; this test is exact and a round cheaper.
+      converged = next
+        .select(F.col("hi").as("n"), F.lit(1L).as("h"), F.lit(0L).as("r"))
+        .unionAll(next
+          .select(F.col("lo").as("n"), F.lit(0L).as("h"), F.lit(1L).as("r")))
+        .groupBy("n").agg(F.sum("h").as("hs"), F.sum("r").as("rs"))
+        .filter(F.col("hs") > 1L || (F.col("hs") > 0L && F.col("rs") > 0L))
+        .isEmpty
       edges = next
       iter += 1
     }
