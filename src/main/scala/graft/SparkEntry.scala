@@ -1268,6 +1268,30 @@ object SparkEntry {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Persisted-LSH-index incremental dedup (index-once / dedup-many —
+    * the minhash twin of d43's disk IVF index): the accepted corpus (even
+    * doc_ids) is indexed ONCE to parquet (band-partitioned postings +
+    * shingle-hash features), then the incoming batch (odd doc_ids, plus
+    * planted copies of the first 25 even docs under fresh ids — identical
+    * text ⇒ identical signature ⇒ caught with probability 1) dedups
+    * against the index without re-reading the corpus. Verification is
+    * EXACT shingle-set Jaccard from the stored features, so DuckDB
+    * replays the decision rule verbatim (d30's oracle shape). */
+  private val d51: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val accepted = docs.filter(F.col("doc_id") % 2 === 0)
+    val batch = docs.filter(F.col("doc_id") % 2 === 1)
+      .unionAll(docs
+        .filter(F.col("doc_id") % 2 === 0 && F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 1000000L).as("doc_id"), F.col("text")))
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_${dir.hashCode.abs}"
+    Dedup.writeMinhashIndex(accepted, F.col("doc_id"), F.col("text"), idx,
+      shingleSize = 3, numHashes = 64, bands = 8)
+    Dedup.dedupAgainstIndex(batch, F.col("doc_id"), F.col("text"), idx,
+      threshold = 0.8)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** Bloom-filter membership gate: all docs gated against the first-50
     * texts as a blocklist (fpp 1e-3). Probabilistic by nature (false
     * positives are engine-specific) → rows-only check; exactness lives in
@@ -2047,6 +2071,7 @@ object SparkEntry {
     "d48_fingerprint_planted" -> d48,
     "d49_bloom_contract" -> d49,
     "d50_multimodal_contract" -> d50,
+    "d51_index_dedup" -> d51,
     "q62_sample_contract" -> q62,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
@@ -3025,6 +3050,25 @@ object SparkEntry {
                ELSE 0.0 END >= 0.8)
       SELECT doc_id FROM documents
       WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM loser)
+      ORDER BY doc_id""",
+    "d51_index_dedup" -> """
+      WITH toks AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+          generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE []::VARCHAR[] END AS s FROM toks),
+      batch AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 1
+                UNION ALL
+                SELECT doc_id + 1000000, s FROM sh
+                WHERE doc_id % 2 = 0 AND doc_id < 50),
+      loser AS (SELECT DISTINCT b.doc_id FROM batch b, sh a
+        WHERE a.doc_id % 2 = 0
+          AND CASE WHEN len(list_distinct(b.s || a.s)) > 0
+               THEN len(list_intersect(b.s, a.s)) /
+                    CAST(len(list_distinct(b.s || a.s)) AS DOUBLE)
+               ELSE 0.0 END >= 0.8)
+      SELECT doc_id FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM loser)
       ORDER BY doc_id""",
     "d37_pipeline" -> """
       WITH norm AS (SELECT doc_id,

@@ -39,11 +39,19 @@ private[functions] final class CappedBuf(var seen: Long, var n: Int,
   *    whole posting list only to drop it in the size filter.
   *
   * Group sizes are still counted exactly (`seen`), so the [2, cap] band is
-  * decided on true cardinality, never on the truncated store. */
+  * decided on true cardinality, never on the truncated store.
+  *
+  * `minSize` widens the band's floor for consumers that must KEEP
+  * singleton groups — a persisted LSH index stores one-member buckets
+  * because a FUTURE batch doc may land in them ([[graft.operators.Dedup
+  * .writeMinhashIndex]]); live candidate generation keeps the default 2
+  * (a singleton bucket can never produce a pair). */
 case class CappedSortedIds(child: Expression, cap: Int,
+    minSize: Int = 2,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[CappedBuf] with UnaryLike[Expression] {
   require(cap >= 2, s"cap $cap must be >= 2")
+  require(minSize >= 1, s"minSize $minSize must be >= 1")
 
   override def prettyName: String = "capped_sorted_ids"
   override def nullable: Boolean = true
@@ -66,7 +74,7 @@ case class CappedSortedIds(child: Expression, cap: Int,
   }
 
   override def eval(b: CappedBuf): Any =
-    if (b.seen < 2L || b.seen > cap) null
+    if (b.seen < minSize.toLong || b.seen > cap) null
     else {
       val out = java.util.Arrays.copyOf(b.items, b.n)
       java.util.Arrays.sort(out)
@@ -179,10 +187,11 @@ case class CappedSortedIdSigs(child: Expression, cap: Int,
 
 object AggExprs {
   /** `sort_array(collect_list(id))` bounded at `cap`: NULL unless the
-    * group's true size is in [2, cap]. */
-  def cappedSortedIds(id: Column, cap: Int): Column =
+    * group's true size is in [minSize, cap] (default [2, cap]). */
+  def cappedSortedIds(id: Column, cap: Int, minSize: Int = 2): Column =
     Bridge.column(
-      CappedSortedIds(Bridge.expression(id), cap).toAggregateExpression())
+      CappedSortedIds(Bridge.expression(id), cap, minSize)
+        .toAggregateExpression())
 
   /** Struct variant for (id, simhash) bucket rows. */
   def cappedSortedIdSigs(row: Column, cap: Int): Column =

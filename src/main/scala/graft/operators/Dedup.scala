@@ -727,6 +727,112 @@ object Dedup {
     df.join(contaminated, asLongId(id) === F.col("__loser"), "left_anti")
   }
 
+  /** Write a reusable ON-DISK MinHash LSH index over the accepted corpus —
+    * the index-once/dedup-many posture for incremental ingest (the minhash
+    * twin of [[Similarity]]'s cell-partitioned IVF disk index, d43).
+    * [[dedupAgainstNear]] re-scans and re-shingles the FULL accepted corpus
+    * for every incoming batch; at large scale the accepted side dwarfs any
+    * batch, so its scan must be paid once and persisted:
+    *
+    *  - `path/features`: `(id, sh: array<bigint>)` — each doc's distinct
+    *    shingle hashes, written from the index build's single corpus scan.
+    *    Candidate verification joins THIS table, so verification stays
+    *    EXACT Jaccard (identical semantics to [[verifyJaccard]]) without
+    *    ever touching corpus text again;
+    *  - `path/postings`: `(bucket, ids: array<bigint>, band)` written
+    *    `partitionBy("band")` — LSH band buckets from the same fused
+    *    native shingle→minhash→band expression the live path scans with
+    *    ([[graft.functions.TextExprs.minhashBandHashes]] — writer and
+    *    prober share the expression, which is all bucket agreement
+    *    requires), saturating-capped at `maxBucket` (boilerplate buckets
+    *    are dropped as pair noise, exactly the live path's guardrail) but
+    *    KEEPING singleton buckets: a future batch doc may land in one.
+    *    Band partitioning makes `probeBands` (below) a static partition
+    *    filter — the IVF `nprobe` analogue;
+    *  - `path/meta`: one row of build parameters, so readers never have
+    *    to repeat them (a mismatched shingle size would silently produce
+    *    disjoint bucket spaces).
+    *
+    * Build cost: two native-speed corpus scans (features, postings) —
+    * deliberately NOT fused via a corpus-scale persist, which would be
+    * the wrong trade on an accepted corpus far larger than memory. */
+  def writeMinhashIndex(corpus: DataFrame, id: Column, text: Column,
+      path: String, shingleSize: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, maxBucket: Int = 1000): Unit = {
+    require(numHashes % bands == 0,
+      s"numHashes $numHashes must divide into bands $bands")
+    val spark = corpus.sparkSession
+    val base = corpus.select(asLongId(id).as("id"), text.as("__t"))
+    base
+      .select(F.col("id"), shingleHashes(F.col("__t"), shingleSize).as("sh"))
+      .write.mode("overwrite").parquet(s"$path/features")
+    base
+      .select(F.col("id"),
+        F.posexplode(graft.functions.TextExprs.minhashBandHashes(
+          F.col("__t"), shingleSize, numHashes, bands))
+          .as(Seq("band", "bucket")))
+      .groupBy("band", "bucket")
+      .agg(graft.functions.AggExprs
+        .cappedSortedIds(F.col("id"), maxBucket, minSize = 1).as("ids"))
+      .filter(F.col("ids").isNotNull)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/postings")
+    import spark.implicits._
+    Seq((shingleSize, numHashes, bands, maxBucket))
+      .toDF("shingle_size", "num_hashes", "bands", "max_bucket")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Near-dedup an incoming batch against a persisted [[writeMinhashIndex]]
+    * index WITHOUT re-reading the accepted corpus: candidates from a
+    * bucket join of the batch's banded signature against `path/postings`,
+    * verified by EXACT shingle-set Jaccard against `path/features` — same
+    * decision rule as [[dedupAgainstNear]], minus the corpus re-scan.
+    * Batch-internal duplicates are deliberately kept ([[dedupNear]]'s
+    * job), mirroring [[dedupAgainstNear]].
+    *
+    * `probeBands`: probe only the first k of the index's bands — a STATIC
+    * partition filter on the band-partitioned postings (only those bands'
+    * files are read), trading recall for IO exactly like IVF `nprobe`;
+    * default probes all bands (full LSH recall). */
+  def dedupAgainstIndex(df: DataFrame, id: Column, text: Column,
+      path: String, threshold: Double,
+      probeBands: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val (shingleSize, numHashes, bands) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val probe = probeBands.getOrElse(bands)
+    require(probe >= 1 && probe <= bands,
+      s"probeBands $probe out of [1, $bands]")
+    // one batch scan: shingle hashes (verification) and band buckets
+    // (candidates) computed together and persisted — the two consumers
+    // are separate subtrees
+    val batch = df
+      .select(asLongId(id).as("bid"),
+        shingleHashes(text, shingleSize).as("bsh"),
+        graft.functions.TextExprs.minhashBandHashes(
+          text, shingleSize, numHashes, bands).as("__bb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchBuckets = batch.select(F.col("bid"),
+      F.posexplode(F.col("__bb")).as(Seq("band", "bucket")))
+      .filter(F.col("band") < probe)
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(F.col("band") < probe) // static partition pruning
+    val cands = batchBuckets.join(postings, Seq("band", "bucket"))
+      .select(F.col("bid"), F.explode(F.col("ids")).as("iid"))
+      .distinct()
+    val feats = spark.read.parquet(s"$path/features")
+    val losers = cands
+      .join(feats.withColumnsRenamed(Map("id" -> "iid", "sh" -> "ish")), "iid")
+      .join(batch.select("bid", "bsh"), "bid")
+      .withColumn("jaccard",
+        F.size(F.array_intersect(F.col("ish"), F.col("bsh"))).cast(DoubleType) /
+          F.size(F.array_union(F.col("ish"), F.col("bsh"))))
+      .filter(F.col("jaccard") >= threshold)
+      .select(F.col("bid").as("__loser")).distinct()
+    df.join(losers, asLongId(id) === F.col("__loser"), "left_anti")
+  }
+
   /** Membership gate against a reference key set WITHOUT a join: build a
     * Bloom filter over `xxhash64(refKey)` (distributed tree aggregation;
     * the filter itself is the only driver-held artifact — sized by

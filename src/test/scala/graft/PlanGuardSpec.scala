@@ -26,6 +26,7 @@ class PlanGuardSpec extends SparkSpec {
     "d17_normalize", "d18_vocabulary", "d19_tfidf",
     "d21_repetition", "d22_scrub", "d23_contamination", "d24_dedup_lines",
     "d28_hash_split", "d29_mixture", "d30_dedup_against", "d32_topk_sample",
+    "d51_index_dedup",
     "d33_chunk", "d36_quantize", "d40_dedup_spans", "d41_gopher_rules",
     "d42_top_ngrams", "d43_ivf_disk_index")
 

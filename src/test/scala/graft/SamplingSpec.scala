@@ -113,6 +113,55 @@ class SamplingSpec extends SparkSpec {
     assert(col1[Long](out.orderBy("id"), "id") == Seq(2L, 3L, 4L))
   }
 
+  test("minhash disk index: round trip agrees with the live cross-corpus " +
+      "path, keeps singleton buckets, and probeBands prunes partitions") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the sun sets slowly behind the distant purple mountains"
+    val other = "completely unrelated text about database query optimization " +
+      "and distributed systems running on large compute clusters"
+    // ref: two mutually-unrelated docs — every index bucket is a SINGLETON,
+    // so the index MUST store size-1 buckets (minSize=1) or nothing could
+    // ever match it
+    val ref = Seq((10L, base), (11L, other)).toDF("rid", "rtext")
+    // batch: 1 near-dups ref#10; 2/3 duplicate EACH OTHER only (both must
+    // survive — within-batch dedup is dedupNear's job); 4 unrelated
+    val pasta = "short interlude about cooking pasta properly al dente tonight"
+    val batch = Seq((1L, base.replace("slowly", "quickly")),
+      (2L, pasta), (3L, pasta),
+      (4L, "entirely different musings on mountain weather and hiking gear"))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh").toString
+    Dedup.writeMinhashIndex(ref, F.col("rid"), F.col("rtext"), dir,
+      shingleSize = 3, numHashes = 64, bands = 16)
+    val out = Dedup.dedupAgainstIndex(batch, F.col("id"), F.col("text"),
+      dir, threshold = 0.5)
+    assert(col1[Long](out.orderBy("id"), "id") == Seq(2L, 3L, 4L))
+    // identical decision rule as the live (re-scan) path on the same data
+    val live = Dedup.dedupAgainstNear(batch, F.col("id"), F.col("text"),
+      ref, F.col("rid"), F.col("rtext"),
+      threshold = 0.5, shingleSize = 3, numHashes = 64, bands = 16)
+    assert(col1[Long](out.orderBy("id"), "id") ==
+      col1[Long](live.orderBy("id"), "id"))
+    // probeBands: an identical copy collides in EVERY band, so probing 2
+    // of 16 still catches it — and the postings scan must prune to those
+    // bands' partitions
+    val copyBatch = Seq((20L, base), (21L, pasta)).toDF("id", "text")
+    val pruned = Dedup.dedupAgainstIndex(copyBatch, F.col("id"),
+      F.col("text"), dir, threshold = 0.9, probeBands = Some(2))
+    assert(col1[Long](pruned.orderBy("id"), "id") == Seq(21L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("band"),
+      s"probeBands not pushed to partition pruning:\n$plan")
+    // self-describing: a reader never re-supplies build params; a missing
+    // index fails loudly
+    intercept[Exception] {
+      Dedup.dedupAgainstIndex(batch, F.col("id"), F.col("text"),
+        dir + "/nope", threshold = 0.5).collect()
+    }
+  }
+
   test("dedupAgainstNear fails loudly on a negative id instead of " +
       "misclassifying the row's side") {
     // a negative id in the NEW batch would land in the reference id range
