@@ -1292,6 +1292,40 @@ object SparkEntry {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Bench-only amortization twin of d51 (the steady state of
+    * index-once/dedup-many ingest): the index is built at most once per
+    * corpus — keyed on the corpus FILE identity (path hash + size +
+    * mtime, the d44-cache lesson: a regenerated file must not serve a
+    * stale index) — so a timed run pays only the PROBE.
+    * [[d30]]-style `dedupAgainstNear` on the same split is the
+    * re-scan-the-corpus-every-batch baseline it amortizes against. */
+  private val d52: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val f = new java.io.File(s"$dir/documents.parquet")
+    val key = s"${dir.hashCode.abs}_${f.length}_${f.lastModified}"
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mh_bench_$key"
+    if (!new java.io.File(s"$idx/meta/_SUCCESS").exists())
+      Dedup.writeMinhashIndex(docs.filter(F.col("doc_id") % 2 === 0),
+        F.col("doc_id"), F.col("text"), idx,
+        shingleSize = 3, numHashes = 64, bands = 8)
+    Dedup.dedupAgainstIndex(
+      docs.filter(F.col("doc_id") % 2 === 1), F.col("doc_id"), F.col("text"),
+      idx, threshold = 0.8)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** The live-path baseline for [[d52]] on the SAME split direction
+    * (batch = odd ids vs accepted = even ids): full corpus re-scan per
+    * batch. Bench-only. */
+  private val d53: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    Dedup.dedupAgainstNear(
+      docs.filter(F.col("doc_id") % 2 === 1), F.col("doc_id"), F.col("text"),
+      docs.filter(F.col("doc_id") % 2 === 0), F.col("doc_id"), F.col("text"),
+      threshold = 0.8, numHashes = 64, bands = 8)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** Bloom-filter membership gate: all docs gated against the first-50
     * texts as a blocklist (fpp 1e-3). Probabilistic by nature (false
     * positives are engine-specific) → rows-only check; exactness lives in
@@ -2090,7 +2124,8 @@ object SparkEntry {
     * threshold has no DuckDB twin; registering it would add an
     * unnecessary rows-only row). */
   def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("d47_pipeline_approx" -> d47)
+    Map("d47_pipeline_approx" -> d47,
+      "d52_index_probe" -> d52, "d53_index_rescan" -> d53)
 
   // d34 runs a different distributed algorithm (star contraction) over the
   // same pair graph as d15 — the label contract is identical, so it is
