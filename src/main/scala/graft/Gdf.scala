@@ -373,10 +373,17 @@ final class Gdf(
         val assertQ = bridge.scalarSubquery(sdf.select(
           F.assert_true(F.lit(n.toLong) <= F.count(F.lit(1)), F.lit(msg))))
         val main = sdf.orderBy(F.rand(seed)).limit(n).filter(assertQ.isNull)
-        val cnt = bridge.scalarSubquery(sdf.select(F.count(F.lit(1))))
+        // the sentinel references the SAME assert-carrying subquery (a
+        // passing assert is null → isNotNull = false → the leg emits
+        // nothing; a failing one raises inside the subquery), so
+        // ReuseSubquery collapses both legs onto ONE count aggregation —
+        // a second plain-count subquery would be a redundant full scan.
+        // On a STATICALLY empty frame the main leg is pruned, the inner
+        // aggregate folds to count = 0, and the If(false, …) collapses to
+        // the bare raise_error — still a runtime expression, so the
+        // sentinel's reference fires it.
         val sentinel = spark.range(1)
-          .filter(F.assert_true(F.lit(n.toLong) <= cnt,
-            F.lit(msg)).isNotNull)
+          .filter(assertQ.isNotNull)
           .select(sdf.schema.map(f =>
             F.get(F.array(F.lit(null).cast(f.dataType)),
               F.col("id").cast(IntegerType)).as(f.name)): _*)

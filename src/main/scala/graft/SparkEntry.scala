@@ -34,7 +34,8 @@ object SparkEntry {
                       loNs: Long, hiNs: Long): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     TsNorm.normalizeTs(
-      TsNorm.sliceNs(s.read.parquet(s"$dir/$name.parquet"), loNs, hiNs),
+      TsNorm.sliceNs(s.read.parquet(s"$dir/$name.parquet"), loNs, hiNs,
+        assertNsRange = true),
       assertNsRange = true)
   }
 
@@ -1284,7 +1285,7 @@ object SparkEntry {
       .unionAll(docs
         .filter(F.col("doc_id") % 2 === 0 && F.col("doc_id") < 50)
         .select((F.col("doc_id") + 1000000L).as("doc_id"), F.col("text")))
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_${dir.hashCode.abs}"
+    val idx = scratch(s"d51_index_${dir.hashCode.abs}")
     Dedup.writeMinhashIndex(accepted, F.col("doc_id"), F.col("text"), idx,
       shingleSize = 3, numHashes = 64, bands = 8)
     Dedup.dedupAgainstIndex(batch, F.col("doc_id"), F.col("text"), idx,
@@ -1301,8 +1302,9 @@ object SparkEntry {
     * re-scan-the-corpus-every-batch baseline it amortizes against. */
   private val d52: (SparkSession, String) => DataFrame = (s, dir) => {
     val docs = t(s, dir, "documents").select("doc_id", "text")
-    val f = new java.io.File(s"$dir/documents.parquet")
-    val key = s"${dir.hashCode.abs}_${f.length}_${f.lastModified}"
+    // key on file identity (name/size/mtime per part — tableKey), not the
+    // dir string: a regenerated corpus must never probe a stale index
+    val key = Integer.toHexString(tableKey(dir, "documents").hashCode)
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mh_bench_$key"
     if (!new java.io.File(s"$idx/meta/_SUCCESS").exists())
       Dedup.writeMinhashIndex(docs.filter(F.col("doc_id") % 2 === 0),
@@ -1578,17 +1580,24 @@ object SparkEntry {
     * per part-file for a directory layout): a raw dir-string key served
     * stale pairs when the data at the path was regenerated in-process or
     * the same dir was spelled two ways (r8 ADVICE). */
-  private def d44CacheKey(dir: String): String = {
+  /** File-identity key for per-corpus caches: canonical path + per-part
+    * name/size/mtime, so a regenerated table (same path, new bytes) never
+    * serves a stale cached artifact — works for both single-file and
+    * directory-shaped parquet (a directory's own length/mtime can stay
+    * unchanged while part files are rewritten in place). */
+  private def tableKey(dir: String, table: String): String = {
     val root = new java.io.File(dir).getCanonicalFile
-    val emb = new java.io.File(root, "embeddings.parquet")
+    val t = new java.io.File(root, s"$table.parquet")
     val files =
-      if (emb.isDirectory)
-        Option(emb.listFiles()).map(_.toSeq.sortBy(_.getName))
-          .getOrElse(Seq(emb))
-      else Seq(emb)
+      if (t.isDirectory)
+        Option(t.listFiles()).map(_.toSeq.sortBy(_.getName))
+          .getOrElse(Seq(t))
+      else Seq(t)
     files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       .mkString(root.getPath + "|", ",", "")
   }
+
+  private def d44CacheKey(dir: String): String = tableKey(dir, "embeddings")
 
   private val d44: (SparkSession, String) => DataFrame = (s, dir) => {
     val emb = t(s, dir, "embeddings")

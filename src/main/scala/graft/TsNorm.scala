@@ -70,13 +70,35 @@ object TsNorm {
     *
     * Unhandled `ts` types throw: a slice silently returning unsliced (or
     * mis-sliced) data would be corrupt at any scale. Compose as
-    * `normalizeTs(sliceNs(raw, lo, hi))`. */
+    * `normalizeTs(sliceNs(raw, lo, hi))`.
+    *
+    * `assertNsRange` on the INT64 branch: [[normalizeTs]]'s per-row
+    * misscale assert is USELESS below a pushed slice bound — a file whose
+    * untyped INT64 is really epoch-µs has every value ~1000× under any
+    * modern ns bound, so the scan prunes ALL rows before the assert sees
+    * one, and the query returns silently empty instead of aborting. The
+    * slice therefore fails loud eagerly: a one-row probe job reads a
+    * single non-null value and requires ns magnitude. Per-file encoding
+    * is a writer property, so one row decides it; an empty table has
+    * nothing to mis-slice and passes. */
   def sliceNs(df: DataFrame, loNs: Long, hiNs: Long,
-              col: String = "ts"): DataFrame = {
+              col: String = "ts", assertNsRange: Boolean = false): DataFrame = {
     require(loNs <= hiNs, s"empty/inverted slice [$loNs, $hiNs)")
     def ceilDivUs(ns: Long) = Math.floorDiv(Math.addExact(ns, 999L), 1000L)
     df.schema.find(_.name == col).map(_.dataType) match {
       case Some(LongType) => // epoch-ns passthrough: bound already native
+        if (assertNsRange) {
+          val probe = df.select(F.col(col)).filter(F.col(col).isNotNull)
+            .limit(1).collect()
+          probe.headOption.foreach { r =>
+            val v = r.getLong(0)
+            require(math.abs(v) >= MinPlausibleNs,
+              s"column '$col' arrived as INT64 with magnitude $v — too " +
+                "small for ns-since-epoch; the writer likely materialized " +
+                "epoch-us/ms/s as untyped INT64. Slicing it against an " +
+                "ns-domain bound would silently return zero rows.")
+          }
+        }
         df.filter(F.col(col) >= F.lit(loNs) && F.col(col) < F.lit(hiNs))
       case Some(TimestampType) =>
         df.filter(

@@ -786,9 +786,10 @@ object Dedup {
     * index WITHOUT re-reading the accepted corpus: candidates from a
     * bucket join of the batch's banded signature against `path/postings`,
     * verified by EXACT shingle-set Jaccard against `path/features` — same
-    * decision rule as [[dedupAgainstNear]], minus the corpus re-scan.
-    * Batch-internal duplicates are deliberately kept ([[dedupNear]]'s
-    * job), mirroring [[dedupAgainstNear]].
+    * decision rule as [[dedupAgainstNear]], minus the corpus re-scan,
+    * INCLUDING the `maxBucket` cap on the corpus+batch union bucket (see
+    * the in-body comment). Batch-internal duplicates are deliberately
+    * kept ([[dedupNear]]'s job), mirroring [[dedupAgainstNear]].
     *
     * `probeBands`: probe only the first k of the index's bands — a STATIC
     * partition filter on the band-partitioned postings (only those bands'
@@ -798,9 +799,14 @@ object Dedup {
       path: String, threshold: Double,
       probeBands: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
+    // field names, not ordinals: a meta row written by another version
+    // with reordered columns must fail loudly, not silently swap
+    // shingle size for hash count and produce a disjoint bucket space
     val meta = spark.read.parquet(s"$path/meta").collect().head
-    val (shingleSize, numHashes, bands) =
-      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val shingleSize = meta.getAs[Int]("shingle_size")
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
+    val maxBucket = meta.getAs[Int]("max_bucket")
     val probe = probeBands.getOrElse(bands)
     require(probe >= 1 && probe <= bands,
       s"probeBands $probe out of [1, $bands]")
@@ -813,12 +819,24 @@ object Dedup {
         graft.functions.TextExprs.minhashBandHashes(
           text, shingleSize, numHashes, bands).as("__bb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // batch side aggregated under the SAME saturating cap as the index
+    // side, and the pair drops any bucket whose corpus+batch UNION
+    // exceeds maxBucket — the exact semantics of the live path's capped
+    // union bucket. Without this, a boilerplate text shared by the whole
+    // batch joins a stored ≤ maxBucket posting row into |batch|·maxBucket
+    // candidate rows — the quadratic blowup the cap exists to refuse.
     val batchBuckets = batch.select(F.col("bid"),
       F.posexplode(F.col("__bb")).as(Seq("band", "bucket")))
       .filter(F.col("band") < probe)
+      .groupBy("band", "bucket")
+      .agg(graft.functions.AggExprs
+        .cappedSortedIds(F.col("bid"), maxBucket, minSize = 1).as("bids"))
+      .filter(F.col("bids").isNotNull)
     val postings = spark.read.parquet(s"$path/postings")
       .filter(F.col("band") < probe) // static partition pruning
     val cands = batchBuckets.join(postings, Seq("band", "bucket"))
+      .filter(F.size(F.col("bids")) + F.size(F.col("ids")) <= maxBucket)
+      .select(F.explode(F.col("bids")).as("bid"), F.col("ids"))
       .select(F.col("bid"), F.explode(F.col("ids")).as("iid"))
       .distinct()
     val feats = spark.read.parquet(s"$path/features")

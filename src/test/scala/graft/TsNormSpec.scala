@@ -188,6 +188,29 @@ class TsNormSpec extends SparkSpec {
     }
   }
 
+  test("sliceNs(assertNsRange) fails loudly on untyped-INT64 epoch-us — " +
+      "the per-row normalize assert never sees a row once the pushed " +
+      "bound prunes everything, so the slice must probe eagerly") {
+    import spark.implicits._
+    val us = rows.map { case (id, u, _, _, _) => (id, u) }
+      .toDF("event_id", "ts")
+    val err = intercept[IllegalArgumentException] {
+      TsNorm.sliceNs(us, (base + 0L) * 1000L, (base + 600000000L) * 1000L,
+        assertNsRange = true)
+    }
+    assert(err.getMessage.contains("ns-since-epoch"), err.getMessage)
+    // the same instants at ns scale pass the probe and slice normally
+    val ns = rows.map { case (id, u, _, _, _) => (id, u * 1000L) }
+      .toDF("event_id", "ts")
+    val got = TsNorm.sliceNs(ns, (base + 120000000L) * 1000L,
+      (base + 600000000L) * 1000L, assertNsRange = true)
+      .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(2L, 3L, 4L))
+    // empty input: nothing to mis-slice, probe passes
+    assert(TsNorm.sliceNs(ns.filter(F.lit(false)), 0L, Long.MaxValue,
+      assertNsRange = true).count() == 0L)
+  }
+
   test("sliceNs fails loudly on an un-sliceable ts type (a silent " +
       "unsliced return would be corrupt at any scale)") {
     import spark.implicits._
