@@ -162,6 +162,35 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("minhash disk index: the maxBucket cap applies to the corpus+batch " +
+      "UNION bucket, matching the live path on boilerplate (the candidate " +
+      "blowup guardrail)") {
+    val boiler = "all rights reserved copyright notice terms of service apply " +
+      "to every page of this site including this one"
+    val real = "a genuinely unique document about alpine butterflies and " +
+      "their remarkable migration patterns across the high mountain passes"
+    // ref: 4 identical boilerplate docs + 1 real doc; cap 5 keeps the
+    // boilerplate bucket (4 <= 5) in the index...
+    val ref = (Seq.tabulate(4)(i => (10L + i, boiler)) :+ (20L, real))
+      .toDF("rid", "rtext")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhcap").toString
+    Dedup.writeMinhashIndex(ref, F.col("rid"), F.col("rtext"), dir,
+      shingleSize = 3, numHashes = 64, bands = 16, maxBucket = 5)
+    // ...but a batch with 2 more boilerplate copies pushes the UNION to 6
+    // > 5: the pair must be refused exactly like the live path's capped
+    // union bucket, so the boilerplate batch docs SURVIVE; the real-doc
+    // copy still dies (its union bucket is 2)
+    val batch = Seq((1L, boiler), (2L, boiler), (3L, real)).toDF("id", "text")
+    val fromIndex = Dedup.dedupAgainstIndex(batch, F.col("id"),
+      F.col("text"), dir, threshold = 0.8)
+    val live = Dedup.dedupAgainstNear(batch, F.col("id"), F.col("text"),
+      ref, F.col("rid"), F.col("rtext"), threshold = 0.8,
+      shingleSize = 3, numHashes = 64, bands = 16, maxBucket = 5)
+    assert(col1[Long](fromIndex.orderBy("id"), "id") == Seq(1L, 2L))
+    assert(col1[Long](fromIndex.orderBy("id"), "id") ==
+      col1[Long](live.orderBy("id"), "id"))
+  }
+
   test("dedupAgainstNear fails loudly on a negative id instead of " +
       "misclassifying the row's side") {
     // a negative id in the NEW batch would land in the reference id range
