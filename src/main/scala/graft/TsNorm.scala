@@ -87,19 +87,40 @@ object TsNorm {
     def ceilDivUs(ns: Long) = Math.floorDiv(Math.addExact(ns, 999L), 1000L)
     df.schema.find(_.name == col).map(_.dataType) match {
       case Some(LongType) => // epoch-ns passthrough: bound already native
-        if (assertNsRange) {
-          val probe = df.select(F.col(col)).filter(F.col(col).isNotNull)
-            .limit(1).collect()
-          probe.headOption.foreach { r =>
-            val v = r.getLong(0)
-            require(math.abs(v) >= MinPlausibleNs,
-              s"column '$col' arrived as INT64 with magnitude $v — too " +
-                "small for ns-since-epoch; the writer likely materialized " +
-                "epoch-us/ms/s as untyped INT64. Slicing it against an " +
-                "ns-domain bound would silently return zero rows.")
+        if (assertNsRange && df.isStreaming) {
+          // a stream cannot run the eager probe (no collect); ride the
+          // misscale assert on EVERY row instead, with the range predicate
+          // as the `when` branch — `when(assert.isNull, <constant>)` is
+          // fatal (ReplaceNullWithFalseInPredicate + SimplifyConditionals
+          // fold the branches together and delete the assert, the r8
+          // optimizer trap), but a non-constant branch cannot fold, so the
+          // assert stays load-bearing. Costs parquet pushdown (the filter
+          // is non-convertible), acceptable on a microbatch file source
+          // where listing dominates.
+          val msg = s"column '$col' arrived as INT64 with a magnitude too " +
+            "small for ns-since-epoch — the writer likely materialized " +
+            "epoch-us/ms/s as untyped INT64; a sliced read would be " +
+            "silently empty"
+          df.filter(
+            F.when(F.assert_true(
+              F.col(col).isNull || F.abs(F.col(col)) >= MinPlausibleNs,
+              F.lit(msg)).isNull,
+              F.col(col) >= F.lit(loNs) && F.col(col) < F.lit(hiNs)))
+        } else {
+          if (assertNsRange) {
+            val probe = df.select(F.col(col)).filter(F.col(col).isNotNull)
+              .limit(1).collect()
+            probe.headOption.foreach { r =>
+              val v = r.getLong(0)
+              require(math.abs(v) >= MinPlausibleNs,
+                s"column '$col' arrived as INT64 with magnitude $v — too " +
+                  "small for ns-since-epoch; the writer likely materialized " +
+                  "epoch-us/ms/s as untyped INT64. Slicing it against an " +
+                  "ns-domain bound would silently return zero rows.")
+            }
           }
+          df.filter(F.col(col) >= F.lit(loNs) && F.col(col) < F.lit(hiNs))
         }
-        df.filter(F.col(col) >= F.lit(loNs) && F.col(col) < F.lit(hiNs))
       case Some(TimestampType) =>
         df.filter(
           F.col(col) >= F.timestamp_micros(F.lit(ceilDivUs(loNs))) &&

@@ -211,6 +211,41 @@ class TsNormSpec extends SparkSpec {
       assertNsRange = true).count() == 0L)
   }
 
+  test("sliceNs works on a STREAMING frame: sliced rows match batch, and " +
+      "a misscaled INT64 stream aborts loudly (the eager probe can't run " +
+      "on a stream — the disjunction guard must carry the assert)") {
+    val spark0 = spark
+    spark0.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = fixtures("nanos")
+    val schema = spark0.read.parquet(s"$dir/events.parquet").schema
+    val lo = (base + 120000000L) * 1000L
+    val hi = (base + 600000000L) * 1000L
+    val sliced = TsNorm.sliceNs(
+      streaming.Streams.readParquetStream(spark0, dir, schema,
+        globFilter = Some("events.parquet")),
+      lo, hi, assertNsRange = true)
+      .select("event_id")
+    val got = streaming.Streams.runToMemory(sliced, "tsnorm_slice_stream")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(2L, 3L, 4L))
+    // misscaled stream: write epoch-us as untyped INT64, stream it, abort
+    import spark0.implicits._
+    val usDir = java.nio.file.Files.createTempDirectory("graft_ts_usl").toString
+    rows.map { case (id, u, _, _, _) => (id, u) }.toDF("event_id", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(usDir)
+    val usSchema = spark0.read.parquet(usDir).schema
+    val bad = TsNorm.sliceNs(
+      streaming.Streams.readParquetStream(spark0, usDir, usSchema,
+        globFilter = Some("*.parquet")), lo, hi, assertNsRange = true)
+    val err = intercept[Throwable] {
+      streaming.Streams.runToMemory(bad, "tsnorm_slice_bad")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("ns-since-epoch")), msgs(err))
+  }
+
   test("sliceNs fails loudly on an un-sliceable ts type (a silent " +
       "unsliced return would be corrupt at any scale)") {
     import spark.implicits._
