@@ -965,6 +965,54 @@ object SparkEntry {
     mem.orderBy("view_id", "purchase_id")
   }
 
+  private val s04Run = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming incremental near-dedup INGEST — the steady state the
+    * persisted MinHash index (d51) exists for: the accepted corpus (even
+    * doc_ids) is indexed ONCE; odd doc_ids then arrive as three
+    * mtime-ordered micro-batches (doc_id mod 6 = 1, 3, 5, one parquet
+    * file each); every batch probes the index and its survivors are
+    * appended to it, so batch k dedups against corpus ∪ survivors of
+    * batches < k with zero corpus re-scans
+    * ([[streaming.Streams.ingestDedupStream]]). Batch-internal pairs both
+    * survive ([[operators.Dedup.dedupAgainstIndex]] semantics). The fold
+    * is deterministic given the feed order, so the oracle is the SAME
+    * three-step fold in exact shingle-Jaccard SQL — a full hash-match
+    * oracle for a stateful streaming pipeline, not a rows-only check. */
+  private val s04: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val run = s04Run.incrementAndGet()
+    val idx = scratch(s"s04_index_${dir.hashCode.abs}_$run")
+    Dedup.writeMinhashIndex(docs.filter(F.col("doc_id") % 2 === 0),
+      F.col("doc_id"), F.col("text"), idx,
+      shingleSize = 3, numHashes = 64, bands = 8)
+    // one FILE per micro-batch with strictly increasing mtimes: the file
+    // source processes pending files in modification-time order, so the
+    // batch order (and with it the fold) is deterministic
+    val feed = new java.io.File(scratch(s"s04_feed_${dir.hashCode.abs}_$run"))
+    feed.mkdirs()
+    val base = System.currentTimeMillis() - 600000L
+    Seq(1, 3, 5).zipWithIndex.foreach { case (m, k) =>
+      val tmp = scratch(s"s04_tmp_${dir.hashCode.abs}_${run}_$k")
+      docs.filter(F.col("doc_id") % 6 === m).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(feed, s"b$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(base + k * 2000L)
+    }
+    val out = scratch(s"s04_out_${dir.hashCode.abs}_$run")
+    val stream = streaming.Streams.readParquetStream(s, feed.toString,
+      docs.schema, maxFilesPerTrigger = 1)
+    streaming.Streams.ingestDedupStream(stream, F.col("doc_id"),
+      F.col("text"), idx, out, threshold = 0.8,
+      name = s"s04_${dir.hashCode.abs}_$run")
+    s.read.parquet(out).select("doc_id").orderBy("doc_id")
+  }
+
   /** RANGE join (point-in-interval, NO equality key): clicks falling inside
     * any error's 5-minute aftermath window. A bare non-equi join would plan
     * BroadcastNestedLoop (all-pairs); [[Joins.rangeJoin]] bucketizes
@@ -1057,6 +1105,31 @@ object SparkEntry {
       .select("error_id", "click_id")
       .sortBy(Seq(F.col("error_id"), F.col("click_id")))
       .sdf
+  }
+
+  /** TIME-PARTITIONED layout round trip — the other half of the time-scan
+    * story next to [[q63]]'s row-group pruning: events rewritten once into
+    * a date-partitioned, ts-sorted layout
+    * ([[io.GraftIO.writeTimePartitioned]]), then a one-day slice read back
+    * through [[io.GraftIO.readTimeSlice]] — the date bound prunes
+    * DIRECTORIES (untouched days cost zero IO at 100 TB, not even a
+    * footer), the ns bound prunes row groups inside the day's sorted file.
+    * Both guards plan-asserted in the spec. Hourly per-type rollup on top,
+    * matching the raw-table oracle. */
+  private val q64: (SparkSession, String) => DataFrame = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val layout = scratch(s"q64_layout_${dir.hashCode.abs}")
+    io.GraftIO.writeTimePartitioned(ev, "ts", layout)
+    val dayNs = 86400L * 1000000000L
+    val loNs = 1704844800L * 1000000000L // 2024-01-10 00:00:00 UTC
+    io.GraftIO.readTimeSlice(s, layout, loNs, loNs + dayNs, "ts")
+      .groupBy(
+        F.date_trunc("hour", F.timestamp_micros(F.expr("ts DIV 1000")))
+          .as("hour_start"),
+        F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.sum("value"), 4).as("total_value"))
+      .orderBy("hour_start", "event_type")
   }
 
   /** IVF ANN with EXHAUSTIVE probing (`nprobe = nlist`): every cell is
@@ -2065,6 +2138,7 @@ object SparkEntry {
     "s01_stream_window" -> s01,
     "s02_stream_session" -> s02,
     "s03_stream_join" -> s03,
+    "s04_stream_ingest_dedup" -> s04,
     "d01_exact_dedup" -> d01,
     "d02_token_counts" -> d02,
     "d03_langid_quality" -> d03,
@@ -2125,7 +2199,8 @@ object SparkEntry {
     "q59_range_join" -> q59,
     "q60_series_utils" -> q60,
     "q61_argsort" -> q61,
-    "q63_time_slice" -> q63)
+    "q63_time_slice" -> q63,
+    "q64_time_partitioned" -> q64)
 
   /** Bench-only queries: runnable BY NAME through `graft.Bench` for
     * scaling studies, but excluded from [[queries]] — the driver's
@@ -2566,6 +2641,47 @@ object SparkEntry {
        AND a.event_type = 'view' AND b.event_type = 'purchase'
        AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR
       ORDER BY view_id, purchase_id""",
+    // the streaming ingest fold replayed in exact shingle-Jaccard SQL:
+    // batch k (doc_id mod 6 = 2k+1) dies against corpus ∪ survivors of
+    // batches < k. At sf0.01 five docs die ONLY via survivors appended by
+    // an earlier batch — a broken index-append path shows 5 extra rows
+    "s04_stream_ingest_dedup" -> """
+      WITH toks AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+          generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE []::VARCHAR[] END AS s FROM toks),
+      acc0 AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 0),
+      b1 AS (SELECT doc_id, s FROM sh WHERE doc_id % 6 = 1),
+      l1 AS (SELECT DISTINCT b.doc_id FROM b1 b, acc0 a
+        WHERE CASE WHEN len(list_distinct(a.s || b.s)) > 0
+          THEN len(list_intersect(a.s, b.s)) /
+               CAST(len(list_distinct(a.s || b.s)) AS DOUBLE)
+          ELSE 0.0 END >= 0.8),
+      s1 AS (SELECT doc_id, s FROM b1
+        WHERE doc_id NOT IN (SELECT doc_id FROM l1)),
+      acc1 AS (SELECT * FROM acc0 UNION ALL SELECT * FROM s1),
+      b2 AS (SELECT doc_id, s FROM sh WHERE doc_id % 6 = 3),
+      l2 AS (SELECT DISTINCT b.doc_id FROM b2 b, acc1 a
+        WHERE CASE WHEN len(list_distinct(a.s || b.s)) > 0
+          THEN len(list_intersect(a.s, b.s)) /
+               CAST(len(list_distinct(a.s || b.s)) AS DOUBLE)
+          ELSE 0.0 END >= 0.8),
+      s2 AS (SELECT doc_id, s FROM b2
+        WHERE doc_id NOT IN (SELECT doc_id FROM l2)),
+      acc2 AS (SELECT * FROM acc1 UNION ALL SELECT * FROM s2),
+      b3 AS (SELECT doc_id, s FROM sh WHERE doc_id % 6 = 5),
+      l3 AS (SELECT DISTINCT b.doc_id FROM b3 b, acc2 a
+        WHERE CASE WHEN len(list_distinct(a.s || b.s)) > 0
+          THEN len(list_intersect(a.s, b.s)) /
+               CAST(len(list_distinct(a.s || b.s)) AS DOUBLE)
+          ELSE 0.0 END >= 0.8),
+      s3 AS (SELECT doc_id FROM b3
+        WHERE doc_id NOT IN (SELECT doc_id FROM l3))
+      SELECT doc_id FROM (SELECT doc_id FROM s1 UNION ALL
+        SELECT doc_id FROM s2 UNION ALL SELECT doc_id FROM s3)
+      ORDER BY doc_id""",
     "d01_exact_dedup" -> """
       SELECT min(doc_id) AS doc_id, arg_min(n_chars, doc_id) AS n_chars
       FROM documents GROUP BY text ORDER BY doc_id""",
@@ -3363,6 +3479,13 @@ object SparkEntry {
       SELECT error_id, click_id FROM e JOIN c
         ON c.ts BETWEEN e.ts AND e.ts + INTERVAL 5 MINUTE
       ORDER BY error_id, click_id""",
+    "q64_time_partitioned" -> """
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             count(*) AS n, round(sum(value), 4) AS total_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-11 00:00:00'
+      GROUP BY 1, 2 ORDER BY hour_start, event_type""",
     "q60_series_utils" -> """
       SELECT
         (SELECT min(i) FROM

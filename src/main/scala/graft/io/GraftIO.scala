@@ -2,6 +2,7 @@ package graft.io
 
 import graft.Gdf
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types.StructType
 
 /** Sources/sinks (reference SURVEY §2.1, `lib/explorer/data_frame.ex:607-1722`,
@@ -201,6 +202,57 @@ object GraftIO {
       if (compression == "lz4") "lz4_raw" else compression)
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     w.parquet(resolveWriteUrl(path))
+  }
+
+  /** Time-partitioned parquet layout — the WRITE-side half of the 100 TB
+    * time-scan story (the read-side half, row-group pruning via native-
+    * encoding predicates, is [[graft.TsNorm.sliceNs]]). Rows land in one
+    * directory per UTC date of `tsNsCol` (epoch-ns long, the engine's
+    * normalized convention), SORTED by ts within each file so parquet
+    * row-group min/max stay tight for sub-day slices. The
+    * `repartition(date)` shuffle is the layout-build job's one-time cost:
+    * paid once, it turns every later time-sliced read into directory
+    * pruning — untouched days cost zero IO, not even a footer read. At
+    * real scale add a second in-day clustering column to the repartition
+    * (e.g. user bucket) if single-day volume exceeds one task. */
+  def writeTimePartitioned(df: DataFrame, tsNsCol: String, path: String,
+      compression: String = "snappy"): Unit = {
+    // UTC day via exact integral arithmetic, NOT to_date(timestamp_micros)
+    // — that pair derives the day in the SESSION time zone, so a non-UTC
+    // session would write partitions the UTC read bounds miss. DIV keeps
+    // the math exact where float division of epoch-ns (1.7e18 > 2^53)
+    // cannot. Epoch-nonnegative ts assumed (DIV truncates toward zero;
+    // pre-1970 rows would need floor-div day bucketing).
+    df.withColumn("__pdate", F.expr(
+        s"date_from_unix_date(CAST($tsNsCol DIV ${86400L * 1000000000L} AS INT))"))
+      .repartition(F.col("__pdate"))
+      .sortWithinPartitions(tsNsCol)
+      .write.mode("overwrite")
+      .option("compression",
+        if (compression == "lz4") "lz4_raw" else compression)
+      .partitionBy("__pdate").parquet(resolveWriteUrl(path))
+  }
+
+  /** Pruned `[loNs, hiNs)` read of a [[writeTimePartitioned]] layout: the
+    * derived date bound becomes a PartitionFilter (directory pruning), the
+    * ns bound a PushedFilter (row-group pruning inside the day's sorted
+    * file). Both guards are spec-asserted (`numFiles` metric = days
+    * touched). */
+  def readTimeSlice(spark: SparkSession, path: String, loNs: Long,
+      hiNs: Long, tsNsCol: String = "ts"): DataFrame = {
+    require(loNs < hiNs, s"empty time slice [$loNs, $hiNs)")
+    // same truncating day arithmetic as the writer (self-consistent for
+    // the epoch-nonnegative ts the layout assumes)
+    val dayNs = 86400L * 1000000000L
+    val epoch = java.time.LocalDate.ofEpochDay(0)
+    val loDate = epoch.plusDays(loNs / dayNs)
+    val hiDate = epoch.plusDays((hiNs - 1) / dayNs)
+    spark.read.parquet(resolveUrl(path))
+      .filter(F.col("__pdate").between(
+        F.lit(java.sql.Date.valueOf(loDate)),
+        F.lit(java.sql.Date.valueOf(hiDate))))
+      .filter(F.col(tsNsCol) >= loNs && F.col(tsNsCol) < hiNs)
+      .drop("__pdate")
   }
 
   /** `from_ndjson` (data_frame.ex:1572) — NDJSON is Spark json's native

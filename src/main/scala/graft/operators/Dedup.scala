@@ -851,6 +851,50 @@ object Dedup {
     df.join(losers, asLongId(id) === F.col("__loser"), "left_anti")
   }
 
+  /** Append newly-accepted docs to a persisted [[writeMinhashIndex]] index —
+    * the GROW step of incremental ingest: probe a batch
+    * ([[dedupAgainstIndex]]), then append its survivors so the NEXT batch
+    * dedups against them too, without ever rebuilding the index.
+    *
+    * Appends are SEGMENTS: `features` gains the batch's rows (the
+    * verification join reads all rows per id, so segmentation is
+    * invisible there); `postings` gains a second (or nth) row for any
+    * (band, bucket) the batch lands in. [[dedupAgainstIndex]]'s bucket
+    * join explodes every posting row for a bucket and `distinct`s
+    * candidates, so candidate GENERATION is segment-transparent; the
+    * `maxBucket` union-cap, however, is enforced per SEGMENT pair
+    * (batch-bucket + one posting row), not across the union of all
+    * segments of a bucket — a boilerplate bucket split across many
+    * appended segments degrades the cap toward per-segment granularity.
+    * At high segment counts, compact by rebuilding
+    * ([[writeMinhashIndex]] over the full accepted corpus) — the same
+    * posture as any LSM-shaped index. Build parameters come from
+    * `path/meta`, by field name, so an appender can never silently
+    * diverge from the writer's bucket space. */
+  def appendToMinhashIndex(batch: DataFrame, id: Column, text: Column,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val shingleSize = meta.getAs[Int]("shingle_size")
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
+    val maxBucket = meta.getAs[Int]("max_bucket")
+    val base = batch.select(asLongId(id).as("id"), text.as("__t"))
+    base
+      .select(F.col("id"), shingleHashes(F.col("__t"), shingleSize).as("sh"))
+      .write.mode("append").parquet(s"$path/features")
+    base
+      .select(F.col("id"),
+        F.posexplode(graft.functions.TextExprs.minhashBandHashes(
+          F.col("__t"), shingleSize, numHashes, bands))
+          .as(Seq("band", "bucket")))
+      .groupBy("band", "bucket")
+      .agg(graft.functions.AggExprs
+        .cappedSortedIds(F.col("id"), maxBucket, minSize = 1).as("ids"))
+      .filter(F.col("ids").isNotNull)
+      .write.mode("append").partitionBy("band").parquet(s"$path/postings")
+  }
+
   /** Membership gate against a reference key set WITHOUT a join: build a
     * Bloom filter over `xxhash64(refKey)` (distributed tree aggregation;
     * the filter itself is the only driver-held artifact — sized by

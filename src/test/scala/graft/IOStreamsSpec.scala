@@ -378,6 +378,118 @@ class IOStreamsSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("time-partitioned layout: directory pruning + in-file ts pushdown, " +
+      "session-TZ-independent day bucketing") {
+    val dir = tmp("graft_tp")
+    val dayNs = 86400L * 1000000000L
+    val d0 = 19723L // LocalDate.of(2024,1,1).toEpochDay
+    // 3 UTC days × 4 events, one per hour 0-3
+    val rows = for (d <- 0 until 3; i <- 0 until 4) yield
+      (d * 4L + i, (d0 + d) * dayNs + i * 3600L * 1000000000L, s"t$i")
+    val ev = rows.toDF("event_id", "ts", "kind")
+    GraftIO.writeTimePartitioned(ev, "ts", dir + "/layout")
+    val all = GraftIO.readTimeSlice(spark, dir + "/layout",
+      d0 * dayNs, (d0 + 3) * dayNs)
+    assert(all.count() == 12)
+    val day1 = GraftIO.readTimeSlice(spark, dir + "/layout",
+      (d0 + 1) * dayNs, (d0 + 2) * dayNs)
+    val plan = day1.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("__pdate")),
+      s"date bound not a partition filter:\n$plan")
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters: [")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(ts") &&
+      pushed.contains("LessThan(ts"),
+      s"ns bound not pushed to the scan:\n$plan")
+    assert(col1[Long](day1.orderBy("event_id"), "event_id") ==
+      Seq(4L, 5L, 6L, 7L))
+    // the slice must TOUCH one file of three (directory pruning is an IO
+    // fact, not just a plan annotation)
+    day1.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(day1.queryExecution.executedPlan).head
+    assert(scan.metrics("numFiles").value == 1,
+      s"one-day slice touched ${scan.metrics("numFiles").value} files")
+    // day bucketing is exact integral UTC arithmetic: a non-UTC session
+    // writes and reads the SAME partitions (to_date(timestamp_micros)
+    // would have bucketed by the session zone and missed rows here)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      GraftIO.writeTimePartitioned(ev, "ts", dir + "/layout2")
+      val d2 = GraftIO.readTimeSlice(spark, dir + "/layout2",
+        (d0 + 1) * dayNs, (d0 + 2) * dayNs)
+      assert(col1[Long](d2.orderBy("event_id"), "event_id") ==
+        Seq(4L, 5L, 6L, 7L))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("ingestDedupStream: survivors grow the index across micro-batches, " +
+      "result equals the explicit sequential fold, no cache leak") {
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the sun sets slowly behind the distant purple mountains"
+    val other = "completely unrelated text about database query optimization " +
+      "and distributed systems running on large compute clusters"
+    val pasta = "short interlude about cooking pasta properly al dente " +
+      "tonight with garlic and fresh basil from the garden"
+    val dir = tmp("graft_ingest")
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    val idx = dir + "/idx"
+    Dedup.writeMinhashIndex(corpus, F.col("doc_id"), F.col("text"), idx,
+      shingleSize = 3, numHashes = 64, bands = 16)
+    // batch 0: 1 near-dups the corpus (dies at the static index);
+    //          2 is fresh (survives, must be APPENDED)
+    // batch 1: 3 is an identical copy of 2 — it can only die via the
+    //          appended survivor; 4 is fresh (survives)
+    val b0 = Seq((1L, base.replace("slowly", "quickly")), (2L, pasta))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, pasta), (4L, other)).toDF("doc_id", "text")
+    val feed = new java.io.File(dir + "/feed"); feed.mkdirs()
+    def ship(df: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+      val t = dir + s"/tmp$k"
+      df.coalesce(1).write.parquet(t)
+      val part = new java.io.File(t).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(feed, s"b$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // strictly increasing mtimes pin the file-source batch order
+      dst.setLastModified(System.currentTimeMillis() - 600000L + k * 2000L)
+    }
+    ship(b0, 0); ship(b1, 1)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val out = dir + "/out"
+    Streams.ingestDedupStream(
+      Streams.readParquetStream(spark, feed.toString, b0.schema,
+        maxFilesPerTrigger = 1),
+      F.col("doc_id"), F.col("text"), idx, out, threshold = 0.5,
+      name = "t_ingest")
+    assert(col1[Long](spark.read.parquet(out).orderBy("doc_id"), "doc_id")
+      == Seq(2L, 4L))
+    // per-batch persists must be released (a 24/7 stream can't accrete one)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == cachedBefore)
+    // parity: the stream IS the sequential batch fold, nothing more
+    val idx2 = dir + "/idx2"
+    Dedup.writeMinhashIndex(corpus, F.col("doc_id"), F.col("text"), idx2,
+      shingleSize = 3, numHashes = 64, bands = 16)
+    val s0 = Dedup.dedupAgainstIndex(b0, F.col("doc_id"), F.col("text"),
+      idx2, threshold = 0.5)
+    Dedup.appendToMinhashIndex(s0, F.col("doc_id"), F.col("text"), idx2)
+    val s1 = Dedup.dedupAgainstIndex(b1, F.col("doc_id"), F.col("text"),
+      idx2, threshold = 0.5)
+    assert((col1[Long](s0, "doc_id") ++ col1[Long](s1, "doc_id")).sorted
+      == Seq(2L, 4L))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("runningTotals custom state accumulates per key") {
     val dir = tmp("graft_state")
     val events = Seq(("u1", 1.0), ("u1", 2.0), ("u2", 10.0))
