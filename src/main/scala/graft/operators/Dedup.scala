@@ -763,9 +763,14 @@ object Dedup {
       s"numHashes $numHashes must divide into bands $bands")
     val spark = corpus.sparkSession
     val base = corpus.select(asLongId(id).as("id"), text.as("__t"))
+    // seg=base: both tables are SEGMENT-partitioned so incremental appends
+    // ([[appendToMinhashIndex]]) land as their own dynamically-overwritten
+    // partitions — a retried ingest batch rewrites its segment instead of
+    // double-appending (the exactly-once half the streaming path needs)
     base
-      .select(F.col("id"), shingleHashes(F.col("__t"), shingleSize).as("sh"))
-      .write.mode("overwrite").parquet(s"$path/features")
+      .select(F.col("id"), shingleHashes(F.col("__t"), shingleSize).as("sh"),
+        F.lit("base").as("seg"))
+      .write.mode("overwrite").partitionBy("seg").parquet(s"$path/features")
     base
       .select(F.col("id"),
         F.posexplode(graft.functions.TextExprs.minhashBandHashes(
@@ -775,7 +780,10 @@ object Dedup {
       .agg(graft.functions.AggExprs
         .cappedSortedIds(F.col("id"), maxBucket, minSize = 1).as("ids"))
       .filter(F.col("ids").isNotNull)
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/postings")
+      .select(F.col("band"), F.col("bucket"), F.col("ids"),
+        F.lit("base").as("seg"))
+      .write.mode("overwrite").partitionBy("seg", "band")
+      .parquet(s"$path/postings")
     import spark.implicits._
     Seq((shingleSize, numHashes, bands, maxBucket))
       .toDF("shingle_size", "num_hashes", "bands", "max_bucket")
@@ -797,7 +805,8 @@ object Dedup {
     * default probes all bands (full LSH recall). */
   def dedupAgainstIndex(df: DataFrame, id: Column, text: Column,
       path: String, threshold: Double,
-      probeBands: Option[Int] = None): DataFrame = {
+      probeBands: Option[Int] = None,
+      excludeSegment: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     // field names, not ordinals: a meta row written by another version
     // with reordered columns must fail loudly, not silently swap
@@ -832,14 +841,22 @@ object Dedup {
       .agg(graft.functions.AggExprs
         .cappedSortedIds(F.col("bid"), maxBucket, minSize = 1).as("bids"))
       .filter(F.col("bids").isNotNull)
-    val postings = spark.read.parquet(s"$path/postings")
+    // excludeSegment: a RETRIED ingest batch may find its own partially-
+    // written segment from the failed attempt — probing it would make
+    // batch docs candidates against themselves (self-Jaccard 1 ⇒ every
+    // doc dies). The in-flight segment is excluded from both tables; both
+    // filters are partition pruning.
+    def dropSeg(t: DataFrame): DataFrame =
+      excludeSegment.fold(t)(s => t.filter(F.col("seg") =!= s))
+    val postings = dropSeg(spark.read.parquet(s"$path/postings"))
       .filter(F.col("band") < probe) // static partition pruning
     val cands = batchBuckets.join(postings, Seq("band", "bucket"))
       .filter(F.size(F.col("bids")) + F.size(F.col("ids")) <= maxBucket)
       .select(F.explode(F.col("bids")).as("bid"), F.col("ids"))
       .select(F.col("bid"), F.explode(F.col("ids")).as("iid"))
       .distinct()
-    val feats = spark.read.parquet(s"$path/features")
+    val feats = dropSeg(spark.read.parquet(s"$path/features"))
+      .drop("seg")
     val losers = cands
       .join(feats.withColumnsRenamed(Map("id" -> "iid", "sh" -> "ish")), "iid")
       .join(batch.select("bid", "bsh"), "bid")
@@ -856,23 +873,28 @@ object Dedup {
     * ([[dedupAgainstIndex]]), then append its survivors so the NEXT batch
     * dedups against them too, without ever rebuilding the index.
     *
-    * Appends are SEGMENTS: `features` gains the batch's rows (the
-    * verification join reads all rows per id, so segmentation is
-    * invisible there); `postings` gains a second (or nth) row for any
-    * (band, bucket) the batch lands in. [[dedupAgainstIndex]]'s bucket
-    * join explodes every posting row for a bucket and `distinct`s
-    * candidates, so candidate GENERATION is segment-transparent; the
-    * `maxBucket` union-cap, however, is enforced per SEGMENT pair
-    * (batch-bucket + one posting row), not across the union of all
-    * segments of a bucket — a boilerplate bucket split across many
-    * appended segments degrades the cap toward per-segment granularity.
-    * At high segment counts, compact by rebuilding
+    * Appends are SEGMENTS (`seg=<segment>` partitions), written with
+    * DYNAMIC partition overwrite: re-running the same segment REPLACES its
+    * partitions instead of double-appending, which makes a retried
+    * streaming batch idempotent (the segment's content is deterministic
+    * given the index state before it, and earlier segments are untouched
+    * by the rewrite). `features` segmentation is invisible to readers
+    * (the verification join reads all rows per id); `postings` gains a
+    * per-segment row for any (band, bucket) the batch lands in —
+    * [[dedupAgainstIndex]]'s bucket join explodes every posting row for a
+    * bucket and `distinct`s candidates, so candidate GENERATION is
+    * segment-transparent, while the `maxBucket` union-cap is enforced per
+    * SEGMENT pair, degrading toward per-segment granularity as segments
+    * accumulate. At high segment counts, compact by rebuilding
     * ([[writeMinhashIndex]] over the full accepted corpus) — the same
     * posture as any LSM-shaped index. Build parameters come from
     * `path/meta`, by field name, so an appender can never silently
     * diverge from the writer's bucket space. */
   def appendToMinhashIndex(batch: DataFrame, id: Column, text: Column,
-      path: String): Unit = {
+      path: String, segment: String): Unit = {
+    require(segment.nonEmpty && segment != "base" &&
+      segment.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"segment '$segment' must be a filesystem-safe label != 'base'")
     val spark = batch.sparkSession
     val meta = spark.read.parquet(s"$path/meta").collect().head
     val shingleSize = meta.getAs[Int]("shingle_size")
@@ -881,8 +903,11 @@ object Dedup {
     val maxBucket = meta.getAs[Int]("max_bucket")
     val base = batch.select(asLongId(id).as("id"), text.as("__t"))
     base
-      .select(F.col("id"), shingleHashes(F.col("__t"), shingleSize).as("sh"))
-      .write.mode("append").parquet(s"$path/features")
+      .select(F.col("id"), shingleHashes(F.col("__t"), shingleSize).as("sh"),
+        F.lit(segment).as("seg"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("seg").parquet(s"$path/features")
     base
       .select(F.col("id"),
         F.posexplode(graft.functions.TextExprs.minhashBandHashes(
@@ -892,7 +917,11 @@ object Dedup {
       .agg(graft.functions.AggExprs
         .cappedSortedIds(F.col("id"), maxBucket, minSize = 1).as("ids"))
       .filter(F.col("ids").isNotNull)
-      .write.mode("append").partitionBy("band").parquet(s"$path/postings")
+      .select(F.col("band"), F.col("bucket"), F.col("ids"),
+        F.lit(segment).as("seg"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("seg", "band").parquet(s"$path/postings")
   }
 
   /** Membership gate against a reference key set WITHOUT a join: build a

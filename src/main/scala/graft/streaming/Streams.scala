@@ -112,9 +112,16 @@ object Streams {
     * corpus re-scan. `foreachBatch` is the sanctioned Structured
     * Streaming shape for per-batch logic that needs full batch joins +
     * aggregations (the probe is a join-agg pipeline no continuous-mode
-    * operator set expresses); exactly-once here comes from the
-    * checkpoint + idempotent-per-batch sink discipline a production
-    * deployment would put behind it.
+    * operator set expresses).
+    *
+    * Exactly-once: every write is IDEMPOTENT per batchId — survivors land
+    * in an overwritten `batch=b<id>` sink directory, the index append is
+    * a dynamically-overwritten `seg=b<id>` partition, and the probe
+    * excludes its own in-flight segment (a partial segment from a failed
+    * attempt would otherwise make batch docs self-candidates). A batch
+    * replayed from the checkpoint recomputes the same survivors (earlier
+    * segments are untouched by the rewrite) and overwrites, not
+    * duplicates.
     *
     * Decision rule per doc: die iff exact Jaccard ≥ threshold against
     * (corpus ∪ survivors of strictly earlier batches). Batch-INTERNAL
@@ -127,17 +134,19 @@ object Streams {
       name: String): Unit = {
     val spark = stream.sparkSession
     val ckpt = checkpointDir(name)
-    val step: (DataFrame, Long) => Unit = (batchDf, _) => {
+    val step: (DataFrame, Long) => Unit = (batchDf, batchId) => {
+      val seg = s"b$batchId"
       // dedupAgainstIndex persists its one-scan batch projection; track
       // and release everything a batch pins once its two writes are done,
       // or a long-running stream accumulates a cache entry per batch
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val survivors = graft.operators.Dedup
-        .dedupAgainstIndex(batchDf, id, text, indexPath, threshold)
+        .dedupAgainstIndex(batchDf, id, text, indexPath, threshold,
+          excludeSegment = Some(seg))
         .persist()
-      survivors.write.mode("append").parquet(outPath)
+      survivors.write.mode("overwrite").parquet(s"$outPath/batch=$seg")
       graft.operators.Dedup.appendToMinhashIndex(survivors, id, text,
-        indexPath)
+        indexPath, seg)
       spark.sparkContext.getPersistentRDDs
         .filter { case (k, _) => !before.contains(k) }
         .values.foreach(_.unpersist(false))

@@ -476,13 +476,31 @@ class IOStreamsSpec extends SparkSpec {
       == Seq(2L, 4L))
     // per-batch persists must be released (a 24/7 stream can't accrete one)
     assert(spark.sparkContext.getPersistentRDDs.keySet == cachedBefore)
+    // retry idempotence: replaying batch 1 against the post-run index with
+    // its own segment EXCLUDED recomputes the same survivors, and the
+    // dynamic-overwrite append leaves the index byte-identical in count —
+    // a checkpoint-replayed batch overwrites, never duplicates
+    val preFeatures = spark.read.parquet(idx + "/features").count()
+    val s1Retry = Dedup.dedupAgainstIndex(b1, F.col("doc_id"),
+      F.col("text"), idx, threshold = 0.5, excludeSegment = Some("b1"))
+    assert(col1[Long](s1Retry.orderBy("doc_id"), "doc_id") == Seq(4L))
+    Dedup.appendToMinhashIndex(s1Retry, F.col("doc_id"), F.col("text"),
+      idx, segment = "b1")
+    assert(spark.read.parquet(idx + "/features").count() == preFeatures)
+    // and WITHOUT the exclusion the batch finds its own earlier segment:
+    // doc 4 self-matches at Jaccard 1 and dies — the hazard excludeSegment
+    // exists for
+    val selfHit = Dedup.dedupAgainstIndex(b1, F.col("doc_id"),
+      F.col("text"), idx, threshold = 0.5)
+    assert(col1[Long](selfHit, "doc_id").isEmpty)
     // parity: the stream IS the sequential batch fold, nothing more
     val idx2 = dir + "/idx2"
     Dedup.writeMinhashIndex(corpus, F.col("doc_id"), F.col("text"), idx2,
       shingleSize = 3, numHashes = 64, bands = 16)
     val s0 = Dedup.dedupAgainstIndex(b0, F.col("doc_id"), F.col("text"),
       idx2, threshold = 0.5)
-    Dedup.appendToMinhashIndex(s0, F.col("doc_id"), F.col("text"), idx2)
+    Dedup.appendToMinhashIndex(s0, F.col("doc_id"), F.col("text"), idx2,
+      segment = "b0")
     val s1 = Dedup.dedupAgainstIndex(b1, F.col("doc_id"), F.col("text"),
       idx2, threshold = 0.5)
     assert((col1[Long](s0, "doc_id") ++ col1[Long](s1, "doc_id")).sorted
