@@ -980,6 +980,18 @@ object SparkEntry {
     * three-step fold in exact shingle-Jaccard SQL — a full hash-match
     * oracle for a stateful streaming pipeline, not a rows-only check. */
   private val s04: (SparkSession, String) => DataFrame = (s, dir) => {
+    // harness-SF tuning like s02/s03: the ingest is ~80 SMALL sequential
+    // stages (3 micro-batches × probe/append/sink jobs); 32-way shuffles
+    // of kB-sized batches are pure scheduling overhead here. At real batch
+    // sizes this conf rises with the data — the stage COUNT stays fixed,
+    // which is what amortizes (see SCALING.md streaming-ingest section).
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try s04Body(s, dir)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private val s04Body: (SparkSession, String) => DataFrame = (s, dir) => {
     val docs = t(s, dir, "documents").select("doc_id", "text")
     val run = s04Run.incrementAndGet()
     val idx = scratch(s"s04_index_${dir.hashCode.abs}_$run")
