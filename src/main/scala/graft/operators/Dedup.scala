@@ -924,6 +924,55 @@ object Dedup {
       .partitionBy("seg", "band").parquet(s"$path/postings")
   }
 
+  /** Compact a segmented [[writeMinhashIndex]] index back to ONE base
+    * segment — the LSM compaction step closing the loop on
+    * [[appendToMinhashIndex]]'s documented degradation: with many
+    * segments the `maxBucket` union-cap is enforced per segment pair, so
+    * a boilerplate bucket split across segments can slip under the cap it
+    * would have tripped whole. Compaction merges postings per
+    * (band, bucket) under the SAME saturating cap (`cappedSortedIds` over
+    * the exploded ids — a merged bucket over `maxBucket` is dropped as
+    * pair noise, exactly [[writeMinhashIndex]]'s rule) and coalesces
+    * feature segments, WITHOUT touching corpus text: everything needed is
+    * already in the index. The result is row-identical to a fresh
+    * [[writeMinhashIndex]] over the full accepted corpus (spec-pinned).
+    *
+    * Locally the swap is two renames; a production deployment on object
+    * storage would write a NEW index generation and swap a version
+    * pointer instead (rename-as-copy + no atomicity on s3) — same
+    * read path, different commit. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val maxBucket = meta.getAs[Int]("max_bucket")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def swap(table: String, write: String => Unit): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(s"$path/$table")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/__${table}_compact")
+      val fs = dir.getFileSystem(hconf)
+      write(tmp.toString) // materializes BEFORE the source is deleted
+      fs.delete(dir, true)
+      require(fs.rename(tmp, dir), s"compact: rename failed for $table")
+    }
+    swap("features", out =>
+      spark.read.parquet(s"$path/features").drop("seg")
+        .withColumn("seg", F.lit("base"))
+        .write.mode("overwrite").partitionBy("seg").parquet(out))
+    swap("postings", out =>
+      spark.read.parquet(s"$path/postings")
+        .select(F.col("band"), F.col("bucket"),
+          F.explode(F.col("ids")).as("id"))
+        // distinct: an id may sit in the same bucket in several segments
+        .distinct()
+        .groupBy("band", "bucket")
+        .agg(graft.functions.AggExprs
+          .cappedSortedIds(F.col("id"), maxBucket, minSize = 1).as("ids"))
+        .filter(F.col("ids").isNotNull)
+        .select(F.col("band"), F.col("bucket"), F.col("ids"),
+          F.lit("base").as("seg"))
+        .write.mode("overwrite").partitionBy("seg", "band").parquet(out))
+  }
+
   /** Membership gate against a reference key set WITHOUT a join: build a
     * Bloom filter over `xxhash64(refKey)` (distributed tree aggregation;
     * the filter itself is the only driver-held artifact — sized by

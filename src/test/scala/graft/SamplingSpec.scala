@@ -191,6 +191,49 @@ class SamplingSpec extends SparkSpec {
       col1[Long](live.orderBy("id"), "id"))
   }
 
+  test("compactMinhashIndex: merges segments into exactly a fresh " +
+      "full-corpus build and restores the union cap segmentation eroded") {
+    val boiler = "all rights reserved copyright notice terms of service " +
+      "apply to every page of this site including this one"
+    val real = "a genuinely unique document about alpine butterflies and " +
+      "their remarkable migration patterns across the high mountain passes"
+    // corpus A: 2 boilerplate copies + 1 real doc; appended batch B: 2
+    // more boilerplate copies. Cap 3: each SEGMENT's boilerplate bucket
+    // (size 2) stays under the cap, but the TRUE union (4) exceeds it
+    val a = (Seq.tabulate(2)(i => (10L + i, boiler)) :+ (30L, real))
+      .toDF("id", "text")
+    val b = Seq.tabulate(2)(i => (20L + i, boiler)).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhc").toString
+    val seg = dir + "/seg"
+    Dedup.writeMinhashIndex(a, F.col("id"), F.col("text"), seg,
+      shingleSize = 3, numHashes = 64, bands = 16, maxBucket = 3)
+    Dedup.appendToMinhashIndex(b, F.col("id"), F.col("text"), seg,
+      segment = "b0")
+    val probe = Seq((1L, boiler), (2L, real)).toDF("id", "text")
+    // segmented: each posting row unions with the probe at 2+1 = 3 ≤ cap,
+    // so the boilerplate probe doc DIES — the cap erosion in action
+    // (the real-doc copy dies in every variant)
+    assert(col1[Long](Dedup.dedupAgainstIndex(probe, F.col("id"),
+      F.col("text"), seg, threshold = 0.8), "id").isEmpty)
+    Dedup.compactMinhashIndex(spark, seg)
+    // compacted: the merged bucket (4 > 3) was dropped at compaction, so
+    // the boilerplate probe doc SURVIVES — the one-shot build's refusal
+    val afterCompact = Dedup.dedupAgainstIndex(probe, F.col("id"),
+      F.col("text"), seg, threshold = 0.8)
+    assert(col1[Long](afterCompact.orderBy("id"), "id") == Seq(1L))
+    // and the compacted index is ROW-IDENTICAL to a fresh build over A∪B
+    val fresh = dir + "/fresh"
+    Dedup.writeMinhashIndex(a.unionAll(b), F.col("id"), F.col("text"),
+      fresh, shingleSize = 3, numHashes = 64, bands = 16, maxBucket = 3)
+    def rows(p: String, cols: String*): Seq[String] =
+      spark.read.parquet(p).select(cols.map(F.col): _*)
+        .collect().map(_.toString).toSeq.sorted
+    assert(rows(seg + "/features", "id", "sh", "seg") ==
+      rows(fresh + "/features", "id", "sh", "seg"))
+    assert(rows(seg + "/postings", "band", "bucket", "ids", "seg") ==
+      rows(fresh + "/postings", "band", "bucket", "ids", "seg"))
+  }
+
   test("dedupAgainstNear fails loudly on a negative id instead of " +
       "misclassifying the row's side") {
     // a negative id in the NEW batch would land in the reference id range
