@@ -1119,6 +1119,61 @@ object SparkEntry {
       .sdf
   }
 
+  private val s05Run = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming LAKE ingest: events stream into a date-partitioned parquet
+    * layout through Spark's native file sink ([[streaming.Streams
+    * .lakeSink]] — `_spark_metadata` commit log ⇒ exactly-once appends),
+    * then a one-day slice is read back PRUNED
+    * ([[io.GraftIO.readTimeSlice]]) and rolled up hourly. The feed is
+    * split into three files by day-index mod 3, so each micro-batch
+    * appends into the SAME day partitions as the others — the
+    * interleaved-append shape a 24/7 pipeline produces; the final layout
+    * (and thus the result) is independent of the batch order, stronger
+    * than s04's deliberately order-dependent fold. Oracle: the same
+    * rollup on the raw table. */
+  private val s05: (SparkSession, String) => DataFrame = (s, dir) => {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try s05Body(s, dir)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private val s05Body: (SparkSession, String) => DataFrame = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val run = s05Run.incrementAndGet()
+    val dayNs = 86400L * 1000000000L
+    val feed = new java.io.File(scratch(s"s05_feed_${dir.hashCode.abs}_$run"))
+    feed.mkdirs()
+    val base = System.currentTimeMillis() - 600000L
+    (0 until 3).foreach { k =>
+      val tmp = scratch(s"s05_tmp_${dir.hashCode.abs}_${run}_$k")
+      ev.filter(F.expr(s"ts DIV $dayNs") % 3 === k).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(feed, s"b$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(base + k * 2000L)
+    }
+    val layout = scratch(s"s05_layout_${dir.hashCode.abs}_$run")
+    streaming.Streams.lakeSink(
+      streaming.Streams.readParquetStream(s, feed.toString, ev.schema,
+        maxFilesPerTrigger = 1),
+      "ts", layout, s"s05_${dir.hashCode.abs}_$run")
+    val loNs = 1705276800L * 1000000000L // 2024-01-15 00:00:00 UTC
+    io.GraftIO.readTimeSlice(s, layout, loNs, loNs + dayNs, "ts")
+      .groupBy(
+        F.date_trunc("hour", F.timestamp_micros(F.expr("ts DIV 1000")))
+          .as("hour_start"),
+        F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.sum("value"), 4).as("total_value"))
+      .orderBy("hour_start", "event_type")
+  }
+
   /** TIME-PARTITIONED layout round trip — the other half of the time-scan
     * story next to [[q63]]'s row-group pruning: events rewritten once into
     * a date-partitioned, ts-sorted layout
@@ -2151,6 +2206,7 @@ object SparkEntry {
     "s02_stream_session" -> s02,
     "s03_stream_join" -> s03,
     "s04_stream_ingest_dedup" -> s04,
+    "s05_stream_lake" -> s05,
     "d01_exact_dedup" -> d01,
     "d02_token_counts" -> d02,
     "d03_langid_quality" -> d03,
@@ -2694,6 +2750,13 @@ object SparkEntry {
       SELECT doc_id FROM (SELECT doc_id FROM s1 UNION ALL
         SELECT doc_id FROM s2 UNION ALL SELECT doc_id FROM s3)
       ORDER BY doc_id""",
+    "s05_stream_lake" -> """
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             count(*) AS n, round(sum(value), 4) AS total_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY 1, 2 ORDER BY hour_start, event_type""",
     "d01_exact_dedup" -> """
       SELECT min(doc_id) AS doc_id, arg_min(n_chars, doc_id) AS n_chars
       FROM documents GROUP BY text ORDER BY doc_id""",

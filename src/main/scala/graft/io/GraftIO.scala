@@ -217,14 +217,7 @@ object GraftIO {
     * (e.g. user bucket) if single-day volume exceeds one task. */
   def writeTimePartitioned(df: DataFrame, tsNsCol: String, path: String,
       compression: String = "snappy"): Unit = {
-    // UTC day via exact integral arithmetic, NOT to_date(timestamp_micros)
-    // — that pair derives the day in the SESSION time zone, so a non-UTC
-    // session would write partitions the UTC read bounds miss. DIV keeps
-    // the math exact where float division of epoch-ns (1.7e18 > 2^53)
-    // cannot. Epoch-nonnegative ts assumed (DIV truncates toward zero;
-    // pre-1970 rows would need floor-div day bucketing).
-    df.withColumn("__pdate", F.expr(
-        s"date_from_unix_date(CAST($tsNsCol DIV ${86400L * 1000000000L} AS INT))"))
+    df.withColumn("__pdate", utcDay(tsNsCol))
       .repartition(F.col("__pdate"))
       .sortWithinPartitions(tsNsCol)
       .write.mode("overwrite")
@@ -232,6 +225,17 @@ object GraftIO {
         if (compression == "lz4") "lz4_raw" else compression)
       .partitionBy("__pdate").parquet(resolveWriteUrl(path))
   }
+
+  /** UTC day of an epoch-ns long via exact integral arithmetic, NOT
+    * `to_date(timestamp_micros)` — that pair derives the day in the
+    * SESSION time zone, so a non-UTC session would write partitions the
+    * UTC read bounds miss. DIV keeps the math exact where float division
+    * of epoch-ns (1.7e18 > 2^53) cannot. Epoch-nonnegative ts assumed
+    * (DIV truncates toward zero; pre-1970 rows would need floor-div day
+    * bucketing). Shared by the batch layout writer and the streaming
+    * lake sink, which is all write/read partition agreement requires. */
+  def utcDay(tsNsCol: String): org.apache.spark.sql.Column = F.expr(
+    s"date_from_unix_date(CAST($tsNsCol DIV ${86400L * 1000000000L} AS INT))")
 
   /** Pruned `[loNs, hiNs)` read of a [[writeTimePartitioned]] layout: the
     * derived date bound becomes a PartitionFilter (directory pruning), the

@@ -159,6 +159,39 @@ object Streams {
     q.stop()
   }
 
+  /** Stream events into a date-partitioned parquet LAKE via Spark's
+    * native file sink — the write-side steady state of
+    * [[graft.io.GraftIO.writeTimePartitioned]]: the sink's
+    * `_spark_metadata` commit log makes the append EXACTLY-ONCE (a
+    * replayed batch's files are superseded in the log, and batch readers
+    * consult the log for the committed file listing), and every committed
+    * file lands under its UTC-day partition (the SAME integral day
+    * arithmetic as the batch writer — [[graft.io.GraftIO.utcDay]] — so
+    * [[graft.io.GraftIO.readTimeSlice]] prunes directories identically
+    * over batch-written and stream-written layouts).
+    *
+    * Unlike the batch writer there is no per-day repartition or in-file
+    * ts sort — a micro-batch's tasks each write a file per day they
+    * hold, so the layout accretes small files; the production companion
+    * is periodic compaction of cold day partitions (rewrite via
+    * [[graft.io.GraftIO.writeTimePartitioned]] on the day's slice), the
+    * same posture as the dedup index's segment compaction. */
+  def lakeSink(stream: DataFrame, tsNsCol: String, path: String,
+      name: String): Unit = {
+    val ckpt = checkpointDir(name)
+    val q = stream
+      .withColumn("__pdate", graft.io.GraftIO.utcDay(tsNsCol))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", ckpt.toString)
+      .partitionBy("__pdate")
+      .outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   private def checkpointDir(name: String): java.nio.file.Path = {
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite)

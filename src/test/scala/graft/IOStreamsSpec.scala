@@ -431,6 +431,59 @@ class IOStreamsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("lakeSink: interleaved micro-batch appends build the same pruned " +
+      "layout as the batch writer; the commit log ignores uncommitted files") {
+    val dir = tmp("graft_lake")
+    val dayNs = 86400L * 1000000000L
+    val d0 = 19723L // 2024-01-01
+    // 2 days × 4 events; feed split so EACH stream file carries rows of
+    // BOTH days — batches append into the same day partitions
+    val rows = for (d <- 0 until 2; i <- 0 until 4) yield
+      (d * 4L + i, (d0 + d) * dayNs + i * 3600L * 1000000000L, i.toDouble)
+    val ev = rows.toDF("event_id", "ts", "value")
+    val feed = new java.io.File(dir + "/feed"); feed.mkdirs()
+    (0 until 2).foreach { k =>
+      val t = dir + s"/tmp$k"
+      ev.filter(F.col("event_id") % 2 === k).coalesce(1).write.parquet(t)
+      val part = new java.io.File(t).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(feed, s"b$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - 600000L + k * 2000L)
+    }
+    val layout = dir + "/layout"
+    Streams.lakeSink(
+      Streams.readParquetStream(spark, feed.toString, ev.schema,
+        maxFilesPerTrigger = 1), "ts", layout, "t_lake")
+    // identical pruned slice as the batch writer over the same rows
+    val batchLayout = dir + "/batch_layout"
+    GraftIO.writeTimePartitioned(ev, "ts", batchLayout)
+    val sliceS = GraftIO.readTimeSlice(spark, layout,
+      (d0 + 1) * dayNs, (d0 + 2) * dayNs)
+    val sliceB = GraftIO.readTimeSlice(spark, batchLayout,
+      (d0 + 1) * dayNs, (d0 + 2) * dayNs)
+    assert(col1[Long](sliceS.orderBy("event_id"), "event_id") ==
+      col1[Long](sliceB.orderBy("event_id"), "event_id"))
+    assert(col1[Long](sliceS.orderBy("event_id"), "event_id") ==
+      Seq(4L, 5L, 6L, 7L))
+    // the date bound prunes partitions on the stream-written layout too
+    val plan = sliceS.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("__pdate")), plan)
+    // exactly-once: a file in the partition dir that is NOT in the sink's
+    // _spark_metadata commit log (a crashed batch's orphan) is invisible
+    // to readers
+    val day1 = new java.io.File(layout).listFiles()
+      .find(_.getName.startsWith("__pdate=2024-01-02")).get
+    val existing = day1.listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(existing.toPath,
+      new java.io.File(day1, "part-99999-orphan.parquet").toPath)
+    assert(GraftIO.readTimeSlice(spark, layout,
+      (d0 + 1) * dayNs, (d0 + 2) * dayNs).count() == 4)
+  }
+
   test("ingestDedupStream: survivors grow the index across micro-batches, " +
       "result equals the explicit sequential fold, no cache leak") {
     import graft.operators.Dedup
