@@ -259,6 +259,75 @@ object GraftIO {
       .drop("__pdate")
   }
 
+  /** Compact day partitions of a time-partitioned layout in the
+    * DAY-ALIGNED range `[loNs, hiNs)`: each touched day is rewritten
+    * through the batch writer's repartition+sort shape and REPLACED via
+    * dynamic partition overwrite — untouched days keep their files. The
+    * streaming [[graft.streaming.Streams.lakeSink]] accretes a file per
+    * (micro-batch × task × day); compacting a cold day restores one
+    * sorted file with tight row groups, the same LSM posture as the
+    * dedup index's segment compaction.
+    *
+    * A stream-written layout carries a `_spark_metadata` commit log, and
+    * batch readers consult it when present — files rewritten OUTSIDE the
+    * log would be invisible (and the deleted originals still listed), so
+    * compaction REFUSES such a layout unless `dropCommitLog = true`,
+    * which deletes the log first and converts the directory to a plain
+    * partitioned table (do this on a ROTATED layout the stream no longer
+    * appends to; the log's exactly-once listing has done its job once
+    * the stream is done). The day's rows stage through a temp directory
+    * (Spark cannot overwrite a path it is reading), which also bounds
+    * the replace window to the final write. */
+  def compactTimePartitions(spark: SparkSession, path: String, loNs: Long,
+      hiNs: Long, tsNsCol: String = "ts",
+      dropCommitLog: Boolean = false): Unit = {
+    val dayNs = 86400L * 1000000000L
+    require(loNs % dayNs == 0 && hiNs % dayNs == 0 && loNs < hiNs,
+      s"compaction range [$loNs, $hiNs) must be day-aligned and non-empty" +
+        " — a partial-day bound would silently drop the rest of the day")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(resolveWriteUrl(path))
+    val fs = root.getFileSystem(hconf)
+    val log = new org.apache.hadoop.fs.Path(root, "_spark_metadata")
+    if (fs.exists(log)) {
+      require(dropCommitLog,
+        "layout carries a streaming commit log (_spark_metadata); " +
+          "rewritten partitions would be invisible to log-consulting " +
+          "readers — pass dropCommitLog = true to convert a ROTATED " +
+          "layout to a plain partitioned table first")
+      // conversion = the log's listing becomes the DIRECTORY's listing:
+      // delete every data file the log never committed (crashed-batch
+      // orphans) BEFORE dropping it, or they'd become visible — and get
+      // baked into the compacted day — the moment the log is gone
+      val committed = spark.read.parquet(path).inputFiles
+        .map(u => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+          new org.apache.hadoop.fs.Path(u)).toString).toSet
+      val it = fs.listFiles(root, true)
+      val orphans = Iterator.continually(it)
+        .takeWhile(_.hasNext).map(_.next().getPath)
+        .filter(p => p.getName.endsWith(".parquet") &&
+          !p.toString.contains("_spark_metadata") &&
+          !committed.contains(org.apache.hadoop.fs.Path
+            .getPathWithoutSchemeAndAuthority(p).toString))
+        .toList
+      orphans.foreach(fs.delete(_, false))
+      fs.delete(log, true)
+    }
+    val tmp = new org.apache.hadoop.fs.Path(root.getParent,
+      s"__${root.getName}_compact_${loNs / dayNs}")
+    try {
+      readTimeSlice(spark, path, loNs, hiNs, tsNsCol)
+        .write.mode("overwrite").parquet(tmp.toString)
+      spark.read.parquet(tmp.toString)
+        .withColumn("__pdate", utcDay(tsNsCol))
+        .repartition(F.col("__pdate"))
+        .sortWithinPartitions(tsNsCol)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__pdate").parquet(resolveWriteUrl(path))
+    } finally fs.delete(tmp, true)
+  }
+
   /** `from_ndjson` (data_frame.ex:1572) — NDJSON is Spark json's native
     * framing. `inferSchemaLength = Some(n)` matches Explorer: the schema is
     * inferred from the first n rows only (sampled via a limited text read),

@@ -482,6 +482,36 @@ class IOStreamsSpec extends SparkSpec {
       new java.io.File(day1, "part-99999-orphan.parquet").toPath)
     assert(GraftIO.readTimeSlice(spark, layout,
       (d0 + 1) * dayNs, (d0 + 2) * dayNs).count() == 4)
+    // --- compaction of the accreted layout ---
+    def dayFiles(date: String): Int = new java.io.File(layout).listFiles()
+      .find(_.getName == s"__pdate=$date")
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+      .getOrElse(0)
+    assert(dayFiles("2024-01-02") >= 3) // a file per touching batch + orphan
+    // refuses a commit-logged layout without the explicit conversion...
+    intercept[IllegalArgumentException] {
+      GraftIO.compactTimePartitions(spark, layout,
+        (d0 + 1) * dayNs, (d0 + 2) * dayNs)
+    }
+    // ...and a partial-day bound, which would drop the day's other rows
+    intercept[IllegalArgumentException] {
+      GraftIO.compactTimePartitions(spark, layout,
+        (d0 + 1) * dayNs, (d0 + 1) * dayNs + 1, dropCommitLog = true)
+    }
+    GraftIO.compactTimePartitions(spark, layout,
+      (d0 + 1) * dayNs, (d0 + 2) * dayNs, dropCommitLog = true)
+    // conversion deleted the uncommitted orphan BEFORE dropping the log
+    // (or it would have become visible and been baked into the rewrite);
+    // the compacted day is ONE sorted file; the other day keeps its
+    // committed files and exact rows
+    assert(dayFiles("2024-01-02") == 1)
+    assert(dayFiles("2024-01-01") == 2)
+    val after = GraftIO.readTimeSlice(spark, layout,
+      (d0 + 1) * dayNs, (d0 + 2) * dayNs)
+    assert(col1[Long](after.orderBy("event_id"), "event_id") ==
+      Seq(4L, 5L, 6L, 7L))
+    assert(GraftIO.readTimeSlice(spark, layout,
+      d0 * dayNs, (d0 + 1) * dayNs).count() == 4)
   }
 
   test("ingestDedupStream: survivors grow the index across micro-batches, " +
