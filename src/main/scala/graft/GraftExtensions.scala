@@ -92,6 +92,15 @@ object GraftExtensions {
           litInt("minhash_band_hashes", "num_hashes", args(2)),
           litInt("minhash_band_hashes", "bands", args(3)))
     },
+    fd("minhash_band_hashes_from_hashes", classOf[MinHashBandHashesFromHashes],
+      "minhash_band_hashes_from_hashes(shingle_hashes, num_hashes, bands) " +
+        "- per-band LSH bucket hashes from a stored shingle-hash array") {
+      args =>
+        arity("minhash_band_hashes_from_hashes", 3, args)
+        MinHashBandHashesFromHashes(args(0),
+          litInt("minhash_band_hashes_from_hashes", "num_hashes", args(1)),
+          litInt("minhash_band_hashes_from_hashes", "bands", args(2)))
+    },
     fd("ordered_pairs", classOf[OrderedPairs],
       "ordered_pairs(ids) - all (i < j) pairs of a sorted bigint id array") {
       args =>

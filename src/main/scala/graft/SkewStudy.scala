@@ -99,6 +99,11 @@ object SkewStudy {
     grid("aqe_skew") = time("aqe_skew")(fact.join(dim, "key"))
 
     // (c) explicit salting (buckets ≈ cores so the hot key fans the grid)
+    // — with AQE skew-join OFF and the advisory size restored, so the
+    // number isolates the salting mechanism rather than salting PLUS the
+    // lowered-threshold AQE splits of variant (b)
+    conf("spark.sql.adaptive.skewJoin.enabled", "false")
+    conf("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
     grid("salted") = time("salted")(
       Joins.saltedJoin(Gdf(fact), Gdf(dim), Seq("key" -> "key"),
         buckets = cpus.toInt).sdf)

@@ -967,6 +967,25 @@ object SparkEntry {
 
   private val s04Run = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Write `df` as the k-th SINGLE-FILE micro-batch of a stream feed dir,
+    * with strictly increasing mtimes: the parquet file source processes
+    * pending files in modification-time order, so the mtime pin IS the
+    * batch order. Failing to pin must abort — an undefined order would
+    * silently change any order-dependent fold downstream. */
+  private def shipFeedFile(df: DataFrame, feed: java.io.File, k: Int,
+      tag: String): Unit = {
+    val tmp = scratch(s"${tag}_$k")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(feed, s"b$k.parquet")
+    java.nio.file.Files.move(part.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    if (!dst.setLastModified(System.currentTimeMillis() - 600000L + k * 2000L))
+      sys.error(s"feed mtime pin failed for $dst — batch order undefined")
+  }
+
   /** Streaming incremental near-dedup INGEST — the steady state the
     * persisted MinHash index (d51) exists for: the accepted corpus (even
     * doc_ids) is indexed ONCE; odd doc_ids then arrive as three
@@ -998,23 +1017,13 @@ object SparkEntry {
     Dedup.writeMinhashIndex(docs.filter(F.col("doc_id") % 2 === 0),
       F.col("doc_id"), F.col("text"), idx,
       shingleSize = 3, numHashes = 64, bands = 8)
-    // one FILE per micro-batch with strictly increasing mtimes: the file
-    // source processes pending files in modification-time order, so the
-    // batch order (and with it the fold) is deterministic
+    // one FILE per micro-batch, mtime-ordered: the batch order (and with
+    // it the fold) is deterministic
     val feed = new java.io.File(scratch(s"s04_feed_${dir.hashCode.abs}_$run"))
     feed.mkdirs()
-    val base = System.currentTimeMillis() - 600000L
     Seq(1, 3, 5).zipWithIndex.foreach { case (m, k) =>
-      val tmp = scratch(s"s04_tmp_${dir.hashCode.abs}_${run}_$k")
-      docs.filter(F.col("doc_id") % 6 === m).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(feed, s"b$k.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dst.setLastModified(base + k * 2000L)
+      shipFeedFile(docs.filter(F.col("doc_id") % 6 === m), feed, k,
+        s"s04_tmp_${dir.hashCode.abs}_$run")
     }
     val out = scratch(s"s04_out_${dir.hashCode.abs}_$run")
     val stream = streaming.Streams.readParquetStream(s, feed.toString,
@@ -1145,18 +1154,9 @@ object SparkEntry {
     val dayNs = 86400L * 1000000000L
     val feed = new java.io.File(scratch(s"s05_feed_${dir.hashCode.abs}_$run"))
     feed.mkdirs()
-    val base = System.currentTimeMillis() - 600000L
     (0 until 3).foreach { k =>
-      val tmp = scratch(s"s05_tmp_${dir.hashCode.abs}_${run}_$k")
-      ev.filter(F.expr(s"ts DIV $dayNs") % 3 === k).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(feed, s"b$k.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dst.setLastModified(base + k * 2000L)
+      shipFeedFile(ev.filter(F.expr(s"ts DIV $dayNs") % 3 === k), feed, k,
+        s"s05_tmp_${dir.hashCode.abs}_$run")
     }
     val layout = scratch(s"s05_layout_${dir.hashCode.abs}_$run")
     streaming.Streams.lakeSink(

@@ -55,6 +55,40 @@ private[graft] object TextHashing {
     }
     out
   }
+
+  /** MinHash signature (Kirsch-Mitzenmacher h1 + i·h2) + per-band fold
+    * over a shingle-hash array — shared by the from-text and from-hashes
+    * expressions, which is all their band-space agreement requires. */
+  def bandHashes(hs: Array[Long], numHashes: Int, bands: Int): Array[Long] = {
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val s = hs(i)
+      val h1 = s & 0x3FFFFFFFFFFFFFFFL
+      val h2 = XXH64.hashLong(s, 42L) & 0x00FFFFFFFFFFFFFFL
+      var k = 0
+      var h = h1
+      while (k < numHashes) {
+        if (h < sig(k)) sig(k) = h
+        h += h2
+        k += 1
+      }
+      i += 1
+    }
+    val rows = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      var k = b * rows
+      val end = k + rows
+      while (k < end) { h = XXH64.hashLong(sig(k), h); k += 1 }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
 }
 
 /** text → array<bigint>: distinct, sorted word-n-gram hash identities. */
@@ -175,37 +209,39 @@ case class MinHashBandHashes(child: Expression, n: Int, numHashes: Int,
   override protected def withNewChildInternal(c: Expression): MinHashBandHashes =
     copy(child = c)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val sig = new Array[Long](numHashes)
-    java.util.Arrays.fill(sig, Long.MaxValue)
-    val hs = TextHashing.shingleHashes(input.asInstanceOf[UTF8String], n)
-    var i = 0
-    while (i < hs.length) {
-      val s = hs(i)
-      val h1 = s & 0x3FFFFFFFFFFFFFFFL
-      val h2 = XXH64.hashLong(s, 42L) & 0x00FFFFFFFFFFFFFFL
-      var k = 0
-      var h = h1
-      while (k < numHashes) {
-        if (h < sig(k)) sig(k) = h
-        h += h2
-        k += 1
-      }
-      i += 1
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashing.bandHashes(
+      TextHashing.shingleHashes(input.asInstanceOf[UTF8String], n),
+      numHashes, bands))
+}
+
+/** array<bigint> (shingle hashes, e.g. a dedup index's stored features) →
+  * array<bigint>: the SAME signature + per-band fold as
+  * [[MinHashBandHashes]], minus the shingling — MinHash is
+  * duplicate-insensitive, so band hashes over a doc's stored distinct
+  * shingle hashes equal band hashes over its text. This is what lets
+  * index COMPACTION rebuild postings exactly without ever re-reading
+  * corpus text. */
+case class MinHashBandHashesFromHashes(child: Expression, numHashes: Int,
+    bands: Int) extends UnaryExpression with CodegenFallback {
+  require(numHashes % bands == 0, s"numHashes $numHashes % bands $bands != 0")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_hashes_from_hashes"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_band_hashes_from_hashes requires array<bigint>, got ${other.sql}")
     }
-    val rows = numHashes / bands
-    val out = new Array[Long](bands)
-    var b = 0
-    while (b < bands) {
-      var h = 42L
-      var k = b * rows
-      val end = k + rows
-      while (k < end) { h = XXH64.hashLong(sig(k), h); k += 1 }
-      out(b) = h
-      b += 1
-    }
-    new GenericArrayData(out)
-  }
+  override protected def withNewChildInternal(c: Expression): MinHashBandHashesFromHashes =
+    copy(child = c)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashing.bandHashes(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray(),
+      numHashes, bands))
 }
 
 /** array<struct<id,simhash>> (sorted bucket rows) → array<struct<id_a,
@@ -543,6 +579,11 @@ object TextExprs {
   def minhashBandHashes(text: Column, n: Int, numHashes: Int,
       bands: Int): Column =
     Bridge.column(MinHashBandHashes(Bridge.expression(text), n, numHashes, bands))
+
+  def minhashBandHashesFromHashes(shingleHashes: Column, numHashes: Int,
+      bands: Int): Column =
+    Bridge.column(MinHashBandHashesFromHashes(
+      Bridge.expression(shingleHashes), numHashes, bands))
 
   def orderedPairs(ids: Column): Column =
     Bridge.column(OrderedPairs(Bridge.expression(ids)))

@@ -299,7 +299,7 @@ object GraftIO {
       // delete every data file the log never committed (crashed-batch
       // orphans) BEFORE dropping it, or they'd become visible — and get
       // baked into the compacted day — the moment the log is gone
-      val committed = spark.read.parquet(path).inputFiles
+      val committed = spark.read.parquet(resolveUrl(path)).inputFiles
         .map(u => org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
           new org.apache.hadoop.fs.Path(u)).toString).toSet
       val it = fs.listFiles(root, true)

@@ -734,13 +734,16 @@ object Dedup {
     * for every incoming batch; at large scale the accepted side dwarfs any
     * batch, so its scan must be paid once and persisted:
     *
-    *  - `path/features`: `(id, sh: array<bigint>)` — each doc's distinct
-    *    shingle hashes, written from the index build's single corpus scan.
-    *    Candidate verification joins THIS table, so verification stays
-    *    EXACT Jaccard (identical semantics to [[verifyJaccard]]) without
-    *    ever touching corpus text again;
-    *  - `path/postings`: `(bucket, ids: array<bigint>, band)` written
-    *    `partitionBy("band")` — LSH band buckets from the same fused
+    *  - `path/features`: `(id, sh: array<bigint>)` in `seg=<segment>`
+    *    partitions (`seg=base` from this writer; appends add their own) —
+    *    each doc's distinct shingle hashes, written from the index
+    *    build's single corpus scan. Candidate verification joins THIS
+    *    table, so verification stays EXACT Jaccard (identical semantics
+    *    to [[verifyJaccard]]) without ever touching corpus text again;
+    *  - `path/postings`: `(bucket, ids: array<bigint>, seg, band)`
+    *    written `partitionBy("seg", "band")` (segment partitions make
+    *    [[appendToMinhashIndex]] retry-idempotent via dynamic partition
+    *    overwrite) — LSH band buckets from the same fused
     *    native shingle→minhash→band expression the live path scans with
     *    ([[graft.functions.TextExprs.minhashBandHashes]] — writer and
     *    prober share the expression, which is all bucket agreement
@@ -806,7 +809,21 @@ object Dedup {
   def dedupAgainstIndex(df: DataFrame, id: Column, text: Column,
       path: String, threshold: Double,
       probeBands: Option[Int] = None,
-      excludeSegment: Option[String] = None): DataFrame = {
+      excludeSegment: Option[String] = None): DataFrame =
+    dedupAgainstIndexManaged(df, id, text, path, threshold, probeBands,
+      excludeSegment)._1
+
+  /** [[dedupAgainstIndex]] plus a release thunk dropping the internal
+    * one-scan batch cache INCLUDING its CacheManager entry (Dataset-level
+    * unpersist). One-shot callers can ignore it (Verify/Bench clear the
+    * cache per query anyway); a LONG-RUNNING caller — the ingest stream —
+    * must call it after consuming the result, because an RDD-level sweep
+    * frees the blocks but leaves the CacheManager entry pinning the
+    * batch's analyzed plan and file listing forever. */
+  def dedupAgainstIndexManaged(df: DataFrame, id: Column, text: Column,
+      path: String, threshold: Double,
+      probeBands: Option[Int] = None,
+      excludeSegment: Option[String] = None): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     // field names, not ordinals: a meta row written by another version
     // with reordered columns must fail loudly, not silently swap
@@ -865,7 +882,8 @@ object Dedup {
           F.size(F.array_union(F.col("ish"), F.col("bsh"))))
       .filter(F.col("jaccard") >= threshold)
       .select(F.col("bid").as("__loser")).distinct()
-    df.join(losers, asLongId(id) === F.col("__loser"), "left_anti")
+    (df.join(losers, asLongId(id) === F.col("__loser"), "left_anti"),
+      () => { batch.unpersist(false); () })
   }
 
   /** Append newly-accepted docs to a persisted [[writeMinhashIndex]] index —
@@ -929,41 +947,53 @@ object Dedup {
     * [[appendToMinhashIndex]]'s documented degradation: with many
     * segments the `maxBucket` union-cap is enforced per segment pair, so
     * a boilerplate bucket split across segments can slip under the cap it
-    * would have tripped whole. Compaction merges postings per
-    * (band, bucket) under the SAME saturating cap (`cappedSortedIds` over
-    * the exploded ids — a merged bucket over `maxBucket` is dropped as
-    * pair noise, exactly [[writeMinhashIndex]]'s rule) and coalesces
-    * feature segments, WITHOUT touching corpus text: everything needed is
-    * already in the index. The result is row-identical to a fresh
-    * [[writeMinhashIndex]] over the full accepted corpus (spec-pinned).
+    * would have tripped whole. The result is row-identical to a fresh
+    * [[writeMinhashIndex]] over the full accepted corpus (spec-pinned)
+    * WITHOUT touching corpus text: features coalesce (they are the full
+    * per-doc shingle-hash state), and postings are REBUILT from those
+    * features through the same signature + band fold as the writer
+    * ([[graft.functions.TextExprs.minhashBandHashesFromHashes]] — MinHash
+    * is duplicate-insensitive, so band hashes over stored distinct
+    * shingle hashes equal band hashes over text) with the saturating cap
+    * applied to the full merged bucket. Rebuilding beats merging stored
+    * posting rows, which CANNOT be exact: a bucket the writer refused at
+    * segment-write time (> cap) is absent, so a stored-rows merge would
+    * resurrect it partially — under-counting the cap in exactly the
+    * boilerplate case compaction exists to restore.
     *
-    * Locally the swap is two renames; a production deployment on object
-    * storage would write a NEW index generation and swap a version
-    * pointer instead (rename-as-copy + no atomicity on s3) — same
-    * read path, different commit. */
+    * Swap is rename-aside (`table` → `table_old`, tmp → `table`, drop
+    * `table_old`) so a crash at any step leaves a recoverable copy; a
+    * production deployment on object storage would write a NEW index
+    * generation and swap a version pointer instead (rename-as-copy + no
+    * atomicity on s3) — same read path, different commit. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val meta = spark.read.parquet(s"$path/meta").collect().head
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
     val maxBucket = meta.getAs[Int]("max_bucket")
     val hconf = spark.sparkContext.hadoopConfiguration
     def swap(table: String, write: String => Unit): Unit = {
       val dir = new org.apache.hadoop.fs.Path(s"$path/$table")
       val tmp = new org.apache.hadoop.fs.Path(s"$path/__${table}_compact")
+      val old = new org.apache.hadoop.fs.Path(s"$path/__${table}_old")
       val fs = dir.getFileSystem(hconf)
-      write(tmp.toString) // materializes BEFORE the source is deleted
-      fs.delete(dir, true)
-      require(fs.rename(tmp, dir), s"compact: rename failed for $table")
+      write(tmp.toString) // materializes BEFORE the source moves aside
+      fs.delete(old, true)
+      require(fs.rename(dir, old), s"compact: move-aside failed for $table")
+      require(fs.rename(tmp, dir), s"compact: swap-in failed for $table")
+      fs.delete(old, true)
     }
     swap("features", out =>
       spark.read.parquet(s"$path/features").drop("seg")
         .withColumn("seg", F.lit("base"))
         .write.mode("overwrite").partitionBy("seg").parquet(out))
     swap("postings", out =>
-      spark.read.parquet(s"$path/postings")
-        .select(F.col("band"), F.col("bucket"),
-          F.explode(F.col("ids")).as("id"))
-        // distinct: an id may sit in the same bucket in several segments
-        .distinct()
+      spark.read.parquet(s"$path/features").drop("seg")
+        .select(F.col("id"),
+          F.posexplode(graft.functions.TextExprs
+            .minhashBandHashesFromHashes(F.col("sh"), numHashes, bands))
+            .as(Seq("band", "bucket")))
         .groupBy("band", "bucket")
         .agg(graft.functions.AggExprs
           .cappedSortedIds(F.col("id"), maxBucket, minSize = 1).as("ids"))

@@ -114,14 +114,20 @@ object Streams {
     * aggregations (the probe is a join-agg pipeline no continuous-mode
     * operator set expresses).
     *
-    * Exactly-once: every write is IDEMPOTENT per batchId — survivors land
-    * in an overwritten `batch=b<id>` sink directory, the index append is
-    * a dynamically-overwritten `seg=b<id>` partition, and the probe
-    * excludes its own in-flight segment (a partial segment from a failed
-    * attempt would otherwise make batch docs self-candidates). A batch
-    * replayed from the checkpoint recomputes the same survivors (earlier
-    * segments are untouched by the rewrite) and overwrites, not
-    * duplicates.
+    * Exactly-once: every write is IDEMPOTENT per (checkpoint, batchId) —
+    * survivors land in an overwritten `batch=<prefix>_b<id>` sink
+    * directory, the index append is a dynamically-overwritten
+    * `seg=<prefix>_b<id>` partition, and the probe excludes its own
+    * in-flight segment (a partial segment from a failed attempt would
+    * otherwise make batch docs self-candidates). A batch replayed from
+    * the SAME checkpoint recomputes the same survivors (earlier segments
+    * are untouched by the rewrite) and overwrites, not duplicates. Pass
+    * `checkpoint` to make restarts resume the offset log; without it a
+    * fresh temp checkpoint restarts batchIds at 0 — which is why segment
+    * names carry a checkpoint-derived prefix: a re-run must APPEND new
+    * segments, never overwrite another run's (re-processed docs that
+    * were already accepted simply die against their earlier selves in
+    * the index). Returns the run's segment prefix.
     *
     * Decision rule per doc: die iff exact Jaccard ≥ threshold against
     * (corpus ∪ survivors of strictly earlier batches). Batch-INTERNAL
@@ -131,32 +137,46 @@ object Streams {
     * deterministic feed. */
   def ingestDedupStream(stream: DataFrame, id: Column, text: Column,
       indexPath: String, outPath: String, threshold: Double,
-      name: String): Unit = {
+      name: String, checkpoint: Option[String] = None): String = {
     val spark = stream.sparkSession
-    val ckpt = checkpointDir(name)
+    val ckpt = checkpoint.getOrElse(checkpointDir(name).toString)
+    // segment identity = (checkpoint identity, batchId). batchIds restart
+    // at 0 for every NEW checkpoint, so a fresh-checkpoint re-run over the
+    // same index must not reuse an earlier run's segment names — its
+    // "b0" would dynamic-overwrite (silently DELETE) the earlier run's
+    // b0 survivors from the index. The prefix ties each segment to the
+    // checkpoint whose offset log defines its batchIds: a RESTART from
+    // the same checkpoint keeps prefix AND replayed batchId (idempotent
+    // overwrite, as designed); a new run gets a new prefix (appends).
+    // Returned so callers can address this run's segments (e.g. replay).
+    val prefix = f"${ckpt.hashCode & 0x7fffffff}%08x"
     val step: (DataFrame, Long) => Unit = (batchDf, batchId) => {
-      val seg = s"b$batchId"
-      // dedupAgainstIndex persists its one-scan batch projection; track
-      // and release everything a batch pins once its two writes are done,
-      // or a long-running stream accumulates a cache entry per batch
-      val before = spark.sparkContext.getPersistentRDDs.keySet
-      val survivors = graft.operators.Dedup
-        .dedupAgainstIndex(batchDf, id, text, indexPath, threshold,
+      val seg = s"${prefix}_b$batchId"
+      // every cache a batch pins is released through the DATASET API once
+      // its two writes are done — Dataset.unpersist drops the
+      // CacheManager entry too, where an RDD-level sweep frees blocks but
+      // leaves an entry (analyzed plan + file listing) accreting per
+      // batch on a 24/7 stream
+      val (deduped, release) = graft.operators.Dedup
+        .dedupAgainstIndexManaged(batchDf, id, text, indexPath, threshold,
           excludeSegment = Some(seg))
-        .persist()
-      survivors.write.mode("overwrite").parquet(s"$outPath/batch=$seg")
-      graft.operators.Dedup.appendToMinhashIndex(survivors, id, text,
-        indexPath, seg)
-      spark.sparkContext.getPersistentRDDs
-        .filter { case (k, _) => !before.contains(k) }
-        .values.foreach(_.unpersist(false))
+      val survivors = deduped.persist()
+      try {
+        survivors.write.mode("overwrite").parquet(s"$outPath/batch=$seg")
+        graft.operators.Dedup.appendToMinhashIndex(survivors, id, text,
+          indexPath, seg)
+      } finally {
+        survivors.unpersist(false)
+        release()
+      }
     }
     val q = stream.writeStream
-      .option("checkpointLocation", ckpt.toString)
+      .option("checkpointLocation", ckpt)
       .foreachBatch(step)
       .start()
     q.processAllAvailable()
     q.stop()
+    prefix
   }
 
   /** Stream events into a date-partitioned parquet LAKE via Spark's

@@ -13,6 +13,21 @@ class IOStreamsSpec extends SparkSpec {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** One single-file micro-batch of a stream feed, mtime-pinned so the
+    * file source's batch order is deterministic (mirrors SparkEntry's
+    * feed builder). */
+  private def shipFeed(df: org.apache.spark.sql.DataFrame,
+      feed: java.io.File, k: Int, tmpDir: String): Unit = {
+    df.coalesce(1).write.parquet(tmpDir)
+    val part = new java.io.File(tmpDir).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(feed, s"b$k.parquet")
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    assert(dst.setLastModified(
+      System.currentTimeMillis() - 600000L + k * 2000L))
+  }
+
   test("csv round trip with options") {
     val dir = tmp("graft_csv") + "/out"
     val d = Gdf(Seq((1L, "a;x", 1.5), (2L, "b", 2.5)).toDF("i", "s", "v"))
@@ -443,14 +458,8 @@ class IOStreamsSpec extends SparkSpec {
     val ev = rows.toDF("event_id", "ts", "value")
     val feed = new java.io.File(dir + "/feed"); feed.mkdirs()
     (0 until 2).foreach { k =>
-      val t = dir + s"/tmp$k"
-      ev.filter(F.col("event_id") % 2 === k).coalesce(1).write.parquet(t)
-      val part = new java.io.File(t).listFiles()
-        .find(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(feed, s"b$k.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(System.currentTimeMillis() - 600000L + k * 2000L)
+      shipFeed(ev.filter(F.col("event_id") % 2 === k), feed, k,
+        dir + s"/tmp$k")
     }
     val layout = dir + "/layout"
     Streams.lakeSink(
@@ -536,21 +545,11 @@ class IOStreamsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val b1 = Seq((3L, pasta), (4L, other)).toDF("doc_id", "text")
     val feed = new java.io.File(dir + "/feed"); feed.mkdirs()
-    def ship(df: org.apache.spark.sql.DataFrame, k: Int): Unit = {
-      val t = dir + s"/tmp$k"
-      df.coalesce(1).write.parquet(t)
-      val part = new java.io.File(t).listFiles()
-        .find(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(feed, s"b$k.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      // strictly increasing mtimes pin the file-source batch order
-      dst.setLastModified(System.currentTimeMillis() - 600000L + k * 2000L)
-    }
-    ship(b0, 0); ship(b1, 1)
+    shipFeed(b0, feed, 0, dir + "/tmp0")
+    shipFeed(b1, feed, 1, dir + "/tmp1")
     val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val out = dir + "/out"
-    Streams.ingestDedupStream(
+    val prefix = Streams.ingestDedupStream(
       Streams.readParquetStream(spark, feed.toString, b0.schema,
         maxFilesPerTrigger = 1),
       F.col("doc_id"), F.col("text"), idx, out, threshold = 0.5,
@@ -565,10 +564,11 @@ class IOStreamsSpec extends SparkSpec {
     // a checkpoint-replayed batch overwrites, never duplicates
     val preFeatures = spark.read.parquet(idx + "/features").count()
     val s1Retry = Dedup.dedupAgainstIndex(b1, F.col("doc_id"),
-      F.col("text"), idx, threshold = 0.5, excludeSegment = Some("b1"))
+      F.col("text"), idx, threshold = 0.5,
+      excludeSegment = Some(s"${prefix}_b1"))
     assert(col1[Long](s1Retry.orderBy("doc_id"), "doc_id") == Seq(4L))
     Dedup.appendToMinhashIndex(s1Retry, F.col("doc_id"), F.col("text"),
-      idx, segment = "b1")
+      idx, segment = s"${prefix}_b1")
     assert(spark.read.parquet(idx + "/features").count() == preFeatures)
     // and WITHOUT the exclusion the batch finds its own earlier segment:
     // doc 4 self-matches at Jaccard 1 and dies — the hazard excludeSegment
@@ -576,6 +576,19 @@ class IOStreamsSpec extends SparkSpec {
     val selfHit = Dedup.dedupAgainstIndex(b1, F.col("doc_id"),
       F.col("text"), idx, threshold = 0.5)
     assert(col1[Long](selfHit, "doc_id").isEmpty)
+    // a SECOND run (fresh checkpoint → batchIds restart at 0) must get a
+    // NEW segment prefix: its "b0" would otherwise dynamic-overwrite —
+    // silently delete — the first run's b0 survivors from the index.
+    // Reprocessed docs die against their earlier selves, so the sink's
+    // total survivor set is unchanged
+    val prefix2 = Streams.ingestDedupStream(
+      Streams.readParquetStream(spark, feed.toString, b0.schema,
+        maxFilesPerTrigger = 1),
+      F.col("doc_id"), F.col("text"), idx, out, threshold = 0.5,
+      name = "t_ingest2")
+    assert(prefix2 != prefix)
+    assert(col1[Long](spark.read.parquet(out).orderBy("doc_id"), "doc_id")
+      == Seq(2L, 4L))
     // parity: the stream IS the sequential batch fold, nothing more
     val idx2 = dir + "/idx2"
     Dedup.writeMinhashIndex(corpus, F.col("doc_id"), F.col("text"), idx2,

@@ -232,6 +232,30 @@ class SamplingSpec extends SparkSpec {
       rows(fresh + "/features", "id", "sh", "seg"))
     assert(rows(seg + "/postings", "band", "bucket", "ids", "seg") ==
       rows(fresh + "/postings", "band", "bucket", "ids", "seg"))
+    // a bucket REFUSED at write time must stay refused through compaction:
+    // base holds 4 boilerplate copies (bucket dropped at build, 4 > 3), a
+    // segment adds 2 more. A stored-rows merge would see only the
+    // segment's 2 ids and RESURRECT the bucket under the cap; the
+    // rebuild-from-features recomputes the true union (6 > 3) and drops
+    // it — the probe boilerplate doc survives, as with a fresh build
+    val a2 = (Seq.tabulate(4)(i => (10L + i, boiler)) :+ (30L, real))
+      .toDF("id", "text")
+    val b2 = Seq.tabulate(2)(i => (20L + i, boiler)).toDF("id", "text")
+    val seg2 = dir + "/seg2"
+    Dedup.writeMinhashIndex(a2, F.col("id"), F.col("text"), seg2,
+      shingleSize = 3, numHashes = 64, bands = 16, maxBucket = 3)
+    Dedup.appendToMinhashIndex(b2, F.col("id"), F.col("text"), seg2,
+      segment = "b0")
+    Dedup.compactMinhashIndex(spark, seg2)
+    val fresh2 = dir + "/fresh2"
+    Dedup.writeMinhashIndex(a2.unionAll(b2), F.col("id"), F.col("text"),
+      fresh2, shingleSize = 3, numHashes = 64, bands = 16, maxBucket = 3)
+    assert(rows(seg2 + "/features", "id", "sh", "seg") ==
+      rows(fresh2 + "/features", "id", "sh", "seg"))
+    assert(rows(seg2 + "/postings", "band", "bucket", "ids", "seg") ==
+      rows(fresh2 + "/postings", "band", "bucket", "ids", "seg"))
+    assert(col1[Long](Dedup.dedupAgainstIndex(probe, F.col("id"),
+      F.col("text"), seg2, threshold = 0.8).orderBy("id"), "id") == Seq(1L))
   }
 
   test("dedupAgainstNear fails loudly on a negative id instead of " +
