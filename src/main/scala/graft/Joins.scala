@@ -102,9 +102,15 @@ object Joins {
       F.pmod(F.xxhash64(F.rand(seed)), F.lit(buckets)).cast("int"))
     val r = right.sdf.withColumn("__salt",
       F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
-    val out = Joins.join(new Gdf(l), new Gdf(r),
+    // thread groups/logical through the inner join (the Joins.join rule) —
+    // a bare Gdf wrap here silently dropped the left side's grouping and
+    // logical dtypes, making saltedJoin differ from the equivalent join
+    val out = Joins.join(
+      new Gdf(l, groups = left.groups, logical = left.logical),
+      new Gdf(r, groups = right.groups, logical = right.logical),
       on :+ ("__salt" -> "__salt"), how)
-    new Gdf(out.sdf.drop("__salt"))
+    new Gdf(out.sdf.drop("__salt"), groups = out.groups,
+      logical = out.logical)
   }
 
   /** Point-in-interval RANGE join (beyond-reference; the other operator the
@@ -129,26 +135,40 @@ object Joins {
       maxBinsPerInterval: Int = 1024): Gdf = {
     require(binWidth > 0, "rangeJoin needs a positive binWidth")
     val p = points.sdf.withColumn("__bin", F.floor(F.col(pointOn) / binWidth))
-    val iv = intervals.sdf
+    // suffix interval-side clashes with the points side (the Joins.join
+    // rule) — un-handled, a shared name yields AMBIGUOUS_REFERENCE on any
+    // downstream select, or resolves the residual BETWEEN filter against
+    // the wrong side when the clash is loOn/hiOn themselves
+    val clashes = intervals.names.toSet intersect points.names.toSet
+    val renames = intervals.names
+      .map(n => n -> (if (clashes(n)) s"${n}_right" else n)).toMap
+    val lo = renames(loOn); val hi = renames(hiOn)
+    // inner-join semantics for null bounds: a null lo/hi interval matches
+    // nothing and is dropped — left in, its null __nbins would fall through
+    // the span guard's `when` into raise_error and abort the whole query
+    val iv = intervals.sdf.withColumnsRenamed(renames)
+      .filter(F.col(lo).isNotNull && F.col(hi).isNotNull)
       .withColumn("__nbins",
-        (F.floor(F.col(hiOn) / binWidth) - F.floor(F.col(loOn) / binWidth)))
+        (F.floor(F.col(hi) / binWidth) - F.floor(F.col(lo) / binWidth)))
     // fail loudly rather than silently exploding the shuffle
     val guarded = iv.withColumn("__nbins",
       F.when(F.col("__nbins") < maxBinsPerInterval, F.col("__nbins"))
         .otherwise(F.raise_error(F.concat(F.lit(
           s"rangeJoin: interval spans more than $maxBinsPerInterval bins " +
-            s"of width $binWidth — raise binWidth: "), F.col(loOn)))))
+            s"of width $binWidth — raise binWidth: "), F.col(lo)))))
     val binned = guarded.withColumn("__bin",
-      F.explode(F.sequence(F.floor(F.col(loOn) / binWidth),
-        F.floor(F.col(loOn) / binWidth) + F.col("__nbins"))))
+      F.explode(F.sequence(F.floor(F.col(lo) / binWidth),
+        F.floor(F.col(lo) / binWidth) + F.col("__nbins"))))
       .drop("__nbins")
     val joined = p.join(binned, Seq("__bin"))
-      .filter(F.col(pointOn) >= F.col(loOn) && F.col(pointOn) <= F.col(hiOn))
+      .filter(F.col(pointOn) >= F.col(lo) && F.col(pointOn) <= F.col(hi))
       .drop("__bin")
     // left (points) side's groups kept — the Joins.join rule, now actually
     // propagated (the grouped-verb matrix previously only asserted it)
     new Gdf(joined, groups = points.groups,
-      logical = points.logical ++ intervals.logical)
+      logical = points.logical ++ intervals.logical.map {
+        case (k, v) => renames.getOrElse(k, k) -> v
+      })
   }
 
   /** `join_asof/3` (reference data_frame.ex:5416-5580; AsofStrategy
@@ -191,37 +211,114 @@ object Joins {
           F.lit(null).cast(l.schema(c).dataType).as(c))): _*)
 
     val unioned = lTagged.unionByName(rTagged)
-    val part = Window.partitionBy(by.map(F.col): _*)
 
-    def matched(dir: String): Column = dir match {
-      case "backward" => // right rows sort before left at equal key
-        F.last(F.when(F.col("__side") === 0, F.col("__payload")),
-          ignoreNulls = true).over(part
+    require(Set("backward", "forward", "nearest").contains(strategy),
+      s"asof strategy $strategy")
+    def combineNearest(src: DataFrame, b: Column, f: Column): DataFrame = {
+      import org.apache.spark.sql.types.DoubleType
+      val k = F.col("__asof_k").cast(DoubleType) // ts → fractional seconds
+      val db = F.abs(k - b.getField("__asof_key").cast(DoubleType))
+      val df_ = F.abs(f.getField("__asof_key").cast(DoubleType) - k)
+      src.withColumn("__m",
+        F.when(b.isNull, f).when(f.isNull, b)
+          .when(df_ < db, f).otherwise(b))
+    }
+
+    // null asof keys never participate: a null-keyed RIGHT row would sort
+    // nulls-first and get picked up by last(ignoreNulls) as a bogus
+    // "earliest" match, so its payload is masked out of the carry
+    val rightPayload = F.when(F.col("__side") === 0 &&
+      F.col("__asof_k").isNotNull, F.col("__payload"))
+
+    val withMatch = if (by.nonEmpty) {
+      val part = Window.partitionBy(by.map(F.col): _*)
+      def matched(dir: String): Column = dir match {
+        case "backward" => // right rows sort before left at equal key
+          F.last(rightPayload, ignoreNulls = true).over(part
             .orderBy(F.col("__asof_k"), F.col("__side"))
             .rowsBetween(Window.unboundedPreceding, 0))
-      case "forward" => // right rows sort after left at equal key
-        F.first(F.when(F.col("__side") === 0, F.col("__payload")),
-          ignoreNulls = true).over(part
+        case "forward" => // right rows sort after left at equal key
+          F.first(rightPayload, ignoreNulls = true).over(part
             .orderBy(F.col("__asof_k"), F.col("__side").desc)
             .rowsBetween(0, Window.unboundedFollowing))
+      }
+      strategy match {
+        case "backward" | "forward" =>
+          unioned.withColumn("__m", matched(strategy))
+        case "nearest" =>
+          combineNearest(unioned, matched("backward"), matched("forward"))
+      }
+    } else {
+      // BY-LESS asof: Window.partitionBy() with no columns funnels both
+      // frames through ONE task — the global-window shape the plan guards
+      // ban. Instead: range-partition the union on the key, carry the
+      // match WITHIN each partition with a (__pid)-partitioned window
+      // (parallel), and close the partition boundaries with a SEED table
+      // — one row per partition (the last/first right payload of earlier/
+      // later partitions), built by a tiny aggregation and carried with a
+      // window over ≤ shuffle-partitions rows (bounded input, the
+      // sanctioned small-window case). Both subtrees reference the SAME
+      // ranged exchange, so ReuseExchange pins one boundary sampling —
+      // seeds and rows see identical partition ids.
+      val parts = l.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "200").toInt
+      val ranged = unioned
+        .repartitionByRange(parts,
+          F.col("__asof_k").asc_nulls_first, F.col("__side"))
+        .withColumn("__pid", F.spark_partition_id())
+      val rightRows = ranged
+        .filter(F.col("__side") === 0 && F.col("__asof_k").isNotNull)
+      val allPids = ranged.select(F.col("__pid")).distinct()
+      def carry(src: DataFrame, back: Boolean): DataFrame = {
+        val within =
+          if (back)
+            F.last(rightPayload, ignoreNulls = true).over(
+              Window.partitionBy("__pid")
+                .orderBy(F.col("__asof_k"), F.col("__side"))
+                .rowsBetween(Window.unboundedPreceding, 0))
+          else
+            F.first(rightPayload, ignoreNulls = true).over(
+              Window.partitionBy("__pid")
+                .orderBy(F.col("__asof_k"), F.col("__side").desc)
+                .rowsBetween(0, Window.unboundedFollowing))
+        val perPart = rightRows.groupBy("__pid").agg(
+          (if (back) F.max_by(F.col("__payload"), F.col("__asof_k"))
+           else F.min_by(F.col("__payload"), F.col("__asof_k"))).as("__pp"))
+        // every partition needs a seed row — one WITHOUT right rows must
+        // still inherit the carry from its neighbors
+        val padded = allPids.join(perPart, Seq("__pid"), "left")
+        val wSeed =
+          if (back) Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          else Window.orderBy("__pid")
+            .rowsBetween(1, Window.unboundedFollowing)
+        val seeds = padded.select(F.col("__pid"),
+          (if (back) F.last(F.col("__pp"), ignoreNulls = true).over(wSeed)
+           else F.first(F.col("__pp"), ignoreNulls = true).over(wSeed))
+            .as("__seed"))
+        src.withColumn("__w", within)
+          .join(F.broadcast(seeds), Seq("__pid"), "left")
+          .withColumn(if (back) "__mb" else "__mf",
+            F.coalesce(F.col("__w"), F.col("__seed")))
+          .drop("__w", "__seed")
+      }
+      val out = strategy match {
+        case "backward" =>
+          carry(ranged, back = true).withColumnRenamed("__mb", "__m")
+        case "forward" =>
+          carry(ranged, back = false).withColumnRenamed("__mf", "__m")
+        case "nearest" =>
+          combineNearest(carry(carry(ranged, back = true), back = false),
+            F.col("__mb"), F.col("__mf")).drop("__mb", "__mf")
+      }
+      out.drop("__pid")
     }
 
-    val withMatch = strategy match {
-      case "backward" | "forward" =>
-        unioned.withColumn("__m", matched(strategy))
-      case "nearest" =>
-        import org.apache.spark.sql.types.DoubleType
-        val b = matched("backward"); val f = matched("forward")
-        val k = F.col("__asof_k").cast(DoubleType) // ts → fractional seconds
-        val db = F.abs(k - b.getField("__asof_key").cast(DoubleType))
-        val df_ = F.abs(f.getField("__asof_key").cast(DoubleType) - k)
-        unioned.withColumn("__m",
-          F.when(b.isNull, f).when(f.isNull, b)
-            .when(df_ < db, f).otherwise(b))
-      case other => throw new IllegalArgumentException(s"asof strategy $other")
-    }
-
+    // ...and a null-keyed LEFT row has no order position, so it matches
+    // nothing (under "forward" it would otherwise grab the smallest key)
     val result = withMatch.filter(F.col("__side") === 1)
+      .withColumn("__m",
+        F.when(F.col("__asof_k").isNotNull, F.col("__m")))
     val out = payloadCols.foldLeft(result) { (d, n) =>
       val name = if (l.columns.contains(n)) s"${n}_right" else n
       d.withColumn(name, F.col("__m").getField(n))

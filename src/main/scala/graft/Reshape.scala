@@ -17,6 +17,11 @@ object Reshape {
       namesTo: String = "variable", valuesTo: String = "value"): Gdf = {
     val ids = df.names.filterNot(pivot.contains)
     val types = pivot.map(n => df.schema(n).dataType).distinct
+    // the relax-cast covers NUMERIC mixes only (the reference rule); a
+    // string/date in the mix would silently cast to all-null doubles
+    require(types.size <= 1 || types.forall(_.isInstanceOf[NumericType]),
+      s"pivot_longer: pivoted columns mix incompatible dtypes " +
+        types.mkString("[", ", ", "]"))
     val src =
       if (types.size <= 1) df.sdf
       else pivot.foldLeft(df.sdf)((d, n) => d.withColumn(n, F.col(n).cast(DoubleType)))
@@ -33,11 +38,19 @@ object Reshape {
   def pivotWider(df: Gdf, namesFrom: String, valuesFrom: String,
       namesPrefix: String = "", namesValues: Seq[String] = Nil): Gdf = {
     val ids = df.names.filterNot(n => n == namesFrom || n == valuesFrom)
+    // pivot over the STRINGIFIED names column: output column names are
+    // strings anyway, discovery and matching stay consistent by
+    // construction (Row.toString vs cast-to-string diverge for e.g.
+    // timestamps), and a null name becomes the "null" column instead of
+    // an NPE in discovery
+    val nameStr = F.coalesce(F.col(namesFrom).cast(StringType),
+      F.lit("null"))
     val values =
       if (namesValues.nonEmpty) namesValues
-      else df.sdf.select(namesFrom).distinct()
-        .collect().map(_.get(0).toString).sorted.toSeq
-    val g = df.sdf.groupBy(ids.map(F.col): _*).pivot(namesFrom, values)
+      else df.sdf.select(nameStr.as("__pw_n")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+    val g = df.sdf.withColumn("__pw_n", nameStr)
+      .groupBy(ids.map(F.col): _*).pivot("__pw_n", values)
       .agg(F.first(F.col(valuesFrom)))
     // id-column collision suffixing (reference dataframe.rs:446-511): a
     // pivoted value equal to an id column name gets a numeric suffix.
@@ -79,11 +92,15 @@ object Reshape {
   /** `dummies/2` — one-hot encode (data_frame.ex:4095-4099). Category values
     * can be supplied to avoid the distinct-collect at scale. */
   def dummies(df: Gdf, col: String, values: Seq[String] = Nil): Gdf = {
+    // stringified key: null one-hots into a "<col>_null" column (the
+    // Polars to_dummies rule) instead of NPE-ing discovery, and supplied
+    // string values match non-string columns consistently
+    val key = F.coalesce(F.col(col).cast(StringType), F.lit("null"))
     val vs = if (values.nonEmpty) values
-      else df.sdf.select(col).distinct().collect()
-        .map(_.get(0).toString).sorted.toSeq
+      else df.sdf.select(key.as("__d_k")).distinct().collect()
+        .map(_.getString(0)).sorted.toSeq
     val cols = vs.map(v =>
-      F.when(F.col(col) === v, 1).otherwise(0).as(s"${col}_$v"))
+      F.when(key === v, 1).otherwise(0).as(s"${col}_$v"))
     // grouped rule (reference data_frame.ex dummies doc): all groups are
     // removed — Gdf.apply returns an ungrouped frame
     Gdf(df.sdf.select(df.names.map(F.col) ++ cols: _*))
@@ -109,7 +126,9 @@ object Reshape {
     val colNames: Seq[String] =
       if (columns.nonEmpty) columns
       else header match {
-        case Some(h) => rows.map(r => r.get(df.names.indexOf(h)).toString).toSeq
+        case Some(h) => rows.map(r =>
+          Option(r.get(df.names.indexOf(h))).map(_.toString)
+            .getOrElse("null")).toSeq
         case None => rows.indices.map(i => s"column_$i")
       }
     val data = names.map { n =>
@@ -154,15 +173,24 @@ object Reshape {
     * window) and the sides are equi-joined on the index (Polars `hstack`
     * equivalent; the index join is a plain hash shuffle). */
   def concatColumns(dfs: Seq[Gdf]): Gdf = {
+    // the reference (Polars DataFrame::new over hstacked columns) ERRORS
+    // on unequal heights; an unchecked inner join on the row index would
+    // silently truncate to the shortest frame
+    val counts = dfs.map(_.sdf.count())
+    require(counts.distinct.size == 1,
+      s"concat_columns requires equal heights, got ${counts.mkString(", ")}")
     val indexed = dfs.zipWithIndex.map { case (d, i) =>
       require(d.rowOrder.nonEmpty,
         "concat_columns needs .ordered(...) on every input")
-      val renamed = if (i == 0) d.sdf else {
+      // attach the row index BEFORE the clash rename: the frame's
+      // rowOrder Columns resolve against its own names, which a rename
+      // would orphan
+      val withIdx = graft.plans.RowId.attach(d.sdf, d.rowOrder, "__cc_idx")
+      if (i == 0) withIdx else {
         val clashes = dfs.take(i).flatMap(_.names).toSet
-        d.names.foldLeft(d.sdf)((acc, n) =>
+        d.names.foldLeft(withIdx)((acc, n) =>
           if (clashes(n)) acc.withColumnRenamed(n, s"${n}_$i") else acc)
       }
-      graft.plans.RowId.attach(renamed, d.rowOrder, "__cc_idx")
     }
     val joined = indexed.reduce((a, b) => a.join(b, Seq("__cc_idx"), "inner"))
     // grouped rule (reference data_frame.ex concat_columns doc): only the

@@ -69,10 +69,13 @@ object Stats {
       out: String = "mode"): Gdf = {
     val counts = df.sdf.groupBy((groups :+ value).map(F.col): _*)
       .agg(F.count(F.lit(1)).as("__n"))
-    // max over (count, -value) ⇒ max count, ties → smallest value
+    // min over (-count, value) ⇒ max count, ties → smallest value. The
+    // struct comparison is lexicographic over ANY orderable value dtype —
+    // the old (count, value * -1) formulation silently null-cast strings
+    // (nondeterministic ties; a runtime error under ANSI)
     val best = counts.groupBy(groups.map(F.col): _*)
-      .agg(F.max_by(F.col(value),
-        F.struct(F.col("__n"), F.col(value) * -1)).as(out))
+      .agg(F.min_by(F.col(value),
+        F.struct((F.col("__n") * -1).as("__negn"), F.col(value))).as(out))
     Gdf(best)
   }
 

@@ -148,4 +148,92 @@ class JoinsSpec extends SparkSpec {
         (if (x.getCause ne x) messages(x.getCause) else Nil))
     assert(messages(ex).exists(_.contains("rangeJoin")), ex.toString)
   }
+
+  test("asof null keys never match (grouped path): null-key right rows " +
+      "are masked from the carry, null-key left rows match nothing") {
+    val l = Gdf(Seq(("A", Some(5L)), ("A", None))
+      .toDF("sym", "t"))
+    val r = Gdf(Seq(("A", None: Option[Long], 9.0), ("A", Some(3L), 1.0))
+      .toDF("sym", "t", "q"))
+    val back = Joins.joinAsof(l, r, "t", "t", by = Seq("sym"))
+      .sdf.orderBy(F.col("t").asc_nulls_last).collect()
+    assert(Option(back(0).getAs[Any]("q")) == Some(1.0)) // t=5 → q@3
+    assert(Option(back(1).getAs[Any]("q")).isEmpty)      // t=null → none
+    // forward: no right key ≥ 5, and the null-key rows must not pair up
+    val fwd = Joins.joinAsof(l, r, "t", "t", by = Seq("sym"),
+      strategy = "forward")
+      .sdf.orderBy(F.col("t").asc_nulls_last).collect()
+    assert(Option(fwd(0).getAs[Any]("q")).isEmpty)
+    assert(Option(fwd(1).getAs[Any]("q")).isEmpty)
+  }
+
+  test("by-less asof: range-partitioned carry is correct across partition " +
+      "boundaries (sparse right side, null keys, all strategies)") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      // 501 left rows over 7 partitions; only 4 right rows, so most
+      // partitions have NO right rows and every match crosses partition
+      // boundaries through the seed carry
+      val rightRows = Seq((10L, "a"), (700L, "b"), (701L, "c"), (1400L, "d"))
+      val l = Gdf(((0 until 500).map(i => (i.toLong, Some(i * 3L))) :+
+        (999L, None: Option[Long])).toDF("lid", "t"))
+      val r = Gdf((rightRows.map { case (k, v) => (Some(k), v) } :+
+        (None: Option[Long], "z")).toDF("t", "v"))
+      def brute(t: Option[Long], strat: String): Option[String] = t.flatMap {
+        x =>
+          val back = rightRows.filter(_._1 <= x).sortBy(_._1).lastOption
+          val fwd = rightRows.filter(_._1 >= x).sortBy(_._1).headOption
+          strat match {
+            case "backward" => back.map(_._2)
+            case "forward" => fwd.map(_._2)
+            case "nearest" => (back, fwd) match {
+              case (Some(b), Some(f)) =>
+                Some(if (f._1 - x < x - b._1) f._2 else b._2)
+              case (b, f) => b.orElse(f).map(_._2)
+            }
+          }
+      }
+      for (strat <- Seq("backward", "forward", "nearest")) {
+        val got = Joins.joinAsof(l, r, "t", "t", strategy = strat)
+          .sdf.orderBy(F.col("lid")).collect()
+          .map(row => (row.getAs[Long]("lid"),
+            Option(row.getAs[Any]("v")).map(_.toString))).toSeq
+        val want = got.map { case (lid, _) =>
+          val t = if (lid == 999L) None else Some(lid * 3L)
+          (lid, brute(t, strat))
+        }
+        assert(got == want, s"strategy $strat diverged from brute force")
+      }
+      // and the plan never funnels the union through one task: the big
+      // window partitions by __pid, not by nothing
+      val plan = Joins.joinAsof(l, r, "t", "t")
+        .sdf.queryExecution.executedPlan.toString
+      assert(plan.contains("__pid"), plan)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("rangeJoin drops null-bound intervals (inner semantics, no " +
+      "raise_error) and suffixes clashing columns") {
+    val points = Gdf(Seq((1L, 5L, "p"), (2L, 100L, "q"))
+      .toDF("pid", "p", "tag"))
+    val intervals = Gdf(Seq(
+      (10L, Some(0L), Some(7L), "i"),
+      (20L, None: Option[Long], Some(50L), "j"))
+      .toDF("iid", "lo", "hi", "tag"))
+    val out = Joins.rangeJoin(points, intervals, "p", "lo", "hi", binWidth = 8)
+    assert(out.names.contains("tag") && out.names.contains("tag_right"))
+    val rows = out.sdf.select("iid", "pid", "tag", "tag_right").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq((10L, 1L, "p", "i")))
+  }
+
+  test("saltedJoin propagates groups and logical dtypes like join") {
+    val l = new Gdf(Seq((1L, "a"), (2L, "b")).toDF("k", "lv"),
+      groups = Seq("k"), logical = Map("lv" -> DType.Category))
+    val r = Gdf(Seq((1L, "x")).toDF("k", "rv"))
+    val j = Joins.saltedJoin(l, r, Seq("k" -> "k"), buckets = 2)
+    assert(j.groups == Seq("k"))
+    assert(j.logical.get("lv").contains(DType.Category))
+  }
 }

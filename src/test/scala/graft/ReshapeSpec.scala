@@ -102,4 +102,53 @@ class ReshapeSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
+
+  test("concatColumns raises on unequal heights (the reference errors; " +
+      "an unchecked index join would silently truncate)") {
+    val a = Gdf(Seq(1L, 2L, 3L).toDF("x")).ordered(F.col("x"))
+    val b = Gdf(Seq("a", "b").toDF("y")).ordered(F.col("y"))
+    val ex = intercept[IllegalArgumentException] {
+      Reshape.concatColumns(Seq(a, b))
+    }
+    assert(ex.getMessage.contains("equal heights"))
+  }
+
+  test("concatColumns clash rename does not orphan the frame's row order") {
+    // b's ONLY column clashes with a's, so it gets renamed x_1 — the row
+    // index must attach against the original name the rowOrder resolves to
+    val a = Gdf(Seq((1L, "p"), (2L, "q")).toDF("x", "v")).ordered(F.col("x"))
+    val b = Gdf(Seq(30L, 10L).toDF("x")).ordered(F.col("x"))
+    val c = Reshape.concatColumns(Seq(a, b))
+    assert(c.names == Seq("x", "v", "x_1"))
+    val rows = c.sdf.orderBy("x").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "p", 10L), (2L, "q", 30L)))
+  }
+
+  test("pivotWider and dummies handle null discovered values; transpose " +
+      "headers tolerate nulls") {
+    val df = Gdf(Seq((1L, Some("a"), 10.0), (1L, None, 20.0),
+      (2L, Some("a"), 30.0)).toDF("id", "name", "v"))
+    val wide = Reshape.pivotWider(df, "name", "v")
+    assert(wide.names.toSet == Set("id", "a", "null"))
+    val r1 = wide.sdf.filter(F.col("id") === 1).collect()(0)
+    assert(r1.getAs[Double]("a") == 10.0 && r1.getAs[Double]("null") == 20.0)
+    val d = Reshape.dummies(Gdf(Seq(Some("x"), None).toDF("c")), "c")
+    assert(d.names.toSet == Set("c", "c_null", "c_x"))
+    assert(d.sdf.filter(F.col("c").isNull).collect()(0)
+      .getAs[Int]("c_null") == 1)
+    val t = Reshape.transpose(
+      Gdf(Seq((Some("h1"), 1L), (None, 2L)).toDF("h", "v")),
+      header = Some("h"))
+    assert(t.names == Seq("name", "h1", "null"))
+  }
+
+  test("pivotLonger refuses a non-numeric dtype mix instead of casting " +
+      "strings to all-null doubles") {
+    val df = Gdf(Seq((1, "a")).toDF("qty", "label"))
+    val ex = intercept[IllegalArgumentException] {
+      Reshape.pivotLonger(df, Seq("qty", "label"))
+    }
+    assert(ex.getMessage.contains("incompatible"))
+  }
 }

@@ -127,4 +127,14 @@ class StatsSpec extends SparkSpec {
     assert(half == Seq("bottom", "bottom", "bottom", "bottom",
       "top", "top", "top", "top"))
   }
+
+  test("modeBy tie-break works on STRING values (the numeric-negate trick " +
+      "would null-cast them and pick arbitrarily)") {
+    val d = Gdf(Seq((1L, "b"), (1L, "a"), (2L, "z"), (2L, "z"), (2L, "y"))
+      .toDF("g", "city"))
+    val m = Stats.modeBy(d, Seq("g"), "city")
+    val rows = m.sdf.orderBy("g").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "z")))
+  }
 }
