@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Expression vocabulary: the reference's aggregation + window op surface
   * (`lib/explorer/backend/lazy_series.ex:23-198`) expressed as Catalyst
@@ -65,10 +65,13 @@ object exprs {
     * aggregate (reference `product`, series.ex:2720). */
   def product(s: Series)(implicit c: Ctx): Series = {
     val x = s.col
-    val hasZero = F.bool_or(x === 0)
-    val negs = F.count_if(x < 0)
-    val mag = F.exp(F.sum(F.log(F.abs(F.nullif(x.cast(DoubleType), F.lit(0.0))))))
-    c.agg(F.when(hasZero, F.lit(0.0))
+    // compound of THREE aggregates — each routed through aggPart so the
+    // grouped-mutate position windows all of them, not just the top node
+    val hasZero = c.aggPart(F.bool_or(x === 0))
+    val negs = c.aggPart(F.count_if(x < 0))
+    val mag = F.exp(c.aggPart(
+      F.sum(F.log(F.abs(F.nullif(x.cast(DoubleType), F.lit(0.0)))))))
+    c.compound(F.when(hasZero, F.lit(0.0))
       .otherwise(F.when(negs % 2 === 1, -mag).otherwise(mag)))
   }
 
@@ -89,11 +92,13 @@ object exprs {
     * `skewness`; `bias = false` applies the G1 sample adjustment
     * (reference series.ex:2908-2915). */
   def skew(s: Series, bias: Boolean = true)(implicit c: Ctx): Series = {
-    val g1 = F.skewness(s.col)
-    if (bias) c.agg(g1)
+    if (bias) c.agg(F.skewness(s.col))
     else {
-      val n = F.count(s.col).cast(DoubleType)
-      c.agg(g1 * F.sqrt(n * (n - 1)) / (n - 2))
+      // two aggregates in one expression: per-aggregate windowing, see
+      // [[Ctx.aggPart]]
+      val g1 = c.aggPart(F.skewness(s.col))
+      val n = c.aggPart(F.count(s.col)).cast(DoubleType)
+      c.compound(g1 * F.sqrt(n * (n - 1)) / (n - 2))
     }
   }
 
@@ -159,24 +164,52 @@ object exprs {
       agg: Column => Column, s: Series, size: Int,
       minPeriods: Int = 1, center: Boolean = false,
       weights: Seq[Double] = Nil)(implicit c: Ctx): Series = {
-    val (lo, hi) =
-      if (center) (-((size - 1) / 2).toLong, (size / 2).toLong)
-      else (-(size - 1).toLong, 0L)
+    val (lo, hi) = rollingBounds(size, center)
     val w = c.orderedWin.rowsBetween(lo, hi)
     val filled = F.count(s.col).over(w)
     val core =
       if (weights.isEmpty) agg(s.col).over(w)
-      else {
-        // collect the window slice, then Σ x_i * w_i with zip_with/aggregate.
-        // Partial windows use the TRAILING weights (newest value always gets
-        // the last weight); nulls are absent from the slice (collect_list).
-        val xs = F.collect_list(s.col.cast(DoubleType)).over(w)
-        val ws = F.array(weights.map(F.lit): _*)
-        val wsAligned = F.slice(ws, F.lit(size) - F.size(xs) + 1, F.size(xs))
-        F.aggregate(F.zip_with(xs, wsAligned, (x, wt) => x * wt),
-          F.lit(0.0), (acc, v) => acc + v)
-      }
+      else weightedDot(s, size, center, weights)._1
     Series(F.when(filled >= minPeriods, core))
+  }
+
+  private def rollingBounds(size: Int, center: Boolean): (Long, Long) =
+    if (center) (-((size - 1) / 2).toLong, (size / 2).toLong)
+    else (-(size - 1).toLong, 0L)
+
+  /** Weighted window dot product, POSITION-aligned: every present value is
+    * paired with its absolute row position and weighted by
+    * `position - window_start` — one rule that covers all the partial
+    * shapes at once (leading truncation at the partition head, TRAILING
+    * truncation of a centered window at the tail, and interior nulls). A
+    * trailing-slice alignment handles only the first of those: at a
+    * centered tail it hands the present values the wrong end of the
+    * weight vector, and an interior null (absent from a plain
+    * collect_list) shifts every later neighbor onto its weight.
+    * Returns (Σ xᵢ·wᵢ over non-null values, Σ wᵢ over non-null values) —
+    * the second is the reference's weighted-mean denominator (series.ex
+    * window_mean doctest: a partial first window divides by the USED
+    * weights, not the full vector). */
+  private def weightedDot(s: Series, size: Int, center: Boolean,
+      weights: Seq[Double])(implicit c: Ctx): (Column, Column) = {
+    require(weights.size == size,
+      s"weights length ${weights.size} must equal window size $size")
+    val (lo, hi) = rollingBounds(size, center)
+    val w = c.orderedWin.rowsBetween(lo, hi)
+    val pos = F.row_number().over(c.orderedWin)
+    // struct(p, x) is never null, so the collected list holds EVERY frame
+    // row (null x included) with its position
+    val xs = F.collect_list(F.struct(pos.as("p"),
+      s.col.cast(DoubleType).as("x"))).over(w)
+    val ws = F.array(weights.map(F.lit): _*)
+    val start = pos + F.lit(lo)
+    def wAt(e: Column): Column = F.element_at(ws,
+      (e.getField("p") - start + 1).cast(IntegerType))
+    val dot = F.aggregate(xs, F.lit(0.0), (acc, e) =>
+      acc + F.coalesce(e.getField("x") * wAt(e), F.lit(0.0)))
+    val used = F.aggregate(xs, F.lit(0.0), (acc, e) =>
+      acc + F.when(e.getField("x").isNotNull, wAt(e)).otherwise(F.lit(0.0)))
+    (dot, used)
   }
 
   def windowSum(s: Series, size: Int, minPeriods: Int = 1,
@@ -185,9 +218,14 @@ object exprs {
   def windowMean(s: Series, size: Int, minPeriods: Int = 1,
       center: Boolean = false, weights: Seq[Double] = Nil)(implicit c: Ctx): Series =
     if (weights.isEmpty) rollingWindow(F.avg, s, size, minPeriods, center)
-    else { // weighted mean = weighted sum / Σw over the filled positions
-      val ws = windowSum(s, size, minPeriods, center, weights)
-      Series(ws.col / weights.sum)
+    else {
+      // weighted mean = Σx·w / Σw over the PRESENT values (reference
+      // series.ex window_mean doctest: first partial window of
+      // [1..10] × [0.25, 0.75] is 1.0 = 0.75/0.75, not 0.75/1.0)
+      val (lo, hi) = rollingBounds(size, center)
+      val filled = F.count(s.col).over(c.orderedWin.rowsBetween(lo, hi))
+      val (dot, used) = weightedDot(s, size, center, weights)
+      Series(F.when(filled >= minPeriods && used =!= 0.0, dot / used))
     }
   def windowMin(s: Series, size: Int, minPeriods: Int = 1,
       center: Boolean = false)(implicit c: Ctx): Series =

@@ -39,6 +39,20 @@ final case class Ctx(
     * plain aggregation (flagged) in summarise position. */
   private[graft] def agg(c: Column): Series =
     if (windowed) Series(c.over(part)) else Series(c, isAgg = true)
+
+  /** Per-aggregate routing for COMPOUND aggregations (several aggregate
+    * functions combined in one expression, e.g. product's
+    * zero/sign/magnitude split): in windowed position EACH aggregate must
+    * carry its own OVER — one `.over` on the compound windows only the top
+    * node, leaves the inner aggregates raw, and the analyzer rejects the
+    * plan with MISSING_GROUP_BY. Wrap every aggregate with [[aggPart]],
+    * then the combined expression with [[compound]]. */
+  private[graft] def aggPart(c: Column): Column =
+    if (windowed) c.over(part) else c
+
+  /** See [[aggPart]]. */
+  private[graft] def compound(c: Column): Series =
+    if (windowed) Series(c) else Series(c, isAgg = true)
 }
 
 /** The dataframe facade — graft's equivalent of `Explorer.DataFrame`
@@ -125,8 +139,20 @@ final class Gdf(
     * column renames the group metadata with it. */
   def rename(pairs: (String, String)*): Gdf = {
     val m = pairs.toMap
+    // rowOrder follows the rename too: its Columns hold UNRESOLVED
+    // attribute names, and a stale one would fail resolution on the next
+    // positional verb (head/slice/shift/...) against the renamed frame
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val reOrdered = rowOrder.map(c => bridge.column(
+      bridge.expression(c).transform {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if m.contains(a.name) =>
+          org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute.quoted(m(a.name))
+      }))
     copy(sdf.withColumnsRenamed(m),
       groups = groups.map(g => m.getOrElse(g, g)),
+      rowOrder = reOrdered,
       logical = logical.map { case (k, v) => m.getOrElse(k, k) -> v })
   }
 
@@ -326,6 +352,10 @@ final class Gdf(
     * (like every positional verb) to make the index well-defined. */
   def sampleN(n: Int, seed: Long = 42L, replace: Boolean = false): Gdf = {
     require(n >= 0, s"sample size must be non-negative, got $n")
+    // n = 0 draws nothing and can never be oversized — and the grouped
+    // with-replacement path's sequence(1, 0) would infer a DESCENDING
+    // step and yield [1, 0]: two draw rows per group instead of zero
+    if (n == 0) return copy(sdf.filter(F.lit(false)))
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     def oversize(cnt: Column): Column =
       F.when(F.assert_true(F.lit(n.toLong) <= cnt,

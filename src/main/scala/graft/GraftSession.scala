@@ -18,6 +18,13 @@ import org.apache.spark.sql.SparkSession
   *  - `parquet.nanosAsLong`: ns-precision timestamps read as long ns since
   *    Spark is µs-native (SURVEY §1.2 deviation; conversion helpers in
   *    [[StringFns]]).
+  *  - ANSI mode OFF (Spark 4 defaults it on): the reference contract is
+  *    Polars semantics — float division by zero yields ±infinity/NaN, an
+  *    invalid cast yields nil, out-of-range element access yields nil —
+  *    where ANSI raises at runtime. A single zero-divisor row must not
+  *    turn a working pipeline into a crash; for inputs that trigger no
+  *    error the two modes agree, so this flag only converts ANSI's
+  *    runtime aborts into the reference's nil/infinity values.
   */
 object GraftSession {
 
@@ -32,7 +39,12 @@ object GraftSession {
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.ansi.enabled" -> "false",
+    // size(null) must stay null: the legacy -1 default is TIED to ANSI
+    // (sizeOfNull defaults to !ansi), so disabling ANSI would silently
+    // resurrect it without this pin
+    "spark.sql.legacy.sizeOfNull" -> "false")
 
   /** Builder with the recommended confs applied; caller picks master. */
   def builder(appName: String = "graft",

@@ -47,11 +47,31 @@ final case class Series(col: Column, isAgg: Boolean = false) {
   def +(o: Series): Series = zip(o)(_ + _)
   def -(o: Series): Series = zip(o)(_ - _)
   def *(o: Series): Series = zip(o)(_ * _)
-  /** Explorer `divide` always yields float (`series.ex:3595`). */
-  def /(o: Series): Series = zip(o)((a, b) => a.cast(DoubleType) / b)
+  /** Explorer `divide` always yields float (`series.ex:3595`) with IEEE
+    * zero-divisor semantics (x/0 → ±infinity, 0/0 → NaN) — Spark's own
+    * Divide returns NULL there in legacy mode and ABORTS in ANSI mode,
+    * neither of which is the reference's float division. (Signed-zero
+    * divisors take the +0.0 branch — the one IEEE corner not preserved.) */
+  def /(o: Series): Series = zip(o)((a, b) => {
+    val ad = a.cast(DoubleType); val bd = b.cast(DoubleType)
+    F.when(bd === 0.0 && ad.isNotNull,
+      F.when(ad > 0, F.lit(Double.PositiveInfinity))
+        .when(ad < 0, F.lit(Double.NegativeInfinity))
+        .otherwise(F.lit(Double.NaN)))
+      .otherwise(ad / bd)
+  })
   def pow(o: Series): Series = zip(o)(F.pow)
-  /** Integer division truncating toward zero, like Polars int `//` on ints. */
-  def quotient(o: Series): Series = zip(o)((a, b) => (a / b).cast(LongType))
+  /** Integer division truncating toward zero, like Polars int division;
+    * zero divisor → nil (reference series.ex:3903 "Returns nil if there is
+    * a zero in the right-hand side"). Native IntegralDivide keeps the math
+    * in longs — the old route through double division silently corrupted
+    * |values| > 2^53 (1 ulp there is 2). */
+  def quotient(o: Series): Series = zip(o)((a, b) =>
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a.cast(LongType)),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b.cast(LongType)),
+        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)))
   /** Remainder with dividend sign — Spark `%` matches Rust/Polars `%`. */
   def remainder(o: Series): Series = zip(o)(_ % _)
 
@@ -63,8 +83,11 @@ final case class Series(col: Column, isAgg: Boolean = false) {
   def floor: Series = lift(F.floor(_: Column))
   def ceil: Series = lift(F.ceil(_: Column))
   def round(decimals: Int): Series = lift(F.round(_, decimals))
+  /** nil stays nil (reference clip) — Spark's least/greatest SKIP nulls,
+    * so unguarded they'd turn every null value into the max bound. */
   def clip(min: Series, max: Series): Series =
-    Series(F.greatest(F.least(col, max.col), min.col), isAgg)
+    Series(F.when(col.isNotNull,
+      F.greatest(F.least(col, max.col), min.col)), isAgg)
   def sqrt: Series = lift(F.sqrt)
   /** -1/0/1 by sign (Polars `sign`); integer-typed like the reference. */
   def sign: Series = lift(F.signum(_).cast(LongType))

@@ -18,7 +18,7 @@ object StringFns {
       'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
       'f' -> "SSSSSSSSS", 'p' -> "a", 'Z' -> "zzz", 'z' -> "xx",
       'j' -> "DDD", 'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM",
-      'B' -> "MMMM", 'G' -> "YYYY", 'V' -> "ww", 'u' -> "e",
+      'B' -> "MMMM",
       'T' -> "HH:mm:ss", 'D' -> "MM/dd/yy", 'F' -> "yyyy-MM-dd",
       'R' -> "HH:mm")
     val out = new StringBuilder
@@ -35,6 +35,17 @@ object StringFns {
         if (d == '%') { lit += '%'; i += 2 }
         else map.get(d) match {
           case Some(j) => flush(); out ++= j; i += 2
+          case None if d == 'G' || d == 'V' || d == 'u' =>
+            // week-based JVM letters (Y/w/e) are REJECTED by Spark's
+            // formatter since 3.0 — strftime computes these natively
+            // (weekofyear / ISO weekday / week-based year) before this
+            // translator ever sees them; a parse direction has no
+            // equivalent, so fail with the reason instead of a cryptic
+            // SparkUpgradeException at runtime
+            throw new IllegalArgumentException(
+              s"%$d is week-based: Spark's datetime formatter refuses " +
+                "week-based patterns; supported in strftime (computed " +
+                "natively), not in strptime")
           case None =>
             throw new IllegalArgumentException(s"unsupported directive %$d")
         }
@@ -48,34 +59,84 @@ object StringFns {
   def strptime(c: Column, chronoFmt: String): Column =
     F.to_timestamp(c, chronoToJvm(chronoFmt))
 
-  /** `strftime` (series.ex:1145) — datetime → string. */
-  def strftime(c: Column, chronoFmt: String): Column =
-    F.date_format(c, chronoToJvm(chronoFmt))
+  /** `strftime` (series.ex:1145) — datetime → string. The week-based
+    * directives %V (ISO week), %u (ISO weekday) and %G (ISO week-based
+    * year) are computed natively and spliced between date_format segments:
+    * Spark's formatter refuses their JVM letters (ww/e/YYYY) outright. */
+  def strftime(c: Column, chronoFmt: String): Column = {
+    // ISO weekday 1=Monday..7=Sunday from Spark's 1=Sunday..7=Saturday
+    def isoDow = (F.dayofweek(c) + 5) % 7 + 1
+    def spliced(d: Char): Column = d match {
+      case 'V' => F.lpad(F.weekofyear(c).cast(StringType), 2, "0")
+      case 'u' => isoDow.cast(StringType)
+      // week-based year = calendar year of that ISO week's Thursday
+      case 'G' => F.year(F.date_add(c, F.lit(4) - isoDow)).cast(StringType)
+    }
+    val parts = Seq.newBuilder[Column]
+    val buf = new StringBuilder
+    def flushFmt(): Unit = if (buf.nonEmpty) {
+      parts += F.date_format(c, chronoToJvm(buf.toString)); buf.clear()
+    }
+    var i = 0
+    while (i < chronoFmt.length) {
+      if (chronoFmt(i) == '%' && i + 1 < chronoFmt.length &&
+          "GVu".contains(chronoFmt(i + 1))) {
+        flushFmt(); parts += spliced(chronoFmt(i + 1)); i += 2
+      } else if (chronoFmt(i) == '%' && i + 1 < chronoFmt.length) {
+        buf += '%'; buf += chronoFmt(i + 1); i += 2
+      } else { buf += chronoFmt(i); i += 1 }
+    }
+    flushFmt()
+    val ps = parts.result()
+    if (ps.isEmpty) F.lit("")
+    else if (ps.size == 1) ps.head
+    else F.concat(ps: _*)
+  }
 
-  /** `split_into(by, fields)` → struct (series.ex:6140). */
+  /** `split_into(by, fields)` → struct (series.ex:6140). Missing fields
+    * fill nil like the reference — try_element_at, because under an
+    * ANSI-enabled session plain element_at ABORTS on a string with fewer
+    * pieces than fields. */
   def splitInto(c: Column, by: String, fields: Seq[String]): Column = {
     val arr = F.split(c, java.util.regex.Pattern.quote(by))
     F.struct(fields.zipWithIndex.map { case (f, i) =>
-      F.element_at(arr, i + 1).as(f) }: _*)
+      F.try_element_at(arr, F.lit(i + 1)).as(f) }: _*)
   }
 
   /** `re_named_captures` → struct of named groups (series.ex:6282). Group
-    * names are parsed from the pattern at the facade, like the reference. */
+    * names are parsed from the pattern at the facade, like the reference.
+    *
+    * Group INDICES come from a real scan, not a count of '(' characters:
+    * non-capturing groups `(?:`, inline flags `(?i)`, lookarounds, escaped
+    * parens and parens inside character classes all contain '(' without
+    * opening a capturing group — a naive count shifts every index after
+    * them and regexp_extract then returns the WRONG group's text (or
+    * errors on an out-of-range index). Capturing = bare '(' or a named
+    * group `(?<name>` (which Java numbers like any other group). */
   def reNamedCaptures(c: Column, pattern: String): Column = {
-    val names = "\\(\\?<([a-zA-Z][a-zA-Z0-9]*)>".r
-      .findAllMatchIn(pattern).map(_.group(1)).toSeq
-    // regexp_extract addresses groups by index; named groups are also counted
-    val groupIdx = {
-      var idx = 0; var out = Map.empty[String, Int]
-      val g = "\\((\\?<([a-zA-Z][a-zA-Z0-9]*)>)?".r
-      g.findAllMatchIn(pattern).foreach { m =>
-        idx += 1
-        if (m.group(2) != null) out += m.group(2) -> idx
+    var idx = 0
+    val named = Seq.newBuilder[(String, Int)]
+    var i = 0
+    var inClass = false
+    while (i < pattern.length) {
+      pattern(i) match {
+        case '\\' => i += 1 // escaped char: skip it
+        case '[' if !inClass => inClass = true
+        case ']' if inClass => inClass = false
+        case '(' if !inClass =>
+          if (i + 1 >= pattern.length || pattern(i + 1) != '?') idx += 1
+          else if (i + 3 < pattern.length && pattern(i + 2) == '<' &&
+              pattern(i + 3) != '=' && pattern(i + 3) != '!') {
+            idx += 1 // named group — capturing, unlike (?<= / (?<!
+            val end = pattern.indexOf('>', i + 3)
+            if (end > 0) named += pattern.substring(i + 3, end) -> idx
+          }
+        case _ =>
       }
-      out
+      i += 1
     }
-    F.struct(names.map(n =>
-      F.regexp_extract(c, pattern, groupIdx(n)).as(n)): _*)
+    F.struct(named.result().map { case (n, g) =>
+      F.regexp_extract(c, pattern, g).as(n) }: _*)
   }
 
   /** `format(list)` — string concat of columns/literals (query.ex:646-685). */

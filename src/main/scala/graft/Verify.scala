@@ -16,6 +16,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false") // reference semantics: nil/infinity, not runtime aborts (GraftSession)
+      .config("spark.sql.legacy.sizeOfNull", "false") // size(null) stays null, not legacy -1
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); Spark has no ns timestamps
       // (SURVEY §1.2) — read as long (ns since epoch), convert at facade.

@@ -71,6 +71,57 @@ class ExprsSpec extends SparkSpec {
     assert(vals(d, "ws") == Seq(1.0, 2.5, 4.0))
   }
 
+  test("weighted window: centered tail truncation and interior nulls get " +
+      "POSITION weights; weighted mean divides by USED weights " +
+      "(reference window_mean doctest)") {
+    // centered size-3, weights [10, 1, 0.1]: at the LAST row the future
+    // slot is missing — present values sit at window positions 1-2 and
+    // must take weights [10, 1], not the trailing [1, 0.1]
+    val d = Gdf(Seq(("a", 0L, 1.0), ("a", 1L, 2.0), ("a", 2L, 4.0))
+      .toDF("g", "i", "v")).groupBy("g").ordered(F.col("i"))
+      .mutateWith { implicit c => Seq(
+        "wc" -> windowSum(gcol("v"), 3, center = true,
+          weights = Seq(10.0, 1.0, 0.1))) }
+    // row0: [_,1,2] → 1*1 + 2*0.1 = 1.2; row1: [1,2,4] → 10+2+0.4 = 12.4;
+    // row2 (tail): [2,4,_] → 2*10 + 4*1 = 24.0 (trailing-aligned would
+    // give 2*1 + 4*0.1 = 2.4)
+    assert(vals(d, "wc") == Seq(1.2, 12.4, 24.0))
+    // interior null: the null row keeps its POSITION, so its neighbors
+    // keep their weights
+    val dn = Gdf(Seq(("a", 0L, Some(1.0)), ("a", 1L, None),
+      ("a", 2L, Some(4.0))).toDF("g", "i", "v"))
+      .groupBy("g").ordered(F.col("i"))
+      .mutateWith { implicit c => Seq(
+        "ws" -> windowSum(gcol("v"), 3, weights = Seq(10.0, 1.0, 0.1))) }
+    // row2 window [1, null, 4] → 1*10 + 4*0.1 = 10.4 (null-compacted
+    // trailing alignment would give 1*1 + 4*0.1 = 1.4)
+    assert(vals(dn, "ws").last == 10.4)
+    // reference doctest: window_mean([1..10], 2, weights [0.25, 0.75])
+    // starts 1.0, 1.75, 2.75, ... — the partial first window divides by
+    // the USED weight (0.75), not the full vector sum
+    val dm = Gdf((1 to 10).map(i => ("a", i.toLong, i.toDouble))
+      .toDF("g", "i", "v")).groupBy("g").ordered(F.col("i"))
+      .mutateWith { implicit c => Seq(
+        "wm" -> windowMean(gcol("v"), 2, weights = Seq(0.25, 0.75))) }
+    assert(vals(dm, "wm") ==
+      Seq(1.0, 1.75, 2.75, 3.75, 4.75, 5.75, 6.75, 7.75, 8.75, 9.75))
+  }
+
+  test("product and skew(bias=false) work in grouped-mutate position " +
+      "(each inner aggregate gets its own window)") {
+    val d = Gdf(Seq(("a", 0L, 2.0), ("a", 1L, -3.0), ("b", 2L, 4.0))
+      .toDF("g", "i", "v")).groupBy("g")
+      .mutateWith { implicit c => Seq(
+        "p" -> product(gcol("v"))) }
+    assert(vals(d, "p") == Seq(-6.0, -6.0, 4.0))
+    val sk = Gdf(Seq(("a", 0L, 1.0), ("a", 1L, 2.0), ("a", 2L, 4.0),
+      ("a", 3L, 8.0)).toDF("g", "i", "v")).groupBy("g")
+      .mutateWith { implicit c => Seq(
+        "s" -> skew(gcol("v"), bias = false).round(6)) }
+    // G1 = g1·√(n(n−1))/(n−2) over [1,2,4,8] = 1.1376244
+    assert(vals(sk, "s").forall(v => math.abs(v - 1.1376244) < 1e-5))
+  }
+
   test("rank methods min/max/dense/ordinal/average") {
     val d = Gdf(Seq(("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 30.0))
       .toDF("g", "v")).groupBy("g")

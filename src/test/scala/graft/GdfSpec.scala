@@ -283,4 +283,21 @@ class GdfSpec extends SparkSpec {
     assert(c("spark.sql.session.timeZone") == "UTC")
     assert(c("spark.sql.legacy.parquet.nanosAsLong") == "true")
   }
+
+  test("sampleN(0) is empty in every variant — grouped with-replacement " +
+      "used sequence(1, 0), whose inferred DESCENDING step drew [1, 0]") {
+    val d = Gdf(Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v"))
+    assert(d.sampleN(0).sdf.count() == 0)
+    assert(d.sampleN(0, replace = true).sdf.count() == 0)
+    assert(d.groupBy("g").sampleN(0, replace = true).sdf.count() == 0)
+  }
+
+  test("rename remaps rowOrder too — a stale name breaks every later " +
+      "positional verb") {
+    val d = Gdf(Seq((2L, "b"), (1L, "a")).toDF("ts", "v"))
+      .ordered(F.col("ts"))
+      .rename("ts" -> "time")
+    // head resolves the renamed order column instead of failing on "ts"
+    assert(d.head(1).sdf.collect()(0).getString(1) == "a")
+  }
 }

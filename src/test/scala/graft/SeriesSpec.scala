@@ -46,6 +46,27 @@ class SeriesSpec extends SparkSpec {
   test("clip") {
     val d = nums.select(gcol("x").clip(glit(1.5), glit(3.5)).col.as("c"))
     assert(col1[Double](d, "c") == Seq(1.5, 2.0, 3.0, 3.5))
+    // nil stays nil (least/greatest SKIP nulls — unguarded, a null value
+    // silently became the max bound)
+    val n = df(schema("x" -> DoubleType), Seq(5.0), Seq(null))
+      .select(Series(F.col("x")).clip(glit(0.0), glit(3.0)).col.as("c"))
+    assert(n.collect().map(r => Option(r.get(0))).toSeq ==
+      Seq(Some(3.0), None))
+  }
+
+  test("reference error semantics: /0 → infinity, quotient by 0 → nil, " +
+      "remainder by 0 → nil, quotient exact beyond 2^53") {
+    val d = Seq((7L, 0L)).toDF("a", "b").select(
+      (gcol("a") / gcol("b")).col.as("div"),
+      gcol("a").quotient(gcol("b")).col.as("quot"),
+      gcol("a").remainder(gcol("b")).col.as("rem"))
+    val r = d.collect()(0)
+    assert(r.getDouble(0).isPosInfinity) // Polars float 7/0
+    assert(r.isNullAt(1) && r.isNullAt(2)) // reference: nil on zero rhs
+    // exact long division: the old double route returned 9007199254740992
+    val big = Seq((9007199254740993L, 1L)).toDF("a", "b")
+      .select(gcol("a").quotient(gcol("b")).col.as("q"))
+    assert(big.collect()(0).getLong(0) == 9007199254740993L)
   }
 
   test("fillMissing and coalesce") {

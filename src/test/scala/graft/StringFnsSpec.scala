@@ -113,4 +113,45 @@ class StringFnsSpec extends SparkSpec {
     assert(r.getString(0) == "a-b-c") // literal dot, not regex any-char
     assert(r.getString(1) == "x.x.x")
   }
+
+  test("reNamedCaptures group indices survive non-capturing constructs " +
+      "(inline flags, (?:...), lookaheads, parens in classes/escapes)") {
+    val d = Seq("Foo 42").toDF("s")
+    // '(?i)' and '(?:...)' contain '(' but open NO capturing group — a
+    // paren count would address the wrong regexp_extract index
+    val r = d.select(StringFns.reNamedCaptures(F.col("s"),
+      "(?i)(?:fo+)\\s\\(?(?<num>[0-9]+)").as("m")).collect()(0).getStruct(0)
+    assert(r.getString(0) == "42")
+    val r2 = d.select(StringFns.reNamedCaptures(F.col("s"),
+      "([A-Za-z]+)\\s(?=[0-9])(?<num>[0-9]+)").as("m"))
+      .collect()(0).getStruct(0)
+    assert(r2.getString(0) == "42")
+  }
+
+  test("splitInto fills nil for missing fields (try_element_at — plain " +
+      "element_at aborts under an ANSI session)") {
+    val d = Seq("a-b").toDF("s")
+      .select(StringFns.splitInto(F.col("s"), "-",
+        Seq("x", "y", "z")).as("st"))
+    val r = d.select("st.x", "st.y", "st.z").collect()(0)
+    assert(r.getString(0) == "a" && r.getString(1) == "b" && r.isNullAt(2))
+  }
+
+  test("strftime week-based directives %V/%u/%G are computed natively " +
+      "(Spark's formatter refuses ww/e/YYYY)") {
+    // 2024-12-30 is a Monday in ISO week 1 of week-based year 2025
+    val d = Seq(java.sql.Date.valueOf("2024-12-30")).toDF("d")
+    val r = d.select(
+      StringFns.strftime(F.col("d"), "%G-W%V-%u").as("iso"),
+      StringFns.strftime(F.col("d"), "%Y-%m-%d").as("plain"))
+      .collect()(0)
+    assert(r.getString(0) == "2025-W01-1", r.getString(0))
+    assert(r.getString(1) == "2024-12-30")
+    // parse direction has no JVM equivalent: clear refusal, not a cryptic
+    // SparkUpgradeException at runtime
+    val ex = intercept[IllegalArgumentException] {
+      StringFns.chronoToJvm("%G-%V")
+    }
+    assert(ex.getMessage.contains("week-based"))
+  }
 }
