@@ -163,6 +163,11 @@ final class Gdf(
   def relocate(cols: Seq[String], before: Option[String] = None,
       after: Option[String] = None): Gdf = {
     val rest = names.filterNot(cols.contains)
+    // a missing (or relocated-away) anchor would indexOf to -1 and
+    // silently place the columns at the FRONT instead of erroring
+    (before.toSeq ++ after.toSeq).foreach(a => require(rest.contains(a),
+      s"relocate anchor '$a' is not a remaining column " +
+        s"(existing, and not itself being relocated)"))
     val at = before.map(rest.indexOf).orElse(after.map(rest.indexOf(_) + 1))
       .getOrElse(0)
     val (pre, post) = rest.splitAt(at)
@@ -296,9 +301,12 @@ final class Gdf(
 
   /** `at_every/2` — every `k`-th row over the declared order
     * (reference series.ex:1695). */
-  def atEvery(k: Int): Gdf =
+  def atEvery(k: Int): Gdf = {
+    // k = 0: % 0 is null under legacy semantics — a silently EMPTY result
+    require(k > 0, s"at_every needs a positive stride, got $k")
     copy(withIdxCol("__rn")
       .filter(F.col("__rn") % k === 0).drop("__rn"))
+  }
 
   /** `index_of/2` — 0-based index of the first row where `col == value`
     * over the declared order (reference series.ex:7023). */
@@ -567,6 +575,8 @@ final class Gdf(
     * rewritten to consume it — one extra window pass over the grouped
     * frame, which is what the reference's engine does internally too. */
   private def summariseCols(cols: Seq[(String, Series)]): Gdf = {
+    require(cols.nonEmpty,
+      "summarise needs at least one aggregation") // not a bare .head crash
     cols.foreach { case (n, s) =>
       require(s.isAgg, s"summarise expression '$n' must aggregate")
     }

@@ -141,6 +141,11 @@ object Stats {
     * would silently fall into the top bin. */
   def cut(col: Column, breaks: Seq[Double], labels: Seq[String] = Nil,
       leftClosed: Boolean = false): Column = {
+    // unsorted breaks would bin by first-match against an out-of-order
+    // chain; silently sorting them would misalign user-supplied labels —
+    // require the caller's order to BE the bin order
+    require(breaks == breaks.sorted,
+      s"cut breaks must be ascending, got ${breaks.mkString(", ")}")
     val labs = cutLabels(breaks, labels, leftClosed)
     val first = F.when(col.isNull, F.lit(null).cast(StringType))
     val mid = breaks.indices.foldLeft(first) { (acc, i) =>
@@ -226,6 +231,8 @@ object Stats {
       F.percentile(F.col(colName), F.lit(qs.head)).as("q0"),
       qs.drop(1).zipWithIndex.map { case (q, i) =>
         F.percentile(F.col(colName), F.lit(q)).as(s"q${i + 1}") }: _*).head()
+    require(!row.isNullAt(0), // all-null/empty column → bare NPE otherwise
+      s"qcut: column '$colName' has no non-null values to take quantiles of")
     qs.indices.map(row.getDouble)
   }
 }

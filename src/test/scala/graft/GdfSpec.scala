@@ -292,6 +292,29 @@ class GdfSpec extends SparkSpec {
     assert(d.groupBy("g").sampleN(0, replace = true).sdf.count() == 0)
   }
 
+  test("edge guards fail loudly: at_every(0), empty summarise, relocate " +
+      "to a missing anchor, unsorted cut breaks, qcut on all-null") {
+    val d = Gdf(Seq((1L, "a"), (2L, "b")).toDF("v", "s"))
+      .ordered(F.col("v"))
+    intercept[IllegalArgumentException] { d.atEvery(0) } // was silently empty
+    intercept[IllegalArgumentException] { d.summariseWith(_ => Nil) }
+    intercept[IllegalArgumentException] { // was silently placed at FRONT
+      d.relocate(Seq("v"), before = Some("nope"))
+    }
+    intercept[IllegalArgumentException] { // first-match binning needs order
+      Stats.cut(F.col("v"), Seq(5.0, 1.0))
+    }
+    val allNull = Gdf(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        null.asInstanceOf[java.lang.Double]))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.DoubleType)))))
+    intercept[IllegalArgumentException] { // was a bare NullPointerException
+      Stats.qcut(allNull, "x", Seq(0.25, 0.5, 0.75))
+    }
+  }
+
   test("rename remaps rowOrder too — a stale name breaks every later " +
       "positional verb") {
     val d = Gdf(Seq((2L, "b"), (1L, "a")).toDF("ts", "v"))
