@@ -71,7 +71,8 @@ final class Gdf(
     val sdf: DataFrame,
     val groups: Seq[String] = Nil,
     val rowOrder: Seq[Column] = Nil,
-    val logical: Map[String, DType] = Map.empty) {
+    val logical: Map[String, DType] = Map.empty,
+    val stableGroups: Boolean = false) {
 
   def spark: SparkSession = sdf.sparkSession
   def names: Seq[String] = sdf.schema.fieldNames.toSeq
@@ -110,8 +111,9 @@ final class Gdf(
       sdf: DataFrame = sdf,
       groups: Seq[String] = groups,
       rowOrder: Seq[Column] = rowOrder,
-      logical: Map[String, DType] = logical): Gdf =
-    new Gdf(sdf, groups, rowOrder, logical)
+      logical: Map[String, DType] = logical,
+      stableGroups: Boolean = stableGroups): Gdf =
+    new Gdf(sdf, groups, rowOrder, logical, stableGroups)
 
   private def ctx(windowed: Boolean) = Ctx(groups, rowOrder, windowed)
 
@@ -564,8 +566,20 @@ final class Gdf(
 
   def groupBy(cols: String*): Gdf = copy(groups = groups ++ cols)
 
-  def ungroup(cols: String*): Gdf =
-    copy(groups = if (cols.isEmpty) Nil else groups.filterNot(cols.contains))
+  /** `group_by(..., stable: true)` (reference v0.11.1,
+    * data_frame.ex:5880-5882 `stable?`; lazyframe.rs:18-33
+    * `group_by_opt_order` → Polars `group_by_stable`): summarise output
+    * returns groups in FIRST-OCCURRENCE order of the frame's declared row
+    * order, where the default grouping leaves group order
+    * engine-arbitrary. Costs one extra sort of the (small) aggregated
+    * output — the aggregation itself is unchanged. */
+  def groupByStable(cols: String*): Gdf =
+    copy(groups = groups ++ cols, stableGroups = true)
+
+  def ungroup(cols: String*): Gdf = {
+    val g = if (cols.isEmpty) Nil else groups.filterNot(cols.contains)
+    copy(groups = g, stableGroups = stableGroups && g.nonEmpty)
+  }
 
   /** Shared summarise back end. Aggregations OVER window functions
     * (reference `summarise(max: max(window_mean(x, 2)))` — legal there,
@@ -592,7 +606,20 @@ final class Gdf(
       else sdf.select(F.col("*") +: extra.map { case (n, c) => c.as(n) }: _*)
     val out =
       if (groups.isEmpty) src.agg(rewritten.head, rewritten.tail: _*)
-      else src.groupBy(groups.map(src(_)): _*)
+      else if (stableGroups) {
+        // stable groups (groupByStable): output in first-occurrence order
+        // = sort the AGGREGATED rows by min(row index) per group — one
+        // distributed rowid pass plus a sort of the already-small
+        // aggregate output, not a sort of the input
+        require(rowOrder.nonEmpty,
+          "group_by(stable: true) needs a declared row order (.ordered) — " +
+            "first-occurrence order is undefined over unordered Spark rows")
+        val withId = plans.RowId.attach(src, rowOrder, "__sg_ord")
+        withId.groupBy(groups.map(withId(_)): _*)
+          .agg(rewritten.head,
+            (rewritten.tail :+ F.min(F.col("__sg_ord")).as("__sg_min")): _*)
+          .orderBy("__sg_min").drop("__sg_min")
+      } else src.groupBy(groups.map(src(_)): _*)
         .agg(rewritten.head, rewritten.tail: _*)
     new Gdf(out, Nil, Nil, logical.view.filterKeys(groups.contains).toMap)
   }

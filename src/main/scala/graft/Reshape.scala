@@ -47,8 +47,23 @@ object Reshape {
       F.lit("null"))
     val values =
       if (namesValues.nonEmpty) namesValues
-      else df.sdf.select(nameStr.as("__pw_n")).distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
+      else {
+        // discover RAW (nullable) strings so a genuine "null" string and
+        // actual nulls stay distinguishable: both would silently merge
+        // into one output column (first() then picks an arbitrary row of
+        // the merged bucket). Same single job as before. The supplied-
+        // namesValues path (the no-collect scale path) can't see the mix
+        // without a job; a caller passing "null" there declares the
+        // merged bucket knowingly.
+        val raw = df.sdf.select(F.col(namesFrom).cast(StringType)
+          .as("__pw_n")).distinct().collect()
+          .map(r => Option(r.getString(0))).toSeq
+        require(!(raw.contains(None) && raw.contains(Some("null"))),
+          s"pivot_wider: column '$namesFrom' holds both nulls and the " +
+            "literal string \"null\" — their output columns would " +
+            "silently merge; rename one first")
+        raw.map(_.getOrElse("null")).sorted
+      }
     val g = df.sdf.withColumn("__pw_n", nameStr)
       .groupBy(ids.map(F.col): _*).pivot("__pw_n", values)
       .agg(F.first(F.col(valuesFrom)))
@@ -97,8 +112,17 @@ object Reshape {
     // string values match non-string columns consistently
     val key = F.coalesce(F.col(col).cast(StringType), F.lit("null"))
     val vs = if (values.nonEmpty) values
-      else df.sdf.select(key.as("__d_k")).distinct().collect()
-        .map(_.getString(0)).sorted.toSeq
+      else {
+        // raw nullable discovery — same null-vs-"null" collision guard
+        // as pivot_wider (their dummies would silently merge)
+        val raw = df.sdf.select(F.col(col).cast(StringType).as("__d_k"))
+          .distinct().collect().map(r => Option(r.getString(0))).toSeq
+        require(!(raw.contains(None) && raw.contains(Some("null"))),
+          s"dummies: column '$col' holds both nulls and the literal " +
+            "string \"null\" — their dummy columns would silently merge; " +
+            "rename one first")
+        raw.map(_.getOrElse("null")).sorted
+      }
     val cols = vs.map(v =>
       F.when(key === v, 1).otherwise(0).as(s"${col}_$v"))
     // grouped rule (reference data_frame.ex dummies doc): all groups are
@@ -175,10 +199,11 @@ object Reshape {
   def concatColumns(dfs: Seq[Gdf]): Gdf = {
     // the reference (Polars DataFrame::new over hstacked columns) ERRORS
     // on unequal heights; an unchecked inner join on the row index would
-    // silently truncate to the shortest frame
-    val counts = dfs.map(_.sdf.count())
-    require(counts.distinct.size == 1,
-      s"concat_columns requires equal heights, got ${counts.mkString(", ")}")
+    // silently truncate to the shortest frame. The check rides the
+    // already-needed index join (full-outer + per-row presence assert),
+    // NOT an eager count() per input — the old shape materialized every
+    // input an extra time purely for the height check. The error
+    // therefore surfaces at action time (lazy), not at call time.
     val indexed = dfs.zipWithIndex.map { case (d, i) =>
       require(d.rowOrder.nonEmpty,
         "concat_columns needs .ordered(...) on every input")
@@ -186,15 +211,27 @@ object Reshape {
       // rowOrder Columns resolve against its own names, which a rename
       // would orphan
       val withIdx = graft.plans.RowId.attach(d.sdf, d.rowOrder, "__cc_idx")
+        .withColumn(s"__cc_p$i", F.lit(true))
       if (i == 0) withIdx else {
         val clashes = dfs.take(i).flatMap(_.names).toSet
         d.names.foldLeft(withIdx)((acc, n) =>
           if (clashes(n)) acc.withColumnRenamed(n, s"${n}_$i") else acc)
       }
     }
-    val joined = indexed.reduce((a, b) => a.join(b, Seq("__cc_idx"), "inner"))
+    val joined = indexed.reduce((a, b) =>
+      a.join(b, Seq("__cc_idx"), "full_outer"))
+    // every input contributed a row at every index ⟺ equal heights.
+    // Non-constant `when` branch so the assert cannot be constant-folded
+    // away (the r8 optimizer trap — see TsNorm.sliceNs).
+    val present = dfs.indices
+      .map(i => F.col(s"__cc_p$i").isNotNull).reduce(_ && _)
+    val checked = joined.filter(F.when(F.assert_true(present,
+      F.lit("concat_columns requires equal heights — a row index present " +
+        "in one input is missing in another")).isNull, present))
     // grouped rule (reference data_frame.ex concat_columns doc): only the
     // FIRST frame's groups are kept
-    new Gdf(joined.drop("__cc_idx"), groups = dfs.head.groups)
+    new Gdf(checked.drop(
+      ("__cc_idx" +: dfs.indices.map(i => s"__cc_p$i")): _*),
+      groups = dfs.head.groups)
   }
 }

@@ -1174,6 +1174,54 @@ object SparkEntry {
       .orderBy("hour_start", "event_type")
   }
 
+  private val s06Run = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Lake COMPACTION — the operational closer of [[s05]]'s honest gap:
+    * the streaming file sink accretes a file per (micro-batch × task ×
+    * day), so a 24/7 lake needs periodic compaction of rotated days.
+    * Here the stream-written layout is converted (commit log honored,
+    * then dropped — [[io.GraftIO.compactTimePartitions]] deletes
+    * uncommitted orphans FIRST, so nothing a crashed batch left behind
+    * gets baked into the rewrite) and the queried day rewritten to one
+    * ts-sorted file; the same pruned slice + hourly rollup as s05 then
+    * reads the COMPACTED day. Matching s05's raw-table oracle proves the
+    * compact rewrite is row-preserving end-to-end — sink → convert →
+    * compact → pruned read. */
+  private val s06: (SparkSession, String) => DataFrame = (s, dir) => {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try s06Body(s, dir)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private val s06Body: (SparkSession, String) => DataFrame = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val run = s06Run.incrementAndGet()
+    val dayNs = 86400L * 1000000000L
+    val feed = new java.io.File(scratch(s"s06_feed_${dir.hashCode.abs}_$run"))
+    feed.mkdirs()
+    (0 until 3).foreach { k =>
+      shipFeedFile(ev.filter(F.expr(s"ts DIV $dayNs") % 3 === k), feed, k,
+        s"s06_tmp_${dir.hashCode.abs}_$run")
+    }
+    val layout = scratch(s"s06_layout_${dir.hashCode.abs}_$run")
+    streaming.Streams.lakeSink(
+      streaming.Streams.readParquetStream(s, feed.toString, ev.schema,
+        maxFilesPerTrigger = 1),
+      "ts", layout, s"s06_${dir.hashCode.abs}_$run")
+    val loNs = 1705276800L * 1000000000L // 2024-01-15 00:00:00 UTC
+    io.GraftIO.compactTimePartitions(s, layout, loNs, loNs + dayNs, "ts",
+      dropCommitLog = true)
+    io.GraftIO.readTimeSlice(s, layout, loNs, loNs + dayNs, "ts")
+      .groupBy(
+        F.date_trunc("hour", F.timestamp_micros(F.expr("ts DIV 1000")))
+          .as("hour_start"),
+        F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.sum("value"), 4).as("total_value"))
+      .orderBy("hour_start", "event_type")
+  }
+
   /** TIME-PARTITIONED layout round trip — the other half of the time-scan
     * story next to [[q63]]'s row-group pruning: events rewritten once into
     * a date-partitioned, ts-sorted layout
@@ -2207,6 +2255,7 @@ object SparkEntry {
     "s03_stream_join" -> s03,
     "s04_stream_ingest_dedup" -> s04,
     "s05_stream_lake" -> s05,
+    "s06_lake_compact" -> s06,
     "d01_exact_dedup" -> d01,
     "d02_token_counts" -> d02,
     "d03_langid_quality" -> d03,
@@ -2751,6 +2800,13 @@ object SparkEntry {
         SELECT doc_id FROM s2 UNION ALL SELECT doc_id FROM s3)
       ORDER BY doc_id""",
     "s05_stream_lake" -> """
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             count(*) AS n, round(sum(value), 4) AS total_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "s06_lake_compact" -> """
       SELECT date_trunc('hour', ts) AS hour_start, event_type,
              count(*) AS n, round(sum(value), 4) AS total_value
       FROM events

@@ -35,9 +35,11 @@ object TsNorm {
   /** Normalize `col` to long ns-since-epoch whatever its arrival type:
     * LongType passes through (TIMESTAMP(NANOS) read via `nanosAsLong`, or
     * a writer that already materialized epoch-ns), timestamp types go
-    * through `unix_micros · 1000`. Absent column or other types: no-op
-    * (logged when the column exists but has an unhandled type — a string
-    * or int32-millis ts would otherwise skip normalization silently).
+    * through `unix_micros · 1000`. Absent column: no-op. Any OTHER type
+    * (string, int32-millis, …) THROWS like [[sliceNs]] does — a ts that
+    * skipped normalization silently would corrupt every downstream
+    * ns-domain computation; `lenient = true` restores the logged
+    * passthrough for callers that knowingly carry a non-temporal `ts`.
     * Works on batch and streaming frames alike (pure projection).
     *
     * `assertNsRange` (event-time ingest sites set it): rides a per-row
@@ -142,7 +144,8 @@ object TsNorm {
   }
 
   def normalizeTs(df: DataFrame, col: String = "ts",
-                  assertNsRange: Boolean = false): DataFrame =
+                  assertNsRange: Boolean = false,
+                  lenient: Boolean = false): DataFrame =
     df.schema.find(_.name == col).map(_.dataType) match {
       case Some(LongType) =>
         if (!assertNsRange) df
@@ -159,11 +162,16 @@ object TsNorm {
         // NTZ → instant through the (UTC) session tz, then to epoch-µs
         df.withColumn(col,
           F.unix_micros(F.col(col).cast(TimestampType)) * F.lit(1000L))
-      case Some(other) =>
+      case Some(other) if lenient =>
         System.err.println(s"[graft] TsNorm: column '$col' has unhandled " +
           s"type $other — passing through UNNORMALIZED (expected INT64 " +
           "ns, TIMESTAMP, or TIMESTAMP_NTZ)")
         df
+      case Some(other) => throw new IllegalArgumentException(
+        s"cannot normalize column '$col' of type $other — expected INT64 " +
+          "ns, TIMESTAMP, or TIMESTAMP_NTZ (a string or int32-millis ts " +
+          "would flow downstream unnormalized and corrupt every ns-domain " +
+          "computation; pass lenient = true to accept the column as-is)")
       case None => df
     }
 }

@@ -237,11 +237,25 @@ case class MinHashBandHashesFromHashes(child: Expression, numHashes: Int,
     }
   override protected def withNewChildInternal(c: Expression): MinHashBandHashesFromHashes =
     copy(child = c)
-  override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(TextHashing.bandHashes(
-      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        .toLongArray(),
-      numHashes, bands))
+  // element-by-element copy, NOT toLongArray: a parquet round trip reads
+  // stored (null-free) arrays back as containsNull=true, and toLongArray
+  // on a null element dies with an unhelpful assertion/NPE — name the
+  // contract violation instead
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"minhash_band_hashes_from_hashes: null element at position $i — " +
+          "stored shingle-hash arrays are built null-free; this input is " +
+          "not a stored feature array")
+      hashes(i) = arr.getLong(i)
+      i += 1
+    }
+    new GenericArrayData(TextHashing.bandHashes(hashes, numHashes, bands))
+  }
 }
 
 /** array<struct<id,simhash>> (sorted bucket rows) → array<struct<id_a,

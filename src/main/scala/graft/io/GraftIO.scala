@@ -233,9 +233,21 @@ object GraftIO {
     * of epoch-ns (1.7e18 > 2^53) cannot. Epoch-nonnegative ts assumed
     * (DIV truncates toward zero; pre-1970 rows would need floor-div day
     * bucketing). Shared by the batch layout writer and the streaming
-    * lake sink, which is all write/read partition agreement requires. */
-  def utcDay(tsNsCol: String): org.apache.spark.sql.Column = F.expr(
-    s"date_from_unix_date(CAST($tsNsCol DIV ${86400L * 1000000000L} AS INT))")
+    * lake sink, which is all write/read partition agreement requires.
+    * Built with the Column API over a native IntegralDivide (exact SQL
+    * DIV), with the name backtick-quoted — no raw-SQL interpolation, so
+    * column names with spaces, dots, or reserved words resolve correctly
+    * (`F.col` parses an unquoted dot as struct-field access). */
+  def utcDay(tsNsCol: String): org.apache.spark.sql.Column = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val quoted = "`" + tsNsCol.replace("`", "``") + "`"
+    F.date_from_unix_date(bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        bridge.expression(F.col(quoted)),
+        bridge.expression(F.lit(86400L * 1000000000L)),
+        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+      .cast("int"))
+  }
 
   /** Pruned `[loNs, hiNs)` read of a [[writeTimePartitioned]] layout: the
     * derived date bound becomes a PartitionFilter (directory pruning), the

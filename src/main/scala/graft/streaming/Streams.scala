@@ -149,7 +149,14 @@ object Streams {
     // the same checkpoint keeps prefix AND replayed batchId (idempotent
     // overwrite, as designed); a new run gets a new prefix (appends).
     // Returned so callers can address this run's segments (e.g. replay).
-    val prefix = f"${ckpt.hashCode & 0x7fffffff}%08x"
+    // Truncated SHA-256, not String.hashCode: a 32-bit hash collision
+    // between two runs' checkpoint paths would make the new run's seg b0
+    // dynamic-overwrite (silently DELETE) the earlier run's b0 survivors
+    // — the exact hazard the prefix exists to prevent. 80 bits keeps
+    // birthday-collision odds negligible at any realistic run count.
+    val prefix = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(ckpt.getBytes("UTF-8")).take(10)
+      .map(b => f"${b & 0xff}%02x").mkString
     val step: (DataFrame, Long) => Unit = (batchDf, batchId) => {
       val seg = s"${prefix}_b$batchId"
       // every cache a batch pins is released through the DATASET API once
@@ -193,9 +200,11 @@ object Streams {
     * Unlike the batch writer there is no per-day repartition or in-file
     * ts sort — a micro-batch's tasks each write a file per day they
     * hold, so the layout accretes small files; the production companion
-    * is periodic compaction of cold day partitions (rewrite via
-    * [[graft.io.GraftIO.writeTimePartitioned]] on the day's slice), the
-    * same posture as the dedup index's segment compaction. */
+    * is [[graft.io.GraftIO.compactTimePartitions]] on rotated (no longer
+    * appended-to) day ranges — it converts the commit log honestly and
+    * restores one sorted file per day, the same LSM posture as the dedup
+    * index's segment compaction. Exercised end-to-end (sink → compact →
+    * pruned slice) by the s06 oracle query. */
   def lakeSink(stream: DataFrame, tsNsCol: String, path: String,
       name: String): Unit = {
     val ckpt = checkpointDir(name)

@@ -22,6 +22,21 @@ class ExtensionsSpec extends SparkSpec {
       GraftExtensions.functions.size)
   }
 
+  test("minhash_band_hashes_from_hashes names the contract violation on a " +
+      "null array element (toLongArray would die with a bare assertion)") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Throwable] {
+      spark.sql("SELECT minhash_band_hashes_from_hashes(" +
+        "array(1L, CAST(NULL AS BIGINT)), 64, 16)").collect()
+    }
+    assert(msgs(e).exists(_.contains("null element")), msgs(e))
+    // null-free arrays (the stored-feature contract) evaluate fine
+    assert(spark.sql("SELECT size(minhash_band_hashes_from_hashes(" +
+      "array(1L, 2L, 3L), 64, 16)) AS n").collect()(0).getInt(0) == 16)
+  }
+
   test("scalar functions match their Column-API twins") {
     val r = spark.sql(
       """SELECT simhash64('the quick brown fox') AS sh,

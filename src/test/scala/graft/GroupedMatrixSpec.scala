@@ -64,6 +64,31 @@ class GroupedMatrixSpec extends SparkSpec {
     assert(out.names.toSet == Set("g", "k"))
   }
 
+  // ---- stable grouping (reference v0.11.1 `stable:` option) --------------
+
+  test("groupByStable summarise returns groups in first-occurrence order " +
+      "(data_frame.ex:5880 stable?; default grouping is engine-arbitrary)") {
+    // first occurrences along the declared order: c, a, b — NOT sorted
+    val d = new Gdf(
+      Seq((1L, "c", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "a", 4.0),
+        (5L, "c", 5.0)).toDF("id", "g", "v"))
+      .ordered(F.col("id"))
+      .groupByStable("g")
+    val out = d.summarise("total" -> (_ => Series(F.sum(F.col("v")), isAgg = true)))
+    val rows = out.sdf.collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq(("c", 6.0), ("a", 6.0), ("b", 3.0)), rows.toSeq)
+    // the hidden ordering column must not leak into the schema
+    assert(out.names == Seq("g", "total"))
+    // stable without a declared order is undefined — fail loud
+    val e = intercept[IllegalArgumentException] {
+      new Gdf(Seq(("a", 1.0)).toDF("g", "v")).groupByStable("g")
+        .summarise("t" -> (_ => Series(F.sum(F.col("v")), isAgg = true)))
+    }
+    assert(e.getMessage.contains("declared row order"))
+    // ungroup clears the flag with the groups
+    assert(!d.ungroup().stableGroups)
+  }
+
   // ---- reshape family ----------------------------------------------------
 
   test("grouped pivot_longer drops pivoted groups, keeps the rest") {

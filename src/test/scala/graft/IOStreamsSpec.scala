@@ -393,6 +393,15 @@ class IOStreamsSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("utcDay resolves awkward column names (Column API, no raw-SQL " +
+      "interpolation)") {
+    val d0 = 19723L
+    val df = Seq((d0 * 86400L * 1000000000L + 1L, 1L))
+      .toDF("event ts.raw", "id")
+    val got = df.select(GraftIO.utcDay("event ts.raw").as("d")).collect()
+    assert(got(0).getDate(0).toString == "2024-01-01")
+  }
+
   test("time-partitioned layout: directory pruning + in-file ts pushdown, " +
       "session-TZ-independent day bucketing") {
     val dir = tmp("graft_tp")

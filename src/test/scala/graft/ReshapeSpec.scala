@@ -104,13 +104,37 @@ class ReshapeSpec extends SparkSpec {
   }
 
   test("concatColumns raises on unequal heights (the reference errors; " +
-      "an unchecked index join would silently truncate)") {
+      "an unchecked index join would silently truncate) — at action time, " +
+      "riding the index join instead of an eager count per input") {
     val a = Gdf(Seq(1L, 2L, 3L).toDF("x")).ordered(F.col("x"))
     val b = Gdf(Seq("a", "b").toDF("y")).ordered(F.col("y"))
-    val ex = intercept[IllegalArgumentException] {
-      Reshape.concatColumns(Seq(a, b))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val ex = intercept[Throwable] {
+      Reshape.concatColumns(Seq(a, b)).sdf.collect()
     }
-    assert(ex.getMessage.contains("equal heights"))
+    assert(msgs(ex).exists(_.contains("equal heights")), msgs(ex))
+  }
+
+  test("pivotWider and dummies fail loud when nulls and a literal " +
+      "\"null\" string coexist (their output columns would silently " +
+      "merge)") {
+    val df = Gdf(Seq((1L, Some("null"), 10.0), (1L, None, 20.0))
+      .toDF("id", "name", "v"))
+    val e1 = intercept[IllegalArgumentException] {
+      Reshape.pivotWider(df, "name", "v")
+    }
+    assert(e1.getMessage.contains("silently merge"))
+    val e2 = intercept[IllegalArgumentException] {
+      Reshape.dummies(Gdf(Seq(Some("null"), None).toDF("c")), "c")
+    }
+    assert(e2.getMessage.contains("silently merge"))
+    // a genuine "null" string WITHOUT actual nulls is an ordinary value
+    val ok = Reshape.pivotWider(
+      Gdf(Seq((1L, "null", 10.0), (1L, "a", 20.0)).toDF("id", "name", "v")),
+      "name", "v")
+    assert(ok.names.toSet == Set("id", "a", "null"))
   }
 
   test("concatColumns clash rename does not orphan the frame's row order") {

@@ -162,6 +162,33 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("minhash disk index: the per-path meta cache re-reads a REGENERATED " +
+      "index (file-identity key — a raw path key would serve stale build " +
+      "params)") {
+    val a = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the sun sets slowly behind the distant purple mountains"
+    val ref = Seq((1L, a)).toDF("rid", "rtext")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhmeta").toString
+    Dedup.writeMinhashIndex(ref, F.col("rid"), F.col("rtext"), dir,
+      shingleSize = 3, numHashes = 64, bands = 16)
+    val batch = Seq((2L, a)).toDF("id", "text")
+    // populate the cache under the 16-band build
+    assert(Dedup.dedupAgainstIndex(batch, F.col("id"), F.col("text"), dir,
+      threshold = 0.9, probeBands = Some(16)).count() == 0)
+    // regenerate IN PLACE with 4 bands: stale cached meta would accept
+    // probeBands=16; fresh meta must reject it
+    Dedup.writeMinhashIndex(ref, F.col("rid"), F.col("rtext"), dir,
+      shingleSize = 3, numHashes = 64, bands = 4)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(batch, F.col("id"), F.col("text"), dir,
+        threshold = 0.9, probeBands = Some(16)).count()
+    }
+    assert(e.getMessage.contains("probeBands"), e.getMessage)
+    // and the refreshed params work end-to-end
+    assert(Dedup.dedupAgainstIndex(batch, F.col("id"), F.col("text"), dir,
+      threshold = 0.9, probeBands = Some(4)).count() == 0)
+  }
+
   test("minhash disk index: the maxBucket cap applies to the corpus+batch " +
       "UNION bucket, matching the live path on boilerplate (the candidate " +
       "blowup guardrail)") {

@@ -159,6 +159,21 @@ class TsNormSpec extends SparkSpec {
     assert(TsNorm.normalizeTs(us) eq us)
   }
 
+  test("normalizeTs fails loud on an unhandled ts type unless lenient " +
+      "(r9 verdict #3: the logged passthrough was the last silent-encoding " +
+      "corner)") {
+    import spark.implicits._
+    val strTs = Seq((1L, "2024-01-01T00:00:00Z"), (2L, "2024-01-02T00:00:00Z"))
+      .toDF("event_id", "ts")
+    val err = intercept[IllegalArgumentException] {
+      TsNorm.normalizeTs(strTs)
+    }
+    assert(err.getMessage.contains("StringType"), err.getMessage)
+    assert(err.getMessage.contains("lenient"), err.getMessage)
+    // explicit opt-out keeps the old pass-through-with-a-log behavior
+    assert(TsNorm.normalizeTs(strTs, lenient = true) eq strTs)
+  }
+
   test("sliceNs selects identical rows under every encoding, with exact " +
       "ns->us bound translation (bounds deliberately NOT multiples of " +
       "1000 ns)") {
