@@ -930,9 +930,14 @@ object Dedup {
     * bucket and `distinct`s candidates, so candidate GENERATION is
     * segment-transparent, while the `maxBucket` union-cap is enforced per
     * SEGMENT pair, degrading toward per-segment granularity as segments
-    * accumulate. At high segment counts, compact by rebuilding
-    * ([[writeMinhashIndex]] over the full accepted corpus) — the same
-    * posture as any LSM-shaped index. Build parameters come from
+    * accumulate. At high segment counts, compact ([[compactMinhashIndex]])
+    * — the same posture as any LSM-shaped index. Measured trigger
+    * (`graft.SegmentStudy`, scaling/mh_segments.json): at 20k docs probe
+    * latency is flat through ~16 segments and ~35% over the floor by 64
+    * (per-segment posting rows + file-listing overhead); compaction cost
+    * ~1.8 s and restored the floor, paying for itself within a handful
+    * of probes — compact when the segment count reaches the tens, or on
+    * a cadence cheap relative to the batch rate. Build parameters come from
     * `path/meta`, by field name, so an appender can never silently
     * diverge from the writer's bucket space. */
   def appendToMinhashIndex(batch: DataFrame, id: Column, text: Column,
