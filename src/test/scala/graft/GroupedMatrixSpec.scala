@@ -350,6 +350,23 @@ class GroupedMatrixSpec extends SparkSpec {
     }
   }
 
+  test("groupByStable composes with window-in-aggregation " +
+      "auto-materialization (the hidden projection must not disturb the " +
+      "min-rowid ordering pass)") {
+    // first occurrences along id: b (id 1), a (id 2)
+    val d = new Gdf(
+      Seq((1L, "b", 30.0), (2L, "a", 10.0), (3L, "b", 40.0), (4L, "a", 20.0),
+        (5L, "b", 50.0)).toDF("id", "g", "v"))
+      .ordered(F.col("id")).groupByStable("g")
+    val out = d.summariseWith { implicit c => Seq(
+      "max_wm" -> graft.exprs.max(
+        graft.exprs.windowMean(gcol("v"), size = 2))) }
+    val rows = out.sdf.collect().map(r => (r.getString(0), r.getDouble(1)))
+    // values identical to the unordered twin; ORDER is first-occurrence
+    assert(rows.toSeq == Seq(("b", 45.0), ("a", 15.0)), rows.toSeq)
+    assert(out.names == Seq("g", "max_wm"))
+  }
+
   test("grouped window verbs partition by group: rank and cumsum restart") {
     val out = base.ordered(F.col("id")).mutateWith { implicit c => Seq(
       "r" -> graft.exprs.rank(gcol("v"), method = "dense"),

@@ -117,6 +117,25 @@ class ReshapeSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("equal heights")), msgs(ex))
   }
 
+  test("concatColumns three frames: zips correctly, and a short MIDDLE " +
+      "frame still trips the height assert (nested outer joins)") {
+    val a = Gdf(Seq(1L, 2L, 3L).toDF("x")).ordered(F.col("x"))
+    val b = Gdf(Seq("c", "a", "b").toDF("y")).ordered(F.col("y"))
+    val c = Gdf(Seq(30.0, 10.0, 20.0).toDF("z")).ordered(F.col("z"))
+    val rows = Reshape.concatColumns(Seq(a, b, c)).sdf.orderBy("x")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq ==
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    val short = Gdf(Seq("a", "b").toDF("y")).ordered(F.col("y"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val ex = intercept[Throwable] {
+      Reshape.concatColumns(Seq(a, short, c)).sdf.collect()
+    }
+    assert(msgs(ex).exists(_.contains("equal heights")), msgs(ex))
+  }
+
   test("pivotWider and dummies fail loud when nulls and a literal " +
       "\"null\" string coexist (their output columns would silently " +
       "merge)") {
