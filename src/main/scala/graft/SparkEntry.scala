@@ -1744,6 +1744,31 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** The persisted IVF index LIFECYCLE (the embedding twin of d51's
+    * MinHash story): train+write on HALF the corpus, APPEND the other
+    * half as a segment assigned to the stored centroids (idempotent
+    * dynamic-overwrite — the streaming-batch contract), probe every cell.
+    * Exhaustive probing makes the result exactly brute force over the
+    * FULL corpus, so the d04 DuckDB oracle checks the whole lifecycle —
+    * a lost/duplicated/mis-assigned appended vector hash-fails. */
+  private val d54: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val path = scratch(s"d54_index_${dir.hashCode.abs}")
+    // even ids train+seed the index, odd ids arrive later as a segment —
+    // an SF-independent deterministic split
+    Similarity.writeIvfIndex(
+      emb.filter(F.col("vec_id") >= 5 && F.col("vec_id") % 2 === 0),
+      F.col("vec_id"), F.col("embedding"), path, nlist = 8)
+    Similarity.appendToIvfIndex(
+      emb.filter(F.col("vec_id") >= 5 && F.col("vec_id") % 2 === 1),
+      F.col("vec_id"), F.col("embedding"), path, "b0")
+    Similarity.searchIvfIndex(s, path,
+      emb.filter(F.col("vec_id") < 5), F.col("vec_id"), F.col("embedding"),
+      k = 5, nprobe = 8)
+      .withColumn("cosine", F.round(F.col("cosine"), 6))
+      .orderBy("query_id", "rank")
+  }
+
   /** RECALL contract for the LSH top-k path (d09's correctness signal,
     * r6 verdict #1): run [[Similarity.lshTopK]] and the exact
     * [[Similarity.bruteForceTopK]] on the SAME fixture as d04/d09 and
@@ -2306,6 +2331,7 @@ object SparkEntry {
     "d49_bloom_contract" -> d49,
     "d50_multimodal_contract" -> d50,
     "d51_index_dedup" -> d51,
+    "d54_ivf_append" -> d54,
     "q62_sample_contract" -> q62,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
@@ -2335,7 +2361,8 @@ object SparkEntry {
     ("d34_clusters_star" -> oracleSqlBase("d15_dedup_clusters")) +
     // exhaustive-probe IVF over the disk index == brute force by
     // construction — same oracle as the brute-force query
-    ("d43_ivf_disk_index" -> oracleSqlBase("d04_cosine_topk"))
+    ("d43_ivf_disk_index" -> oracleSqlBase("d04_cosine_topk")) +
+    ("d54_ivf_append" -> oracleSqlBase("d04_cosine_topk"))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q01_agg" -> """

@@ -295,6 +295,173 @@ object Similarity {
     topKByQuery(pairs, k)
   }
 
+  // ======== persisted IVF index (disk lifecycle) ==========================
+  // The embedding-side twin of the persisted MinHash index
+  // (Dedup.writeMinhashIndex / appendToMinhashIndex / compactMinhashIndex):
+  // train once, persist, let a 24/7 ingest stream APPEND new vectors as
+  // idempotent segments assigned to the STORED centroids (the standard
+  // incremental-IVF posture — no retrain per batch), probe with static
+  // cell-partition pruning, and RETRAIN from stored vectors when drift
+  // accumulates (the compaction analogue: appends never retrain, so cell
+  // balance decays as the distribution shifts; retrain restores it without
+  // ever re-reading corpus source data).
+  //
+  // Layout at `path`:
+  //  - assigned/  seg+cell-partitioned vectors (corpus_id, cv); seg gives
+  //    dynamic-overwrite idempotency for retried streaming batches
+  //    (exactly the MinHash segment contract), cell gives the probe's
+  //    static partition pruning
+  //  - centroids/ one row per cell (cell, centroid)
+  //  - meta/      one row: nlist, dim, iters, train_sample, seed — readers
+  //    never re-supply build params; dim makes mismatched-width appends
+  //    fail loud instead of silently scoring partial dot products
+
+  private val ivfMetaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Int, Seq[Seq[Double]])]()
+
+  /** (dim, centroids-by-cell) for a persisted index, cached per FILE
+    * IDENTITY of the centroids+meta tables (one listStatus RPC per read —
+    * the same per-micro-batch economics as Dedup.readIndexMeta; a
+    * RETRAINED index rewrites both tables and re-reads). */
+  private def readIvfMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Seq[Seq[Double]]) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val key = Seq("centroids", "meta").map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$t")
+      p.getFileSystem(hconf).listStatus(p).sortBy(_.getPath.getName)
+        .map(s => s"${s.getPath}|${s.getLen}|${s.getModificationTime}")
+        .mkString(";")
+    }.mkString("#")
+    ivfMetaCache.computeIfAbsent(key, _ => {
+      val dim = spark.read.parquet(s"$path/meta").collect()
+        .head.getAs[Int]("dim")
+      val cents = spark.read.parquet(s"$path/centroids").collect()
+        .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](
+          r.fieldIndex("centroid")))
+        .sortBy(_._1).map(_._2.toSeq).toSeq
+      (dim, cents)
+    })
+  }
+
+  /** One-row eager width probe (the TsNorm.sliceNs pattern): a vector
+    * column whose width disagrees with the index dim would silently score
+    * PARTIAL dot products — fail loud before any write/search instead.
+    * Bounded: one task, one row; an empty frame passes (nothing to
+    * mis-assign). */
+  private def requireDim(df: DataFrame, vec: Column, dim: Int,
+      what: String): Unit = {
+    val probe = df.select(F.size(vec.cast(ArrayType(DoubleType))).as("n"))
+      .filter(F.col("n").isNotNull).limit(1).collect()
+    probe.headOption.foreach { r =>
+      require(r.getInt(0) == dim,
+        s"$what: vector width ${r.getInt(0)} != index dim $dim — a " +
+          "mismatched embedding model would silently score partial dot " +
+          "products")
+    }
+  }
+
+  /** Train + assign + persist (see the layout note above). */
+  def writeIvfIndex(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      path: String, nlist: Int = 16, iters: Int = 5,
+      trainSample: Int = 10000, seed: Long = 42): Unit = {
+    val spark = corpus.sparkSession
+    val idx = ivfIndex(corpus, corpusId, corpusVec, nlist, iters,
+      trainSample, seed)
+    writeIvfTables(spark, idx, path, iters, trainSample, seed)
+  }
+
+  private def writeIvfTables(spark: org.apache.spark.sql.SparkSession,
+      idx: IvfIndex, path: String, iters: Int, trainSample: Int,
+      seed: Long): Unit = {
+    import spark.implicits._
+    idx.assigned.withColumn("seg", F.lit("base"))
+      .write.mode("overwrite").partitionBy("seg", "cell")
+      .parquet(s"$path/assigned")
+    idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((idx.centroids.length, idx.centroids.head.length, iters,
+      trainSample, seed))
+      .toDF("nlist", "dim", "iters", "train_sample", "seed")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append a batch as segment `segment`: vectors are assigned to the
+    * STORED centroids (scan-side, no shuffle, no retrain) and written
+    * with dynamic partition overwrite — a retried streaming batch
+    * REPLACES its segment instead of double-appending, the exactly-once
+    * contract shared with [[graft.operators.Dedup.appendToMinhashIndex]].
+    * An empty batch is a no-op (dynamic overwrite touches no partitions). */
+  def appendToIvfIndex(batch: DataFrame, id: Column, vec: Column,
+      path: String, segment: String): Unit = {
+    require(segment.nonEmpty && segment != "base" &&
+      segment.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"segment '$segment' must be a filesystem-safe label != 'base'")
+    val spark = batch.sparkSession
+    val (dim, centroids) = readIvfMeta(spark, path)
+    requireDim(batch, vec, dim, "appendToIvfIndex")
+    batch.select(id.as("corpus_id"), vec.as("cv"))
+      .withColumn("cell",
+        graft.functions.VectorExprs.topCells(F.col("cv"), centroids, 1)(0))
+      .withColumn("seg", F.lit(segment))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("seg", "cell").parquet(s"$path/assigned")
+  }
+
+  /** Probe a persisted index: identical plan shape to [[ivfSearch]] —
+    * probed-cell IN-filter (a STATIC partition filter on the
+    * cell-partitioned layout: only the probed cells' files are listed or
+    * scanned, across every segment), broadcast probes, exact cosine on
+    * candidates. Segments are read transparently (assignment is
+    * per-vector state; unlike MinHash postings nothing is aggregated per
+    * segment, so probe results are segment-layout-independent BY
+    * CONSTRUCTION — the spec pins append ≡ fresh-build). */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val (dim, centroids) = readIvfMeta(spark, path)
+    requireDim(queries, queryVec, dim, "searchIvfIndex")
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .select("corpus_id", "cv", "cell")
+    ivfSearch(IvfIndex(centroids, assigned), queries, queryId, queryVec,
+      k, nprobe)
+  }
+
+  /** Retrain from STORED vectors — the drift-repair / compaction step:
+    * appends assign against frozen centroids, so after enough
+    * distribution shift the cells unbalance (hot cells slow probes the
+    * same way hot MinHash segments slow buckets). Reads every stored
+    * vector back (never the corpus source), retrains with the same
+    * deterministic pipeline as [[writeIvfIndex]] (same ids + same seed ⇒
+    * identical sample, identical centroids — spec-pinned), folds all
+    * segments into `base`, and swaps each table in rename-aside
+    * (crash-leaves-a-recoverable-copy, same posture as
+    * [[graft.operators.Dedup.compactMinhashIndex]]). */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, nlist: Int = 16, iters: Int = 5,
+      trainSample: Int = 10000, seed: Long = 42): Unit = {
+    val stored = spark.read.parquet(s"$path/assigned")
+      .select("corpus_id", "cv")
+    val idx = ivfIndex(stored, F.col("corpus_id"), F.col("cv"), nlist,
+      iters, trainSample, seed)
+    val staged = s"$path/__retrain"
+    writeIvfTables(spark, idx, staged, iters, trainSample, seed)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq("assigned", "centroids", "meta").foreach { table =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/$table")
+      val tmp = new org.apache.hadoop.fs.Path(s"$staged/$table")
+      val old = new org.apache.hadoop.fs.Path(s"$path/__${table}_old")
+      val fs = dir.getFileSystem(hconf)
+      fs.delete(old, true)
+      require(fs.rename(dir, old), s"retrain: move-aside failed for $table")
+      require(fs.rename(tmp, dir), s"retrain: swap-in failed for $table")
+      fs.delete(old, true)
+    }
+    val fs = new org.apache.hadoop.fs.Path(staged).getFileSystem(hconf)
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+  }
+
   private final case class Probes(frame: DataFrame, cells: Seq[Int])
 
   /** Explode queries into their `nprobe` best cells and collect ONCE:

@@ -496,6 +496,76 @@ class OperatorsSpec extends SparkSpec {
       s"probe filter not pushed to partition pruning:\n$scan")
   }
 
+  test("persisted IVF index lifecycle: append ≡ fresh build, segment " +
+      "retry idempotent, dim guard loud, retrain ≡ fresh full-corpus " +
+      "build with segments folded to base") {
+    val corpus = (for { cl <- 0 until 4; i <- 0 until 25 } yield {
+      val v = Array.tabulate(8)(d =>
+        (if (d == cl * 2) 10.0 else 0.0) + ((i * 7 + d * 3) % 5) * 0.1)
+      (cl * 100L + i, v.toSeq)
+    }).toDF("id", "v")
+    val queries = (0 until 4).map { cl =>
+      (1000L + cl, Seq.tabulate(8)(d => if (d == cl * 2) 10.0 else 0.0))
+    }.toDF("id", "v")
+    def ids(d: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      d.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfp").toString
+    val dir = root + "/idx"; val full = root + "/full"
+    // even ids build the index, odd ids append as a segment
+    Similarity.writeIvfIndex(corpus.filter(F.col("id") % 2 === 0),
+      F.col("id"), F.col("v"), dir, nlist = 4, trainSample = 100)
+    Similarity.appendToIvfIndex(corpus.filter(F.col("id") % 2 === 1),
+      F.col("id"), F.col("v"), dir, "b0")
+    // exhaustive probe over the appended index == brute force over the
+    // FULL corpus — nothing appended is lost, duplicated, or mis-assigned
+    val exact = ids(Similarity.bruteForceTopK(corpus, F.col("id"),
+      F.col("v"), queries, F.col("id"), F.col("v"), k = 5))
+    assert(ids(Similarity.searchIvfIndex(spark, dir, queries,
+      F.col("id"), F.col("v"), k = 5, nprobe = 4)) == exact)
+    // a RETRIED segment write replaces, never double-appends
+    Similarity.appendToIvfIndex(corpus.filter(F.col("id") % 2 === 1),
+      F.col("id"), F.col("v"), dir, "b0")
+    assert(ids(Similarity.searchIvfIndex(spark, dir, queries,
+      F.col("id"), F.col("v"), k = 5, nprobe = 4)) == exact)
+    // probe pruning survives the seg+cell layout
+    val one = Similarity.searchIvfIndex(spark, dir,
+      queries.filter(F.col("id") === 1000L), F.col("id"), F.col("v"),
+      k = 5, nprobe = 1)
+    one.collect()
+    val pf = one.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("cell")), pf)
+    // mismatched vector width fails loud on BOTH write paths
+    val narrow = Seq((9999L, Seq(1.0, 2.0, 3.0, 4.0))).toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(narrow, F.col("id"), F.col("v"), dir, "b1")
+    }
+    assert(e1.getMessage.contains("dim"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.searchIvfIndex(spark, dir, narrow, F.col("id"),
+        F.col("v"), k = 1)
+    }
+    assert(e2.getMessage.contains("dim"), e2.getMessage)
+    // retrain from STORED vectors: identical centroids + cells as a
+    // fresh build over the same corpus (same ids + seed => same seeded
+    // sample => same Lloyd's trajectory), segments folded to base
+    Similarity.writeIvfIndex(corpus, F.col("id"), F.col("v"), full,
+      nlist = 4, trainSample = 100)
+    Similarity.retrainIvfIndex(spark, dir, nlist = 4, trainSample = 100)
+    def cents(p: String) = spark.read.parquet(s"$p/centroids").collect()
+      .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+    assert(cents(dir) == cents(full))
+    def cells(p: String) = spark.read.parquet(s"$p/assigned")
+      .select("corpus_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("cell"))).sortBy(_._1).toSeq
+    assert(cells(dir) == cells(full))
+    assert(spark.read.parquet(s"$dir/assigned").select("seg").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("base"))
+    assert(ids(Similarity.searchIvfIndex(spark, dir, queries,
+      F.col("id"), F.col("v"), k = 5, nprobe = 4)) == exact)
+  }
+
   test("ivfSearchQuantized: SQ8 disk index prunes to probed partitions " +
       "and scores within quantization tolerance of the float path") {
     val corpus = (for { cl <- 0 until 4; i <- 0 until 25 } yield {
