@@ -17,6 +17,8 @@ object Stats {
     val numeric = df.names.filter(n => df.schema(n).dataType match {
       case _: NumericType => true; case _ => false
     })
+    require(numeric.nonEmpty, // not a bare aggs.head crash
+      s"describe: no numeric columns among ${df.names.mkString(", ")}")
     val aggs = numeric.flatMap { n =>
       val c = F.col(n)
       Seq(F.count(c).as(s"${n}__count"),
@@ -84,6 +86,17 @@ object Stats {
     * dictionary is small by definition. */
   def categorise(df: Gdf, col: String, categories: Gdf,
       catCol: String, codeCol: String = "code"): Gdf = {
+    // a duplicated category would silently DUPLICATE every matching row
+    // of the main frame through the join — a category dictionary is
+    // unique by construction in the reference (:category dtype), so a
+    // dup here is caller error; one bounded job on the (small) dict
+    val dup = categories.sdf.groupBy(F.col(catCol))
+      .agg(F.count(F.lit(1)).as("__n")).filter(F.col("__n") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"categorise: category '${dup.headOption.map(_.get(0)).orNull}' " +
+        "appears more than once in the dictionary — the join would " +
+        "silently duplicate rows")
     val dict = F.broadcast(categories.sdf
       .select(F.col(catCol).as("__cat"), F.col(codeCol).as(s"${col}_code")))
     Gdf(df.sdf.join(dict, df.sdf(col) === F.col("__cat"), "left")
@@ -185,7 +198,13 @@ object Stats {
       categoryLabel: String = "category", leftClosed: Boolean = false,
       includeBreaks: Boolean = false): Gdf = {
     val col = F.col(colName)
-    val sorted = breaks.sorted
+    // same ascending-breaks contract as [[cut]] (which this delegates to):
+    // silently sorting here would misalign user-supplied labels — the
+    // exact hazard cut refuses (Polars likewise rejects non-monotone
+    // breaks)
+    require(breaks == breaks.sorted,
+      s"cut breaks must be ascending, got ${breaks.mkString(", ")}")
+    val sorted = breaks
     val base = df.sdf.select(col.as("values"))
     val out =
       if (!includeBreaks)

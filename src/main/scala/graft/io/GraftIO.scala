@@ -125,36 +125,57 @@ object GraftIO {
       case "utf8-lossy" | "utf8_lossy" => "UTF-8"
       case _ => encoding
     }
-    var r = spark.read
-      .option("sep", delimiter)
-      .option("header", header)
-      .option("encoding", charset)
-      .option("quote", quoteDelimiter)
-    if (nilValues.nonEmpty) r = r.option("nullValue", nilValues.head)
-    dtypes match {
-      case Some(s) => r = r.schema(s)
-      case None =>
-        r = r.option("inferSchema", inferSchemaLength.isDefined)
-        if (parseDates) r = r.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
+    import spark.implicits._
+    val url = resolveUrl(path)
+    def textLines(): org.apache.spark.sql.Dataset[String] = {
+      var tr = spark.read.option("encoding", charset)
+      eolDelimiter.foreach(e => tr = tr.option("lineSep", e))
+      tr.textFile(url)
     }
-    var df =
-      if (skipRows == 0 && skipRowsAfterHeader == 0) {
-        eolDelimiter.foreach(e => r = r.option("lineSep", e))
-        r.csv(resolveUrl(path))
-      } else {
-        import spark.implicits._
-        var tr = spark.read.option("encoding", charset)
-        eolDelimiter.foreach(e => tr = tr.option("lineSep", e))
-        val lines = tr.textFile(resolveUrl(path))
-        val hdr = if (header) 1 else 0
+    val hdr = if (header) 1 else 0
+    // positional line-skipping pre-pass (None when nothing to skip)
+    val keptLines: Option[org.apache.spark.sql.Dataset[String]] =
+      if (skipRows == 0 && skipRowsAfterHeader == 0) None
+      else {
         val afterHdr = skipRows + hdr
-        val kept = lines.rdd.zipWithIndex.filter { case (_, i) =>
-          i >= skipRows &&
-            (skipRowsAfterHeader == 0 || i < afterHdr ||
-              i >= afterHdr + skipRowsAfterHeader)
-        }.map(_._1)
-        r.csv(spark.createDataset(kept))
+        Some(spark.createDataset(
+          textLines().rdd.zipWithIndex.filter { case (_, i) =>
+            i >= skipRows &&
+              (skipRowsAfterHeader == 0 || i < afterHdr ||
+                i >= afterHdr + skipRowsAfterHeader)
+          }.map(_._1)))
       }
+    def baseOpts(r0: org.apache.spark.sql.DataFrameReader) = {
+      var r = r0.option("sep", delimiter)
+        .option("header", header)
+        .option("encoding", charset)
+        .option("quote", quoteDelimiter)
+      if (nilValues.nonEmpty) r = r.option("nullValue", nilValues.head)
+      if (dtypes.isEmpty && parseDates)
+        r = r.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
+      r
+    }
+    // Explorer's infer_schema_length contract (data_frame.ex:632): Some(n)
+    // infers from the first n rows ONLY — a bounded sample probe, then the
+    // schema is APPLIED to the full scan (at 100 TB the difference between
+    // a driver-cheap probe and a second full pass, the same shape as
+    // [[fromNdjson]]); None does the full-table inference scan.
+    val schemaToUse: Option[StructType] = dtypes.orElse(
+      inferSchemaLength.map { n =>
+        val sample = keptLines.getOrElse(textLines()).limit(n + hdr)
+        baseOpts(spark.read).option("inferSchema", true).csv(sample).schema
+      })
+    var r = baseOpts(spark.read)
+    schemaToUse match {
+      case Some(s) => r = r.schema(s)
+      case None => r = r.option("inferSchema", true)
+    }
+    var df = keptLines match {
+      case None =>
+        eolDelimiter.foreach(e => r = r.option("lineSep", e))
+        r.csv(url)
+      case Some(kept) => r.csv(kept)
+    }
     if (nilValues.size > 1) {
       val extras = nilValues.tail
       df.schema.fields.foreach { f =>
@@ -173,7 +194,10 @@ object GraftIO {
   def loadCsv(spark: SparkSession, contents: String,
       delimiter: String = ",", header: Boolean = true): Gdf = {
     import spark.implicits._
-    val ds = spark.createDataset(contents.split("\n").toSeq)
+    // \r?\n: CRLF content would otherwise leave a trailing \r on every
+    // line — the last column (and on the header row, its NAME) silently
+    // carries it
+    val ds = spark.createDataset(contents.split("\r?\n").toSeq)
     Gdf(spark.read.option("sep", delimiter).option("header", header)
       .option("inferSchema", true).csv(ds))
   }
@@ -360,7 +384,8 @@ object GraftIO {
   /** `load_ndjson` — parse in-memory NDJSON (data_frame.ex:1648). */
   def loadNdjson(spark: SparkSession, contents: String): Gdf = {
     import spark.implicits._
-    Gdf(spark.read.json(spark.createDataset(contents.split("\n").toSeq)))
+    Gdf(spark.read.json(spark.createDataset(
+      contents.split("\r?\n").toSeq)))
   }
 
   // ======== dump_* — frame → in-memory binary (data_frame.ex:607-1722) ======

@@ -40,8 +40,16 @@ object Packing {
     require(order.nonEmpty, "packSequences needs a declared total order")
     val parts = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "200").toInt
+    // a negative count (a buggy upstream tokenizer) would silently make
+    // bin ids non-monotone — fail loud per row instead. Non-constant
+    // `when` branch so the assert can't be constant-folded away (the r8
+    // optimizer trap, see TsNorm.sliceNs); one codegen'd comparison/row.
+    val nonNeg = F.col("__tok").isNull || F.col("__tok") >= 0
     val sorted = df
       .withColumn("__tok", tokens.cast(LongType))
+      .filter(F.when(F.assert_true(nonNeg, F.lit(
+        "packSequences: negative token count — bins would be " +
+          "non-monotone")).isNull, nonNeg))
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
     Bridge.zipWithPrefixSum(sorted, "__tok", "tokens_before")

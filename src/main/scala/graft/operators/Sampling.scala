@@ -31,12 +31,26 @@ object Sampling {
   private val HexChars = 4
   private val Buckets = 1 << (4 * HexChars) // 65536
 
+  /** A null key would take three DIFFERENT silent paths — land in the
+    * last split label (the `otherwise` branch), vanish from samples (null
+    * comparison), and sort FIRST in topKByHash (nulls-first ordering) —
+    * so every hash entry point asserts non-null per row instead (one
+    * codegen'd check; a null document key is upstream corruption, not a
+    * samplable row). Non-constant `when` branch so the assert survives
+    * optimization (see TsNorm.sliceNs). */
+  private def requireKey(key: Column, hashed: Column): Column =
+    F.when(F.assert_true(key.isNotNull, F.lit(
+      "hash sampling key is null — null keys have no deterministic " +
+        "bucket; filter or coalesce them explicitly first")).isNull,
+      hashed)
+
   /** Lowercase-hex bucket id in [0, 65536) as a 4-char string:
     * `substr(md5(key || salt), 1, 4)`. */
-  def hashBucket(key: Column, salt: String = ""): Column =
-    F.substring(
-      F.md5(F.concat(key.cast(StringType), F.lit(salt)).cast(BinaryType)),
-      1, HexChars)
+  def hashBucket(key: Column, salt: String = ""): Column = {
+    val k = key.cast(StringType)
+    requireKey(k, F.substring(
+      F.md5(F.concat(k, F.lit(salt)).cast(BinaryType)), 1, HexChars))
+  }
 
   /** Cumulative bucket thresholds for `weights`, as 4-char hex strings —
     * label i covers buckets [t(i-1), t(i)). The last label absorbs the
@@ -128,8 +142,11 @@ object Sampling {
   /** Full md5 hex of `key || salt` — the per-key pseudo-random TOTAL order
     * behind [[topKByHash]] (the 4-char bucket of [[hashBucket]] collides on
     * purpose; this does not, to 2^-64). */
-  def hashOrder(key: Column, salt: String = ""): Column =
-    F.md5(F.concat(key.cast(StringType), F.lit(salt)).cast(BinaryType))
+  def hashOrder(key: Column, salt: String = ""): Column = {
+    val k = key.cast(StringType)
+    requireKey(k,
+      F.md5(F.concat(k, F.lit(salt)).cast(BinaryType)))
+  }
 
   /** Deterministic k-per-domain sample: the k smallest keys per domain in
     * md5 order (ties broken by the key itself) — "give me k representative

@@ -90,6 +90,46 @@ class IOStreamsSpec extends SparkSpec {
       Seq("x", "y"))
   }
 
+  test("fromCsv infer_schema_length: Some(n) infers from n rows only " +
+      "(bounded probe, the Explorer contract), None does the full-table " +
+      "inference scan") {
+    val dir = tmp("graft_infer")
+    val f = new java.io.File(dir, "in.csv")
+    // rows 1-2 are integral, row 3 is fractional — a 2-row sample infers
+    // INT (and the full apply parses 2.5 per int semantics), a full scan
+    // infers DOUBLE
+    java.nio.file.Files.write(f.toPath,
+      "a\n1\n2\n2.5\n".getBytes("UTF-8"))
+    val bounded = GraftIO.fromCsv(spark, f.getPath,
+      inferSchemaLength = Some(2))
+    assert(bounded.schema("a").dataType ==
+      org.apache.spark.sql.types.IntegerType, bounded.schema)
+    val full = GraftIO.fromCsv(spark, f.getPath, inferSchemaLength = None)
+    assert(full.schema("a").dataType ==
+      org.apache.spark.sql.types.DoubleType, full.schema)
+    assert(col1[Double](full.sdf.orderBy("a"), "a") == Seq(1.0, 2.0, 2.5))
+    // bounded inference composes with the line-skip pre-pass: the sample
+    // reads POST-skip lines, not raw file lines
+    val g = new java.io.File(dir, "skip.csv")
+    java.nio.file.Files.write(g.toPath,
+      "garbage\na\n1\n2\n".getBytes("UTF-8"))
+    val skipped = GraftIO.fromCsv(spark, g.getPath, skipRows = 1,
+      inferSchemaLength = Some(10))
+    assert(skipped.names == Seq("a"))
+    assert(skipped.schema("a").dataType ==
+      org.apache.spark.sql.types.IntegerType, skipped.schema)
+  }
+
+  test("loadCsv / loadNdjson strip CRLF line endings (a trailing \\r " +
+      "would silently ride on the last column and its header name)") {
+    val g = GraftIO.loadCsv(spark, "a,b\r\n1,x\r\n2,y\r\n")
+    assert(g.names == Seq("a", "b"))
+    assert(g.sdf.orderBy("a").collect().map(_.getString(1)).toSeq ==
+      Seq("x", "y"))
+    val j = GraftIO.loadNdjson(spark, "{\"a\": 1}\r\n{\"a\": 2}\r\n")
+    assert(col1[Long](j.sdf.orderBy("a"), "a") == Seq(1L, 2L))
+  }
+
   test("fromQuery reads over JDBC (embedded Derby — Spark's metastore db)") {
     val url = "jdbc:derby:memory:graftdb;create=true"
     val conn = java.sql.DriverManager.getConnection(url)

@@ -870,6 +870,19 @@ class OperatorsSpec extends SparkSpec {
     assert(stats.toSeq == Seq((0L, 2L, 510L), (5L, 2L, 10L)))
   }
 
+  test("packSequences fails loud on a negative token count (bins would " +
+      "silently go non-monotone)") {
+    val d = Seq((1L, 10L), (2L, -5L)).toDF("id", "tok")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Throwable] {
+      Packing.packSequences(d, F.col("tok"), 100L, Seq(F.col("id")))
+        .collect()
+    }
+    assert(msgs(e).exists(_.contains("negative token count")), msgs(e))
+  }
+
   test("quantileFilter keeps rows at or above the interpolated quantile") {
     val d = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
     // median of 1..10 interpolates to 5.5 -> keep 6..10

@@ -33,6 +33,28 @@ class SamplingSpec extends SparkSpec {
       .filter(s1("split") =!= s2("split")).count() > 0)
   }
 
+  test("hash operators fail loud on a null key (previously three " +
+      "DIFFERENT silent paths: last split label, dropped from sample, " +
+      "first in topK)") {
+    val d = Seq(Some("k1"), None).toDF("k")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e1 = intercept[Throwable] {
+      Sampling.hashSplit(d, F.col("k"),
+        Seq("train" -> 0.8, "test" -> 0.2)).collect()
+    }
+    assert(msgs(e1).exists(_.contains("null")), msgs(e1))
+    val e2 = intercept[Throwable] {
+      Sampling.topKByHash(d.withColumn("dom", F.lit("a")), F.col("dom"),
+        F.col("k"), k = 1).collect()
+    }
+    assert(msgs(e2).exists(_.contains("null")), msgs(e2))
+    // non-null keys unaffected
+    assert(Sampling.hashSplit(d.filter(F.col("k").isNotNull), F.col("k"),
+      Seq("train" -> 1.0)).count() == 1)
+  }
+
   test("hashSplit: single label and weight normalization") {
     val d = (0L until 50L).toDF("id")
     val one = Sampling.hashSplit(d, F.col("id"), Seq("all" -> 1.0))

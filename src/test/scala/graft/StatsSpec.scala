@@ -73,6 +73,27 @@ class StatsSpec extends SparkSpec {
     assert(got == Seq(Some(0L), Some(1L), None))
   }
 
+  test("loud guards: duplicate categorise dictionary (silent row " +
+      "duplication), describe without numeric columns, cutFrame unsorted " +
+      "breaks (label misalignment — same contract as cut)") {
+    import org.apache.spark.sql.{functions => F}
+    val d = Gdf(Seq("a", "b").toDF("c"))
+    val dupCats = Gdf(Seq(("a", 0L), ("a", 1L), ("b", 2L)).toDF("cat", "code"))
+    val e1 = intercept[IllegalArgumentException] {
+      Stats.categorise(d, "c", dupCats, "cat")
+    }
+    assert(e1.getMessage.contains("duplicate"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Stats.describe(Gdf(Seq("x").toDF("s")))
+    }
+    assert(e2.getMessage.contains("numeric"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Stats.cutFrame(Gdf(Seq(1.0).toDF("v")), "v", Seq(5.0, 2.0),
+        labels = Seq("lo", "mid", "hi"))
+    }
+    assert(e3.getMessage.contains("ascending"), e3.getMessage)
+  }
+
   test("cut labels (lo, hi] like Polars, custom labels, null → null") {
     val d = Seq(Some(5.0), Some(15.0), Some(45.0), None).toDF("v")
     val c = d.select(Stats.cut(F.col("v"), Seq(10.0, 25.0, 40.0)).as("bin"))
