@@ -1222,6 +1222,59 @@ object SparkEntry {
       .orderBy("hour_start", "event_type")
   }
 
+  private val s07Run = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming EMBEDDING ingest over the persisted IVF index (d54's
+    * steady state; the vector twin of s04): even-third vec_ids are
+    * indexed once, then two mtime-ordered micro-batches arrive; each is
+    * probed with every cell searched (exact max-cosine decision) and its
+    * survivors are appended to sink AND index. The feed plants ×2-scaled
+    * copies (direction-exact, cosine 1.0 — the d13 technique) so every
+    * death path is load-bearing: batch-1 copies of indexed vectors die
+    * against the BASE, batch-2 copies of batch-1 originals die against an
+    * APPENDED segment, and batch-2 ORIGINALS whose scaled copies arrived
+    * in batch 1 die against their own copies — an implementation that
+    * drops appends, drops copies, or breaks the fold order hash-fails.
+    * Oracle: the same two-step fold in exact-cosine SQL. */
+  private val s07: (SparkSession, String) => DataFrame = (s, dir) => {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try s07Body(s, dir)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private val s07Body: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      .filter(F.col("vec_id") >= 5)
+    val run = s07Run.incrementAndGet()
+    def scaled(df: DataFrame) = df.select(
+      (F.col("vec_id") + 10000).as("vec_id"),
+      F.transform(F.col("embedding"), x => x * F.lit(2.0f)).as("embedding"))
+    val idx = scratch(s"s07_index_${dir.hashCode.abs}_$run")
+    operators.Similarity.writeIvfIndex(e.filter(F.col("vec_id") % 3 === 0),
+      F.col("vec_id"), F.col("embedding"), idx, nlist = 8)
+    val feed = new java.io.File(scratch(s"s07_feed_${dir.hashCode.abs}_$run"))
+    feed.mkdirs()
+    val b1 = e.filter(F.col("vec_id") % 3 === 1)
+      .unionAll(scaled(e.filter(F.col("vec_id") % 3 === 0 &&
+        F.col("vec_id") < 20)))
+      .unionAll(scaled(e.filter(F.col("vec_id") % 3 === 2 &&
+        F.col("vec_id") < 35)))
+    val b2 = e.filter(F.col("vec_id") % 3 === 2)
+      .unionAll(scaled(e.filter(F.col("vec_id") % 3 === 1 &&
+        F.col("vec_id") < 20)))
+    Seq(b1, b2).zipWithIndex.foreach { case (b, k) =>
+      shipFeedFile(b, feed, k, s"s07_tmp_${dir.hashCode.abs}_$run")
+    }
+    val out = scratch(s"s07_out_${dir.hashCode.abs}_$run")
+    streaming.Streams.ingestEmbedStream(
+      streaming.Streams.readParquetStream(s, feed.toString, b1.schema,
+        maxFilesPerTrigger = 1),
+      F.col("vec_id"), F.col("embedding"), idx, out, threshold = 0.999,
+      name = s"s07_${dir.hashCode.abs}_$run")
+    s.read.parquet(out).select("vec_id").orderBy("vec_id")
+  }
+
   /** TIME-PARTITIONED layout round trip — the other half of the time-scan
     * story next to [[q63]]'s row-group pruning: events rewritten once into
     * a date-partitioned, ts-sorted layout
@@ -2281,6 +2334,7 @@ object SparkEntry {
     "s04_stream_ingest_dedup" -> s04,
     "s05_stream_lake" -> s05,
     "s06_lake_compact" -> s06,
+    "s07_stream_embed_ingest" -> s07,
     "d01_exact_dedup" -> d01,
     "d02_token_counts" -> d02,
     "d03_langid_quality" -> d03,
@@ -2840,6 +2894,36 @@ object SparkEntry {
       WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
         AND ts <  TIMESTAMP '2024-01-16 00:00:00'
       GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "s07_stream_embed_ingest" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                 WHERE vec_id >= 5),
+      base AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 0),
+      b1 AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 1
+             UNION ALL
+             SELECT vec_id + 10000, list_transform(v, x -> x * 2)
+             FROM e WHERE vec_id % 3 = 0 AND vec_id < 20
+             UNION ALL
+             SELECT vec_id + 10000, list_transform(v, x -> x * 2)
+             FROM e WHERE vec_id % 3 = 2 AND vec_id < 35),
+      s1 AS (SELECT x.vec_id, x.v FROM b1 x WHERE NOT EXISTS (
+               SELECT 1 FROM base c
+               WHERE list_dot_product(x.v, c.v) /
+                     (sqrt(list_dot_product(x.v, x.v)) *
+                      sqrt(list_dot_product(c.v, c.v))) >= 0.999)),
+      i1 AS (SELECT vec_id, v FROM base
+             UNION ALL SELECT vec_id, v FROM s1),
+      b2 AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 2
+             UNION ALL
+             SELECT vec_id + 10000, list_transform(v, x -> x * 2)
+             FROM e WHERE vec_id % 3 = 1 AND vec_id < 20),
+      s2 AS (SELECT x.vec_id, x.v FROM b2 x WHERE NOT EXISTS (
+               SELECT 1 FROM i1 c
+               WHERE list_dot_product(x.v, c.v) /
+                     (sqrt(list_dot_product(x.v, x.v)) *
+                      sqrt(list_dot_product(c.v, c.v))) >= 0.999))
+      SELECT vec_id FROM (SELECT vec_id FROM s1
+                          UNION ALL SELECT vec_id FROM s2) t
+      ORDER BY vec_id""",
     "d01_exact_dedup" -> """
       SELECT min(doc_id) AS doc_id, arg_min(n_chars, doc_id) AS n_chars
       FROM documents GROUP BY text ORDER BY doc_id""",

@@ -131,7 +131,8 @@ object Bridge {
     * replacement for `sum().over(Window.orderBy(...).rowsBetween(...))`,
     * which funnels everything through one task. */
   def zipWithPrefixSum(df: org.apache.spark.sql.DataFrame, colName: String,
-      out: String): org.apache.spark.sql.DataFrame = {
+      out: String, requireNonNegative: Boolean = false,
+      what: String = "zipWithPrefixSum"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
     import org.apache.spark.sql.types.LongType
     val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -139,10 +140,20 @@ object Bridge {
     require(df.schema(colName).dataType == LongType,
       s"zipWithPrefixSum needs a LongType column, got ${df.schema(colName).dataType}")
     val rdd = df.queryExecution.toRdd
+    // the non-negativity guard rides the partial-sum loop that already
+    // touches every row — a separate per-row assert FILTER in the plan
+    // measured ~1.7x on the packing bench (d25), this is free
     val partials = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
-        it.foreach(r => if (!r.isNullAt(ord)) s += r.getLong(ord))
+        it.foreach { r =>
+          if (!r.isNullAt(ord)) {
+            val v = r.getLong(ord)
+            if (requireNonNegative && v < 0) throw new IllegalArgumentException(
+              s"$what: negative value $v in '$colName'")
+            s += v
+          }
+        }
         Iterator((pid, s))
       }
       .collect().toMap

@@ -416,16 +416,26 @@ object Similarity {
     * candidates. Segments are read transparently (assignment is
     * per-vector state; unlike MinHash postings nothing is aggregated per
     * segment, so probe results are segment-layout-independent BY
-    * CONSTRUCTION — the spec pins append ≡ fresh-build). */
+    * CONSTRUCTION — the spec pins append ≡ fresh-build).
+    *
+    * `excludeSegment`: drop one segment from the searched index — the
+    * streaming ingest probes with its OWN in-flight segment excluded,
+    * because a crash between a batch's append and its checkpoint commit
+    * would otherwise make the replayed batch self-match (cosine 1.0)
+    * against its earlier attempt and erase every survivor (the same
+    * retry hazard [[graft.operators.Dedup.dedupAgainstIndex]] solves). */
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, queryId: Column, queryVec: Column,
-      k: Int, nprobe: Int = 4): DataFrame = {
+      k: Int, nprobe: Int = 4,
+      excludeSegment: Option[String] = None): DataFrame = {
     val (dim, centroids) = readIvfMeta(spark, path)
     requireDim(queries, queryVec, dim, "searchIvfIndex")
-    val assigned = spark.read.parquet(s"$path/assigned")
-      .select("corpus_id", "cv", "cell")
-    ivfSearch(IvfIndex(centroids, assigned), queries, queryId, queryVec,
-      k, nprobe)
+    var assigned = spark.read.parquet(s"$path/assigned")
+    excludeSegment.foreach(sg =>
+      assigned = assigned.filter(F.col("seg") =!= sg))
+    ivfSearch(IvfIndex(centroids,
+      assigned.select("corpus_id", "cv", "cell")),
+      queries, queryId, queryVec, k, nprobe)
   }
 
   /** Retrain from STORED vectors — the drift-repair / compaction step:

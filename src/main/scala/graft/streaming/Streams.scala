@@ -149,14 +149,7 @@ object Streams {
     // the same checkpoint keeps prefix AND replayed batchId (idempotent
     // overwrite, as designed); a new run gets a new prefix (appends).
     // Returned so callers can address this run's segments (e.g. replay).
-    // Truncated SHA-256, not String.hashCode: a 32-bit hash collision
-    // between two runs' checkpoint paths would make the new run's seg b0
-    // dynamic-overwrite (silently DELETE) the earlier run's b0 survivors
-    // — the exact hazard the prefix exists to prevent. 80 bits keeps
-    // birthday-collision odds negligible at any realistic run count.
-    val prefix = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(ckpt.getBytes("UTF-8")).take(10)
-      .map(b => f"${b & 0xff}%02x").mkString
+    val prefix = segmentPrefix(ckpt)
     val step: (DataFrame, Long) => Unit = (batchDf, batchId) => {
       val seg = s"${prefix}_b$batchId"
       // every cache a batch pins is released through the DATASET API once
@@ -176,6 +169,60 @@ object Streams {
         survivors.unpersist(false)
         release()
       }
+    }
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(step)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    prefix
+  }
+
+  /** Incremental EMBEDDING ingest — the vector-side twin of
+    * [[ingestDedupStream]], over the persisted IVF index
+    * ([[graft.operators.Similarity.writeIvfIndex]]): each micro-batch is
+    * probed against the index with every cell searched
+    * (`nprobe = nlist` ⇒ the decision is EXACT max-cosine, not
+    * approximate — the oracle-replayable posture; pass a smaller
+    * `nprobe` for the recall-trading production variant), vectors whose
+    * best match scores ≥ `threshold` die, survivors land in `outPath`
+    * AND the index ([[graft.operators.Similarity.appendToIvfIndex]]) so
+    * later batches dedup against every earlier batch's accepted vectors
+    * with no corpus re-scan.
+    *
+    * Exactly-once: same contract as [[ingestDedupStream]] — SHA-256
+    * checkpoint-derived segment prefix, per-batch dynamic-overwrite
+    * segments, and the probe EXCLUDES its own in-flight segment (a crash
+    * between append and checkpoint commit would otherwise make the
+    * replayed batch self-match at cosine 1.0 and erase its survivors).
+    * Batch-internal near-dup pairs both survive, mirroring the MinHash
+    * semantics. Returns the run's segment prefix. */
+  def ingestEmbedStream(stream: DataFrame, id: Column, vec: Column,
+      indexPath: String, outPath: String, threshold: Double,
+      name: String, checkpoint: Option[String] = None,
+      nprobe: Option[Int] = None): String = {
+    val spark = stream.sparkSession
+    val ckpt = checkpoint.getOrElse(checkpointDir(name).toString)
+    val prefix = segmentPrefix(ckpt)
+    val step: (DataFrame, Long) => Unit = (batchDf, batchId) => {
+      val seg = s"${prefix}_b$batchId"
+      val batch = batchDf.select(id.as("__vid"), vec.as("__v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val probes = nprobe.getOrElse(Int.MaxValue) // min'd to nlist inside
+        val best = graft.operators.Similarity.searchIvfIndex(spark,
+          indexPath, batch, F.col("__vid"), F.col("__v"), k = 1,
+          nprobe = probes, excludeSegment = Some(seg))
+        val dead = best.filter(F.col("cosine") >= threshold)
+          .select(F.col("query_id").as("__dead"))
+        val survivors = batch.join(F.broadcast(dead),
+          F.col("__vid") === F.col("__dead"), "left_anti")
+          .select(F.col("__vid").as("vec_id"), F.col("__v").as("embedding"))
+        survivors.write.mode("overwrite").parquet(s"$outPath/batch=$seg")
+        graft.operators.Similarity.appendToIvfIndex(survivors,
+          F.col("vec_id"), F.col("embedding"), indexPath, seg)
+      } finally { batch.unpersist(false); () }
     }
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
@@ -220,6 +267,17 @@ object Streams {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** Truncated SHA-256 of the checkpoint path, not String.hashCode: a
+    * 32-bit hash collision between two runs' checkpoints would make the
+    * new run's seg b0 dynamic-overwrite (silently DELETE) the earlier
+    * run's b0 survivors — the exact hazard the prefix exists to prevent.
+    * 80 bits keeps birthday-collision odds negligible at any realistic
+    * run count. Shared by both ingest streams. */
+  private def segmentPrefix(ckpt: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(ckpt.getBytes("UTF-8")).take(10)
+      .map(b => f"${b & 0xff}%02x").mkString
 
   private def checkpointDir(name: String): java.nio.file.Path = {
     val shm = new java.io.File("/dev/shm")

@@ -653,6 +653,66 @@ class IOStreamsSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("ingestEmbedStream: survivors grow the IVF index across " +
+      "micro-batches; retried segment replaces; self-match hazard pinned " +
+      "both ways; fresh-checkpoint rerun appends under a new prefix") {
+    import graft.operators.Similarity
+    def axis(d: Int): Seq[Double] =
+      Seq.tabulate(8)(i => if (i == d) 1.0 else 0.01 * (i + 1))
+    def x2(v: Seq[Double]): Seq[Double] = v.map(_ * 2.0) // direction-exact
+    val dir = tmp("graft_eingest")
+    val corpus = Seq((100L, axis(0))).toDF("vec_id", "embedding")
+    val idx = dir + "/idx"
+    Similarity.writeIvfIndex(corpus, F.col("vec_id"), F.col("embedding"),
+      idx, nlist = 2, trainSample = 10)
+    // b0: 1 is a x2 copy of indexed 100 (dies at base); 2 is a fresh
+    //     direction (survives, must be APPENDED)
+    // b1: 3 is a x2 copy of 2 — it can only die via the appended
+    //     survivor; 4 is fresh (survives)
+    val b0 = Seq((1L, x2(axis(0))), (2L, axis(2))).toDF("vec_id", "embedding")
+    val b1 = Seq((3L, x2(axis(2))), (4L, axis(4))).toDF("vec_id", "embedding")
+    val feed = new java.io.File(dir + "/feed"); feed.mkdirs()
+    shipFeed(b0, feed, 0, dir + "/tmp0")
+    shipFeed(b1, feed, 1, dir + "/tmp1")
+    val out = dir + "/out"
+    val prefix = Streams.ingestEmbedStream(
+      Streams.readParquetStream(spark, feed.toString, b0.schema,
+        maxFilesPerTrigger = 1),
+      F.col("vec_id"), F.col("embedding"), idx, out, threshold = 0.999,
+      name = "t_eingest")
+    assert(col1[Long](spark.read.parquet(out).orderBy("vec_id"), "vec_id")
+      == Seq(2L, 4L))
+    // retried segment: same survivors, dynamic overwrite (count stable)
+    val pre = spark.read.parquet(idx + "/assigned").count()
+    val retry = Similarity.searchIvfIndex(spark, idx, b1, F.col("vec_id"),
+      F.col("embedding"), k = 1, nprobe = Int.MaxValue,
+      excludeSegment = Some(s"${prefix}_b1"))
+      .filter(F.col("cosine") >= 0.999).select("query_id")
+    assert(retry.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    Similarity.appendToIvfIndex(
+      b1.join(retry.withColumnRenamed("query_id", "vec_id"), Seq("vec_id"),
+        "left_anti"),
+      F.col("vec_id"), F.col("embedding"), idx, s"${prefix}_b1")
+    assert(spark.read.parquet(idx + "/assigned").count() == pre)
+    // WITHOUT the exclusion, 4 finds its own earlier segment at cosine 1
+    // — the hazard excludeSegment exists for
+    val selfHit = Similarity.searchIvfIndex(spark, idx, b1, F.col("vec_id"),
+      F.col("embedding"), k = 1, nprobe = Int.MaxValue)
+      .filter(F.col("cosine") >= 0.999)
+    assert(selfHit.collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // fresh checkpoint -> new prefix; reprocessed vectors die against
+    // their earlier selves, survivor set unchanged
+    val prefix2 = Streams.ingestEmbedStream(
+      Streams.readParquetStream(spark, feed.toString, b0.schema,
+        maxFilesPerTrigger = 1),
+      F.col("vec_id"), F.col("embedding"), idx, out, threshold = 0.999,
+      name = "t_eingest2")
+    assert(prefix2 != prefix)
+    assert(col1[Long](spark.read.parquet(out).orderBy("vec_id"), "vec_id")
+      == Seq(2L, 4L))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("runningTotals custom state accumulates per key") {
     val dir = tmp("graft_state")
     val events = Seq(("u1", 1.0), ("u1", 2.0), ("u2", 10.0))
