@@ -1822,6 +1822,83 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Near-dedup keeping the best-QUALITY member per duplicate cluster
+    * instead of the minimum id ([[Dedup.dedupNearKeepBest]]): clusters
+    * come from the same verified MinHash pair graph as d15; the winner is
+    * the member with the maximum quality score, ties to the smallest id.
+    * The oracle replays everything in DuckDB — recursive-CTE closure over
+    * brute-force Jaccard pairs (d15's twin) + the quality formula (d26's
+    * twin) + a window arg-max per cluster — so a wrong winner, a dropped
+    * unpaired doc, or a surviving loser all hash-fail. */
+  private val d55: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.dedupNearKeepBest(t(s, dir, "documents"), F.col("doc_id"),
+      F.col("text"), TextAnalysis.qualityScore(F.col("text")),
+      threshold = 0.8, shingleSize = 3, numHashes = 64, bands = 8)
+      .select(F.col("doc_id"),
+        TextAnalysis.qualityScore(F.col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** The shared planted-copy fixture for semantic dedup: the embeddings
+    * corpus plus ×2-scaled copies of ids < 100 and ×0.5-scaled copies of
+    * ids < 50 (cosine is scale-invariant, so every copy sits at cosine
+    * 1.0 to its original and both copies of the same id to each other;
+    * the natural corpus maxes out at cosine ≈0.51 — verified per SF —
+    * so at threshold 0.95 exactly the 150 planted copies die). */
+  private def semanticAug(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    e.unionAll(e.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 10000).as("vec_id"),
+        F.transform(F.col("embedding"), x => x * F.lit(2.0f))
+          .as("embedding")))
+      .unionAll(e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 20000).as("vec_id"),
+        F.transform(F.col("embedding"), x => x * F.lit(0.5f))
+          .as("embedding")))
+  }
+
+  /** SemDeDup with `nClusters = 1`: the kill rule degenerates to the
+    * brute-force all-pairs contract ("b dies iff some lower-id a has
+    * cosine ≥ τ"), which the DuckDB oracle recomputes exactly — the
+    * clustered path's correctness gate before d57 trusts the bucketing. */
+  private val d56: (SparkSession, String) => DataFrame = (s, dir) =>
+    Similarity.semanticDedup(semanticAug(s, dir), F.col("vec_id"),
+      F.col("embedding"), threshold = 0.95, nClusters = 1)
+      .select("vec_id").orderBy("vec_id")
+
+  /** SemDeDup at a REAL cluster count (the scale configuration — the
+    * within-cell join is what runs at 100 TB): same fixture, same oracle
+    * as d56. Equivalence is guaranteed on this fixture because scaled
+    * copies co-assign with their originals (argmax of centroid dots is
+    * invariant to positive scaling) and no natural pair reaches the 0.95
+    * threshold (corpus max ≈0.51), so no killing pair can straddle a cell
+    * boundary — the one recall trade the operator documents. */
+  private val d57: (SparkSession, String) => DataFrame = (s, dir) =>
+    Similarity.semanticDedup(semanticAug(s, dir), F.col("vec_id"),
+      F.col("embedding"), threshold = 0.95, nClusters = 8)
+      .select("vec_id").orderBy("vec_id")
+
+  /** d54's lifecycle plus [[Similarity.compactIvfIndex]]: write half,
+    * append the other half as a segment, COMPACT (fold segments into
+    * `base` without retraining), then probe every cell — still exactly
+    * brute force over the full corpus, so the d04 oracle checks that
+    * compaction lost, duplicated, or re-assigned nothing. */
+  private val d58: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val path = scratch(s"d58_index_${dir.hashCode.abs}")
+    Similarity.writeIvfIndex(
+      emb.filter(F.col("vec_id") >= 5 && F.col("vec_id") % 2 === 0),
+      F.col("vec_id"), F.col("embedding"), path, nlist = 8)
+    Similarity.appendToIvfIndex(
+      emb.filter(F.col("vec_id") >= 5 && F.col("vec_id") % 2 === 1),
+      F.col("vec_id"), F.col("embedding"), path, "b0")
+    Similarity.compactIvfIndex(s, path)
+    Similarity.searchIvfIndex(s, path,
+      emb.filter(F.col("vec_id") < 5), F.col("vec_id"), F.col("embedding"),
+      k = 5, nprobe = 8)
+      .withColumn("cosine", F.round(F.col("cosine"), 6))
+      .orderBy("query_id", "rank")
+  }
+
   /** RECALL contract for the LSH top-k path (d09's correctness signal,
     * r6 verdict #1): run [[Similarity.lshTopK]] and the exact
     * [[Similarity.bruteForceTopK]] on the SAME fixture as d04/d09 and
@@ -2386,6 +2463,10 @@ object SparkEntry {
     "d50_multimodal_contract" -> d50,
     "d51_index_dedup" -> d51,
     "d54_ivf_append" -> d54,
+    "d55_keep_best_dedup" -> d55,
+    "d56_semantic_dedup" -> d56,
+    "d57_semantic_clustered" -> d57,
+    "d58_ivf_compact" -> d58,
     "q62_sample_contract" -> q62,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
@@ -2416,7 +2497,14 @@ object SparkEntry {
     // exhaustive-probe IVF over the disk index == brute force by
     // construction — same oracle as the brute-force query
     ("d43_ivf_disk_index" -> oracleSqlBase("d04_cosine_topk")) +
-    ("d54_ivf_append" -> oracleSqlBase("d04_cosine_topk"))
+    ("d54_ivf_append" -> oracleSqlBase("d04_cosine_topk")) +
+    // compaction never re-assigns or drops vectors and the probe is
+    // exhaustive — still exactly brute force over the full corpus
+    ("d58_ivf_compact" -> oracleSqlBase("d04_cosine_topk")) +
+    // clustered SemDeDup ≡ the nClusters=1 brute-force contract on this
+    // fixture: scaled copies co-assign with their originals and no
+    // natural pair reaches the threshold (see the d57 scaladoc)
+    ("d57_semantic_clustered" -> oracleSqlBase("d56_semantic_dedup"))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q01_agg" -> """
@@ -3273,6 +3361,75 @@ object SparkEntry {
                 UNION
                 SELECT e.src, t.r FROM edges e JOIN reach t ON t.id = e.dst)
       SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""",
+    // d15's recursive closure + d26's quality formula + window arg-max
+    "d55_keep_best_dedup" -> """
+      WITH RECURSIVE toks AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+          generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE []::VARCHAR[] END AS s FROM toks),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_distinct(a.s || b.s)) > 0
+          AND len(list_intersect(a.s, b.s)) /
+              CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach AS (SELECT src AS id, src AS r FROM edges
+                UNION
+                SELECT e.src, t.r FROM edges e JOIN reach t ON t.id = e.dst),
+      clus AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      b AS (SELECT doc_id,
+        CAST(length(text) AS DOUBLE) AS len,
+        CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+          AS alpha,
+        CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+          AS punct,
+        string_split_regex(lower(trim(text)), '\s+') AS t
+       FROM documents),
+      c AS (SELECT doc_id,
+        CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END AS ar,
+        CASE WHEN len > 0 THEN punct / len ELSE 0.0 END AS pr,
+        CASE WHEN len(t) > 0 THEN
+          CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+          ELSE 0.0 END AS mwl,
+        CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN
+          ('the','and','of','to','a','in','is','it','that','for')))
+          / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS sr
+       FROM b),
+      qual AS (SELECT doc_id,
+        round(ar*0.4 + (1.0 - least(pr*10, 1.0))*0.2 +
+          (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END)*0.2 +
+          (CASE WHEN sr > 0.01 THEN 1.0 ELSE 0.0 END)*0.2, 6) AS quality
+       FROM c),
+      ranked AS (SELECT c2.cluster, c2.id,
+             row_number() OVER (PARTITION BY c2.cluster
+               ORDER BY q.quality DESC NULLS LAST, c2.id ASC) AS rn
+        FROM clus c2 JOIN qual q ON q.doc_id = c2.id),
+      losers AS (SELECT id FROM ranked WHERE rn > 1)
+      SELECT d.doc_id, q.quality
+      FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+      WHERE d.doc_id NOT IN (SELECT id FROM losers)
+      ORDER BY d.doc_id""",
+    // brute-force min-id dominance over the planted-copy fixture: b dies
+    // iff some lower-id a has cosine >= 0.95
+    "d56_semantic_dedup" -> """
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           aug AS (SELECT vec_id, v FROM base
+                   UNION ALL
+                   SELECT vec_id + 10000, list_transform(v, x -> x * 2)
+                   FROM base WHERE vec_id < 100
+                   UNION ALL
+                   SELECT vec_id + 20000, list_transform(v, x -> x * 0.5)
+                   FROM base WHERE vec_id < 50),
+           losers AS (SELECT DISTINCT b.vec_id AS id
+             FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+             WHERE list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v))) >= 0.95)
+      SELECT vec_id FROM aug WHERE vec_id NOT IN (SELECT id FROM losers)
+      ORDER BY vec_id""",
     "d16_dedup_near" -> """
       WITH RECURSIVE toks AS (SELECT doc_id,
              string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

@@ -516,6 +516,43 @@ object Dedup {
     df.join(losers, id === F.col("__loser"), "left_anti")
   }
 
+  /** Near-dedup keeping the BEST-scoring member of each duplicate cluster
+    * instead of the minimum id — the production posture once a quality
+    * signal exists (dedup then quality-filter wastes the cluster's best
+    * text whenever the min-id member happens to be the worst one).
+    * `score` is any per-row expression over `df`'s columns (quality score,
+    * token count, recency); the winner is the member with the maximum
+    * score, ties broken toward the SMALLEST id so the result is
+    * deterministic under score collisions.
+    *
+    * Scale shape: identical to [[dedupNear]] — the cluster table is
+    * pairs-scale, so the winner election (a groupBy over cluster members
+    * only, never the corpus) and the final anti-join key set stay small;
+    * the corpus itself is scanned once for pair generation and once for
+    * the anti-join, never shuffled on its own rows. */
+  def dedupNearKeepBest(df: DataFrame, id: Column, text: Column,
+      score: Column, threshold: Double, shingleSize: Int = 3,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val pairs = minhashDuplicatePairs(df, id, text, threshold, shingleSize,
+      numHashes, bands)
+    val clusters = duplicateClusters(pairs)
+    // score only the clustered members: clusters are pairs-scale, so they
+    // broadcast into the corpus scan — the corpus never shuffles here
+    val members = df.select(id.as("__kb_id"), score.as("__kb_score"))
+      .join(F.broadcast(clusters), F.col("__kb_id") === F.col("id"))
+    // max over struct(score, -id): highest score wins; a null score loses
+    // to any non-null one (struct ordering ranks null fields lowest); ties
+    // — including all-null clusters — fall to the smallest id via -id
+    val winners = members.groupBy("cluster")
+      .agg(F.max(F.struct(F.col("__kb_score"),
+        F.negate(F.col("id")).as("__kb_neg"))).as("__kb_w"))
+      .select(F.negate(F.col("__kb_w.__kb_neg")).as("__kb_keep"))
+    val losers = clusters.join(winners,
+        F.col("id") === F.col("__kb_keep"), "left_anti")
+      .select(F.col("id").as("__loser"))
+    df.join(losers, id === F.col("__loser"), "left_anti")
+  }
+
   /** Benchmark-contamination detection — the standard decontamination pass
     * before training (GPT-3 appx C / PaLM-style n-gram overlap): for every
     * (corpus doc, benchmark doc) pair sharing at least `minOverlap` distinct

@@ -295,6 +295,58 @@ object Similarity {
     topKByQuery(pairs, k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embeddings with the SAME
+    * deterministic spherical trainer as [[ivfIndex]], then within each
+    * cell kill every vector whose cosine to some LOWER-id cell member is
+    * ≥ `threshold` ("min-id dominance" — the paper keeps one
+    * representative per mutually-similar group; dominance realizes that
+    * without a sequential greedy pass, and with `nClusters = 1` the kill
+    * rule degenerates to exactly the brute-force all-pairs contract,
+    * which is the d56 oracle).
+    *
+    * Scale shape: the pair join is bucketed ON the cell — the corpus is
+    * never all-pairs-joined; the quadratic term is per cell, so size
+    * `nClusters` to keep cells at ~10³–10⁴ rows (the paper's posture:
+    * cluster count grows with the corpus). A degenerate clustering that
+    * would make one cell quadratic fails loud via `maxCellSize` instead
+    * of hanging a 100 TB job. Scaled/exact copies ALWAYS co-assign
+    * (assignment is the argmax of centroid dots, invariant to positive
+    * scaling), so true duplicates never escape; only borderline pairs
+    * straddling a cell boundary can — the paper's documented recall
+    * trade. Returns `df`'s surviving rows unchanged. */
+  def semanticDedup(df: DataFrame, id: Column, vec: Column,
+      threshold: Double, nClusters: Int = 16, iters: Int = 5,
+      trainSample: Int = 10000, seed: Long = 42,
+      maxCellSize: Long = 20000L): DataFrame = {
+    val assigned = ivfIndex(df.select(id.as("__sd_id"), vec.as("__sd_v")),
+      F.col("__sd_id"), F.col("__sd_v"), nClusters, iters, trainSample,
+      seed).assigned
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val biggest = assigned.groupBy("cell").agg(F.count(F.lit(1)).as("n"))
+        .agg(F.max(F.col("n"))).collect().head.getLong(0)
+      require(biggest <= maxCellSize,
+        s"semanticDedup: largest cell holds $biggest rows > maxCellSize " +
+          s"$maxCellSize — the within-cell pair join would be quadratic " +
+          "in that cell. Raise nClusters (cells should stay ~10^3-10^4 " +
+          "rows) or, if the corpus genuinely concentrates, raise " +
+          "maxCellSize explicitly.")
+      val a = assigned.select(F.col("cell"),
+        F.col("corpus_id").as("__a_id"), F.col("cv").as("__a_v"))
+      val b = assigned.select(F.col("cell"),
+        F.col("corpus_id").as("__b_id"), F.col("cv").as("__b_v"))
+      val losers = a.join(b, Seq("cell"))
+        .filter(F.col("__a_id") < F.col("__b_id"))
+        .filter(cosine(F.col("__a_v"), F.col("__b_v")) >= threshold)
+        .select(F.col("__b_id").as("__loser")).distinct()
+        // materialize the loser set BEFORE unpersist: the anti-join below
+        // executes lazily, after this method returns
+        .localCheckpoint()
+      df.join(losers, id === F.col("__loser"), "left_anti")
+    } finally assigned.unpersist(false)
+  }
+
   // ======== persisted IVF index (disk lifecycle) ==========================
   // The embedding-side twin of the persisted MinHash index
   // (Dedup.writeMinhashIndex / appendToMinhashIndex / compactMinhashIndex):
@@ -457,19 +509,51 @@ object Similarity {
       iters, trainSample, seed)
     val staged = s"$path/__retrain"
     writeIvfTables(spark, idx, staged, iters, trainSample, seed)
+    swapStaged(spark, path, staged, Seq("assigned", "centroids", "meta"),
+      "retrain")
+  }
+
+  /** Rename-aside table swap (crash leaves a recoverable `__<t>_old`
+    * copy, the [[graft.operators.Dedup.compactMinhashIndex]] posture):
+    * each listed table under `staged` replaces its sibling under `path`. */
+  private def swapStaged(spark: org.apache.spark.sql.SparkSession,
+      path: String, staged: String, tables: Seq[String],
+      what: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    Seq("assigned", "centroids", "meta").foreach { table =>
+    tables.foreach { table =>
       val dir = new org.apache.hadoop.fs.Path(s"$path/$table")
       val tmp = new org.apache.hadoop.fs.Path(s"$staged/$table")
       val old = new org.apache.hadoop.fs.Path(s"$path/__${table}_old")
       val fs = dir.getFileSystem(hconf)
       fs.delete(old, true)
-      require(fs.rename(dir, old), s"retrain: move-aside failed for $table")
-      require(fs.rename(tmp, dir), s"retrain: swap-in failed for $table")
+      require(fs.rename(dir, old), s"$what: move-aside failed for $table")
+      require(fs.rename(tmp, dir), s"$what: swap-in failed for $table")
       fs.delete(old, true)
     }
     val fs = new org.apache.hadoop.fs.Path(staged).getFileSystem(hconf)
     fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+  }
+
+  /** Fold every append segment into `base` WITHOUT retraining — the cheap
+    * maintenance step between [[retrainIvfIndex]] runs. Assignments and
+    * centroids are untouched (probe results are segment-layout-independent
+    * by construction, so search equality is structural, and the spec pins
+    * it), only the file layout collapses: a streaming ingest leaves one
+    * file per segment × cell, and listing/open cost grows with segment
+    * count exactly like the MinHash side (mh_segments.json: probes flat
+    * through ~16 segments, ~35% over floor at 64 — compact at tens).
+    * The rewrite hash-partitions on `cell`, so each cell lands in ONE
+    * task and emits ONE file; swap is rename-aside like retrain. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val staged = s"$path/__compact"
+    spark.read.parquet(s"$path/assigned")
+      .select("corpus_id", "cv", "cell")
+      .withColumn("seg", F.lit("base"))
+      .repartition(F.col("cell"))
+      .write.mode("overwrite").partitionBy("seg", "cell")
+      .parquet(s"$staged/assigned")
+    swapStaged(spark, path, staged, Seq("assigned"), "compact")
   }
 
   private final case class Probes(frame: DataFrame, cells: Seq[Int])

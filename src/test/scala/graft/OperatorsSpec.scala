@@ -152,6 +152,132 @@ class OperatorsSpec extends SparkSpec {
     assert(col1[Long](kept.orderBy("id"), "id") == Seq(1L, 9L))
   }
 
+  test("dedupNearKeepBest keeps the best-scoring member; score ties fall " +
+      "to the smallest id; null scores lose; unpaired rows survive") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the sun sets slowly behind the distant purple mountains"
+    val other = "completely unrelated text about database query " +
+      "optimization and distributed systems running on large compute clusters"
+    val d = Seq(
+      // family {1,2,3}: 2 has the highest score — must win over min-id 1
+      (1L, base, Some(0.3)),
+      (2L, base.replace("slowly", "quickly"), Some(0.9)),
+      (3L, base.replace("sun", "moon"), Some(0.5)),
+      // family {4,5}: scores tie — the SMALLER id wins
+      (4L, other, Some(0.7)),
+      (5L, other.replace("large", "huge"), Some(0.7)),
+      (9L, "unpaired short row of totally different words entirely " +
+        "about cooking pasta with garlic butter and fresh sage leaves",
+        Option.empty[Double]))
+      .toDF("id", "text", "score")
+    val kept = Dedup.dedupNearKeepBest(d, F.col("id"), F.col("text"),
+      F.col("score"), threshold = 0.5, numHashes = 64, bands = 16)
+    assert(col1[Long](kept.orderBy("id"), "id") == Seq(2L, 4L, 9L))
+    // null score loses to any non-null sibling: make 4 null, 5 wins
+    val d2 = d.withColumn("score",
+      F.when(F.col("id") === 4L, F.lit(null)).otherwise(F.col("score")))
+    val kept2 = Dedup.dedupNearKeepBest(d2, F.col("id"), F.col("text"),
+      F.col("score"), threshold = 0.5, numHashes = 64, bands = 16)
+    assert(col1[Long](kept2.orderBy("id"), "id") == Seq(2L, 5L, 9L))
+  }
+
+  test("semanticDedup: nClusters=1 equals the brute-force min-id-dominance " +
+      "contract; scaled copies die at any cluster count; the degenerate-" +
+      "cell guard fails loud") {
+    // 3 well-separated directions, a few vectors each, plus scaled copies
+    val vecs = (for { cl <- 0 until 3; i <- 0 until 5 } yield {
+      val v = Array.tabulate(6)(d =>
+        (if (d == cl * 2) 10.0 else 0.0) + ((i * 3 + d) % 4) * 0.08)
+      (cl * 100L + i, v.toSeq)
+    }).toDF("id", "v")
+    val aug = vecs.unionAll(vecs.filter(F.col("id") % 100 < 2).select(
+      (F.col("id") + 1000L).as("id"),
+      F.transform(F.col("v"), x => x * F.lit(3.0)).as("v")))
+    // brute-force twin: b dies iff some lower-id a has cosine >= t
+    def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val rows = aug.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def expect(t: Double): Seq[Long] = rows.filter { case (id, v) =>
+      !rows.exists { case (id2, v2) => id2 < id && cosLocal(v2, v) >= t }
+    }.map(_._1).sorted.toSeq
+    for (t <- Seq(0.9, 0.999)) {
+      val got = col1[Long](Similarity.semanticDedup(aug, F.col("id"),
+        F.col("v"), threshold = t, nClusters = 1, trainSample = 100)
+        .orderBy("id"), "id")
+      assert(got == expect(t), s"threshold $t")
+    }
+    // clustered: copies co-assign with originals (argmax is scale-
+    // invariant), so every planted copy still dies; and bucketing can
+    // only MISS kills (every clustered kill is a real cosine-≥-t pair
+    // with a lower id), never invent them — survivors ⊇ brute force
+    val clustered = col1[Long](Similarity.semanticDedup(aug, F.col("id"),
+      F.col("v"), threshold = 0.999, nClusters = 3, trainSample = 100)
+      .orderBy("id"), "id")
+    assert(!clustered.exists(_ >= 1000L))
+    assert(expect(0.999).toSet.subsetOf(clustered.toSet))
+    // a cell bigger than maxCellSize refuses to go quadratic
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(aug, F.col("id"), F.col("v"),
+        threshold = 0.9, nClusters = 1, trainSample = 100, maxCellSize = 3)
+    }
+    assert(e.getMessage.contains("maxCellSize"), e.getMessage)
+  }
+
+  test("compactIvfIndex folds segments into base without retraining: " +
+      "search-equal, one file per cell, centroids untouched, idempotent") {
+    val corpus = (for { cl <- 0 until 4; i <- 0 until 25 } yield {
+      val v = Array.tabulate(8)(d =>
+        (if (d == cl * 2) 10.0 else 0.0) + ((i * 7 + d * 3) % 5) * 0.1)
+      (cl * 100L + i, v.toSeq)
+    }).toDF("id", "v")
+    val queries = (0 until 4).map { cl =>
+      (1000L + cl, Seq.tabulate(8)(d => if (d == cl * 2) 10.0 else 0.0))
+    }.toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfc")
+      .toString + "/idx"
+    Similarity.writeIvfIndex(corpus.filter(F.col("id") % 3 === 0),
+      F.col("id"), F.col("v"), dir, nlist = 4, trainSample = 100)
+    Similarity.appendToIvfIndex(corpus.filter(F.col("id") % 3 === 1),
+      F.col("id"), F.col("v"), dir, "b0")
+    Similarity.appendToIvfIndex(corpus.filter(F.col("id") % 3 === 2),
+      F.col("id"), F.col("v"), dir, "b1")
+    def search() = Similarity.searchIvfIndex(spark, dir, queries,
+      F.col("id"), F.col("v"), k = 5, nprobe = 4).collect().toSet
+    def cents() = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+    val before = search(); val centsBefore = cents()
+    def files() = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/assigned"),
+        true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val p = it.next().getPath.toString
+        if (p.endsWith(".parquet")) b += p
+      }
+      b.result()
+    }
+    val filesBefore = files()
+    Similarity.compactIvfIndex(spark, dir)
+    assert(search() == before)
+    assert(cents() == centsBefore)
+    val after = files()
+    // one file per populated cell, all under seg=base
+    assert(after.forall(_.contains("seg=base")), after.mkString("\n"))
+    val cellsPopulated = spark.read.parquet(s"$dir/assigned")
+      .select("cell").distinct().count()
+    assert(after.length == cellsPopulated,
+      s"${after.length} files for $cellsPopulated cells")
+    assert(after.length < filesBefore.length)
+    // idempotent: compacting a compacted index changes nothing observable
+    Similarity.compactIvfIndex(spark, dir)
+    assert(search() == before)
+    assert(files().length == cellsPopulated)
+  }
+
   test("ngram Jaccard exact pairs") {
     val d = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "z y x w v"))
       .toDF("id", "text")
