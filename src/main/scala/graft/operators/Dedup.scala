@@ -536,10 +536,13 @@ object Dedup {
     val pairs = minhashDuplicatePairs(df, id, text, threshold, shingleSize,
       numHashes, bands)
     val clusters = duplicateClusters(pairs)
-    // score only the clustered members: clusters are pairs-scale, so they
-    // broadcast into the corpus scan — the corpus never shuffles here
+    // score only the clustered members: clusters are pairs-scale in the
+    // common low-dup-rate case, so Spark auto-broadcasts them into the
+    // corpus scan (no forced hint — a pathological corpus where most docs
+    // are duplicates makes the cluster table corpus-scale, and a forced
+    // broadcast would OOM the driver exactly when the job is hardest)
     val members = df.select(id.as("__kb_id"), score.as("__kb_score"))
-      .join(F.broadcast(clusters), F.col("__kb_id") === F.col("id"))
+      .join(clusters, F.col("__kb_id") === F.col("id"))
     // max over struct(score, -id): highest score wins; a null score loses
     // to any non-null one (struct ordering ranks null fields lowest); ties
     // — including all-null clusters — fall to the smallest id via -id
@@ -1031,7 +1034,15 @@ object Dedup {
     * `table_old`) so a crash at any step leaves a recoverable copy; a
     * production deployment on object storage would write a NEW index
     * generation and swap a version pointer instead (rename-as-copy + no
-    * atomicity on s3) — same read path, different commit. */
+    * atomicity on s3) — same read path, different commit.
+    *
+    * Run ONLY while no ingest stream is mid-batch (between triggers, or
+    * with the stream stopped): compaction folds every segment into
+    * `base`, including a not-yet-committed in-flight one — after which a
+    * replayed batch's own-segment exclusion
+    * ([[dedupAgainstIndexManaged]]) no longer matches it, and the replay
+    * self-kills its survivors, exactly the hazard the exclusion exists
+    * to prevent. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val IndexMeta(_, numHashes, bands, maxBucket) =

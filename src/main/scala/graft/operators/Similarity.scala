@@ -314,14 +314,25 @@ object Similarity {
     * (assignment is the argmax of centroid dots, invariant to positive
     * scaling), so true duplicates never escape; only borderline pairs
     * straddling a cell boundary can — the paper's documented recall
-    * trade. Returns `df`'s surviving rows unchanged. */
+    * trade. Parallelism of the pair join equals the number of populated
+    * cells (the join key), a second reason — beyond the quadratic term —
+    * that `nClusters` must grow with the corpus: measured N²/nClusters
+    * scaling 8→128 cells in scaling/semantic_dedup.json. Returns `df`'s
+    * surviving rows unchanged. */
   def semanticDedup(df: DataFrame, id: Column, vec: Column,
       threshold: Double, nClusters: Int = 16, iters: Int = 5,
       trainSample: Int = 10000, seed: Long = 42,
       maxCellSize: Long = 20000L): DataFrame = {
+    // normalize ONCE per row (inside the cached table), so the quadratic
+    // stage pays one zip_with-dot per candidate pair instead of a full
+    // cosine (dot + two norms = 3 array passes). Also the sane zero-vector
+    // semantics: cosine's 0/0 is NaN, which Spark orders ABOVE every
+    // number — `NaN >= threshold` would let one zero vector kill every
+    // later same-cell member; a normalized zero vector just dots to 0.
     val assigned = ivfIndex(df.select(id.as("__sd_id"), vec.as("__sd_v")),
       F.col("__sd_id"), F.col("__sd_v"), nClusters, iters, trainSample,
       seed).assigned
+      .withColumn("cv", l2Normalize(F.col("cv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val biggest = assigned.groupBy("cell").agg(F.count(F.lit(1)).as("n"))
@@ -338,7 +349,7 @@ object Similarity {
         F.col("corpus_id").as("__b_id"), F.col("cv").as("__b_v"))
       val losers = a.join(b, Seq("cell"))
         .filter(F.col("__a_id") < F.col("__b_id"))
-        .filter(cosine(F.col("__a_v"), F.col("__b_v")) >= threshold)
+        .filter(dot(F.col("__a_v"), F.col("__b_v")) >= threshold)
         .select(F.col("__b_id").as("__loser")).distinct()
         // materialize the loser set BEFORE unpersist: the anti-join below
         // executes lazily, after this method returns
@@ -543,7 +554,13 @@ object Similarity {
     * count exactly like the MinHash side (mh_segments.json: probes flat
     * through ~16 segments, ~35% over floor at 64 — compact at tens).
     * The rewrite hash-partitions on `cell`, so each cell lands in ONE
-    * task and emits ONE file; swap is rename-aside like retrain. */
+    * task and emits ONE file; swap is rename-aside like retrain.
+    *
+    * Like [[graft.operators.Dedup.compactMinhashIndex]], run ONLY while
+    * no ingest stream is mid-batch: folding a not-yet-committed
+    * in-flight segment into `base` defeats the replayed batch's
+    * own-segment exclusion ([[searchIvfIndex]]'s `excludeSegment`) and
+    * the replay would self-match at cosine 1.0 and erase its survivors. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val staged = s"$path/__compact"

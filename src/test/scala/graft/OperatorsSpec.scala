@@ -223,6 +223,17 @@ class OperatorsSpec extends SparkSpec {
         threshold = 0.9, nClusters = 1, trainSample = 100, maxCellSize = 3)
     }
     assert(e.getMessage.contains("maxCellSize"), e.getMessage)
+    // a LOWEST-id zero vector survives and kills nothing: cosine's 0/0
+    // would be NaN, which Spark orders above every number, so the old
+    // `cosine >= t` form would have let it dominate-kill every other
+    // same-cell vector; the normalized-dot form scores it 0
+    val withZero = aug.unionAll(
+      Seq((-5L, Seq.fill(6)(0.0))).toDF("id", "v"))
+    val zs = col1[Long](Similarity.semanticDedup(withZero, F.col("id"),
+      F.col("v"), threshold = 0.9, nClusters = 1, trainSample = 100)
+      .orderBy("id"), "id")
+    assert(zs.contains(-5L))
+    assert(zs.filter(_ >= 0L) == expect(0.9))
   }
 
   test("compactIvfIndex folds segments into base without retraining: " +
