@@ -550,11 +550,19 @@ object Similarity {
     * centroids are untouched (probe results are segment-layout-independent
     * by construction, so search equality is structural, and the spec pins
     * it), only the file layout collapses: a streaming ingest leaves one
-    * file per segment × cell, and listing/open cost grows with segment
-    * count exactly like the MinHash side (mh_segments.json: probes flat
-    * through ~16 segments, ~35% over floor at 64 — compact at tens).
-    * The rewrite hash-partitions on `cell`, so each cell lands in ONE
-    * task and emits ONE file; swap is rename-aside like retrain.
+    * file per segment × cell. MEASURED (scaling/ivf_segments.json, fixed
+    * centroids so only layout varies): on a local warm filesystem search
+    * latency is FLAT 1→64 segments — unlike the MinHash index
+    * (mh_segments.json, 35% over floor at 64 segments) there is no
+    * per-segment aggregation state to merge, so segment count only costs
+    * file-count economics. Compact for those economics where they bite —
+    * object-storage LIST/OPEN round trips and metadata-server pressure at
+    * thousands of accreted files — not for local scan speed (at study
+    * scale it even costs a little: tiny per-cell files drop read
+    * parallelism; at production cell sizes parquet row-group splitting
+    * restores it). The rewrite hash-partitions on `cell`, so each cell
+    * lands in ONE task and emits ONE file; swap is rename-aside like
+    * retrain.
     *
     * Like [[graft.operators.Dedup.compactMinhashIndex]], run ONLY while
     * no ingest stream is mid-batch: folding a not-yet-committed

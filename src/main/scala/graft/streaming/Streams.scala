@@ -216,7 +216,11 @@ object Streams {
           nprobe = probes, excludeSegment = Some(seg))
         val dead = best.filter(F.col("cosine") >= threshold)
           .select(F.col("query_id").as("__dead"))
-        val survivors = batch.join(F.broadcast(dead),
+        // no forced broadcast: dead is bounded by the micro-batch size,
+        // which the trigger usually keeps broadcast-small (auto-broadcast
+        // fires), but a backlog-replay batch can be arbitrarily large —
+        // let the size estimate decide instead of pinning the driver
+        val survivors = batch.join(dead,
           F.col("__vid") === F.col("__dead"), "left_anti")
           .select(F.col("__vid").as("vec_id"), F.col("__v").as("embedding"))
         survivors.write.mode("overwrite").parquet(s"$outPath/batch=$seg")
