@@ -1899,6 +1899,27 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Linear classifier scoring — the DCLM/fastText "apply a quality model
+    * head at corpus scale" shape ([[TextAnalysis.scoreLinear]]): the
+    * weight table derives deterministically from the corpus's own in-band
+    * vocabulary (d18's banding) as fixed-point integers
+    * `sign(len parity) * floor(1000 * ln(1 + term_freq))` with
+    * `scale = 0.001`, so the distributed per-doc sum is exact under any
+    * partitioning; bias −0.5. OOV occurrences die at the inner join
+    * before the one per-doc shuffle. */
+  private val d59: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val weights = TextAnalysis.vocabulary(docs,
+        F.col("doc_id"), F.col("text"), minDf = 2L, maxDfRatio = 0.9)
+      .select(F.col("token").as("term"),
+        (F.when(F.length(F.col("token")) % 2 === 0, 1.0).otherwise(-1.0) *
+          F.floor(F.lit(1000.0) *
+            F.log(F.lit(1.0) + F.col("term_freq"))).cast("double"))
+          .as("weight"))
+    TextAnalysis.scoreLinear(docs, F.col("doc_id"), F.col("text"),
+      weights, bias = -0.5, scale = 0.001).orderBy("doc_id")
+  }
+
   /** RECALL contract for the LSH top-k path (d09's correctness signal,
     * r6 verdict #1): run [[Similarity.lshTopK]] and the exact
     * [[Similarity.bruteForceTopK]] on the SAME fixture as d04/d09 and
@@ -2467,6 +2488,7 @@ object SparkEntry {
     "d56_semantic_dedup" -> d56,
     "d57_semantic_clustered" -> d57,
     "d58_ivf_compact" -> d58,
+    "d59_classifier_score" -> d59,
     "q62_sample_contract" -> q62,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
@@ -3361,6 +3383,30 @@ object SparkEntry {
                 UNION
                 SELECT e.src, t.r FROM edges e JOIN reach t ON t.id = e.dst)
       SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""",
+    // d18's vocabulary banding → fixed-point signed-log weights → per-doc
+    // weighted sum → sigmoid; the integer-valued weight sum is exact in
+    // both engines, so the only cross-engine float ops are one multiply,
+    // one exp, and the pinned 6-dp round
+    "d59_classifier_score" -> """
+      WITH toks AS (SELECT doc_id,
+          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
+        FROM documents),
+      occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+      perdoc AS (SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY 1, 2),
+      vocab AS (SELECT term, sum(tf) AS term_freq FROM perdoc GROUP BY term
+                HAVING count(*) >= 2 AND count(*) <=
+                  floor(0.9 * (SELECT count(*) FROM documents))),
+      w AS (SELECT term,
+              (CASE WHEN length(term) % 2 = 0 THEN 1.0 ELSE -1.0 END) *
+                floor(1000.0 * ln(1.0 + term_freq)) AS weight
+            FROM vocab),
+      s AS (SELECT occ.doc_id, sum(w.weight) AS sc FROM occ
+            JOIN w USING (term) GROUP BY 1)
+      SELECT d.doc_id,
+        round(1.0 / (1.0 + exp(-(0.001 * coalesce(s.sc, 0.0) - 0.5))), 6)
+          AS score
+      FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""",
     // d15's recursive closure + d26's quality formula + window arg-max
     "d55_keep_best_dedup" -> """
       WITH RECURSIVE toks AS (SELECT doc_id,

@@ -464,4 +464,48 @@ object TextAnalysis {
       .filter(F.col("rank") <= k)
       .select("doc_id", "token", "score", "rank")
   }
+
+  /** Apply a linear text classifier — a vocabulary-keyed weight table,
+    * the fastText / web-quality-classifier model head — at corpus scale:
+    * per-document `score = sigmoid(bias + Σ_occurrences weight(token))`,
+    * out-of-vocabulary tokens contributing zero. The model IS a DataFrame
+    * (`term`, `weight`): no driver-side model state, so a multi-million-row
+    * head ships as an ordinary join side (auto-broadcast when it fits,
+    * shuffle-hash when it doesn't — never forced).
+    *
+    * Scale shape: explode → INNER join the vocabulary BEFORE the per-doc
+    * aggregation, so out-of-vocabulary occurrences (most of a web corpus)
+    * die map-side and never enter the shuffle; the one shuffled groupBy
+    * carries (id, partial-sum) after map-side combine. Documents with zero
+    * vocabulary hits (including empty/null text) are restored by a left
+    * join against the input's id spine at `sigmoid(bias)`.
+    *
+    * `scale` multiplies the summed weight before the sigmoid. Its real
+    * job is fixed-point determinism: a distributed float sum is
+    * order-dependent in the last ulp, and Spark does not pin partition
+    * order — so the same corpus can score differently run to run at the
+    * rounding boundary. Shipping integer-valued weights (e.g.
+    * `floor(1000 * w)`) with `scale = 0.001` makes the sum EXACT (integer
+    * arithmetic in doubles below 2^53) under any partitioning; the only
+    * float ops left are one multiply and one sigmoid, which are
+    * partition-order-free. Score is rounded to 6 dp — the cross-engine
+    * float contract every oracle twin in this codebase pins. */
+  def scoreLinear(df: DataFrame, id: Column, text: Column,
+      weights: DataFrame, term: String = "term", weight: String = "weight",
+      bias: Double = 0.0, scale: Double = 1.0): DataFrame = {
+    val toks = F.when(F.length(F.trim(text)) === 0,
+      F.array().cast(ArrayType(StringType))).otherwise(tokens(text))
+    val w = weights.select(F.col(term).as("__term"),
+      F.col(weight).cast(DoubleType).as("__w"))
+    val hits = df.select(id.as("doc_id"), F.explode(toks).as("__term"))
+      .join(w, "__term")
+      .groupBy("doc_id").agg(F.sum("__w").as("__s"))
+    df.select(id.as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(F.col("doc_id"),
+        F.round(F.lit(1.0) / (F.lit(1.0) +
+          F.exp(-(F.lit(scale) * F.coalesce(F.col("__s"), F.lit(0.0)) +
+            F.lit(bias)))), 6)
+          .as("score"))
+  }
 }

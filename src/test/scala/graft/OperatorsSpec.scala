@@ -1113,4 +1113,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(r => r.getLong(0) -> r.getString(1)).toSeq == Seq(
       1L -> "dup\ndup\nx", 2L -> "dup\ny"))
   }
+
+  test("scoreLinear: occurrence-weighted sum, OOV drops, id spine restores " +
+      "zero-hit docs at sigmoid(bias)") {
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    val w = Seq(("good", 2.0), ("bad", -3.0)).toDF("term", "weight")
+    val docs = Seq(
+      (1L, "good good bad"),     // 2*2 - 3 = 1
+      (2L, "Good stuff here"),   // lowercased hit: 2
+      (3L, "nothing matches"),   // OOV only -> bias
+      (4L, ""),                  // empty -> bias
+      (5L, null.asInstanceOf[String])) // null -> bias
+      .toDF("id", "t")
+    val out = TextAnalysis.scoreLinear(docs, F.col("id"), F.col("t"),
+      w, bias = 0.25).orderBy("doc_id")
+    val got = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == r6(sig(1.0 + 0.25)))
+    assert(got(2L) == r6(sig(2.0 + 0.25)))
+    assert(got(3L) == r6(sig(0.25)))
+    assert(got(4L) == r6(sig(0.25)))
+    assert(got(5L) == r6(sig(0.25)))
+    // fixed-point scale: integer weights at 1e-3, scale rebuilds the value
+    val wfp = Seq(("good", 2000.0), ("bad", -3000.0)).toDF("term", "weight")
+    val fp = TextAnalysis.scoreLinear(docs, F.col("id"), F.col("t"),
+      wfp, bias = 0.25, scale = 0.001).orderBy("doc_id")
+    assert(fp.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      == got)
+  }
 }
