@@ -1300,6 +1300,21 @@ object SparkEntry {
       .orderBy("hour_start", "event_type")
   }
 
+  /** Manifest data skipping ([[io.Manifest]]): documents range-clustered
+    * by `n_chars` into 8 files with a per-file min/max manifest; the
+    * banded read opens only envelope-surviving files (spec asserts the
+    * numFiles fact), and the result is plain filter semantics — which is
+    * exactly what the oracle replays. */
+  private val q65: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val layout = scratch(s"q65_layout_${dir.hashCode.abs}")
+    io.Manifest.writeWithManifest(docs, layout, statsCols = Seq("n_chars"),
+      clusterCols = Seq("n_chars"), targetFiles = 8)
+    io.Manifest.readSkipping(s, layout, "n_chars", 200L, 400L)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** IVF ANN with EXHAUSTIVE probing (`nprobe = nlist`): every cell is
     * probed, so the result is exactly brute-force top-k — which makes the
     * whole IVF pipeline (sampled k-means training, native-expression
@@ -2500,7 +2515,8 @@ object SparkEntry {
     "q60_series_utils" -> q60,
     "q61_argsort" -> q61,
     "q63_time_slice" -> q63,
-    "q64_time_partitioned" -> q64)
+    "q64_time_partitioned" -> q64,
+    "q65_manifest_skip" -> q65)
 
   /** Bench-only queries: runnable BY NAME through `graft.Bench` for
     * scaling studies, but excluded from [[queries]] — the driver's
@@ -3931,6 +3947,11 @@ object SparkEntry {
       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         AND ts <  TIMESTAMP '2024-01-11 00:00:00'
       GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    // manifest skipping is an IO strategy, not a semantics change: the
+    // oracle is the plain inclusive band filter
+    "q65_manifest_skip" -> """
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE n_chars BETWEEN 200 AND 400 ORDER BY doc_id""",
     "q60_series_utils" -> """
       SELECT
         (SELECT min(i) FROM

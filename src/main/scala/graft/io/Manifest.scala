@@ -1,0 +1,108 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** File-level min/max manifest — data skipping for columns the directory
+  * layout does NOT partition by (the Delta/Iceberg zone-map posture,
+  * re-expressed as plain parquet + a sidecar stats table).
+  *
+  * [[GraftIO.writeTimePartitioned]] prunes by DIRECTORY on one derived
+  * date; at 100 TB a second selective column (a numeric score band, an id
+  * range, a size bucket) still costs a full file LISTING plus a footer
+  * read per file before parquet's row-group stats can reject anything —
+  * on object storage that is 100k+ GET-footer round trips for a query
+  * that touches three files. A manifest inverts that: one small parquet
+  * table (one row PER DATA FILE: row count + min/max of the declared
+  * stats columns) is consulted first, and only surviving files are handed
+  * to the scan. The driver-side manifest collect is bounded by file
+  * count, not data size — 100k files ≈ 100k tiny rows, the same scale of
+  * driver state every FileIndex already holds.
+  *
+  * Skipping is only as good as the layout is clustered: `clusterCols`
+  * range-repartitions + in-file sorts the write so per-file [min,max]
+  * envelopes are tight and disjoint (the one-time layout-build shuffle,
+  * same economics as the lake's repartition-by-day). An unclustered write
+  * still gets a correct manifest — every file's envelope just overlaps
+  * every bound, and skipping degrades to a full scan, never to a wrong
+  * answer.
+  */
+object Manifest {
+
+  private def manifestPath(url: String) = url + "/_manifest"
+
+  /** Write `df` at `path` (overwrite), optionally range-clustered by
+    * `clusterCols` into `targetFiles` files, then record the per-file
+    * manifest for `statsCols` under `path/_manifest` (an underscore path
+    * — parquet data reads ignore it). Stats are harvested with a
+    * column-pruned scan of exactly `statsCols` (the portable route; a
+    * format-native impl would lift them from footers, same numbers).
+    * The manifest is written AFTER the data: a crash between the two
+    * leaves a readable un-manifested table, and [[readSkipping]] fails
+    * loud rather than silently full-scanning. */
+  def writeWithManifest(df: DataFrame, path: String,
+      statsCols: Seq[String], clusterCols: Seq[String] = Nil,
+      targetFiles: Int = 0, compression: String = "snappy"): Unit = {
+    require(statsCols.nonEmpty, "declare at least one stats column")
+    val url = GraftIO.resolveUrl(path)
+    val out =
+      if (clusterCols.isEmpty) df
+      else {
+        val keys = clusterCols.map(F.col)
+        val ranged =
+          if (targetFiles > 0) df.repartitionByRange(targetFiles, keys: _*)
+          else df.repartitionByRange(keys: _*)
+        ranged.sortWithinPartitions(keys: _*)
+      }
+    out.write.mode("overwrite")
+      .option("compression",
+        if (compression == "lz4") "lz4_raw" else compression)
+      .parquet(url)
+    val spark = df.sparkSession
+    val aggs = F.count(F.lit(1)).as("rows") +: statsCols.flatMap(c =>
+      Seq(F.min(F.col(c)).as(s"min_$c"), F.max(F.col(c)).as(s"max_$c")))
+    spark.read.parquet(url)
+      .select(F.input_file_name().as("file") +: statsCols.map(F.col): _*)
+      .groupBy("file").agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath(url))
+  }
+
+  /** The manifest table (one row per data file). Fails loud when absent —
+    * an un-manifested path silently full-scanning would defeat the whole
+    * point of declaring the read pruned. */
+  def manifest(spark: SparkSession, path: String): DataFrame = {
+    val url = GraftIO.resolveUrl(path)
+    val p = new org.apache.hadoop.fs.Path(manifestPath(url))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no manifest at $url — write the layout with writeWithManifest")
+    spark.read.parquet(manifestPath(url))
+  }
+
+  /** Inclusive-range read `col ∈ [lo, hi]` over a manifested layout:
+    * files whose [min,max] envelope misses the range are never opened
+    * (not even their footers); survivors get the residual filter, which
+    * parquet then narrows further by row-group stats. Rows with a null
+    * `col` never satisfy the range predicate, and a file of only nulls
+    * has null envelope bounds — both sides agree it contributes nothing,
+    * so skipping can never drop a row the filter would keep. */
+  def readSkipping(spark: SparkSession, path: String, col: String,
+      lo: Any, hi: Any): DataFrame = {
+    val url = GraftIO.resolveUrl(path)
+    val man = manifest(spark, path)
+    require(man.columns.contains(s"min_$col"),
+      s"column $col has no manifest stats (have: " +
+        man.columns.filter(_.startsWith("min_"))
+          .map(_.stripPrefix("min_")).mkString(", ") + ")")
+    // overlap test: NOT (file entirely above or entirely below the range)
+    val keep = man.filter(
+      F.col(s"min_$col") <= F.lit(hi) && F.col(s"max_$col") >= F.lit(lo))
+    val files = keep.select("file").collect().map(_.getString(0))
+    val residual = F.col(col) >= F.lit(lo) && F.col(col) <= F.lit(hi)
+    if (files.isEmpty)
+      // schema-true empty frame: the layout's schema, zero files scanned
+      spark.read.parquet(url).filter(residual).limit(0)
+    else spark.read.parquet(files: _*).filter(residual)
+  }
+}

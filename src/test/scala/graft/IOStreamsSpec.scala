@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
-import graft.io.GraftIO
+import graft.io.{GraftIO, Manifest}
 import graft.streaming.Streams
 import java.nio.file.Files
 
@@ -743,5 +743,54 @@ class IOStreamsSpec extends SparkSpec {
       Streams.sessionize(s, "ts", "10 hours", "30 minutes", Seq("user")),
       "t_sess", org.apache.spark.sql.streaming.OutputMode.Complete())
     assert(out.count() == 2) // two sessions separated by the 3h gap
+  }
+
+  test("manifest skipping: clustered files pruned by envelope, equality " +
+      "with full-scan filter, loud without a manifest") {
+    val dir = tmp("graft_manifest")
+    val df = (0L until 800L).map(i => (i, i, s"r$i"))
+      .toDF("id", "v", "payload")
+    Manifest.writeWithManifest(df, dir + "/t", statsCols = Seq("v"),
+      clusterCols = Seq("v"), targetFiles = 8)
+    // one manifest row per data file, disjoint-ish envelopes
+    val man = Manifest.manifest(spark, dir + "/t")
+    assert(man.count() == 8)
+    assert(col1[Long](man.selectExpr("sum(rows) as s"), "s") == Seq(800L))
+    // skipped read == full-scan filter (values and count)
+    val got = Manifest.readSkipping(spark, dir + "/t", "v", 100L, 150L)
+    assert(col1[Long](got.orderBy("id"), "id") == (100L to 150L))
+    // the range covers ~51 of 800 range-clustered rows: at most 2 of the
+    // 8 files survive the envelope test — an IO fact, via numFiles
+    got.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val n = scans(got.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(n >= 1 && n <= 2, s"envelope pruning touched $n of 8 files")
+    // an empty slice opens zero files and keeps the schema
+    val none = Manifest.readSkipping(spark, dir + "/t", "v", 5000L, 6000L)
+    assert(none.columns.toSeq == Seq("id", "v", "payload"))
+    assert(none.count() == 0)
+    // nulls: a file of only-null v contributes nothing, and the residual
+    // filter agrees (null never satisfies the range)
+    val withNull = df.union(Seq((900L, "n")).toDF("id", "payload")
+      .withColumn("v", F.lit(null).cast("long"))
+      .select("id", "v", "payload"))
+    Manifest.writeWithManifest(withNull, dir + "/t2", statsCols = Seq("v"))
+    val all = Manifest.readSkipping(spark, dir + "/t2", "v", 0L, 1000L)
+    assert(all.count() == 800)
+    // loud contracts: missing manifest, un-manifested column
+    intercept[IllegalArgumentException] {
+      df.write.parquet(dir + "/bare")
+      Manifest.readSkipping(spark, dir + "/bare", "v", 0L, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.readSkipping(spark, dir + "/t", "payload", "a", "b")
+    }
   }
 }
