@@ -1275,6 +1275,34 @@ object SparkEntry {
     s.read.parquet(out).select("vec_id").orderBy("vec_id")
   }
 
+  /** Incrementally-maintained day rollup ([[operators.Rollup]]): base
+    * built from one third of events (split by id, so every DAY spans all
+    * segments and the read-side merge is load-bearing), two batch
+    * segments appended — the first appended TWICE (the at-least-once
+    * retry; dynamic partition overwrite must REPLACE, not double-count) —
+    * then all segments folded into base by [[operators.Rollup
+    * .compactRollup]] and the combined view read back. The oracle is one
+    * flat aggregation over ALL events in DuckDB: a double-counted retry,
+    * a lost segment, or a compaction fold error each hash-fail. */
+  private val s08: (SparkSession, String) => DataFrame = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val path = scratch(s"s08_rollup_${dir.hashCode.abs}")
+    val keys = Seq("event_type")
+    operators.Rollup.buildRollup(ev.filter(F.col("event_id") % 3 === 0),
+      "ts", keys, "value", path)
+    val b0 = ev.filter(F.col("event_id") % 3 === 1)
+    operators.Rollup.appendRollup(b0, "ts", keys, "value", path, "b0")
+    operators.Rollup.appendRollup(b0, "ts", keys, "value", path, "b0")
+    operators.Rollup.appendRollup(ev.filter(F.col("event_id") % 3 === 2),
+      "ts", keys, "value", path, "b1")
+    operators.Rollup.compactRollup(s, path)
+    operators.Rollup.readRollup(s, path)
+      .select(F.col("day"), F.col("event_type"), F.col("n"),
+        F.round(F.col("sum"), 4).as("total"),
+        F.col("min"), F.col("max"))
+      .orderBy("day", "event_type")
+  }
+
   /** TIME-PARTITIONED layout round trip — the other half of the time-scan
     * story next to [[q63]]'s row-group pruning: events rewritten once into
     * a date-partitioned, ts-sorted layout
@@ -2448,6 +2476,7 @@ object SparkEntry {
     "s05_stream_lake" -> s05,
     "s06_lake_compact" -> s06,
     "s07_stream_embed_ingest" -> s07,
+    "s08_rollup_merge" -> s08,
     "d01_exact_dedup" -> d01,
     "d02_token_counts" -> d02,
     "d03_langid_quality" -> d03,
@@ -3050,6 +3079,14 @@ object SparkEntry {
       SELECT vec_id FROM (SELECT vec_id FROM s1
                           UNION ALL SELECT vec_id FROM s2) t
       ORDER BY vec_id""",
+    // the rollup's segment fold + retry replace must equal one flat
+    // aggregation over all events — min/max are element selections
+    // (exact), sum carries the pinned 4-dp contract
+    "s08_rollup_merge" -> """
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n, round(sum(value), 4) AS total,
+             min(value) AS min, max(value) AS max
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
     "d01_exact_dedup" -> """
       SELECT min(doc_id) AS doc_id, arg_min(n_chars, doc_id) AS n_chars
       FROM documents GROUP BY text ORDER BY doc_id""",

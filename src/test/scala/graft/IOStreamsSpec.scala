@@ -745,6 +745,47 @@ class IOStreamsSpec extends SparkSpec {
     assert(out.count() == 2) // two sessions separated by the 3h gap
   }
 
+  test("rollup: cross-segment day merge, retry replaces, compaction " +
+      "view-equal and folds to base, day band prunes partitions") {
+    val dir = tmp("graft_rollup")
+    val dayNs = 86400L * 1000000000L
+    val ev = Seq(
+      (1L, "a", 1.0, 5L), (2L, "a", 2.0, 6L),
+      (3L, "b", 3.0, dayNs + 7L), (4L, "a", 4.0, dayNs + 8L))
+      .toDF("id", "k", "v", "ts")
+    import graft.operators.Rollup
+    Rollup.buildRollup(ev.filter(F.col("id") <= 2), "ts", Seq("k"), "v",
+      dir + "/r")
+    val b = ev.filter(F.col("id") > 2)
+    Rollup.appendRollup(b, "ts", Seq("k"), "v", dir + "/r", "b0")
+    // at-least-once retry: same segment id must REPLACE, not double-count
+    Rollup.appendRollup(b, "ts", Seq("k"), "v", dir + "/r", "b0")
+    def view = Rollup.readRollup(spark, dir + "/r").orderBy("day", "k")
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val before = view
+    assert(before == Seq(
+      ("1970-01-01", "a", 2L, 3.0, 1.0, 2.0),
+      ("1970-01-02", "a", 1L, 4.0, 4.0, 4.0),
+      ("1970-01-02", "b", 1L, 3.0, 3.0, 3.0)))
+    Rollup.compactRollup(spark, dir + "/r")
+    assert(view == before, "compaction changed the combined view")
+    assert(new java.io.File(dir + "/r").listFiles
+      .filter(_.isDirectory).map(_.getName).toSeq == Seq("seg=base"))
+    // inclusive day band becomes a partition filter on the tiny scan
+    val banded = Rollup.readRollup(spark, dir + "/r",
+      Some((java.sql.Date.valueOf("1970-01-02"),
+        java.sql.Date.valueOf("1970-01-02"))))
+    assert(banded.count() == 2)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("__pdate")),
+      s"day band not a partition filter:\n$plan")
+    intercept[IllegalArgumentException] {
+      Rollup.appendRollup(b, "ts", Seq("k"), "v", dir + "/r", "base")
+    }
+  }
+
   test("manifest skipping: clustered files pruned by envelope, equality " +
       "with full-scan filter, loud without a manifest") {
     val dir = tmp("graft_manifest")
