@@ -1963,6 +1963,27 @@ object SparkEntry {
       weights, bias = -0.5, scale = 0.001).orderBy("doc_id")
   }
 
+  /** Numeric distribution drift ([[operators.Drift.psi]]) between two
+    * snapshot halves of the corpus over `n_chars` — per-bucket PSI with
+    * the Jeffreys-smoothed shares in the published contract. */
+  private val d60: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    operators.Drift.psi(
+      docs.filter(F.col("doc_id") % 2 === 0),
+      docs.filter(F.col("doc_id") % 2 === 1),
+      F.col("n_chars"), Seq(100.0, 200.0, 400.0, 800.0))
+  }
+
+  /** Categorical drift ([[operators.Drift.psiCategorical]]) over the
+    * `source` label — the language/source-mix monitoring shape. */
+  private val d61: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    operators.Drift.psiCategorical(
+      docs.filter(F.col("doc_id") % 2 === 0),
+      docs.filter(F.col("doc_id") % 2 === 1),
+      F.col("source"))
+  }
+
   /** RECALL contract for the LSH top-k path (d09's correctness signal,
     * r6 verdict #1): run [[Similarity.lshTopK]] and the exact
     * [[Similarity.bruteForceTopK]] on the SAME fixture as d04/d09 and
@@ -2533,6 +2554,8 @@ object SparkEntry {
     "d57_semantic_clustered" -> d57,
     "d58_ivf_compact" -> d58,
     "d59_classifier_score" -> d59,
+    "d60_drift_numeric" -> d60,
+    "d61_drift_categorical" -> d61,
     "q62_sample_contract" -> q62,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
@@ -3460,6 +3483,51 @@ object SparkEntry {
         round(1.0 / (1.0 + exp(-(0.001 * coalesce(s.sc, 0.0) - 0.5))), 6)
           AS score
       FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""",
+    // PSI with Jeffreys add-0.5 smoothing, k = breaks+1 = 5 buckets
+    "d60_drift_numeric" -> """
+      WITH ca AS (SELECT (n_chars >= 100)::INT + (n_chars >= 200)::INT +
+               (n_chars >= 400)::INT + (n_chars >= 800)::INT AS bucket
+             FROM documents WHERE doc_id % 2 = 0),
+      cb AS (SELECT (n_chars >= 100)::INT + (n_chars >= 200)::INT +
+               (n_chars >= 400)::INT + (n_chars >= 800)::INT AS bucket
+             FROM documents WHERE doc_id % 2 = 1),
+      ga AS (SELECT bucket, count(*) AS n_a FROM ca GROUP BY 1),
+      gb AS (SELECT bucket, count(*) AS n_b FROM cb GROUP BY 1),
+      j AS (SELECT coalesce(ga.bucket, gb.bucket) AS bucket,
+              coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+            FROM ga FULL JOIN gb ON ga.bucket = gb.bucket),
+      ta AS (SELECT count(*) AS t FROM ca),
+      tb AS (SELECT count(*) AS t FROM cb)
+      SELECT bucket, n_a, n_b,
+        round((n_a + 0.5) / (ta.t + 2.5), 6) AS share_a,
+        round((n_b + 0.5) / (tb.t + 2.5), 6) AS share_b,
+        round(((n_a + 0.5) / (ta.t + 2.5) - (n_b + 0.5) / (tb.t + 2.5)) *
+          ln(((n_a + 0.5) / (ta.t + 2.5)) /
+             ((n_b + 0.5) / (tb.t + 2.5))), 6) AS contribution
+      FROM j, ta, tb ORDER BY bucket""",
+    // categorical PSI: k = distinct labels across both snapshots
+    "d61_drift_categorical" -> """
+      WITH ca AS (SELECT source AS label FROM documents
+                  WHERE doc_id % 2 = 0 AND source IS NOT NULL),
+      cb AS (SELECT source AS label FROM documents
+             WHERE doc_id % 2 = 1 AND source IS NOT NULL),
+      ga AS (SELECT label, count(*) AS n_a FROM ca GROUP BY 1),
+      gb AS (SELECT label, count(*) AS n_b FROM cb GROUP BY 1),
+      j AS (SELECT coalesce(ga.label, gb.label) AS label,
+              coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+            FROM ga FULL JOIN gb ON ga.label = gb.label),
+      ta AS (SELECT count(*) AS t FROM ca),
+      tb AS (SELECT count(*) AS t FROM cb),
+      kk AS (SELECT count(DISTINCT label) AS k FROM
+               (SELECT label FROM ca UNION ALL SELECT label FROM cb))
+      SELECT label, n_a, n_b,
+        round((n_a + 0.5) / (ta.t + 0.5 * kk.k), 6) AS share_a,
+        round((n_b + 0.5) / (tb.t + 0.5 * kk.k), 6) AS share_b,
+        round(((n_a + 0.5) / (ta.t + 0.5 * kk.k) -
+               (n_b + 0.5) / (tb.t + 0.5 * kk.k)) *
+          ln(((n_a + 0.5) / (ta.t + 0.5 * kk.k)) /
+             ((n_b + 0.5) / (tb.t + 0.5 * kk.k))), 6) AS contribution
+      FROM j, ta, tb, kk ORDER BY label""",
     // d15's recursive closure + d26's quality formula + window arg-max
     "d55_keep_best_dedup" -> """
       WITH RECURSIVE toks AS (SELECT doc_id,

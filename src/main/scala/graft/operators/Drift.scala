@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Distribution drift between two corpus snapshots — the monitoring op a
+  * continuously-ingesting pipeline runs next to its dedup/quality gates:
+  * has this week's crawl shifted in length / quality-score / language mix
+  * against the reference snapshot the filters were tuned on?
+  *
+  * Metric: PSI (population stability index) per bucket,
+  * `(p_a − p_b) · ln(p_a / p_b)`, with Jeffreys add-0.5 smoothing so an
+  * empty bucket on one side contributes a large-but-finite term instead
+  * of ±∞ (the standard industrial convention; smoothing is part of the
+  * published contract, not a hidden fudge — the oracle replays it). Sum
+  * of contributions = total PSI; the usual alert bands are 0.1 (drifting)
+  * and 0.25 (broken).
+  *
+  * Scale shape: each snapshot contributes ONE map-side-combined groupBy
+  * over a fixed bucket id (≤ breaks+1 groups — the shuffle carries a
+  * handful of rows no matter the corpus size); the bucket join is a
+  * few-row full-outer. Nothing driver-side, nothing quadratic, and both
+  * snapshots are scanned exactly once.
+  */
+object Drift {
+
+  /** Bucket id of `v` under right-open bins `(-∞,b₁) [b₁,b₂) … [bₙ,∞)`:
+    * the count of breaks ≤ v — 0..n for n breaks. Null-valued rows are
+    * excluded from both snapshots (they belong to a nil-count gate, not
+    * a numeric histogram). */
+  private def bucketOf(v: Column, breaks: Seq[Double]): Column =
+    // the isNotNull guard keeps null values null (a bare `v >= b` is null,
+    // and otherwise(0) would silently bucket nulls at 0)
+    F.when(v.isNotNull,
+      breaks.map(b => F.when(v >= b, 1).otherwise(0)).reduce(_ + _))
+
+  /** Per-bucket PSI between snapshots `a` and `b` over numeric `col`.
+    * `breaks` must be strictly increasing (same contract as `Stats.cut`).
+    * Output: one row per bucket present in either snapshot — absent from
+    * BOTH means a zero contribution, so omitting the row loses nothing —
+    * with raw counts, smoothed shares (6 dp), and the PSI contribution
+    * (6 dp). `contribution` sums to total PSI. */
+  def psi(a: DataFrame, b: DataFrame, col: Column,
+      breaks: Seq[Double]): DataFrame = {
+    require(breaks.nonEmpty, "psi needs at least one break")
+    require(breaks == breaks.sorted && breaks.distinct == breaks,
+      s"breaks must be strictly increasing, got $breaks")
+    val k = breaks.size + 1
+    def side(df: DataFrame, n: String): DataFrame =
+      df.select(bucketOf(col, breaks).as("bucket"))
+        .filter(F.col("bucket").isNotNull)
+        .groupBy("bucket").agg(F.count(F.lit(1)).as(n))
+    val joined = side(a, "n_a").join(side(b, "n_b"), Seq("bucket"), "full")
+      .select(F.col("bucket"),
+        F.coalesce(F.col("n_a"), F.lit(0L)).as("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0L)).as("n_b"))
+    // snapshot totals enter as scalar subqueries — one plan, no collect
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    def tot(df: DataFrame): Column = bridge.scalarSubquery(
+      df.select(bucketOf(col, breaks).as("bucket"))
+        .filter(F.col("bucket").isNotNull).select(F.count(F.lit(1))))
+    val pa = (F.col("n_a") + 0.5) / (tot(a) + F.lit(0.5) * k)
+    val pb = (F.col("n_b") + 0.5) / (tot(b) + F.lit(0.5) * k)
+    joined.select(F.col("bucket"), F.col("n_a"), F.col("n_b"),
+        F.round(pa, 6).as("share_a"), F.round(pb, 6).as("share_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).as("contribution"))
+      .orderBy("bucket")
+  }
+
+  /** Categorical PSI — same metric over a label column (language id,
+    * source, license class). Labels absent from both snapshots cannot
+    * occur by construction; `k` for the smoothing denominator is the
+    * number of DISTINCT labels across both snapshots, computed in-plan. */
+  def psiCategorical(a: DataFrame, b: DataFrame, col: Column): DataFrame = {
+    def side(df: DataFrame, n: String): DataFrame =
+      df.select(col.as("label")).filter(F.col("label").isNotNull)
+        .groupBy("label").agg(F.count(F.lit(1)).as(n))
+    val joined = side(a, "n_a").join(side(b, "n_b"), Seq("label"), "full")
+      .select(F.col("label"),
+        F.coalesce(F.col("n_a"), F.lit(0L)).as("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0L)).as("n_b"))
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val k = bridge.scalarSubquery(
+      a.select(col.as("label")).unionAll(b.select(col.as("label")))
+        .filter(F.col("label").isNotNull)
+        .select(F.count_distinct(F.col("label"))))
+    def tot(df: DataFrame): Column = bridge.scalarSubquery(
+      df.select(col.as("label")).filter(F.col("label").isNotNull)
+        .select(F.count(F.lit(1))))
+    val pa = (F.col("n_a") + 0.5) / (tot(a) + F.lit(0.5) * k)
+    val pb = (F.col("n_b") + 0.5) / (tot(b) + F.lit(0.5) * k)
+    joined.select(F.col("label"), F.col("n_a"), F.col("n_b"),
+        F.round(pa, 6).as("share_a"), F.round(pb, 6).as("share_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).as("contribution"))
+      .orderBy("label")
+  }
+}

@@ -1114,6 +1114,40 @@ class OperatorsSpec extends SparkSpec {
       1L -> "dup\ndup\nx", 2L -> "dup\ny"))
   }
 
+  test("psi drift: hand-computed smoothed contributions, nulls excluded, " +
+      "one-sided buckets finite, loud on unsorted breaks") {
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    def row(na: Long, nb: Long, ta: Long, tb: Long, k: Int) = {
+      val pa = (na + 0.5) / (ta + 0.5 * k)
+      val pb = (nb + 0.5) / (tb + 0.5 * k)
+      (na, nb, r6(pa), r6(pb), r6((pa - pb) * math.log(pa / pb)))
+    }
+    // breaks (4, 8): buckets (-inf,4) [4,8) [8,inf); null excluded from a
+    val a = Seq(Some(1.0), Some(5.0), Some(5.0), Some(9.0), None).toDF("v")
+    val b = Seq(1.0, 1.0, 5.0, 9.0, 9.0).toDF("v")
+    val out = Drift.psi(a, b, F.col("v"), Seq(4.0, 8.0)).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out.keySet == Set(0, 1, 2))
+    assert(out(0) == row(1, 2, 4, 5, 3))
+    assert(out(1) == row(2, 1, 4, 5, 3))
+    assert(out(2) == row(1, 2, 4, 5, 3))
+    intercept[IllegalArgumentException] {
+      Drift.psi(a, b, F.col("v"), Seq(8.0, 4.0))
+    }
+    // categorical: a label absent on one side smooths to a finite term
+    val ca = Seq("en", "en", "de").toDF("lang")
+    val cb = Seq("en", "fr").toDF("lang")
+    val cat = Drift.psiCategorical(ca, cb, F.col("lang")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(cat.keySet == Set("en", "de", "fr"))
+    assert(cat("de") == row(1, 0, 3, 2, 3))
+    assert(cat("fr") == row(0, 1, 3, 2, 3))
+    assert(cat.values.forall(v => !v._5.isNaN && !v._5.isInfinite))
+  }
+
   test("scoreLinear: occurrence-weighted sum, OOV drops, id spine restores " +
       "zero-hit docs at sigmoid(bias)") {
     def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
