@@ -1343,6 +1343,40 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Retention on the time-partitioned lake
+    * ([[io.GraftIO.expireTimePartitions]]): build the layout, expire the
+    * days strictly before 2024-01-10 (pure directory deletes), and
+    * aggregate everything that remains — the oracle is the raw table
+    * filtered at the cutoff, so an over- or under-delete hash-fails. */
+  private val q66: (SparkSession, String) => DataFrame = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val layout = scratch(s"q66_layout_${dir.hashCode.abs}")
+    io.GraftIO.writeTimePartitioned(ev, "ts", layout)
+    val cutNs = 1704844800L * 1000000000L // 2024-01-10 00:00:00 UTC
+    val removed = io.GraftIO.expireTimePartitions(s, layout, cutNs)
+    require(removed == 9, s"expected 9 expired days, removed $removed")
+    s.read.parquet(layout)
+      .groupBy(F.col("__pdate").as("day"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.sum("value"), 4).as("total_value"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Snapshot diff ([[operators.Drift.snapshotDiff]]): prev = ids < 400,
+    * cur = ids ≥ 50 with every 7th text revised — added / removed /
+    * changed / unchanged all load-bearing in the oracle (which compares
+    * TRUE text equality where the engine compares 64-bit content hashes:
+    * any disagreement requires a hash collision). */
+  private val d62: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val prev = docs.filter(F.col("doc_id") < 400)
+    val cur = docs.filter(F.col("doc_id") >= 50)
+      .withColumn("text", F.when(F.col("doc_id") % 7 === 0,
+        F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text")))
+    operators.Drift.snapshotDiff(prev, cur, F.col("doc_id"), F.col("text"))
+      .orderBy("doc_id")
+  }
+
   /** IVF ANN with EXHAUSTIVE probing (`nprobe = nlist`): every cell is
     * probed, so the result is exactly brute-force top-k — which makes the
     * whole IVF pipeline (sampled k-means training, native-expression
@@ -2556,6 +2590,7 @@ object SparkEntry {
     "d59_classifier_score" -> d59,
     "d60_drift_numeric" -> d60,
     "d61_drift_categorical" -> d61,
+    "d62_snapshot_diff" -> d62,
     "q62_sample_contract" -> q62,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
@@ -2568,7 +2603,8 @@ object SparkEntry {
     "q61_argsort" -> q61,
     "q63_time_slice" -> q63,
     "q64_time_partitioned" -> q64,
-    "q65_manifest_skip" -> q65)
+    "q65_manifest_skip" -> q65,
+    "q66_retention" -> q66)
 
   /** Bench-only queries: runnable BY NAME through `graft.Bench` for
     * scaling studies, but excluded from [[queries]] — the driver's
@@ -4057,6 +4093,27 @@ object SparkEntry {
     "q65_manifest_skip" -> """
       SELECT doc_id, source, n_chars FROM documents
       WHERE n_chars BETWEEN 200 AND 400 ORDER BY doc_id""",
+    // retention = the raw table filtered at the day cutoff
+    "q66_retention" -> """
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n, round(sum(value), 4) AS total_value
+      FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      GROUP BY 1, 2 ORDER BY day, event_type""",
+    // the oracle compares TRUE text equality; the engine's 64-bit
+    // content-hash compare can only disagree via a collision
+    "d62_snapshot_diff" -> """
+      WITH prev AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+      cur AS (SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+                  AS text
+              FROM documents WHERE doc_id >= 50)
+      SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+        CASE WHEN p.doc_id IS NULL THEN 'added'
+             WHEN c.doc_id IS NULL THEN 'removed'
+             WHEN p.text = c.text THEN 'unchanged'
+             ELSE 'changed' END AS status
+      FROM prev p FULL JOIN cur c ON p.doc_id = c.doc_id
+      ORDER BY doc_id""",
     "q60_series_utils" -> """
       SELECT
         (SELECT min(i) FROM

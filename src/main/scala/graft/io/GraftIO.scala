@@ -364,6 +364,44 @@ object GraftIO {
     } finally fs.delete(tmp, true)
   }
 
+  /** Retention/TTL for a time-partitioned layout: delete every WHOLE day
+    * partition strictly before the day-aligned `beforeNs` cutoff — pure
+    * directory removal, zero data reads, the cheapest operation a 100 TB
+    * lake performs (one LIST + one DELETE per expired day). The cutoff
+    * must be day-aligned: a mid-day cutoff would need a rewrite of the
+    * boundary day, which is [[compactTimePartitions]]' job, not
+    * retention's — refusing keeps "expire" unable to lose part of a day
+    * silently. A commit-logged (stream-written) layout is refused for the
+    * same reason as compaction: deleting files behind the log's back
+    * leaves readers listing ghosts — convert via [[compactTimePartitions]]
+    * `dropCommitLog = true` first (on a rotated layout). Returns the
+    * number of day partitions removed. */
+  def expireTimePartitions(spark: SparkSession, path: String,
+      beforeNs: Long): Int = {
+    val dayNs = 86400L * 1000000000L
+    require(beforeNs % dayNs == 0,
+      s"retention cutoff $beforeNs must be day-aligned — a mid-day " +
+        "cutoff would silently drop part of the boundary day")
+    val root = new org.apache.hadoop.fs.Path(resolveWriteUrl(path))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")),
+      "layout carries a streaming commit log (_spark_metadata); deleting " +
+        "partitions behind it leaves readers listing ghost files — " +
+        "convert with compactTimePartitions(dropCommitLog = true) first")
+    val cutoff = java.time.LocalDate.ofEpochDay(0)
+      .plusDays(beforeNs / dayNs)
+    val expired = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("__pdate=") &&
+          java.time.LocalDate.parse(p.getName.stripPrefix("__pdate="))
+            .isBefore(cutoff)
+      }
+    expired.foreach(fs.delete(_, true))
+    expired.size
+  }
+
   /** `from_ndjson` (data_frame.ex:1572) — NDJSON is Spark json's native
     * framing. `inferSchemaLength = Some(n)` matches Explorer: the schema is
     * inferred from the first n rows only (sampled via a limited text read),

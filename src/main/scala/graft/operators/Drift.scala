@@ -94,4 +94,28 @@ object Drift {
         F.round((pa - pb) * F.log(pa / pb), 6).as("contribution"))
       .orderBy("label")
   }
+
+  /** Snapshot diff — which documents were added / removed / changed /
+    * unchanged between two corpus snapshots (the audit step before
+    * re-running an expensive downstream pipeline on "the same" corpus).
+    *
+    * Scale shape: each side shuffles only `(id, xxhash64(content))` — 16
+    * bytes per row, never the document bodies — into one full-outer join
+    * on id. "Changed" means the 64-bit content hashes differ: two
+    * genuinely different versions agreeing by hash is a 2⁻⁶⁴ collision,
+    * the standard content-addressing contract (same posture as exact
+    * dedup's hash key). Ids are assumed unique within each snapshot
+    * (the corpus-id contract everywhere in this engine); a duplicated id
+    * multiplies through the join like any keyed join would. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, id: Column,
+      content: Column): DataFrame = {
+    def side(df: DataFrame, h: String): DataFrame =
+      df.select(id.as("doc_id"), F.xxhash64(content).as(h))
+    side(prev, "__hp").join(side(cur, "__hc"), Seq("doc_id"), "full")
+      .select(F.col("doc_id"),
+        F.when(F.col("__hp").isNull, "added")
+          .when(F.col("__hc").isNull, "removed")
+          .when(F.col("__hp") === F.col("__hc"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

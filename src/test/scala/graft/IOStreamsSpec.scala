@@ -745,6 +745,35 @@ class IOStreamsSpec extends SparkSpec {
     assert(out.count() == 2) // two sessions separated by the 3h gap
   }
 
+  test("expireTimePartitions: whole-day directory deletes, day-aligned " +
+      "cutoff enforced, commit-logged layout refused") {
+    val dir = tmp("graft_expire")
+    val dayNs = 86400L * 1000000000L
+    val ev = (0 until 9).map(i =>
+      (i.toLong, (i / 3).toLong * dayNs + i * 1000L, i * 1.0))
+      .toDF("event_id", "ts", "value")
+    GraftIO.writeTimePartitioned(ev, "ts", dir + "/layout")
+    assert(GraftIO.expireTimePartitions(spark, dir + "/layout", dayNs) == 1)
+    val dirs = new java.io.File(dir + "/layout").listFiles
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("__pdate=1970-01-02", "__pdate=1970-01-03"))
+    // survivors intact, expired day gone from reads
+    assert(spark.read.parquet(dir + "/layout").count() == 6)
+    assert(col1[Long](GraftIO.readTimeSlice(spark, dir + "/layout",
+      dayNs, 2 * dayNs).orderBy("event_id"), "event_id") == Seq(3L, 4L, 5L))
+    // idempotent: nothing left below the cutoff
+    assert(GraftIO.expireTimePartitions(spark, dir + "/layout", dayNs) == 0)
+    intercept[IllegalArgumentException] {
+      GraftIO.expireTimePartitions(spark, dir + "/layout", dayNs + 1)
+    }
+    // a commit-logged (stream-written) layout is refused
+    val logged = new java.io.File(dir + "/layout/_spark_metadata")
+    logged.mkdirs()
+    intercept[IllegalArgumentException] {
+      GraftIO.expireTimePartitions(spark, dir + "/layout", 2 * dayNs)
+    }
+  }
+
   test("rollup: cross-segment day merge, retry replaces, compaction " +
       "view-equal and folds to base, day band prunes partitions") {
     val dir = tmp("graft_rollup")
