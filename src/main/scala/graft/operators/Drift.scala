@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
 
 /** Distribution drift between two corpus snapshots — the monitoring op a
   * continuously-ingesting pipeline runs next to its dedup/quality gates:
@@ -39,7 +40,13 @@ object Drift {
     * Output: one row per bucket present in either snapshot — absent from
     * BOTH means a zero contribution, so omitting the row loses nothing —
     * with raw counts, smoothed shares (6 dp), and the PSI contribution
-    * (6 dp). `contribution` sums to total PSI. */
+    * (6 dp). `contribution` sums to total PSI.
+    *
+    * Snapshot totals are recovered from the bucket counts themselves
+    * (every counted row is in exactly one bucket), with a global window
+    * over the JOINED frame — which is ≤ breaks+1 rows by construction,
+    * so the single-partition window is a non-cost. Each snapshot is
+    * scanned exactly once; scalar-subquery totals would scan both twice. */
   def psi(a: DataFrame, b: DataFrame, col: Column,
       breaks: Seq[Double]): DataFrame = {
     require(breaks.nonEmpty, "psi needs at least one break")
@@ -54,23 +61,29 @@ object Drift {
       .select(F.col("bucket"),
         F.coalesce(F.col("n_a"), F.lit(0L)).as("n_a"),
         F.coalesce(F.col("n_b"), F.lit(0L)).as("n_b"))
-    // snapshot totals enter as scalar subqueries — one plan, no collect
-    val bridge = org.apache.spark.sql.graftbridge.Bridge
-    def tot(df: DataFrame): Column = bridge.scalarSubquery(
-      df.select(bucketOf(col, breaks).as("bucket"))
-        .filter(F.col("bucket").isNotNull).select(F.count(F.lit(1))))
-    val pa = (F.col("n_a") + 0.5) / (tot(a) + F.lit(0.5) * k)
-    val pb = (F.col("n_b") + 0.5) / (tot(b) + F.lit(0.5) * k)
-    joined.select(F.col("bucket"), F.col("n_a"), F.col("n_b"),
+    smoothed(joined, "bucket", F.lit(k))
+  }
+
+  /** Shared smoothing/contribution tail over a (key, n_a, n_b) frame of
+    * bounded size; `k` is the smoothing bucket count. */
+  private def smoothed(joined: DataFrame, key: String, k: Column): DataFrame = {
+    val w = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val pa = (F.col("n_a") + 0.5) / (F.sum("n_a").over(w) + F.lit(0.5) * k)
+    val pb = (F.col("n_b") + 0.5) / (F.sum("n_b").over(w) + F.lit(0.5) * k)
+    joined.select(F.col(key), F.col("n_a"), F.col("n_b"),
         F.round(pa, 6).as("share_a"), F.round(pb, 6).as("share_b"),
         F.round((pa - pb) * F.log(pa / pb), 6).as("contribution"))
-      .orderBy("bucket")
+      .orderBy(key)
   }
 
   /** Categorical PSI — same metric over a label column (language id,
     * source, license class). Labels absent from both snapshots cannot
-    * occur by construction; `k` for the smoothing denominator is the
-    * number of DISTINCT labels across both snapshots, computed in-plan. */
+    * occur by construction, so `k` for the smoothing denominator — the
+    * number of distinct labels across both snapshots — is exactly the
+    * joined frame's own row count, and totals are its column sums: the
+    * whole statistic needs one groupBy per side and a bounded window,
+    * no extra scans. */
   def psiCategorical(a: DataFrame, b: DataFrame, col: Column): DataFrame = {
     def side(df: DataFrame, n: String): DataFrame =
       df.select(col.as("label")).filter(F.col("label").isNotNull)
@@ -79,20 +92,9 @@ object Drift {
       .select(F.col("label"),
         F.coalesce(F.col("n_a"), F.lit(0L)).as("n_a"),
         F.coalesce(F.col("n_b"), F.lit(0L)).as("n_b"))
-    val bridge = org.apache.spark.sql.graftbridge.Bridge
-    val k = bridge.scalarSubquery(
-      a.select(col.as("label")).unionAll(b.select(col.as("label")))
-        .filter(F.col("label").isNotNull)
-        .select(F.count_distinct(F.col("label"))))
-    def tot(df: DataFrame): Column = bridge.scalarSubquery(
-      df.select(col.as("label")).filter(F.col("label").isNotNull)
-        .select(F.count(F.lit(1))))
-    val pa = (F.col("n_a") + 0.5) / (tot(a) + F.lit(0.5) * k)
-    val pb = (F.col("n_b") + 0.5) / (tot(b) + F.lit(0.5) * k)
-    joined.select(F.col("label"), F.col("n_a"), F.col("n_b"),
-        F.round(pa, 6).as("share_a"), F.round(pb, 6).as("share_b"),
-        F.round((pa - pb) * F.log(pa / pb), 6).as("contribution"))
-      .orderBy("label")
+    val w = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    smoothed(joined, "label", F.count(F.lit(1)).over(w))
   }
 
   /** Snapshot diff — which documents were added / removed / changed /
