@@ -1377,6 +1377,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Weighted sampling without replacement
+    * ([[operators.Sampling.weightedSample]], Efraimidis–Spirakis):
+    * 50 documents drawn proportional to `n_chars`, exact-integer uniform
+    * + ln-rank replayed verbatim in DuckDB — a mis-ranked, duplicated,
+    * or boundary-swapped selection hash-fails. */
+  private val d63: (SparkSession, String) => DataFrame = (s, dir) =>
+    operators.Sampling.weightedSample(t(s, dir, "documents"),
+      F.col("doc_id"), F.col("n_chars"), k = 50, salt = "w42")
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+
   /** IVF ANN with EXHAUSTIVE probing (`nprobe = nlist`): every cell is
     * probed, so the result is exactly brute-force top-k — which makes the
     * whole IVF pipeline (sampled k-means training, native-expression
@@ -2591,6 +2602,7 @@ object SparkEntry {
     "d60_drift_numeric" -> d60,
     "d61_drift_categorical" -> d61,
     "d62_snapshot_diff" -> d62,
+    "d63_weighted_sample" -> d63,
     "q62_sample_contract" -> q62,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
@@ -3564,6 +3576,18 @@ object SparkEntry {
           ln(((n_a + 0.5) / (ta.t + 0.5 * kk.k)) /
              ((n_b + 0.5) / (tb.t + 0.5 * kk.k))), 6) AS contribution
       FROM j, ta, tb, kk ORDER BY label""",
+    // E-S rank replayed with the same exact-integer uniform: md5 hex32,
+    // +0.5, /2^32, ln, divide by weight — selection must agree unless
+    // two ranks collide within float ulp (distinct md5 makes ranks
+    // well-separated)
+    "d63_weighted_sample" -> """
+      WITH r AS (SELECT doc_id, source, n_chars,
+          ln((('0x' || substr(md5(doc_id::VARCHAR || 'w42'), 1, 8))::BIGINT
+              + 0.5) / 4294967296.0) / n_chars AS rk
+        FROM documents)
+      SELECT doc_id, source, n_chars FROM
+        (SELECT * FROM r ORDER BY rk DESC, doc_id::VARCHAR LIMIT 50)
+      ORDER BY doc_id""",
     // d15's recursive closure + d26's quality formula + window arg-max
     "d55_keep_best_dedup" -> """
       WITH RECURSIVE toks AS (SELECT doc_id,

@@ -165,6 +165,39 @@ object Sampling {
       .filter(F.col("__rn") <= k).drop("__rn")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * Inf. Proc. Letters 97(5), 2006): each row draws the deterministic
+    * uniform `u = (hex32(md5(key‖salt)) + 0.5) / 2³²` and ranks at
+    * `ln(u) / w`; the k largest ranks are an exact weighted
+    * sample-without-replacement — P(row selected first) = wᵢ/Σw,
+    * sequentially without replacement thereafter. Same determinism
+    * contract as every hash sampler here: sticky under reruns, portable
+    * (md5 + exact integer arithmetic renders identically in any engine),
+    * and the uniform is strictly inside (0,1) so ln(u) is finite.
+    *
+    * Scale shape: rank is a pure per-row expression and the top-k plans
+    * as `TakeOrderedAndProject` — each partition pre-prunes to its local
+    * k, the driver merges O(partitions · k) rows; no global sort, no
+    * shuffle of the corpus. Weights must be strictly positive per row
+    * (asserted in-plan — a zero/negative/null weight has no E-S
+    * semantics); w → 0 degrades continuously to never-selected. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"weightedSample k must be positive, got $k")
+    val ks = key.cast(StringType)
+    val hex = F.substring(
+      F.md5(F.concat(ks, F.lit(salt)).cast(BinaryType)), 1, 8)
+    val u = (F.conv(hex, 16, 10).cast(DoubleType) + 0.5) / 4294967296.0
+    val rank = F.when(F.assert_true(weight.isNotNull && weight > 0, F.lit(
+      "weightedSample weight must be strictly positive — a zero, " +
+        "negative, or null weight has no sampling semantics")).isNull,
+      requireKey(ks, F.log(u) / weight))
+    df.withColumn("__ws_rank", rank)
+      .orderBy(F.col("__ws_rank").desc, ks.asc)
+      .limit(k)
+      .drop("__ws_rank")
+  }
+
   /** Domain-mixture sampling: splits `totalBudget` tokens across domains
     * by `weights` (normalized), then applies [[sampleToBudget]] — the
     * "hit a target domain mix for a training run" step. Domains absent

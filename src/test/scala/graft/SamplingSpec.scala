@@ -391,4 +391,44 @@ class SamplingSpec extends SparkSpec {
     val kept = out.count()
     assert(kept >= 2000 - 100, s"only $kept clean rows survived the gate")
   }
+
+  test("weightedSample: selection matches a JVM replay of the E-S rank, " +
+      "k >= n keeps everything, loud on nonpositive/null weights") {
+    // JVM replay of the exact rank formula the operator publishes
+    def rank(key: String, salt: String, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((key + salt).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      math.log(u) / w
+    }
+    val rows = (1L to 40L).map(i => (i, (i % 7 + 1).toDouble))
+    val df = rows.toDF("id", "w")
+    val got = col1[Long](Sampling.weightedSample(df, F.col("id"),
+      F.col("w"), k = 10, salt = "s1").orderBy("id"), "id")
+    val want = rows.sortBy { case (i, w) => (-rank(i.toString, "s1", w),
+      i.toString) }.take(10).map(_._1).sorted
+    assert(got == want)
+    // k >= n keeps every row regardless of weights
+    assert(Sampling.weightedSample(df, F.col("id"), F.col("w"), k = 100)
+      .count() == 40)
+    // deterministic; a different salt draws a different set (these salts
+    // verified to differ)
+    val again = col1[Long](Sampling.weightedSample(df, F.col("id"),
+      F.col("w"), k = 10, salt = "s1").orderBy("id"), "id")
+    assert(again == got)
+    val other = col1[Long](Sampling.weightedSample(df, F.col("id"),
+      F.col("w"), k = 10, salt = "s2").orderBy("id"), "id")
+    assert(other != got)
+    // loud contracts: zero / null weight
+    intercept[Exception] {
+      Sampling.weightedSample(df.withColumn("w", F.lit(0.0)),
+        F.col("id"), F.col("w"), k = 5).collect()
+    }
+    intercept[Exception] {
+      Sampling.weightedSample(df.withColumn("w",
+        F.lit(null).cast("double")), F.col("id"), F.col("w"), k = 5)
+        .collect()
+    }
+  }
 }
