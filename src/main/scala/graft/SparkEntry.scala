@@ -1303,6 +1303,42 @@ object SparkEntry {
       .orderBy("day", "event_type")
   }
 
+  private val s09Run = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming rollup maintenance ([[streaming.Streams.rollupSink]] over
+    * [[operators.Rollup]]): events arrive as three mtime-ordered
+    * micro-batches, each folding its partials under its own exactly-once
+    * segment; the combined view must equal one flat aggregation over all
+    * events — s08's oracle, reached through the streaming path. */
+  private val s09: (SparkSession, String) => DataFrame = (s, dir) => {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try s09Body(s, dir)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private val s09Body: (SparkSession, String) => DataFrame = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val run = s09Run.incrementAndGet()
+    val feed = new java.io.File(scratch(s"s09_feed_${dir.hashCode.abs}_$run"))
+    feed.mkdirs()
+    (0 until 3).foreach { k =>
+      shipFeedFile(ev.filter(F.col("event_id") % 3 === k), feed, k,
+        s"s09_tmp_${dir.hashCode.abs}_$run")
+    }
+    val path = scratch(s"s09_rollup_${dir.hashCode.abs}_$run")
+    streaming.Streams.rollupSink(
+      streaming.Streams.readParquetStream(s, feed.toString, ev.schema,
+        maxFilesPerTrigger = 1),
+      "ts", Seq("event_type"), "value", path,
+      name = s"s09_${dir.hashCode.abs}_$run")
+    operators.Rollup.readRollup(s, path)
+      .select(F.col("day"), F.col("event_type"), F.col("n"),
+        F.round(F.col("sum"), 4).as("total"),
+        F.col("min"), F.col("max"))
+      .orderBy("day", "event_type")
+  }
+
   /** TIME-PARTITIONED layout round trip — the other half of the time-scan
     * story next to [[q63]]'s row-group pruning: events rewritten once into
     * a date-partitioned, ts-sorted layout
@@ -2543,6 +2579,7 @@ object SparkEntry {
     "s06_lake_compact" -> s06,
     "s07_stream_embed_ingest" -> s07,
     "s08_rollup_merge" -> s08,
+    "s09_stream_rollup" -> s09,
     "d01_exact_dedup" -> d01,
     "d02_token_counts" -> d02,
     "d03_langid_quality" -> d03,
@@ -3154,6 +3191,12 @@ object SparkEntry {
     // aggregation over all events — min/max are element selections
     // (exact), sum carries the pinned 4-dp contract
     "s08_rollup_merge" -> """
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n, round(sum(value), 4) AS total,
+             min(value) AS min, max(value) AS max
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    // the streaming path must land on the same flat aggregation
+    "s09_stream_rollup" -> """
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
              count(*) AS n, round(sum(value), 4) AS total,
              min(value) AS min, max(value) AS max

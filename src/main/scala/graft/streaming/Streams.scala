@@ -272,6 +272,40 @@ object Streams {
     q.stop()
   }
 
+  /** Stream micro-batches into an incrementally-maintained day ROLLUP
+    * ([[graft.operators.Rollup]]) — the aggregate-side steady state next
+    * to [[lakeSink]]'s raw-row lake: each batch folds to its per-(day,
+    * keys) partials and lands under its own rollup segment, so the
+    * dashboard-facing combined view ([[graft.operators.Rollup
+    * .readRollup]]) is live within one trigger and history is never
+    * re-aggregated.
+    *
+    * Exactly-once: the same contract as the index ingest loops — segment
+    * id = SHA-256 checkpoint prefix + batchId, and
+    * [[graft.operators.Rollup.appendRollup]]'s dynamic partition
+    * overwrite makes a replayed batch REPLACE its previous (possibly
+    * partial) attempt. Unlike the dedup loops there is no in-flight
+    * exclusion to manage: a rollup batch reads nothing back from the
+    * rollup. Compact rotated segments with [[graft.operators.Rollup
+    * .compactRollup]] BETWEEN triggers (same live-ingest race note as
+    * the index compactors). Returns the run's segment prefix. */
+  def rollupSink(stream: DataFrame, tsNsCol: String, keyCols: Seq[String],
+      valueCol: String, path: String, name: String,
+      checkpoint: Option[String] = None): String = {
+    val ckpt = checkpoint.getOrElse(checkpointDir(name).toString)
+    val prefix = segmentPrefix(ckpt)
+    val step: (DataFrame, Long) => Unit = (batchDf, batchId) =>
+      graft.operators.Rollup.appendRollup(batchDf, tsNsCol, keyCols,
+        valueCol, path, s"${prefix}_b$batchId")
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(step)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    prefix
+  }
+
   /** Truncated SHA-256 of the checkpoint path, not String.hashCode: a
     * 32-bit hash collision between two runs' checkpoints would make the
     * new run's seg b0 dynamic-overwrite (silently DELETE) the earlier
