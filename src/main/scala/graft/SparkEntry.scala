@@ -1364,16 +1364,22 @@ object SparkEntry {
       .orderBy("hour_start", "event_type")
   }
 
-  /** Manifest data skipping ([[io.Manifest]]): documents range-clustered
-    * by `n_chars` into 8 files with a per-file min/max manifest; the
-    * banded read opens only envelope-surviving files (spec asserts the
-    * numFiles fact), and the result is plain filter semantics — which is
-    * exactly what the oracle replays. */
+  /** Manifest data skipping ([[io.Manifest]]): half the documents
+    * range-clustered by `n_chars` into 8 files with a per-file min/max
+    * manifest, the other half APPENDED incrementally
+    * ([[io.Manifest.appendWithManifest]] — stats harvested from the new
+    * files only); the banded read opens only envelope-surviving files
+    * (spec asserts the numFiles fact), and the result is plain filter
+    * semantics over the WHOLE corpus — a dropped or double-listed
+    * appended file hash-fails the oracle. */
   private val q65: (SparkSession, String) => DataFrame = (s, dir) => {
     val docs = t(s, dir, "documents")
     val layout = scratch(s"q65_layout_${dir.hashCode.abs}")
-    io.Manifest.writeWithManifest(docs, layout, statsCols = Seq("n_chars"),
+    io.Manifest.writeWithManifest(docs.filter(F.col("doc_id") % 2 === 0),
+      layout, statsCols = Seq("n_chars"),
       clusterCols = Seq("n_chars"), targetFiles = 8)
+    io.Manifest.appendWithManifest(docs.filter(F.col("doc_id") % 2 === 1),
+      layout, clusterCols = Seq("n_chars"), targetFiles = 8)
     io.Manifest.readSkipping(s, layout, "n_chars", 200L, 400L)
       .select("doc_id", "source", "n_chars")
       .orderBy("doc_id")
@@ -1421,6 +1427,17 @@ object SparkEntry {
   private val d63: (SparkSession, String) => DataFrame = (s, dir) =>
     operators.Sampling.weightedSample(t(s, dir, "documents"),
       F.col("doc_id"), F.col("n_chars"), k = 50, salt = "w42")
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** Per-source weighted sampling
+    * ([[operators.Sampling.weightedSampleByGroup]]): 10 docs per source
+    * proportional to `n_chars`, the WindowGroupLimit shape; the oracle
+    * replays the rank inside a per-source window. */
+  private val d64: (SparkSession, String) => DataFrame = (s, dir) =>
+    operators.Sampling.weightedSampleByGroup(t(s, dir, "documents"),
+      F.col("source"), F.col("doc_id"), F.col("n_chars"),
+      k = 10, salt = "w42")
       .select("doc_id", "source", "n_chars")
       .orderBy("doc_id")
 
@@ -2640,6 +2657,7 @@ object SparkEntry {
     "d61_drift_categorical" -> d61,
     "d62_snapshot_diff" -> d62,
     "d63_weighted_sample" -> d63,
+    "d64_weighted_per_source" -> d64,
     "q62_sample_contract" -> q62,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
@@ -3631,6 +3649,16 @@ object SparkEntry {
       SELECT doc_id, source, n_chars FROM
         (SELECT * FROM r ORDER BY rk DESC, doc_id::VARCHAR LIMIT 50)
       ORDER BY doc_id""",
+    // the same E-S rank inside a per-source window
+    "d64_weighted_per_source" -> """
+      WITH r AS (SELECT doc_id, source, n_chars,
+          ln((('0x' || substr(md5(doc_id::VARCHAR || 'w42'), 1, 8))::BIGINT
+              + 0.5) / 4294967296.0) / n_chars AS rk
+        FROM documents)
+      SELECT doc_id, source, n_chars FROM
+        (SELECT *, row_number() OVER (PARTITION BY source
+           ORDER BY rk DESC, doc_id::VARCHAR) AS rn FROM r)
+      WHERE rn <= 10 ORDER BY doc_id""",
     // d15's recursive closure + d26's quality formula + window arg-max
     "d55_keep_best_dedup" -> """
       WITH RECURSIVE toks AS (SELECT doc_id,

@@ -68,6 +68,65 @@ object Manifest {
       .write.mode("overwrite").parquet(manifestPath(url))
   }
 
+  /** Append a batch to an existing manifested layout incrementally: the
+    * batch's files land via a parquet append (optionally range-clustered
+    * among THEMSELVES), stats are harvested from the NEW files only —
+    * the listing delta against the stored manifest; history is never
+    * re-scanned — and the manifest is rewritten as old ∪ new. The stats
+    * columns are the ones the layout was created with. Batch-local
+    * clustering keeps each batch's envelopes tight; across batches,
+    * envelopes may overlap (several files survive a band instead of
+    * one), which degrades pruning gracefully, never correctness — the
+    * same LSM posture as every segment appender here, with the same
+    * companion: rewrite via [[writeWithManifest]] when file-count
+    * economics say so. */
+  def appendWithManifest(df: DataFrame, path: String,
+      clusterCols: Seq[String] = Nil, targetFiles: Int = 0,
+      compression: String = "snappy"): Unit = {
+    val spark = df.sparkSession
+    val url = GraftIO.resolveUrl(path)
+    val old = manifest(spark, path)
+    val statsCols = old.columns.filter(_.startsWith("min_"))
+      .map(_.stripPrefix("min_")).toSeq
+    // URI spellings differ between input_file_name() (stored manifest)
+    // and DataFrame.inputFiles (file:/ vs file:///) — compare
+    // scheme-stripped paths or the delta silently re-includes every old
+    // file and the merged manifest double-lists them (= double reads)
+    def norm(u: String): String = org.apache.hadoop.fs.Path
+      .getPathWithoutSchemeAndAuthority(new org.apache.hadoop.fs.Path(u))
+      .toString
+    val known = old.select("file").collect().map(r => norm(r.getString(0)))
+      .toSet
+    val out =
+      if (clusterCols.isEmpty) df
+      else {
+        val keys = clusterCols.map(F.col)
+        val ranged =
+          if (targetFiles > 0) df.repartitionByRange(targetFiles, keys: _*)
+          else df.repartitionByRange(keys: _*)
+        ranged.sortWithinPartitions(keys: _*)
+      }
+    out.write.mode("append")
+      .option("compression",
+        if (compression == "lz4") "lz4_raw" else compression)
+      .parquet(url)
+    val fresh = spark.read.parquet(url).inputFiles
+      .filterNot(f => known(norm(f))).toSeq
+    if (fresh.nonEmpty) {
+      val aggs = F.count(F.lit(1)).as("rows") +: statsCols.flatMap(c =>
+        Seq(F.min(F.col(c)).as(s"min_$c"), F.max(F.col(c)).as(s"max_$c")))
+      val newStats = spark.read.parquet(fresh: _*)
+        .select(F.input_file_name().as("file") +: statsCols.map(F.col): _*)
+        .groupBy("file").agg(aggs.head, aggs.tail: _*)
+      // materialize the union BEFORE overwriting the manifest it reads
+      val merged = old.unionByName(newStats).collect()
+      val schema = old.schema
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(merged.toSeq, 1), schema)
+        .write.mode("overwrite").parquet(manifestPath(url))
+    }
+  }
+
   /** The manifest table (one row per data file). Fails loud when absent —
     * an un-manifested path silently full-scanning would defeat the whole
     * point of declaring the read pruned. */

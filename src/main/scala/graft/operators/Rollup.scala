@@ -28,15 +28,26 @@ import org.apache.spark.sql.{functions => F}
   */
 object Rollup {
 
-  /** Per-(day, keys) mergeable partials of one input slice. */
+  /** Per-(day, keys) mergeable partials of one input slice. The partial
+    * column names (`n`/`sum`/`min`/`max`) and the layout columns
+    * (`seg`/`__pdate`) are the rollup's OWN schema, and [[readRollup]]
+    * recovers the key columns as "everything else" — so a key named like
+    * a partial would silently corrupt the combine. Refused loudly. */
   private def partials(df: DataFrame, tsNsCol: String,
-      keyCols: Seq[String], valueCol: String): DataFrame =
+      keyCols: Seq[String], valueCol: String): DataFrame = {
+    val reserved = Set("seg", "__pdate", "n", "sum", "min", "max")
+    val clash = keyCols.filter(reserved)
+    require(clash.isEmpty,
+      s"rollup key column(s) ${clash.mkString(", ")} collide with the " +
+        "rollup's own schema (seg/__pdate/n/sum/min/max) — rename before " +
+        "rolling up")
     df.withColumn("__pdate", graft.io.GraftIO.utcDay(tsNsCol))
       .groupBy("__pdate", keyCols: _*)
       .agg(F.count(F.lit(1)).as("n"),
         F.sum(F.col(valueCol)).as("sum"),
         F.min(F.col(valueCol)).as("min"),
         F.max(F.col(valueCol)).as("max"))
+  }
 
   /** Create/replace the rollup at `path` from a full history scan
     * (`seg=base`). */

@@ -185,17 +185,38 @@ object Sampling {
       k: Int, salt: String = ""): DataFrame = {
     require(k > 0, s"weightedSample k must be positive, got $k")
     val ks = key.cast(StringType)
-    val hex = F.substring(
-      F.md5(F.concat(ks, F.lit(salt)).cast(BinaryType)), 1, 8)
-    val u = (F.conv(hex, 16, 10).cast(DoubleType) + 0.5) / 4294967296.0
-    val rank = F.when(F.assert_true(weight.isNotNull && weight > 0, F.lit(
-      "weightedSample weight must be strictly positive — a zero, " +
-        "negative, or null weight has no sampling semantics")).isNull,
-      requireKey(ks, F.log(u) / weight))
-    df.withColumn("__ws_rank", rank)
+    df.withColumn("__ws_rank", esRank(ks, weight, salt))
       .orderBy(F.col("__ws_rank").desc, ks.asc)
       .limit(k)
       .drop("__ws_rank")
+  }
+
+  /** The A-ES rank `ln(u)/w` with its in-plan weight/key guards. */
+  private def esRank(ks: Column, weight: Column, salt: String): Column = {
+    val hex = F.substring(
+      F.md5(F.concat(ks, F.lit(salt)).cast(BinaryType)), 1, 8)
+    val u = (F.conv(hex, 16, 10).cast(DoubleType) + 0.5) / 4294967296.0
+    F.when(F.assert_true(weight.isNotNull && weight > 0, F.lit(
+      "weightedSample weight must be strictly positive — a zero, " +
+        "negative, or null weight has no sampling semantics")).isNull,
+      requireKey(ks, F.log(u) / weight))
+  }
+
+  /** Per-domain [[weightedSample]]: k rows PER GROUP drawn proportional
+    * to weight — "k representative examples per source, biased to the
+    * high-quality ones". Same rank, taken inside a domain-partitioned
+    * window: `row_number <= k` plans as `WindowGroupLimit`, so map tasks
+    * pre-prune to their local top-k before the shuffle (the
+    * [[topKByHash]] scale shape — bytes moved are O(domains · k), and a
+    * giant domain never funnels through one task unpruned). */
+  def weightedSampleByGroup(df: DataFrame, domain: Column, key: Column,
+      weight: Column, k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"weightedSampleByGroup k must be positive, got $k")
+    val ks = key.cast(StringType)
+    val w = Window.partitionBy(domain)
+      .orderBy(esRank(ks, weight, salt).desc, ks.asc)
+    df.withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") <= k).drop("__rn")
   }
 
   /** Domain-mixture sampling: splits `totalBudget` tokens across domains

@@ -862,5 +862,21 @@ class IOStreamsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Manifest.readSkipping(spark, dir + "/t", "payload", "a", "b")
     }
+    // incremental append: new files harvested WITHOUT re-listing old ones
+    // in the manifest twice (a double-listed file would double-read)
+    val extra = (1000L until 1100L).map(i => (i, i, s"x$i"))
+      .toDF("id", "v", "payload")
+    Manifest.appendWithManifest(extra, dir + "/t",
+      clusterCols = Seq("v"), targetFiles = 2)
+    val man2 = Manifest.manifest(spark, dir + "/t")
+    assert(man2.count() == 10) // 8 original + 2 appended
+    assert(man2.select("file").distinct().count() == 10)
+    assert(col1[Long](man2.selectExpr("sum(rows) as s"), "s") == Seq(900L))
+    // a band fully inside the appended range touches only appended files
+    val app = Manifest.readSkipping(spark, dir + "/t", "v", 1000L, 1049L)
+    assert(app.count() == 50)
+    // and the whole corpus reads back exactly once
+    assert(Manifest.readSkipping(spark, dir + "/t", "v", 0L, 2000L)
+      .count() == 900)
   }
 }

@@ -430,5 +430,19 @@ class SamplingSpec extends SparkSpec {
         F.lit(null).cast("double")), F.col("id"), F.col("w"), k = 5)
         .collect()
     }
+    // per-group variant: same rank replay inside each domain, and the
+    // plan is the pre-pruning WindowGroupLimit shape
+    val gRows = (1L to 40L).map(i => (i, s"g${i % 3}", (i % 5 + 1).toDouble))
+    val gdf = gRows.toDF("id", "g", "w")
+    val grouped = Sampling.weightedSampleByGroup(gdf, F.col("g"),
+      F.col("id"), F.col("w"), k = 4, salt = "s1")
+    val gotG = grouped.collect().map(r => r.getString(1) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val wantG = gRows.groupBy(_._2).view.mapValues(_.sortBy { case (i, _, w)
+      => (-rank(i.toString, "s1", w), i.toString) }
+      .take(4).map(_._1).sorted.toSeq).toMap
+    assert(gotG == wantG)
+    assert(grouped.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
   }
 }
