@@ -147,18 +147,34 @@ object Manifest {
     * has null envelope bounds — both sides agree it contributes nothing,
     * so skipping can never drop a row the filter would keep. */
   def readSkipping(spark: SparkSession, path: String, col: String,
-      lo: Any, hi: Any): DataFrame = {
+      lo: Any, hi: Any): DataFrame =
+    readSkippingBands(spark, path, Seq((col, lo, hi)))
+
+  /** AND-composed inclusive bands over several manifested columns — the
+    * composite-predicate form of [[readSkipping]]: a file is opened only
+    * if EVERY band overlaps its envelope, so each extra selective band
+    * multiplies the skip rate (with independent clustering the envelope
+    * of the non-clustered column is wide — composite pruning is only as
+    * good as the weakest band's layout, same caveat as single-band). */
+  def readSkippingBands(spark: SparkSession, path: String,
+      bands: Seq[(String, Any, Any)]): DataFrame = {
+    require(bands.nonEmpty, "declare at least one band")
     val url = GraftIO.resolveUrl(path)
     val man = manifest(spark, path)
-    require(man.columns.contains(s"min_$col"),
-      s"column $col has no manifest stats (have: " +
-        man.columns.filter(_.startsWith("min_"))
-          .map(_.stripPrefix("min_")).mkString(", ") + ")")
-    // overlap test: NOT (file entirely above or entirely below the range)
-    val keep = man.filter(
-      F.col(s"min_$col") <= F.lit(hi) && F.col(s"max_$col") >= F.lit(lo))
-    val files = keep.select("file").collect().map(_.getString(0))
-    val residual = F.col(col) >= F.lit(lo) && F.col(col) <= F.lit(hi)
+    bands.foreach { case (c, _, _) =>
+      require(man.columns.contains(s"min_$c"),
+        s"column $c has no manifest stats (have: " +
+          man.columns.filter(_.startsWith("min_"))
+            .map(_.stripPrefix("min_")).mkString(", ") + ")")
+    }
+    // overlap test per band: NOT (file entirely above or below the range)
+    val keep = bands.map { case (c, lo, hi) =>
+      F.col(s"min_$c") <= F.lit(hi) && F.col(s"max_$c") >= F.lit(lo)
+    }.reduce(_ && _)
+    val files = man.filter(keep).select("file").collect().map(_.getString(0))
+    val residual = bands.map { case (c, lo, hi) =>
+      F.col(c) >= F.lit(lo) && F.col(c) <= F.lit(hi)
+    }.reduce(_ && _)
     if (files.isEmpty)
       // schema-true empty frame: the layout's schema, zero files scanned
       spark.read.parquet(url).filter(residual).limit(0)

@@ -878,5 +878,18 @@ class IOStreamsSpec extends SparkSpec {
     // and the whole corpus reads back exactly once
     assert(Manifest.readSkipping(spark, dir + "/t", "v", 0L, 2000L)
       .count() == 900)
+    // composite bands: AND of two declared columns, equality with the
+    // plain double filter; a band on an un-declared column stays loud
+    Manifest.writeWithManifest(df.withColumn("v2", F.col("v") % 100),
+      dir + "/t3", statsCols = Seq("v", "v2"), clusterCols = Seq("v"),
+      targetFiles = 8)
+    val both = Manifest.readSkippingBands(spark, dir + "/t3",
+      Seq(("v", 100L, 300L), ("v2", 0L, 49L)))
+    assert(col1[Long](both.orderBy("id"), "id") ==
+      (100L to 300L).filter(_ % 100 <= 49))
+    intercept[IllegalArgumentException] {
+      Manifest.readSkippingBands(spark, dir + "/t3",
+        Seq(("v", 0L, 1L), ("payload", "a", "b")))
+    }
   }
 }
