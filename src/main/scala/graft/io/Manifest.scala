@@ -44,6 +44,10 @@ object Manifest {
       statsCols: Seq[String], clusterCols: Seq[String] = Nil,
       targetFiles: Int = 0, compression: String = "snappy"): Unit = {
     require(statsCols.nonEmpty, "declare at least one stats column")
+    val clash = statsCols.filter(Set("file", "rows"))
+    require(clash.isEmpty,
+      s"stats column(s) ${clash.mkString(", ")} collide with the " +
+        "manifest's own schema (file/rows) — rename before manifesting")
     val url = GraftIO.resolveUrl(path)
     val out =
       if (clusterCols.isEmpty) df
