@@ -272,4 +272,69 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("psi contributions are nonnegative and identical snapshots score 0") {
+    import graft.operators.Drift
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val valsGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000L)).map(_.take(60))
+    forAll(valsGen, valsGen) { (as, bs) =>
+      val a = as.toDF("v")
+      val b = bs.toDF("v")
+      val out = Drift.psi(a, b, F.col("v"), Seq(100.0, 400.0, 700.0))
+        .collect()
+      // (pa-pb)·ln(pa/pb) ≥ 0 pointwise: both factors share sign
+      assert(out.forall(_.getDouble(5) >= 0.0), out.mkString(";"))
+      val same = Drift.psi(a, a, F.col("v"), Seq(100.0, 400.0, 700.0))
+        .collect()
+      assert(same.forall(_.getDouble(5) == 0.0))
+    }
+  }
+
+  test("weightedSample returns min(k, n) distinct input rows; grouped " +
+      "variant respects the per-group cap") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val rowsG = Gen.nonEmptyListOf(for {
+      id <- Gen.chooseNum(1L, 10000L)
+      w <- Gen.chooseNum(1, 50)
+    } yield (id, w.toDouble)).map(_.take(40).distinctBy(_._1))
+    forAll(rowsG, Gen.chooseNum(1, 12)) { (rows, k) =>
+      val d = rows.toDF("id", "w")
+      val got = Sampling.weightedSample(d, F.col("id"), F.col("w"), k)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got.size == math.min(k, rows.size))
+      assert(got.distinct.size == got.size)
+      assert(got.forall(rows.map(_._1).toSet))
+      val grouped = Sampling.weightedSampleByGroup(
+        d.withColumn("g", F.pmod(F.col("id"), F.lit(3L))),
+        F.col("g"), F.col("id"), F.col("w"), k)
+      val sizes = grouped.groupBy("g").count().collect()
+        .map(_.getLong(1))
+      assert(sizes.forall(_ <= k))
+    }
+  }
+
+  test("snapshotDiff statuses partition both id universes") {
+    import graft.operators.Drift
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val idsG = Gen.nonEmptyListOf(Gen.chooseNum(1L, 40L)).map(_.take(30))
+    forAll(idsG, idsG) { (pIds, cIds) =>
+      val p = pIds.distinct.map(i => (i, s"t$i")).toDF("id", "t")
+      val c = cIds.distinct.map(i => (i,
+        if (i % 3 == 0) s"t$i!" else s"t$i")).toDF("id", "t")
+      val out = Drift.snapshotDiff(p, c, F.col("id"), F.col("t"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val ps = pIds.distinct.toSet; val cs = cIds.distinct.toSet
+      assert(out.keySet == (ps ++ cs))
+      assert(out.filter(_._2 == "added").keySet == (cs -- ps))
+      assert(out.filter(_._2 == "removed").keySet == (ps -- cs))
+      assert(out.filter(_._2 == "changed").keySet ==
+        (ps & cs).filter(_ % 3 == 0))
+      assert(out.filter(_._2 == "unchanged").keySet ==
+        (ps & cs).filterNot(_ % 3 == 0))
+    }
+  }
 }
