@@ -1385,6 +1385,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Z-ordered manifest skipping ([[io.Manifest.writeZOrdered]]): the
+    * corpus Morton-clustered on (n_chars, doc_id) so a composite band
+    * prunes on BOTH dimensions (spec pins the either-column pruning
+    * fact); semantics stay the plain AND filter the oracle replays. */
+  private val q67: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val layout = scratch(s"q67_layout_${dir.hashCode.abs}")
+    io.Manifest.writeZOrdered(docs, layout,
+      statsCols = Seq("n_chars", "doc_id"),
+      zCols = Seq("n_chars", "doc_id"), targetFiles = 16)
+    io.Manifest.readSkippingBands(s, layout,
+      Seq(("n_chars", 200L, 500L), ("doc_id", 0L, 250L)))
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Retention on the time-partitioned lake
     * ([[io.GraftIO.expireTimePartitions]]): build the layout, expire the
     * days strictly before 2024-01-10 (pure directory deletes), and
@@ -2671,7 +2687,8 @@ object SparkEntry {
     "q63_time_slice" -> q63,
     "q64_time_partitioned" -> q64,
     "q65_manifest_skip" -> q65,
-    "q66_retention" -> q66)
+    "q66_retention" -> q66,
+    "q67_zorder_skip" -> q67)
 
   /** Bench-only queries: runnable BY NAME through `graft.Bench` for
     * scaling studies, but excluded from [[queries]] — the driver's
@@ -4188,6 +4205,11 @@ object SparkEntry {
     "q65_manifest_skip" -> """
       SELECT doc_id, source, n_chars FROM documents
       WHERE n_chars BETWEEN 200 AND 400 ORDER BY doc_id""",
+    // z-order is an IO strategy: the oracle is the plain AND band filter
+    "q67_zorder_skip" -> """
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE n_chars BETWEEN 200 AND 500 AND doc_id BETWEEN 0 AND 250
+      ORDER BY doc_id""",
     // retention = the raw table filtered at the day cutoff
     "q66_retention" -> """
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,

@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 
 /** File-level min/max manifest — data skipping for columns the directory
@@ -129,6 +129,74 @@ object Manifest {
           spark.sparkContext.parallelize(merged.toSeq, 1), schema)
         .write.mode("overwrite").parquet(manifestPath(url))
     }
+  }
+
+  /** Z-ORDERED manifested write — multi-column data skipping done right:
+    * single-column range clustering makes ONE column's envelopes tight
+    * and leaves every other column's spanning the whole domain, so
+    * [[readSkippingBands]] prunes on the clustered column only. Morton
+    * (bit-interleaved) ordering spreads locality across ALL `zCols`: a
+    * band on ANY of them maps to a bounded set of z-contiguous files.
+    *
+    * Construction: each z-column is quantized to an 8-bit bucket id by
+    * its own approximate quantiles (256 cut points per column, harvested
+    * once driver-side with `approxQuantile` — the same bounded planning
+    * cost as qcut, and rank-based quantization is what makes skew
+    * harmless: a hot value occupies many buckets of the OTHER columns'
+    * bits instead of one giant z-range); the ids' bits are interleaved
+    * into a z-value (pure Column bit arithmetic, no UDF), and the write
+    * range-partitions + sorts on it. The z-value never lands in the
+    * data — it exists only during the shuffle.
+    *
+    * The price, stated honestly: per-column envelopes are wider than a
+    * dedicated single-column sort would give (each file covers a Morton
+    * box, not a stripe), so a workload that only ever bands ONE column
+    * should use [[writeWithManifest]] with that column — z-order is for
+    * the mixed-predicate workload where every dimension deserves pruning. */
+  def writeZOrdered(df: DataFrame, path: String, statsCols: Seq[String],
+      zCols: Seq[String], targetFiles: Int,
+      compression: String = "snappy"): Unit = {
+    require(zCols.size >= 2 && zCols.size <= 4,
+      s"z-order needs 2-4 columns, got ${zCols.size} — one column is " +
+        "plain range clustering (writeWithManifest), more than four " +
+        "dilutes every dimension's bits past usefulness")
+    require(targetFiles > 0, "z-order write needs an explicit targetFiles")
+    val n = zCols.size
+    val probs = (1 until 256).map(_ / 256.0).toArray
+    // per-column quantile breaks: one bounded driver-side plan step
+    val breaks: Seq[Array[Double]] = zCols.map { c =>
+      val bs = df.na.drop(Seq(c))
+        .select(F.col(c).cast("double").as(c))
+        .stat.approxQuantile(c, probs, 0.001)
+      require(bs.nonEmpty, s"z-order column $c has no non-null values")
+      bs
+    }
+    def bucketOf(c: String, bs: Array[Double]): Column = {
+      val v = F.col(c).cast("double")
+      // count of breaks <= v, nulls to bucket 0 (the Drift/cut pattern);
+      // distinct-only breaks keep the fold short under low cardinality
+      val distinctBs = bs.distinct
+      F.when(v.isNull, 0).otherwise(
+        distinctBs.map(b => F.when(v >= b, 1).otherwise(0))
+          .reduceOption[Column](_ + _).getOrElse(F.lit(0)))
+    }
+    // spread the 8 bucket bits of column i to positions b*n + i — in LONG
+    // arithmetic: with 4 columns the top bit lands at position 31, which
+    // in Int is the sign bit and would break z monotonicity
+    def spread(bucket: Column, i: Int): Column =
+      (0 until 8).map { b =>
+        F.shiftleft(F.shiftright(bucket.cast("long"), b)
+          .bitwiseAND(F.lit(1L)), b * n + i)
+      }.reduce(_ bitwiseOR _)
+    val z = zCols.zip(breaks).zipWithIndex.map { case ((c, bs), i) =>
+      spread(bucketOf(c, bs), i)
+    }.reduce(_ bitwiseOR _)
+    val ordered = df.withColumn("__zv", z)
+      .repartitionByRange(targetFiles, F.col("__zv"))
+      .sortWithinPartitions("__zv")
+      .drop("__zv")
+    writeWithManifest(ordered, path, statsCols, clusterCols = Nil,
+      targetFiles = 0, compression = compression)
   }
 
   /** The manifest table (one row per data file). Fails loud when absent —

@@ -774,6 +774,39 @@ class IOStreamsSpec extends SparkSpec {
     }
   }
 
+  test("z-order: bands on EITHER column prune files; single-column " +
+      "clustering prunes only its own; equality with plain filters") {
+    val dir = tmp("graft_zorder")
+    // 4096 points on a 64x64 grid — two independent uniform dimensions
+    val df = (0L until 4096L).map(i => (i, i % 64L, i / 64L))
+      .toDF("id", "x", "y")
+    Manifest.writeZOrdered(df, dir + "/z", statsCols = Seq("x", "y"),
+      zCols = Seq("x", "y"), targetFiles = 16)
+    Manifest.writeWithManifest(df, dir + "/xonly",
+      statsCols = Seq("x", "y"), clusterCols = Seq("x"), targetFiles = 16)
+    def opened(path: String, col: String, lo: Long, hi: Long): Long =
+      Manifest.manifest(spark, path)
+        .filter(F.col(s"min_$col") <= hi && F.col(s"max_$col") >= lo)
+        .count()
+    // a 1/8-wide band on x: both layouts prune
+    assert(opened(dir + "/z", "x", 0L, 7L) < 16)
+    assert(opened(dir + "/xonly", "x", 0L, 7L) <= 3)
+    // a 1/8-wide band on y: z-order prunes, x-clustering CANNOT (every
+    // file spans all of y)
+    assert(opened(dir + "/z", "y", 0L, 7L) < 16,
+      s"z layout did not prune on y: ${opened(dir + "/z", "y", 0L, 7L)}")
+    assert(opened(dir + "/xonly", "y", 0L, 7L) == 16)
+    // correctness: banded reads equal plain filters on both dimensions
+    assert(col1[Long](Manifest.readSkipping(spark, dir + "/z", "y", 0L, 7L)
+      .orderBy("id"), "id") == (0L until 512L))
+    assert(Manifest.readSkippingBands(spark, dir + "/z",
+      Seq(("x", 0L, 7L), ("y", 0L, 7L))).count() == 64)
+    // guards: 1 column is plain clustering, >4 dilutes
+    intercept[IllegalArgumentException] {
+      Manifest.writeZOrdered(df, dir + "/bad", Seq("x"), Seq("x"), 4)
+    }
+  }
+
   test("rollup: cross-segment day merge, retry replaces, compaction " +
       "view-equal and folds to base, day band prunes partitions") {
     val dir = tmp("graft_rollup")
