@@ -152,7 +152,11 @@ object Manifest {
     * dedicated single-column sort would give (each file covers a Morton
     * box, not a stripe), so a workload that only ever bands ONE column
     * should use [[writeWithManifest]] with that column — z-order is for
-    * the mixed-predicate workload where every dimension deserves pruning. */
+    * the mixed-predicate workload where every dimension deserves pruning.
+    * Appends: use [[appendWithManifest]] (batch-local clustering; correct
+    * immediately, envelopes loosen as batches accrete) and re-run
+    * [[writeZOrdered]] over cold data periodically — the OPTIMIZE
+    * posture, same economics as every compactor in this engine. */
   def writeZOrdered(df: DataFrame, path: String, statsCols: Seq[String],
       zCols: Seq[String], targetFiles: Int,
       compression: String = "snappy"): Unit = {
