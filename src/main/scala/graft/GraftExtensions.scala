@@ -130,6 +130,13 @@ object GraftExtensions {
         arity("strip_accents", 1, args)
         StripAccents(args(0))
     },
+    fd("unicode_normalize", classOf[UnicodeNormalize],
+      "unicode_normalize(text, form) - java.text.Normalizer NFC/NFD/NFKC/NFKD") {
+      args =>
+        arity("unicode_normalize", 2, args)
+        UnicodeNormalize(args(0), java.text.Normalizer.Form.valueOf(
+          litString("unicode_normalize", "form", args(1)).toUpperCase))
+    },
     fd("repetition_stats", classOf[RepetitionStats],
       "repetition_stats(text) - struct(dup_line_frac, dup_line_char_frac, top_bigram_share)") {
       args =>

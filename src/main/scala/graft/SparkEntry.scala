@@ -2077,6 +2077,21 @@ object SparkEntry {
       weights, bias = -0.5, scale = 0.001).orderBy("doc_id")
   }
 
+  /** Unicode NFC normalization ([[functions.TextExprs.unicodeNormalize]])
+    * — the text-canonicalization step before byte-level dedup: a
+    * decomposed-form suffix (combining acute + a ligature) is planted on
+    * every row so the normalization is load-bearing; the oracle replays
+    * with DuckDB's `nfc_normalize`. NFKC compatibility folding is
+    * spec-pinned (DuckDB has no NFKC). */
+  private val d65: (SparkSession, String) => DataFrame = (s, dir) =>
+    t(s, dir, "documents")
+      .select(F.col("doc_id"),
+        functions.TextExprs.unicodeNormalize(
+          F.concat(F.col("text"),
+            F.lit(" e\u0301 \ufb01")), "NFC")
+          .as("text_nfc"))
+      .orderBy("doc_id")
+
   /** Numeric distribution drift ([[operators.Drift.psi]]) between two
     * snapshot halves of the corpus over `n_chars` — per-bucket PSI with
     * the Jeffreys-smoothed shares in the published contract. */
@@ -2674,6 +2689,7 @@ object SparkEntry {
     "d62_snapshot_diff" -> d62,
     "d63_weighted_sample" -> d63,
     "d64_weighted_per_source" -> d64,
+    "d65_unicode_nfc" -> d65,
     "q62_sample_contract" -> q62,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
@@ -3666,6 +3682,13 @@ object SparkEntry {
       SELECT doc_id, source, n_chars FROM
         (SELECT * FROM r ORDER BY rk DESC, doc_id::VARCHAR LIMIT 50)
       ORDER BY doc_id""",
+    // DuckDB nfc_normalize replays NFC; the planted suffix (combining
+    // acute + fi-ligature) makes composition load-bearing on every row
+    "d65_unicode_nfc" -> """
+      SELECT doc_id,
+        nfc_normalize(text || ' e' || chr(769) || ' ' || chr(64257))
+          AS text_nfc
+      FROM documents ORDER BY doc_id""",
     // the same E-S rank inside a per-source window
     "d64_weighted_per_source" -> """
       WITH r AS (SELECT doc_id, source, n_chars,

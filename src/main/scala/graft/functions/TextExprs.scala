@@ -508,6 +508,25 @@ case class StripAccents(child: Expression)
   }
 }
 
+/** Unicode normalization (java.text.Normalizer) as a scan-side
+  * expression — the C4/RefinedWeb text-canonicalization step: NFC for
+  * byte-identical comparisons across sources that emit composed vs
+  * decomposed forms, NFKC when compatibility folding (ligatures,
+  * full-width forms, circled digits) should merge with their plain
+  * equivalents before tokenization/dedup. Form is a case-object enum
+  * resolved at plan time, not a per-row string. */
+case class UnicodeNormalize(child: Expression,
+    form: java.text.Normalizer.Form)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+  override protected def withNewChildInternal(c: Expression): UnicodeNormalize =
+    copy(child = c)
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, form))
+}
+
 /** text → struct<dup_line_frac, dup_line_char_frac, top_bigram_share>:
   * the standard repetition quality signals (Gopher §A1.1 / RefinedWeb
   * rep-filters) in ONE eval per row:
@@ -583,6 +602,11 @@ object TextExprs {
 
   def stripAccents(text: Column): Column =
     Bridge.column(StripAccents(Bridge.expression(text)))
+
+  /** form: "NFC" | "NFD" | "NFKC" | "NFKD" (resolved at plan time). */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    Bridge.column(UnicodeNormalize(Bridge.expression(text),
+      java.text.Normalizer.Form.valueOf(form.toUpperCase)))
 
   def simhash64(text: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(text)))

@@ -59,6 +59,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Long](4) == twin.getSeq[Long](4))
   }
 
+  test("unicode_normalize: NFC composes, NFKC folds compatibility forms, " +
+      "SQL == Column twin, null through, bad form loud") {
+    // decomposed e + combining acute; fi ligature; full-width A; circled 1
+    val dirty = "é ﬁ Ａ ①"
+    val r = spark.sql(
+      s"SELECT unicode_normalize('$dirty', 'NFC') AS c, " +
+        s"unicode_normalize('$dirty', 'NFKC') AS k").collect().head
+    assert(r.getString(0) == "é ﬁ Ａ ①") // composed only
+    assert(r.getString(1) == "é fi A 1") // compatibility-folded
+    val twin = spark.range(1).select(
+      TextExprs.unicodeNormalize(F.lit(dirty), "NFC").as("c"),
+      TextExprs.unicodeNormalize(F.lit(dirty), "NFKC").as("k"))
+      .collect().head
+    assert(r.getString(0) == twin.getString(0) &&
+      r.getString(1) == twin.getString(1))
+    assert(spark.range(1).select(TextExprs.unicodeNormalize(
+      F.lit(null).cast("string"), "NFC")).collect().head.isNullAt(0))
+    intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', 'NFX')").collect()
+    }
+  }
+
   test("pair expansion + capped aggregate compose in pure SQL") {
     val pairs = spark.sql(
       "SELECT explode(ordered_pairs(array(3L, 1L, 2L))) AS p").collect()
