@@ -1379,7 +1379,8 @@ object SparkEntry {
       layout, statsCols = Seq("n_chars"),
       clusterCols = Seq("n_chars"), targetFiles = 8)
     io.Manifest.appendWithManifest(docs.filter(F.col("doc_id") % 2 === 1),
-      layout, clusterCols = Seq("n_chars"), targetFiles = 8)
+      layout, segment = "b0", clusterCols = Seq("n_chars"),
+      targetFiles = 8)
     io.Manifest.readSkipping(s, layout, "n_chars", 200L, 400L)
       .select("doc_id", "source", "n_chars")
       .orderBy("doc_id")

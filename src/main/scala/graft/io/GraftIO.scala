@@ -18,6 +18,13 @@ import org.apache.spark.sql.types.StructType
   */
 object GraftIO {
 
+  /** Explorer's `lz4` compression atom maps to parquet's lz4_raw codec
+    * (the interoperable frame; Spark's bare "lz4" is the deprecated
+    * Hadoop-framed variant). Shared by every parquet writer here and
+    * [[Manifest]]. */
+  private[io] def parquetCodec(compression: String): String =
+    if (compression == "lz4") "lz4_raw" else compression
+
   // ======== cloud / remote URLs (reference lib/explorer/fss.ex:53-223,
   // cloud_writer.rs) ==========================================================
   // Every reader/writer accepts the reference's URL schemes:
@@ -223,7 +230,7 @@ object GraftIO {
   def toParquet(df: Gdf, path: String, compression: String = "snappy",
       partitionBy: Seq[String] = Nil): Unit = {
     var w = df.sdf.write.mode("overwrite").option("compression",
-      if (compression == "lz4") "lz4_raw" else compression)
+      parquetCodec(compression))
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     w.parquet(resolveWriteUrl(path))
   }
@@ -246,7 +253,7 @@ object GraftIO {
       .sortWithinPartitions(tsNsCol)
       .write.mode("overwrite")
       .option("compression",
-        if (compression == "lz4") "lz4_raw" else compression)
+        parquetCodec(compression))
       .partitionBy("__pdate").parquet(resolveWriteUrl(path))
   }
 
@@ -468,7 +475,7 @@ object GraftIO {
     withTempDir { dir =>
       val p = new java.io.File(dir, "pq").getPath
       df.sdf.coalesce(1).write.option("compression",
-        if (compression == "lz4") "lz4_raw" else compression).parquet(p)
+        parquetCodec(compression)).parquet(p)
       java.nio.file.Files.readAllBytes(partFile(new java.io.File(p)).toPath)
     }
 

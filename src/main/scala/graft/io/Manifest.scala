@@ -31,6 +31,29 @@ object Manifest {
 
   private def manifestPath(url: String) = url + "/_manifest"
 
+
+  /** Range-cluster a batch on `clusterCols` (no-op when empty). */
+  private def clustered(df: DataFrame, clusterCols: Seq[String],
+      targetFiles: Int): DataFrame =
+    if (clusterCols.isEmpty) df
+    else {
+      val keys = clusterCols.map(F.col)
+      val ranged =
+        if (targetFiles > 0) df.repartitionByRange(targetFiles, keys: _*)
+        else df.repartitionByRange(keys: _*)
+      ranged.sortWithinPartitions(keys: _*)
+    }
+
+  /** Per-file stats rows for the given parquet file set. */
+  private def harvest(spark: SparkSession, files: Seq[String],
+      statsCols: Seq[String]): DataFrame = {
+    val aggs = F.count(F.lit(1)).as("rows") +: statsCols.flatMap(c =>
+      Seq(F.min(F.col(c)).as(s"min_$c"), F.max(F.col(c)).as(s"max_$c")))
+    spark.read.parquet(files: _*)
+      .select(F.input_file_name().as("file") +: statsCols.map(F.col): _*)
+      .groupBy("file").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Write `df` at `path` (overwrite), optionally range-clustered by
     * `clusterCols` into `targetFiles` files, then record the per-file
     * manifest for `statsCols` under `path/_manifest` (an underscore path
@@ -44,91 +67,74 @@ object Manifest {
       statsCols: Seq[String], clusterCols: Seq[String] = Nil,
       targetFiles: Int = 0, compression: String = "snappy"): Unit = {
     require(statsCols.nonEmpty, "declare at least one stats column")
-    val clash = statsCols.filter(Set("file", "rows"))
+    val clash = statsCols.filter(Set("file", "rows", "seg"))
     require(clash.isEmpty,
       s"stats column(s) ${clash.mkString(", ")} collide with the " +
-        "manifest's own schema (file/rows) — rename before manifesting")
+        "manifest's own schema (file/rows/seg) — rename before manifesting")
     val url = GraftIO.resolveUrl(path)
-    val out =
-      if (clusterCols.isEmpty) df
-      else {
-        val keys = clusterCols.map(F.col)
-        val ranged =
-          if (targetFiles > 0) df.repartitionByRange(targetFiles, keys: _*)
-          else df.repartitionByRange(keys: _*)
-        ranged.sortWithinPartitions(keys: _*)
-      }
-    out.write.mode("overwrite")
-      .option("compression",
-        if (compression == "lz4") "lz4_raw" else compression)
+    // seg=base partition dir: the same segment layout every appender in
+    // this engine uses, so [[appendWithManifest]] can be retry-exactly-once
+    // (a batch's dynamic overwrite replaces its own segment)
+    clustered(df, clusterCols, targetFiles)
+      .withColumn("seg", F.lit("base"))
+      .write.mode("overwrite")
+      .option("compression", GraftIO.parquetCodec(compression))
+      .partitionBy("seg")
       .parquet(url)
     val spark = df.sparkSession
-    val aggs = F.count(F.lit(1)).as("rows") +: statsCols.flatMap(c =>
-      Seq(F.min(F.col(c)).as(s"min_$c"), F.max(F.col(c)).as(s"max_$c")))
-    spark.read.parquet(url)
-      .select(F.input_file_name().as("file") +: statsCols.map(F.col): _*)
-      .groupBy("file").agg(aggs.head, aggs.tail: _*)
+    val files = spark.read.parquet(url).inputFiles.toSeq
+    harvest(spark, files, statsCols)
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestPath(url))
   }
 
-  /** Append a batch to an existing manifested layout incrementally: the
-    * batch's files land via a parquet append (optionally range-clustered
-    * among THEMSELVES), stats are harvested from the NEW files only —
-    * the listing delta against the stored manifest; history is never
-    * re-scanned — and the manifest is rewritten as old ∪ new. The stats
-    * columns are the ones the layout was created with. Batch-local
-    * clustering keeps each batch's envelopes tight; across batches,
-    * envelopes may overlap (several files survive a band instead of
-    * one), which degrades pruning gracefully, never correctness — the
-    * same LSM posture as every segment appender here, with the same
-    * companion: rewrite via [[writeWithManifest]] when file-count
-    * economics say so. */
-  def appendWithManifest(df: DataFrame, path: String,
+  /** Append a batch to an existing manifested layout incrementally,
+    * EXACTLY-ONCE under retry: the batch lands under its own `seg=`
+    * partition via dynamic partition overwrite (the contract every
+    * segment appender in this engine pins — a retried batch REPLACES its
+    * previous, possibly partial, attempt instead of double-writing), and
+    * the manifest is rewritten as (rows of every OTHER segment) ∪ (stats
+    * harvested from THIS segment's files — a partition-pruned scan;
+    * history is never re-read). A crash between the data write and the
+    * manifest write leaves the segment invisible to skipping reads until
+    * the at-least-once driver retries the batch, which heals both —
+    * distinct batches MUST use distinct segment ids, as with
+    * [[graft.operators.Rollup.appendRollup]].
+    *
+    * Batch-local clustering keeps each batch's envelopes tight; across
+    * batches, envelopes may overlap (several files survive a band
+    * instead of one), which degrades pruning gracefully, never
+    * correctness — the LSM posture, with the same companion: rewrite via
+    * [[writeWithManifest]] when file-count economics say so. */
+  def appendWithManifest(df: DataFrame, path: String, segment: String,
       clusterCols: Seq[String] = Nil, targetFiles: Int = 0,
       compression: String = "snappy"): Unit = {
+    require(segment.nonEmpty && segment != "base",
+      "segment id must be non-empty and not 'base'")
     val spark = df.sparkSession
     val url = GraftIO.resolveUrl(path)
     val old = manifest(spark, path)
     val statsCols = old.columns.filter(_.startsWith("min_"))
       .map(_.stripPrefix("min_")).toSeq
-    // URI spellings differ between input_file_name() (stored manifest)
-    // and DataFrame.inputFiles (file:/ vs file:///) — compare
-    // scheme-stripped paths or the delta silently re-includes every old
-    // file and the merged manifest double-lists them (= double reads)
-    def norm(u: String): String = org.apache.hadoop.fs.Path
-      .getPathWithoutSchemeAndAuthority(new org.apache.hadoop.fs.Path(u))
-      .toString
-    val known = old.select("file").collect().map(r => norm(r.getString(0)))
-      .toSet
-    val out =
-      if (clusterCols.isEmpty) df
-      else {
-        val keys = clusterCols.map(F.col)
-        val ranged =
-          if (targetFiles > 0) df.repartitionByRange(targetFiles, keys: _*)
-          else df.repartitionByRange(keys: _*)
-        ranged.sortWithinPartitions(keys: _*)
-      }
-    out.write.mode("append")
-      .option("compression",
-        if (compression == "lz4") "lz4_raw" else compression)
+    clustered(df, clusterCols, targetFiles)
+      .withColumn("seg", F.lit(segment))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", GraftIO.parquetCodec(compression))
+      .partitionBy("seg")
       .parquet(url)
-    val fresh = spark.read.parquet(url).inputFiles
-      .filterNot(f => known(norm(f))).toSeq
-    if (fresh.nonEmpty) {
-      val aggs = F.count(F.lit(1)).as("rows") +: statsCols.flatMap(c =>
-        Seq(F.min(F.col(c)).as(s"min_$c"), F.max(F.col(c)).as(s"max_$c")))
-      val newStats = spark.read.parquet(fresh: _*)
-        .select(F.input_file_name().as("file") +: statsCols.map(F.col): _*)
-        .groupBy("file").agg(aggs.head, aggs.tail: _*)
-      // materialize the union BEFORE overwriting the manifest it reads
-      val merged = old.unionByName(newStats).collect()
-      val schema = old.schema
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(merged.toSeq, 1), schema)
-        .write.mode("overwrite").parquet(manifestPath(url))
-    }
+    val segFiles = spark.read.parquet(url).inputFiles
+      .filter(_.contains(s"/seg=$segment/")).toSeq
+    // drop any earlier attempt's rows for THIS segment (retry replace),
+    // keep every other segment's; materialize before overwriting the
+    // manifest the union reads
+    val kept = old.filter(!F.col("file").contains(s"/seg=$segment/"))
+    val merged = (if (segFiles.isEmpty) kept
+      else kept.unionByName(harvest(spark, segFiles, statsCols)))
+      .collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(merged.toSeq, 1), old.schema)
+      .write.mode("overwrite").parquet(manifestPath(url))
   }
 
   /** Z-ORDERED manifested write — multi-column data skipping done right:
@@ -167,13 +173,15 @@ object Manifest {
     require(targetFiles > 0, "z-order write needs an explicit targetFiles")
     val n = zCols.size
     val probs = (1 until 256).map(_ / 256.0).toArray
-    // per-column quantile breaks: one bounded driver-side plan step
-    val breaks: Seq[Array[Double]] = zCols.map { c =>
-      val bs = df.na.drop(Seq(c))
-        .select(F.col(c).cast("double").as(c))
-        .stat.approxQuantile(c, probs, 0.001)
+    // per-column quantile breaks in ONE bounded driver-side plan step —
+    // the multi-column approxQuantile scans df once for all z columns
+    // (nulls ignored per column), not once per column
+    val casted = df.select(zCols.map(c =>
+      F.col(c).cast("double").as(c)): _*)
+    val breaks: Seq[Array[Double]] = casted.stat
+      .approxQuantile(zCols.toArray, probs, 0.001).toSeq
+    zCols.zip(breaks).foreach { case (c, bs) =>
       require(bs.nonEmpty, s"z-order column $c has no non-null values")
-      bs
     }
     def bucketOf(c: String, bs: Array[Double]): Column = {
       val v = F.col(c).cast("double")
@@ -252,8 +260,10 @@ object Manifest {
       F.col(c) >= F.lit(lo) && F.col(c) <= F.lit(hi)
     }.reduce(_ && _)
     if (files.isEmpty)
-      // schema-true empty frame: the layout's schema, zero files scanned
-      spark.read.parquet(url).filter(residual).limit(0)
+      // schema-true empty frame: the layout's schema (minus the seg
+      // layout column, which leaf-file reads below never surface), zero
+      // files scanned
+      spark.read.parquet(url).drop("seg").filter(residual).limit(0)
     else spark.read.parquet(files: _*).filter(residual)
   }
 }

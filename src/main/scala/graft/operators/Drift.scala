@@ -111,8 +111,15 @@ object Drift {
     * multiplies through the join like any keyed join would. */
   def snapshotDiff(prev: DataFrame, cur: DataFrame, id: Column,
       content: Column): DataFrame = {
+    // a null id would not match ITSELF across the join (SQL null
+    // semantics) and surface as a phantom added+removed pair — assert
+    // per row instead (non-constant branch, the Sampling.requireKey
+    // posture)
+    def checkedId: Column = F.when(F.assert_true(id.isNotNull, F.lit(
+      "snapshotDiff id is null — a null id cannot be matched across " +
+        "snapshots; filter or repair upstream")).isNull, id)
     def side(df: DataFrame, h: String): DataFrame =
-      df.select(id.as("doc_id"), F.xxhash64(content).as(h))
+      df.select(checkedId.as("doc_id"), F.xxhash64(content).as(h))
     side(prev, "__hp").join(side(cur, "__hc"), Seq("doc_id"), "full")
       .select(F.col("doc_id"),
         F.when(F.col("__hp").isNull, "added")

@@ -29,21 +29,27 @@ import org.apache.spark.sql.{functions => F}
 object Rollup {
 
   /** Per-(day, keys) mergeable partials of one input slice. The partial
-    * column names (`n`/`sum`/`min`/`max`) and the layout columns
-    * (`seg`/`__pdate`) are the rollup's OWN schema, and [[readRollup]]
-    * recovers the key columns as "everything else" — so a key named like
-    * a partial would silently corrupt the combine. Refused loudly. */
+    * column names (`n`/`nv`/`sum`/`min`/`max`), the layout columns
+    * (`seg`/`__pdate`), and the read-side rename target (`day`) are the
+    * rollup's OWN schema, and [[readRollup]] recovers the key columns as
+    * "everything else" — so a key named like any of them would silently
+    * corrupt the combine (or ambiguate the read). Refused loudly.
+    * `n` counts ROWS; `nv` counts non-null values — the mean denominator
+    * (`sum / nv`, the F.avg contract); they differ whenever the value
+    * column has nulls. */
   private def partials(df: DataFrame, tsNsCol: String,
       keyCols: Seq[String], valueCol: String): DataFrame = {
-    val reserved = Set("seg", "__pdate", "n", "sum", "min", "max")
+    val reserved = Set("seg", "__pdate", "day", "n", "nv", "sum", "min",
+      "max")
     val clash = keyCols.filter(reserved)
     require(clash.isEmpty,
       s"rollup key column(s) ${clash.mkString(", ")} collide with the " +
-        "rollup's own schema (seg/__pdate/n/sum/min/max) — rename before " +
-        "rolling up")
+        "rollup's own schema (seg/__pdate/day/n/nv/sum/min/max) — rename " +
+        "before rolling up")
     df.withColumn("__pdate", graft.io.GraftIO.utcDay(tsNsCol))
       .groupBy("__pdate", keyCols: _*)
       .agg(F.count(F.lit(1)).as("n"),
+        F.count(F.col(valueCol)).as("nv"),
         F.sum(F.col(valueCol)).as("sum"),
         F.min(F.col(valueCol)).as("min"),
         F.max(F.col(valueCol)).as("max"))
@@ -55,7 +61,8 @@ object Rollup {
       valueCol: String, path: String): Unit =
     partials(df, tsNsCol, keyCols, valueCol)
       .withColumn("seg", F.lit("base"))
-      .write.mode("overwrite").partitionBy("seg", "__pdate").parquet(path)
+      .write.mode("overwrite").partitionBy("seg", "__pdate")
+      .parquet(graft.io.GraftIO.resolveUrl(path))
 
   /** Merge one batch under its own segment id. Idempotent under retry:
     * dynamic partition overwrite replaces every (segment, day) partition
@@ -72,7 +79,8 @@ object Rollup {
       .withColumn("seg", F.lit(segment))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("seg", "__pdate").parquet(path)
+      .partitionBy("seg", "__pdate")
+      .parquet(graft.io.GraftIO.resolveUrl(path))
   }
 
   /** The combined rollup: one row per (day, keys) with `n`, `sum`, `min`,
@@ -81,13 +89,13 @@ object Rollup {
     * `days` to push an inclusive date band into directory pruning. */
   def readRollup(spark: SparkSession, path: String,
       days: Option[(java.sql.Date, java.sql.Date)] = None): DataFrame = {
-    var raw = spark.read.parquet(path)
+    var raw = spark.read.parquet(graft.io.GraftIO.resolveUrl(path))
     days.foreach { case (lo, hi) =>
       raw = raw.filter(F.col("__pdate").between(F.lit(lo), F.lit(hi))) }
     val keyCols = raw.columns.toSeq
-      .filterNot(Set("seg", "__pdate", "n", "sum", "min", "max"))
+      .filterNot(Set("seg", "__pdate", "n", "nv", "sum", "min", "max"))
     raw.groupBy("__pdate", keyCols: _*)
-      .agg(F.sum("n").as("n"), F.sum("sum").as("sum"),
+      .agg(F.sum("n").as("n"), F.sum("nv").as("nv"), F.sum("sum").as("sum"),
         F.min("min").as("min"), F.max("max").as("max"))
       .withColumnRenamed("__pdate", "day")
   }
@@ -99,9 +107,15 @@ object Rollup {
     * targets its own segment, which no longer exists after folding. */
   def compactRollup(spark: SparkSession, path: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
-    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    // Path normalizes trailing slashes; siblings built from parent+name
+    // (raw "path + suffix" on "/r/" would nest them INSIDE the layout
+    // and the move-aside rename would try to rename a dir into its own
+    // child)
+    val dir = new org.apache.hadoop.fs.Path(graft.io.GraftIO.resolveUrl(path))
+    val tmp = new org.apache.hadoop.fs.Path(dir.getParent,
+      dir.getName + "__compact")
+    val old = new org.apache.hadoop.fs.Path(dir.getParent,
+      dir.getName + "__old")
     val fs = dir.getFileSystem(hconf)
     val folded = readRollup(spark, path)
       .withColumnRenamed("day", "__pdate")

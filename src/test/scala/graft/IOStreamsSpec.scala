@@ -811,9 +811,12 @@ class IOStreamsSpec extends SparkSpec {
       "view-equal and folds to base, day band prunes partitions") {
     val dir = tmp("graft_rollup")
     val dayNs = 86400L * 1000000000L
+    // id 5 carries a NULL value: counted by n (a row) but not nv (the
+    // mean denominator) — sum/min/max ignore it
     val ev = Seq(
-      (1L, "a", 1.0, 5L), (2L, "a", 2.0, 6L),
-      (3L, "b", 3.0, dayNs + 7L), (4L, "a", 4.0, dayNs + 8L))
+      (1L, "a", Option(1.0), 5L), (2L, "a", Option(2.0), 6L),
+      (3L, "b", Option(3.0), dayNs + 7L), (4L, "a", Option(4.0), dayNs + 8L),
+      (5L, "a", Option.empty[Double], dayNs + 9L))
       .toDF("id", "k", "v", "ts")
     import graft.operators.Rollup
     Rollup.buildRollup(ev.filter(F.col("id") <= 2), "ts", Seq("k"), "v",
@@ -824,12 +827,12 @@ class IOStreamsSpec extends SparkSpec {
     Rollup.appendRollup(b, "ts", Seq("k"), "v", dir + "/r", "b0")
     def view = Rollup.readRollup(spark, dir + "/r").orderBy("day", "k")
       .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
     val before = view
     assert(before == Seq(
-      ("1970-01-01", "a", 2L, 3.0, 1.0, 2.0),
-      ("1970-01-02", "a", 1L, 4.0, 4.0, 4.0),
-      ("1970-01-02", "b", 1L, 3.0, 3.0, 3.0)))
+      ("1970-01-01", "a", 2L, 2L, 3.0, 1.0, 2.0),
+      ("1970-01-02", "a", 2L, 1L, 4.0, 4.0, 4.0),
+      ("1970-01-02", "b", 1L, 1L, 3.0, 3.0, 3.0)))
     Rollup.compactRollup(spark, dir + "/r")
     assert(view == before, "compaction changed the combined view")
     assert(new java.io.File(dir + "/r").listFiles
@@ -895,16 +898,22 @@ class IOStreamsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Manifest.readSkipping(spark, dir + "/t", "payload", "a", "b")
     }
-    // incremental append: new files harvested WITHOUT re-listing old ones
-    // in the manifest twice (a double-listed file would double-read)
+    // incremental append under a segment: stats harvested from the new
+    // segment's files only, and a RETRY of the same segment replaces its
+    // previous attempt — never double-lists (= double-reads) a file
     val extra = (1000L until 1100L).map(i => (i, i, s"x$i"))
       .toDF("id", "v", "payload")
-    Manifest.appendWithManifest(extra, dir + "/t",
+    Manifest.appendWithManifest(extra, dir + "/t", segment = "b0",
       clusterCols = Seq("v"), targetFiles = 2)
+    Manifest.appendWithManifest(extra, dir + "/t", segment = "b0",
+      clusterCols = Seq("v"), targetFiles = 2) // at-least-once retry
     val man2 = Manifest.manifest(spark, dir + "/t")
-    assert(man2.count() == 10) // 8 original + 2 appended
+    assert(man2.count() == 10) // 8 original + 2 appended, retry replaced
     assert(man2.select("file").distinct().count() == 10)
     assert(col1[Long](man2.selectExpr("sum(rows) as s"), "s") == Seq(900L))
+    intercept[IllegalArgumentException] {
+      Manifest.appendWithManifest(extra, dir + "/t", segment = "base")
+    }
     // a band fully inside the appended range touches only appended files
     val app = Manifest.readSkipping(spark, dir + "/t", "v", 1000L, 1049L)
     assert(app.count() == 50)
