@@ -172,7 +172,13 @@ object Manifest {
         "dilutes every dimension's bits past usefulness")
     require(targetFiles > 0, "z-order write needs an explicit targetFiles")
     val n = zCols.size
-    val probs = (1 until 256).map(_ / 256.0).toArray
+    // 64 quantile buckets (6 bits) per column: 64^2..64^4 Morton boxes —
+    // far beyond any realistic file count — while keeping the bucket
+    // expression codegen-small (a 256-cut variant needs a 255-term
+    // comparison per column per row for no extra file-level selectivity,
+    // and its generated code dominated the whole write)
+    val bits = 6
+    val probs = (1 until (1 << bits)).map(_ / (1 << bits).toDouble).toArray
     // per-column quantile breaks in ONE bounded driver-side plan step —
     // the multi-column approxQuantile scans df once for all z columns
     // (nulls ignored per column), not once per column
@@ -185,19 +191,18 @@ object Manifest {
     }
     def bucketOf(c: String, bs: Array[Double]): Column = {
       val v = F.col(c).cast("double")
-      // count of breaks <= v, nulls to bucket 0 (the Drift/cut pattern);
-      // distinct-only breaks keep the fold short under low cardinality
-      val distinctBs = bs.distinct
-      F.when(v.isNull, 0).otherwise(
-        distinctBs.map(b => F.when(v >= b, 1).otherwise(0))
-          .reduceOption[Column](_ + _).getOrElse(F.lit(0)))
+      // count of breaks <= v via one literal-array filter (one compact
+      // expression vs a breaks-length when-chain), nulls to bucket 0
+      val distinctBs = bs.distinct.sorted
+      F.when(v.isNull, 0L).otherwise(
+        F.size(F.filter(F.array(distinctBs.map(F.lit(_)): _*),
+          b => v >= b)).cast("long"))
     }
-    // spread the 8 bucket bits of column i to positions b*n + i — in LONG
-    // arithmetic: with 4 columns the top bit lands at position 31, which
-    // in Int is the sign bit and would break z monotonicity
+    // spread the bucket bits of column i to positions b*n + i, in LONG
+    // arithmetic (Int's sign bit would break z monotonicity at 4 columns)
     def spread(bucket: Column, i: Int): Column =
-      (0 until 8).map { b =>
-        F.shiftleft(F.shiftright(bucket.cast("long"), b)
+      (0 until bits).map { b =>
+        F.shiftleft(F.shiftright(bucket, b)
           .bitwiseAND(F.lit(1L)), b * n + i)
       }.reduce(_ bitwiseOR _)
     val z = zCols.zip(breaks).zipWithIndex.map { case ((c, bs), i) =>
