@@ -2093,6 +2093,19 @@ object SparkEntry {
           .as("text_nfc"))
       .orderBy("doc_id")
 
+  /** CCNet-shaped perplexity signal
+    * ([[TextAnalysis.unigramLogLoss]]): the even-id half of the corpus
+    * is the reference model, every document is scored by add-one
+    * smoothed unigram log-loss — OOV-dense and off-distribution docs
+    * score high, the gate-on-distribution composition d26 already
+    * exercises. */
+  private val d66: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.unigramLogLoss(docs, F.col("doc_id"), F.col("text"),
+      docs.filter(F.col("doc_id") % 2 === 0), F.col("text"))
+      .orderBy("doc_id")
+  }
+
   /** Numeric distribution drift ([[operators.Drift.psi]]) between two
     * snapshot halves of the corpus over `n_chars` — per-bucket PSI with
     * the Jeffreys-smoothed shares in the published contract. */
@@ -2691,6 +2704,7 @@ object SparkEntry {
     "d63_weighted_sample" -> d63,
     "d64_weighted_per_source" -> d64,
     "d65_unicode_nfc" -> d65,
+    "d66_lm_logloss" -> d66,
     "q62_sample_contract" -> q62,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
@@ -3690,6 +3704,28 @@ object SparkEntry {
         nfc_normalize(text || ' e' || chr(769) || ' ' || chr(64257))
           AS text_nfc
       FROM documents ORDER BY doc_id""",
+    // add-one smoothed unigram log-loss vs the even-id reference half;
+    // per-doc avg of -ln p at the pinned 6-dp contract
+    "d66_lm_logloss" -> """
+      WITH rt AS (SELECT CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
+             FROM documents WHERE doc_id % 2 = 0),
+      occ AS (SELECT unnest(t) AS term FROM rt),
+      counts AS (SELECT term, count(*) AS c FROM occ GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM occ),
+      vv AS (SELECT count(*) AS v FROM counts),
+      dt AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0
+               THEN []::VARCHAR[]
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
+             FROM documents),
+      docc AS (SELECT doc_id, unnest(t) AS term FROM dt),
+      s AS (SELECT d.doc_id, round(avg(-ln(
+              (coalesce(c.c, 0) + 1) / (nn.n + vv.v + 1.0))), 6)
+              AS log_loss
+            FROM docc d LEFT JOIN counts c USING (term), nn, vv
+            GROUP BY d.doc_id)
+      SELECT d.doc_id, s.log_loss FROM documents d LEFT JOIN s
+        USING (doc_id) ORDER BY doc_id""",
     // the same E-S rank inside a per-source window
     "d64_weighted_per_source" -> """
       WITH r AS (SELECT doc_id, source, n_chars,

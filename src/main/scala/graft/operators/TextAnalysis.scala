@@ -465,6 +465,47 @@ object TextAnalysis {
       .select("doc_id", "token", "score", "rank")
   }
 
+  /** Unigram language-model log-loss — the CCNet-style perplexity
+    * filtering signal in its honestly-stated one-gram form (CCNet proper
+    * scores with a 5-gram KenLM; the pipeline shape — train token
+    * statistics on a REFERENCE corpus, score every candidate document,
+    * gate on the score distribution — is identical, and the reference
+    * model here is a DataFrame, not driver state). Add-one smoothing:
+    * `p(t) = (count_ref(t) + 1) / (N + V + 1)` with `N` = reference token
+    * occurrences and `V` = reference vocabulary size (the `+1` bucket is
+    * every out-of-vocabulary token's mass); a document scores
+    * `mean(-ln p(t))` over its tokens — low = fluent under the reference
+    * distribution, high = off-distribution (or OOV-dense) text. Empty and
+    * null documents score null (no tokens = no evidence, not "perfectly
+    * fluent"). Compose with [[quantileFilter]] to gate, exactly as CCNet
+    * gates on perplexity terciles.
+    *
+    * Scale shape: the reference collapses to a vocabulary-sized count
+    * table (two map-side-combined aggregations); scoring is explode →
+    * LEFT join that table (auto-broadcast at typical vocab sizes) → one
+    * per-doc mean with map-side combine; N and V ride along as scalar
+    * subqueries in the same plan. */
+  def unigramLogLoss(df: DataFrame, id: Column, text: Column,
+      ref: DataFrame, refText: Column): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    def toks(t: Column) = F.when(F.length(F.trim(t)) === 0,
+      F.array().cast(ArrayType(StringType))).otherwise(tokens(t))
+    val counts = ref.select(F.explode(toks(refText)).as("__term"))
+      .groupBy("__term").agg(F.count(F.lit(1)).as("__c"))
+    val nTok = bridge.scalarSubquery(
+      ref.select(toks(refText).as("__t"))
+        .select(F.coalesce(F.sum(F.size(F.col("__t"))), F.lit(0L))))
+    val vSize = bridge.scalarSubquery(counts.select(F.count(F.lit(1))))
+    val denom = (nTok + vSize + F.lit(1L)).cast(DoubleType)
+    val scored = df.select(id.as("doc_id"), F.explode(toks(text)).as("__term"))
+      .join(counts, Seq("__term"), "left")
+      .groupBy("doc_id")
+      .agg(F.round(F.avg(-F.log(
+        (F.coalesce(F.col("__c"), F.lit(0L)) + F.lit(1L)).cast(DoubleType)
+          / denom)), 6).as("log_loss"))
+    df.select(id.as("doc_id")).join(scored, Seq("doc_id"), "left")
+  }
+
   /** Apply a linear text classifier — a vocabulary-keyed weight table,
     * the fastText / web-quality-classifier model head — at corpus scale:
     * per-document `score = sigmoid(bias + Σ_occurrences weight(token))`,

@@ -1148,6 +1148,29 @@ class OperatorsSpec extends SparkSpec {
     assert(cat.values.forall(v => !v._5.isNaN && !v._5.isInfinite))
   }
 
+  test("unigramLogLoss: hand-computed add-one smoothing, OOV takes the " +
+      "unseen bucket, tokenless docs score null") {
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // reference: "a a b" -> counts a=2 b=1, N=3, V=2, denom=6
+    val ref = Seq("a a b").toDF("t")
+    val docs = Seq(
+      (1L, "a b"),        // mean(-ln(3/6), -ln(2/6))
+      (2L, "zzz"),        // OOV: -ln(1/6)
+      (3L, ""),           // tokenless -> null
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val got = TextAnalysis.unigramLogLoss(docs, F.col("id"), F.col("t"),
+      ref, F.col("t")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L) == Some(r6((-math.log(3.0 / 6) - math.log(2.0 / 6)) / 2)))
+    assert(got(2L) == Some(r6(-math.log(1.0 / 6))))
+    assert(got(3L).isEmpty && got(4L).isEmpty)
+    // the fluency ordering the gate relies on: in-distribution < OOV-dense
+    assert(got(1L).get < got(2L).get)
+  }
+
   test("scoreLinear: occurrence-weighted sum, OOV drops, id spine restores " +
       "zero-hit docs at sigmoid(bias)") {
     def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
