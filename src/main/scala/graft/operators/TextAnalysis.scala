@@ -492,9 +492,11 @@ object TextAnalysis {
       F.array().cast(ArrayType(StringType))).otherwise(tokens(t))
     val counts = ref.select(F.explode(toks(refText)).as("__term"))
       .groupBy("__term").agg(F.count(F.lit(1)).as("__c"))
+    // N and V both derive from the vocabulary-sized counts table — the
+    // reference corpus is scanned exactly once, not re-tokenized per
+    // statistic
     val nTok = bridge.scalarSubquery(
-      ref.select(toks(refText).as("__t"))
-        .select(F.coalesce(F.sum(F.size(F.col("__t"))), F.lit(0L))))
+      counts.select(F.coalesce(F.sum("__c"), F.lit(0L))))
     val vSize = bridge.scalarSubquery(counts.select(F.count(F.lit(1))))
     val denom = (nTok + vSize + F.lit(1L)).cast(DoubleType)
     val scored = df.select(id.as("doc_id"), F.explode(toks(text)).as("__term"))
