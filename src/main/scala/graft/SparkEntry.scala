@@ -3833,8 +3833,10 @@ object SparkEntry {
                '\s+', ' ', 'g')) AS norm
       FROM documents ORDER BY doc_id""",
     "d18_vocabulary" -> """
-      WITH toks AS (SELECT doc_id,
-             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      WITH toks AS (SELECT doc_id, unnest(
+               CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE string_split_regex(lower(trim(text)), '\s+')
+               END) AS token
              FROM documents),
       perdoc AS (SELECT doc_id, token, count(*) AS tf
                  FROM toks GROUP BY doc_id, token),
@@ -4167,8 +4169,10 @@ object SparkEntry {
         UNION ALL SELECT '4_cooccur_pairs', count(*) FROM co WHERE c >= 2
       ) ORDER BY stage""",
     "d19_tfidf" -> """
-      WITH toks AS (SELECT doc_id,
-             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      WITH toks AS (SELECT doc_id, unnest(
+               CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE string_split_regex(lower(trim(text)), '\s+')
+               END) AS token
              FROM documents),
       tf AS (SELECT doc_id, token, count(*) AS tf
              FROM toks GROUP BY doc_id, token),

@@ -140,6 +140,17 @@ object GraftIO {
       tr.textFile(url)
     }
     val hdr = if (header) 1 else 0
+    // the text-line paths below (skip pre-pass, bounded inference sample)
+    // go through Spark's TEXT source, which decodes UTF-8 ONLY — it has
+    // no encoding option, so a non-UTF-8 charset would silently read
+    // mojibake into the skipped/inferred lines. Refuse/degrade loudly:
+    // skipping requires UTF-8; bounded inference falls back to the full
+    // inference scan (the csv source itself honors `encoding`).
+    val textPathSafe = Set("utf-8", "us-ascii", "ascii")
+      .contains(charset.toLowerCase.replace("_", "-"))
+    require(textPathSafe || (skipRows == 0 && skipRowsAfterHeader == 0),
+      s"skip_rows with encoding $charset is unsupported — the positional " +
+        "line pre-pass reads through Spark's UTF-8-only text source")
     // positional line-skipping pre-pass (None when nothing to skip)
     val keptLines: Option[org.apache.spark.sql.Dataset[String]] =
       if (skipRows == 0 && skipRowsAfterHeader == 0) None
@@ -168,7 +179,8 @@ object GraftIO {
     // a driver-cheap probe and a second full pass, the same shape as
     // [[fromNdjson]]); None does the full-table inference scan.
     val schemaToUse: Option[StructType] = dtypes.orElse(
-      inferSchemaLength.map { n =>
+      if (!textPathSafe) None // degrade to the full, charset-correct scan
+      else inferSchemaLength.map { n =>
         val sample = keptLines.getOrElse(textLines()).limit(n + hdr)
         baseOpts(spark.read).option("inferSchema", true).csv(sample).schema
       })
@@ -250,7 +262,7 @@ object GraftIO {
       compression: String = "snappy"): Unit = {
     df.withColumn("__pdate", utcDay(tsNsCol))
       .repartition(F.col("__pdate"))
-      .sortWithinPartitions(tsNsCol)
+      .sortWithinPartitions(qcol(tsNsCol))
       .write.mode("overwrite")
       .option("compression",
         parquetCodec(compression))
@@ -269,6 +281,13 @@ object GraftIO {
     * DIV), with the name backtick-quoted — no raw-SQL interpolation, so
     * column names with spaces, dots, or reserved words resolve correctly
     * (`F.col` parses an unquoted dot as struct-field access). */
+  /** Backtick-quoted column reference: `F.col` parses an unquoted dot as
+    * struct-field access, so every entry point that receives a COLUMN
+    * NAME string resolves it through this — the write and read sides of
+    * a layout must agree on awkward names. */
+  private[graft] def qcol(name: String): org.apache.spark.sql.Column =
+    F.col("`" + name.replace("`", "``") + "`")
+
   def utcDay(tsNsCol: String): org.apache.spark.sql.Column = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     val quoted = "`" + tsNsCol.replace("`", "``") + "`"
@@ -298,7 +317,7 @@ object GraftIO {
       .filter(F.col("__pdate").between(
         F.lit(java.sql.Date.valueOf(loDate)),
         F.lit(java.sql.Date.valueOf(hiDate))))
-      .filter(F.col(tsNsCol) >= loNs && F.col(tsNsCol) < hiNs)
+      .filter(qcol(tsNsCol) >= loNs && qcol(tsNsCol) < hiNs)
       .drop("__pdate")
   }
 
@@ -364,7 +383,7 @@ object GraftIO {
       spark.read.parquet(tmp.toString)
         .withColumn("__pdate", utcDay(tsNsCol))
         .repartition(F.col("__pdate"))
-        .sortWithinPartitions(tsNsCol)
+        .sortWithinPartitions(qcol(tsNsCol))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__pdate").parquet(resolveWriteUrl(path))

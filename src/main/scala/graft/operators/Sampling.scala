@@ -97,7 +97,11 @@ object Sampling {
       salt: String = ""): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of [0,1]")
     val t = f"${math.min((fraction * Buckets).toLong, Buckets.toLong - 1)}%04x"
-    if (fraction >= 1.0) df
+    if (fraction >= 1.0)
+      // the no-op sample still enforces the class's null-key contract —
+      // otherwise the corruption surfaces only when fraction later
+      // shrinks, and the kept set stops being a monotone prefix
+      df.filter(requireKey(key.cast(StringType), F.lit(true)))
     else df.filter(hashBucket(key, salt) < t)
   }
 
@@ -227,6 +231,11 @@ object Sampling {
       weights: Map[String, Double], totalBudget: Long,
       salt: String = ""): DataFrame = {
     require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    val neg = weights.filter(_._2 < 0)
+    require(neg.isEmpty,
+      s"negative mixture weight(s) ${neg.keys.mkString(", ")} — they " +
+        "shrink the normalizer and inflate every other domain's budget " +
+        "past totalBudget")
     val total = weights.values.sum
     require(total > 0, "mixture weights sum to zero")
     val budgets = weights.map { case (d, w) =>

@@ -244,22 +244,37 @@ object Similarity {
   }
 
   /** Probe a trained [[IvfIndex]]: each query scores the exact cosine
-    * against only its `nprobe` best cells' vectors. The probed cell set
-    * is collected (bounded by |queries|·nprobe ints — queries are small
-    * by the same contract as [[bruteForceTopK]]) and pushed as an
-    * `IN`-filter on the index scan, so a cell-partitioned parquet index
-    * prunes to the probed partitions statically; the candidate join then
-    * broadcasts the probes — the corpus never shuffles. */
+    * against only its `nprobe` best cells' vectors. With
+    * `localizeQueries = true` (the interactive default) the probed query
+    * frame is collected and re-broadcast as a LOCAL relation — bounded by
+    * |queries|·nprobe rows, the [[bruteForceTopK]] small-queries contract
+    * — which both makes the probed-cell `IN`-filter a static partition
+    * prune and spares repeat searches the query-side DAG. Pass `false`
+    * when the query side is NOT driver-small (a backlog-replay streaming
+    * micro-batch can be arbitrarily large): the queries stay distributed,
+    * only the probed CELL IDS are collected (bounded by nlist), and the
+    * candidate join's build side is whatever the size estimator picks. */
   def ivfSearch(index: IvfIndex, queries: DataFrame,
       queryId: Column, queryVec: Column,
-      k: Int, nprobe: Int = 4): DataFrame = {
-    val probed = collectProbes(index.centroids, queries, queryId, queryVec,
-      nprobe)
-    val pairs = index.assigned
-      .filter(F.col("cell").isin(probed.cells.map(Int.box): _*))
-      .join(F.broadcast(probed.frame), Seq("cell"))
-      .withColumn("cosine", cosine(F.col("cv"), F.col("qv")))
-    topKByQuery(pairs, k)
+      k: Int, nprobe: Int = 4,
+      localizeQueries: Boolean = true): DataFrame = {
+    val pairs = if (localizeQueries) {
+      val probed = collectProbes(index.centroids, queries, queryId,
+        queryVec, nprobe)
+      index.assigned
+        .filter(F.col("cell").isin(probed.cells.map(Int.box): _*))
+        .join(F.broadcast(probed.frame), Seq("cell"))
+    } else {
+      val probed = probedFrame(index.centroids, queries, queryId, queryVec,
+        nprobe)
+      val cells = probed.select("cell").distinct().collect()
+        .map(_.getInt(0)).sorted
+      index.assigned
+        .filter(F.col("cell").isin(cells.map(Int.box).toSeq: _*))
+        .join(probed, Seq("cell"))
+    }
+    topKByQuery(pairs.withColumn("cosine",
+      cosine(F.col("cv"), F.col("qv"))), k)
   }
 
   /** SQ8 view of a trained index: per-vector symmetric int8 codes + scale
@@ -490,7 +505,8 @@ object Similarity {
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, nprobe: Int = 4,
-      excludeSegment: Option[String] = None): DataFrame = {
+      excludeSegment: Option[String] = None,
+      localizeQueries: Boolean = true): DataFrame = {
     val (dim, centroids) = readIvfMeta(spark, path)
     requireDim(queries, queryVec, dim, "searchIvfIndex")
     var assigned = spark.read.parquet(s"$path/assigned")
@@ -498,7 +514,7 @@ object Similarity {
       assigned = assigned.filter(F.col("seg") =!= sg))
     ivfSearch(IvfIndex(centroids,
       assigned.select("corpus_id", "cv", "cell")),
-      queries, queryId, queryVec, k, nprobe)
+      queries, queryId, queryVec, k, nprobe, localizeQueries)
   }
 
   /** Retrain from STORED vectors — the drift-repair / compaction step:
@@ -589,14 +605,19 @@ object Similarity {
     * (sample/rand-derived) cannot disagree between the two consumers
     * (r6 ADVICE #2). Bounded by the small-queries contract
     * (|queries|·nprobe rows). */
-  private def collectProbes(centroids: Seq[Seq[Double]], queries: DataFrame,
-      queryId: Column, queryVec: Column, nprobe: Int): Probes = {
+  private def probedFrame(centroids: Seq[Seq[Double]], queries: DataFrame,
+      queryId: Column, queryVec: Column, nprobe: Int): DataFrame = {
     import graft.functions.VectorExprs
     val probes = math.min(nprobe, centroids.length)
-    val probed = queries
+    queries
       .select(queryId.as("query_id"), queryVec.as("qv"))
       .withColumn("cell",
         F.explode(VectorExprs.topCells(F.col("qv"), centroids, probes)))
+  }
+
+  private def collectProbes(centroids: Seq[Seq[Double]], queries: DataFrame,
+      queryId: Column, queryVec: Column, nprobe: Int): Probes = {
+    val probed = probedFrame(centroids, queries, queryId, queryVec, nprobe)
     val rows = probed.collect()
     val local = queries.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), probed.schema)

@@ -14,6 +14,13 @@ object TextAnalysis {
   /** Whitespace tokens, lowercased. */
   def tokens(text: Column): Column = F.split(F.lower(F.trim(text)), "\\s+")
 
+  /** [[tokens]] with the empty-document guard: `split(trim(""), ...)`
+    * returns `[""]`, so an unguarded explode hands empty/whitespace-only
+    * documents a bogus empty-string token. Null text stays null. */
+  def tokensOrEmpty(text: Column): Column =
+    F.when(F.length(F.trim(text)) === 0,
+      F.array().cast(ArrayType(StringType))).otherwise(tokens(text))
+
   /** LET-binding for expressions: evaluates `col` ONCE and passes the bound
     * value to `body`. Catalyst HOFs evaluate their input array a single time
     * and lambdas reference only the bound variable — without this, an
@@ -61,6 +68,10 @@ object TextAnalysis {
 
   /** Per-language stopword hit ratio. */
   def stopwordRatio(text: Column, lang: String = "en"): Column =
+    F.when(text.isNull, F.lit(null).cast(DoubleType)).otherwise(
+      stopwordRatioBody(text, lang))
+
+  private def stopwordRatioBody(text: Column, lang: String): Column =
     let(tokens(text))(stopwordRatioT(_, lang))
 
   /** n-gram-heuristic language ID: the language whose stopword set scores
@@ -429,7 +440,7 @@ object TextAnalysis {
   def vocabulary(df: DataFrame, id: Column, text: Column,
       minDf: Long = 1L, maxDfRatio: Double = 1.0): DataFrame = {
     val perDoc = df
-      .select(id.as("__doc"), F.explode(tokens(text)).as("token"))
+      .select(id.as("__doc"), F.explode(tokensOrEmpty(text)).as("token"))
       .groupBy("__doc", "token").agg(F.count(F.lit(1)).as("__tf"))
     perDoc.groupBy("token")
       .agg(F.count(F.lit(1)).as("doc_freq"), F.sum("__tf").as("term_freq"))
@@ -449,7 +460,7 @@ object TextAnalysis {
   def tfidfTopTerms(df: DataFrame, id: Column, text: Column, k: Int,
       maxDfRatio: Double = 0.5): DataFrame = {
     val tf = df
-      .select(id.as("doc_id"), F.explode(tokens(text)).as("token"))
+      .select(id.as("doc_id"), F.explode(tokensOrEmpty(text)).as("token"))
       .groupBy("doc_id", "token").agg(F.count(F.lit(1)).as("tf"))
     val docFreq = tf.groupBy("token")
       .agg(F.count(F.lit(1)).as("df"))

@@ -28,10 +28,12 @@ object Streams {
   /** Event-time windowed aggregation with a watermark: the canonical
     * rate-limited, state-bounded shape (append mode safe). */
   def windowedCounts(events: DataFrame, tsCol: String, watermark: String,
-      window: String, keyCols: Seq[String]): DataFrame =
+      window: String, keyCols: Seq[String],
+      valueCol: String = "value"): DataFrame =
     events.withWatermark(tsCol, watermark)
       .groupBy(F.window(F.col(tsCol), window) +: keyCols.map(F.col): _*)
-      .agg(F.count(F.lit(1)).as("n"), F.sum(F.col("value")).as("total_value"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col(valueCol)).as("total_value"))
 
   /** Streaming dedup by key within the watermark horizon — state is bounded
     * by the watermark, so this runs forever at constant memory. */
@@ -43,10 +45,12 @@ object Streams {
   /** Sessionization via session_window (gap-based), the stateful op a
     * clickstream pipeline needs. */
   def sessionize(events: DataFrame, tsCol: String, watermark: String,
-      gap: String, keyCols: Seq[String]): DataFrame =
+      gap: String, keyCols: Seq[String],
+      valueCol: String = "value"): DataFrame =
     events.withWatermark(tsCol, watermark)
       .groupBy(F.session_window(F.col(tsCol), gap) +: keyCols.map(F.col): _*)
-      .agg(F.count(F.lit(1)).as("n_events"), F.sum(F.col("value")).as("total_value"))
+      .agg(F.count(F.lit(1)).as("n_events"),
+        F.sum(F.col(valueCol)).as("total_value"))
 
   /** Stream-stream interval join: rows of `left` matched to `right` rows
     * with the same `keys` whose event time falls in
@@ -211,9 +215,15 @@ object Streams {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val probes = nprobe.getOrElse(Int.MaxValue) // min'd to nlist inside
+        // localizeQueries = false: the query side is the MICRO-BATCH,
+        // which a backlog replay can make arbitrarily large — the
+        // localized path would collect batch × nprobe vector rows to the
+        // driver before broadcasting (the exact hazard the no-forced-
+        // broadcast note below avoids on the dead-set side)
         val best = graft.operators.Similarity.searchIvfIndex(spark,
           indexPath, batch, F.col("__vid"), F.col("__v"), k = 1,
-          nprobe = probes, excludeSegment = Some(seg))
+          nprobe = probes, excludeSegment = Some(seg),
+          localizeQueries = false)
         val dead = best.filter(F.col("cosine") >= threshold)
           .select(F.col("query_id").as("__dead"))
         // no forced broadcast: dead is bounded by the micro-batch size,
@@ -257,14 +267,30 @@ object Streams {
     * index's segment compaction. Exercised end-to-end (sink → compact →
     * pruned slice) by the s06 oracle query. */
   def lakeSink(stream: DataFrame, tsNsCol: String, path: String,
-      name: String): Unit = {
-    val ckpt = checkpointDir(name)
+      name: String, checkpoint: Option[String] = None): Unit = {
+    // appending to an EXISTING lake requires the ORIGINAL checkpoint:
+    // a fresh checkpoint restarts batchIds at 0 and FileStreamSink
+    // consults the lake's _spark_metadata log, silently SKIPPING every
+    // batch id at or below the log's latest commit — new data would be
+    // dropped without an error. Refuse the combination loudly.
+    if (checkpoint.isEmpty) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(
+        stream.sparkSession.sparkContext.hadoopConfiguration)
+      require(!fs.exists(
+        new org.apache.hadoop.fs.Path(root, "_spark_metadata")),
+        s"$path already carries a lake commit log; resuming it needs " +
+          "the run's original checkpoint (pass checkpoint = Some(...)) " +
+          "— a fresh checkpoint's batch ids collide with the log and " +
+          "new batches would be silently skipped")
+    }
+    val ckpt = checkpoint.getOrElse(checkpointDir(name).toString)
     val q = stream
       .withColumn("__pdate", graft.io.GraftIO.utcDay(tsNsCol))
       .writeStream
       .format("parquet")
       .option("path", path)
-      .option("checkpointLocation", ckpt.toString)
+      .option("checkpointLocation", ckpt)
       .partitionBy("__pdate")
       .outputMode(OutputMode.Append())
       .start()

@@ -540,6 +540,15 @@ class IOStreamsSpec extends SparkSpec {
       new java.io.File(day1, "part-99999-orphan.parquet").toPath)
     assert(GraftIO.readTimeSlice(spark, layout,
       (d0 + 1) * dayNs, (d0 + 2) * dayNs).count() == 4)
+    // re-running against an existing commit log with a FRESH checkpoint
+    // would silently skip every batch (FileStreamSink dedups batch ids
+    // against the log) — refused loudly; the original checkpoint path
+    // is the sanctioned resume
+    intercept[IllegalArgumentException] {
+      Streams.lakeSink(
+        Streams.readParquetStream(spark, feed.toString, ev.schema),
+        "ts", layout, "t_lake2")
+    }
     // --- compaction of the accreted layout ---
     def dayFiles(date: String): Int = new java.io.File(layout).listFiles()
       .find(_.getName == s"__pdate=$date")

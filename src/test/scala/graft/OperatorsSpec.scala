@@ -114,6 +114,14 @@ class OperatorsSpec extends SparkSpec {
     val all = TextAnalysis.vocabulary(d, F.col("id"), F.col("t"))
     assert(all.filter(F.col("token") === "apple").collect()
       .map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L)))
+    // empty/whitespace-only docs contribute NO token (an unguarded
+    // split(trim('')) would mint a bogus "" token); same for tfidf
+    val withEmpty = d.unionByName(Seq((4L, ""), (5L, "   "))
+      .toDF("id", "t"))
+    assert(TextAnalysis.vocabulary(withEmpty, F.col("id"), F.col("t"))
+      .filter(F.col("token") === "").count() == 0)
+    assert(TextAnalysis.tfidfTopTerms(withEmpty, F.col("id"), F.col("t"),
+      k = 3).filter(F.col("token") === "").count() == 0)
   }
 
   test("tfidf top terms: rare terms outrank common ones, deterministic") {
@@ -404,6 +412,12 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(1).getString(2) == "und")
     assert(rows(2).getString(2) == "de")
     assert(rows(0).getDouble(3) > rows(1).getDouble(3))
+    // stopwordRatio honors the null-in/null-out convention its siblings
+    // (langId, qualityScore) already guard
+    val sw = Seq(Some("the cat"), None).toDF("t")
+      .select(TextAnalysis.stopwordRatio(F.col("t")).as("r")).collect()
+    assert(sw(0).getDouble(0) == 0.5)
+    assert(sw(1).isNullAt(0))
   }
 
   test("gopherStats: hand-computed signals; gate rejects each rule breaker") {
@@ -665,6 +679,12 @@ class OperatorsSpec extends SparkSpec {
       F.col("id"), F.col("v"), dir, "b0")
     assert(ids(Similarity.searchIvfIndex(spark, dir, queries,
       F.col("id"), F.col("v"), k = 5, nprobe = 4)) == exact)
+    // the distributed-query path (localizeQueries = false — the streaming
+    // micro-batch posture: queries never driver-collect) returns the
+    // identical result
+    assert(ids(Similarity.searchIvfIndex(spark, dir, queries,
+      F.col("id"), F.col("v"), k = 5, nprobe = 4,
+      localizeQueries = false)) == exact)
     // probe pruning survives the seg+cell layout
     val one = Similarity.searchIvfIndex(spark, dir,
       queries.filter(F.col("id") === 1000L), F.col("id"), F.col("v"),

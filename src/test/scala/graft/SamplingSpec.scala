@@ -75,6 +75,12 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(s50.count() - 1000L) < 150)
     assert(Sampling.sampleByHash(d, F.col("id"), 1.0, "z").count() == 2000)
     assert(Sampling.sampleByHash(d, F.col("id"), 0.0, "z").count() == 0)
+    // the fraction=1.0 no-op still enforces the null-key contract
+    val withNull = d.withColumn("id",
+      F.when(F.col("id") === 7L, F.lit(null)).otherwise(F.col("id")))
+    intercept[Exception] {
+      Sampling.sampleByHash(withNull, F.col("id"), 1.0, "z").count()
+    }
   }
 
   test("sampleToBudget: per-domain budgets honored with one-bucket overshoot") {
@@ -106,6 +112,12 @@ class SamplingSpec extends SparkSpec {
     // dom0 gets 300, dom1 gets 100; one-bucket (5-token) overshoot allowed
     assert(perDom("dom0") >= 300 && perDom("dom0") <= 305)
     assert(perDom("dom1") >= 100 && perDom("dom1") <= 105)
+    // a negative weight would shrink the normalizer and inflate every
+    // other domain's budget past totalBudget — refused loudly
+    intercept[IllegalArgumentException] {
+      Sampling.mixture(d, F.col("dom"), F.col("id"), F.col("tok"),
+        Map("dom0" -> 1.0, "dom1" -> -0.5), totalBudget = 400L)
+    }
   }
 
   test("dedupAgainstExact drops only reference-matching keys") {
