@@ -337,4 +337,66 @@ class PropertySpec extends SparkSpec {
         (ps & cs).filterNot(_ % 3 == 0))
     }
   }
+
+  test("manifest skipping equals the plain filter on random data and bands") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val rowsG = Gen.nonEmptyListOf(for {
+      id <- Gen.chooseNum(0L, 100000L)
+      v <- Gen.chooseNum(-500L, 500L)
+    } yield (id, v)).map(_.take(50).distinctBy(_._1))
+    val bandG = for {
+      lo <- Gen.chooseNum(-600L, 600L)
+      w <- Gen.chooseNum(0L, 400L)
+    } yield (lo, lo + w)
+    forAll(rowsG, bandG) { (rows, band) =>
+      val (lo, hi) = band
+      val dir = java.nio.file.Files
+        .createTempDirectory("prop_manifest").toString + "/t"
+      graft.io.Manifest.writeWithManifest(rows.toDF("id", "v"), dir,
+        statsCols = Seq("v"), clusterCols = Seq("v"), targetFiles = 4)
+      val got = graft.io.Manifest.readSkipping(spark, dir, "v", lo, hi)
+        .collect().map(_.getLong(0)).toSet
+      val want = rows.filter(r => r._2 >= lo && r._2 <= hi).map(_._1).toSet
+      assert(got == want, s"band [$lo,$hi]")
+    }
+  }
+
+  test("rollup combined view equals direct aggregation on random splits") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    import graft.operators.Rollup
+    val dayNs = 86400L * 1000000000L
+    val rowsG = Gen.nonEmptyListOf(for {
+      id <- Gen.chooseNum(0L, 10000L)
+      day <- Gen.chooseNum(0L, 3L)
+      k <- Gen.oneOf("a", "b")
+      v <- Gen.chooseNum(-100, 100)
+    } yield (id, day * dayNs + id % 1000L, k, v.toDouble))
+      .map(_.take(40).distinctBy(_._1))
+    forAll(rowsG, Gen.chooseNum(1L, 5L)) { (rows, mod) =>
+      val df = rows.toDF("id", "ts", "k", "v")
+      val path = java.nio.file.Files
+        .createTempDirectory("prop_rollup").toString + "/r"
+      Rollup.buildRollup(df.filter(F.col("id") % (mod + 1) === 0),
+        "ts", Seq("k"), "v", path)
+      (1L to mod).foreach { m =>
+        Rollup.appendRollup(df.filter(F.col("id") % (mod + 1) === m),
+          "ts", Seq("k"), "v", path, s"b$m")
+      }
+      val got = Rollup.readRollup(spark, path)
+        .select(F.col("day").cast("string"), F.col("k"), F.col("n"),
+          F.col("nv"), F.col("sum"), F.col("min"), F.col("max"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+            r.getDouble(6))).toMap
+      val want = rows.groupBy(r =>
+        (java.time.LocalDate.ofEpochDay(r._2 / dayNs).toString, r._3))
+        .view.mapValues { rs =>
+          val vs = rs.map(_._4)
+          (rs.size.toLong, vs.size.toLong, vs.sum, vs.min, vs.max)
+        }.toMap
+      assert(got == want)
+    }
+  }
 }
