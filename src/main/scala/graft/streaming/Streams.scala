@@ -215,15 +215,18 @@ object Streams {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val probes = nprobe.getOrElse(Int.MaxValue) // min'd to nlist inside
-        // localizeQueries = false: the query side is the MICRO-BATCH,
-        // which a backlog replay can make arbitrarily large — the
-        // localized path would collect batch × nprobe vector rows to the
-        // driver before broadcasting (the exact hazard the no-forced-
-        // broadcast note below avoids on the dead-set side)
+        // adaptive probe shape: the localized IVF path driver-collects
+        // batch × nprobe vector rows before broadcasting — the fast
+        // shape for trigger-sized batches (one local relation, no
+        // query-side shuffles), a driver OOM for a backlog-replay batch.
+        // The batch is already persisted, so counting it is one cheap
+        // cached pass; past the bound the distributed path collects only
+        // the probed cell ids (≤ nlist)
+        val batchRows = batch.count()
         val best = graft.operators.Similarity.searchIvfIndex(spark,
           indexPath, batch, F.col("__vid"), F.col("__v"), k = 1,
           nprobe = probes, excludeSegment = Some(seg),
-          localizeQueries = false)
+          localizeQueries = batchRows <= 50000L)
         val dead = best.filter(F.col("cosine") >= threshold)
           .select(F.col("query_id").as("__dead"))
         // no forced broadcast: dead is bounded by the micro-batch size,
