@@ -1402,6 +1402,27 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** One layout, two pruned readers
+    * ([[io.Manifest.writeTimeClustered]]): events day-partitioned with
+    * `value` as the in-day secondary clustering column; the query is a
+    * "that day, high values only" band served by two-axis manifest
+    * skipping (ts envelopes give the day, value envelopes give the
+    * band) — plain AND-filter semantics, which the oracle replays. */
+  private val q68: (SparkSession, String) => DataFrame = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val layout = scratch(s"q68_layout_${dir.hashCode.abs}")
+    io.Manifest.writeTimeClustered(ev, "ts", "value", layout,
+      targetFiles = 24)
+    val dayNs = 86400L * 1000000000L
+    val loNs = 1704844800L * 1000000000L // 2024-01-10 00:00:00 UTC
+    io.Manifest.readSkippingBands(s, layout,
+      Seq(("ts", loNs, loNs + dayNs - 1), ("value", 200.0, 800.0)))
+      .groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.sum("value"), 4).as("total_value"))
+      .orderBy("event_type")
+  }
+
   /** Retention on the time-partitioned lake
     * ([[io.GraftIO.expireTimePartitions]]): build the layout, expire the
     * days strictly before 2024-01-10 (pure directory deletes), and
@@ -2719,7 +2740,8 @@ object SparkEntry {
     "q64_time_partitioned" -> q64,
     "q65_manifest_skip" -> q65,
     "q66_retention" -> q66,
-    "q67_zorder_skip" -> q67)
+    "q67_zorder_skip" -> q67,
+    "q68_time_value_skip" -> q68)
 
   /** Bench-only queries: runnable BY NAME through `graft.Bench` for
     * scaling studies, but excluded from [[queries]] — the driver's
@@ -4274,6 +4296,16 @@ object SparkEntry {
       SELECT doc_id, source, n_chars FROM documents
       WHERE n_chars BETWEEN 200 AND 500 AND doc_id BETWEEN 0 AND 250
       ORDER BY doc_id""",
+    // two-axis skipping is an IO strategy: the oracle is the plain
+    // day+band AND filter (ts band inclusive of the day's last ns)
+    "q68_time_value_skip" -> """
+      SELECT event_type, count(*) AS n,
+             round(sum(value), 4) AS total_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-11 00:00:00'
+        AND value BETWEEN 200.0 AND 800.0
+      GROUP BY 1 ORDER BY event_type""",
     // retention = the raw table filtered at the day cutoff
     "q66_retention" -> """
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,

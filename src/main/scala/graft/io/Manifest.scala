@@ -137,6 +137,42 @@ object Manifest {
       .write.mode("overwrite").parquet(manifestPath(url))
   }
 
+  /** Time-partitioned layout WITH an in-day secondary clustering column
+    * and a per-file manifest — the production composition of the two
+    * pruning stories, and the "second in-day clustering column" the
+    * [[GraftIO.writeTimePartitioned]] scaladoc anticipates: rows land
+    * under `__pdate=` day directories; WITHIN the global range partition
+    * each file covers a contiguous (day, secondary) range; files stay
+    * ts-sorted for row-group pruning; and the manifest records per-file
+    * min/max of BOTH ts and the secondary column.
+    *
+    * One layout, two readers: [[GraftIO.readTimeSlice]] works unchanged
+    * (directory pruning + in-file ts row groups), and
+    * [[readSkippingBands]] with bands on (ts, secondary) prunes FILES on
+    * both axes at once — the day band falls out of the ts envelopes, so
+    * a "yesterday, score ≥ 0.9" query opens only yesterday's
+    * high-score files. Rewrite wholesale to refresh (day-granular
+    * append maintenance belongs to the lake's compaction family). */
+  def writeTimeClustered(df: DataFrame, tsNsCol: String, secondary: String,
+      path: String, targetFiles: Int,
+      compression: String = "snappy"): Unit = {
+    require(targetFiles > 0, "writeTimeClustered needs explicit targetFiles")
+    val url = GraftIO.resolveUrl(path)
+    df.withColumn("__pdate", GraftIO.utcDay(tsNsCol))
+      .repartitionByRange(targetFiles, F.col("__pdate"),
+        GraftIO.qcol(secondary))
+      .sortWithinPartitions(GraftIO.qcol(tsNsCol))
+      .write.mode("overwrite")
+      .option("compression", GraftIO.parquetCodec(compression))
+      .partitionBy("__pdate")
+      .parquet(url)
+    val spark = df.sparkSession
+    val files = spark.read.parquet(url).inputFiles.toSeq
+    harvest(spark, files, Seq(tsNsCol, secondary))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath(url))
+  }
+
   /** Z-ORDERED manifested write — multi-column data skipping done right:
     * single-column range clustering makes ONE column's envelopes tight
     * and leaves every other column's spanning the whole domain, so
@@ -265,10 +301,11 @@ object Manifest {
       F.col(c) >= F.lit(lo) && F.col(c) <= F.lit(hi)
     }.reduce(_ && _)
     if (files.isEmpty)
-      // schema-true empty frame: the layout's schema (minus the seg
-      // layout column, which leaf-file reads below never surface), zero
-      // files scanned
-      spark.read.parquet(url).drop("seg").filter(residual).limit(0)
+      // schema-true empty frame: the layout's schema minus its layout
+      // columns (seg / __pdate partition dirs — leaf-file reads below
+      // never surface them), zero files scanned
+      spark.read.parquet(url).drop("seg", "__pdate")
+        .filter(residual).limit(0)
     else spark.read.parquet(files: _*).filter(residual)
   }
 }

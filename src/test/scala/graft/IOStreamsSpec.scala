@@ -783,6 +783,37 @@ class IOStreamsSpec extends SparkSpec {
     }
   }
 
+  test("writeTimeClustered: one layout serves readTimeSlice AND " +
+      "two-axis manifest skipping; both prune") {
+    val dir = tmp("graft_tc")
+    val dayNs = 86400L * 1000000000L
+    // 3 days x 300 rows, secondary v uniform per day
+    val rows = for (d <- 0L until 3L; i <- 0L until 300L) yield
+      (d * 300 + i, d * dayNs + i * 1000000L, i % 100, s"p$i")
+    val ev = rows.toDF("event_id", "ts", "v", "payload")
+    Manifest.writeTimeClustered(ev, "ts", "v", dir + "/t", targetFiles = 9)
+    // reader 1: the classic pruned time slice works unchanged
+    val day1 = GraftIO.readTimeSlice(spark, dir + "/t", dayNs, 2 * dayNs)
+    assert(day1.count() == 300)
+    assert(day1.queryExecution.executedPlan.toString.linesIterator.exists(
+      l => l.contains("PartitionFilters") && l.contains("__pdate")))
+    // reader 2: two-axis file skipping — day band via ts envelopes,
+    // v band via secondary envelopes
+    val both = Manifest.readSkippingBands(spark, dir + "/t",
+      Seq(("ts", dayNs, 2 * dayNs - 1), ("v", 0L, 29L)))
+    assert(both.count() == 90)
+    assert(col1[Long](both.orderBy("event_id"), "event_id") ==
+      (0L until 300L).filter(_ % 100 < 30).map(_ + 300L))
+    // pruning fact: of 9 (day x v-range) files, the composite band
+    // keeps at most 2 (one day out of three, low-v slice of its 3)
+    val man = Manifest.manifest(spark, dir + "/t")
+    assert(man.count() == 9)
+    val kept = man.filter(F.col("min_ts") <= 2 * dayNs - 1 &&
+      F.col("max_ts") >= dayNs &&
+      F.col("min_v") <= 29L && F.col("max_v") >= 0L).count()
+    assert(kept <= 2, s"composite band kept $kept of 9 files")
+  }
+
   test("z-order: bands on EITHER column prune files; single-column " +
       "clustering prunes only its own; equality with plain filters") {
     val dir = tmp("graft_zorder")
