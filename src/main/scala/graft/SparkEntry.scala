@@ -16,6 +16,12 @@ import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAn
   *  - integer-ish derived outputs are cast to BIGINT on both sides.
   */
 object SparkEntry {
+  /** Shared time-fixture constants: one definition, referenced by every
+    * lake/time query AND kept in lockstep with the oracle SQL TIMESTAMP
+    * literals ('2024-01-10'). */
+  private val DayNs = 86400L * 1000000000L
+  private val Jan10Ns = 1704844800L * 1000000000L // 2024-01-10 00:00:00 UTC
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     // ns-precision timestamps (events.ts) read as long ns-since-epoch —
     // Spark is µs-native (SURVEY §1.2 dtype table). The conf only fires on
@@ -1112,8 +1118,8 @@ object SparkEntry {
     * the canonical access pattern: time-sliced scans must read a day, not
     * a decade. Plan-guarded in TsNormSpec (µs fixtures) + PlanGuardSpec. */
   private val q63: (SparkSession, String) => DataFrame = (s, dir) => {
-    val dayNs = 86400L * 1000000000L
-    val loNs = 1704844800L * 1000000000L // 2024-01-10 00:00:00 UTC
+    val dayNs = DayNs
+    val loNs = Jan10Ns
     val ev = tSliced(s, dir, "events", loNs, loNs + dayNs)
       .withColumn("us", F.expr("ts DIV 1000"))
     val fiveMin = 300000000L // µs
@@ -1151,7 +1157,7 @@ object SparkEntry {
   private val s05Body: (SparkSession, String) => DataFrame = (s, dir) => {
     val ev = t(s, dir, "events")
     val run = s05Run.incrementAndGet()
-    val dayNs = 86400L * 1000000000L
+    val dayNs = DayNs
     val feed = new java.io.File(scratch(s"s05_feed_${dir.hashCode.abs}_$run"))
     feed.mkdirs()
     (0 until 3).foreach { k =>
@@ -1197,7 +1203,7 @@ object SparkEntry {
   private val s06Body: (SparkSession, String) => DataFrame = (s, dir) => {
     val ev = t(s, dir, "events")
     val run = s06Run.incrementAndGet()
-    val dayNs = 86400L * 1000000000L
+    val dayNs = DayNs
     val feed = new java.io.File(scratch(s"s06_feed_${dir.hashCode.abs}_$run"))
     feed.mkdirs()
     (0 until 3).foreach { k =>
@@ -1296,12 +1302,18 @@ object SparkEntry {
     operators.Rollup.appendRollup(ev.filter(F.col("event_id") % 3 === 2),
       "ts", keys, "value", path, "b1")
     operators.Rollup.compactRollup(s, path)
+    rollupOracleView(s, path)
+  }
+
+  /** The s08/s09 shared oracle projection: one definition so both
+    * rollup queries stay pinned to the same flat-aggregation contract
+    * (4-dp sum round, these aliases). */
+  private def rollupOracleView(s: SparkSession, path: String): DataFrame =
     operators.Rollup.readRollup(s, path)
       .select(F.col("day"), F.col("event_type"), F.col("n"),
         F.round(F.col("sum"), 4).as("total"),
         F.col("min"), F.col("max"))
       .orderBy("day", "event_type")
-  }
 
   private val s09Run = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -1332,11 +1344,7 @@ object SparkEntry {
         maxFilesPerTrigger = 1),
       "ts", Seq("event_type"), "value", path,
       name = s"s09_${dir.hashCode.abs}_$run")
-    operators.Rollup.readRollup(s, path)
-      .select(F.col("day"), F.col("event_type"), F.col("n"),
-        F.round(F.col("sum"), 4).as("total"),
-        F.col("min"), F.col("max"))
-      .orderBy("day", "event_type")
+    rollupOracleView(s, path)
   }
 
   /** TIME-PARTITIONED layout round trip — the other half of the time-scan
@@ -1352,8 +1360,8 @@ object SparkEntry {
     val ev = t(s, dir, "events")
     val layout = scratch(s"q64_layout_${dir.hashCode.abs}")
     io.GraftIO.writeTimePartitioned(ev, "ts", layout)
-    val dayNs = 86400L * 1000000000L
-    val loNs = 1704844800L * 1000000000L // 2024-01-10 00:00:00 UTC
+    val dayNs = DayNs
+    val loNs = Jan10Ns
     io.GraftIO.readTimeSlice(s, layout, loNs, loNs + dayNs, "ts")
       .groupBy(
         F.date_trunc("hour", F.timestamp_micros(F.expr("ts DIV 1000")))
@@ -1413,8 +1421,8 @@ object SparkEntry {
     val layout = scratch(s"q68_layout_${dir.hashCode.abs}")
     io.Manifest.writeTimeClustered(ev, "ts", "value", layout,
       targetFiles = 24)
-    val dayNs = 86400L * 1000000000L
-    val loNs = 1704844800L * 1000000000L // 2024-01-10 00:00:00 UTC
+    val dayNs = DayNs
+    val loNs = Jan10Ns
     io.Manifest.readSkippingBands(s, layout,
       Seq(("ts", loNs, loNs + dayNs - 1), ("value", 200.0, 800.0)))
       .groupBy("event_type")
@@ -1432,7 +1440,7 @@ object SparkEntry {
     val ev = t(s, dir, "events")
     val layout = scratch(s"q66_layout_${dir.hashCode.abs}")
     io.GraftIO.writeTimePartitioned(ev, "ts", layout)
-    val cutNs = 1704844800L * 1000000000L // 2024-01-10 00:00:00 UTC
+    val cutNs = Jan10Ns
     val removed = io.GraftIO.expireTimePartitions(s, layout, cutNs)
     require(removed == 9, s"expected 9 expired days, removed $removed")
     s.read.parquet(layout)
@@ -3640,8 +3648,12 @@ object SparkEntry {
       SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""",
     // d18's vocabulary banding → fixed-point signed-log weights → per-doc
     // weighted sum → sigmoid; the integer-valued weight sum is exact in
-    // both engines, so the only cross-engine float ops are one multiply,
-    // one exp, and the pinned 6-dp round
+    // both engines, so the remaining cross-engine float ops are one
+    // multiply, one exp, the pinned 6-dp round — and the weight
+    // derivation's floor(1000·ln(1+tf)), whose discontinuity is the same
+    // dfBound-class accepted residual as every floor-banded oracle here
+    // (a flip needs the true value within ~1 ulp of the boundary;
+    // ln(1+integer) never lands on exact integers)
     "d59_classifier_score" -> """
       WITH toks AS (SELECT doc_id,
           CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
@@ -4323,7 +4335,8 @@ object SparkEntry {
       SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
         CASE WHEN p.doc_id IS NULL THEN 'added'
              WHEN c.doc_id IS NULL THEN 'removed'
-             WHEN p.text = c.text THEN 'unchanged'
+             WHEN p.text IS NOT DISTINCT FROM c.text
+               THEN 'unchanged'
              ELSE 'changed' END AS status
       FROM prev p FULL JOIN cur c ON p.doc_id = c.doc_id
       ORDER BY doc_id""",

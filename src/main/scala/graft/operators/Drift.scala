@@ -108,7 +108,10 @@ object Drift {
     * the standard content-addressing contract (same posture as exact
     * dedup's hash key). Ids are assumed unique within each snapshot
     * (the corpus-id contract everywhere in this engine); a duplicated id
-    * multiplies through the join like any keyed join would. */
+    * multiplies through the join like any keyed join would. NULL content
+    * hashes to the seed on both sides, so null-vs-null compares
+    * "unchanged" — IS NOT DISTINCT FROM semantics, not SQL's
+    * null-propagating equality. */
   def snapshotDiff(prev: DataFrame, cur: DataFrame, id: Column,
       content: Column): DataFrame = {
     // a null id would not match ITSELF across the join (SQL null
