@@ -269,6 +269,13 @@ object GraftIO {
       .partitionBy("__pdate").parquet(resolveWriteUrl(path))
   }
 
+  /** Backtick-quoted column reference: `F.col` parses an unquoted dot as
+    * struct-field access, so every entry point that receives a COLUMN
+    * NAME string resolves it through this — the write and read sides of
+    * a layout must agree on awkward names. */
+  private[graft] def qcol(name: String): org.apache.spark.sql.Column =
+    F.col("`" + name.replace("`", "``") + "`")
+
   /** UTC day of an epoch-ns long via exact integral arithmetic, NOT
     * `to_date(timestamp_micros)` — that pair derives the day in the
     * SESSION time zone, so a non-UTC session would write partitions the
@@ -281,13 +288,6 @@ object GraftIO {
     * DIV), with the name backtick-quoted — no raw-SQL interpolation, so
     * column names with spaces, dots, or reserved words resolve correctly
     * (`F.col` parses an unquoted dot as struct-field access). */
-  /** Backtick-quoted column reference: `F.col` parses an unquoted dot as
-    * struct-field access, so every entry point that receives a COLUMN
-    * NAME string resolves it through this — the write and read sides of
-    * a layout must agree on awkward names. */
-  private[graft] def qcol(name: String): org.apache.spark.sql.Column =
-    F.col("`" + name.replace("`", "``") + "`")
-
   def utcDay(tsNsCol: String): org.apache.spark.sql.Column = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     val quoted = "`" + tsNsCol.replace("`", "``") + "`"

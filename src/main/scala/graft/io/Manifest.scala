@@ -31,6 +31,19 @@ object Manifest {
 
   private def manifestPath(url: String) = url + "/_manifest"
 
+  /** The layout owns `seg` (its partition directory — a data column of
+    * that name would be silently REPLACED by `withColumn("seg", ...)` and
+    * partition-encoded away, lost on the round trip) and the manifest
+    * schema owns `file`; refuse both up front, same posture as the
+    * statsCols clash check. */
+  private def requireNoReservedCols(df: DataFrame, who: String): Unit = {
+    val clash = df.columns.filter(Set("seg", "file"))
+    require(clash.isEmpty,
+      s"$who: data column(s) ${clash.mkString(", ")} collide with the " +
+        "manifested layout's reserved names (seg = segment partition " +
+        "dir, file = manifest key) — rename before writing")
+  }
+
 
   /** Range-cluster a batch on `clusterCols` (no-op when empty). */
   private def clustered(df: DataFrame, clusterCols: Seq[String],
@@ -71,6 +84,7 @@ object Manifest {
     require(clash.isEmpty,
       s"stats column(s) ${clash.mkString(", ")} collide with the " +
         "manifest's own schema (file/rows/seg) — rename before manifesting")
+    requireNoReservedCols(df, "writeWithManifest")
     val url = GraftIO.resolveUrl(path)
     // seg=base partition dir: the same segment layout every appender in
     // this engine uses, so [[appendWithManifest]] can be retry-exactly-once
@@ -111,6 +125,7 @@ object Manifest {
       compression: String = "snappy"): Unit = {
     require(segment.nonEmpty && segment != "base",
       "segment id must be non-empty and not 'base'")
+    requireNoReservedCols(df, "appendWithManifest")
     val spark = df.sparkSession
     val url = GraftIO.resolveUrl(path)
     val old = manifest(spark, path)

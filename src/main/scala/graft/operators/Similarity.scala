@@ -265,8 +265,17 @@ object Similarity {
         .filter(F.col("cell").isin(probed.cells.map(Int.box): _*))
         .join(F.broadcast(probed.frame), Seq("cell"))
     } else {
+      // materialize the probed frame ONCE before anything reads it: the
+      // cell-id collect below and the candidate join are two separate
+      // evaluations, and a nondeterministic query plan (sample/rand-
+      // derived — the same hazard collectProbes pins for the localized
+      // path) could assign probes to different cells in each, leaving the
+      // IN-filter stale and silently dropping those cells' index rows.
+      // localCheckpoint is executor-distributed storage bounded by
+      // |queries|·nprobe rows — the price of a consistent snapshot on the
+      // arbitrarily-large-batch path this flag exists for.
       val probed = probedFrame(index.centroids, queries, queryId, queryVec,
-        nprobe)
+        nprobe).localCheckpoint()
       val cells = probed.select("cell").distinct().collect()
         .map(_.getInt(0)).sorted
       index.assigned
@@ -350,8 +359,15 @@ object Similarity {
       .withColumn("cv", l2Normalize(F.col("cv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val biggest = assigned.groupBy("cell").agg(F.count(F.lit(1)).as("n"))
-        .agg(F.max(F.col("n"))).collect().head.getLong(0)
+      // a global max over an empty relation returns one NULL row — read it
+      // as an Option so an empty corpus (only reachable when df's own plan
+      // is nondeterministic: ivfIndex's train require already rejects a
+      // deterministically-empty frame) degrades to "no duplicates" instead
+      // of a bare NullPointerException
+      val maxRow = assigned.groupBy("cell").agg(F.count(F.lit(1)).as("n"))
+        .agg(F.max(F.col("n"))).collect().head
+      if (maxRow.isNullAt(0)) return df
+      val biggest = maxRow.getLong(0)
       require(biggest <= maxCellSize,
         s"semanticDedup: largest cell holds $biggest rows > maxCellSize " +
           s"$maxCellSize — the within-cell pair join would be quadratic " +

@@ -974,4 +974,27 @@ class IOStreamsSpec extends SparkSpec {
         Seq(("v", 0L, 1L), ("payload", "a", "b")))
     }
   }
+
+  test("manifest writers refuse the layout's reserved data columns " +
+      "(seg would be silently replaced + partition-encoded away)") {
+    val dir = tmp("graft_manifest_reserved")
+    val withSeg = Seq((1L, 2L, "s")).toDF("id", "v", "seg")
+    val e1 = intercept[IllegalArgumentException] {
+      Manifest.writeWithManifest(withSeg, dir + "/a", statsCols = Seq("v"))
+    }
+    assert(e1.getMessage.contains("seg"))
+    val withFile = Seq((1L, 2L, "f")).toDF("id", "v", "file")
+    intercept[IllegalArgumentException] {
+      Manifest.writeWithManifest(withFile, dir + "/b", statsCols = Seq("v"))
+    }
+    // append path guards the same names
+    Manifest.writeWithManifest(Seq((1L, 2L)).toDF("id", "v"), dir + "/c",
+      statsCols = Seq("v"))
+    intercept[IllegalArgumentException] {
+      Manifest.appendWithManifest(withSeg, dir + "/c", segment = "b0")
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.appendWithManifest(withFile, dir + "/c", segment = "b0")
+    }
+  }
 }

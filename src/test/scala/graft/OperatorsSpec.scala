@@ -242,6 +242,47 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("id"), "id")
     assert(zs.contains(-5L))
     assert(zs.filter(_ >= 0L) == expect(0.9))
+    // an EMPTY corpus is loud (ivfIndex's train require), never an NPE
+    // out of the max-cell-size probe
+    val eEmpty = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(
+        Seq.empty[(Long, Seq[Double])].toDF("id", "v"),
+        F.col("id"), F.col("v"), threshold = 0.9, nClusters = 1)
+    }
+    assert(eEmpty.getMessage.contains("empty corpus"), eEmpty.getMessage)
+  }
+
+  test("ivfSearch localizeQueries=false snapshots the query frame: a " +
+      "nondeterministic query plan cannot leave the cell prune stale and " +
+      "silently drop results") {
+    val corpus = (for { cl <- 0 until 4; i <- 0 until 25 } yield {
+      val v = Array.tabulate(8)(d =>
+        (if (d == cl * 2) 10.0 else 0.0) + ((i * 7 + d * 3) % 5) * 0.1)
+      (cl * 100L + i, v.toSeq)
+    }).toDF("id", "v")
+    val index = Similarity.ivfIndex(corpus, F.col("id"), F.col("v"),
+      nlist = 4, trainSample = 100)
+    // unseeded rand ⇒ every evaluation of the query frame yields different
+    // vectors, hence different probed cells — the exact hazard: before the
+    // snapshot fix, the IN-prune (evaluation 1) and the candidate join
+    // (evaluation 2) disagreed and queries landing in unlisted cells
+    // returned nothing
+    // FEW queries per draw (so the probed-cell list genuinely narrows the
+    // index — with many queries it covers every cell and a stale list
+    // filters nothing), several independent draws. nprobe=2: at most one
+    // trained cell is empty of corpus rows here, so every query's probe
+    // set includes a populated cell — exactly one top-1 row per query is
+    // a guaranteed invariant of the snapshot, and only probabilistic
+    // without it.
+    for (draw <- 1 to 5) {
+      val queries = spark.range(4).select(F.col("id"),
+        F.array((0 until 8).map(_ => F.rand()): _*).as("qv"))
+      val got = Similarity.ivfSearch(index, queries, F.col("id"),
+        F.col("qv"), k = 1, nprobe = 2, localizeQueries = false)
+      val qids = col1[Long](got.select(F.col("query_id")), "query_id")
+      assert(qids.sorted == (0L until 4L),
+        s"draw $draw: expected one top-1 row per query, got ${qids.size}")
+    }
   }
 
   test("compactIvfIndex folds segments into base without retraining: " +
