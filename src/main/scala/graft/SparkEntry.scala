@@ -1450,6 +1450,55 @@ object SparkEntry {
       .orderBy("day", "event_type")
   }
 
+  /** Keyed upsert on the manifested lake ([[io.Manifest.upsert]] — the
+    * MERGE shape): the corpus range-clustered by doc_id into 16 files,
+    * then one batch UPDATES a narrow id band (revised text, n_chars + 3)
+    * and INSERTS fresh ids — the old versions die via an
+    * envelope-PRUNED file rewrite (require pins that only a few of the
+    * 16 files were touched), the batch lands segment-keyed. The full
+    * read-back must equal MERGE semantics replayed flat in DuckDB: a
+    * stale duplicate (missed delete), a lost insert, or an over-deleted
+    * neighbor all hash-fail. */
+  private val q69: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val layout = scratch(s"q69_layout_${dir.hashCode.abs}")
+    io.Manifest.writeWithManifest(docs, layout, statsCols = Seq("doc_id"),
+      clusterCols = Seq("doc_id"), targetFiles = 16)
+    val batch = docs.filter(F.col("doc_id").between(100L, 149L))
+      .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+      .withColumn("n_chars", F.col("n_chars") + 3)
+      .unionByName(docs.filter(F.col("doc_id") < 50)
+        .withColumn("doc_id", F.col("doc_id") + 100000L))
+    val rewritten = io.Manifest.upsert(batch, layout, "doc_id",
+      segment = "u0", clusterCols = Seq("doc_id"), targetFiles = 4)
+    require(rewritten <= 5,
+      s"envelope prune failed: upsert rewrote $rewritten of 16 files " +
+        "for a 50-id band")
+    io.Manifest.readSkipping(s, layout, "doc_id", 0L, 1000000L)
+      .select("doc_id", "source", "text", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** GDPR-style keyed delete ([[io.Manifest.deleteKeys]]) + [[io
+    * .Manifest.vacuum]]: every 7th document's id is deleted from the
+    * manifested layout (ids spread across every file — the honest
+    * full-rewrite case, where pruning buys nothing and correctness is
+    * everything), then vacuum confirms a clean mutation leaves zero
+    * orphans. The read-back is plain NOT-IN semantics in DuckDB. */
+  private val q70: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val layout = scratch(s"q70_layout_${dir.hashCode.abs}")
+    io.Manifest.writeWithManifest(docs, layout, statsCols = Seq("doc_id"),
+      clusterCols = Seq("doc_id"), targetFiles = 16)
+    val victims = docs.filter(F.col("doc_id") % 7 === 0).select("doc_id")
+    io.Manifest.deleteKeys(s, layout, "doc_id", victims, segment = "gdpr0")
+    val strays = io.Manifest.vacuum(s, layout)
+    require(strays == 0, s"vacuum found $strays strays after a clean delete")
+    io.Manifest.readSkipping(s, layout, "doc_id", 0L, 1000000L)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Snapshot diff ([[operators.Drift.snapshotDiff]]): prev = ids < 400,
     * cur = ids ≥ 50 with every 7th text revised — added / removed /
     * changed / unchanged all load-bearing in the oracle (which compares
@@ -2749,7 +2798,9 @@ object SparkEntry {
     "q65_manifest_skip" -> q65,
     "q66_retention" -> q66,
     "q67_zorder_skip" -> q67,
-    "q68_time_value_skip" -> q68)
+    "q68_time_value_skip" -> q68,
+    "q69_lake_upsert" -> q69,
+    "q70_lake_delete" -> q70)
 
   /** Bench-only queries: runnable BY NAME through `graft.Bench` for
     * scaling studies, but excluded from [[queries]] — the driver's
@@ -4318,6 +4369,25 @@ object SparkEntry {
         AND ts <  TIMESTAMP '2024-01-11 00:00:00'
         AND value BETWEEN 200.0 AND 800.0
       GROUP BY 1 ORDER BY event_type""",
+    // upsert = MERGE semantics replayed flat: the batch wins its keys,
+    // everything else survives untouched
+    "q69_lake_upsert" -> """
+      WITH batch AS (
+        SELECT doc_id, source, text || ' v2' AS text,
+               n_chars + 3 AS n_chars
+        FROM documents WHERE doc_id BETWEEN 100 AND 149
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, source, text, n_chars
+        FROM documents WHERE doc_id < 50)
+      SELECT doc_id, source, text, n_chars FROM batch
+      UNION ALL
+      SELECT doc_id, source, text, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM batch)
+      ORDER BY doc_id""",
+    // keyed delete = plain NOT-IN over the raw table
+    "q70_lake_delete" -> """
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE doc_id % 7 != 0 ORDER BY doc_id""",
     // retention = the raw table filtered at the day cutoff
     "q66_retention" -> """
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,

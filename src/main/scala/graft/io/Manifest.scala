@@ -323,4 +323,194 @@ object Manifest {
         .filter(residual).limit(0)
     else spark.read.parquet(files: _*).filter(residual)
   }
+
+  // ======== keyed mutation (delete / upsert) ===============================
+  // The Delta/Iceberg MERGE posture re-expressed over the manifested
+  // layout: the manifest's per-file [min,max] envelopes prune which files
+  // a keyed mutation can possibly touch, so a GDPR delete of a thousand
+  // ids against a 100k-file table rewrites the handful of files whose key
+  // envelope overlaps — not the table. Single-writer discipline, like
+  // every maintenance op in this engine (no optimistic concurrency): run
+  // mutations from one driver, never concurrently with another writer.
+
+  /** Rename-aside manifest swap: the new manifest is durable BEFORE the
+    * old moves, so a crash at any step leaves either the old or the new
+    * manifest readable (or a loud missing-manifest failure in the
+    * instant between the two renames — never a silent half-state). */
+  private def swapManifest(spark: SparkSession, url: String,
+      rows: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val tmp = url + "/__manifest_new"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(tmp)
+    val manP = new org.apache.hadoop.fs.Path(manifestPath(url))
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val oldP = new org.apache.hadoop.fs.Path(url + "/__manifest_old")
+    val fs = manP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(oldP, true)
+    require(fs.rename(manP, oldP), s"manifest swap: move-aside failed at $url")
+    require(fs.rename(tmpP, manP), s"manifest swap: swap-in failed at $url")
+    fs.delete(oldP, true)
+  }
+
+  /** Delete every row whose `keyCol` appears in `keys` (a one-column
+    * frame), rewriting ONLY the files whose manifest envelope overlaps a
+    * key — the pruned-rewrite economics the manifest exists for. Returns
+    * the number of files rewritten.
+    *
+    * Mechanics: envelope-surviving files are re-read, anti-joined against
+    * the key set, and their survivors land under this operation's own
+    * `seg=` partition (dynamic overwrite — a RETRY of the same segment id
+    * replaces its earlier, possibly partial, attempt); the manifest is
+    * then swapped rename-aside (old rows for rewritten files dropped, new
+    * files harvested), and only AFTER the swap are the replaced data
+    * files deleted. Crash anywhere leaves a readable manifest whose
+    * listed files all exist; the worst case is orphaned data files, which
+    * [[vacuum]] reclaims. Retry idempotency comes from self-exclusion:
+    * the candidate set never includes this operation's own segment, so a
+    * completed delete retried is a no-op — distinct delete operations
+    * MUST use distinct segment ids, the same contract as every appender.
+    *
+    * The key frame is deduplicated and snapshotted (localCheckpoint)
+    * before use: it feeds two separate evaluations (the envelope prune
+    * and the anti-join), which a nondeterministic key plan would
+    * otherwise be free to disagree between. Null keys fail loud — a null
+    * has no deletion semantics. `keyCol` must be a manifested stats
+    * column (without envelopes there is nothing to prune — declare it in
+    * `statsCols` at write time). */
+  def deleteKeys(spark: SparkSession, path: String, keyCol: String,
+      keys: DataFrame, segment: String,
+      excludeSegments: Set[String] = Set.empty): Int = {
+    require(segment.nonEmpty && segment != "base",
+      "delete segment id must be non-empty and not 'base'")
+    val url = GraftIO.resolveUrl(path)
+    val man = manifest(spark, path)
+    require(man.columns.contains(s"min_$keyCol"),
+      s"deleteKeys: $keyCol has no manifest stats — keyed mutation needs " +
+        "the per-file envelope; declare it in statsCols at write time " +
+        s"(have: ${man.columns.filter(_.startsWith("min_"))
+          .map(_.stripPrefix("min_")).mkString(", ")})")
+    require(keys.columns.length == 1,
+      s"keys must be a one-column frame, got ${keys.columns.mkString(", ")}")
+    val keyType = man.schema(s"min_$keyCol").dataType
+    val k = keys
+      .select(F.when(F.assert_true(F.col(keys.columns.head).isNotNull,
+          F.lit("deleteKeys: null key — a null has no deletion " +
+            "semantics; filter or coalesce explicitly first")).isNull,
+        F.col(keys.columns.head).cast(keyType)).as("__k"))
+      .distinct()
+      .localCheckpoint()
+    // candidate files: envelope overlaps some key, and never this
+    // operation's own rewrite segment (retry self-exclusion) or a
+    // caller-excluded one (upsert's just-appended batch)
+    val self = excludeSegments + segment
+    val cand = man.filter(!self.map(sg =>
+      F.col("file").contains(s"/seg=$sg/")).reduce(_ || _))
+    val affected = F.broadcast(cand).join(k,
+        F.col("__k") >= F.col(s"min_$keyCol") &&
+          F.col("__k") <= F.col(s"max_$keyCol"))
+      .select("file").distinct().collect().map(_.getString(0)).sorted
+    if (affected.isEmpty) return 0
+    val statsCols = man.columns.filter(_.startsWith("min_"))
+      .map(_.stripPrefix("min_")).toSeq
+    // clear this operation's rewrite partition up front: a crashed earlier
+    // attempt may have left partial files there, and a dynamic overwrite
+    // that writes ZERO rows (every row of every affected file deleted)
+    // would not replace them — nothing reads the segment (self-excluded),
+    // so the pre-delete is race-free under the single-writer contract
+    val fs = new org.apache.hadoop.fs.Path(url)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$url/seg=$segment"), true)
+    spark.read.parquet(affected: _*)
+      .join(k, GraftIO.qcol(keyCol) === F.col("__k"), "left_anti")
+      .withColumn("seg", F.lit(segment))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("seg")
+      .parquet(url)
+    val rwFiles = spark.read.parquet(url).inputFiles
+      .filter(_.contains(s"/seg=$segment/")).toSeq
+    val affectedSet = affected.toSet
+    val keptRows = man.collect()
+      .filterNot(r => affectedSet.contains(r.getAs[String]("file")))
+    val newRows = if (rwFiles.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else harvest(spark, rwFiles, statsCols).collect()
+    swapManifest(spark, url, (keptRows ++ newRows).toSeq, man.schema)
+    // post-commit cleanup: the new manifest no longer lists these, so a
+    // crash from here on only leaves orphans for vacuum
+    affected.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    affected.length
+  }
+
+  /** Keyed upsert — the MERGE shape: `batch` replaces any existing rows
+    * sharing its keys and inserts the rest. Step 1 appends the batch
+    * under its own `seg=` partition ([[appendWithManifest]] — retry
+    * replaces); step 2 deletes the batch's keys from every OTHER segment
+    * via [[deleteKeys]] (rewrite segment `rw_<segment>`, the batch's own
+    * segment excluded), with the key set read back from the batch's
+    * just-written files — durable and deterministic even when `batch`'s
+    * own plan is not. Between the two commits a reader can observe both
+    * versions of an updated key (duplicates, never absence); a crash
+    * there is healed by the at-least-once retry, both steps being
+    * idempotent under the same segment id. Returns the number of files
+    * the delete rewrote. */
+  def upsert(batch: DataFrame, path: String, keyCol: String,
+      segment: String, clusterCols: Seq[String] = Nil,
+      targetFiles: Int = 0, compression: String = "snappy"): Int = {
+    require(!segment.startsWith("rw_"),
+      "upsert segment ids must not start with rw_ — that prefix is the " +
+        "delete step's rewrite namespace")
+    val spark = batch.sparkSession
+    appendWithManifest(batch, path, segment, clusterCols, targetFiles,
+      compression)
+    val url = GraftIO.resolveUrl(path)
+    val appended = spark.read.parquet(url).inputFiles
+      .filter(_.contains(s"/seg=$segment/")).toSeq
+    val keys =
+      if (appended.isEmpty)
+        // an empty batch wrote no files; nothing to delete either
+        return 0
+      else spark.read.parquet(appended: _*).select(GraftIO.qcol(keyCol))
+    deleteKeys(spark, path, keyCol, keys, s"rw_$segment",
+      excludeSegments = Set(segment))
+  }
+
+  /** Reclaim data files the manifest does not list — the debris of
+    * crashed mutations (replaced files whose delete step never ran,
+    * rewrite segments written before a manifest swap that never
+    * happened) and any foreign stray. Compares scheme-independent path
+    * components, deletes only `seg=*`-resident data files plus stale
+    * `__manifest_*` temp dirs, and never touches the live `_manifest`.
+    * Single-writer discipline: run it only when no mutation is
+    * in-flight — an in-progress operation's freshly-written files are
+    * exactly "unlisted data files" until its manifest swap. Returns the
+    * number of files deleted. */
+  def vacuum(spark: SparkSession, path: String): Int = {
+    val url = GraftIO.resolveUrl(path)
+    val listed = manifest(spark, path).select("file").collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
+      .toSet
+    val root = new org.apache.hadoop.fs.Path(url)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var removed = 0
+    val it = fs.listFiles(root, true)
+    val strays = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.Path]
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      val rel = p.toUri.getPath
+      val underSeg = rel.contains("/seg=")
+      val isData = underSeg && !p.getName.startsWith("_") &&
+        !p.getName.startsWith(".")
+      if (isData && !listed.contains(rel)) strays += p
+    }
+    strays.foreach { p => if (fs.delete(p, false)) removed += 1 }
+    Seq("__manifest_new", "__manifest_old").foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(url + "/" + d), true)
+    }
+    removed
+  }
 }

@@ -997,4 +997,84 @@ class IOStreamsSpec extends SparkSpec {
       Manifest.appendWithManifest(withFile, dir + "/c", segment = "b0")
     }
   }
+
+  test("keyed lake mutation: deleteKeys rewrites only envelope-affected " +
+      "files, upsert merges, retries are idempotent, vacuum reclaims " +
+      "orphans") {
+    val dir = tmp("graft_lake_mut")
+    val df = (0L until 800L).map(i => (i, i, s"r$i"))
+      .toDF("id", "v", "payload")
+    Manifest.writeWithManifest(df, dir + "/t", statsCols = Seq("id"),
+      clusterCols = Seq("id"), targetFiles = 8)
+    // a narrow id band deletes by rewriting 1-2 of the 8 range-clustered
+    // files — the pruned-rewrite economics, observed via the return value
+    val delKeys = (100L until 120L).toDF("id")
+    val rewritten = Manifest.deleteKeys(spark, dir + "/t", "id",
+      delKeys, segment = "d0")
+    assert(rewritten >= 1 && rewritten <= 2, s"rewrote $rewritten files")
+    def ids(): Seq[Long] = col1[Long](Manifest.readSkipping(spark,
+      dir + "/t", "id", 0L, 5000L).orderBy("id"), "id")
+    val expectAfterDelete = (0L until 800L).filterNot(i => i >= 100 && i < 120)
+    assert(ids() == expectAfterDelete)
+    // manifest row counts stay exact
+    assert(col1[Long](Manifest.manifest(spark, dir + "/t")
+      .selectExpr("sum(rows) as s"), "s") == Seq(780L))
+    // a completed delete RETRIED under the same segment id is a no-op
+    assert(Manifest.deleteKeys(spark, dir + "/t", "id", delKeys, "d0") == 0)
+    assert(ids() == expectAfterDelete)
+    // loud contracts: null key, un-manifested key column, two-column keys
+    val e = intercept[Throwable] {
+      Manifest.deleteKeys(spark, dir + "/t", "id",
+        Seq(Some(1L), None).toDF("id"), "d1")
+    }
+    assert(e.getMessage.contains("null key"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Manifest.deleteKeys(spark, dir + "/t", "payload",
+        Seq("r5").toDF("payload"), "d2")
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.deleteKeys(spark, dir + "/t", "id",
+        delKeys.withColumn("x", F.lit(1)), "d3")
+    }
+    // upsert: 10 updated rows (new v/payload) + 10 inserted rows
+    val batch = ((150L until 160L).map(i => (i, i * 10, s"u$i")) ++
+      (900L until 910L).map(i => (i, i, s"n$i")))
+      .toDF("id", "v", "payload")
+    val up = Manifest.upsert(batch, dir + "/t", "id", segment = "b1",
+      clusterCols = Seq("id"), targetFiles = 1)
+    assert(up >= 1, s"upsert rewrote $up files")
+    val expectMerged = expectAfterDelete ++ (900L until 910L)
+    assert(ids() == expectMerged.sorted)
+    def vOf(): Map[Long, Long] = Manifest.readSkipping(spark, dir + "/t",
+      "id", 0L, 5000L).select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v1 = vOf()
+    (150L until 160L).foreach(i => assert(v1(i) == i * 10, s"id $i"))
+    assert(v1(200L) == 200L && v1(905L) == 905L)
+    // the whole upsert retried under the same segment id converges to the
+    // same state (append replaces its own segment, delete self-excludes)
+    Manifest.upsert(batch, dir + "/t", "id", segment = "b1",
+      clusterCols = Seq("id"), targetFiles = 1)
+    assert(ids() == expectMerged.sorted)
+    assert(vOf() == v1)
+    // rw_ prefix reserved for the delete step's rewrite namespace
+    intercept[IllegalArgumentException] {
+      Manifest.upsert(batch, dir + "/t", "id", segment = "rw_x")
+    }
+    // orphans: a stray data file under a seg dir (a crashed mutation's
+    // debris) is invisible to manifest readers and reclaimed by vacuum
+    val strayDir = new java.io.File(dir + "/t/seg=stray")
+    df.limit(5).drop("id").withColumn("id", F.lit(99999L))
+      .select("id", "v", "payload")
+      .write.mode("overwrite").parquet(strayDir.toString)
+    assert(ids() == expectMerged.sorted) // reader never sees the stray
+    val vacuumed = Manifest.vacuum(spark, dir + "/t")
+    assert(vacuumed >= 1, s"vacuum removed $vacuumed")
+    assert(!strayDir.exists() ||
+      strayDir.listFiles().forall(f => f.getName.startsWith("_") ||
+        f.getName.startsWith(".")))
+    assert(ids() == expectMerged.sorted) // and removed nothing live
+    // vacuum again: nothing left to reclaim
+    assert(Manifest.vacuum(spark, dir + "/t") == 0)
+  }
 }
