@@ -1499,6 +1499,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Training-shard export ([[io.Shards.writeShards]]): the corpus
+    * deterministically shuffled into 16 shard files (shard = md5 hash
+    * mod 16, in-shard position = rank of the full hash — no RNG state,
+    * no partition-order dependence), written one file per shard and read
+    * back. The oracle replays the exact-integer hash, the mod, and the
+    * per-shard rank verbatim in DuckDB: a mis-assigned, re-ordered,
+    * dropped, or duplicated row hash-fails. */
+  private val q71: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val layout = scratch(s"q71_layout_${dir.hashCode.abs}")
+    io.Shards.writeShards(docs, F.col("doc_id"), numShards = 16, layout,
+      salt = "sh42")
+    io.Shards.readShards(s, layout)
+      .select(F.col("doc_id"), F.col("shard").cast("long").as("shard"),
+        F.col("pos"))
+      .orderBy("doc_id")
+  }
+
   /** Snapshot diff ([[operators.Drift.snapshotDiff]]): prev = ids < 400,
     * cur = ids ≥ 50 with every 7th text revised — added / removed /
     * changed / unchanged all load-bearing in the oracle (which compares
@@ -2800,7 +2818,8 @@ object SparkEntry {
     "q67_zorder_skip" -> q67,
     "q68_time_value_skip" -> q68,
     "q69_lake_upsert" -> q69,
-    "q70_lake_delete" -> q70)
+    "q70_lake_delete" -> q70,
+    "q71_train_shards" -> q71)
 
   /** Bench-only queries: runnable BY NAME through `graft.Bench` for
     * scaling studies, but excluded from [[queries]] — the driver's
@@ -4388,6 +4407,18 @@ object SparkEntry {
     "q70_lake_delete" -> """
       SELECT doc_id, source, n_chars FROM documents
       WHERE doc_id % 7 != 0 ORDER BY doc_id""",
+    // the deterministic shuffle replayed verbatim: exact-integer md5
+    // shard + per-shard rank of the full hash
+    "q71_train_shards" -> """
+      WITH h AS (SELECT doc_id,
+          ('0x' || substr(md5(doc_id::VARCHAR || 'sh42'), 1, 8))::BIGINT
+            % 16 AS shard,
+          md5(doc_id::VARCHAR || 'sh42') AS hfull
+        FROM documents)
+      SELECT doc_id, shard,
+        row_number() OVER (PARTITION BY shard
+                           ORDER BY hfull, doc_id::VARCHAR) AS pos
+      FROM h ORDER BY doc_id""",
     // retention = the raw table filtered at the day cutoff
     "q66_retention" -> """
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,

@@ -77,7 +77,7 @@ object GraftIO {
 
   /** Sink-side URL rules: s3:// rewrites to the s3a connector; http(s) is
     * read-only (the reference's cloud_writer.rs writes S3 only, too). */
-  private def resolveWriteUrl(path: String): String = {
+  private[io] def resolveWriteUrl(path: String): String = {
     require(!path.startsWith("http://") && !path.startsWith("https://"),
       s"cannot write to an http(s) URL: $path")
     if (path.startsWith("s3://")) "s3a://" + path.stripPrefix("s3://") else path

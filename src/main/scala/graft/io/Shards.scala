@@ -1,0 +1,93 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+import org.apache.spark.sql.{functions => F}
+
+/** Training-shard export — the LAST step of a curation pipeline: a
+  * deterministic global shuffle of the corpus into a fixed number of
+  * shard files, reproducible bit-for-bit across runs, cluster sizes, and
+  * engines.
+  *
+  * Trainers need (a) an order that is uncorrelated with the corpus's
+  * ingest/source order (sequential reads must look i.i.d.), (b) fixed
+  * shard boundaries so a run can be resumed/distributed by shard id, and
+  * (c) reproducibility — re-exporting the same corpus yields byte-equal
+  * shards. A `rand()`-based shuffle gives none of these. Here both the
+  * shard id and the in-shard position derive from one md5-based
+  * exact-integer hash of the document key (the same deterministic
+  * uniform the sampling family replays verbatim in DuckDB): shard =
+  * hash(key) mod numShards, position = rank of the full hash within the
+  * shard. No RNG state, no partition-order dependence.
+  *
+  * Scale shape: ONE hash shuffle (`repartition(numShards, shard)`), then
+  * the rank is a window over the SAME clustering — EnsureRequirements
+  * sees the distribution already satisfied, so the window adds only the
+  * in-partition sort the partitioned write needs anyway. No global sort,
+  * no driver funnel; shard sizes are Binomial(n, 1/numShards) — even to
+  * ~±3σ for any realistic shard count. Size `numShards` so one shard ≈
+  * 100 MB–1 GB: each shard is exactly one task and one output file.
+  */
+object Shards {
+
+  /** The 32-bit exact-integer hash both shard id and order derive from:
+    * first 8 md5 hex chars of `key || salt`, as a long in [0, 2^32).
+    * Null keys fail loud in-plan — a null has no deterministic shard. */
+  private def hash32(key: Column, salt: String): Column = {
+    val ks = key.cast(StringType)
+    val hex = F.substring(
+      F.md5(F.concat(ks, F.lit(salt)).cast(BinaryType)), 1, 8)
+    F.when(F.assert_true(ks.isNotNull, F.lit(
+      "shard key is null — a null key has no deterministic shard; " +
+        "filter or coalesce explicitly first")).isNull,
+      F.conv(hex, 16, 10).cast(LongType))
+  }
+
+  /** Full md5 hex of `key || salt` — the in-shard order key (128 bits, so
+    * order collisions require an md5 collision; ties broken by key). */
+  private def orderHex(key: Column, salt: String): Column =
+    F.md5(F.concat(key.cast(StringType), F.lit(salt)).cast(BinaryType))
+
+  /** Deterministic shard id and 1-based in-shard position for every row:
+    * adds `shard` (long in [0, numShards)) and `pos`. One hash shuffle +
+    * one in-partition sort; see the object doc for why the window costs
+    * no second exchange. */
+  def assignShards(df: DataFrame, key: Column, numShards: Int,
+      salt: String = ""): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val w = Window.partitionBy("shard")
+      .orderBy(F.col("__sh_hex").asc, key.cast(StringType).asc)
+    df.withColumn("shard", hash32(key, salt) % numShards)
+      .withColumn("__sh_hex", orderHex(key, salt))
+      .repartition(numShards, F.col("shard"))
+      .withColumn("pos", F.row_number().over(w).cast(LongType))
+      .drop("__sh_hex")
+  }
+
+  /** Export the corpus as `numShards` shard files under
+    * `path/shard=N/`: every shard is written by exactly one task as
+    * exactly one file, rows inside ordered by the deterministic hash
+    * (the `pos` column persists the order — parquet readers that split a
+    * shard across row groups can restore it with one in-shard sort).
+    * Re-running the export over the same corpus reproduces identical
+    * shard membership and order. */
+  def writeShards(df: DataFrame, key: Column, numShards: Int, path: String,
+      salt: String = "", compression: String = "snappy"): Unit = {
+    require(!df.columns.contains("shard") && !df.columns.contains("pos"),
+      "writeShards reserves the shard and pos column names — rename " +
+        "before exporting")
+    assignShards(df, key, numShards, salt)
+      .sortWithinPartitions(F.col("shard"), F.col("pos"))
+      .write.mode("overwrite")
+      .option("compression", GraftIO.parquetCodec(compression))
+      .partitionBy("shard")
+      .parquet(GraftIO.resolveWriteUrl(path))
+  }
+
+  /** Read an exported shard layout back in shard/pos order — the
+    * trainer-side iterator contract. */
+  def readShards(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(GraftIO.resolveUrl(path))
+      .orderBy(F.col("shard"), F.col("pos"))
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
-import graft.io.{GraftIO, Manifest}
+import graft.io.{GraftIO, Manifest, Shards}
 import graft.streaming.Streams
 import java.nio.file.Files
 
@@ -1076,5 +1076,67 @@ class IOStreamsSpec extends SparkSpec {
     assert(ids() == expectMerged.sorted) // and removed nothing live
     // vacuum again: nothing left to reclaim
     assert(Manifest.vacuum(spark, dir + "/t") == 0)
+  }
+
+  test("training shards: deterministic shuffle into one file per shard, " +
+      "reproducible across exports, one shuffle total, loud contracts") {
+    val dir = tmp("graft_shards")
+    val df = (0L until 500L).map(i => (i, s"doc$i")).toDF("id", "text")
+    // the window rank rides the repartition's clustering: exactly ONE
+    // exchange in the whole assignment plan (a second would mean the
+    // row_number re-shuffled the corpus)
+    val assigned = Shards.assignShards(df, F.col("id"), 8, salt = "s1")
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+        case _ => 0
+      }
+      self + p.children.map(exchanges).sum
+    }
+    assert(exchanges(assigned.queryExecution.sparkPlan) == 1,
+      assigned.queryExecution.sparkPlan.toString)
+    val a1 = assigned.select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // shard ids in range, positions are 1..count(shard) within each shard
+    assert(a1.forall { case (_, s, _) => s >= 0 && s < 8 })
+    a1.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1L to rows.size),
+        s"shard $s positions")
+    }
+    // export: one file per shard dir, round trip preserves everything
+    Shards.writeShards(df, F.col("id"), 8, dir + "/t", salt = "s1")
+    (0 until 8).foreach { s =>
+      val files = new java.io.File(dir + s"/t/shard=$s").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $s has ${files.length} files")
+    }
+    val back = Shards.readShards(spark, dir + "/t")
+      .select(F.col("id"), F.col("shard").cast("long"), F.col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(back == a1)
+    // reproducibility: a second export lands byte-identical assignments
+    Shards.writeShards(df, F.col("id"), 8, dir + "/t2", salt = "s1")
+    val back2 = Shards.readShards(spark, dir + "/t2")
+      .select(F.col("id"), F.col("shard").cast("long"), F.col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(back2 == a1)
+    // a different salt is a different (but still deterministic) shuffle
+    val other = Shards.assignShards(df, F.col("id"), 8, salt = "s2")
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(other != a1)
+    // loud contracts
+    intercept[IllegalArgumentException] {
+      Shards.assignShards(df, F.col("id"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Shards.writeShards(df.withColumn("shard", F.lit(1)), F.col("id"), 8,
+        dir + "/bad")
+    }
+    val eNull = intercept[Throwable] {
+      Shards.assignShards(Seq(Some(1L), None).toDF("id"), F.col("id"), 8)
+        .collect()
+    }
+    assert(eNull.getMessage.contains("shard key is null"), eNull.getMessage)
   }
 }
