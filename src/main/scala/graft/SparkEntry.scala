@@ -1499,6 +1499,48 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Distributed PCA contract ([[operators.Embeddings]]): fit k=8 over
+    * the embedding corpus (one [[graft.functions.VectorMoments]] pass +
+    * driver Jacobi), then pin, as deterministic flags the oracle holds
+    * constant: components orthonormal, variances descending, the SAMPLE
+    * variance of each projected coordinate equal to its eigenvalue
+    * (ties the distributed moment pass and the native projection
+    * expression to the driver-side eigensolve — a wrong Gram triangle,
+    * covariance normalization, or projection loop breaks it), and
+    * whitened coordinates at exactly unit variance. `n_vecs` rides as a
+    * scalar subquery so the row count stays data-bound. */
+  private val d67: (SparkSession, String) => DataFrame = (s, dir) => {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val emb = t(s, dir, "embeddings")
+    val m = operators.Embeddings.fitPca(emb, F.col("embedding"), k = 8)
+    val d = m.dim
+    val orthoErr = (for { a <- 0 until m.k; b <- 0 until m.k } yield {
+      val dot = (0 until d)
+        .map(i => m.components(a)(i) * m.components(b)(i)).sum
+      math.abs(dot - (if (a == b) 1.0 else 0.0))
+    }).max
+    val descending = m.variances.zip(m.variances.tail)
+      .forall { case (x, y) => x >= y - 1e-12 }
+    def projVars(whiten: Boolean): Map[Int, Double] =
+      operators.Embeddings.pcaProject(emb, F.col("embedding"), m,
+          whiten = whiten)
+        .select(F.posexplode(F.col("pc")).as(Seq("j", "y")))
+        .groupBy("j").agg(F.variance(F.col("y")).as("vy"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val pv = projVars(whiten = false)
+    val varOk = (0 until m.k).forall(j =>
+      math.abs(pv(j) - m.variances(j)) <=
+        1e-6 * math.max(1.0, m.variances(j)))
+    val wv = projVars(whiten = true)
+    val whitenOk = (0 until m.k).forall(j => math.abs(wv(j) - 1.0) <= 1e-6)
+    val nVecs = bridge.scalarSubquery(emb.agg(F.count(F.lit(1))))
+    s.range(1).select(nVecs.as("n_vecs"),
+      F.lit(if (orthoErr < 1e-8) 1 else 0).as("orthonormal_ok"),
+      F.lit(if (descending) 1 else 0).as("descending_ok"),
+      F.lit(if (varOk) 1 else 0).as("variance_match_ok"),
+      F.lit(if (whitenOk) 1 else 0).as("whiten_unit_ok"))
+  }
+
   /** Training-shard export ([[io.Shards.writeShards]]): the corpus
     * deterministically shuffled into 16 shard files (shard = md5 hash
     * mod 16, in-shard position = rank of the full hash — no RNG state,
@@ -2801,6 +2843,7 @@ object SparkEntry {
     "d64_weighted_per_source" -> d64,
     "d65_unicode_nfc" -> d65,
     "d66_lm_logloss" -> d66,
+    "d67_pca_contract" -> d67,
     "q62_sample_contract" -> q62,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
@@ -4407,6 +4450,11 @@ object SparkEntry {
     "q70_lake_delete" -> """
       SELECT doc_id, source, n_chars FROM documents
       WHERE doc_id % 7 != 0 ORDER BY doc_id""",
+    // PCA invariants are engine-side deterministic flags; the oracle
+    // holds them constant and pins the data-bound corpus count
+    "d67_pca_contract" -> """
+      SELECT count(*) AS n_vecs, 1 AS orthonormal_ok, 1 AS descending_ok,
+        1 AS variance_match_ok, 1 AS whiten_unit_ok FROM embeddings""",
     // the deterministic shuffle replayed verbatim: exact-integer md5
     // shard + per-shard rank of the full hash
     "q71_train_shards" -> """

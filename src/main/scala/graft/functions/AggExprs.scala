@@ -185,6 +185,106 @@ case class CappedSortedIdSigs(child: Expression, cap: Int,
     copy(child = c)
 }
 
+/** Streaming first+second moments of a vector column in ONE pass with a
+  * bounded buffer: count, element-wise sum, and the upper triangle of the
+  * Gram matrix Σ x·xᵀ — everything PCA/covariance needs, without the d²
+  * per-row explode a SQL formulation would pay. The buffer is
+  * 1 + d + d(d+1)/2 doubles regardless of row count; partial aggregation
+  * merges map-side, so the shuffle ships ONE buffer per map task, not per
+  * row. Null vectors are skipped (counted nowhere); a wrong-length vector
+  * fails loud — a silent truncation would corrupt every covariance it
+  * touches. */
+private[functions] final class MomentsBuf(var n: Long,
+    val sum: Array[Double], val gram: Array[Double])
+
+case class VectorMoments(child: Expression, dim: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MomentsBuf] with UnaryLike[Expression] {
+  require(dim >= 1, s"vector_moments dim $dim must be >= 1")
+
+  override def prettyName: String = "vector_moments"
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("sum", ArrayType(DoubleType, containsNull = false)),
+    StructField("gram", ArrayType(DoubleType, containsNull = false))))
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other =>
+      throw new IllegalArgumentException(s"vector_moments over $other")
+  }
+
+  override def createAggregationBuffer(): MomentsBuf =
+    new MomentsBuf(0L, new Array[Double](dim),
+      new Array[Double](dim * (dim + 1) / 2))
+
+  override def update(b: MomentsBuf, input: InternalRow): MomentsBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == dim,
+        s"vector_moments: expected dim $dim, got ${arr.numElements()}")
+      val x = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        x(i) = if (arr.isNullAt(i)) throw new IllegalArgumentException(
+            "vector_moments: null vector element")
+          else if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        i += 1
+      }
+      b.n += 1L
+      var k = 0
+      i = 0
+      while (i < dim) {
+        b.sum(i) += x(i)
+        var j = i
+        while (j < dim) { b.gram(k) += x(i) * x(j); k += 1; j += 1 }
+        i += 1
+      }
+    }
+    b
+  }
+
+  override def merge(b: MomentsBuf, o: MomentsBuf): MomentsBuf = {
+    b.n += o.n
+    var i = 0
+    while (i < dim) { b.sum(i) += o.sum(i); i += 1 }
+    i = 0
+    while (i < b.gram.length) { b.gram(i) += o.gram(i); i += 1 }
+    b
+  }
+
+  override def eval(b: MomentsBuf): Any =
+    InternalRow(b.n, new GenericArrayData(b.sum),
+      new GenericArrayData(b.gram))
+
+  override def serialize(b: MomentsBuf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(
+      8 + 8 * (b.sum.length + b.gram.length))
+    bb.putLong(b.n)
+    b.sum.foreach(bb.putDouble)
+    b.gram.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MomentsBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getLong
+    val sum = Array.fill(dim)(bb.getDouble)
+    val gram = Array.fill(dim * (dim + 1) / 2)(bb.getDouble)
+    new MomentsBuf(n, sum, gram)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorMoments =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorMoments =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): VectorMoments =
+    copy(child = c)
+}
+
 object AggExprs {
   /** `sort_array(collect_list(id))` bounded at `cap`: NULL unless the
     * group's true size is in [minSize, cap] (default [2, cap]). */
@@ -197,4 +297,10 @@ object AggExprs {
   def cappedSortedIdSigs(row: Column, cap: Int): Column =
     Bridge.column(
       CappedSortedIdSigs(Bridge.expression(row), cap).toAggregateExpression())
+
+  /** One-pass count/sum/Gram of a fixed-dim vector column (see
+    * [[VectorMoments]]). */
+  def vectorMoments(vec: Column, dim: Int): Column =
+    Bridge.column(
+      VectorMoments(Bridge.expression(vec), dim).toAggregateExpression())
 }

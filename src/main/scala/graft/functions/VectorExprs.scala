@@ -158,4 +158,70 @@ object VectorExprs {
 
   def topCells(vec: Column, centroids: Seq[Seq[Double]], n: Int): Column =
     Bridge.column(TopCells(Bridge.expression(vec), centroids, n))
+
+  /** Project a vector onto fitted principal components:
+    * `y(j) = Σ_i (x(i) - mean(i)) · components(j)(i)` (see
+    * [[graft.operators.Embeddings]]). Components ride as literals —
+    * broadcast with the plan. */
+  def pcaProject(vec: Column, mean: Seq[Double],
+      components: Seq[Seq[Double]]): Column =
+    Bridge.column(PcaProject(Bridge.expression(vec), mean, components))
+}
+
+/** Centered projection onto a fitted component matrix (k×d): the scoring
+  * half of PCA/whitening. Mean and components are expression literals —
+  * shipped once with the plan, no join against a components table, no
+  * driver state at eval time (the [[TopCells]] posture). Whitening is the
+  * caller folding 1/√λ into each component row — one expression serves
+  * both. */
+case class PcaProject(child: Expression, mean: Seq[Double],
+    components: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+  require(components.nonEmpty, "pca_project: no components")
+  require(components.forall(_.length == mean.length),
+    s"pca_project: component width(s) ${components.map(_.length).distinct
+      .mkString(",")} != mean width ${mean.length}")
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pca_project"
+  override protected def withNewChildInternal(c: Expression): PcaProject =
+    copy(child = c)
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other =>
+      throw new IllegalArgumentException(s"pca_project over $other")
+  }
+  @transient private lazy val mu: Array[Double] = mean.toArray
+  @transient private lazy val comp: Array[Array[Double]] =
+    components.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val d = mu.length
+    require(arr.numElements() == d,
+      s"pca_project: expected dim $d, got ${arr.numElements()}")
+    val x = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      x(i) = (if (arr.isNullAt(i)) 0.0
+        else if (isFloat) arr.getFloat(i).toDouble
+        else arr.getDouble(i)) - mu(i)
+      i += 1
+    }
+    val k = comp.length
+    val y = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val c = comp(j)
+      var dot = 0.0
+      i = 0
+      while (i < d) { dot += x(i) * c(i); i += 1 }
+      y(j) = dot
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(y)
+  }
 }

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.{AggExprs, VectorExprs}
+
+/** Distributed PCA / whitening over an embedding column — the
+  * preprocessing step the SemDeDup paper (Abbas et al. 2023,
+  * arXiv:2303.09540) and most embedding-dedup pipelines run before
+  * clustering: reduce d to the k directions that carry the variance,
+  * optionally whiten so every retained direction contributes equally to
+  * distances.
+  *
+  * Scale shape: fitting is ONE aggregation pass — a custom
+  * [[graft.functions.VectorMoments]] buffer (count, Σx, upper-triangle
+  * Σxxᵀ) that partial-aggregates map-side, so the corpus ships exactly
+  * one (1 + d + d(d+1)/2)-double buffer per map task to the driver,
+  * never a row. The d×d eigendecomposition is driver-side cyclic Jacobi
+  * — deterministic, O(d³) on a d ≤ ~2000 matrix, the same bounded
+  * planning cost as qcut's quantiles or z-order's cut points. Projection
+  * is a native per-row expression with the mean/components as plan
+  * literals ([[graft.functions.PcaProject]]): no join, no second pass
+  * over the corpus, whole-stage-pipelined with whatever scan feeds it.
+  */
+object Embeddings {
+
+  /** A fitted PCA basis: `components(j)` is the j-th unit principal
+    * direction (descending variance), `variances(j)` its sample variance
+    * (eigenvalue of the (n-1)-normalized covariance). */
+  final case class PcaModel(mean: Seq[Double],
+      components: Seq[Seq[Double]], variances: Seq[Double]) {
+    require(components.length == variances.length,
+      "components/variances length mismatch")
+    def dim: Int = mean.length
+    def k: Int = components.length
+  }
+
+  /** Fit the top-`k` principal components of `vec` over `df` in one
+    * distributed pass + one driver-side d×d eigensolve. Null vectors are
+    * skipped; needs at least 2 non-null rows (sample covariance), and
+    * every vector must have the same length. */
+  def fitPca(df: DataFrame, vec: Column, k: Int): PcaModel = {
+    require(k >= 1, s"fitPca k must be >= 1, got $k")
+    val probe = df.select(F.size(vec).as("d")).filter(F.col("d") >= 0)
+      .limit(1).collect()
+    require(probe.nonEmpty, "fitPca: no non-null vectors")
+    val d = probe.head.getInt(0)
+    require(k <= d, s"fitPca k $k > dim $d")
+    val row = df.select(AggExprs.vectorMoments(vec, d).as("m"))
+      .select("m.n", "m.sum", "m.gram").collect().head
+    val n = row.getLong(0)
+    require(n >= 2L, s"fitPca needs >= 2 vectors, got $n")
+    val sum = row.getSeq[Double](1).toArray
+    val gram = row.getSeq[Double](2).toArray
+    val mean = sum.map(_ / n)
+    // sample covariance from the raw moments:
+    // C(i,j) = (Σ x_i x_j − n·μ_i·μ_j) / (n − 1)
+    val cov = Array.ofDim[Double](d, d)
+    var idx = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = (gram(idx) - n * mean(i) * mean(j)) / (n - 1.0)
+        cov(i)(j) = c; cov(j)(i) = c
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    val (values, vectors) = jacobiEigen(cov)
+    PcaModel(mean.toSeq,
+      components = (0 until k).map(j => vectors(j).toSeq),
+      variances = values.take(k).toSeq)
+  }
+
+  /** Append `outCol` = the k-dim projection of `vec` under `model`
+    * (array<double>). With `whiten = true` each retained direction is
+    * scaled by 1/√variance (unit-variance scores — equal weight in any
+    * downstream distance); directions with variance ≤ `varFloor` are
+    * refused rather than amplified into noise. */
+  def pcaProject(df: DataFrame, vec: Column, model: PcaModel,
+      outCol: String = "pc", whiten: Boolean = false,
+      varFloor: Double = 1e-12): DataFrame = {
+    val comps =
+      if (!whiten) model.components
+      else model.components.zip(model.variances).map { case (c, v) =>
+        require(v > varFloor,
+          s"whitening would divide by √$v <= √$varFloor — a near-zero-" +
+            "variance direction carries no signal; drop it (smaller k) " +
+            "instead of amplifying its noise")
+        val s = 1.0 / math.sqrt(v)
+        c.map(_ * s)
+      }
+    df.withColumn(outCol, VectorExprs.pcaProject(vec, model.mean, comps))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvectors as ROWS) sorted by descending
+    * eigenvalue, ties by first differing vector component toward the
+    * deterministic sign convention below. Eigenvectors are normalized
+    * with their largest-magnitude component positive, so the fit is
+    * bit-reproducible across runs (Jacobi itself is deterministic; the
+    * convention removes the ±v ambiguity). */
+  private[operators] def jacobiEigen(
+      a: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a.length
+    val m = a.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { s += 2.0 * m(i)(j) * m(i)(j); j += 1 }
+        i += 1
+      }
+      math.sqrt(s)
+    }
+    var fro = 0.0
+    for (i <- 0 until d; j <- 0 until d) fro += m(i)(j) * m(i)(j)
+    fro = math.sqrt(fro)
+    val tol = 1e-14 * math.max(fro, 1.0)
+    var sweep = 0
+    while (sweep < 64 && offNorm() > tol) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = m(p)(q)
+          if (math.abs(apq) > tol / (d * d)) {
+            val app = m(p)(p); val aqq = m(q)(q)
+            val theta = 0.5 * (aqq - app) / apq
+            // theta == 0 (equal diagonal) → 45° rotation (t = 1)
+            val t = if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val mip = m(i)(p); val miq = m(i)(q)
+              m(i)(p) = c * mip - s * miq
+              m(i)(q) = s * mip + c * miq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val mpi = m(p)(i); val mqi = m(q)(i)
+              m(p)(i) = c * mpi - s * mqi
+              m(q)(i) = s * mpi + c * mqi
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    // eigenpairs: value = diagonal, vector = COLUMN of v → emit as rows,
+    // descending by value, sign fixed by largest-|component| positive
+    val pairs = (0 until d).map { j =>
+      val vec = Array.tabulate(d)(i => v(i)(j))
+      var bi = 0
+      var bm = 0.0
+      var i = 0
+      while (i < d) {
+        if (math.abs(vec(i)) > bm) { bm = math.abs(vec(i)); bi = i }
+        i += 1
+      }
+      if (vec(bi) < 0) { i = 0; while (i < d) { vec(i) = -vec(i); i += 1 } }
+      (m(j)(j), vec)
+    }.sortBy(-_._1)
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.operators.Embeddings
+import graft.operators.Embeddings.PcaModel
+
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-random corpus with a planted dominant
+    * direction: x = a·u + noise, so PC1 must recover ±u. */
+  private def corpus(n: Int, d: Int): Seq[(Long, Seq[Double])] = {
+    val u = Array.tabulate(d)(i => if (i % 3 == 0) 0.6 else -0.2)
+    val un = { val s = math.sqrt(u.map(x => x * x).sum); u.map(_ / s) }
+    (0 until n).map { r =>
+      def h(i: Int): Double = // hash-derived noise in [-0.5, 0.5)
+        (((r * 1315423911L + i * 2654435761L) & 0xffffL).toDouble / 65536.0) - 0.5
+      val a = 6.0 * h(d + 1)
+      (r.toLong, Seq.tabulate(d)(i => a * un(i) + 0.3 * h(i)))
+    }
+  }
+
+  test("fitPca: planted dominant direction recovered, components " +
+      "orthonormal, eigen residual tiny, projected variance = eigenvalue") {
+    val d = 8
+    val rows = corpus(400, d)
+    val data = rows.toDF("id", "v")
+    val m = Embeddings.fitPca(data, F.col("v"), k = d)
+    // orthonormal: V Vᵀ = I
+    for (a <- 0 until d; b <- 0 until d) {
+      val dot = (0 until d).map(i => m.components(a)(i) * m.components(b)(i)).sum
+      assert(approx(dot, if (a == b) 1.0 else 0.0, 1e-9), s"VVt($a,$b)=$dot")
+    }
+    // descending variances, all >= 0
+    assert(m.variances.zip(m.variances.tail).forall { case (x, y) => x >= y })
+    assert(m.variances.forall(_ >= -1e-12))
+    // PC1 aligned with the planted direction (|cos| ~ 1)
+    val u = Array.tabulate(d)(i => if (i % 3 == 0) 0.6 else -0.2)
+    val un = { val s = math.sqrt(u.map(x => x * x).sum); u.map(_ / s) }
+    val cos = (0 until d).map(i => m.components(0)(i) * un(i)).sum
+    assert(math.abs(cos) > 0.99, s"PC1 cos=$cos")
+    // eigen residual: C v = λ v checked against a local covariance
+    val local = rows.map(_._2.toArray)
+    val n = local.length
+    val mean = Array.tabulate(d)(i => local.map(_(i)).sum / n)
+    def cov(i: Int, j: Int): Double =
+      local.map(x => (x(i) - mean(i)) * (x(j) - mean(j))).sum / (n - 1)
+    for (j <- 0 until d) {
+      val v = m.components(j)
+      for (i <- 0 until d) {
+        val cvi = (0 until d).map(l => cov(i, l) * v(l)).sum
+        assert(approx(cvi, m.variances(j) * v(i), 1e-6),
+          s"residual at ($i,$j): $cvi vs ${m.variances(j) * v(i)}")
+      }
+    }
+    // end-to-end: the sample variance of each projected coordinate equals
+    // its eigenvalue (ties the distributed moments + projection expression
+    // to the driver-side eigensolve)
+    val proj = Embeddings.pcaProject(data, F.col("v"), m)
+      .select(F.posexplode(F.col("pc")).as(Seq("j", "y")))
+      .groupBy("j").agg(F.variance(F.col("y")).as("vy"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for (j <- 0 until d)
+      assert(approx(proj(j), m.variances(j), 1e-8), s"var(pc$j)=${proj(j)}")
+    // whitening: unit variance per retained coordinate
+    val white = Embeddings.pcaProject(data, F.col("v"),
+        PcaModel(m.mean, m.components.take(3), m.variances.take(3)),
+        whiten = true)
+      .select(F.posexplode(F.col("pc")).as(Seq("j", "y")))
+      .groupBy("j").agg(F.variance(F.col("y")).as("vy"))
+      .collect().map(r => r.getDouble(1))
+    white.foreach(v => assert(approx(v, 1.0, 1e-8), s"whitened var $v"))
+    // full-rank projection preserves pairwise distance (rotation):
+    // spot-check rows 0 and 1
+    val two = Embeddings.pcaProject(data.filter(F.col("id") < 2),
+      F.col("v"), m).select("id", "v", "pc").collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray)).toMap
+    def dist(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    assert(approx(dist(two(0L)._1, two(1L)._1),
+      dist(two(0L)._2, two(1L)._2), 1e-9))
+    // determinism: a second fit returns the identical model
+    val m2 = Embeddings.fitPca(data, F.col("v"), k = d)
+    assert(m2 == m)
+  }
+
+  test("fitPca contracts: float vectors fit, nulls skipped, wrong dim " +
+      "loud, tiny corpus loud, whitening floor loud, k out of range loud") {
+    val d4 = Seq(
+      (1L, Seq(1.0f, 2.0f, 0.5f, 0.0f)), (2L, Seq(2.0f, 1.0f, 0.0f, 0.5f)),
+      (3L, Seq(0.0f, 1.5f, 1.0f, 2.0f)), (4L, Seq(1.0f, 0.0f, 2.0f, 1.5f)))
+      .toDF("id", "v")
+    val mf = Embeddings.fitPca(d4, F.col("v"), k = 2)
+    assert(mf.k == 2 && mf.dim == 4)
+    // nulls skipped: same model with interleaved null vectors
+    val withNulls = d4.unionByName(
+      Seq((9L, Option.empty[Seq[Float]]), (10L, Option.empty[Seq[Float]]))
+        .toDF("id", "v"))
+    assert(Embeddings.fitPca(withNulls, F.col("v"), k = 2) == mf)
+    // ragged vector fails loud
+    val ragged = d4.unionByName(Seq((5L, Seq(1.0f, 2.0f))).toDF("id", "v"))
+    val e = intercept[Throwable] {
+      Embeddings.fitPca(ragged, F.col("v"), k = 2)
+    }
+    assert(e.getMessage.contains("dim"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Embeddings.fitPca(d4.limit(1), F.col("v"), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Embeddings.fitPca(d4, F.col("v"), k = 5)
+    }
+    // whitening a zero-variance direction is refused: plant a constant
+    // coordinate so one eigenvalue is exactly 0
+    val flat = Seq(
+      (1L, Seq(1.0, 5.0)), (2L, Seq(2.0, 5.0)), (3L, Seq(3.0, 5.0)))
+      .toDF("id", "v")
+    val fm = Embeddings.fitPca(flat, F.col("v"), k = 2)
+    val ew = intercept[IllegalArgumentException] {
+      Embeddings.pcaProject(flat, F.col("v"), fm, whiten = true)
+    }
+    assert(ew.getMessage.contains("whitening"), ew.getMessage)
+    // non-whitened projection of the same model is fine
+    assert(Embeddings.pcaProject(flat, F.col("v"), fm).count() == 3)
+  }
+}
