@@ -26,15 +26,16 @@ object Similarity {
     * BEFORE multiplying so accumulation is bit-identical to any other
     * double-precision engine (oracle parity on float32 embeddings). */
   def dot(a: Column, b: Column): Column =
-    F.aggregate(
-      F.zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      F.lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExprs.vectorDot(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = F.sqrt(dot(a, a))
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity (one native pass over both arrays — see
+    * [[graft.functions.VectorCosine]]; values identical to
+    * `dot / (norm · norm)`). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.vectorCosine(a, b)
 
   /** Unit-L2 copy of the vector (double elements; zero vectors pass
     * through unchanged rather than dividing by zero). Normalizing once at
@@ -338,15 +339,23 @@ object Similarity {
     * (assignment is the argmax of centroid dots, invariant to positive
     * scaling), so true duplicates never escape; only borderline pairs
     * straddling a cell boundary can — the paper's documented recall
-    * trade. Parallelism of the pair join equals the number of populated
-    * cells (the join key), a second reason — beyond the quadratic term —
-    * that `nClusters` must grow with the corpus: measured N²/nClusters
-    * scaling 8→128 cells in scaling/semantic_dedup.json. Returns `df`'s
+    * trade. Parallelism is NOT bounded by the cell count alone: big
+    * cells are block-decomposed — each cell's rows hash into
+    * `ceil(n_cell / pairBlockRows)` blocks and the pair join runs per
+    * (cell, block-pair), so a hot cell becomes B(B+1)/2 bounded tasks
+    * instead of one straggler holding the stage (B = that cell's block
+    * count; a cell at or under `pairBlockRows` keeps B = 1 and pays
+    * nothing). The per-side explode costs that cell (B+1)/2× shuffle
+    * volume — the usual replicate-for-parallelism trade, paid only where
+    * the quadratic term justifies it. Measured N²/nClusters scaling
+    * 8→128 cells in scaling/semantic_dedup.json. Returns `df`'s
     * surviving rows unchanged. */
   def semanticDedup(df: DataFrame, id: Column, vec: Column,
       threshold: Double, nClusters: Int = 16, iters: Int = 5,
       trainSample: Int = 10000, seed: Long = 42,
-      maxCellSize: Long = 20000L): DataFrame = {
+      maxCellSize: Long = 20000L, pairBlockRows: Long = 2048L): DataFrame = {
+    require(pairBlockRows >= 1L,
+      s"pairBlockRows must be >= 1, got $pairBlockRows")
     // normalize ONCE per row (inside the cached table), so the quadratic
     // stage pays one zip_with-dot per candidate pair instead of a full
     // cosine (dot + two norms = 3 array passes). Also the sane zero-vector
@@ -359,29 +368,55 @@ object Similarity {
       .withColumn("cv", l2Normalize(F.col("cv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // a global max over an empty relation returns one NULL row — read it
-      // as an Option so an empty corpus (only reachable when df's own plan
-      // is nondeterministic: ivfIndex's train require already rejects a
-      // deterministically-empty frame) degrades to "no duplicates" instead
-      // of a bare NullPointerException
-      val maxRow = assigned.groupBy("cell").agg(F.count(F.lit(1)).as("n"))
-        .agg(F.max(F.col("n"))).collect().head
-      if (maxRow.isNullAt(0)) return df
-      val biggest = maxRow.getLong(0)
+      // per-cell sizes drive BOTH guards: the loud quadratic-cell refusal
+      // and the block count that parallelizes what remains. An empty size
+      // table (only reachable when df's own plan is nondeterministic:
+      // ivfIndex's train require already rejects a deterministically-empty
+      // frame) degrades to "no duplicates".
+      val sizeRows = assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).as("__n")).collect()
+      if (sizeRows.isEmpty) return df
+      val biggest = sizeRows.map(_.getLong(1)).max
       require(biggest <= maxCellSize,
         s"semanticDedup: largest cell holds $biggest rows > maxCellSize " +
           s"$maxCellSize — the within-cell pair join would be quadratic " +
           "in that cell. Raise nClusters (cells should stay ~10^3-10^4 " +
           "rows) or, if the corpus genuinely concentrates, raise " +
           "maxCellSize explicitly.")
-      val a = assigned.select(F.col("cell"),
-        F.col("corpus_id").as("__a_id"), F.col("cv").as("__a_v"))
-      val b = assigned.select(F.col("cell"),
-        F.col("corpus_id").as("__b_id"), F.col("cv").as("__b_v"))
-      val losers = a.join(b, Seq("cell"))
-        .filter(F.col("__a_id") < F.col("__b_id"))
+      // block decomposition: cell c's rows hash into B(c) =
+      // ceil(n_c / pairBlockRows) blocks; every unordered block pair
+      // (i <= j) is its own join group, so a hot cell's quadratic work
+      // spreads over B(B+1)/2 tasks. The a-side carries pairs (ba, j)
+      // for j in [ba, B), the b-side (i, bb) for i in [0, bb] — each
+      // unordered ROW pair meets in exactly one group (diagonal groups
+      // keep the id< filter; cross groups are already unique), and the
+      // loser is the pair's max id, exactly the min-id dominance rule.
+      val bOf = sizeRows.map(r => r.getInt(0) ->
+        math.ceil(r.getLong(1).toDouble / pairBlockRows).toInt).toMap
+      val bMap = F.map(bOf.toSeq.sortBy(_._1).flatMap { case (c, n) =>
+        Seq(F.lit(c), F.lit(n)) }: _*)
+      val withB = assigned.withColumn("__B",
+        F.element_at(bMap, F.col("cell")))
+      val blk = F.pmod(F.xxhash64(F.col("corpus_id")), F.col("__B"))
+        .cast("int")
+      val a = withB.select(F.col("cell"), blk.as("__ba"),
+          F.col("corpus_id").as("__a_id"), F.col("cv").as("__a_v"),
+          F.col("__B"))
+        .withColumn("__bb",
+          F.explode(F.sequence(F.col("__ba"), F.col("__B") - 1)))
+        .drop("__B")
+      val b = withB.select(F.col("cell"), blk.as("__bb"),
+          F.col("corpus_id").as("__b_id"), F.col("cv").as("__b_v"),
+          F.col("__B"))
+        .withColumn("__ba",
+          F.explode(F.sequence(F.lit(0), F.col("__bb"))))
+        .drop("__B")
+      val losers = a.join(b, Seq("cell", "__ba", "__bb"))
+        .filter(F.col("__ba") =!= F.col("__bb") ||
+          F.col("__a_id") < F.col("__b_id"))
         .filter(dot(F.col("__a_v"), F.col("__b_v")) >= threshold)
-        .select(F.col("__b_id").as("__loser")).distinct()
+        .select(F.greatest(F.col("__a_id"), F.col("__b_id")).as("__loser"))
+        .distinct()
         // materialize the loser set BEFORE unpersist: the anti-join below
         // executes lazily, after this method returns
         .localCheckpoint()
