@@ -378,7 +378,16 @@ object Manifest {
     * otherwise be free to disagree between. Null keys fail loud — a null
     * has no deletion semantics. `keyCol` must be a manifested stats
     * column (without envelopes there is nothing to prune — declare it in
-    * `statsCols` at write time). */
+    * `statsCols` at write time).
+    *
+    * Economics, measured (scaling/lake_upsert_{2m,8m}.json): a narrow
+    * band on the clustered key rewrites 1-2 of 64 files and beats the
+    * maintained full rewrite ~2× at 2M rows, ~2.5× at 8M with the gap
+    * widening in table size (the pruned cost tracks the AFFECTED bytes).
+    * When the key set is spread across most envelopes, pruning buys
+    * nothing and this path's per-file machinery costs MORE than a
+    * wholesale [[writeWithManifest]] rewrite — prefer that when
+    * envelope-overlap says most files are affected anyway. */
   def deleteKeys(spark: SparkSession, path: String, keyCol: String,
       keys: DataFrame, segment: String,
       excludeSegments: Set[String] = Set.empty): Int = {
