@@ -198,9 +198,18 @@ private[functions] final class MomentsBuf(var n: Long,
     val sum: Array[Double], val gram: Array[Double])
 
 case class VectorMoments(child: Expression, dim: Int,
+    shift: Seq[Double] = Nil,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[MomentsBuf] with UnaryLike[Expression] {
   require(dim >= 1, s"vector_moments dim $dim must be >= 1")
+  require(shift.isEmpty || shift.length == dim,
+    s"vector_moments shift length ${shift.length} != dim $dim")
+  // moments are accumulated about `shift` (y = x − shift): covariance from
+  // raw moments cancels catastrophically when |mean| >> std (Σxxᵀ and
+  // n·μμᵀ agree in their leading ~16 digits); shifting by any point NEAR
+  // the data — the caller samples one row — makes the subtraction benign.
+  @transient private lazy val sh: Array[Double] =
+    if (shift.isEmpty) new Array[Double](dim) else shift.toArray
 
   override def prettyName: String = "vector_moments"
   override def nullable: Boolean = false
@@ -229,9 +238,10 @@ case class VectorMoments(child: Expression, dim: Int,
       val x = new Array[Double](dim)
       var i = 0
       while (i < dim) {
-        x(i) = if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        x(i) = (if (arr.isNullAt(i)) throw new IllegalArgumentException(
             "vector_moments: null vector element")
-          else if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          else if (isFloat) arr.getFloat(i).toDouble
+          else arr.getDouble(i)) - sh(i)
         i += 1
       }
       b.n += 1L
@@ -298,9 +308,11 @@ object AggExprs {
     Bridge.column(
       CappedSortedIdSigs(Bridge.expression(row), cap).toAggregateExpression())
 
-  /** One-pass count/sum/Gram of a fixed-dim vector column (see
-    * [[VectorMoments]]). */
-  def vectorMoments(vec: Column, dim: Int): Column =
+  /** One-pass count/sum/Gram of a fixed-dim vector column, optionally
+    * accumulated about `shift` (see [[VectorMoments]]). */
+  def vectorMoments(vec: Column, dim: Int,
+      shift: Seq[Double] = Nil): Column =
     Bridge.column(
-      VectorMoments(Bridge.expression(vec), dim).toAggregateExpression())
+      VectorMoments(Bridge.expression(vec), dim, shift)
+        .toAggregateExpression())
 }

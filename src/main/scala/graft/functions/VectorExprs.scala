@@ -299,8 +299,12 @@ case class PcaProject(child: Expression, mean: Seq[Double],
     val x = new Array[Double](d)
     var i = 0
     while (i < d) {
-      x(i) = (if (arr.isNullAt(i)) 0.0
-        else if (isFloat) arr.getFloat(i).toDouble
+      // loud, matching VectorMoments (the fit half): a null element
+      // silently coerced to 0 would feed plausible-looking but wrong
+      // coordinates into downstream dedup/clustering
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"pca_project: null vector element at $i")
+      x(i) = (if (isFloat) arr.getFloat(i).toDouble
         else arr.getDouble(i)) - mu(i)
       i += 1
     }

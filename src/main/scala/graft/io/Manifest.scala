@@ -37,11 +37,45 @@ object Manifest {
     * schema owns `file`; refuse both up front, same posture as the
     * statsCols clash check. */
   private def requireNoReservedCols(df: DataFrame, who: String): Unit = {
-    val clash = df.columns.filter(Set("seg", "file"))
+    // case-INSENSITIVE: Spark resolves columns case-insensitively by
+    // default, so a data column named "Seg" would be replaced by
+    // withColumn("seg", ...) exactly like an exact-case clash
+    val clash = df.columns.filter(c =>
+      Set("seg", "file").contains(c.toLowerCase(java.util.Locale.ROOT)))
     require(clash.isEmpty,
       s"$who: data column(s) ${clash.mkString(", ")} collide with the " +
         "manifested layout's reserved names (seg = segment partition " +
         "dir, file = manifest key) — rename before writing")
+  }
+
+  /** Segment ids live in partition DIRECTORY names and are matched by
+    * path substring (`/seg=<id>/`) in the retry-replace and
+    * self-exclusion logic. A character Spark percent-escapes in
+    * partition paths (`:`, `%`, whitespace, ...) would make the escaped
+    * directory (`seg=b%3A1`) invisible to the unescaped matcher — in
+    * deleteKeys that turns self-exclusion off and DESTROYS the batch, so
+    * the charset is enforced loudly everywhere a segment id enters. */
+  private def requireSafeSegment(segment: String, who: String): Unit =
+    require(segment.nonEmpty && segment != "base" &&
+        segment.forall(c => c.isLetterOrDigit || c == '_' || c == '-' ||
+          c == '.'),
+      s"$who: segment id '$segment' must be non-empty, not 'base', and " +
+        "use only letters, digits, '_', '-', '.' — other characters are " +
+        "percent-escaped in partition paths and break the path-substring " +
+        "segment matching")
+
+  /** The data files of ONE segment partition, via a directory-scoped
+    * listing — never a full-table listing (on a 100k-file table that is
+    * 100k object-store round trips to find the 2 files of one segment). */
+  private def segmentFiles(spark: SparkSession, url: String,
+      segment: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$url/seg=$segment")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
   }
 
 
@@ -123,8 +157,7 @@ object Manifest {
   def appendWithManifest(df: DataFrame, path: String, segment: String,
       clusterCols: Seq[String] = Nil, targetFiles: Int = 0,
       compression: String = "snappy"): Unit = {
-    require(segment.nonEmpty && segment != "base",
-      "segment id must be non-empty and not 'base'")
+    requireSafeSegment(segment, "appendWithManifest")
     requireNoReservedCols(df, "appendWithManifest")
     val spark = df.sparkSession
     val url = GraftIO.resolveUrl(path)
@@ -138,8 +171,7 @@ object Manifest {
       .option("compression", GraftIO.parquetCodec(compression))
       .partitionBy("seg")
       .parquet(url)
-    val segFiles = spark.read.parquet(url).inputFiles
-      .filter(_.contains(s"/seg=$segment/")).toSeq
+    val segFiles = segmentFiles(spark, url, segment)
     // drop any earlier attempt's rows for THIS segment (retry replace),
     // keep every other segment's; materialize before overwriting the
     // manifest the union reads
@@ -391,8 +423,7 @@ object Manifest {
   def deleteKeys(spark: SparkSession, path: String, keyCol: String,
       keys: DataFrame, segment: String,
       excludeSegments: Set[String] = Set.empty): Int = {
-    require(segment.nonEmpty && segment != "base",
-      "delete segment id must be non-empty and not 'base'")
+    requireSafeSegment(segment, "deleteKeys")
     val url = GraftIO.resolveUrl(path)
     val man = manifest(spark, path)
     require(man.columns.contains(s"min_$keyCol"),
@@ -403,11 +434,16 @@ object Manifest {
     require(keys.columns.length == 1,
       s"keys must be a one-column frame, got ${keys.columns.mkString(", ")}")
     val keyType = man.schema(s"min_$keyCol").dataType
+    // assert AFTER the cast: a null input key has no deletion semantics,
+    // and an uncastable one (string "abc" against a long column) would
+    // otherwise become a silent null that deletes nothing
+    val casted = F.col(keys.columns.head).cast(keyType)
     val k = keys
-      .select(F.when(F.assert_true(F.col(keys.columns.head).isNotNull,
-          F.lit("deleteKeys: null key — a null has no deletion " +
-            "semantics; filter or coalesce explicitly first")).isNull,
-        F.col(keys.columns.head).cast(keyType)).as("__k"))
+      .select(F.when(F.assert_true(casted.isNotNull,
+          F.lit("deleteKeys: null or uncastable key (target type " +
+            s"$keyType) — nulls have no deletion semantics; filter or " +
+            "coalesce explicitly first")).isNull,
+        casted).as("__k"))
       .distinct()
       .localCheckpoint()
     // candidate files: envelope overlaps some key, and never this
@@ -438,8 +474,7 @@ object Manifest {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("seg")
       .parquet(url)
-    val rwFiles = spark.read.parquet(url).inputFiles
-      .filter(_.contains(s"/seg=$segment/")).toSeq
+    val rwFiles = segmentFiles(spark, url, segment)
     val affectedSet = affected.toSet
     val keptRows = man.collect()
       .filterNot(r => affectedSet.contains(r.getAs[String]("file")))
@@ -464,24 +499,58 @@ object Manifest {
     * versions of an updated key (duplicates, never absence); a crash
     * there is healed by the at-least-once retry, both steps being
     * idempotent under the same segment id. Returns the number of files
-    * the delete rewrote. */
+    * the delete rewrote.
+    *
+    * Validated BEFORE the append commits (a bad argument surfacing after
+    * it would leave duplicates no retry can heal): `keyCol` must be
+    * manifested, and the batch must hold exactly one non-null row per
+    * key — MERGE semantics; dedup (e.g. keep-latest) first. The
+    * uniqueness check evaluates the batch plan once more, so a
+    * NONDETERMINISTIC batch should be persisted by the caller — the
+    * delete step itself is immune (keys re-read from the written
+    * files). */
   def upsert(batch: DataFrame, path: String, keyCol: String,
       segment: String, clusterCols: Seq[String] = Nil,
       targetFiles: Int = 0, compression: String = "snappy"): Int = {
+    requireSafeSegment(segment, "upsert")
     require(!segment.startsWith("rw_"),
       "upsert segment ids must not start with rw_ — that prefix is the " +
         "delete step's rewrite namespace")
     val spark = batch.sparkSession
+    // validate EVERYTHING the delete step will require BEFORE the append
+    // durably commits: a failure between the two steps leaves visible
+    // duplicates that the promised at-least-once retry could never heal
+    // if the cause is a bad argument rather than a crash
+    val man = manifest(spark, path)
+    require(man.columns.contains(s"min_$keyCol"),
+      s"upsert: $keyCol has no manifest stats — the delete step needs " +
+        "the per-file envelope; declare it in statsCols at write time " +
+        s"(have: ${man.columns.filter(_.startsWith("min_"))
+          .map(_.stripPrefix("min_")).mkString(", ")})")
+    // MERGE semantics need one row per key in the batch: duplicates would
+    // durably coexist in the batch's own segment (the delete step only
+    // clears OTHER segments). One batch-scale aggregation, before any
+    // write; null keys are caught here too (the delete step would die on
+    // them after the append otherwise).
+    val kc = GraftIO.qcol(keyCol)
+    val stats = batch.agg(F.count(F.lit(1)).as("n"),
+      F.count(kc).as("nk"), F.count_distinct(kc).as("nd")).collect().head
+    require(stats.getLong(1) == stats.getLong(0),
+      s"upsert: ${stats.getLong(0) - stats.getLong(1)} null key(s) in " +
+        "the batch — a null key has no replacement semantics")
+    require(stats.getLong(2) == stats.getLong(0),
+      s"upsert: batch holds ${stats.getLong(0)} rows but only " +
+        s"${stats.getLong(2)} distinct keys — MERGE semantics need one " +
+        "row per key; dedup the batch (e.g. keep-latest) first")
     appendWithManifest(batch, path, segment, clusterCols, targetFiles,
       compression)
     val url = GraftIO.resolveUrl(path)
-    val appended = spark.read.parquet(url).inputFiles
-      .filter(_.contains(s"/seg=$segment/")).toSeq
+    val appended = segmentFiles(spark, url, segment)
     val keys =
       if (appended.isEmpty)
         // an empty batch wrote no files; nothing to delete either
         return 0
-      else spark.read.parquet(appended: _*).select(GraftIO.qcol(keyCol))
+      else spark.read.parquet(appended: _*).select(kc)
     deleteKeys(spark, path, keyCol, keys, s"rw_$segment",
       excludeSegments = Set(segment))
   }

@@ -52,10 +52,21 @@ object Shards {
   /** Deterministic shard id and 1-based in-shard position for every row:
     * adds `shard` (long in [0, numShards)) and `pos`. One hash shuffle +
     * one in-partition sort; see the object doc for why the window costs
-    * no second exchange. */
+    * no second exchange. The key must uniquely identify rows — rows
+    * SHARING a key land in the same shard at adjacent positions, but
+    * which duplicate takes which position is engine-arbitrary (they tie
+    * on the full order key). Dedup or disambiguate the key first. */
   def assignShards(df: DataFrame, key: Column, numShards: Int,
       salt: String = ""): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
+    // guard HERE, not only in writeShards: withColumn would silently
+    // replace a pre-existing shard/pos (or the internal order column)
+    // on either entry point
+    val clash = df.columns.filter(c => Set("shard", "pos", "__sh_hex")
+      .contains(c.toLowerCase(java.util.Locale.ROOT)))
+    require(clash.isEmpty,
+      s"assignShards reserves column name(s) ${clash.mkString(", ")} — " +
+        "rename before sharding")
     val w = Window.partitionBy("shard")
       .orderBy(F.col("__sh_hex").asc, key.cast(StringType).asc)
     df.withColumn("shard", hash32(key, salt) % numShards)
@@ -74,9 +85,6 @@ object Shards {
     * shard membership and order. */
   def writeShards(df: DataFrame, key: Column, numShards: Int, path: String,
       salt: String = "", compression: String = "snappy"): Unit = {
-    require(!df.columns.contains("shard") && !df.columns.contains("pos"),
-      "writeShards reserves the shard and pos column names — rename " +
-        "before exporting")
     assignShards(df, key, numShards, salt)
       .sortWithinPartitions(F.col("shard"), F.col("pos"))
       .write.mode("overwrite")

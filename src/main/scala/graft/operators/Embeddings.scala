@@ -42,27 +42,42 @@ object Embeddings {
     * every vector must have the same length. */
   def fitPca(df: DataFrame, vec: Column, k: Int): PcaModel = {
     require(k >= 1, s"fitPca k must be >= 1, got $k")
-    val probe = df.select(F.size(vec).as("d")).filter(F.col("d") >= 0)
-      .limit(1).collect()
+    // one probed row doubles as the dim witness AND the moment pivot:
+    // moments accumulated about a point near the data keep the
+    // covariance subtraction benign where raw moments cancel
+    // catastrophically for |mean| >> std (e.g. un-centered features at
+    // 1e8 ± 1 lose all 16 significant digits to Σxxᵀ − n·μμᵀ)
+    val probe = df.select(vec.cast(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)).as("v"))
+      .filter(F.col("v").isNotNull).limit(1).collect()
     require(probe.nonEmpty, "fitPca: no non-null vectors")
-    val d = probe.head.getInt(0)
+    val raw = probe.head.getSeq[Any](0)
+    require(raw.forall(_ != null),
+      "fitPca: probed pivot vector has null elements")
+    val pivot = raw.map(_.asInstanceOf[Double]).toArray
+    require(pivot.forall(x => !x.isNaN),
+      "fitPca: probed pivot vector has NaN elements")
+    val d = pivot.length
     require(k <= d, s"fitPca k $k > dim $d")
-    val row = df.select(AggExprs.vectorMoments(vec, d).as("m"))
+    val row = df.select(
+        AggExprs.vectorMoments(vec, d, pivot.toSeq).as("m"))
       .select("m.n", "m.sum", "m.gram").collect().head
     val n = row.getLong(0)
     require(n >= 2L, s"fitPca needs >= 2 vectors, got $n")
-    val sum = row.getSeq[Double](1).toArray
-    val gram = row.getSeq[Double](2).toArray
-    val mean = sum.map(_ / n)
-    // sample covariance from the raw moments:
-    // C(i,j) = (Σ x_i x_j − n·μ_i·μ_j) / (n − 1)
+    val sum = row.getSeq[Double](1).toArray // Σ(x − pivot)
+    val gram = row.getSeq[Double](2).toArray // Σ(x − pivot)(x − pivot)ᵀ
+    val ybar = sum.map(_ / n)
+    val mean = Array.tabulate(d)(i => pivot(i) + ybar(i))
+    // sample covariance from the SHIFTED moments (shift-invariant):
+    // C(i,j) = (Σ y_i y_j − n·ȳ_i·ȳ_j) / (n − 1), y = x − pivot
     val cov = Array.ofDim[Double](d, d)
     var idx = 0
     var i = 0
     while (i < d) {
       var j = i
       while (j < d) {
-        val c = (gram(idx) - n * mean(i) * mean(j)) / (n - 1.0)
+        val c = (gram(idx) - n * ybar(i) * ybar(j)) / (n - 1.0)
         cov(i)(j) = c; cov(j)(i) = c
         idx += 1; j += 1
       }

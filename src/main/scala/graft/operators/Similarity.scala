@@ -17,8 +17,11 @@ import org.apache.spark.sql.types._
   *    (query, doc) pairs are scored. Same recall/latency trade-off as an
   *    IVF probe; the scale path when the query set itself is large.
   *
-  * All vector math is `zip_with`/`aggregate` higher-order expressions —
-  * whole-stage-codegen'd, no UDF.
+  * All vector math runs as native expressions
+  * ([[graft.functions.VectorDot]]/[[graft.functions.VectorCosine]] —
+  * tight primitive loops, CodegenFallback like the signature
+  * expressions, no UDF, no interpreted higher-order lambdas; the HOF
+  * `aggregate(zip_with(...))` form they replaced paid ~50× per pair).
   */
 object Similarity {
 

@@ -86,6 +86,36 @@ class EmbeddingsSpec extends SparkSpec {
     assert(m2 == m)
   }
 
+  test("fitPca survives un-centered data (|mean| >> std): shifted moments " +
+      "keep the covariance subtraction benign where raw moments cancel") {
+    val d = 4
+    // coordinates ~1e8 with unit-ish structured noise: raw Σxxᵀ − n·μμᵀ
+    // loses all ~16 significant digits; the pivoted accumulation must
+    // still recover the planted dominant direction
+    val rows = (0 until 300).map { r =>
+      def h(i: Int): Double =
+        (((r * 2654435761L + i * 1315423911L) & 0xffffL).toDouble / 65536.0) - 0.5
+      val a = 4.0 * h(9)
+      (r.toLong, Seq.tabulate(d)(i =>
+        1.0e8 + a * (if (i == 1) 1.0 else 0.1) + 0.2 * h(i)))
+    }
+    val data = rows.toDF("id", "v")
+    val m = Embeddings.fitPca(data, F.col("v"), k = d)
+    assert(m.variances.forall(v => v >= -1e-9), m.variances.toString)
+    assert(math.abs(m.components(0)(1)) > 0.9,
+      s"PC1 should point along dim 1: ${m.components(0).mkString(",")}")
+    // mean reconstructed from pivot + shifted mean stays exact-ish
+    assert(m.mean.forall(x => math.abs(x - 1.0e8) < 10.0))
+    // distributed projected variance still equals the eigenvalue
+    val proj = Embeddings.pcaProject(data, F.col("v"), m)
+      .select(F.posexplode(F.col("pc")).as(Seq("j", "y")))
+      .groupBy("j").agg(F.variance(F.col("y")).as("vy"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for (j <- 0 until d)
+      assert(approx(proj(j), m.variances(j), 1e-5),
+        s"var(pc$j)=${proj(j)} vs ${m.variances(j)}")
+  }
+
   test("fitPca contracts: float vectors fit, nulls skipped, wrong dim " +
       "loud, tiny corpus loud, whitening floor loud, k out of range loud") {
     val d4 = Seq(

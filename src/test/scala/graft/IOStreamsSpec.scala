@@ -1027,7 +1027,14 @@ class IOStreamsSpec extends SparkSpec {
       Manifest.deleteKeys(spark, dir + "/t", "id",
         Seq(Some(1L), None).toDF("id"), "d1")
     }
-    assert(e.getMessage.contains("null key"), e.getMessage)
+    assert(e.getMessage.contains("null"), e.getMessage)
+    // an uncastable key (string vs the long column) must not become a
+    // silent null that deletes nothing
+    val eCast = intercept[Throwable] {
+      Manifest.deleteKeys(spark, dir + "/t", "id",
+        Seq("abc").toDF("id"), "d4")
+    }
+    assert(eCast.getMessage.contains("uncastable"), eCast.getMessage)
     intercept[IllegalArgumentException] {
       Manifest.deleteKeys(spark, dir + "/t", "payload",
         Seq("r5").toDF("payload"), "d2")
@@ -1061,6 +1068,34 @@ class IOStreamsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Manifest.upsert(batch, dir + "/t", "id", segment = "rw_x")
     }
+    // segment ids that Spark would percent-escape in partition paths are
+    // refused everywhere (an escaped dir is invisible to the substring
+    // self-exclusion — in upsert that would DELETE the batch itself)
+    intercept[IllegalArgumentException] {
+      Manifest.deleteKeys(spark, dir + "/t", "id", delKeys, "b:1")
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.upsert(batch, dir + "/t", "id", segment = "b 1")
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.appendWithManifest(batch, dir + "/t", segment = "b%1")
+    }
+    // upsert validates BEFORE the append commits: a bad key column or a
+    // duplicate-key batch must not leave the appended segment behind
+    val before = ids()
+    intercept[IllegalArgumentException] {
+      Manifest.upsert(batch, dir + "/t", "payload", segment = "b9")
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.upsert(batch.unionAll(batch.limit(1)), dir + "/t", "id",
+        segment = "b9")
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.upsert(batch.unionAll(
+          Seq((Option.empty[Long], 1L, "x")).toDF("id", "v", "payload")),
+        dir + "/t", "id", segment = "b9")
+    }
+    assert(ids() == before) // nothing durably changed
     // orphans: a stray data file under a seg dir (a crashed mutation's
     // debris) is invisible to manifest readers and reclaimed by vacuum
     val strayDir = new java.io.File(dir + "/t/seg=stray")
