@@ -1347,6 +1347,54 @@ object SparkEntry {
     rollupOracleView(s, path)
   }
 
+  private val s10Run = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming CDC upsert into the manifested lake
+    * ([[streaming.Streams.upsertSink]] over [[io.Manifest.upsert]]): a
+    * base quarter of the corpus is written key-clustered, then three
+    * mtime-ordered micro-batches arrive, each INSERTING a fresh quarter
+    * (doc_id mod 4 = k+1) and UPDATING a stripe of existing keys
+    * (doc_id mod 7 = k, revised text) — one row per key per batch, the
+    * MERGE contract. After the stream drains, the table must hold
+    * exactly the LATEST version of every key, which the oracle computes
+    * flat in DuckDB via each key's maximum containing batch: a stale
+    * survivor (missed delete), a lost insert, a double-applied retry,
+    * or out-of-order batch application all hash-fail. */
+  private val s10: (SparkSession, String) => DataFrame = (s, dir) => {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try s10Body(s, dir)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private val s10Body: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val run = s10Run.incrementAndGet()
+    val layout = scratch(s"s10_lake_${dir.hashCode.abs}_$run")
+    io.Manifest.writeWithManifest(docs.filter(F.col("doc_id") % 4 === 0),
+      layout, statsCols = Seq("doc_id"), clusterCols = Seq("doc_id"),
+      targetFiles = 4)
+    val feed = new java.io.File(scratch(s"s10_feed_${dir.hashCode.abs}_$run"))
+    feed.mkdirs()
+    (0 until 3).foreach { k =>
+      val batch = docs
+        .filter(F.col("doc_id") % 4 === (k + 1) ||
+          F.col("doc_id") % 7 === k)
+        .withColumn("text", F.when(F.col("doc_id") % 7 === k,
+          F.concat(F.col("text"), F.lit(s" v$k")))
+          .otherwise(F.col("text")))
+      shipFeedFile(batch, feed, k, s"s10_tmp_${dir.hashCode.abs}_$run")
+    }
+    streaming.Streams.upsertSink(
+      streaming.Streams.readParquetStream(s, feed.toString, docs.schema,
+        maxFilesPerTrigger = 1),
+      "doc_id", layout, name = s"s10_${dir.hashCode.abs}_$run",
+      clusterCols = Seq("doc_id"), targetFiles = 2)
+    io.Manifest.readSkipping(s, layout, "doc_id", 0L, Long.MaxValue / 2)
+      .select("doc_id", "source", "text", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** TIME-PARTITIONED layout round trip — the other half of the time-scan
     * story next to [[q63]]'s row-group pruning: events rewritten once into
     * a date-partitioned, ts-sorted layout
@@ -2780,6 +2828,7 @@ object SparkEntry {
     "s07_stream_embed_ingest" -> s07,
     "s08_rollup_merge" -> s08,
     "s09_stream_rollup" -> s09,
+    "s10_stream_upsert" -> s10,
     "d01_exact_dedup" -> d01,
     "d02_token_counts" -> d02,
     "d03_langid_quality" -> d03,
@@ -3410,6 +3459,20 @@ object SparkEntry {
              count(*) AS n, round(sum(value), 4) AS total,
              min(value) AS min, max(value) AS max
       FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    // last-writer-wins per key, computed flat: b = the maximum batch
+    // holding the doc (base = -1 via doc_id%4 - 1; update stripes are
+    // doc_id%7 in 0..2); the update text applies iff that stripe IS the
+    // winning batch
+    "s10_stream_upsert" -> """
+      WITH m AS (SELECT doc_id, source, text, n_chars,
+          GREATEST(doc_id % 4 - 1,
+            CASE WHEN doc_id % 7 <= 2 THEN doc_id % 7 ELSE -2 END) AS b
+        FROM documents)
+      SELECT doc_id, source,
+        CASE WHEN doc_id % 7 = b THEN text || ' v' || b ELSE text END
+          AS text,
+        n_chars
+      FROM m ORDER BY doc_id""",
     "d01_exact_dedup" -> """
       SELECT min(doc_id) AS doc_id, arg_min(n_chars, doc_id) AS n_chars
       FROM documents GROUP BY text ORDER BY doc_id""",

@@ -335,6 +335,59 @@ object Streams {
     prefix
   }
 
+  /** Stream keyed micro-batches INTO the manifested lake as MERGE
+    * upserts ([[graft.io.Manifest.upsert]]) — the CDC steady state: after
+    * every trigger the table holds exactly the LATEST version of each
+    * key (later batches replace earlier ones; inserts just land). The
+    * layout must exist (initialize with
+    * [[graft.io.Manifest.writeWithManifest]], `keyCol` in `statsCols` —
+    * the delete half prunes by its envelopes).
+    *
+    * Exactly-once: segment id = SHA-256 checkpoint prefix + batchId, and
+    * [[graft.io.Manifest.upsert]] is idempotent under a fixed segment id
+    * (its append dynamic-overwrites the batch's own segment; its delete
+    * self-excludes it and re-runs as a no-op), so an at-least-once
+    * replayed batch converges to the same table. Batches must hold ONE
+    * row per key (the MERGE contract, pre-validated before anything
+    * commits); pass `latestBy = Some(col)` to keep the max-`col` row per
+    * key first when the source can emit several versions of a key in
+    * one batch — that column must be unique per key within a batch (a
+    * CDC sequence number), or which duplicate survives is
+    * engine-arbitrary.
+    *
+    * Segments accrete per batch (the LSM posture shared by every
+    * appender here); the compaction companion is a periodic wholesale
+    * [[graft.io.Manifest.writeWithManifest]] rewrite of the table, run
+    * between triggers like every compactor in this engine. */
+  def upsertSink(stream: DataFrame, keyCol: String, path: String,
+      name: String, latestBy: Option[String] = None,
+      clusterCols: Seq[String] = Nil, targetFiles: Int = 0,
+      checkpoint: Option[String] = None): String = {
+    val ckpt = checkpoint.getOrElse(checkpointDir(name).toString)
+    val prefix = segmentPrefix(ckpt)
+    val kc = graft.io.GraftIO.qcol(keyCol)
+    val step: (DataFrame, Long) => Unit = (batchDf, batchId) => {
+      val b = latestBy match {
+        case Some(oc) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(kc).orderBy(graft.io.GraftIO.qcol(oc).desc)
+          batchDf.withColumn("__up_rn", F.row_number().over(w))
+            .filter(F.col("__up_rn") === 1).drop("__up_rn")
+        case None => batchDf
+      }
+      graft.io.Manifest.upsert(b, path, keyCol,
+        s"${prefix}_b$batchId", clusterCols, targetFiles)
+      ()
+    }
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(step)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    prefix
+  }
+
   /** Truncated SHA-256 of the checkpoint path, not String.hashCode: a
     * 32-bit hash collision between two runs' checkpoints would make the
     * new run's seg b0 dynamic-overwrite (silently DELETE) the earlier

@@ -1113,6 +1113,49 @@ class IOStreamsSpec extends SparkSpec {
     assert(Manifest.vacuum(spark, dir + "/t") == 0)
   }
 
+  test("upsertSink: CDC stream into the manifested lake — latestBy " +
+      "collapses intra-batch versions to the max sequence, later batches " +
+      "replace earlier, duplicate seqs without latestBy stay loud") {
+    val dir = tmp("graft_upsink")
+    val base = Seq((0L, 10L, "a0"), (4L, 10L, "a4")).toDF("id", "seq", "v")
+    Manifest.writeWithManifest(base, dir + "/t", statsCols = Seq("id"))
+    val feed = new java.io.File(dir + "/feed"); feed.mkdirs()
+    // batch 0: TWO versions of id 0 (seq 11 then 12) + insert id 1;
+    // batch 1: one more version of id 0 (seq 20) + insert id 2
+    shipFeed(Seq((0L, 11L, "b0-old"), (0L, 12L, "b0-new"), (1L, 11L, "n1"))
+      .toDF("id", "seq", "v"), feed, 0, dir + "/tmp0")
+    shipFeed(Seq((0L, 20L, "b1"), (2L, 20L, "n2"))
+      .toDF("id", "seq", "v"), feed, 1, dir + "/tmp1")
+    val schema = base.schema
+    Streams.upsertSink(
+      Streams.readParquetStream(spark, feed.toString, schema,
+        maxFilesPerTrigger = 1),
+      "id", dir + "/t", name = "up1", latestBy = Some("seq"))
+    val got = Manifest.readSkipping(spark, dir + "/t", "id", 0L, 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(got == Map(0L -> (20L, "b1"), 1L -> (11L, "n1"),
+      2L -> (20L, "n2"), 4L -> (10L, "a4")), got.toString)
+    // without latestBy, a duplicate-key batch is refused by the MERGE
+    // contract before anything commits
+    val feed2 = new java.io.File(dir + "/feed2"); feed2.mkdirs()
+    shipFeed(Seq((7L, 1L, "x"), (7L, 2L, "y")).toDF("id", "seq", "v"),
+      feed2, 0, dir + "/tmp2")
+    val e = intercept[Throwable] {
+      Streams.upsertSink(
+        Streams.readParquetStream(spark, feed2.toString, schema,
+          maxFilesPerTrigger = 1),
+        "id", dir + "/t", name = "up2")
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("distinct keys") ||
+        Option(e.getCause).exists(_.getMessage.contains("distinct keys"))),
+      s"${e.getMessage} / ${e.getCause}")
+    // the refused stream changed nothing
+    assert(Manifest.readSkipping(spark, dir + "/t", "id", 0L, 100L)
+      .count() == 4)
+  }
+
   test("training shards: deterministic shuffle into one file per shard, " +
       "reproducible across exports, one shuffle total, loud contracts") {
     val dir = tmp("graft_shards")
