@@ -362,6 +362,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lake mutation state machine: random upsert/delete sequences " +
+      "equal a model map") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    import graft.io.Manifest
+    // ops: Left(batch of (id, v) upserts — unique ids), Right(ids to delete)
+    val upsertG: Gen[Either[List[(Long, Long)], List[Long]]] =
+      Gen.nonEmptyListOf(for {
+        id <- Gen.chooseNum(0L, 40L)
+        v <- Gen.chooseNum(0L, 1000L)
+      } yield (id, v)).map(l => Left(l.take(8).distinctBy(_._1)))
+    val deleteG: Gen[Either[List[(Long, Long)], List[Long]]] =
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 40L))
+        .map(l => Right(l.take(8).distinct))
+    val opsG = Gen.listOfN(5, Gen.oneOf(upsertG, deleteG).flatMap(g => g))
+    forAll(opsG, n = 4) { ops =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("prop_lakemut").toString + "/t"
+      val base = (0L until 10L).map(i => (i, i * 100L))
+      Manifest.writeWithManifest(base.toDF("id", "v"), dir,
+        statsCols = Seq("id"), clusterCols = Seq("id"), targetFiles = 2)
+      var model = base.toMap
+      ops.zipWithIndex.foreach {
+        case (Left(batch), i) =>
+          Manifest.upsert(batch.toDF("id", "v"), dir, "id", s"u$i",
+            clusterCols = Seq("id"), targetFiles = 1)
+          model = model ++ batch
+        case (Right(dels), i) =>
+          Manifest.deleteKeys(spark, dir, "id", dels.toDF("id"), s"d$i")
+          model = model -- dels
+      }
+      val got = Manifest.readSkipping(spark, dir, "id", 0L, 1000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == model, s"ops: $ops")
+      // the manifest's row accounting matches too
+      val manRows = Manifest.manifest(spark, dir)
+        .selectExpr("sum(rows) as s").collect().head
+      assert((if (manRows.isNullAt(0)) 0L else manRows.getLong(0))
+        == model.size, "manifest row count")
+    }
+  }
+
   test("rollup combined view equals direct aggregation on random splits") {
     import org.apache.spark.sql.{functions => F}
     import spark.implicits._
