@@ -25,11 +25,25 @@ object Joins {
       broadcastRight: Boolean = false): Gdf = {
     require(Set("inner", "left", "right", "outer", "cross", "semi", "anti")
       .contains(how), s"invalid join type $how")
-    if (how == "cross")
+    if (how == "cross") {
+      // the SAME suffixing contract as the equi path: un-renamed, a shared
+      // name yields two identical output columns and AMBIGUOUS_REFERENCE
+      // on any downstream use (and right's logical entry silently
+      // overrode left's)
+      val clashes = right.names.toSet intersect left.names.toSet
+      val renames = right.names
+        .map(n => n -> (if (clashes(n)) s"${n}_right" else n)).toMap
+      requireSuffixTargetsFree(left.names, right.names, renames, "cross join")
+      val r = right.sdf.withColumnsRenamed(renames)
       return new Gdf(left.sdf.crossJoin(
-        if (broadcastRight) F.broadcast(right.sdf) else right.sdf),
+        if (broadcastRight) F.broadcast(r) else r),
         groups = left.groups,
-        logical = left.logical ++ right.logical)
+        logical = left.logical ++ right.logical.map {
+          case (k, v) => renames.getOrElse(k, k) -> v })
+    }
+    require(on.nonEmpty,
+      s"$how join needs at least one key pair (only cross joins are " +
+        "keyless)")
 
     val l = left.sdf
     val rightKeys = on.map(_._2)
@@ -40,6 +54,7 @@ object Joins {
       val isKey = rightKeys.contains(n)
       if (clashes(n) && (!isKey || keepRightKeys)) n -> s"${n}_right" else n -> n
     }.toMap
+    requireSuffixTargetsFree(left.names, right.names, renames, s"$how join")
     val r0 = right.sdf.withColumnsRenamed(renames)
     val r = if (broadcastRight) F.broadcast(r0) else r0
 
@@ -57,16 +72,13 @@ object Joins {
     val joined = l.join(r, cond, sparkHow)
     val out = how match {
       case "inner" | "left" | "semi" | "anti" =>
-        // merged keys: keep left's, drop right's (unless renamed-kept)
-        on.foldLeft(joined) { case (d, (_, rk0)) =>
-          if (renames(rk0) == rk0 || !keepRightKeys) d.drop(r0(renames(rk0))) else d
-        }
+        // merged keys: keep left's, drop right's (never renamed in these
+        // hows — keys suffix only when keepRightKeys)
+        on.foldLeft(joined) { case (d, (_, rk0)) => d.drop(r0(rk0)) }
       case "right" =>
         // reference rewrites right join as swapped left (lazy_frame.ex:600-616);
         // Spark has native right join — drop the left key, keep right's name
-        on.foldLeft(joined) { case (d, (lk, rk0)) =>
-          d.drop(l(lk)).withColumnRenamed(renames(rk0), rk0)
-        }
+        on.foldLeft(joined) { case (d, (lk, _)) => d.drop(l(lk)) }
       case "outer" => joined // both key columns kept, right suffixed
     }
     // grouped rule (reference data_frame.ex join docs): inner/left/semi/
@@ -77,10 +89,45 @@ object Joins {
       case "right" => right.groups.map(g => renames.getOrElse(g, g))
       case _ => left.groups
     }).filter(out.columns.contains)
-    // logical dtypes ride along, right-side names remapped through the
-    // suffixing (stale entries for dropped key columns are pruned on read)
-    new Gdf(out, groups = outGroups, logical = left.logical ++
-      right.logical.map { case (k, v) => renames.getOrElse(k, k) -> v })
+    // logical dtypes: right-side names remapped through the suffixing,
+    // and entries for COLUMNS THE JOIN DROPS removed — a dropped right
+    // key whose name matches a surviving left column would otherwise
+    // override the left column's dtype with its stale annotation
+    val rightLogical = right.logical.map {
+      case (k, v) => renames.getOrElse(k, k) -> v }
+    val merged = how match {
+      case "semi" | "anti" => left.logical // output is the left side only
+      case "inner" | "left" => left.logical ++ (rightLogical -- rightKeys)
+      case "right" => (left.logical -- on.map(_._1)) ++ rightLogical
+      case "outer" => left.logical ++ rightLogical
+    }
+    new Gdf(out, groups = outGroups, logical = merged)
+  }
+
+  /** Loud suffix-collision contract shared by every suffixing join: when
+    * `x` clashes and `x_right` ALREADY exists on either side, the rename
+    * would produce duplicate columns (or, in as-of's withColumn form,
+    * silently overwrite the existing one). */
+  private def requireSuffixTargetsFree(leftNames: Seq[String],
+      rightNames: Seq[String], renames: Map[String, String],
+      who: String): Unit = {
+    val targets = renames.collect { case (n, t) if n != t => t }.toSeq
+    val occupied = (leftNames ++ rightNames).toSet
+    val bad = targets.filter(occupied.contains).sorted
+    require(bad.isEmpty,
+      s"$who: suffixing a clashing column would collide with existing " +
+        s"column(s) ${bad.mkString(", ")} — rename before joining")
+  }
+
+  /** Temp working columns a verb is about to add with `withColumn` —
+    * pre-existing same-named USER columns would be silently replaced and
+    * lost, so refuse them up front. */
+  private def requireNoReserved(names: Seq[String], reserved: Set[String],
+      who: String): Unit = {
+    val clash = names.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"$who reserves internal column name(s) ${clash.mkString(", ")} — " +
+        "rename before joining")
   }
 
   /** Shorthand for same-name keys. */
@@ -98,8 +145,12 @@ object Joins {
       how: String = "inner", buckets: Int = 8, seed: Long = 42L): Gdf = {
     require(Set("inner", "left").contains(how),
       "salting supports inner/left joins")
+    require(buckets > 0, s"saltedJoin needs positive buckets, got $buckets")
+    requireNoReserved(left.names ++ right.names, Set("__salt"), "saltedJoin")
+    // a uniform bucket straight from the seeded uniform — hashing it
+    // first added two expression evals per row for no distributional gain
     val l = left.sdf.withColumn("__salt",
-      F.pmod(F.xxhash64(F.rand(seed)), F.lit(buckets)).cast("int"))
+      F.floor(F.rand(seed) * buckets).cast("int"))
     val r = right.sdf.withColumn("__salt",
       F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
     // thread groups/logical through the inner join (the Joins.join rule) —
@@ -134,6 +185,8 @@ object Joins {
       loOn: String, hiOn: String, binWidth: Long,
       maxBinsPerInterval: Int = 1024): Gdf = {
     require(binWidth > 0, "rangeJoin needs a positive binWidth")
+    requireNoReserved(points.names ++ intervals.names,
+      Set("__bin", "__nbins"), "rangeJoin")
     val p = points.sdf.withColumn("__bin", F.floor(F.col(pointOn) / binWidth))
     // suffix interval-side clashes with the points side (the Joins.join
     // rule) — un-handled, a shared name yields AMBIGUOUS_REFERENCE on any
@@ -142,6 +195,8 @@ object Joins {
     val clashes = intervals.names.toSet intersect points.names.toSet
     val renames = intervals.names
       .map(n => n -> (if (clashes(n)) s"${n}_right" else n)).toMap
+    requireSuffixTargetsFree(points.names, intervals.names, renames,
+      "rangeJoin")
     val lo = renames(loOn); val hi = renames(hiOn)
     // inner-join semantics for null bounds: a null lo/hi interval matches
     // nothing and is dropped — left in, its null __nbins would fall through
@@ -188,8 +243,17 @@ object Joins {
   def joinAsof(left: Gdf, right: Gdf, leftOn: String, rightOn: String,
       by: Seq[String] = Nil, strategy: String = "backward"): Gdf = {
     import org.apache.spark.sql.types.{StructField, StructType}
+    requireNoReserved(left.names ++ right.names,
+      Set("__asof_k", "__side", "__payload", "__m", "__pid", "__mb",
+        "__mf", "__w", "__seed"), "joinAsof")
     val l = left.sdf
     val payloadCols = right.names.filterNot(n => n == rightOn || by.contains(n))
+    // the payload suffix form is withColumn, which would OVERWRITE (not
+    // duplicate) a pre-existing x_right — silent data loss; refuse like
+    // the equi path
+    requireSuffixTargetsFree(left.names, payloadCols,
+      payloadCols.filter(l.columns.contains)
+        .map(n => n -> s"${n}_right").toMap, "joinAsof")
     val payload = F.struct(
       (right.sdf(rightOn).as("__asof_key") +:
         payloadCols.map(n => right.sdf(n).as(n))): _*)
@@ -214,11 +278,28 @@ object Joins {
 
     require(Set("backward", "forward", "nearest").contains(strategy),
       s"asof strategy $strategy")
+    // distance for "nearest", in the key's NATIVE domain: the old
+    // cast-everything-to-double route failed analysis for DateType keys
+    // and silently rounded int64 keys past 2^53 (epoch-ns timestamps!),
+    // letting the farther row win
+    def asofDist(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.types._
+      left.schema(leftOn).dataType match {
+        case DateType => F.abs(F.unix_date(a) - F.unix_date(b)).cast(LongType)
+        case TimestampType | TimestampNTZType =>
+          F.abs(F.unix_micros(a.cast(TimestampType)) -
+            F.unix_micros(b.cast(TimestampType)))
+        case ByteType | ShortType | IntegerType | LongType =>
+          F.abs(a.cast(LongType) - b.cast(LongType)) // exact 64-bit math
+        case FloatType | DoubleType | _: DecimalType => F.abs(a - b)
+        case other => throw new IllegalArgumentException(
+          s"joinAsof nearest needs a numeric or temporal key, got $other")
+      }
+    }
     def combineNearest(src: DataFrame, b: Column, f: Column): DataFrame = {
-      import org.apache.spark.sql.types.DoubleType
-      val k = F.col("__asof_k").cast(DoubleType) // ts → fractional seconds
-      val db = F.abs(k - b.getField("__asof_key").cast(DoubleType))
-      val df_ = F.abs(f.getField("__asof_key").cast(DoubleType) - k)
+      val k = F.col("__asof_k")
+      val db = asofDist(k, b.getField("__asof_key"))
+      val df_ = asofDist(f.getField("__asof_key"), k)
       src.withColumn("__m",
         F.when(b.isNull, f).when(f.isNull, b)
           .when(df_ < db, f).otherwise(b))
@@ -268,7 +349,13 @@ object Joins {
         .withColumn("__pid", F.spark_partition_id())
       val rightRows = ranged
         .filter(F.col("__side") === 0 && F.col("__asof_k").isNotNull)
-      val allPids = ranged.select(F.col("__pid")).distinct()
+      // partition ids are 0..parts-1 by construction: enumerating them
+      // from a range beats a full extra scan + shuffle of the union just
+      // to recover integers already known (seeds for genuinely empty
+      // partitions are harmless — no src row joins them, and the seed
+      // carry over pid order stays correct)
+      val allPids = l.sparkSession.range(parts)
+        .select(F.col("id").cast("int").as("__pid"))
       def carry(src: DataFrame, back: Boolean): DataFrame = {
         val within =
           if (back)

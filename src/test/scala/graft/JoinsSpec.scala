@@ -236,4 +236,87 @@ class JoinsSpec extends SparkSpec {
     assert(j.groups == Seq("k"))
     assert(j.logical.get("lv").contains(DType.Category))
   }
+
+  test("cross join suffixes clashing columns like the equi path") {
+    val l = Gdf(Seq((1L, "a")).toDF("k", "x"))
+    val r = new Gdf(Seq((9L, "z")).toDF("k", "rv"),
+      logical = Map("k" -> DType.U(32)))
+    val j = Joins.join(l, r, Seq.empty, "cross")
+    assert(j.names == Seq("k", "x", "k_right", "rv"))
+    // and right's logical annotation follows the suffixed name instead of
+    // silently overriding left's k
+    assert(j.logical.get("k").isEmpty)
+    assert(j.logical.get("k_right").contains(DType.U(32)))
+    // downstream references stay unambiguous
+    assert(j.sdf.select("k").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("dropped join keys cannot leak stale logical dtypes over the " +
+      "surviving column") {
+    val l = Gdf(Seq((1L, "a")).toDF("id", "lv"))
+    val r = new Gdf(Seq((1L, "x")).toDF("id", "rv"),
+      logical = Map("id" -> DType.U(32)))
+    // inner: right's id column is dropped — its u32 annotation must not
+    // re-describe left's plain i64 id
+    assert(Joins.join(l, r, Seq("id" -> "id"), "inner")
+      .logical.get("id").isEmpty)
+    // right join: left's id is dropped, right's survives with its dtype
+    assert(Joins.join(l, r, Seq("id" -> "id"), "right")
+      .logical.get("id").contains(DType.U(32)))
+    // semi/anti output is the left side only — no right entries at all
+    assert(Joins.join(l, r, Seq("id" -> "id"), "semi").logical.isEmpty)
+  }
+
+  test("asof nearest works on DateType keys and stays exact past 2^53") {
+    val d = java.sql.Date.valueOf(_: String)
+    val l = Gdf(Seq(Tuple1(d("2024-03-10"))).toDF("ts"))
+    val r = Gdf(Seq((d("2024-03-01"), "early"), (d("2024-03-12"), "late"))
+      .toDF("ts", "tag"))
+    val got = Joins.joinAsof(l, r, "ts", "ts", strategy = "nearest")
+      .sdf.select("tag").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("late")) // 2 days beats 9 days
+    // int64 keys beyond 2^53: backward candidate is 3 ns closer but the
+    // double route rounded both distances to equality and kept backward —
+    // exact long math must pick forward
+    val base = 1700000000000000000L // epoch ns scale, > 2^53
+    val l2 = Gdf(Seq(Tuple1(base)).toDF("k"))
+    val r2 = Gdf(Seq((base - 1027L, "b"), (base + 1024L, "f"))
+      .toDF("k", "tag"))
+    val got2 = Joins.joinAsof(l2, r2, "k", "k", strategy = "nearest")
+      .sdf.select("tag").collect().map(_.getString(0)).toSeq
+    assert(got2 == Seq("f"))
+    // non-orderable-distance keys are loud
+    val ls = Gdf(Seq(Tuple1("a")).toDF("k"))
+    val rs = Gdf(Seq(("a", "x")).toDF("k", "tag"))
+    intercept[IllegalArgumentException] {
+      Joins.joinAsof(ls, rs, "k", "k", strategy = "nearest")
+    }
+  }
+
+  test("loud argument contracts: empty keys, zero buckets, suffix-target " +
+      "collisions, reserved temp names") {
+    val l = Gdf(Seq((1L, "a")).toDF("k", "x"))
+    val r = Gdf(Seq((1L, "y")).toDF("k", "x"))
+    intercept[IllegalArgumentException] {
+      Joins.join(l, r, Seq.empty[(String, String)], "inner")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(l, r, Seq("k" -> "k"), buckets = 0)
+    }
+    // x clashes and x_right already exists → duplicate columns refused
+    val lr = Gdf(Seq((1L, "a", "old")).toDF("k", "x", "x_right"))
+    intercept[IllegalArgumentException] {
+      Joins.join(lr, r, Seq("k" -> "k"), "inner")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.joinAsof(lr, r, "k", "k") // withColumn would CLOBBER x_right
+    }
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(Gdf(Seq((1L, 2)).toDF("k", "__salt")), r,
+        Seq("k" -> "k"))
+    }
+    intercept[IllegalArgumentException] {
+      Joins.joinAsof(Gdf(Seq((1L, 2)).toDF("k", "__side")), r, "k", "k")
+    }
+  }
 }
