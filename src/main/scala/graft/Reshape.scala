@@ -26,9 +26,12 @@ object Reshape {
       if (types.size <= 1) df.sdf
       else pivot.foldLeft(df.sdf)((d, n) => d.withColumn(n, F.col(n).cast(DoubleType)))
     // grouped rule (reference data_frame.ex pivot_longer doc): groups that
-    // are pivoted away are removed, the rest are kept
+    // are pivoted away are removed, the rest are kept; logical dtypes of
+    // the SURVIVING id columns ride along (the Joins rule — a bare wrap
+    // here silently dropped :category/:time/u* annotations)
     new Gdf(src.unpivot(ids.map(F.col).toArray, pivot.map(F.col).toArray,
-      namesTo, valuesTo), groups = df.groups.filterNot(pivot.contains))
+      namesTo, valuesTo), groups = df.groups.filterNot(pivot.contains),
+      logical = df.logical.filter { case (k, _) => ids.contains(k) })
   }
 
   /** `pivot_wider/4` (reference data_frame.ex:5102-5108; dataframe.rs:435-515):
@@ -64,19 +67,38 @@ object Reshape {
             "silently merge; rename one first")
         raw.map(_.getOrElse("null")).sorted
       }
-    val g = df.sdf.withColumn("__pw_n", nameStr)
+    // the reference hard-codes PivotAgg::First = FRAME-order first; Spark's
+    // first() is whichever value a task sees first, nondeterministic under
+    // shuffles. With a declared row order the deterministic twin is
+    // min_by(value, rowid); without one, "first" has no defined meaning
+    // and Spark's arbitrary pick is the honest behavior.
+    val (src, firstAgg) =
+      if (df.rowOrder.nonEmpty) {
+        val withId = graft.plans.RowId.attach(df.sdf, df.rowOrder, "__pw_rid")
+        (withId, F.min_by(F.col(valuesFrom), F.col("__pw_rid")))
+      } else (df.sdf, F.first(F.col(valuesFrom)))
+    val g = src.withColumn("__pw_n", nameStr)
       .groupBy(ids.map(F.col): _*).pivot("__pw_n", values)
-      .agg(F.first(F.col(valuesFrom)))
+      .agg(firstAgg)
     // id-column collision suffixing (reference dataframe.rs:446-511): a
-    // pivoted value equal to an id column name gets a numeric suffix.
+    // pivoted value equal to an id column name gets a numeric suffix,
+    // INCREMENTED until unique — a fixed "_1" can itself collide with
+    // another id or pivot value, yielding duplicate output columns.
     // Positional rename via toDF — withColumnRenamed would hit both twins.
+    val taken = scala.collection.mutable.Set[String](ids: _*)
     val newNames = ids ++ values.map { v =>
       val base = if (namesPrefix.isEmpty) v.toString else namesPrefix + v
-      if (ids.contains(base)) s"${base}_1" else base
+      var name = base
+      var i = 0
+      while (taken.contains(name)) { i += 1; name = s"${base}_$i" }
+      taken += name
+      name
     }
     // grouped rule (reference data_frame.ex pivot_wider doc): groups that
-    // are not ID columns are discarded
-    new Gdf(g.toDF(newNames: _*), groups = df.groups.filter(ids.contains))
+    // are not ID columns are discarded; surviving id columns keep their
+    // logical dtypes
+    new Gdf(g.toDF(newNames: _*), groups = df.groups.filter(ids.contains),
+      logical = df.logical.filter { case (k, _) => ids.contains(k) })
   }
 
   /** `explode/2` — unnest list column(s) into rows (data_frame.ex:6292).
@@ -86,13 +108,36 @@ object Reshape {
       if (cols.size == 1)
         df.sdf.withColumn(cols.head, F.explode_outer(F.col(cols.head)))
       else {
-        val zipped = df.sdf.withColumn("__z",
+        // Polars' multi-column explode ERRORS on mismatched list lengths
+        // (ShapeError); arrays_zip would silently null-pad to the longest
+        // list, fabricating rows. Null-safe compare: all-null rows pass
+        // (they explode to one all-null row), a null list zipped against
+        // a real one is the same fabrication and fails loud. The `ok`
+        // branch keeps the assert un-foldable (the r8 optimizer trap).
+        val sz = F.size(F.col(cols.head))
+        val ok = cols.tail.map(c => F.size(F.col(c)) <=> sz)
+          .reduceOption(_ && _).getOrElse(F.lit(true))
+        val checked = df.sdf.filter(F.when(F.assert_true(ok, F.lit(
+          s"explode: columns ${cols.mkString(", ")} hold lists of " +
+            "different lengths — multi-column explode zips " +
+            "position-wise and has no semantics for ragged rows")).isNull,
+          ok))
+        val zipped = checked.withColumn("__z",
           F.explode_outer(F.arrays_zip(cols.map(F.col): _*)))
         cols.foldLeft(zipped)((d, n) => d.withColumn(n, F.col("__z").getField(n)))
           .drop("__z")
       }
-    // groups survive an explode (the grouping columns are untouched)
-    new Gdf(out, groups = df.groups)
+    // groups survive an explode (the grouping columns are untouched);
+    // logical dtypes: untouched columns keep theirs, an exploded List
+    // annotation unwraps to its element dtype
+    val logical = df.logical.flatMap { case (k, v) =>
+      if (!cols.contains(k)) Some(k -> v)
+      else v match {
+        case DType.List(inner) => Some(k -> inner)
+        case _ => None
+      }
+    }
+    new Gdf(out, groups = df.groups, logical = logical)
   }
 
   /** `unnest/2` — struct column → one column per field (data_frame.ex:6341). */
@@ -101,7 +146,8 @@ object Reshape {
     val others = df.names.filterNot(_ == col)
     new Gdf(df.sdf.select(others.map(F.col) ++
       fields.map(f => F.col(col).getField(f).as(f)): _*),
-      groups = df.groups.filterNot(_ == col))
+      groups = df.groups.filterNot(_ == col),
+      logical = df.logical.filter { case (k, _) => others.contains(k) })
   }
 
   /** `dummies/2` — one-hot encode (data_frame.ex:4095-4099). Category values
@@ -126,8 +172,9 @@ object Reshape {
     val cols = vs.map(v =>
       F.when(key === v, 1).otherwise(0).as(s"${col}_$v"))
     // grouped rule (reference data_frame.ex dummies doc): all groups are
-    // removed — Gdf.apply returns an ungrouped frame
-    Gdf(df.sdf.select(df.names.map(F.col) ++ cols: _*))
+    // removed; every original column is untouched, so logical dtypes ride
+    new Gdf(df.sdf.select(df.names.map(F.col) ++ cols: _*),
+      groups = Nil, logical = df.logical)
   }
 
   /** `transpose/2` (data_frame.ex:4667) — rows↔columns. Driver-side collect,
@@ -146,7 +193,14 @@ object Reshape {
       val ts = names.map(n => df.schema(n).dataType).distinct
       if (ts.size == 1) Some(ts.head) else None
     }
-    val rows = df.sdf.collect()
+    // honor the frame's declared row order: bare collect() returns plan
+    // order, which varies with partitioning downstream of a shuffle — a
+    // supplied `columns` list would attach labels to the WRONG rows
+    val rows = (if (df.rowOrder.nonEmpty) df.sdf.orderBy(df.rowOrder: _*)
+      else df.sdf).collect()
+    require(columns.isEmpty || columns.size == rows.length,
+      s"transpose: ${columns.size} column name(s) supplied for " +
+        s"${rows.length} row(s)")
     val colNames: Seq[String] =
       if (columns.nonEmpty) columns
       else header match {
@@ -171,12 +225,23 @@ object Reshape {
     * reconciliation and the reference's relaxed numeric cast (int+float →
     * float). */
   def concatRows(dfs: Seq[Gdf]): Gdf = {
+    require(dfs.nonEmpty, "concat_rows needs at least one frame")
     val allNames = dfs.flatMap(_.names).distinct
-    // promote per-column dtypes across frames
+    // promote per-column dtypes across frames — but the relaxed cast
+    // covers NUMERIC mixes only (the reference rule, same as
+    // pivot_longer): DType.promote's float/decimal catch-alls would
+    // otherwise accept a string/date partner and silently cast it to
+    // all-null doubles
     val target: Map[String, DataType] = allNames.map { n =>
       val ts = dfs.flatMap(d =>
         if (d.names.contains(n)) Some(DType.fromSpark(d.schema(n).dataType))
         else None)
+      val concrete = ts.distinct.filterNot(_ == DType.Null)
+      require(concrete.size <= 1 ||
+          concrete.forall(_.spark.isInstanceOf[NumericType]),
+        s"concat_rows: column '$n' mixes incompatible dtypes " +
+          concrete.mkString("[", ", ", "]") +
+          " — only numeric mixes relax-cast")
       n -> ts.reduce(DType.promote).spark
     }.toMap
     val aligned = dfs.map { d =>
@@ -187,8 +252,15 @@ object Reshape {
       d.sdf.select(cols: _*)
     }
     // grouped rule (reference data_frame.ex concat_rows doc): only the
-    // FIRST frame's groups are kept
-    new Gdf(aligned.reduce(_ union _), groups = dfs.head.groups)
+    // FIRST frame's groups are kept; a logical annotation survives only
+    // when every frame holding the column agrees on BOTH the annotation
+    // and the physical dtype (a promoted cast silently invalidates it)
+    val logical = dfs.head.logical.filter { case (k, v) =>
+      dfs.forall(d => !d.names.contains(k) ||
+        (d.logical.get(k).contains(v) && d.schema(k).dataType == target(k)))
+    }
+    new Gdf(aligned.reduce(_ union _), groups = dfs.head.groups,
+      logical = logical)
   }
 
   /** `concat_columns` (data_frame.ex:5693-5720) — horizontal zip by position.
@@ -204,6 +276,22 @@ object Reshape {
     // NOT an eager count() per input — the old shape materialized every
     // input an extra time purely for the height check. The error
     // therefore surfaces at action time (lazy), not at call time.
+    require(dfs.nonEmpty, "concat_columns needs at least one frame")
+    // clash renames computed up front with UNIQUE targets: a frame that
+    // already holds x_1 next to a clashing x would otherwise end up with
+    // two x_1 columns (withColumnRenamed happily duplicates)
+    val allTaken = scala.collection.mutable.Set[String](dfs.head.names: _*)
+    val renamesPerFrame: Seq[Map[String, String]] =
+      dfs.zipWithIndex.map { case (d, i) =>
+        if (i == 0) Map.empty[String, String]
+        else d.names.map { n =>
+          var name = n
+          var j = i
+          while (allTaken.contains(name)) { name = s"${n}_$j"; j += 1 }
+          allTaken += name
+          n -> name
+        }.filter(kv => kv._1 != kv._2).toMap
+      }
     val indexed = dfs.zipWithIndex.map { case (d, i) =>
       require(d.rowOrder.nonEmpty,
         "concat_columns needs .ordered(...) on every input")
@@ -212,11 +300,13 @@ object Reshape {
       // would orphan
       val withIdx = graft.plans.RowId.attach(d.sdf, d.rowOrder, "__cc_idx")
         .withColumn(s"__cc_p$i", F.lit(true))
-      if (i == 0) withIdx else {
-        val clashes = dfs.take(i).flatMap(_.names).toSet
-        d.names.foldLeft(withIdx)((acc, n) =>
-          if (clashes(n)) acc.withColumnRenamed(n, s"${n}_$i") else acc)
-      }
+      // ONE positional select, not sequential withColumnRenamed: renaming
+      // x → x_1 while the frame's own x_1 awaits its rename transiently
+      // duplicates the name, and the next withColumnRenamed then renames
+      // BOTH twins
+      val rn = renamesPerFrame(i)
+      withIdx.select(withIdx.columns.map(c =>
+        graft.io.GraftIO.qcol(c).as(rn.getOrElse(c, c))): _*)
     }
     val joined = indexed.reduce((a, b) =>
       a.join(b, Seq("__cc_idx"), "full_outer"))
@@ -229,9 +319,14 @@ object Reshape {
       F.lit("concat_columns requires equal heights — a row index present " +
         "in one input is missing in another")).isNull, present))
     // grouped rule (reference data_frame.ex concat_columns doc): only the
-    // FIRST frame's groups are kept
+    // FIRST frame's groups are kept; every frame's logical dtypes ride,
+    // remapped through the clash renames
     new Gdf(checked.drop(
       ("__cc_idx" +: dfs.indices.map(i => s"__cc_p$i")): _*),
-      groups = dfs.head.groups)
+      groups = dfs.head.groups,
+      logical = dfs.zipWithIndex.flatMap { case (d, i) =>
+        d.logical.map { case (k, v) =>
+          renamesPerFrame(i).getOrElse(k, k) -> v }
+      }.toMap)
   }
 }

@@ -194,4 +194,107 @@ class ReshapeSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("incompatible"))
   }
+
+  test("concatRows refuses non-numeric dtype mixes (same rule as " +
+      "pivot_longer) and empty input") {
+    val a = Gdf(Seq(Tuple1(1.5)).toDF("v"))
+    val b = Gdf(Seq(Tuple1("oops")).toDF("v"))
+    val ex = intercept[IllegalArgumentException] {
+      Reshape.concatRows(Seq(a, b))
+    }
+    assert(ex.getMessage.contains("incompatible"), ex.getMessage)
+    intercept[IllegalArgumentException] { Reshape.concatRows(Nil) }
+    intercept[IllegalArgumentException] { Reshape.concatColumns(Nil) }
+    // numeric mixes still relax-cast; an absent column (null-filled) is
+    // not a mix
+    val c = Gdf(Seq((1, "x")).toDF("v", "s"))
+    assert(Reshape.concatRows(Seq(a, Gdf(Seq(Tuple1(2)).toDF("v")), c))
+      .sdf.count() == 3)
+  }
+
+  test("transpose honors the declared row order and validates the " +
+      "supplied column count") {
+    val df = Gdf(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    val asc = Reshape.transpose(df.ordered(F.col("k")),
+      columns = Seq("a", "b"))
+    val desc = Reshape.transpose(df.ordered(F.col("k").desc),
+      columns = Seq("a", "b"))
+    def row(t: Gdf, name: String) = t.sdf.filter(F.col("name") === name)
+      .collect().head
+    assert(row(asc, "v").getLong(1) == 10L &&
+      row(asc, "v").getLong(2) == 20L)
+    assert(row(desc, "v").getLong(1) == 20L &&
+      row(desc, "v").getLong(2) == 10L)
+    intercept[IllegalArgumentException] {
+      Reshape.transpose(df, columns = Seq("only_one"))
+    }
+  }
+
+  test("pivotWider: ordered frames take the FRAME-order first on " +
+      "duplicate (id, name) pairs; suffixes increment until unique") {
+    val df = Gdf(Seq(("r1", "x", 1.0), ("r1", "x", 9.0))
+      .toDF("id", "n", "v"))
+    // frame order ascending v → 1.0 is first; descending → 9.0
+    assert(Reshape.pivotWider(df.ordered(F.col("v")), "n", "v")
+      .sdf.collect().head.getDouble(1) == 1.0)
+    assert(Reshape.pivotWider(df.ordered(F.col("v").desc), "n", "v")
+      .sdf.collect().head.getDouble(1) == 9.0)
+    // a pivot value colliding with BOTH an id column and its _1 sibling
+    // walks to the next free suffix instead of duplicating
+    val tricky = Gdf(Seq((1L, 2L, "id", 5.0)).toDF("id", "id_1", "n", "v"))
+    val w = Reshape.pivotWider(tricky, "n", "v")
+    assert(w.names == Seq("id", "id_1", "id_2"))
+    assert(w.names.distinct.size == w.names.size)
+  }
+
+  test("multi-column explode refuses ragged list lengths instead of " +
+      "null-padding; all-null rows still pass") {
+    val ok = Gdf(Seq((Seq("a", "b"), Seq(1, 2)),
+      (null: Seq[String], null: Seq[Int])).toDF("s", "n"))
+    assert(Reshape.explode(ok, Seq("s", "n")).sdf.count() == 3)
+    val ragged = Gdf(Seq((Seq("a", "b", "c"), Seq(1))).toDF("s", "n"))
+    val ex = intercept[Exception] {
+      Reshape.explode(ragged, Seq("s", "n")).sdf.collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        (if (x.getCause ne x) msgs(x.getCause) else Nil))
+    assert(msgs(ex).exists(_.contains("different lengths")), ex.toString)
+  }
+
+  test("concatColumns keeps clash-rename targets unique when a frame " +
+      "already holds the suffixed name") {
+    val a = Gdf(Seq(Tuple1(1L)).toDF("x")).ordered(F.col("x"))
+    val b = Gdf(Seq((2L, 3L)).toDF("x", "x_1")).ordered(F.col("x"))
+    val out = Reshape.concatColumns(Seq(a, b))
+    assert(out.names.distinct.size == out.names.size, out.names.toString)
+    assert(out.names.toSet == Set("x", "x_1", "x_1_1") ||
+      out.names.toSet == Set("x", "x_1", "x_1_2"), out.names.toString)
+  }
+
+  test("reshape verbs thread logical dtypes: survivors keep them, " +
+      "exploded List annotations unwrap") {
+    val base = new Gdf(Seq((1L, "a", Seq(1L, 2L))).toDF("k", "c", "xs"),
+      logical = Map("c" -> DType.Category,
+        "xs" -> DType.List(DType.U(32))))
+    val ex = Reshape.explode(base, Seq("xs"))
+    assert(ex.logical.get("c").contains(DType.Category))
+    assert(ex.logical.get("xs").contains(DType.U(32)))
+    assert(Reshape.dummies(base, "c").logical
+      .get("c").contains(DType.Category))
+    val pl = Reshape.pivotLonger(
+      new Gdf(Seq((1L, 2L, 3L)).toDF("id", "p", "q"),
+        logical = Map("id" -> DType.U(32))), Seq("p", "q"))
+    assert(pl.logical.get("id").contains(DType.U(32)))
+    // concat_rows: agreement keeps, disagreement (or a promoted cast)
+    // drops
+    val l1 = new Gdf(Seq(Tuple1(1L)).toDF("v"),
+      logical = Map("v" -> DType.U(32)))
+    val l2 = new Gdf(Seq(Tuple1(2L)).toDF("v"),
+      logical = Map("v" -> DType.U(32)))
+    assert(Reshape.concatRows(Seq(l1, l2)).logical
+      .get("v").contains(DType.U(32)))
+    assert(Reshape.concatRows(Seq(l1, Gdf(Seq(Tuple1(3L)).toDF("v"))))
+      .logical.isEmpty)
+  }
 }
