@@ -585,7 +585,7 @@ object SparkEntry {
   /** spearman rank correlation (§2.5 correlation method=:spearman). */
   private val q42: (SparkSession, String) => DataFrame = (s, dir) =>
     Stats.spearman(Gdf(t(s, dir, "lineitem")), "l_quantity", "l_extendedprice")
-      .withColumn("spearman", F.round(F.col("spearman"), 6))
+      .sdf.withColumn("spearman", F.round(F.col("spearman"), 6))
 
   /** qcut: quartile binning of order totals + per-bin counts (§2.6 qcut).
     * Breaks rounded to 4dp on both sides so the bin edges are

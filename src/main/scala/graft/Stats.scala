@@ -27,13 +27,13 @@ object Stats {
         F.stddev_samp(c).as(s"${n}__std"),
         F.min(c).cast(DoubleType).as(s"${n}__min")) ++
         percentiles.map(p =>
-          F.percentile(c, F.lit(p)).as(s"${n}__p${(p * 100).toInt}")) :+
+          F.percentile(c, F.lit(p)).as(s"${n}__${pLabel(p)}")) :+
         F.max(c).cast(DoubleType).as(s"${n}__max")
     }
     val row = df.sdf.agg(aggs.head, aggs.tail: _*)
     // long form: one row per (column, statistic)
     val stats = Seq("count", "nil_count", "mean", "std", "min") ++
-      percentiles.map(p => s"p${(p * 100).toInt}") :+ "max"
+      percentiles.map(pLabel) :+ "max"
     val cols = numeric.map { n =>
       F.struct(F.lit(n).as("column"),
         F.array(stats.map(s => F.col(s"${n}__$s").cast(DoubleType)): _*).as("vals"))
@@ -47,10 +47,22 @@ object Stats {
     Gdf(long)
   }
 
+  /** Percentile label: `.toInt` TRUNCATES the IEEE product (0.29 * 100 ==
+    * 28.999999999999996 → "p28", and 0.5/0.505 collide on one alias →
+    * ambiguous-reference crash), so round. */
+  private def pLabel(p: Double): String = s"p${Math.round(p * 100)}"
+
   /** `frequencies/1`: value counts, descending (data_frame.ex:6784-6800). */
-  def frequencies(df: Gdf, cols: Seq[String]): Gdf =
-    Gdf(df.sdf.groupBy(cols.map(F.col): _*).agg(F.count(F.lit(1)).as("counts"))
-      .orderBy(F.col("counts").desc +: cols.map(F.col): _*))
+  def frequencies(df: Gdf, cols: Seq[String]): Gdf = {
+    require(!cols.contains("counts"),
+      "frequencies: a grouping column named 'counts' collides with the " +
+        "output count column — rename first")
+    // internal agg alias so the ORDER BY never resolves ambiguously
+    Gdf(df.sdf.groupBy(cols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__freq_n"))
+      .orderBy(F.col("__freq_n").desc +: cols.map(F.col): _*)
+      .withColumnRenamed("__freq_n", "counts"))
+  }
 
   /** Modal set — the reference's multi-value `mode` (series.ex:2676-2679):
     * all values sharing the max frequency, as a sorted list. The max count is
@@ -105,6 +117,7 @@ object Stats {
 
   /** `nil_count/1` per column (data_frame.ex:6760). */
   def nilCount(df: Gdf): Gdf = {
+    require(df.names.nonEmpty, "nil_count: frame has no columns")
     val aggs = df.names.map(n => F.count_if(F.col(n).isNull).as(n))
     Gdf(df.sdf.agg(aggs.head, aggs.tail: _*))
   }
@@ -123,6 +136,16 @@ object Stats {
 
   private def pairwise(df: Gdf, cols: Seq[String],
       f: (Column, Column) => Column, what: String): Gdf = {
+    // the output schema owns "names" (row labels) and internal aliases
+    // use "__": a column named "names" would duplicate a struct field,
+    // and "a__b"-shaped names collide across pairs — both surface as
+    // ambiguous-reference crashes deep in the select
+    require(!cols.contains("names"),
+      s"$what matrix: a column named 'names' collides with the row-label " +
+        "column — rename first")
+    require(cols.forall(!_.contains("__")),
+      s"$what matrix: column names containing '__' collide with the " +
+        "internal pair aliases — rename first")
     val aggs = for { a <- cols; b <- cols }
       yield f(F.col(a), F.col(b)).as(s"${a}__${b}")
     val row = df.sdf.agg(aggs.head, aggs.tail: _*)
@@ -140,11 +163,20 @@ object Stats {
     * value ([[graft.plans.RowId.attachAvgRank]]) and a per-partition
     * run-length scan — ties are co-partitioned by the range partitioner, so
     * avg_rank = run_start+1 + (ties-1)/2 needs no Window and no second
-    * shuffle. Identical to `rank()` + tie averaging. */
-  def spearman(df: Gdf, a: String, b: String): DataFrame =
-    graft.plans.RowId.attachAvgRank(
-        graft.plans.RowId.attachAvgRank(df.sdf, a, "__ra"), b, "__rb")
-      .agg(F.corr(F.col("__ra"), F.col("__rb")).as("spearman"))
+    * shuffle. Identical to `rank()` + tie averaging.
+    *
+    * Complete-case semantics, like the reference: rows with a null in
+    * EITHER column are excluded BEFORE ranking — the rank attacher
+    * assigns every physical row a rank (nulls sort first), so ranking
+    * the unfiltered frame would hand null observations the smallest
+    * ranks and feed them into the correlation as real pairs (wrong
+    * value, possibly wrong sign, no error). */
+  def spearman(df: Gdf, a: String, b: String): Gdf = {
+    val complete = df.sdf.filter(F.col(a).isNotNull && F.col(b).isNotNull)
+    Gdf(graft.plans.RowId.attachAvgRank(
+        graft.plans.RowId.attachAvgRank(complete, a, "__ra"), b, "__rb")
+      .agg(F.corr(F.col("__ra"), F.col("__rb")).as("spearman")))
+  }
 
   /** `cut/2` — fixed-break binning into labelled categories
     * (series.ex:4945; series.rs:205-305). Pure `when`-chain: codegen'd,
@@ -156,9 +188,12 @@ object Stats {
       leftClosed: Boolean = false): Column = {
     // unsorted breaks would bin by first-match against an out-of-order
     // chain; silently sorting them would misalign user-supplied labels —
-    // require the caller's order to BE the bin order
-    require(breaks == breaks.sorted,
-      s"cut breaks must be ascending, got ${breaks.mkString(", ")}")
+    // require the caller's order to BE the bin order. STRICTLY ascending:
+    // a duplicated break makes its second bin unreachable (its label can
+    // never be produced) — Polars rejects it, and qcut's explicit
+    // allowDuplicates dedup is the sanctioned escape
+    require(breaks == breaks.sorted && breaks.distinct.size == breaks.size,
+      s"cut breaks must be strictly ascending, got ${breaks.mkString(", ")}")
     val labs = cutLabels(breaks, labels, leftClosed)
     val first = F.when(col.isNull, F.lit(null).cast(StringType))
     val mid = breaks.indices.foldLeft(first) { (acc, i) =>
@@ -198,12 +233,8 @@ object Stats {
       categoryLabel: String = "category", leftClosed: Boolean = false,
       includeBreaks: Boolean = false): Gdf = {
     val col = F.col(colName)
-    // same ascending-breaks contract as [[cut]] (which this delegates to):
-    // silently sorting here would misalign user-supplied labels — the
-    // exact hazard cut refuses (Polars likewise rejects non-monotone
-    // breaks)
-    require(breaks == breaks.sorted,
-      s"cut breaks must be ascending, got ${breaks.mkString(", ")}")
+    // the ascending-breaks contract is owned by [[cut]], which every path
+    // below delegates to (the includeBreaks chain uses the same order)
     val sorted = breaks
     val base = df.sdf.select(col.as("values"))
     val out =
@@ -246,6 +277,7 @@ object Stats {
   }
 
   private def qcutBreaks(df: Gdf, colName: String, qs: Seq[Double]): Seq[Double] = {
+    require(qs.nonEmpty, "qcut: no quantiles given")
     val row = df.sdf.agg(
       F.percentile(F.col(colName), F.lit(qs.head)).as("q0"),
       qs.drop(1).zipWithIndex.map { case (q, i) =>

@@ -260,7 +260,7 @@ class PropertySpec extends SparkSpec {
           vs.map(_._2).distinct.size > 1) {
         val d = df(schema("a" -> DoubleType, "b" -> DoubleType),
           vs.map(v => Seq(v._1, v._2)): _*)
-        val got = Stats.spearman(Gdf(d), "a", "b").head.getDouble(0)
+        val got = Stats.spearman(Gdf(d), "a", "b").sdf.head.getDouble(0)
         // single-node reference: rank() + (ties-1)/2 via plain windows
         val ra = F.rank().over(Window.orderBy("a")) +
           (F.count(F.lit(1)).over(Window.partitionBy("a")) - 1) / 2.0

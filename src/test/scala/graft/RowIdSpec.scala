@@ -41,10 +41,10 @@ class RowIdSpec extends SparkSpec {
     val df = spark.range(0, 20000).select(
       (F.col("id") % 50).cast("double").as("a"),
       (F.col("id") * 2654435761L % 99991L).cast("double").as("b"))
-    val r = Stats.spearman(Gdf(df.repartition(7)), "a", "b").head().getDouble(0)
+    val r = Stats.spearman(Gdf(df.repartition(7)), "a", "b").sdf.head().getDouble(0)
     // ranks must sum to n(n+1)/2 regardless of tie structure; spearman of
     // a hash-scramble against a modulus is ~0 but must be finite and stable
-    val r2 = Stats.spearman(Gdf(df.repartition(7)), "a", "b").head().getDouble(0)
+    val r2 = Stats.spearman(Gdf(df.repartition(7)), "a", "b").sdf.head().getDouble(0)
     assert(!r.isNaN && math.abs(r) < 0.1)
     // ranks are exact (integers/halves, invariant to partition boundaries);
     // the only run-to-run jitter is corr's partial-state merge order — a

@@ -59,8 +59,54 @@ class StatsSpec extends SparkSpec {
     val d = Gdf(Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 16.0))
       .toDF("a", "b"))
     // monotone → spearman exactly 1 even though pearson < 1
-    val r = Stats.spearman(d, "a", "b").collect()(0).getDouble(0)
+    val r = Stats.spearman(d, "a", "b").sdf.collect()(0).getDouble(0)
     assert(approx(r, 1.0))
+  }
+
+  test("spearman excludes null pairs BEFORE ranking (complete-case " +
+      "semantics): a null observation must not enter as the smallest rank") {
+    import org.apache.spark.sql.types._
+    val d = Gdf(df(schema("a" -> DoubleType, "b" -> DoubleType),
+      Seq(null, 100.0), Seq(1.0, 1.0), Seq(2.0, 2.0)))
+    // complete pairs (1,1),(2,2) are perfectly monotone → 1.0; ranking
+    // the null row would feed corr([1,2,3],[3,1,2]) = -0.5
+    val r = Stats.spearman(d, "a", "b").sdf.collect()(0).getDouble(0)
+    assert(approx(r, 1.0), r.toString)
+  }
+
+  test("describe percentile labels round instead of truncating; matrix/" +
+      "frequency/qcut reserved-name and degenerate guards are loud") {
+    val d = Gdf(Seq((1.0, 2.0), (3.0, 4.0)).toDF("x", "y"))
+    // 0.29 * 100 == 28.999999... — .toInt labeled it p28
+    val labels = col1[String](Stats.describe(d, Seq(0.29, 0.57)).sdf
+      .select("statistic").distinct(), "statistic")
+    assert(labels.contains("p29") && labels.contains("p57"), labels.toString)
+    intercept[IllegalArgumentException] {
+      Stats.frequencies(Gdf(Seq(1L).toDF("counts")), Seq("counts"))
+    }
+    intercept[IllegalArgumentException] {
+      Stats.correlationMatrix(Gdf(Seq((1.0, 2.0)).toDF("names", "x")),
+        Seq("names", "x"))
+    }
+    intercept[IllegalArgumentException] {
+      Stats.correlationMatrix(Gdf(Seq((1.0, 2.0)).toDF("a__b", "x")),
+        Seq("a__b", "x"))
+    }
+    intercept[IllegalArgumentException] {
+      Stats.nilCount(Gdf(Seq(1L).toDF("v").drop("v")))
+    }
+    intercept[IllegalArgumentException] {
+      Stats.qcut(d, "x", Seq.empty)
+    }
+    // duplicate breaks make a bin unreachable — strictly-ascending now
+    intercept[IllegalArgumentException] {
+      Stats.cut(org.apache.spark.sql.functions.col("x"), Seq(1.0, 1.0))
+    }
+    // constant column → equal quantiles → the Column qcut is loud too
+    val const = Gdf(Seq(1.0, 1.0, 1.0).toDF("v"))
+    intercept[IllegalArgumentException] {
+      Stats.qcut(const, "v", Seq(0.25, 0.75))
+    }
   }
 
   test("categorise maps values through a dictionary") {
