@@ -23,7 +23,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
 final case class Ctx(
     groups: Seq[String],
     rowOrder: Seq[Column],
-    windowed: Boolean) {
+    windowed: Boolean,
+    private[graft] val frame: Option[DataFrame] = None) {
 
   /** Group-partitioned window (whole frame when ungrouped). */
   def part: WindowSpec = Window.partitionBy(groups.map(F.col): _*)
@@ -35,10 +36,26 @@ final case class Ctx(
     part.orderBy(rowOrder: _*)
   }
 
+  /** An UNGROUPED aggregate in mutate/filter position: a whole-frame
+    * window would be `Exchange SinglePartition` — every row funneled
+    * through one task, the plan shape this file bans for row ids — so it
+    * runs as a broadcast scalar subquery over the frame instead (the
+    * sampleN pattern: one parallel aggregation, no shuffle of the rows).
+    * Falls back to the window form when no frame reference is available
+    * (hand-built Ctx). */
+  private def ungroupedAgg(c: Column): Column =
+    frame match {
+      case Some(df) => org.apache.spark.sql.graftbridge.Bridge
+        .scalarSubquery(df.select(c))
+      case None => c.over(part)
+    }
+
   /** Route an aggregate: windowed-over-groups in mutate/filter position,
     * plain aggregation (flagged) in summarise position. */
   private[graft] def agg(c: Column): Series =
-    if (windowed) Series(c.over(part)) else Series(c, isAgg = true)
+    if (!windowed) Series(c, isAgg = true)
+    else if (groups.nonEmpty) Series(c.over(part))
+    else Series(ungroupedAgg(c))
 
   /** Per-aggregate routing for COMPOUND aggregations (several aggregate
     * functions combined in one expression, e.g. product's
@@ -48,7 +65,9 @@ final case class Ctx(
     * plan with MISSING_GROUP_BY. Wrap every aggregate with [[aggPart]],
     * then the combined expression with [[compound]]. */
   private[graft] def aggPart(c: Column): Column =
-    if (windowed) c.over(part) else c
+    if (!windowed) c
+    else if (groups.nonEmpty) c.over(part)
+    else ungroupedAgg(c)
 
   /** See [[aggPart]]. */
   private[graft] def compound(c: Column): Series =
@@ -115,7 +134,8 @@ final class Gdf(
       stableGroups: Boolean = stableGroups): Gdf =
     new Gdf(sdf, groups, rowOrder, logical, stableGroups)
 
-  private def ctx(windowed: Boolean) = Ctx(groups, rowOrder, windowed)
+  private def ctx(windowed: Boolean) =
+    Ctx(groups, rowOrder, windowed, Some(sdf))
 
   // ======== projection / selection (reference data_frame.ex:2458-2522) ======
 
@@ -143,10 +163,14 @@ final class Gdf(
     val m = pairs.toMap
     // rowOrder follows the rename too: its Columns hold UNRESOLVED
     // attribute names, and a stale one would fail resolution on the next
-    // positional verb (head/slice/shift/...) against the renamed frame
+    // positional verb (head/slice/shift/...) against the renamed frame.
+    // The rewrite goes through mapSortChild so a direction-bearing key
+    // (.desc / withNils) keeps its ColumnNode SortOrder wrapper — a full
+    // catalyst round trip produced the smuggled-SortOrder shape that
+    // Dataset.sort double-wraps and codegen-crashes on
     val bridge = org.apache.spark.sql.graftbridge.Bridge
-    val reOrdered = rowOrder.map(c => bridge.column(
-      bridge.expression(c).transform {
+    val reOrdered = rowOrder.map(c => bridge.mapSortChild(c, e =>
+      e.transform {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
             if m.contains(a.name) =>
           org.apache.spark.sql.catalyst.analysis
@@ -240,6 +264,8 @@ final class Gdf(
         "ungrouped tail needs a row order: call .ordered(cols*) first")
       copy(sdf.sort(rowOrder.map(Bridge.flipSortOrder): _*).limit(n))
     } else {
+      require(rowOrder.nonEmpty, // the standard message, not an obscure
+        "positional op needs a row order: call .ordered(cols*) first")
       val c = ctx(true)
       val w = c.part.orderBy(rowOrder.map(Bridge.flipSortOrder): _*)
       copy(sdf.withColumn("__rn", F.row_number().over(w))
@@ -282,8 +308,12 @@ final class Gdf(
     // triggers Spark's WindowGroupLimit rewrite (partial top-k per group
     // BEFORE the shuffle) — filtering on row_number()-1 arithmetic doesn't
     val rn = F.row_number().over(c.orderedWin)
+    // offset.toLong + len: Int arithmetic overflows for the "rest from
+    // position k" idiom (slice(1, Int.MaxValue)) and silently returns an
+    // empty frame — same fix the ungrouped path carries
     copy(sdf.withColumn("__rn", rn)
-      .filter(F.col("__rn") > offset && F.col("__rn") <= offset + len)
+      .filter(F.col("__rn") > offset &&
+        F.col("__rn") <= F.lit(offset.toLong + len))
       .drop("__rn"))
   }
 
@@ -311,10 +341,17 @@ final class Gdf(
   }
 
   /** `index_of/2` — 0-based index of the first row where `col == value`
-    * over the declared order (reference series.ex:7023). */
-  def indexOf(colName: String, value: Any): DataFrame =
-    withIdxCol("__rn").filter(F.col(colName) === F.lit(value))
+    * over the declared order (reference series.ex:7023). Series-level:
+    * the index is GLOBAL over the declared order even on a grouped frame
+    * (withIdxCol's per-group indices would report a group-relative
+    * position as if it were the documented global one). */
+  def indexOf(colName: String, value: Any): DataFrame = {
+    require(rowOrder.nonEmpty,
+      "positional op needs a row order: call .ordered(cols*) first")
+    plans.RowId.attach(sdf, rowOrder, "__rn")
+      .filter(F.col(colName) === F.lit(value))
       .agg(F.min("__rn").as("index"))
+  }
 
   /** `sample/2` (reference data_frame.ex:4475-4527). Ungrouped
     * fraction-based maps to Spark's distributed Bernoulli sampler; grouped
@@ -327,6 +364,10 @@ final class Gdf(
     * TakeOrdered is a partial sort). */
   def sampleFrac(frac: Double, seed: Long = 42L,
       replace: Boolean = false): Gdf = {
+    // negative fractions: the grouped path's floor(gn * frac) filter would
+    // silently return an empty frame where the ungrouped Spark sampler
+    // raises — one consistent loud contract
+    require(frac >= 0.0, s"sample fraction must be non-negative, got $frac")
     require(frac <= 1.0 || replace,
       s"cannot take a larger sample than the total population without " +
         s"replacement (frac=$frac)")
@@ -438,8 +479,15 @@ final class Gdf(
           .drop("__rn", "__ok"))
       }
     } else if (groups.isEmpty) {
+      // drawing n > 0 from an EMPTY population is as impossible with
+      // replacement as without: the assert rides the draws table (range(n)
+      // is never statically empty, so it always evaluates) instead of the
+      // join silently matching nothing
       val cnt = bridge.scalarSubquery(sdf.select(F.count(F.lit(1))))
       val draws = spark.range(n.toLong)
+        .filter(F.when(F.assert_true(cnt > 0L, F.lit(
+          s"cannot sample with replacement from an empty population " +
+            s"(n=$n)")).isNull, F.lit(true)))
         .select(F.floor(F.rand(seed) * cnt).cast(LongType).as("__pick"))
       copy(withIdxCol("__idx")
         .join(draws, F.col("__idx") === F.col("__pick"))
@@ -466,18 +514,19 @@ final class Gdf(
 
   def shuffle(seed: Long = 42L): Gdf = copy(sdf.orderBy(F.rand(seed)))
 
-  /** `Series.argsort` (reference series.ex:4823): 0-based original row
-    * indices (over the declared order) in the order that sorts `key`.
-    * Both the index and the output sort are distributed (range shuffles). */
   /** `argsort` (reference series.ex:4823, sort opts shared.ex:583-584):
     * positions of rows in key order. `stable` (reference default false)
     * tie-breaks equal keys by original position; nils sort last like the
-    * reference's default. */
+    * reference's default. Series-level: positions are GLOBAL over the
+    * declared order even on a grouped frame (per-group indices would
+    * emit one 0 per group — not a permutation). */
   def argsort(key: Column, descending: Boolean = false,
       stable: Boolean = false): DataFrame = {
+    require(rowOrder.nonEmpty,
+      "positional op needs a row order: call .ordered(cols*) first")
     val k = Gdf.withNils(if (descending) key.desc else key.asc, nilsLast = true)
     val order = if (stable) Seq(k, F.col("__orig").asc) else Seq(k)
-    withIdxCol("__orig")
+    plans.RowId.attach(sdf, rowOrder, "__orig")
       .orderBy(order: _*)
       .select(F.col("__orig").as("index"))
   }
@@ -538,7 +587,7 @@ final class Gdf(
       if (groups.isEmpty) sdf.orderBy(full: _*)
       // grouped sort = sort within group blocks (lazyframe.rs:202-218)
       else sdf.orderBy(groups.map(g => Gdf.withNils(F.col(g), nilsLast)) ++ full: _*)
-    new Gdf(sorted, groups, full, logical)
+    new Gdf(sorted, groups, full, logical, stableGroups)
   }
 
   // ======== distinct (reference data_frame.ex:3685-3687) ====================
@@ -642,10 +691,15 @@ final class Gdf(
   // ======== SQL (reference data_frame.ex:6887-6931) =========================
 
   /** Raw SQL against this frame registered under `tableName` — Spark SQL is
-    * strictly stronger than the reference's Polars SQL passthrough. */
+    * strictly stronger than the reference's Polars SQL passthrough. The
+    * result is a FRESH frame: the query's schema is arbitrary, so no
+    * groups/rowOrder/logical metadata carries over (stale groups pointing
+    * at aggregated-away columns broke the next verb). The temp view stays
+    * registered under `tableName` for the session, by design — it IS the
+    * API surface for follow-up queries. */
   def sql(query: String, tableName: String = "df"): Gdf = {
     sdf.createOrReplaceTempView(tableName)
-    copy(spark.sql(query))
+    Gdf(spark.sql(query))
   }
 
   // ======== UDF escape hatch (reference §2.11) ===============================
@@ -658,7 +712,11 @@ final class Gdf(
       f: Iterator[org.apache.spark.sql.Row] => Iterator[org.apache.spark.sql.Row]): Gdf = {
     import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    copy(sdf.mapPartitions(f)(enc))
+    // fresh frame: `f` controls the output rows AND schema, so carrying
+    // this frame's groups/rowOrder/logical over would describe columns
+    // that may no longer exist (or worse, same-named ones of a different
+    // dtype — a silent withLogical-invariant violation)
+    Gdf(sdf.mapPartitions(f)(enc))
   }
 
   // ======== materialization ==================================================

@@ -252,6 +252,25 @@ object Bridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .showString(numRows, truncate)
 
+  /** Rewrite a sort key's CHILD expression while preserving its
+    * ColumnNode-level SortOrder wrapper. Round-tripping the whole key
+    * through catalyst (`column(expression(key).transform(...))`) turns a
+    * direction-bearing key into the smuggled-SortOrder shape documented
+    * above (Dataset.sort wraps it in a second SortOrder and
+    * codegen-crashes) and makes [[flipSortOrder]] misread it as a bare
+    * ascending column — so direction/null placement stay at the node
+    * level and only the child takes the rewrite. */
+  def mapSortChild(key: Column, f: Expression => Expression): Column = {
+    import org.apache.spark.sql.internal.{SortOrder => SO}
+    key.node match {
+      case so: SO =>
+        val child = ExpressionUtils.expression(Column(so.child))
+        Column(so.copy(child = ExpressionUtils.column(f(child)).node))
+      case _ =>
+        ExpressionUtils.column(f(ExpressionUtils.expression(key)))
+    }
+  }
+
   /** Flip a sort key end-for-end (reference `reverse/1`): direction AND null
     * placement invert, so the reversed order is exactly the original order
     * read backwards. Bare columns are treated as Spark's default

@@ -323,4 +323,99 @@ class GdfSpec extends SparkSpec {
     // head resolves the renamed order column instead of failing on "ts"
     assert(d.head(1).sdf.collect()(0).getString(1) == "a")
   }
+
+  test("rename preserves DIRECTION-bearing order keys (desc / withNils): " +
+      "the catalyst round trip produced a smuggled SortOrder that " +
+      "Dataset.sort double-wrapped and crashed on") {
+    val d = Gdf(Seq((1L, "lo"), (3L, "hi"), (2L, "mid")).toDF("ts", "v"))
+      .ordered(F.col("ts").desc)
+      .rename("ts" -> "time")
+    assert(d.head(1).sdf.collect()(0).getString(1) == "hi")
+    // reverse after rename still flips the preserved direction
+    assert(d.reverse.head(1).sdf.collect()(0).getString(1) == "lo")
+    // sortBy-derived order keys (withNils wrappers) survive a rename too
+    val s = Gdf(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      .ordered(F.col("k")).sortBy(Seq(F.col("k").desc))
+      .rename("k" -> "kk")
+    assert(s.head(1).sdf.collect()(0).getLong(0) == 2L)
+  }
+
+  test("sortBy preserves the stableGroups flag; sql/transformRows return " +
+      "fresh metadata") {
+    val d = Gdf(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .toDF("id", "g", "v")).ordered(F.col("id"))
+    val viaSort = d.groupByStable("g").sortBy(Seq(F.col("v")))
+    assert(viaSort.stableGroups, "sortBy dropped stableGroups")
+    // sql: stale groups pointing at aggregated-away columns broke the
+    // next verb; the result is a fresh ungrouped frame
+    val q = d.groupBy("g").sql("SELECT sum(v) AS s FROM df")
+    assert(q.groups.isEmpty && q.rowOrder.isEmpty)
+    assert(q.sdf.collect()(0).getDouble(0) == 6.0)
+    val t = d.transformRows(StructType(Seq(StructField("n", LongType))))(
+      it => it.map(r => org.apache.spark.sql.Row(r.getLong(0) * 10)))
+    assert(t.groups.isEmpty && t.rowOrder.isEmpty && t.logical.isEmpty)
+  }
+
+  test("grouped slice survives offset+len Int overflow (rest-of-group " +
+      "idiom)") {
+    val d = Gdf(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g"))
+      .ordered(F.col("id")).groupBy("g")
+    val rest = d.slice(1, Int.MaxValue)
+    assert(col1[Long](rest.sdf.orderBy("id"), "id") == Seq(2L))
+  }
+
+  test("indexOf and argsort are series-level: GLOBAL positions over the " +
+      "declared order even on a grouped frame") {
+    val d = Gdf(Seq((0L, "a", 10L), (1L, "b", 99L), (2L, "b", 10L))
+      .toDF("id", "g", "v")).ordered(F.col("id")).groupBy("g")
+    // 99 first appears at global position 1 (it heads group b — the
+    // per-group index would report 0)
+    assert(d.indexOf("v", 99L).collect()(0).getLong(0) == 1L)
+    // argsort yields a permutation of 0..n-1, not one 0 per group
+    val idx = col1[Long](d.argsort(F.col("v"), stable = true), "index")
+    assert(idx.sorted == Seq(0L, 1L, 2L))
+  }
+
+  test("ungrouped mutate/filter aggregates run as scalar subqueries, " +
+      "never a single-partition window") {
+    val d = Gdf(Seq(1.0, 2.0, 3.0, 4.0).toDF("v"))
+    val out = d.filter(implicit c => Series(F.col("v")) >
+      graft.exprs.mean(gcol("v")))
+    assert(col1[Double](out.sdf.orderBy("v"), "v") == Seq(3.0, 4.0))
+    // the subquery's 1-row final-agg merge keeps a (tiny) SinglePartition
+    // exchange of PARTIAL rows — the banned shape was the whole-frame
+    // Window over an empty partitionBy, which shipped every data row to
+    // one task
+    val plan = out.sdf.queryExecution.executedPlan.toString
+    assert(plan.contains("Subquery") && !plan.contains("Window"), plan)
+    // grouped position still windows over the groups
+    val g = Gdf(Seq(("a", 1.0), ("a", 3.0), ("b", 5.0)).toDF("g", "v"))
+      .groupBy("g")
+      .mutate("m" -> (implicit c => graft.exprs.mean(gcol("v"))))
+    assert(g.sdf.filter(F.col("g") === "a").collect()
+      .forall(_.getDouble(2) == 2.0))
+  }
+
+  test("sampling guards: negative fraction loud on every path, " +
+      "with-replacement draw from an empty population loud, grouped tail " +
+      "names the missing order") {
+    val d = Gdf(Seq((1L, "a")).toDF("id", "g"))
+    intercept[IllegalArgumentException] {
+      d.groupBy("g").sampleFrac(-0.5)
+    }
+    intercept[IllegalArgumentException] { d.sampleFrac(-0.5) }
+    val empty = Gdf(Seq((1L, "a")).toDF("id", "g"))
+      .filterCol(F.lit(false)).ordered(F.col("id"))
+    val e = intercept[Throwable] {
+      empty.sampleN(5, replace = true).sdf.collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        (if (x.getCause ne x) msgs(x.getCause) else Nil))
+    assert(msgs(e).exists(_.contains("empty population")), e.toString)
+    val e2 = intercept[IllegalArgumentException] {
+      Gdf(Seq((1L, "a")).toDF("id", "g")).groupBy("g").tail(2)
+    }
+    assert(e2.getMessage.contains("row order"), e2.getMessage)
+  }
 }
