@@ -158,19 +158,18 @@ object exprs {
 
   /** Fixed-size trailing (or centered) rolling window
     * (reference series.ex:5093-5196; rolling_opts series.rs:731-830).
-    * `minPeriods` nulls out under-filled windows; `weights` applies a
-    * position-wise dot product via higher-order functions (codegen'd). */
+    * `minPeriods` nulls out under-filled windows. Weighted variants live
+    * on their own entry points ([[windowSum]]/[[windowMean]]) — a
+    * `weights` parameter here silently replaced ANY requested aggregate
+    * with the weighted dot product (a weighted min/stddev has no such
+    * formulation). */
   def rollingWindow(
       agg: Column => Column, s: Series, size: Int,
-      minPeriods: Int = 1, center: Boolean = false,
-      weights: Seq[Double] = Nil)(implicit c: Ctx): Series = {
+      minPeriods: Int = 1, center: Boolean = false)(implicit c: Ctx): Series = {
     val (lo, hi) = rollingBounds(size, center)
     val w = c.orderedWin.rowsBetween(lo, hi)
     val filled = F.count(s.col).over(w)
-    val core =
-      if (weights.isEmpty) agg(s.col).over(w)
-      else weightedDot(s, size, center, weights)._1
-    Series(F.when(filled >= minPeriods, core))
+    Series(F.when(filled >= minPeriods, agg(s.col).over(w)))
   }
 
   private def rollingBounds(size: Int, center: Boolean): (Long, Long) =
@@ -214,7 +213,17 @@ object exprs {
 
   def windowSum(s: Series, size: Int, minPeriods: Int = 1,
       center: Boolean = false, weights: Seq[Double] = Nil)(implicit c: Ctx): Series =
-    rollingWindow(F.sum, s, size, minPeriods, center, weights)
+    if (weights.isEmpty) rollingWindow(F.sum, s, size, minPeriods, center)
+    else {
+      val (lo, hi) = rollingBounds(size, center)
+      val filled = F.count(s.col).over(c.orderedWin.rowsBetween(lo, hi))
+      val (dot, _) = weightedDot(s, size, center, weights)
+      // a window with NO present values is null like the unweighted path
+      // (the fold's 0.0 seed would otherwise report 0.0), even at
+      // minPeriods = 0
+      Series(F.when(filled >= F.greatest(F.lit(minPeriods), F.lit(1)),
+        dot))
+    }
   def windowMean(s: Series, size: Int, minPeriods: Int = 1,
       center: Boolean = false, weights: Seq[Double] = Nil)(implicit c: Ctx): Series =
     if (weights.isEmpty) rollingWindow(F.avg, s, size, minPeriods, center)
@@ -225,7 +234,11 @@ object exprs {
       val (lo, hi) = rollingBounds(size, center)
       val filled = F.count(s.col).over(c.orderedWin.rowsBetween(lo, hi))
       val (dot, used) = weightedDot(s, size, center, weights)
-      Series(F.when(filled >= minPeriods && used =!= 0.0, dot / used))
+      // zero weight sums take the IEEE route (0/0 → NaN, dot/0 → ±inf) —
+      // the SAME division contract Series./ implements (Spark's legacy
+      // Divide nulls every zero divisor, doubles included, so the raw
+      // `dot / used` would silently null these windows instead)
+      Series(F.when(filled >= minPeriods, (Series(dot) / Series(used)).col))
     }
   def windowMin(s: Series, size: Int, minPeriods: Int = 1,
       center: Boolean = false)(implicit c: Ctx): Series =

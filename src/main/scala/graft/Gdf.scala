@@ -67,11 +67,16 @@ final case class Ctx(
   private[graft] def aggPart(c: Column): Column =
     if (!windowed) c
     else if (groups.nonEmpty) c.over(part)
-    else ungroupedAgg(c)
+    // ungrouped: leave the aggregate RAW — [[compound]] wraps the whole
+    // combined expression in ONE scalar subquery (one aggregation pass),
+    // where per-piece subqueries would scan the frame once per aggregate
+    else c
 
   /** See [[aggPart]]. */
   private[graft] def compound(c: Column): Series =
-    if (windowed) Series(c) else Series(c, isAgg = true)
+    if (!windowed) Series(c, isAgg = true)
+    else if (groups.nonEmpty) Series(c)
+    else Series(ungroupedAgg(c))
 }
 
 /** The dataframe facade — graft's equivalent of `Explorer.DataFrame`

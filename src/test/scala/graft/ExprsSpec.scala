@@ -107,6 +107,46 @@ class ExprsSpec extends SparkSpec {
       Seq(1.0, 1.75, 2.75, 3.75, 4.75, 5.75, 6.75, 7.75, 8.75, 9.75))
   }
 
+  test("weighted window edges: zero weight sums take the IEEE route " +
+      "(NaN/±inf, the Series./ contract), all-null windows are null like " +
+      "the unweighted path") {
+    val d = Gdf(Seq(("a", 0L, 1.0), ("a", 1L, 1.0)).toDF("g", "i", "v"))
+      .groupBy("g").ordered(F.col("i"))
+      .mutateWith { implicit c => Seq(
+        "wm" -> windowMean(gcol("v"), 2, weights = Seq(1.0, -1.0))) }
+    val got = vals(d, "wm")
+    // full window: dot = 1 - 1 = 0, used = 0 → 0/0 = NaN (not null);
+    // partial first row uses only the trailing weight -1: -1/-1 = 1
+    assert(got.head == 1.0)
+    assert(got.last.asInstanceOf[Double].isNaN, got.toString)
+    // minPeriods=0 + a window with NO present values: null, matching the
+    // unweighted sum (the fold's 0.0 seed must not leak out)
+    val dn = Gdf(Seq(("a", 0L, Option.empty[Double]),
+      ("a", 1L, Some(2.0))).toDF("g", "i", "v"))
+      .groupBy("g").ordered(F.col("i"))
+      .mutateWith { implicit c => Seq(
+        "w0" -> windowSum(gcol("v"), 1, minPeriods = 0,
+          weights = Seq(3.0)),
+        "u0" -> windowSum(gcol("v"), 1, minPeriods = 0)) }
+    val rows = dn.sdf.orderBy("i").collect()
+    assert(rows(0).isNullAt(3) && rows(0).isNullAt(4), rows(0).toString)
+    assert(rows(1).getDouble(3) == 6.0 && rows(1).getDouble(4) == 2.0)
+  }
+
+  test("ungrouped compound aggregates (product) run as ONE scalar " +
+      "subquery, not one per inner aggregate") {
+    val d = Gdf(Seq(1.0, 2.0, -3.0).toDF("v"))
+      .mutateWith { implicit c => Seq(
+        "p" -> graft.exprs.product(gcol("v"))) }
+    assert(d.sdf.collect().forall(_.getDouble(1) == -6.0))
+    val plan = d.sdf.queryExecution.executedPlan.toString
+    // one subquery reference (possibly shown twice as definition+ref);
+    // three independent subqueries would print three distinct ids
+    val ids = "subquery#\\d+".r.findAllIn(plan).toSeq.distinct
+    assert(ids.size <= 1, s"$ids\n$plan")
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("product and skew(bias=false) work in grouped-mutate position " +
       "(each inner aggregate gets its own window)") {
     val d = Gdf(Seq(("a", 0L, 2.0), ("a", 1L, -3.0), ("b", 2L, 4.0))
