@@ -31,13 +31,22 @@ final case class Series(col: Column, isAgg: Boolean = false) {
   def &&(o: Series): Series = zip(o)(_ && _)
   def ||(o: Series): Series = zip(o)(_ || _)
   def unary_! : Series = lift(!_)
+  /** Negation keeps the aggregate flag: without this, `-sum(x)` would
+    * round-trip through the toColumn/fromColumn implicit pair and
+    * resurface with isAgg = false, tripping summarise's must-aggregate
+    * require on a perfectly valid aggregate. */
+  def unary_- : Series = lift(c => -c)
   /** `binary_in` — membership against a literal collection. */
   def isIn(values: Seq[Any]): Series = lift(_.isInCollection(values))
 
   // ---- null / NaN tests (expressions.rs:185-218) ---------------------------
   def isNil: Series = lift(_.isNull)
   def isNotNil: Series = lift(_.isNotNull)
-  def isNan: Series = lift(F.isnan)
+  /** nil propagates (reference is_nan(nil) = nil) — Spark's non-nullable
+    * isnan reports false for nil, which would disagree with the adjacent
+    * isInfinite/isFinite (both null-propagating comparisons). */
+  def isNan: Series =
+    lift(c => F.when(c.isNotNull, F.isnan(c)))
   def isInfinite: Series =
     lift(c => c === Double.PositiveInfinity || c === Double.NegativeInfinity)
   def isFinite: Series =
@@ -83,11 +92,17 @@ final case class Series(col: Column, isAgg: Boolean = false) {
   def floor: Series = lift(F.floor(_: Column))
   def ceil: Series = lift(F.ceil(_: Column))
   def round(decimals: Int): Series = lift(F.round(_, decimals))
-  /** nil stays nil (reference clip) — Spark's least/greatest SKIP nulls,
-    * so unguarded they'd turn every null value into the max bound. */
+  /** nil stays nil and NaN stays NaN (reference clip) — Spark's
+    * least/greatest SKIP nulls (every null value would become the max
+    * bound) and order NaN ABOVE every number (every NaN would clamp to
+    * the max bound). The aggregate flag carries from the bounds too: an
+    * aggregate bound (clip to a computed quantile) must keep summarise's
+    * isAgg contract. */
   def clip(min: Series, max: Series): Series =
     Series(F.when(col.isNotNull,
-      F.greatest(F.least(col, max.col), min.col)), isAgg)
+      F.when(F.isnan(col.cast(DoubleType)), col)
+        .otherwise(F.greatest(F.least(col, max.col), min.col))),
+      isAgg || min.isAgg || max.isAgg)
   def sqrt: Series = lift(F.sqrt)
   /** -1/0/1 by sign (Polars `sign`); integer-typed like the reference. */
   def sign: Series = lift(F.signum(_).cast(LongType))

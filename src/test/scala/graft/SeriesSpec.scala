@@ -118,6 +118,36 @@ class SeriesSpec extends SparkSpec {
       .select(F.col("tw").cast("string")).head.getString(0)
     assert(twice.contains("2 04:00:00"), twice)
   }
+  test("NaN/nil edges: isNan propagates nil (like isInfinite/isFinite), " +
+      "clip keeps NaN instead of clamping it to the max bound, negation " +
+      "and aggregate clip bounds keep the isAgg flag") {
+    import org.apache.spark.sql.{functions => F}
+    val d = df(schema("v" -> DoubleType),
+      Seq(1.0), Seq(null), Seq(Double.NaN), Seq(100.0))
+    val out = d.select(
+      Series(F.col("v")).isNan.col.as("n"),
+      Series(F.col("v")).clip(Series(F.lit(10.0)), Series(F.lit(40.0)))
+        .col.as("c"))
+      .collect().map(r => (Option(r.getAs[Any](0)), Option(r.getAs[Any](1))))
+    assert(out(0) == (Some(false), Some(10.0)))
+    assert(out(1) == (None, None)) // nil → nil on both
+    assert(out(2)._1 == Some(true))
+    assert(out(2)._2.exists(_.asInstanceOf[Double].isNaN),
+      out(2).toString) // NaN survives clip (Spark's greatest would clamp)
+    assert(out(3) == (Some(false), Some(40.0)))
+    // -sum(x) stays an aggregate: the implicit Column round trip dropped
+    // the flag and summarise refused a valid aggregate
+    val g = Gdf(Seq(1.0, 2.0).toDF("x"))
+      .summarise("neg" -> { implicit c: Ctx =>
+        -graft.exprs.sum(gcol("x")) })
+    assert(g.sdf.collect()(0).getDouble(0) == -3.0)
+    // an aggregate clip BOUND keeps the flag too
+    val gb = Gdf(Seq(1.0, 50.0).toDF("x"))
+      .summarise("m" -> { implicit c: Ctx =>
+        Series(F.lit(45.0)).clip(graft.exprs.min(gcol("x")),
+          graft.exprs.max(gcol("x"))) })
+    assert(gb.sdf.collect()(0).getDouble(0) == 45.0)
+  }
 }
 
 /** DType lattice (reference shared.ex:52-114, series.ex:96-112). */
@@ -162,4 +192,5 @@ class DTypeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(iotype(Str).isEmpty && iotype(Binary).isEmpty)
     assert(iotype(DList(S(64))).isEmpty)
   }
+
 }
