@@ -25,6 +25,8 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false") // reference semantics: nil/infinity, not runtime aborts (GraftSession)
       .config("spark.sql.legacy.sizeOfNull", "false") // size(null) stays null, not legacy -1
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // unions concatenate, never zip (GraftSession rationale)
+      .config("spark.sql.unionOutputPartitioning", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: absorb first-job costs (codegen/scan-strategy init, parquet

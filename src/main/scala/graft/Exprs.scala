@@ -237,8 +237,12 @@ object exprs {
       // zero weight sums take the IEEE route (0/0 → NaN, dot/0 → ±inf) —
       // the SAME division contract Series./ implements (Spark's legacy
       // Divide nulls every zero divisor, doubles included, so the raw
-      // `dot / used` would silently null these windows instead)
-      Series(F.when(filled >= minPeriods, (Series(dot) / Series(used)).col))
+      // `dot / used` would silently null these windows instead). But a
+      // window with NO present values is null like windowSum and the
+      // unweighted avg path, even at minPeriods = 0 — the fold's 0.0/0.0
+      // seeds are an artifact of the empty fold, not a zero weight sum
+      Series(F.when(filled >= F.greatest(F.lit(minPeriods), F.lit(1)),
+        (Series(dot) / Series(used)).col))
     }
   def windowMin(s: Series, size: Int, minPeriods: Int = 1,
       center: Boolean = false)(implicit c: Ctx): Series =

@@ -44,7 +44,19 @@ object GraftSession {
     // size(null) must stay null: the legacy -1 default is TIED to ANSI
     // (sizeOfNull defaults to !ansi), so disabling ANSI would silently
     // resurrect it without this pin
-    "spark.sql.legacy.sizeOfNull" -> "false")
+    "spark.sql.legacy.sizeOfNull" -> "false",
+    // union must CONCATENATE children's partitions, never zip them:
+    // Spark 4's partitioning-aware union merges partition i of every
+    // child into one partition when the children's output partitionings
+    // compare equal. Two engine contracts break under that: concat_rows'
+    // frame order (the reference stacks frames in argument order; a
+    // zipped self-union of a hash-partitioned frame interleaves instead)
+    // and Shards.readShards' one-partition-per-shard layout (its union
+    // of per-shard coalesce(1) children — all SinglePartition — would
+    // collapse to ONE serial partition). The engine never relies on
+    // partitioning propagating THROUGH a union (grouped verbs window or
+    // re-shuffle explicitly), so this trades nothing it uses.
+    "spark.sql.unionOutputPartitioning" -> "false")
 
   /** Builder with the recommended confs applied; caller picks master. */
   def builder(appName: String = "graft",

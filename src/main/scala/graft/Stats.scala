@@ -19,6 +19,12 @@ object Stats {
     })
     require(numeric.nonEmpty, // not a bare aggs.head crash
       s"describe: no numeric columns among ${df.names.mkString(", ")}")
+    // labels carry 4 decimal digits of percent, so only percentiles
+    // closer than 1e-6 collide — refuse those with a clear message
+    // instead of the opaque duplicate-alias analysis crash they'd cause
+    require(percentiles.map(pLabel).distinct.size == percentiles.size,
+      s"describe: percentiles ${percentiles.mkString(", ")} collapse to " +
+        "duplicate labels — values must differ by at least 1e-6")
     val aggs = numeric.flatMap { n =>
       val c = F.col(n)
       Seq(F.count(c).as(s"${n}__count"),
@@ -48,9 +54,16 @@ object Stats {
   }
 
   /** Percentile label: `.toInt` TRUNCATES the IEEE product (0.29 * 100 ==
-    * 28.999999999999996 → "p28", and 0.5/0.505 collide on one alias →
-    * ambiguous-reference crash), so round. */
-  private def pLabel(p: Double): String = s"p${Math.round(p * 100)}"
+    * 28.999999999999996 → "p28"), so round — but only to 4 decimals of a
+    * percent, keeping sub-percent percentiles distinct (0.551/0.554 →
+    * p55_1/p55_4, not one colliding p55); trailing zeros stripped so the
+    * common whole-percent labels stay p25/p50/p75. */
+  private def pLabel(p: Double): String = {
+    val bd = BigDecimal(p * 100)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.stripTrailingZeros
+    s"p${bd.toPlainString.replace('.', '_')}"
+  }
 
   /** `frequencies/1`: value counts, descending (data_frame.ex:6784-6800). */
   def frequencies(df: Gdf, cols: Seq[String]): Gdf = {

@@ -22,6 +22,8 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); Spark has no ns timestamps
       // (SURVEY §1.2) — read as long (ns since epoch), convert at facade.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // unions concatenate, never zip (GraftSession rationale)
+      .config("spark.sql.unionOutputPartitioning", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -93,9 +93,49 @@ object Shards {
       .parquet(GraftIO.resolveWriteUrl(path))
   }
 
-  /** Read an exported shard layout back in shard/pos order — the
-    * trainer-side iterator contract. */
-  def readShards(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(GraftIO.resolveUrl(path))
-      .orderBy(F.col("shard"), F.col("pos"))
+  /** Read an exported shard layout back in per-shard `pos` order — the
+    * trainer-side iterator contract: one partition per shard, rows inside
+    * each partition in `pos` order, partitions in `shard` order (a
+    * trainer iterating partitions 0..N-1 sees the full deterministic
+    * sequence).
+    *
+    * Exchange-free by construction: the directory layout ALREADY encodes
+    * the shard clustering, so a global `orderBy(shard, pos)` — a
+    * range-partitioning shuffle plus full sort of the entire corpus —
+    * would re-buy what the write side paid for. Instead each task reads
+    * exactly one `shard=N` directory (a file-list union of per-shard
+    * single-directory scans, so no shuffle can be introduced) and sorts
+    * only within it; at 100 TB that is a scan plus in-partition sorts,
+    * zero exchange. [[ShardsSpec]] pins the no-Exchange plan shape the
+    * same way the write side pins its one-Exchange shape. */
+  def readShards(spark: SparkSession, path: String): DataFrame = {
+    val url = GraftIO.resolveUrl(path)
+    val root = new org.apache.hadoop.fs.Path(url)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shardDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .map(s => (s.getPath.getName.stripPrefix("shard=").toLong,
+        s.getPath.toString))
+      .sortBy(_._1)
+    require(shardDirs.nonEmpty,
+      s"readShards: no shard=N directories under $path — not a " +
+        "writeShards layout")
+    // one single-directory read per shard: coalesce(1) fuses any
+    // maxPartitionBytes splits of the shard file back into ONE partition
+    // (a shuffle-free concatenation — the unit of trainer consumption is
+    // the shard, so one task per shard is the contract, and the pos sort
+    // then restores full-shard order regardless of split concat order);
+    // the union preserves child order, so partition order IS shard
+    // order. The shard partition column is re-attached as a literal
+    // (basePath-less leaf reads don't surface it). The plan is
+    // O(numShards) union children — fine into the thousands; beyond
+    // that, trainers read their own `shard=N` directories directly (the
+    // layout is the contract, this helper is the reference iterator).
+    shardDirs.map { case (sid, dir) =>
+      spark.read.parquet(dir)
+        .coalesce(1)
+        .withColumn("shard", F.lit(sid))
+        .sortWithinPartitions(F.col("pos"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -12,11 +12,12 @@ import graft.functions.{AggExprs, VectorExprs}
   * optionally whiten so every retained direction contributes equally to
   * distances.
   *
-  * Scale shape: fitting is ONE aggregation pass — a custom
-  * [[graft.functions.VectorMoments]] buffer (count, Σx, upper-triangle
-  * Σxxᵀ) that partial-aggregates map-side, so the corpus ships exactly
-  * one (1 + d + d(d+1)/2)-double buffer per map task to the driver,
-  * never a row. The d×d eigendecomposition is driver-side cyclic Jacobi
+  * Scale shape: fitting is one bounded pivot-election aggregate (min-by
+  * hash over the vec column only — deterministic, see fitPca) plus ONE
+  * moments pass — a custom [[graft.functions.VectorMoments]] buffer
+  * (count, Σx, upper-triangle Σxxᵀ) that partial-aggregates map-side, so
+  * the corpus ships exactly one (1 + d + d(d+1)/2)-double buffer per map
+  * task to the driver, never a row. The d×d eigendecomposition is driver-side cyclic Jacobi
   * — deterministic, O(d³) on a d ≤ ~2000 matrix, the same bounded
   * planning cost as qcut's quantiles or z-order's cut points. Projection
   * is a native per-row expression with the mean/components as plan
@@ -46,12 +47,21 @@ object Embeddings {
     // moments accumulated about a point near the data keep the
     // covariance subtraction benign where raw moments cancel
     // catastrophically for |mean| >> std (e.g. un-centered features at
-    // 1e8 ± 1 lose all 16 significant digits to Σxxᵀ − n·μμᵀ)
+    // 1e8 ± 1 lose all 16 significant digits to Σxxᵀ − n·μμᵀ). The pivot
+    // is elected DETERMINISTICALLY — min over (xxhash64(v), v), the
+    // array tie-break covering hash collisions — so repeated fits over
+    // the same corpus are bit-identical regardless of plan or partition
+    // order (a bare limit(1) would pick whichever partition won the
+    // race). One vec-column-only scan; the moments pass follows.
     val probe = df.select(vec.cast(
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType)).as("v"))
-      .filter(F.col("v").isNotNull).limit(1).collect()
-    require(probe.nonEmpty, "fitPca: no non-null vectors")
+      .filter(F.col("v").isNotNull)
+      .agg(F.min(F.struct(F.xxhash64(F.col("v")).as("h"),
+        F.col("v").as("v"))).as("m"))
+      .select(F.col("m.v")).collect()
+    require(probe.nonEmpty && !probe.head.isNullAt(0),
+      "fitPca: no non-null vectors")
     val raw = probe.head.getSeq[Any](0)
     require(raw.forall(_ != null),
       "fitPca: probed pivot vector has null elements")
@@ -180,6 +190,13 @@ object Embeddings {
       }
       sweep += 1
     }
+    // loud on non-convergence: a silently-approximate basis would feed
+    // wrong components/variances downstream (practically unreachable —
+    // cyclic Jacobi converges quadratically — but cheap to assert)
+    val residual = offNorm()
+    require(residual <= tol,
+      s"jacobiEigen did not converge in $sweep sweeps on a ${d}x$d " +
+        s"matrix: off-diagonal norm $residual > tolerance $tol")
     // eigenpairs: value = diagonal, vector = COLUMN of v → emit as rows,
     // descending by value, sign fixed by largest-|component| positive
     val pairs = (0 until d).map { j =>

@@ -84,6 +84,15 @@ class EmbeddingsSpec extends SparkSpec {
     // determinism: a second fit returns the identical model
     val m2 = Embeddings.fitPca(data, F.col("v"), k = d)
     assert(m2 == m)
+    // and the moment PIVOT is plan/partition-order independent (min by
+    // vector hash, not limit(1)'s partition race): a differently-
+    // partitioned view of the same corpus elects the same pivot, so the
+    // fits agree to the ulp drift of the moments sum's combine order
+    val m3 = Embeddings.fitPca(data.repartition(7), F.col("v"), k = d)
+    m.mean.zip(m3.mean).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"$a vs $b") }
+    m.components.flatten.zip(m3.components.flatten).foreach {
+      case (a, b) => assert(math.abs(a - b) < 1e-6, s"$a vs $b") }
   }
 
   test("fitPca survives un-centered data (|mean| >> std): shifted moments " +

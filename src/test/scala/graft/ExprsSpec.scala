@@ -127,10 +127,17 @@ class ExprsSpec extends SparkSpec {
       .mutateWith { implicit c => Seq(
         "w0" -> windowSum(gcol("v"), 1, minPeriods = 0,
           weights = Seq(3.0)),
-        "u0" -> windowSum(gcol("v"), 1, minPeriods = 0)) }
+        "u0" -> windowSum(gcol("v"), 1, minPeriods = 0),
+        // weighted MEAN too: the empty window is null (not the fold
+        // seeds' 0.0/0.0 = NaN) — NaN remains reserved for genuine
+        // zero-weight-sum windows with present values
+        "m0" -> windowMean(gcol("v"), 1, minPeriods = 0,
+          weights = Seq(3.0))) }
     val rows = dn.sdf.orderBy("i").collect()
-    assert(rows(0).isNullAt(3) && rows(0).isNullAt(4), rows(0).toString)
-    assert(rows(1).getDouble(3) == 6.0 && rows(1).getDouble(4) == 2.0)
+    assert(rows(0).isNullAt(3) && rows(0).isNullAt(4) && rows(0).isNullAt(5),
+      rows(0).toString)
+    assert(rows(1).getDouble(3) == 6.0 && rows(1).getDouble(4) == 2.0 &&
+      rows(1).getDouble(5) == 2.0)
   }
 
   test("ungrouped compound aggregates (product) run as ONE scalar " +

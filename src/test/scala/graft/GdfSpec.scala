@@ -282,6 +282,20 @@ class GdfSpec extends SparkSpec {
     assert(c("spark.sql.adaptive.skewJoin.enabled") == "true")
     assert(c("spark.sql.session.timeZone") == "UTC")
     assert(c("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    // unions concatenate, never zip: Spark 4's partitioning-aware union
+    // would interleave a zipped self-union (breaking concat_rows frame
+    // order) and collapse readShards' per-shard union to one partition
+    assert(c("spark.sql.unionOutputPartitioning") == "false")
+  }
+
+  test("concat_rows of SinglePartition frames keeps frame order and " +
+      "partition concatenation (the Spark 4 union zip stays off)") {
+    val a = Gdf(Seq(1L, 2L).toDF("v").coalesce(1))
+    val b = Gdf(Seq(3L, 4L).toDF("v").coalesce(1))
+    val u = Reshape.concatRows(Seq(a, b))
+    assert(u.sdf.rdd.getNumPartitions == 2,
+      u.sdf.queryExecution.executedPlan.toString)
+    assert(u.sdf.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
   test("sampleN(0) is empty in every variant — grouped with-replacement " +

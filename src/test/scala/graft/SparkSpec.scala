@@ -17,6 +17,9 @@ object SparkSpec {
       .config("spark.sql.legacy.sizeOfNull", "false") // size(null) stays null, not legacy -1
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // unions concatenate, never zip (GraftSession rationale: concat_rows
+    // frame order + readShards partition-per-shard)
+    .config("spark.sql.unionOutputPartitioning", "false")
     .getOrCreate()
 }
 

@@ -81,6 +81,17 @@ class StatsSpec extends SparkSpec {
     val labels = col1[String](Stats.describe(d, Seq(0.29, 0.57)).sdf
       .select("statistic").distinct(), "statistic")
     assert(labels.contains("p29") && labels.contains("p57"), labels.toString)
+    // sub-percent percentiles keep DISTINCT labels (whole-percent
+    // rounding collapsed 0.551/0.554 into one alias → opaque
+    // duplicate-reference crash); true sub-1e-6 collisions are refused
+    // loudly instead
+    val sub = col1[String](Stats.describe(d, Seq(0.551, 0.554)).sdf
+      .select("statistic").distinct(), "statistic")
+    assert(sub.contains("p55_1") && sub.contains("p55_4"), sub.toString)
+    val dup = intercept[IllegalArgumentException] {
+      Stats.describe(d, Seq(0.5500000001, 0.5500000002))
+    }
+    assert(dup.getMessage.contains("duplicate labels"), dup.getMessage)
     intercept[IllegalArgumentException] {
       Stats.frequencies(Gdf(Seq(1L).toDF("counts")), Seq("counts"))
     }
