@@ -1389,7 +1389,7 @@ object SparkEntry {
       streaming.Streams.readParquetStream(s, feed.toString, docs.schema,
         maxFilesPerTrigger = 1),
       "doc_id", layout, name = s"s10_${dir.hashCode.abs}_$run",
-      clusterCols = Seq("doc_id"), targetFiles = 2)
+      clusterCols = Seq("doc_id"), targetFiles = 2, compactEvery = 2)
     io.Manifest.readSkipping(s, layout, "doc_id", 0L, Long.MaxValue / 2)
       .select("doc_id", "source", "text", "n_chars")
       .orderBy("doc_id")

@@ -12,12 +12,15 @@ import org.apache.spark.sql.{functions => F}
   * range, a size bucket) still costs a full file LISTING plus a footer
   * read per file before parquet's row-group stats can reject anything —
   * on object storage that is 100k+ GET-footer round trips for a query
-  * that touches three files. A manifest inverts that: one small parquet
-  * table (one row PER DATA FILE: row count + min/max of the declared
+  * that touches three files. A manifest inverts that: a small parquet
+  * side table (one row PER DATA FILE: row count + min/max of the declared
   * stats columns) is consulted first, and only surviving files are handed
-  * to the scan. The driver-side manifest collect is bounded by file
-  * count, not data size — 100k files ≈ 100k tiny rows, the same scale of
-  * driver state every FileIndex already holds.
+  * to the scan. The manifest itself is SEGMENTED (see the layout note
+  * below): each mutation appends a part covering only its own files, so
+  * per-mutation manifest cost tracks the batch, never the table; reads
+  * compose parts minus tombstones, and [[compactManifest]] periodically
+  * folds them (driver-side, file-count-bound — the Delta-checkpoint
+  * posture, the only full-manifest materialization left).
   *
   * Skipping is only as good as the layout is clustered: `clusterCols`
   * range-repartitions + in-file sorts the write so per-file [min,max]
@@ -29,7 +32,88 @@ import org.apache.spark.sql.{functions => F}
   */
 object Manifest {
 
-  private def manifestPath(url: String) = url + "/_manifest"
+  // ---- segmented manifest layout ------------------------------------------
+  // The manifest itself is an LSM, not a single rewritten file (the same
+  // pattern as the engine's index segments and rollups, third
+  // application): `_manifest/parts/seg=<op>/` holds one append-only
+  // parquet PART per mutation. A part row is either LIVE (`rows`
+  // non-null: file, rows, min_*, max_* — a data file this mutation
+  // wrote) or a TOMBSTONE (`rows` null: a data file this mutation
+  // retired). The live manifest = live rows of all parts, deduplicated
+  // by file, minus every tombstoned file. Dedup is safe because a file
+  // path is content-immutable (Spark part names carry a fresh job UUID
+  // per write), so duplicate live rows for one file are identical and
+  // any survivor is correct; duplicates only exist inside a crashed
+  // compaction's retry window.
+  //
+  // Why: the previous design collected and rewrote the FULL manifest on
+  // every mutation — file-count-bound driver state and a whole-table
+  // manifest write per batch. At ~1M files (a 100 TB table) that is tens
+  // of MB of driver traffic per micro-batch. With parts, a mutation
+  // writes rows for ITS OWN files only; cost tracks the batch, not the
+  // table. Parts accrete per mutation (exactly like data segments) and
+  // [[compactManifest]] folds them back to one, the same economics as
+  // every compactor here.
+  //
+  // Crash safety per mutation: the part (live rows AND tombstones, ONE
+  // dynamic-overwrite write — they commit atomically) lands BEFORE the
+  // retired data files are deleted. A crash before the part leaves the
+  // mutation invisible (orphans for [[vacuum]]); after it, only
+  // not-yet-deleted retired files linger as orphans. The manifest is
+  // readable at every prefix and never lists a missing file, never
+  // loses a row.
+  private def partsPath(url: String) = url + "/_manifest/parts"
+
+  /** Write (dynamic-overwrite) one manifest part for `segment` — a
+    * retried mutation REPLACES its earlier part, same contract as every
+    * data-segment appender. `rows` is (file, rows, min_*, max_*), with
+    * null `rows` marking tombstones. */
+  private def writePart(rows: DataFrame, url: String,
+      segment: String): Unit =
+    rows.coalesce(1)
+      .withColumn("seg", F.lit(segment))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("seg")
+      .parquet(partsPath(url))
+
+  /** Drop a segment's manifest part (an empty retried batch must clear
+    * its earlier attempt's rows — a zero-row dynamic overwrite would
+    * leave the old files listed). */
+  private def dropPart(spark: SparkSession, url: String,
+      segment: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${partsPath(url)}/seg=$segment")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Tombstone rows in the part schema of `live`: file set, everything
+    * else null (the `rows IS NULL` marker). */
+  private def tombRows(live: DataFrame, files: Seq[String]): DataFrame = {
+    val spark = live.sparkSession
+    import spark.implicits._
+    val byName = live.schema.fields.map(f => f.name -> f.dataType).toMap
+    files.toDF("file").select(F.col("file") +:
+      live.schema.fieldNames.filter(_ != "file").map(n =>
+        F.lit(null).cast(byName(n)).as(n)): _*)
+  }
+
+  /** Non-empty child `seg=` directories of the parts root — one bounded
+    * listing. */
+  private def segDirs(spark: SparkSession, root: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
+      .map(_.getPath.toString)
+  }
+
+  /** All part rows (live + tombstones) as written, `seg` dropped. */
+  private def rawParts(spark: SparkSession, url: String): DataFrame = {
+    require(segDirs(spark, partsPath(url)).nonEmpty,
+      s"no manifest at $url — write the layout with writeWithManifest")
+    spark.read.parquet(partsPath(url)).drop("seg")
+  }
 
   /** The layout owns `seg` (its partition directory — a data column of
     * that name would be silently REPLACED by `withColumn("seg", ...)` and
@@ -84,7 +168,7 @@ object Manifest {
       targetFiles: Int): DataFrame =
     if (clusterCols.isEmpty) df
     else {
-      val keys = clusterCols.map(F.col)
+      val keys = clusterCols.map(GraftIO.qcol)
       val ranged =
         if (targetFiles > 0) df.repartitionByRange(targetFiles, keys: _*)
         else df.repartitionByRange(keys: _*)
@@ -95,9 +179,11 @@ object Manifest {
   private def harvest(spark: SparkSession, files: Seq[String],
       statsCols: Seq[String]): DataFrame = {
     val aggs = F.count(F.lit(1)).as("rows") +: statsCols.flatMap(c =>
-      Seq(F.min(F.col(c)).as(s"min_$c"), F.max(F.col(c)).as(s"max_$c")))
+      Seq(F.min(GraftIO.qcol(c)).as(s"min_$c"),
+        F.max(GraftIO.qcol(c)).as(s"max_$c")))
     spark.read.parquet(files: _*)
-      .select(F.input_file_name().as("file") +: statsCols.map(F.col): _*)
+      .select(F.input_file_name().as("file") +:
+        statsCols.map(GraftIO.qcol): _*)
       .groupBy("file").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -131,9 +217,9 @@ object Manifest {
       .parquet(url)
     val spark = df.sparkSession
     val files = spark.read.parquet(url).inputFiles.toSeq
-    harvest(spark, files, statsCols)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(manifestPath(url))
+    // the data overwrite above wiped any previous _manifest with the rest
+    // of the directory; the fresh layout starts from one base part
+    writePart(harvest(spark, files, statsCols), url, "base")
   }
 
   /** Append a batch to an existing manifested layout incrementally,
@@ -141,13 +227,14 @@ object Manifest {
     * partition via dynamic partition overwrite (the contract every
     * segment appender in this engine pins — a retried batch REPLACES its
     * previous, possibly partial, attempt instead of double-writing), and
-    * the manifest is rewritten as (rows of every OTHER segment) ∪ (stats
-    * harvested from THIS segment's files — a partition-pruned scan;
-    * history is never re-read). A crash between the data write and the
-    * manifest write leaves the segment invisible to skipping reads until
-    * the at-least-once driver retries the batch, which heals both —
-    * distinct batches MUST use distinct segment ids, as with
-    * [[graft.operators.Rollup.appendRollup]].
+    * the manifest gains ONE PART holding stats harvested from THIS
+    * segment's files (a partition-pruned scan; neither history's data
+    * nor history's manifest rows are ever re-read or re-written — the
+    * mutation cost tracks the batch, not the table). A crash between the
+    * data write and the part write leaves the segment invisible to
+    * skipping reads until the at-least-once driver retries the batch,
+    * which heals both — distinct batches MUST use distinct segment ids,
+    * as with [[graft.operators.Rollup.appendRollup]].
     *
     * Batch-local clustering keeps each batch's envelopes tight; across
     * batches, envelopes may overlap (several files survive a band
@@ -161,9 +248,7 @@ object Manifest {
     requireNoReservedCols(df, "appendWithManifest")
     val spark = df.sparkSession
     val url = GraftIO.resolveUrl(path)
-    val old = manifest(spark, path)
-    val statsCols = old.columns.filter(_.startsWith("min_"))
-      .map(_.stripPrefix("min_")).toSeq
+    val statsCols = manifestStatsCols(spark, url)
     clustered(df, clusterCols, targetFiles)
       .withColumn("seg", F.lit(segment))
       .write.mode("overwrite")
@@ -172,17 +257,19 @@ object Manifest {
       .partitionBy("seg")
       .parquet(url)
     val segFiles = segmentFiles(spark, url, segment)
-    // drop any earlier attempt's rows for THIS segment (retry replace),
-    // keep every other segment's; materialize before overwriting the
-    // manifest the union reads
-    val kept = old.filter(!F.col("file").contains(s"/seg=$segment/"))
-    val merged = (if (segFiles.isEmpty) kept
-      else kept.unionByName(harvest(spark, segFiles, statsCols)))
-      .collect()
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(merged.toSeq, 1), old.schema)
-      .write.mode("overwrite").parquet(manifestPath(url))
+    // this segment's part replaces any earlier attempt's (retry heal);
+    // an EMPTY retried batch must clear its earlier rows explicitly — a
+    // zero-row dynamic overwrite would leave them listed
+    if (segFiles.isEmpty) dropPart(spark, url, segment)
+    else writePart(harvest(spark, segFiles, statsCols), url, segment)
   }
+
+  /** The declared stats columns of a manifested layout, read from the
+    * parts' parquet schema — one footer, no data. Loud when absent. */
+  private def manifestStatsCols(spark: SparkSession,
+      url: String): Seq[String] =
+    rawParts(spark, url).schema.fieldNames.toSeq
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
 
   /** Time-partitioned layout WITH an in-day secondary clustering column
     * and a per-file manifest — the production composition of the two
@@ -215,9 +302,7 @@ object Manifest {
       .parquet(url)
     val spark = df.sparkSession
     val files = spark.read.parquet(url).inputFiles.toSeq
-    harvest(spark, files, Seq(tsNsCol, secondary))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(manifestPath(url))
+    writePart(harvest(spark, files, Seq(tsNsCol, secondary)), url, "base")
   }
 
   /** Z-ORDERED manifested write — multi-column data skipping done right:
@@ -266,14 +351,14 @@ object Manifest {
     // the multi-column approxQuantile scans df once for all z columns
     // (nulls ignored per column), not once per column
     val casted = df.select(zCols.map(c =>
-      F.col(c).cast("double").as(c)): _*)
+      GraftIO.qcol(c).cast("double").as(c)): _*)
     val breaks: Seq[Array[Double]] = casted.stat
       .approxQuantile(zCols.toArray, probs, 0.001).toSeq
     zCols.zip(breaks).foreach { case (c, bs) =>
       require(bs.nonEmpty, s"z-order column $c has no non-null values")
     }
     def bucketOf(c: String, bs: Array[Double]): Column = {
-      val v = F.col(c).cast("double")
+      val v = GraftIO.qcol(c).cast("double")
       // count of breaks <= v via one literal-array filter (one compact
       // expression vs a breaks-length when-chain), nulls to bucket 0
       val distinctBs = bs.distinct.sorted
@@ -299,16 +384,17 @@ object Manifest {
       targetFiles = 0, compression = compression)
   }
 
-  /** The manifest table (one row per data file). Fails loud when absent —
-    * an un-manifested path silently full-scanning would defeat the whole
-    * point of declaring the read pruned. */
+  /** The live manifest table (one row per data file): union of parts,
+    * minus tombstoned files, deduplicated by file (see the layout note at
+    * the top). Fails loud when absent — an un-manifested path silently
+    * full-scanning would defeat the whole point of declaring the read
+    * pruned. */
   def manifest(spark: SparkSession, path: String): DataFrame = {
     val url = GraftIO.resolveUrl(path)
-    val p = new org.apache.hadoop.fs.Path(manifestPath(url))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p),
-      s"no manifest at $url — write the layout with writeWithManifest")
-    spark.read.parquet(manifestPath(url))
+    val all = rawParts(spark, url)
+    all.filter(F.col("rows").isNotNull).dropDuplicates("file")
+      .join(all.filter(F.col("rows").isNull).select("file"),
+        Seq("file"), "left_anti")
   }
 
   /** Inclusive-range read `col ∈ [lo, hi]` over a manifested layout:
@@ -341,11 +427,12 @@ object Manifest {
     }
     // overlap test per band: NOT (file entirely above or below the range)
     val keep = bands.map { case (c, lo, hi) =>
-      F.col(s"min_$c") <= F.lit(hi) && F.col(s"max_$c") >= F.lit(lo)
+      GraftIO.qcol(s"min_$c") <= F.lit(hi) &&
+        GraftIO.qcol(s"max_$c") >= F.lit(lo)
     }.reduce(_ && _)
     val files = man.filter(keep).select("file").collect().map(_.getString(0))
     val residual = bands.map { case (c, lo, hi) =>
-      F.col(c) >= F.lit(lo) && F.col(c) <= F.lit(hi)
+      GraftIO.qcol(c) >= F.lit(lo) && GraftIO.qcol(c) <= F.lit(hi)
     }.reduce(_ && _)
     if (files.isEmpty)
       // schema-true empty frame: the layout's schema minus its layout
@@ -365,25 +452,62 @@ object Manifest {
   // every maintenance op in this engine (no optimistic concurrency): run
   // mutations from one driver, never concurrently with another writer.
 
-  /** Rename-aside manifest swap: the new manifest is durable BEFORE the
-    * old moves, so a crash at any step leaves either the old or the new
-    * manifest readable (or a loud missing-manifest failure in the
-    * instant between the two renames — never a silent half-state). */
-  private def swapManifest(spark: SparkSession, url: String,
-      rows: Seq[org.apache.spark.sql.Row],
-      schema: org.apache.spark.sql.types.StructType): Unit = {
-    val tmp = url + "/__manifest_new"
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema)
-      .write.mode("overwrite").parquet(tmp)
-    val manP = new org.apache.hadoop.fs.Path(manifestPath(url))
-    val tmpP = new org.apache.hadoop.fs.Path(tmp)
-    val oldP = new org.apache.hadoop.fs.Path(url + "/__manifest_old")
-    val fs = manP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(oldP, true)
-    require(fs.rename(manP, oldP), s"manifest swap: move-aside failed at $url")
-    require(fs.rename(tmpP, manP), s"manifest swap: swap-in failed at $url")
-    fs.delete(oldP, true)
+  /** Fold the manifest's accreted parts and tombstones back into one
+    * base part — the compaction companion every LSM in this engine has.
+    * Run between mutations (single-writer discipline); `segment` names
+    * the compacted part and must be FRESH (a retried compaction reuses
+    * its id and replaces its own output). Returns the number of live
+    * manifest rows.
+    *
+    * Crash ordering: compacted part FIRST, then old parts deleted, then
+    * tombstones deleted LAST — a crash leaves duplicates (the same file
+    * in the compact part and a not-yet-deleted old part: healed by
+    * [[manifest]]'s dedup-by-file, since manifest rows for one immutable
+    * file path are identical) or still-applied tombstones naming
+    * already-unlisted files (a no-op), never resurrection (deleting a
+    * tombstone before the part that carries its dead rows would re-list
+    * them — hence tombs last). */
+  def compactManifest(spark: SparkSession, path: String,
+      segment: String): Long = {
+    requireSafeSegment(segment, "compactManifest")
+    val url = GraftIO.resolveUrl(path)
+    // the fold itself is driver-side and file-count-bound — the posture
+    // of a Delta checkpoint: periodic, never per-mutation (a distributed
+    // self-read-then-overwrite of the parts root would trip Spark's
+    // read/write-overlap guard). The compact part carries the live rows
+    // PLUS every tombstone that still kills a row listed in the current
+    // parts: old part dirs can then be deleted in ANY order without a
+    // resurrection window (a crash-surviving old part's dead row stays
+    // tombstoned by the compact part). Once the old parts are gone those
+    // carried tombstones reference nothing and the NEXT compaction drops
+    // them — self-cleaning.
+    val all = rawParts(spark, url).collect()
+    val oldDirs = segDirs(spark, partsPath(url))
+      .filterNot(_.endsWith(s"/seg=$segment"))
+    val fileIdx = all.headOption.map(_.fieldIndex("file")).getOrElse(0)
+    val rowsIdx = all.headOption.map(_.fieldIndex("rows")).getOrElse(0)
+    val rawLive = all.filter(!_.isNullAt(rowsIdx))
+    val tombFiles = all.filter(_.isNullAt(rowsIdx))
+      .map(_.getString(fileIdx)).toSet
+    val listed = rawLive.map(_.getString(fileIdx)).toSet
+    val seenLive = scala.collection.mutable.Set.empty[String]
+    val liveOut = rawLive.filter { r =>
+      val f = r.getString(fileIdx)
+      !tombFiles.contains(f) && seenLive.add(f)
+    }
+    val seenTomb = scala.collection.mutable.Set.empty[String]
+    val carried = all.filter { r =>
+      r.isNullAt(rowsIdx) && listed.contains(r.getString(fileIdx)) &&
+        seenTomb.add(r.getString(fileIdx))
+    }
+    val schema = rawParts(spark, url).schema
+    writePart(spark.createDataFrame(
+      spark.sparkContext.parallelize((liveOut ++ carried).toSeq, 1),
+      schema), url, segment)
+    val fs = new org.apache.hadoop.fs.Path(url)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    oldDirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    liveOut.length.toLong
   }
 
   /** Delete every row whose `keyCol` appears in `keys` (a one-column
@@ -394,12 +518,13 @@ object Manifest {
     * Mechanics: envelope-surviving files are re-read, anti-joined against
     * the key set, and their survivors land under this operation's own
     * `seg=` partition (dynamic overwrite — a RETRY of the same segment id
-    * replaces its earlier, possibly partial, attempt); the manifest is
-    * then swapped rename-aside (old rows for rewritten files dropped, new
-    * files harvested), and only AFTER the swap are the replaced data
-    * files deleted. Crash anywhere leaves a readable manifest whose
-    * listed files all exist; the worst case is orphaned data files, which
-    * [[vacuum]] reclaims. Retry idempotency comes from self-exclusion:
+    * replaces its earlier, possibly partial, attempt); the manifest then
+    * gains this operation's PART (the rewrite files' stats) followed by
+    * its TOMBSTONE (the affected files), and only after both are the
+    * replaced data files deleted — the segmented layout's crash order,
+    * whose every prefix leaves a readable manifest of existing files
+    * (mid-window: duplicates healed by retry, or orphans for [[vacuum]]
+    * — never absence). Retry idempotency comes from self-exclusion:
     * the candidate set never includes this operation's own segment, so a
     * completed delete retried is a no-op — distinct delete operations
     * MUST use distinct segment ids, the same contract as every appender.
@@ -407,10 +532,13 @@ object Manifest {
     * The key frame is deduplicated and snapshotted (localCheckpoint)
     * before use: it feeds two separate evaluations (the envelope prune
     * and the anti-join), which a nondeterministic key plan would
-    * otherwise be free to disagree between. Null keys fail loud — a null
-    * has no deletion semantics. `keyCol` must be a manifested stats
-    * column (without envelopes there is nothing to prune — declare it in
-    * `statsCols` at write time).
+    * otherwise be free to disagree between — callers whose key plan is
+    * deterministic AND deduplicated (a read of just-written parquet, the
+    * upsert path) pass `keysDeterministic = true` to skip that
+    * materialization job. Null keys fail loud — a null has no deletion
+    * semantics. `keyCol` must be a manifested stats column (without
+    * envelopes there is nothing to prune — declare it in `statsCols` at
+    * write time).
     *
     * Economics, measured (scaling/lake_upsert_{2m,8m}.json): a narrow
     * band on the clustered key rewrites 1-2 of 64 files and beats the
@@ -422,7 +550,8 @@ object Manifest {
     * envelope-overlap says most files are affected anyway. */
   def deleteKeys(spark: SparkSession, path: String, keyCol: String,
       keys: DataFrame, segment: String,
-      excludeSegments: Set[String] = Set.empty): Int = {
+      excludeSegments: Set[String] = Set.empty,
+      keysDeterministic: Boolean = false): Int = {
     requireSafeSegment(segment, "deleteKeys")
     val url = GraftIO.resolveUrl(path)
     val man = manifest(spark, path)
@@ -437,24 +566,31 @@ object Manifest {
     // assert AFTER the cast: a null input key has no deletion semantics,
     // and an uncastable one (string "abc" against a long column) would
     // otherwise become a silent null that deletes nothing
-    val casted = F.col(keys.columns.head).cast(keyType)
-    val k = keys
+    val casted = GraftIO.qcol(keys.columns.head).cast(keyType)
+    val kBase = keys
       .select(F.when(F.assert_true(casted.isNotNull,
           F.lit("deleteKeys: null or uncastable key (target type " +
             s"$keyType) — nulls have no deletion semantics; filter or " +
             "coalesce explicitly first")).isNull,
         casted).as("__k"))
-      .distinct()
-      .localCheckpoint()
+    // `keysDeterministic = true` is the caller's promise that the key
+    // plan re-evaluates identically (and deduplicated) — e.g. a read of
+    // just-written parquet, the upsert path — so the envelope prune and
+    // the anti-join may each evaluate it directly, skipping one
+    // distinct+materialization job per mutation
+    val k = if (keysDeterministic) kBase
+      else kBase.distinct().localCheckpoint()
     // candidate files: envelope overlaps some key, and never this
     // operation's own rewrite segment (retry self-exclusion) or a
     // caller-excluded one (upsert's just-appended batch)
     val self = excludeSegments + segment
     val cand = man.filter(!self.map(sg =>
       F.col("file").contains(s"/seg=$sg/")).reduce(_ || _))
+    // the envelope columns are literally named "min_<keyCol>", so a key
+    // column with a dot/space needs backtick quoting (qcol's contract)
     val affected = F.broadcast(cand).join(k,
-        F.col("__k") >= F.col(s"min_$keyCol") &&
-          F.col("__k") <= F.col(s"max_$keyCol"))
+        F.col("__k") >= GraftIO.qcol(s"min_$keyCol") &&
+          F.col("__k") <= GraftIO.qcol(s"max_$keyCol"))
       .select("file").distinct().collect().map(_.getString(0)).sorted
     if (affected.isEmpty) return 0
     val statsCols = man.columns.filter(_.startsWith("min_"))
@@ -475,40 +611,47 @@ object Manifest {
       .partitionBy("seg")
       .parquet(url)
     val rwFiles = segmentFiles(spark, url, segment)
-    val affectedSet = affected.toSet
-    val keptRows = man.collect()
-      .filterNot(r => affectedSet.contains(r.getAs[String]("file")))
-    val newRows = if (rwFiles.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else harvest(spark, rwFiles, statsCols).collect()
-    swapManifest(spark, url, (keptRows ++ newRows).toSeq, man.schema)
-    // post-commit cleanup: the new manifest no longer lists these, so a
-    // crash from here on only leaves orphans for vacuum
+    // manifest commit: ONE part carrying both the rewrite files' live
+    // rows and the affected files' tombstones — they land in one
+    // dynamic-overwrite commit, so a reader sees the delete entirely or
+    // not at all; the data-file deletes follow (from there on a crash
+    // only leaves orphans for vacuum). Nothing here reads, collects, or
+    // rewrites the rest of the manifest — cost tracks the affected
+    // files, not the table.
+    val tombs = tombRows(man, affected.toSeq)
+    writePart(
+      if (rwFiles.isEmpty) tombs
+      else harvest(spark, rwFiles, statsCols).unionByName(tombs),
+      url, segment)
     affected.foreach(f =>
       fs.delete(new org.apache.hadoop.fs.Path(f), false))
     affected.length
   }
 
   /** Keyed upsert — the MERGE shape: `batch` replaces any existing rows
-    * sharing its keys and inserts the rest. Step 1 appends the batch
-    * under its own `seg=` partition ([[appendWithManifest]] — retry
-    * replaces); step 2 deletes the batch's keys from every OTHER segment
-    * via [[deleteKeys]] (rewrite segment `rw_<segment>`, the batch's own
-    * segment excluded), with the key set read back from the batch's
-    * just-written files — durable and deterministic even when `batch`'s
-    * own plan is not. Between the two commits a reader can observe both
-    * versions of an updated key (duplicates, never absence); a crash
-    * there is healed by the at-least-once retry, both steps being
-    * idempotent under the same segment id. Returns the number of files
-    * the delete rewrote.
+    * sharing its keys and inserts the rest. Step 1 writes the batch
+    * under its own `seg=` partition (dynamic overwrite — retry
+    * replaces) and commits its manifest PART only after validating the
+    * durable files; step 2 deletes the batch's keys from every OTHER
+    * segment via [[deleteKeys]] (rewrite segment `rw_<segment>`, the
+    * batch's own segment excluded), with the key set read back from the
+    * batch's just-written files — durable and deterministic even when
+    * `batch`'s own plan is not. Between the two commits a reader can
+    * observe both versions of an updated key (duplicates, never
+    * absence); a crash there is healed by the at-least-once retry, both
+    * steps being idempotent under the same segment id. Returns the
+    * number of files the delete rewrote.
     *
-    * Validated BEFORE the append commits (a bad argument surfacing after
-    * it would leave duplicates no retry can heal): `keyCol` must be
-    * manifested, and the batch must hold exactly one non-null row per
-    * key — MERGE semantics; dedup (e.g. keep-latest) first. The
-    * uniqueness check evaluates the batch plan once more, so a
-    * NONDETERMINISTIC batch should be persisted by the caller — the
-    * delete step itself is immune (keys re-read from the written
-    * files). */
+    * Validation (`keyCol` manifested; exactly one non-null row per key
+    * — MERGE semantics; dedup e.g. keep-latest first) runs over the
+    * batch's DURABLE files, fused into the same single aggregation that
+    * harvests the manifest part's per-file stats (grouping sets: one
+    * scan, one job). The batch plan itself is therefore evaluated
+    * exactly ONCE (the write) — a nondeterministic batch can no longer
+    * pass a plan-side pre-check and then durably write different rows.
+    * A batch that fails validation stays INVISIBLE: its part is never
+    * written, so readers see the pre-upsert table, [[vacuum]] reclaims
+    * the orphaned files, and the retried (fixed) batch replaces them. */
   def upsert(batch: DataFrame, path: String, keyCol: String,
       segment: String, clusterCols: Seq[String] = Nil,
       targetFiles: Int = 0, compression: String = "snappy"): Int = {
@@ -516,55 +659,90 @@ object Manifest {
     require(!segment.startsWith("rw_"),
       "upsert segment ids must not start with rw_ — that prefix is the " +
         "delete step's rewrite namespace")
+    requireNoReservedCols(batch, "upsert")
     val spark = batch.sparkSession
-    // validate EVERYTHING the delete step will require BEFORE the append
-    // durably commits: a failure between the two steps leaves visible
-    // duplicates that the promised at-least-once retry could never heal
-    // if the cause is a bad argument rather than a crash
-    val man = manifest(spark, path)
-    require(man.columns.contains(s"min_$keyCol"),
+    val url = GraftIO.resolveUrl(path)
+    val statsCols = manifestStatsCols(spark, url)
+    require(statsCols.contains(keyCol),
       s"upsert: $keyCol has no manifest stats — the delete step needs " +
         "the per-file envelope; declare it in statsCols at write time " +
-        s"(have: ${man.columns.filter(_.startsWith("min_"))
-          .map(_.stripPrefix("min_")).mkString(", ")})")
-    // MERGE semantics need one row per key in the batch: duplicates would
-    // durably coexist in the batch's own segment (the delete step only
-    // clears OTHER segments). One batch-scale aggregation, before any
-    // write; null keys are caught here too (the delete step would die on
-    // them after the append otherwise).
-    val kc = GraftIO.qcol(keyCol)
-    val stats = batch.agg(F.count(F.lit(1)).as("n"),
-      F.count(kc).as("nk"), F.count_distinct(kc).as("nd")).collect().head
-    require(stats.getLong(1) == stats.getLong(0),
-      s"upsert: ${stats.getLong(0) - stats.getLong(1)} null key(s) in " +
-        "the batch — a null key has no replacement semantics")
-    require(stats.getLong(2) == stats.getLong(0),
-      s"upsert: batch holds ${stats.getLong(0)} rows but only " +
-        s"${stats.getLong(2)} distinct keys — MERGE semantics need one " +
-        "row per key; dedup the batch (e.g. keep-latest) first")
-    appendWithManifest(batch, path, segment, clusterCols, targetFiles,
-      compression)
-    val url = GraftIO.resolveUrl(path)
+        s"(have: ${statsCols.mkString(", ")})")
+    clustered(batch, clusterCols, targetFiles)
+      .withColumn("seg", F.lit(segment))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", GraftIO.parquetCodec(compression))
+      .partitionBy("seg")
+      .parquet(url)
     val appended = segmentFiles(spark, url, segment)
-    val keys =
-      if (appended.isEmpty)
-        // an empty batch wrote no files; nothing to delete either
-        return 0
-      else spark.read.parquet(appended: _*).select(kc)
-    deleteKeys(spark, path, keyCol, keys, s"rw_$segment",
-      excludeSegments = Set(segment))
+    if (appended.isEmpty) {
+      // an empty batch wrote no files; an earlier non-empty attempt's
+      // part (impossible for the SAME batch, defensive anyway) cleared
+      dropPart(spark, url, segment)
+      return 0
+    }
+    val kc = GraftIO.qcol(keyCol)
+    // ONE aggregation over the appended files serves both masters:
+    // per-file groups are the manifest part's stats rows, the global
+    // grouping-set row carries the MERGE validation counts
+    val segRead = spark.read.parquet(appended: _*)
+      .select(F.input_file_name().as("__file") +:
+        statsCols.map(c => GraftIO.qcol(c).as(c)): _*)
+    val aggs = (F.count(F.lit(1)).as("rows") +:
+      statsCols.flatMap(c => Seq(F.min(GraftIO.qcol(c)).as(s"min_$c"),
+        F.max(GraftIO.qcol(c)).as(s"max_$c")))) ++
+      Seq(F.count(kc).as("__nk"), F.count_distinct(kc).as("__nd"),
+        F.grouping(F.col("__file")).cast("int").as("__g"))
+    val aggDf = segRead
+      .groupingSets(Seq(Seq(F.col("__file")), Seq.empty), F.col("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+    val schema = aggDf.schema
+    val collected = aggDf.collect()
+    val gIdx = schema.fieldIndex("__g")
+    val global = collected.find(_.getInt(gIdx) == 1).get
+    val n = global.getLong(schema.fieldIndex("rows"))
+    val nk = global.getLong(schema.fieldIndex("__nk"))
+    val nd = global.getLong(schema.fieldIndex("__nd"))
+    require(nk == n,
+      s"upsert: ${n - nk} null key(s) in the batch — a null key has no " +
+        "replacement semantics (the batch stays uncommitted: no manifest " +
+        "part was written; vacuum reclaims its files)")
+    require(nd == n,
+      s"upsert: batch holds $n rows but only $nd distinct keys — MERGE " +
+        "semantics need one row per key; dedup the batch (e.g. " +
+        "keep-latest) first (the batch stays uncommitted: no manifest " +
+        "part was written; vacuum reclaims its files)")
+    // part rows = the per-file groups, in harvest's (file, rows, min_*,
+    // max_*) shape — driver-local (batch-file-count bound), no second
+    // scan of the appended files
+    val partFields = "__file" +: "rows" +:
+      statsCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+    val partIdx = partFields.map(schema.fieldIndex)
+    val partRows = collected.filter(_.getInt(gIdx) == 0).toSeq
+      .map(r => org.apache.spark.sql.Row.fromSeq(partIdx.map(r.get)))
+    val partSchema = org.apache.spark.sql.types.StructType(
+      partFields.map(schema.apply).zipWithIndex.map { case (f, i) =>
+        if (i == 0) f.copy(name = "file") else f
+      })
+    writePart(spark.createDataFrame(
+      spark.sparkContext.parallelize(partRows, 1), partSchema),
+      url, segment)
+    deleteKeys(spark, path, keyCol,
+      spark.read.parquet(appended: _*).select(kc), s"rw_$segment",
+      excludeSegments = Set(segment),
+      keysDeterministic = true) // durable parquet, validated unique
   }
 
   /** Reclaim data files the manifest does not list — the debris of
     * crashed mutations (replaced files whose delete step never ran,
-    * rewrite segments written before a manifest swap that never
-    * happened) and any foreign stray. Compares scheme-independent path
-    * components, deletes only `seg=*`-resident data files plus stale
-    * `__manifest_*` temp dirs, and never touches the live `_manifest`.
-    * Single-writer discipline: run it only when no mutation is
-    * in-flight — an in-progress operation's freshly-written files are
-    * exactly "unlisted data files" until its manifest swap. Returns the
-    * number of files deleted. */
+    * rewrite or batch segments written before their manifest part
+    * landed) and any foreign stray. Compares scheme-independent path
+    * components, deletes only `seg=*`-resident DATA files — everything
+    * under `_manifest/` (whose parts/tombs also live in `seg=` dirs) is
+    * never touched. Single-writer discipline: run it only when no
+    * mutation is in-flight — an in-progress operation's freshly-written
+    * files are exactly "unlisted data files" until its part lands.
+    * Returns the number of files deleted. */
   def vacuum(spark: SparkSession, path: String): Int = {
     val url = GraftIO.resolveUrl(path)
     val listed = manifest(spark, path).select("file").collect()
@@ -580,15 +758,14 @@ object Manifest {
       val st = it.next()
       val p = st.getPath
       val rel = p.toUri.getPath
-      val underSeg = rel.contains("/seg=")
+      // the manifest's own parts/tombs live under seg= dirs too — they
+      // are bookkeeping, not data, and must never look like strays
+      val underSeg = rel.contains("/seg=") && !rel.contains("/_manifest/")
       val isData = underSeg && !p.getName.startsWith("_") &&
         !p.getName.startsWith(".")
       if (isData && !listed.contains(rel)) strays += p
     }
     strays.foreach { p => if (fs.delete(p, false)) removed += 1 }
-    Seq("__manifest_new", "__manifest_old").foreach { d =>
-      fs.delete(new org.apache.hadoop.fs.Path(url + "/" + d), true)
-    }
     removed
   }
 }

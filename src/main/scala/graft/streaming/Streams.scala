@@ -356,12 +356,23 @@ object Streams {
     * engine-arbitrary.
     *
     * Segments accrete per batch (the LSM posture shared by every
-    * appender here); the compaction companion is a periodic wholesale
-    * [[graft.io.Manifest.writeWithManifest]] rewrite of the table, run
-    * between triggers like every compactor in this engine. */
+    * appender here); the DATA compaction companion is a periodic
+    * wholesale [[graft.io.Manifest.writeWithManifest]] rewrite of the
+    * table, run between triggers like every compactor in this engine.
+    * The MANIFEST's own parts also accrete (two parts + one tombstone
+    * per batch) and, unlike the data, can be folded cheaply in-line:
+    * `compactEvery = n` runs [[graft.io.Manifest.compactManifest]] after
+    * every n-th batch (inside foreachBatch — the sink IS the single
+    * writer between triggers), keeping the manifest read a bounded
+    * handful of parts in the steady state. The compaction segment id is
+    * derived from the batch id, so a replayed batch re-compacts
+    * idempotently; a batch part replayed AFTER its rows were folded is
+    * also safe — the live view dedups by file, and the delete step's
+    * self-exclusion matches DATA paths, not part locations. */
   def upsertSink(stream: DataFrame, keyCol: String, path: String,
       name: String, latestBy: Option[String] = None,
       clusterCols: Seq[String] = Nil, targetFiles: Int = 0,
+      compactEvery: Int = 0,
       checkpoint: Option[String] = None): String = {
     val ckpt = checkpoint.getOrElse(checkpointDir(name).toString)
     val prefix = segmentPrefix(ckpt)
@@ -377,6 +388,9 @@ object Streams {
       }
       graft.io.Manifest.upsert(b, path, keyCol,
         s"${prefix}_b$batchId", clusterCols, targetFiles)
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        graft.io.Manifest.compactManifest(batchDf.sparkSession, path,
+          s"${prefix}_c$batchId")
       ()
     }
     val q = stream.writeStream

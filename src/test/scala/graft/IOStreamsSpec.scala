@@ -1113,6 +1113,79 @@ class IOStreamsSpec extends SparkSpec {
     assert(Manifest.vacuum(spark, dir + "/t") == 0)
   }
 
+  test("segmented manifest: mutations accrete parts/tombstones instead " +
+      "of rewriting the manifest; compactManifest folds them; view " +
+      "equality holds throughout; compaction retry is idempotent") {
+    val dir = tmp("graft_man_lsm")
+    val df = (0L until 400L).map(i => (i, s"r$i")).toDF("id", "payload")
+    Manifest.writeWithManifest(df, dir + "/t", statsCols = Seq("id"),
+      clusterCols = Seq("id"), targetFiles = 4)
+    def ids(): Seq[Long] = col1[Long](Manifest.readSkipping(spark,
+      dir + "/t", "id", 0L, 5000L).orderBy("id"), "id")
+    def partDirs(): Seq[String] = new java.io.File(dir + "/t/_manifest/parts")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
+    def tombstones(): Long = spark.read
+      .parquet(dir + "/t/_manifest/parts").filter("rows is null").count()
+    assert(partDirs() == Seq("seg=base"))
+    // two appends + one delete: each mutation adds its OWN part (and the
+    // delete a tombstone) — base is never rewritten
+    Manifest.appendWithManifest(
+      (400L until 450L).map(i => (i, s"a$i")).toDF("id", "payload"),
+      dir + "/t", segment = "b1")
+    Manifest.appendWithManifest(
+      (450L until 500L).map(i => (i, s"a$i")).toDF("id", "payload"),
+      dir + "/t", segment = "b2")
+    val rewrote = Manifest.deleteKeys(spark, dir + "/t", "id",
+      (10L until 20L).toDF("id"), segment = "d1")
+    assert(rewrote >= 1)
+    val expect = (0L until 500L).filterNot(i => i >= 10 && i < 20)
+    assert(ids() == expect)
+    assert(partDirs().toSet ==
+      Set("seg=base", "seg=b1", "seg=b2", "seg=d1"), partDirs().toString)
+    assert(tombstones() >= 1) // the delete's retired files, null-stat rows
+    val manBefore = Manifest.manifest(spark, dir + "/t")
+      .orderBy("file").collect().toSeq
+    // compaction folds parts + tombstones into ONE part, view unchanged
+    val n = Manifest.compactManifest(spark, dir + "/t", "c1")
+    assert(n == manBefore.size)
+    assert(partDirs() == Seq("seg=c1"))
+    assert(Manifest.manifest(spark, dir + "/t")
+      .orderBy("file").collect().toSeq == manBefore)
+    assert(ids() == expect)
+    // retried compaction under the same id converges (replaces itself)
+    // and drops the now-targetless carried tombstones (self-cleaning)
+    assert(Manifest.compactManifest(spark, dir + "/t", "c1") == n)
+    assert(ids() == expect)
+    assert(tombstones() == 0)
+    // post-compaction mutations still work against the folded manifest
+    Manifest.upsert(Seq((15L, "back"), (600L, "new")).toDF("id", "payload"),
+      dir + "/t", "id", segment = "b3")
+    assert(ids() == (expect :+ 15L :+ 600L).sorted)
+  }
+
+  test("manifest operations accept column names needing backtick quoting " +
+      "(dots): write, skip-read, deleteKeys, upsert") {
+    val dir = tmp("graft_lake_dotcol")
+    val df = (0L until 200L).map(i => (i, s"r$i")).toDF("doc.id", "payload")
+    Manifest.writeWithManifest(df, dir + "/t", statsCols = Seq("doc.id"),
+      clusterCols = Seq("doc.id"), targetFiles = 4)
+    def ids(): Seq[Long] = col1[Long](Manifest.readSkipping(spark,
+      dir + "/t", "doc.id", 0L, 5000L)
+      .select(F.col("`doc.id`").as("k")).orderBy("k"), "k")
+    assert(ids() == (0L until 200L))
+    // deleteKeys: both the key frame's column and the min_/max_ envelope
+    // columns (literally named "min_doc.id") must be backtick-routed
+    val n = Manifest.deleteKeys(spark, dir + "/t", "doc.id",
+      (50L until 60L).toDF("doc.id"), segment = "d0")
+    assert(n >= 1)
+    assert(ids() == (0L until 200L).filterNot(i => i >= 50 && i < 60))
+    val batch = Seq((55L, "u55"), (300L, "n300")).toDF("doc.id", "payload")
+    Manifest.upsert(batch, dir + "/t", "doc.id", segment = "b1")
+    assert(ids() ==
+      ((0L until 200L).filterNot(i => i >= 50 && i < 60 && i != 55) :+
+        300L).sorted)
+  }
+
   test("upsertSink: CDC stream into the manifested lake — latestBy " +
       "collapses intra-batch versions to the max sequence, later batches " +
       "replace earlier, duplicate seqs without latestBy stay loud") {
@@ -1188,6 +1261,34 @@ class IOStreamsSpec extends SparkSpec {
         .filter(_.getName.endsWith(".parquet"))
       assert(files.length == 1, s"shard $s has ${files.length} files")
     }
+    // the read path is exchange-free: the directory layout already
+    // encodes the shard clustering, so the trainer-side read must be a
+    // scan plus in-partition sorts — zero Exchange, zero global Sort
+    // (a global orderBy here would range-shuffle the whole corpus)
+    val rd = Shards.readShards(spark, dir + "/t")
+    assert(exchanges(rd.queryExecution.executedPlan) == 0,
+      rd.queryExecution.executedPlan.toString)
+    def globalSorts(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => 1
+        case _ => 0
+      }
+      self + p.children.map(globalSorts).sum
+    }
+    assert(globalSorts(rd.queryExecution.executedPlan) == 0,
+      rd.queryExecution.executedPlan.toString)
+    // per-partition contract: each partition is one shard in pos order,
+    // partitions arrive in shard order
+    val perPart = rd.select(F.col("shard").cast("long"), F.col("pos"))
+      .rdd.mapPartitionsWithIndex { (i, it) =>
+        Iterator((i, it.map(r => (r.getLong(0), r.getLong(1))).toSeq))
+      }.collect().filter(_._2.nonEmpty)
+    perPart.foreach { case (_, rows) =>
+      assert(rows.map(_._1).distinct.size == 1, "one shard per partition")
+      assert(rows.map(_._2) == rows.map(_._2).sorted, "pos-ordered")
+    }
+    assert(perPart.map(_._2.head._1).toSeq ==
+      perPart.map(_._2.head._1).toSeq.sorted, "partitions in shard order")
     val back = Shards.readShards(spark, dir + "/t")
       .select(F.col("id"), F.col("shard").cast("long"), F.col("pos"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
