@@ -187,6 +187,27 @@ class OperatorsSpec extends SparkSpec {
     val kept2 = Dedup.dedupNearKeepBest(d2, F.col("id"), F.col("text"),
       F.col("score"), threshold = 0.5, numHashes = 64, bands = 16)
     assert(col1[Long](kept2.orderBy("id"), "id") == Seq(2L, 5L, 9L))
+    // the score expression evaluates on cluster MEMBERS only, never the
+    // corpus: a corpus of mostly-unpaired rows with an
+    // evaluation-counting score must count ~members evaluations (the r12
+    // fix — the old shape projected the score off the raw scan below the
+    // member join, so every corpus row paid it)
+    val evals = spark.sparkContext.longAccumulator("kb_score_evals")
+    val countingScore = F.udf { (s: String) =>
+      evals.add(1); s.length.toDouble
+    }
+    val wide = d.unionAll((100L until 400L).map(i =>
+      (i, s"unique filler row number $i with its own distinct vocabulary " +
+        s"token${i}a token${i}b token${i}c token${i}d token${i}e",
+      Some(0.1))).toDF("id", "text", "score"))
+    val kept3 = Dedup.dedupNearKeepBest(wide, F.col("id"), F.col("text"),
+      countingScore(F.col("text")), threshold = 0.5,
+      numHashes = 64, bands = 16)
+    assert(kept3.count() == 303) // 2,4,9 + 300 unpaired fillers
+    // 5 clustered members; allow generous re-evaluation slack (plan
+    // reuse, retries) but stay far below the 306-row corpus
+    assert(evals.value <= 50,
+      s"score evaluated ${evals.value} times — corpus-wide, not members-only")
   }
 
   test("semanticDedup: nClusters=1 equals the brute-force min-id-dominance " +
