@@ -1589,6 +1589,48 @@ object SparkEntry {
       F.lit(if (whitenOk) 1 else 0).as("whiten_unit_ok"))
   }
 
+  /** Whitened IVF index ([[operators.Embeddings.writeWhitenedIvfIndex]],
+    * the r12 PCA × ANN composition): fit + whiten + index the corpus,
+    * then assert by EXECUTION that (a) an exhaustive probe
+    * (nprobe = nlist) over the persisted index equals brute-force top-k
+    * computed over the same whitened space (the d54 identity composed
+    * through PCA), (b) the persisted model round-trips exactly, and
+    * (c) the whitened ranking genuinely differs from the raw-cosine one
+    * on this anisotropic corpus (the composition is not a no-op). Flags
+    * + data-bound counts, the d67 oracle pattern. */
+  private val d68: (SparkSession, String) => DataFrame = (s, dir) => {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val emb = t(s, dir, "embeddings")
+    val path = scratch(s"d68_wivf_${dir.hashCode.abs}")
+    val corpus = emb.filter(F.col("vec_id") >= 5)
+    val queries = emb.filter(F.col("vec_id") < 5)
+    val m = operators.Embeddings.writeWhitenedIvfIndex(corpus,
+      F.col("vec_id"), F.col("embedding"), path, pcaK = 8, nlist = 8,
+      seed = 7)
+    val modelOk =
+      operators.Embeddings.readPcaModel(s, path) == m
+    def key(df: DataFrame): Set[(Long, Long, Int)] = df
+      .select("query_id", "corpus_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = key(operators.Embeddings.searchWhitenedIvfIndex(s, path,
+      queries, F.col("vec_id"), F.col("embedding"), k = 10, nprobe = 8))
+    val cw = operators.Embeddings.pcaProject(corpus, F.col("embedding"),
+      m, "wv", whiten = true)
+    val qw = operators.Embeddings.pcaProject(queries, F.col("embedding"),
+      m, "wv", whiten = true)
+    val want = key(operators.Similarity.bruteForceTopK(cw, F.col("vec_id"),
+      F.col("wv"), qw, F.col("vec_id"), F.col("wv"), k = 10))
+    val raw = key(operators.Similarity.bruteForceTopK(corpus,
+      F.col("vec_id"), F.col("embedding"), queries, F.col("vec_id"),
+      F.col("embedding"), k = 10))
+    val nVecs = bridge.scalarSubquery(emb.agg(F.count(F.lit(1))))
+    s.range(1).select(nVecs.as("n_vecs"),
+      F.lit(got.size).cast("long").as("n_results"),
+      F.lit(if (got == want) 1 else 0).as("exhaustive_equals_brute_ok"),
+      F.lit(if (modelOk) 1 else 0).as("model_roundtrip_ok"),
+      F.lit(if (got != raw) 1 else 0).as("metric_changed_ok"))
+  }
+
   /** Training-shard export ([[io.Shards.writeShards]]): the corpus
     * deterministically shuffled into 16 shard files (shard = md5 hash
     * mod 16, in-shard position = rank of the full hash — no RNG state,
@@ -2893,6 +2935,7 @@ object SparkEntry {
     "d65_unicode_nfc" -> d65,
     "d66_lm_logloss" -> d66,
     "d67_pca_contract" -> d67,
+    "d68_whitened_ivf" -> d68,
     "q62_sample_contract" -> q62,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
@@ -4518,6 +4561,13 @@ object SparkEntry {
     "d67_pca_contract" -> """
       SELECT count(*) AS n_vecs, 1 AS orthonormal_ok, 1 AS descending_ok,
         1 AS variance_match_ok, 1 AS whiten_unit_ok FROM embeddings""",
+    // whitened-IVF invariants are engine-side executed identities; the
+    // oracle holds the flags constant and pins the data-bound counts
+    // (5 queries x k=10 results from the exhaustive probe)
+    "d68_whitened_ivf" -> """
+      SELECT count(*) AS n_vecs, 50::BIGINT AS n_results,
+        1 AS exhaustive_equals_brute_ok, 1 AS model_roundtrip_ok,
+        1 AS metric_changed_ok FROM embeddings""",
     // the deterministic shuffle replayed verbatim: exact-integer md5
     // shard + per-shard rank of the full hash
     "q71_train_shards" -> """

@@ -144,6 +144,11 @@ case class TopCells(child: Expression, centroids: Seq[Seq[Double]], n: Int)
         if (!taken(c2) && dots(c2) > bestDot) { best = c2; bestDot = dots(c2) }
         c2 += 1
       }
+      // a NaN element makes every dot NaN, which never beats -Infinity —
+      // name the cause instead of crashing on taken(-1)
+      if (best < 0) throw new IllegalArgumentException(
+        "top_cells: no comparable cell dot product — the vector has NaN " +
+          "elements; filter or repair embeddings first")
       taken(best) = true
       out(k) = best
       k += 1

@@ -213,4 +213,88 @@ object Embeddings {
     }.sortBy(-_._1)
     (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
   }
+
+  // ======== whitened IVF index (PCA × ANN composition) =====================
+
+  /** Persist a [[PcaModel]] as a one-row parquet table under
+    * `path/pca` (mean, components, variances). */
+  private def writePcaModel(spark: org.apache.spark.sql.SparkSession,
+      model: PcaModel, path: String): Unit = {
+    import spark.implicits._
+    Seq((model.mean, model.components, model.variances))
+      .toDF("mean", "components", "variances")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pca")
+  }
+
+  /** Read a persisted [[PcaModel]] back. Loud when absent — searching a
+    * whitened index without its model would embed queries in the wrong
+    * space and return plausible-looking garbage. */
+  def readPcaModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): PcaModel = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/pca")
+    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(p),
+      s"no PCA model at $path/pca — not a writeWhitenedIvfIndex layout")
+    val r = spark.read.parquet(s"$path/pca").collect().head
+    // inner arrays surface as mutable ArraySeq — convert explicitly
+    PcaModel(r.getSeq[Double](0).toSeq,
+      r.getSeq[scala.collection.Seq[Double]](1).map(_.toSeq).toSeq,
+      r.getSeq[Double](2).toSeq)
+  }
+
+  /** PCA-reduce + whiten the corpus, then build a persisted IVF index
+    * over the whitened vectors — the SemDeDup-style composition: distance
+    * in the whitened space weighs every retained direction equally
+    * (cosine there ≈ a Mahalanobis angle in the original space) and the
+    * index clusters/probes k-dim vectors instead of d-dim ones (k ≪ d
+    * cuts both centroid-assignment flops and candidate exact-scoring
+    * flops by d/k).
+    *
+    * Scale shape: the PCA fit is the bounded two-pass of [[fitPca]]; the
+    * projection fuses into the SAME scan that feeds IVF training and
+    * assignment (a native expression — no join, no extra pass); index
+    * build/probe inherit [[graft.operators.Similarity]]'s segment
+    * contracts unchanged. The model lands under `path/pca` BEFORE the
+    * index tables, so a readable index always has its model (a crash
+    * between leaves a model with no index — searches fail loud on the
+    * missing meta, the same posture as an un-manifested lake).
+    *
+    * Semantic note, stated honestly: results rank by similarity in the
+    * WHITENED space, not raw cosine — that is the point (boilerplate
+    * directions stop dominating), but it is a different metric; use the
+    * plain index when raw cosine is the contract. */
+  def writeWhitenedIvfIndex(corpus: DataFrame, id: Column, vec: Column,
+      path: String, pcaK: Int, nlist: Int = 16, iters: Int = 5,
+      trainSample: Int = 10000, seed: Long = 42,
+      varFloor: Double = 1e-12): PcaModel = {
+    require(!corpus.columns.exists(
+        _.toLowerCase(java.util.Locale.ROOT) == "__wv"),
+      "writeWhitenedIvfIndex reserves column name __wv — rename first")
+    val spark = corpus.sparkSession
+    val model = fitPca(corpus, vec, pcaK)
+    writePcaModel(spark, model, path)
+    val projected = pcaProject(corpus, vec, model, "__wv", whiten = true,
+      varFloor = varFloor)
+    Similarity.writeIvfIndex(projected, id, F.col("__wv"), path, nlist,
+      iters, trainSample, seed)
+    model
+  }
+
+  /** Probe a whitened index: queries are projected through the PERSISTED
+    * model (never a re-fit — query-time fits would drift the space), then
+    * searched with [[graft.operators.Similarity.searchIvfIndex]]'s exact
+    * plan (static cell pruning, broadcast probes, exact cosine on
+    * whitened candidates). */
+  def searchWhitenedIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    require(!queries.columns.exists(
+        _.toLowerCase(java.util.Locale.ROOT) == "__wv"),
+      "searchWhitenedIvfIndex reserves column name __wv — rename first")
+    val model = readPcaModel(spark, path)
+    val projected = pcaProject(queries, queryVec, model, "__wv",
+      whiten = true)
+    Similarity.searchIvfIndex(spark, path, projected, queryId,
+      F.col("__wv"), k, nprobe)
+  }
 }

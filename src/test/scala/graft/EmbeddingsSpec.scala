@@ -163,4 +163,49 @@ class EmbeddingsSpec extends SparkSpec {
     // non-whitened projection of the same model is fine
     assert(Embeddings.pcaProject(flat, F.col("v"), fm).count() == 3)
   }
+
+  test("whitened IVF index: exhaustive probe equals brute force over the " +
+      "whitened space, model persists, guards loud") {
+    import graft.operators.Similarity
+    val data = corpus(400, 12).toDF("id", "v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wivf").toString
+    val model = Embeddings.writeWhitenedIvfIndex(
+      data.filter(F.col("id") >= 10), F.col("id"), F.col("v"),
+      dir, pcaK = 4, nlist = 4, seed = 7)
+    assert(model.k == 4 && model.dim == 12)
+    // the persisted model reads back exactly
+    assert(Embeddings.readPcaModel(spark, dir) == model)
+    // exhaustive probe (nprobe = nlist) must EQUAL brute-force top-k over
+    // the same whitened space — the d54 identity, composed through PCA
+    val queries = data.filter(F.col("id") < 10)
+    val got = Embeddings.searchWhitenedIvfIndex(spark, dir, queries,
+      F.col("id"), F.col("v"), k = 5, nprobe = 4)
+      .select("query_id", "corpus_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val cw = Embeddings.pcaProject(data.filter(F.col("id") >= 10),
+      F.col("v"), model, "wv", whiten = true)
+    val qw = Embeddings.pcaProject(queries, F.col("v"), model, "wv",
+      whiten = true)
+    val want = Similarity.bruteForceTopK(cw, F.col("id"), F.col("wv"),
+      qw, F.col("id"), F.col("wv"), k = 5)
+      .select("query_id", "corpus_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+    // whitened != raw-cosine ranking on this anisotropic corpus (the
+    // metric genuinely changed — otherwise the composition is a no-op)
+    val raw = Similarity.bruteForceTopK(data.filter(F.col("id") >= 10),
+      F.col("id"), F.col("v"), queries, F.col("id"), F.col("v"), k = 5)
+      .select("query_id", "corpus_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got != raw)
+    // guards: reserved column, missing model
+    intercept[IllegalArgumentException] {
+      Embeddings.writeWhitenedIvfIndex(data.withColumn("__wv", F.lit(1)),
+        F.col("id"), F.col("v"), dir + "/x", pcaK = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Embeddings.readPcaModel(spark, dir + "/nope")
+    }
+  }
 }
