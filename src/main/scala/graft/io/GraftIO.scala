@@ -204,7 +204,9 @@ object GraftIO {
               df(f.name).isInCollection(extras), null).otherwise(df(f.name)))
       }
     }
-    if (columns.nonEmpty) df = df.select(columns.map(df(_)): _*)
+    // qcol: a dotted/backtick-needing column NAME must project as a
+    // top-level column, not parse as struct-field access
+    if (columns.nonEmpty) df = df.select(columns.map(qcol): _*)
     maxRows.foreach(n => df = df.limit(n))
     Gdf(df)
   }
@@ -232,7 +234,9 @@ object GraftIO {
   def fromParquet(spark: SparkSession, path: String,
       columns: Seq[String] = Nil, maxRows: Option[Int] = None): Gdf = {
     var df = spark.read.parquet(resolveUrl(path))
-    if (columns.nonEmpty) df = df.select(columns.map(df(_)): _*)
+    // qcol: a dotted/backtick-needing column NAME must project as a
+    // top-level column, not parse as struct-field access
+    if (columns.nonEmpty) df = df.select(columns.map(qcol): _*)
     maxRows.foreach(n => df = df.limit(n))
     Gdf(df)
   }
