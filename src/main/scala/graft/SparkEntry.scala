@@ -1649,6 +1649,40 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Lake time travel ([[io.Manifest.manifestAsOf]] over the segmented
+    * manifest, the Delta `versionAsOf` posture): base layout at commit 0,
+    * then a MERGE upsert (updates + inserts) mutated with
+    * `retainFiles = true`; the as-of-0 read must reproduce the
+    * pre-mutation table EXACTLY while the current read shows the merge.
+    * The oracle replays both versions flat in DuckDB — a leaked new row
+    * into the old version, a stale row in the new, or a wrong as-of file
+    * set all hash-fail. */
+  private val q72: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val layout = scratch(s"q72_layout_${dir.hashCode.abs}")
+    io.Manifest.writeWithManifest(docs.filter(F.col("doc_id") % 2 === 0)
+        .select("doc_id", "text"),
+      layout, statsCols = Seq("doc_id"), clusterCols = Seq("doc_id"),
+      targetFiles = 4)
+    val batch = docs.filter(F.col("doc_id") % 10 === 0)
+      .select(F.col("doc_id"), F.concat(F.col("text"), F.lit(" v2"))
+        .as("text"))
+      .unionAll(docs.filter(F.col("doc_id") % 2 === 1 &&
+          F.col("doc_id") < 50)
+        .select(F.col("doc_id"), F.concat(F.col("text"), F.lit(" new"))
+          .as("text")))
+    io.Manifest.upsert(batch, layout, "doc_id", segment = "b1",
+      retainFiles = true)
+    val v0 = io.Manifest.readSkipping(s, layout, "doc_id", 0L,
+      Long.MaxValue / 2, asOf = Some(0L))
+    val cur = io.Manifest.readSkipping(s, layout, "doc_id", 0L,
+      Long.MaxValue / 2)
+    v0.withColumn("version", F.lit(0L))
+      .unionByName(cur.withColumn("version", F.lit(1L)))
+      .select("version", "doc_id", "text")
+      .orderBy("version", "doc_id")
+  }
+
   /** Snapshot diff ([[operators.Drift.snapshotDiff]]): prev = ids < 400,
     * cur = ids ≥ 50 with every 7th text revised — added / removed /
     * changed / unchanged all load-bearing in the oracle (which compares
@@ -2954,7 +2988,8 @@ object SparkEntry {
     "q68_time_value_skip" -> q68,
     "q69_lake_upsert" -> q69,
     "q70_lake_delete" -> q70,
-    "q71_train_shards" -> q71)
+    "q71_train_shards" -> q71,
+    "q72_time_travel" -> q72)
 
   /** Bench-only queries: runnable BY NAME through `graft.Bench` for
     * scaling studies, but excluded from [[queries]] — the driver's
@@ -4570,6 +4605,23 @@ object SparkEntry {
         1 AS metric_changed_ok FROM embeddings""",
     // the deterministic shuffle replayed verbatim: exact-integer md5
     // shard + per-shard rank of the full hash
+    // both lake versions replayed flat: version 0 = the even-id base,
+    // version 1 = MERGE(base, updates on %10 + odd-id inserts < 50)
+    "q72_time_travel" -> """
+      WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      batch AS (
+        SELECT doc_id, text || ' v2' AS text FROM documents
+        WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id, text || ' new' AS text FROM documents
+        WHERE doc_id % 2 = 1 AND doc_id < 50),
+      merged AS (
+        SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM batch)
+        UNION ALL SELECT * FROM batch)
+      SELECT 0::BIGINT AS version, doc_id, text FROM base
+      UNION ALL
+      SELECT 1::BIGINT AS version, doc_id, text FROM merged
+      ORDER BY version, doc_id""",
     "q71_train_shards" -> """
       WITH h AS (SELECT doc_id,
           ('0x' || substr(md5(doc_id::VARCHAR || 'sh42'), 1, 8))::BIGINT

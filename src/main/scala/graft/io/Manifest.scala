@@ -67,15 +67,31 @@ object Manifest {
   /** Write (dynamic-overwrite) one manifest part for `segment` — a
     * retried mutation REPLACES its earlier part, same contract as every
     * data-segment appender. `rows` is (file, rows, min_*, max_*), with
-    * null `rows` marking tombstones. */
+    * null `rows` marking tombstones; every row is stamped with the
+    * mutation's `commit` number (the time-travel axis — see
+    * [[manifestAsOf]]). */
   private def writePart(rows: DataFrame, url: String,
-      segment: String): Unit =
+      segment: String, commit: Long): Unit =
     rows.coalesce(1)
+      .withColumn("__commit", F.lit(commit))
       .withColumn("seg", F.lit(segment))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("seg")
       .parquet(partsPath(url))
+
+  /** The next commit number: max stamped commit + 1 (0 for a fresh
+    * layout). One tiny aggregate over the KB-scale parts table per
+    * mutation; race-free under the single-writer contract. A crash-retry
+    * may consume numbers (its replacement part gets a fresh one) — as-of
+    * reads pinned to EARLIER commits are unaffected, which is all the
+    * monotonicity the contract needs. */
+  private def nextCommit(spark: SparkSession, url: String): Long =
+    if (segDirs(spark, partsPath(url)).isEmpty) 0L
+    else {
+      val r = rawParts(spark, url).agg(F.max("__commit")).collect().head
+      if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+    }
 
   /** Drop a segment's manifest part (an empty retried batch must clear
     * its earlier attempt's rows — a zero-row dynamic overwrite would
@@ -219,7 +235,7 @@ object Manifest {
     val files = spark.read.parquet(url).inputFiles.toSeq
     // the data overwrite above wiped any previous _manifest with the rest
     // of the directory; the fresh layout starts from one base part
-    writePart(harvest(spark, files, statsCols), url, "base")
+    writePart(harvest(spark, files, statsCols), url, "base", commit = 0L)
   }
 
   /** Append a batch to an existing manifested layout incrementally,
@@ -261,7 +277,8 @@ object Manifest {
     // an EMPTY retried batch must clear its earlier rows explicitly — a
     // zero-row dynamic overwrite would leave them listed
     if (segFiles.isEmpty) dropPart(spark, url, segment)
-    else writePart(harvest(spark, segFiles, statsCols), url, segment)
+    else writePart(harvest(spark, segFiles, statsCols), url, segment,
+      commit = nextCommit(spark, url))
   }
 
   /** The declared stats columns of a manifested layout, read from the
@@ -302,7 +319,8 @@ object Manifest {
       .parquet(url)
     val spark = df.sparkSession
     val files = spark.read.parquet(url).inputFiles.toSeq
-    writePart(harvest(spark, files, Seq(tsNsCol, secondary)), url, "base")
+    writePart(harvest(spark, files, Seq(tsNsCol, secondary)), url,
+      "base", commit = 0L)
   }
 
   /** Z-ORDERED manifested write — multi-column data skipping done right:
@@ -389,12 +407,54 @@ object Manifest {
     * the top). Fails loud when absent — an un-manifested path silently
     * full-scanning would defeat the whole point of declaring the read
     * pruned. */
-  def manifest(spark: SparkSession, path: String): DataFrame = {
+  def manifest(spark: SparkSession, path: String): DataFrame =
+    manifestView(spark, path, None)
+
+  /** The manifest AS OF `commit` — time travel over the segmented
+    * layout, the Delta `versionAsOf` posture: only parts stamped
+    * ≤ `commit` contribute (live rows AND tombstones), so the view is
+    * exactly the table after that mutation. Commit numbers come from
+    * [[manifestCommits]]. The history window is honest and bounded the
+    * same way Delta's is: [[compactManifest]] collapses history (as-of
+    * older than the compaction fails loud — the parts are gone), and
+    * [[vacuum]] reclaims retired data files (run mutations with
+    * `retainFiles = true` to keep as-of readable until vacuum). */
+  def manifestAsOf(spark: SparkSession, path: String,
+      commit: Long): DataFrame =
+    manifestView(spark, path, Some(commit))
+
+  private def manifestView(spark: SparkSession, path: String,
+      asOf: Option[Long]): DataFrame = {
     val url = GraftIO.resolveUrl(path)
-    val all = rawParts(spark, url)
+    val all0 = rawParts(spark, url)
+    val all = asOf match {
+      case None => all0
+      case Some(c) =>
+        val min = all0.agg(F.min("__commit")).collect().head
+        require(!min.isNullAt(0) && min.getLong(0) <= c,
+          s"manifestAsOf($c): history before commit " +
+            s"${if (min.isNullAt(0)) "?" else min.getLong(0)} was " +
+            "compacted away (compactManifest collapses history) — " +
+            "available commits: manifestCommits")
+        all0.filter(F.col("__commit") <= c)
+    }
     all.filter(F.col("rows").isNotNull).dropDuplicates("file")
       .join(all.filter(F.col("rows").isNull).select("file"),
         Seq("file"), "left_anti")
+      .drop("__commit")
+  }
+
+  /** The layout's commit history: one row per commit — (commit, segment,
+    * live file count, tombstone count, rows added). Discovery surface
+    * for [[manifestAsOf]]. */
+  def manifestCommits(spark: SparkSession, path: String): DataFrame = {
+    val url = GraftIO.resolveUrl(path)
+    spark.read.parquet(partsPath(url))
+      .groupBy(F.col("__commit").as("commit"), F.col("seg").as("segment"))
+      .agg(F.count_if(F.col("rows").isNotNull).as("files"),
+        F.count_if(F.col("rows").isNull).as("tombstones"),
+        F.sum("rows").as("rows_listed"))
+      .orderBy("commit")
   }
 
   /** Inclusive-range read `col ∈ [lo, hi]` over a manifested layout:
@@ -405,8 +465,8 @@ object Manifest {
     * has null envelope bounds — both sides agree it contributes nothing,
     * so skipping can never drop a row the filter would keep. */
   def readSkipping(spark: SparkSession, path: String, col: String,
-      lo: Any, hi: Any): DataFrame =
-    readSkippingBands(spark, path, Seq((col, lo, hi)))
+      lo: Any, hi: Any, asOf: Option[Long] = None): DataFrame =
+    readSkippingBands(spark, path, Seq((col, lo, hi)), asOf)
 
   /** AND-composed inclusive bands over several manifested columns — the
     * composite-predicate form of [[readSkipping]]: a file is opened only
@@ -415,10 +475,15 @@ object Manifest {
     * of the non-clustered column is wide — composite pruning is only as
     * good as the weakest band's layout, same caveat as single-band). */
   def readSkippingBands(spark: SparkSession, path: String,
-      bands: Seq[(String, Any, Any)]): DataFrame = {
+      bands: Seq[(String, Any, Any)],
+      asOf: Option[Long] = None): DataFrame = {
     require(bands.nonEmpty, "declare at least one band")
     val url = GraftIO.resolveUrl(path)
-    val man = manifest(spark, path)
+    // asOf pins the FILE SET to the as-of manifest (time travel —
+    // mutations since then used retainFiles, or the files are gone and
+    // the scan fails loud on the missing path, never silently reads the
+    // current version)
+    val man = manifestView(spark, path, asOf)
     bands.foreach { case (c, _, _) =>
       require(man.columns.contains(s"min_$c"),
         s"column $c has no manifest stats (have: " +
@@ -500,10 +565,21 @@ object Manifest {
       r.isNullAt(rowsIdx) && listed.contains(r.getString(fileIdx)) &&
         seenTomb.add(r.getString(fileIdx))
     }
-    val schema = rawParts(spark, url).schema
+    // the compact part keeps the CURRENT max commit (not +1): the fold
+    // changes no state, and as-of reads at that commit must keep working;
+    // history BEFORE it is gone — manifestAsOf fails loud on older asks
+    val commitIdx = all.headOption.map(_.fieldIndex("__commit")).getOrElse(0)
+    val maxCommit = if (all.isEmpty) 0L
+      else all.map(_.getLong(commitIdx)).max
+    val outSchema = org.apache.spark.sql.types.StructType(
+      rawParts(spark, url).schema.filterNot(_.name == "__commit"))
+    val outIdx = outSchema.fieldNames.map(n =>
+      rawParts(spark, url).schema.fieldIndex(n))
+    val outRows = (liveOut ++ carried).toSeq.map(r =>
+      org.apache.spark.sql.Row.fromSeq(outIdx.toSeq.map(r.get)))
     writePart(spark.createDataFrame(
-      spark.sparkContext.parallelize((liveOut ++ carried).toSeq, 1),
-      schema), url, segment)
+      spark.sparkContext.parallelize(outRows, 1),
+      outSchema), url, segment, commit = maxCommit)
     val fs = new org.apache.hadoop.fs.Path(url)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     oldDirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
@@ -551,7 +627,8 @@ object Manifest {
   def deleteKeys(spark: SparkSession, path: String, keyCol: String,
       keys: DataFrame, segment: String,
       excludeSegments: Set[String] = Set.empty,
-      keysDeterministic: Boolean = false): Int = {
+      keysDeterministic: Boolean = false,
+      retainFiles: Boolean = false): Int = {
     requireSafeSegment(segment, "deleteKeys")
     val url = GraftIO.resolveUrl(path)
     val man = manifest(spark, path)
@@ -622,9 +699,13 @@ object Manifest {
     writePart(
       if (rwFiles.isEmpty) tombs
       else harvest(spark, rwFiles, statsCols).unionByName(tombs),
-      url, segment)
-    affected.foreach(f =>
-      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      url, segment, commit = nextCommit(spark, url))
+    // retainFiles = true keeps the retired (tombstoned, invisible) files
+    // on disk so manifestAsOf reads of earlier commits stay servable —
+    // the Delta posture: history lives until vacuum reclaims it
+    if (!retainFiles)
+      affected.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false))
     affected.length
   }
 
@@ -654,7 +735,8 @@ object Manifest {
     * the orphaned files, and the retried (fixed) batch replaces them. */
   def upsert(batch: DataFrame, path: String, keyCol: String,
       segment: String, clusterCols: Seq[String] = Nil,
-      targetFiles: Int = 0, compression: String = "snappy"): Int = {
+      targetFiles: Int = 0, compression: String = "snappy",
+      retainFiles: Boolean = false): Int = {
     requireSafeSegment(segment, "upsert")
     require(!segment.startsWith("rw_"),
       "upsert segment ids must not start with rw_ — that prefix is the " +
@@ -726,11 +808,12 @@ object Manifest {
       })
     writePart(spark.createDataFrame(
       spark.sparkContext.parallelize(partRows, 1), partSchema),
-      url, segment)
+      url, segment, commit = nextCommit(spark, url))
     deleteKeys(spark, path, keyCol,
       spark.read.parquet(appended: _*).select(kc), s"rw_$segment",
       excludeSegments = Set(segment),
-      keysDeterministic = true) // durable parquet, validated unique
+      keysDeterministic = true, // durable parquet, validated unique
+      retainFiles = retainFiles)
   }
 
   /** Reclaim data files the manifest does not list — the debris of

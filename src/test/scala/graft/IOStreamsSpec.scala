@@ -1163,6 +1163,48 @@ class IOStreamsSpec extends SparkSpec {
     assert(ids() == (expect :+ 15L :+ 600L).sorted)
   }
 
+  test("manifest time travel: as-of reads reproduce each commit's state " +
+      "under retainFiles; compaction collapses history loudly; vacuum " +
+      "ends it") {
+    val dir = tmp("graft_man_tt")
+    val df = (0L until 300L).map(i => (i, s"r$i")).toDF("id", "payload")
+    Manifest.writeWithManifest(df, dir + "/t", statsCols = Seq("id"),
+      clusterCols = Seq("id"), targetFiles = 4) // commit 0
+    def idsAsOf(c: Option[Long]): Seq[Long] = col1[Long](
+      c.fold(Manifest.readSkipping(spark, dir + "/t", "id", 0L, 5000L))(cc =>
+        Manifest.readSkipping(spark, dir + "/t", "id", 0L, 5000L,
+          asOf = Some(cc))).orderBy("id"), "id")
+    // commit 1: delete a band, retaining retired files for time travel
+    Manifest.deleteKeys(spark, dir + "/t", "id", (50L until 60L).toDF("id"),
+      segment = "d1", retainFiles = true)
+    // commits 2 (batch part) + 3 (rw delete part): an upsert
+    Manifest.upsert(Seq((55L, "back"), (400L, "new")).toDF("id", "payload"),
+      dir + "/t", "id", segment = "b1", retainFiles = true)
+    val v0 = (0L until 300L)
+    val v1 = v0.filterNot(i => i >= 50 && i < 60)
+    val v3 = (v1 :+ 55L :+ 400L).sorted
+    assert(idsAsOf(None) == v3)
+    assert(idsAsOf(Some(0L)) == v0) // pre-delete
+    assert(idsAsOf(Some(1L)) == v1) // post-delete
+    assert(idsAsOf(Some(3L)) == v3) // current
+    // commit history is discoverable
+    val commits = Manifest.manifestCommits(spark, dir + "/t")
+      .select("commit").collect().map(_.getLong(0)).sorted
+    assert(commits.head == 0L && commits.last == 3L, commits.toSeq.toString)
+    // asking past the end is just the current view; compaction collapses
+    // history and older asks fail LOUD
+    assert(idsAsOf(Some(99L)) == v3)
+    Manifest.compactManifest(spark, dir + "/t", "c1")
+    assert(idsAsOf(None) == v3)
+    assert(idsAsOf(Some(3L)) == v3) // the compaction's own commit survives
+    val e = intercept[IllegalArgumentException] { idsAsOf(Some(1L)) }
+    assert(e.getMessage.contains("compacted away"), e.getMessage)
+    // vacuum reclaims the retained (now-unlisted) retired files: current
+    // reads unaffected — time travel to pre-delete states is over
+    assert(Manifest.vacuum(spark, dir + "/t") >= 1)
+    assert(idsAsOf(None) == v3)
+  }
+
   test("manifest operations accept column names needing backtick quoting " +
       "(dots): write, skip-read, deleteKeys, upsert") {
     val dir = tmp("graft_lake_dotcol")
