@@ -167,6 +167,45 @@ object Manifest {
     spark.read.parquet(partsPath(url)).drop("seg")
   }
 
+  /** Column names of one existing data file (first file of the first
+    * `seg=` dir — one bounded listing + one driver-side footer read, no
+    * job), or None for a table with no data yet. The cheap witness the
+    * schema-drift guard below compares against. */
+  private def existingDataColumns(spark: SparkSession,
+      url: String): Option[Seq[String]] = {
+    val root = new org.apache.hadoop.fs.Path(url)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
+      .sortBy(_.getPath.getName)
+      .iterator
+      .flatMap(d => fs.listStatus(d.getPath).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName).headOption)
+      .nextOption()
+      .map(st =>
+        spark.read.parquet(st.getPath.toString).schema.fieldNames.toSeq)
+  }
+
+  /** A batch whose COLUMN SET drifted from the table's (renamed, missing,
+    * extra — a schema-migrated CDC feed) would durably land, and
+    * single-schema parquet reads would then silently NULL or DROP the
+    * drifted columns depending on which file's footer wins inference.
+    * Refuse loudly before anything commits. Order-insensitive; type
+    * drift within a name surfaces through parquet's own read errors. */
+  private def requireSchemaMatch(spark: SparkSession, url: String,
+      df: DataFrame, who: String): Unit =
+    existingDataColumns(spark, url).foreach { existing =>
+      val want = existing.sorted
+      val have = df.columns.toSeq.sorted
+      require(have == want,
+        s"$who: batch columns [${have.mkString(", ")}] != table columns " +
+          s"[${want.mkString(", ")}] — a drifted batch would silently " +
+          "null or drop columns on later reads; align the schema first")
+    }
+
   /** The layout owns `seg` (its partition directory — a data column of
     * that name would be silently REPLACED by `withColumn("seg", ...)` and
     * partition-encoded away, lost on the round trip) and the manifest
@@ -300,6 +339,7 @@ object Manifest {
     requireNoReservedCols(df, "appendWithManifest")
     val spark = df.sparkSession
     val url = GraftIO.resolveUrl(path)
+    requireSchemaMatch(spark, url, df, "appendWithManifest")
     val statsCols = manifestStatsCols(spark, url)
     clustered(df, clusterCols, targetFiles)
       .withColumn("seg", F.lit(segment))
@@ -780,6 +820,7 @@ object Manifest {
     requireNoReservedCols(batch, "upsert")
     val spark = batch.sparkSession
     val url = GraftIO.resolveUrl(path)
+    requireSchemaMatch(spark, url, batch, "upsert")
     val statsCols = manifestStatsCols(spark, url)
     require(statsCols.contains(keyCol),
       s"upsert: $keyCol has no manifest stats — the delete step needs " +

@@ -1080,6 +1080,18 @@ class IOStreamsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Manifest.appendWithManifest(batch, dir + "/t", segment = "b%1")
     }
+    // schema drift is refused loudly BEFORE anything durably lands: a
+    // renamed/missing/extra column would otherwise be silently nulled or
+    // dropped by single-schema parquet reads of the mixed segments
+    val driftE = intercept[IllegalArgumentException] {
+      Manifest.upsert(batch.withColumnRenamed("payload", "body"),
+        dir + "/t", "id", segment = "b8")
+    }
+    assert(driftE.getMessage.contains("batch columns"), driftE.getMessage)
+    intercept[IllegalArgumentException] {
+      Manifest.appendWithManifest(batch.withColumn("extra", F.lit(1)),
+        dir + "/t", segment = "b8")
+    }
     // upsert validates BEFORE the append commits: a bad key column or a
     // duplicate-key batch must not leave the appended segment behind
     val before = ids()
