@@ -368,11 +368,15 @@ object Streams {
     * derived from the batch id, so a replayed batch re-compacts
     * idempotently; a batch part replayed AFTER its rows were folded is
     * also safe — the live view dedups by file, and the delete step's
-    * self-exclusion matches DATA paths, not part locations. */
+    * self-exclusion matches DATA paths, not part locations.
+    * `retainFiles = true` keeps each batch's retired files for
+    * [[graft.io.Manifest.manifestAsOf]] time travel — `compactEvery`
+    * then bounds the HISTORY window too (compaction collapses commits
+    * older than itself). */
   def upsertSink(stream: DataFrame, keyCol: String, path: String,
       name: String, latestBy: Option[String] = None,
       clusterCols: Seq[String] = Nil, targetFiles: Int = 0,
-      compactEvery: Int = 0,
+      compactEvery: Int = 0, retainFiles: Boolean = false,
       checkpoint: Option[String] = None): String = {
     val ckpt = checkpoint.getOrElse(checkpointDir(name).toString)
     val prefix = segmentPrefix(ckpt)
@@ -387,7 +391,8 @@ object Streams {
         case None => batchDf
       }
       graft.io.Manifest.upsert(b, path, keyCol,
-        s"${prefix}_b$batchId", clusterCols, targetFiles)
+        s"${prefix}_b$batchId", clusterCols, targetFiles,
+        retainFiles = retainFiles)
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
         graft.io.Manifest.compactManifest(batchDf.sparkSession, path,
           s"${prefix}_c$batchId")
