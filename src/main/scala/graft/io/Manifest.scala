@@ -64,21 +64,27 @@ object Manifest {
   // loses a row.
   private def partsPath(url: String) = url + "/_manifest/parts"
 
-  /** Write (dynamic-overwrite) one manifest part for `segment` — a
-    * retried mutation REPLACES its earlier part, same contract as every
-    * data-segment appender. `rows` is (file, rows, min_*, max_*), with
-    * null `rows` marking tombstones; every row is stamped with the
-    * mutation's `commit` number (the time-travel axis — see
-    * [[manifestAsOf]]). */
+  /** Write one manifest part for `segment` — a retried mutation REPLACES
+    * its earlier part, same contract as every data-segment appender.
+    * `rows` is (file, rows, min_*, max_*), with null `rows` marking
+    * tombstones; every row is stamped with the mutation's `commit` number
+    * (the time-travel axis — see [[manifestAsOf]]).
+    *
+    * Written DIRECTLY into the `seg=<segment>` directory (mode overwrite)
+    * rather than via dynamic partition overwrite: the two are equivalent
+    * for a non-empty single-segment frame, but a ZERO-row dynamic
+    * overwrite creates no directory at all — which is exactly how an
+    * all-rows-deleted compaction used to DESTROY the manifest (the empty
+    * compact part vanished, then the old parts were deleted, and every
+    * later read failed "no manifest" on a table that logically still
+    * exists, empty). A direct write lands a schema-only parquet file even
+    * at zero rows, so the layout stays readable. */
   private def writePart(rows: DataFrame, url: String,
       segment: String, commit: Long): Unit =
     rows.coalesce(1)
       .withColumn("__commit", F.lit(commit))
-      .withColumn("seg", F.lit(segment))
       .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("seg")
-      .parquet(partsPath(url))
+      .parquet(s"${partsPath(url)}/seg=$segment")
 
   /** The next commit number: max stamped commit + 1 (0 for a fresh
     * layout). Race-free under the single-writer contract; a crash-retry
@@ -123,10 +129,65 @@ object Manifest {
           } finally r.close()
         }
     }
+    // the compaction floor participates: an ALL-ROWS-DELETED compaction
+    // leaves a zero-row compact part whose footer carries no stats, and
+    // without the floor the next mutation would restart numbering at 0 —
+    // colliding with compacted-away history
+    val floor = readFloor(spark, url).getOrElse(-1L)
     if (fallback) {
       val r = rawParts(spark, url).agg(F.max("__commit")).collect().head
-      if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
-    } else max + 1L
+      math.max(if (r.isNullAt(0)) -1L else r.getLong(0), floor) + 1L
+    } else math.max(max, floor) + 1L
+  }
+
+  // ---- compaction floor --------------------------------------------------
+  // `_manifest/floor` records the oldest still-addressable commit — the
+  // compact part's stamp — and is written durably BEFORE any old part
+  // directory is deleted. Without it, a crash mid-compaction (some old
+  // parts deleted, some surviving) leaves manifestAsOf silently WRONG: a
+  // surviving old part keeps min(__commit) low enough to pass the
+  // "compacted away" guard, but the as-of view reconstructs from only the
+  // surviving subset and lists a partial file set. With the floor, every
+  // commit below the compaction is refused loudly at every crash prefix
+  // (the floor lands before the first deletion; a crash before it leaves
+  // all parts intact, so the min-commit fallback still answers correctly).
+
+  private def floorPath(url: String) =
+    new org.apache.hadoop.fs.Path(url + "/_manifest/floor")
+
+  /** The compaction floor, if one was ever recorded. Unparseable content
+    * fails LOUD — a truncated floor means a compaction was interrupted
+    * mid-marker (only possible by foreign interference: the writer goes
+    * through a temp file + atomic rename), and guessing would re-open the
+    * silent-partial-history hole the marker exists to close. */
+  private def readFloor(spark: SparkSession, url: String): Option[Long] = {
+    val p = floorPath(url)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(try txt.trim.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"corrupt compaction floor at $p ('${txt.take(40)}') — " +
+            "restore or remove the marker before reading history") })
+    }
+  }
+
+  /** Durably record the compaction floor: temp file + rename, so no
+    * reader ever sees a partially-written marker (a crash between the
+    * delete and the rename leaves the floor absent with every part still
+    * intact — the min-commit fallback covers that window). */
+  private def writeFloor(spark: SparkSession, url: String,
+      commit: Long): Unit = {
+    val p = floorPath(url)
+    val tmp = new org.apache.hadoop.fs.Path(url + "/_manifest/.floor_tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(commit.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"failed to commit compaction floor at $p")
   }
 
   /** Drop a segment's manifest part (an empty retried batch must clear
@@ -160,11 +221,14 @@ object Manifest {
       .map(_.getPath.toString)
   }
 
-  /** All part rows (live + tombstones) as written, `seg` dropped. */
-  private def rawParts(spark: SparkSession, url: String): DataFrame = {
+  /** All part rows (live + tombstones) as written; `seg` (the part's
+    * segment id, from the partition directory) dropped unless asked for. */
+  private def rawParts(spark: SparkSession, url: String,
+      keepSeg: Boolean = false): DataFrame = {
     require(segDirs(spark, partsPath(url)).nonEmpty,
       s"no manifest at $url — write the layout with writeWithManifest")
-    spark.read.parquet(partsPath(url)).drop("seg")
+    val all = spark.read.parquet(partsPath(url))
+    if (keepSeg) all else all.drop("seg")
   }
 
   /** Column names of one existing data file (first file of the first
@@ -491,9 +555,10 @@ object Manifest {
     * ≤ `commit` contribute (live rows AND tombstones), so the view is
     * exactly the table after that mutation. Commit numbers come from
     * [[manifestCommits]]. The history window is honest and bounded the
-    * same way Delta's is: [[compactManifest]] collapses history (as-of
-    * older than the compaction fails loud — the parts are gone), and
-    * [[vacuum]] reclaims retired data files (run mutations with
+    * same way Delta's is: [[compactManifest]] collapses history up to
+    * its recorded floor (as-of below the floor fails loud — the parts
+    * are gone; `keepLast = n` retains the newest n commits servable),
+    * and [[vacuum]] reclaims retired data files (run mutations with
     * `retainFiles = true` to keep as-of readable until vacuum). */
   def manifestAsOf(spark: SparkSession, path: String,
       commit: Long): DataFrame =
@@ -506,12 +571,25 @@ object Manifest {
     val all = asOf match {
       case None => all0
       case Some(c) =>
-        val min = all0.agg(F.min("__commit")).collect().head
-        require(!min.isNullAt(0) && min.getLong(0) <= c,
-          s"manifestAsOf($c): history before commit " +
-            s"${if (min.isNullAt(0)) "?" else min.getLong(0)} was " +
-            "compacted away (compactManifest collapses history) — " +
-            "available commits: manifestCommits")
+        // the floor is the AUTHORITY once a compaction ever ran: a crash
+        // mid-compaction can leave old parts with commits BELOW the floor
+        // still on disk, and reconstructing from that surviving subset
+        // would be silently partial — refuse everything below the floor
+        // instead. The min-commit check remains as the fallback for
+        // layouts that were never compacted (no marker).
+        readFloor(spark, url) match {
+          case Some(fl) => require(c >= fl,
+            s"manifestAsOf($c): history before commit $fl was " +
+              "compacted away (compactManifest collapses history) — " +
+              "available commits: manifestCommits")
+          case None =>
+            val min = all0.agg(F.min("__commit")).collect().head
+            require(!min.isNullAt(0) && min.getLong(0) <= c,
+              s"manifestAsOf($c): history before commit " +
+                s"${if (min.isNullAt(0)) "?" else min.getLong(0)} was " +
+                "compacted away (compactManifest collapses history) — " +
+                "available commits: manifestCommits")
+        }
         all0.filter(F.col("__commit") <= c)
     }
     all.filter(F.col("rows").isNotNull).dropDuplicates("file")
@@ -525,7 +603,10 @@ object Manifest {
     * for [[manifestAsOf]]. */
   def manifestCommits(spark: SparkSession, path: String): DataFrame = {
     val url = GraftIO.resolveUrl(path)
-    spark.read.parquet(partsPath(url))
+    // through rawParts for its loud require: a missing layout must say
+    // "no manifest at … write the layout with writeWithManifest" here
+    // like every other entry point, not a raw PATH_NOT_FOUND
+    rawParts(spark, url, keepSeg = true)
       .groupBy(F.col("__commit").as("commit"), F.col("seg").as("segment"))
       .agg(F.count_if(F.col("rows").isNotNull).as("files"),
         F.count_if(F.col("rows").isNull).as("tombstones"),
@@ -600,66 +681,109 @@ object Manifest {
     * its id and replaces its own output). Returns the number of live
     * manifest rows.
     *
-    * Crash ordering: compacted part FIRST, then old parts deleted, then
-    * tombstones deleted LAST — a crash leaves duplicates (the same file
-    * in the compact part and a not-yet-deleted old part: healed by
-    * [[manifest]]'s dedup-by-file, since manifest rows for one immutable
-    * file path are identical) or still-applied tombstones naming
-    * already-unlisted files (a no-op), never resurrection (deleting a
-    * tombstone before the part that carries its dead rows would re-list
-    * them — hence tombs last). */
+    * `keepLast` is the time-travel retention knob: the newest `keepLast`
+    * DISTINCT commits' parts are left untouched, only the older prefix
+    * folds — so [[manifestAsOf]] keeps serving the last `keepLast`
+    * mutations (plus the fold's own stamp) after every compaction, while
+    * part count stays bounded at keepLast + 1 in the steady state. With
+    * the default 0 the whole history folds (the Delta-checkpoint
+    * posture). The compact part is stamped with the max FOLDED commit —
+    * the oldest still-servable version — and that stamp is durably
+    * recorded in `_manifest/floor` BEFORE any old part is deleted, so a
+    * crash that deletes only SOME old parts can never serve a silently
+    * partial as-of view: everything below the floor is refused loud.
+    *
+    * Crash ordering: compacted part FIRST, then the floor marker, then
+    * old parts deleted, then data tombstone-files deleted LAST — a crash
+    * leaves duplicates (the same file in the compact part and a
+    * not-yet-deleted old part: healed by [[manifest]]'s dedup-by-file,
+    * since manifest rows for one immutable file path are identical) or
+    * still-applied tombstones naming already-unlisted files (a no-op),
+    * never resurrection (the compact part carries every still-lethal
+    * folded tombstone, so old parts delete in any order) and never a
+    * partial as-of (the floor refuses commits the surviving parts can no
+    * longer faithfully reconstruct). An ALL-ROWS-DELETED table compacts
+    * to an empty-but-present part (see [[writePart]]) — the layout stays
+    * readable and appendable, never "no manifest". */
   def compactManifest(spark: SparkSession, path: String,
-      segment: String): Long = {
+      segment: String, keepLast: Int = 0): Long = {
     requireSafeSegment(segment, "compactManifest")
+    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
     val url = GraftIO.resolveUrl(path)
     // the fold itself is driver-side and file-count-bound — the posture
     // of a Delta checkpoint: periodic, never per-mutation (a distributed
     // self-read-then-overwrite of the parts root would trip Spark's
-    // read/write-overlap guard). The compact part carries the live rows
-    // PLUS every tombstone that still kills a row listed in the current
-    // parts: old part dirs can then be deleted in ANY order without a
-    // resurrection window (a crash-surviving old part's dead row stays
-    // tombstoned by the compact part). Once the old parts are gone those
-    // carried tombstones reference nothing and the NEXT compaction drops
-    // them — self-cleaning.
-    val all = rawParts(spark, url).collect()
-    val oldDirs = segDirs(spark, partsPath(url))
-      .filterNot(_.endsWith(s"/seg=$segment"))
-    val fileIdx = all.headOption.map(_.fieldIndex("file")).getOrElse(0)
-    val rowsIdx = all.headOption.map(_.fieldIndex("rows")).getOrElse(0)
-    val rawLive = all.filter(!_.isNullAt(rowsIdx))
-    val tombFiles = all.filter(_.isNullAt(rowsIdx))
+    // read/write-overlap guard).
+    val raw = rawParts(spark, url, keepSeg = true)
+    val schema = raw.schema
+    val all = raw.collect()
+    val fileIdx = schema.fieldIndex("file")
+    val rowsIdx = schema.fieldIndex("rows")
+    val commitIdx = schema.fieldIndex("__commit")
+    val segIdx = schema.fieldIndex("seg")
+    // partition-value inference can type an all-digit segment id as a
+    // number — compare through its string form
+    def segOf(r: org.apache.spark.sql.Row): String =
+      String.valueOf(r.get(segIdx))
+    val allTombFiles = all.filter(_.isNullAt(rowsIdx))
       .map(_.getString(fileIdx)).toSet
-    val listed = rawLive.map(_.getString(fileIdx)).toSet
+    val liveCount = all.filter(!_.isNullAt(rowsIdx))
+      .map(_.getString(fileIdx)).distinct
+      .count(f => !allTombFiles.contains(f)).toLong
+    val keptCommits = all.map(_.getLong(commitIdx)).distinct
+      .sorted.takeRight(keepLast).toSet
+    val folded = all.filterNot(r => keptCommits.contains(r.getLong(commitIdx)))
+    if (folded.isEmpty) return liveCount // nothing older than the window
+    val keptSegs = all.filter(r => keptCommits.contains(r.getLong(commitIdx)))
+      .map(segOf).toSet
+    // live rows of the FOLDED prefix minus the prefix's own tombstones:
+    // this is exactly the table as of the fold's stamp — a KEPT part's
+    // tombstone must NOT apply here (as-of reads between the stamp and
+    // that tombstone's commit still need the row) and applies at read
+    // time instead, like any other part composition
+    val foldedTombFiles = folded.filter(_.isNullAt(rowsIdx))
+      .map(_.getString(fileIdx)).toSet
+    val listedAll = all.filter(!_.isNullAt(rowsIdx))
+      .map(_.getString(fileIdx)).toSet
     val seenLive = scala.collection.mutable.Set.empty[String]
-    val liveOut = rawLive.filter { r =>
-      val f = r.getString(fileIdx)
-      !tombFiles.contains(f) && seenLive.add(f)
+    val liveOut = folded.filter { r =>
+      !r.isNullAt(rowsIdx) && {
+        val f = r.getString(fileIdx)
+        !foldedTombFiles.contains(f) && seenLive.add(f)
+      }
     }
+    // carry every folded tombstone that still kills a row listed in the
+    // current parts: old part dirs can then be deleted in ANY order
+    // without a resurrection window (a crash-surviving old part's dead
+    // row stays tombstoned by the compact part). Once the old parts are
+    // gone those carried tombstones reference nothing and the NEXT
+    // compaction drops them — self-cleaning.
     val seenTomb = scala.collection.mutable.Set.empty[String]
-    val carried = all.filter { r =>
-      r.isNullAt(rowsIdx) && listed.contains(r.getString(fileIdx)) &&
+    val carried = folded.filter { r =>
+      r.isNullAt(rowsIdx) && listedAll.contains(r.getString(fileIdx)) &&
         seenTomb.add(r.getString(fileIdx))
     }
-    // the compact part keeps the CURRENT max commit (not +1): the fold
+    // the compact part keeps the max FOLDED commit (not +1): the fold
     // changes no state, and as-of reads at that commit must keep working;
     // history BEFORE it is gone — manifestAsOf fails loud on older asks
-    val commitIdx = all.headOption.map(_.fieldIndex("__commit")).getOrElse(0)
-    val maxCommit = if (all.isEmpty) 0L
-      else all.map(_.getLong(commitIdx)).max
+    val stamp = folded.map(_.getLong(commitIdx)).max
     val outSchema = org.apache.spark.sql.types.StructType(
-      rawParts(spark, url).schema.filterNot(_.name == "__commit"))
-    val outIdx = outSchema.fieldNames.map(n =>
-      rawParts(spark, url).schema.fieldIndex(n))
+      schema.filterNot(f => f.name == "__commit" || f.name == "seg"))
+    val outIdx = outSchema.fieldNames.map(schema.fieldIndex)
     val outRows = (liveOut ++ carried).toSeq.map(r =>
       org.apache.spark.sql.Row.fromSeq(outIdx.toSeq.map(r.get)))
     writePart(spark.createDataFrame(
       spark.sparkContext.parallelize(outRows, 1),
-      outSchema), url, segment, commit = maxCommit)
+      outSchema), url, segment, commit = stamp)
+    writeFloor(spark, url, stamp)
     val fs = new org.apache.hadoop.fs.Path(url)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    oldDirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
-    liveOut.length.toLong
+    segDirs(spark, partsPath(url)).foreach { d =>
+      val sg = d.substring(d.lastIndexOf("/seg=") + 5)
+      if (sg != segment && !keptSegs.contains(sg))
+        fs.delete(new org.apache.hadoop.fs.Path(d), true)
+    }
+    liveCount
   }
 
   /** Delete every row whose `keyCol` appears in `keys` (a one-column
@@ -704,7 +828,8 @@ object Manifest {
       keys: DataFrame, segment: String,
       excludeSegments: Set[String] = Set.empty,
       keysDeterministic: Boolean = false,
-      retainFiles: Boolean = false): Int = {
+      retainFiles: Boolean = false,
+      commitOverride: Option[Long] = None): Int = {
     requireSafeSegment(segment, "deleteKeys")
     val url = GraftIO.resolveUrl(path)
     val man = manifest(spark, path)
@@ -772,10 +897,15 @@ object Manifest {
     // rewrites the rest of the manifest — cost tracks the affected
     // files, not the table.
     val tombs = tombRows(man, affected.toSeq)
+    // commitOverride: upsert stamps its delete part with the SAME commit
+    // as its batch part, so the MERGE is ONE addressable version — no
+    // as-of commit exposes the mid-merge duplicate state (Delta exposes
+    // one version per MERGE; so does this)
     writePart(
       if (rwFiles.isEmpty) tombs
       else harvest(spark, rwFiles, statsCols).unionByName(tombs),
-      url, segment, commit = nextCommit(spark, url))
+      url, segment,
+      commit = commitOverride.getOrElse(nextCommit(spark, url)))
     // retainFiles = true keeps the retired (tombstoned, invisible) files
     // on disk so manifestAsOf reads of earlier commits stay servable —
     // the Delta posture: history lives until vacuum reclaims it
@@ -793,10 +923,13 @@ object Manifest {
     * segment via [[deleteKeys]] (rewrite segment `rw_<segment>`, the
     * batch's own segment excluded), with the key set read back from the
     * batch's just-written files — durable and deterministic even when
-    * `batch`'s own plan is not. Between the two commits a reader can
+    * `batch`'s own plan is not. Both parts carry ONE commit number, so
+    * the MERGE is a single addressable [[manifestAsOf]] version (the
+    * Delta posture — no as-of commit exposes the mid-merge duplicate
+    * state); between the two part WRITES a reader can transiently
     * observe both versions of an updated key (duplicates, never
-    * absence); a crash there is healed by the at-least-once retry, both
-    * steps being idempotent under the same segment id. Returns the
+    * absence), and a crash there is healed by the at-least-once retry,
+    * both steps being idempotent under the same segment id. Returns the
     * number of files the delete rewrote.
     *
     * Validation (`keyCol` manifested; exactly one non-null row per key
@@ -883,14 +1016,22 @@ object Manifest {
       partFields.map(schema.apply).zipWithIndex.map { case (f, i) =>
         if (i == 0) f.copy(name = "file") else f
       })
+    // ONE commit number for the whole MERGE: the batch part and the
+    // delete's rewrite/tombstone part share it, so manifestAsOf(commit)
+    // is exactly the post-merge table and no addressable version carries
+    // the mid-merge duplicate state (a crash between the two parts still
+    // shows duplicates at this commit until the at-least-once retry
+    // heals it — transient, like the current view)
+    val commit = nextCommit(spark, url)
     writePart(spark.createDataFrame(
       spark.sparkContext.parallelize(partRows, 1), partSchema),
-      url, segment, commit = nextCommit(spark, url))
+      url, segment, commit = commit)
     deleteKeys(spark, path, keyCol,
       spark.read.parquet(appended: _*).select(kc), s"rw_$segment",
       excludeSegments = Set(segment),
       keysDeterministic = true, // durable parquet, validated unique
-      retainFiles = retainFiles)
+      retainFiles = retainFiles,
+      commitOverride = Some(commit))
   }
 
   /** Reclaim data files the manifest does not list — the debris of

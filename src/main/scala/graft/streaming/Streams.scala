@@ -370,13 +370,20 @@ object Streams {
     * also safe — the live view dedups by file, and the delete step's
     * self-exclusion matches DATA paths, not part locations.
     * `retainFiles = true` keeps each batch's retired files for
-    * [[graft.io.Manifest.manifestAsOf]] time travel — `compactEvery`
-    * then bounds the HISTORY window too (compaction collapses commits
-    * older than itself). */
+    * [[graft.io.Manifest.manifestAsOf]] time travel; `keepHistory = n`
+    * is the retention knob that stops `compactEvery` from collapsing the
+    * whole history window as a side effect — each in-line compaction
+    * leaves the newest n commits' parts unfolded (so the last n
+    * mutations stay as-of addressable, plus the fold's own stamp as the
+    * floor), and commits below the recorded floor are refused loudly by
+    * [[graft.io.Manifest.manifestAsOf]]. The default 0 keeps the old
+    * checkpoint-style behavior: compaction folds everything and only its
+    * own stamp remains servable. */
   def upsertSink(stream: DataFrame, keyCol: String, path: String,
       name: String, latestBy: Option[String] = None,
       clusterCols: Seq[String] = Nil, targetFiles: Int = 0,
       compactEvery: Int = 0, retainFiles: Boolean = false,
+      keepHistory: Int = 0,
       checkpoint: Option[String] = None): String = {
     val ckpt = checkpoint.getOrElse(checkpointDir(name).toString)
     val prefix = segmentPrefix(ckpt)
@@ -395,7 +402,7 @@ object Streams {
         retainFiles = retainFiles)
       if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
         graft.io.Manifest.compactManifest(batchDf.sparkSession, path,
-          s"${prefix}_c$batchId")
+          s"${prefix}_c$batchId", keepLast = keepHistory)
       ()
     }
     val q = stream.writeStream

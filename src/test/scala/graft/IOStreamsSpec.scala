@@ -1189,7 +1189,9 @@ class IOStreamsSpec extends SparkSpec {
     // commit 1: delete a band, retaining retired files for time travel
     Manifest.deleteKeys(spark, dir + "/t", "id", (50L until 60L).toDF("id"),
       segment = "d1", retainFiles = true)
-    // commits 2 (batch part) + 3 (rw delete part): an upsert
+    // commit 2: an upsert — its batch part AND its rw_ delete part share
+    // ONE commit number (the MERGE is a single addressable version; no
+    // as-of commit exposes the mid-merge duplicate state)
     Manifest.upsert(Seq((55L, "back"), (400L, "new")).toDF("id", "payload"),
       dir + "/t", "id", segment = "b1", retainFiles = true)
     val v0 = (0L until 300L)
@@ -1198,23 +1200,148 @@ class IOStreamsSpec extends SparkSpec {
     assert(idsAsOf(None) == v3)
     assert(idsAsOf(Some(0L)) == v0) // pre-delete
     assert(idsAsOf(Some(1L)) == v1) // post-delete
-    assert(idsAsOf(Some(3L)) == v3) // current
-    // commit history is discoverable
-    val commits = Manifest.manifestCommits(spark, dir + "/t")
-      .select("commit").collect().map(_.getLong(0)).sorted
-    assert(commits.head == 0L && commits.last == 3L, commits.toSeq.toString)
+    assert(idsAsOf(Some(2L)) == v3) // the whole merge, atomically
+    // commit history is discoverable, and the upsert's two segments
+    // (b1 + rw_b1) really share one commit number
+    val commitRows = Manifest.manifestCommits(spark, dir + "/t")
+      .select("commit", "segment").collect()
+      .map(r => r.getLong(0) -> String.valueOf(r.get(1)))
+    val commits = commitRows.map(_._1).distinct.sorted.toSeq
+    assert(commits == Seq(0L, 1L, 2L), commits.toString)
+    assert(commitRows.filter(_._2.startsWith("b1")).map(_._1).toSet ==
+      commitRows.filter(_._2 == "rw_b1").map(_._1).toSet,
+      commitRows.mkString(", "))
     // asking past the end is just the current view; compaction collapses
     // history and older asks fail LOUD
     assert(idsAsOf(Some(99L)) == v3)
     Manifest.compactManifest(spark, dir + "/t", "c1")
     assert(idsAsOf(None) == v3)
-    assert(idsAsOf(Some(3L)) == v3) // the compaction's own commit survives
+    assert(idsAsOf(Some(2L)) == v3) // the compaction's own commit survives
     val e = intercept[IllegalArgumentException] { idsAsOf(Some(1L)) }
     assert(e.getMessage.contains("compacted away"), e.getMessage)
     // vacuum reclaims the retained (now-unlisted) retired files: current
     // reads unaffected — time travel to pre-delete states is over
     assert(Manifest.vacuum(spark, dir + "/t") >= 1)
     assert(idsAsOf(None) == v3)
+  }
+
+  test("compacting an all-rows-deleted table keeps the layout readable " +
+      "and appendable (empty-but-present compact part, commits preserved)") {
+    val dir = tmp("graft_man_empty")
+    val df = (0L until 100L).map(i => (i, s"r$i")).toDF("id", "payload")
+    Manifest.writeWithManifest(df, dir + "/t", statsCols = Seq("id"),
+      clusterCols = Seq("id"), targetFiles = 2)
+    // delete EVERYTHING, then compact: the zero-row compact part must
+    // still land as a schema-bearing file — destroying the manifest here
+    // would make a logically-empty-but-existing table unreadable
+    assert(Manifest.deleteKeys(spark, dir + "/t", "id",
+      (0L until 100L).toDF("id"), segment = "d1") >= 1)
+    assert(Manifest.manifest(spark, dir + "/t").count() == 0)
+    assert(Manifest.compactManifest(spark, dir + "/t", "c1") == 0L)
+    // the second (retried) compaction drops the now-targetless carried
+    // tombstones — its compact part is LITERALLY ZERO ROWS, the case
+    // that used to vanish under dynamic overwrite and destroy the layout
+    assert(Manifest.compactManifest(spark, dir + "/t", "c1") == 0L)
+    // readable: manifest() answers (empty), no "no manifest" failure
+    assert(Manifest.manifest(spark, dir + "/t").count() == 0)
+    // appendable: schema (stats cols) survives in the empty part, and
+    // commit numbering continues from the floor instead of restarting
+    Manifest.appendWithManifest(
+      (200L until 210L).map(i => (i, s"n$i")).toDF("id", "payload"),
+      dir + "/t", segment = "b1")
+    assert(col1[Long](Manifest.readSkipping(spark, dir + "/t", "id",
+      0L, 5000L).orderBy("id"), "id") == (200L until 210L))
+    val commits = Manifest.manifestCommits(spark, dir + "/t")
+      .select("commit").collect().map(_.getLong(0))
+    assert(commits.max > 1L, // floor carried the pre-compaction numbering
+      s"append after empty compaction restarted commits: ${commits.toSeq}")
+  }
+
+  test("compaction floor: as-of below the floor is refused loudly even " +
+      "when a crash-surviving old part is still on disk") {
+    val dir = tmp("graft_man_floor")
+    val df = (0L until 200L).map(i => (i, s"r$i")).toDF("id", "payload")
+    Manifest.writeWithManifest(df, dir + "/t", statsCols = Seq("id"),
+      clusterCols = Seq("id"), targetFiles = 4) // commit 0
+    Manifest.deleteKeys(spark, dir + "/t", "id", (10L until 20L).toDF("id"),
+      segment = "d1", retainFiles = true) // commit 1
+    Manifest.appendWithManifest(
+      (300L until 320L).map(i => (i, s"a$i")).toDF("id", "payload"),
+      dir + "/t", segment = "b1") // commit 2
+    val expect = ((0L until 200L).filterNot(i => i >= 10 && i < 20) ++
+      (300L until 320L)).sorted
+    def ids(asOf: Option[Long]): Seq[Long] = col1[Long](
+      Manifest.readSkipping(spark, dir + "/t", "id", 0L, 5000L,
+        asOf = asOf).orderBy("id"), "id")
+    // simulate the crash: keep a copy of an OLD part dir, compact (which
+    // deletes it), then restore the copy — a surviving old part whose
+    // min(__commit) would have passed the old "compacted away" guard
+    val parts = new java.io.File(dir + "/t/_manifest/parts")
+    val oldPart = new java.io.File(parts, "seg=base")
+    val stash = new java.io.File(dir + "/stash")
+    org.apache.commons.io.FileUtils.copyDirectory(oldPart, stash)
+    Manifest.compactManifest(spark, dir + "/t", "c1")
+    org.apache.commons.io.FileUtils.copyDirectory(stash,
+      new java.io.File(parts, "seg=base"))
+    // the restored low-commit part must NOT re-open pre-floor history:
+    // reconstructing from a surviving subset would be silently partial
+    val e = intercept[IllegalArgumentException] { ids(Some(0L)) }
+    assert(e.getMessage.contains("history before commit") &&
+      e.getMessage.contains("compacted away"), e.getMessage)
+    // and the CURRENT view is unaffected (dedup-by-file + carried
+    // tombstones make old-part survival harmless)
+    assert(ids(None) == expect)
+    assert(ids(Some(2L)) == expect) // the floor commit itself serves
+  }
+
+  test("manifestCommits fails loud on an un-manifested path, like every " +
+      "other entry point") {
+    val dir = tmp("graft_man_nocommits")
+    val e = intercept[IllegalArgumentException] {
+      Manifest.manifestCommits(spark, dir + "/nothere").collect()
+    }
+    assert(e.getMessage.contains("no manifest at") &&
+      e.getMessage.contains("writeWithManifest"), e.getMessage)
+  }
+
+  test("compactManifest keepLast retains a bounded as-of window: the " +
+      "newest n commits stay servable, older are refused at the floor") {
+    val dir = tmp("graft_man_keep")
+    val df = (0L until 100L).map(i => (i, s"r$i")).toDF("id", "payload")
+    Manifest.writeWithManifest(df, dir + "/t", statsCols = Seq("id"),
+      clusterCols = Seq("id"), targetFiles = 2) // commit 0
+    (1 to 4).foreach { k => // commits 1..4
+      Manifest.deleteKeys(spark, dir + "/t", "id",
+        Seq(k.toLong * 10).toDF("id"), segment = s"d$k",
+        retainFiles = true)
+    }
+    def ids(asOf: Option[Long]): Seq[Long] = col1[Long](
+      Manifest.readSkipping(spark, dir + "/t", "id", 0L, 5000L,
+        asOf = asOf).orderBy("id"), "id")
+    def after(ks: Seq[Long]): Seq[Long] =
+      (0L until 100L).filterNot(i => ks.map(_ * 10).contains(i)).sorted
+    // keep the newest 2 commits (3, 4): the fold's stamp is commit 2 —
+    // the floor — so 2, 3, 4 stay servable and 0, 1 are gone
+    val live = Manifest.compactManifest(spark, dir + "/t", "c1",
+      keepLast = 2)
+    assert(live == Manifest.manifest(spark, dir + "/t").count())
+    assert(ids(Some(2L)) == after(Seq(1L, 2L)))
+    assert(ids(Some(3L)) == after(Seq(1L, 2L, 3L)))
+    assert(ids(Some(4L)) == after(Seq(1L, 2L, 3L, 4L)))
+    assert(ids(None) == after(Seq(1L, 2L, 3L, 4L)))
+    val e = intercept[IllegalArgumentException] { ids(Some(1L)) }
+    assert(e.getMessage.contains("history before commit 2"), e.getMessage)
+    // part count is bounded: kept parts + the compact part
+    val partDirs = new java.io.File(dir + "/t/_manifest/parts")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(partDirs == Set("seg=c1", "seg=d3", "seg=d4"),
+      partDirs.toString)
+    // a later full compaction (keepLast = 0) advances the floor to the
+    // max commit and collapses the window behind it
+    Manifest.compactManifest(spark, dir + "/t", "c2")
+    assert(ids(Some(4L)) == after(Seq(1L, 2L, 3L, 4L)))
+    val e2 = intercept[IllegalArgumentException] { ids(Some(3L)) }
+    assert(e2.getMessage.contains("compacted away"), e2.getMessage)
   }
 
   test("manifest operations accept column names needing backtick quoting " +
@@ -1281,6 +1408,35 @@ class IOStreamsSpec extends SparkSpec {
     // the refused stream changed nothing
     assert(Manifest.readSkipping(spark, dir + "/t", "id", 0L, 100L)
       .count() == 4)
+  }
+
+  test("upsertSink keepHistory: in-line compaction retains the newest n " +
+      "commits as-of servable; the floor refuses older ones loudly") {
+    val dir = tmp("graft_upsink_keep")
+    val base = Seq((0L, "a0"), (1L, "a1")).toDF("id", "v") // commit 0
+    Manifest.writeWithManifest(base, dir + "/t", statsCols = Seq("id"))
+    val feed = new java.io.File(dir + "/feed"); feed.mkdirs()
+    (0 until 4).foreach { k => // batches → commits 1..4
+      shipFeed(Seq((0L, s"b$k"), (10L + k, s"n$k")).toDF("id", "v"),
+        feed, k, dir + s"/tmp$k")
+    }
+    Streams.upsertSink(
+      Streams.readParquetStream(spark, feed.toString, base.schema,
+        maxFilesPerTrigger = 1),
+      "id", dir + "/t", name = "upkeep", retainFiles = true,
+      compactEvery = 2, keepHistory = 2)
+    def ids(asOf: Option[Long]): Seq[Long] = col1[Long](
+      Manifest.readSkipping(spark, dir + "/t", "id", 0L, 100L,
+        asOf = asOf).orderBy("id"), "id")
+    // final compaction (after batch 3 = commit 4) folded commits ≤ 2:
+    // the floor is 2, so commits 2, 3, 4 stay servable
+    assert(ids(None) == Seq(0L, 1L, 10L, 11L, 12L, 13L))
+    assert(ids(Some(4L)) == Seq(0L, 1L, 10L, 11L, 12L, 13L))
+    assert(ids(Some(3L)) == Seq(0L, 1L, 10L, 11L, 12L))
+    assert(ids(Some(2L)) == Seq(0L, 1L, 10L, 11L)) // oldest servable
+    val e = intercept[IllegalArgumentException] { ids(Some(1L)) }
+    assert(e.getMessage.contains("history before commit 2") &&
+      e.getMessage.contains("compacted away"), e.getMessage)
   }
 
   test("training shards: deterministic shuffle into one file per shard, " +
