@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+
+/** Where does [[graft.operators.Embeddings.fitPca]]'s envelope actually
+  * sit? The fit ships one (1 + d + d(d+1)/2)-double moments buffer per
+  * map task and eigensolves a d×d covariance driver-side with cyclic
+  * Jacobi (O(d³) per sweep) — costs that are invisible at the testdata
+  * embedding width but are the whole story at transformer-embedding
+  * widths (768/1024+). This study pins both curves so the documented
+  * `maxDim = 2048` default is a measured bound, not an asserted one:
+  * per d it times (a) the full distributed fit over a deterministic
+  * synthetic corpus (planted dominant direction + hash noise — the
+  * EmbeddingsSpec fixture shape, generated in-plan so no testdata
+  * dependency) and (b) the driver Jacobi alone on a deterministic
+  * symmetric matrix, and reports the per-task buffer size.
+  *
+  * Usage: runMain graft.PcaDimStudy [dimsCsv] [rows] [runs] [out]
+  * (defaults 256,512,1024 × 20000 rows × 3 runs.)
+  */
+object PcaDimStudy {
+  def main(args: Array[String]): Unit = {
+    val dims = args.lift(0).getOrElse("256,512,1024")
+      .split(",").map(_.trim.toInt).toSeq
+    val nRows = args.lift(1).map(_.toLong).getOrElse(20000L)
+    val runs = args.lift(2).map(_.toInt).getOrElse(3)
+    val out = args.lift(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.sizeOfNull", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    val results = dims.map { d =>
+      // deterministic in-plan corpus: unit hash-noise plus a planted
+      // direction on coordinate 0 so the spectrum is anisotropic (the
+      // fixture shape EmbeddingsSpec pins correctness on)
+      val df = spark.range(nRows).select(F.col("id"),
+          F.transform(F.sequence(F.lit(0), F.lit(d - 1)), i =>
+            F.hash(F.col("id"), i).cast("double") / 2.147483647e9 +
+              F.when(i === 0,
+                (F.col("id") % 7 - 3).cast("double")).otherwise(0.0))
+            .as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize: time the FIT, not the generator
+      val tFit = (1 to runs).map { _ =>
+        time(graft.operators.Embeddings.fitPca(df, F.col("v"), k = 16,
+          maxDim = 2048))
+      }
+      df.unpersist(true)
+      // driver Jacobi alone on a deterministic symmetric d×d (B·Bᵀ over
+      // hash noise): the O(d³) share of the fit, isolated
+      val b = Array.tabulate(d, d)((i, j) =>
+        (((i.toLong * 2654435761L + j * 1315423911L) & 0xffffL).toDouble /
+          65536.0) - 0.5)
+      val a = Array.tabulate(d, d)((i, j) =>
+        (0 until d).map(l => b(i)(l) * b(j)(l)).sum / d)
+      val tJac = time(graft.operators.Embeddings.jacobiEigen(
+        a.map(_.clone())))
+      val bufMb = (1L + d + d.toLong * (d + 1) / 2) * 8 / 1048576.0
+      System.err.println(f"[pcadim] d=$d%5d n=$nRows " +
+        f"fit=${med(tFit)}%.2fs (min ${tFit.min}%.2f) " +
+        f"jacobi=$tJac%.2fs buffer=$bufMb%.1fMB")
+      (d, tFit, tJac, bufMb)
+    }
+    val json = "{\"metric\":\"pca_dim\",\"unit\":\"sec\"," +
+      s""""rows":$nRows,"k":16,"sizes":[""" +
+      results.map { case (d, f, j, mb) =>
+        s"""{"dim":$d,"fit_med":${med(f)},"fit_min":${f.min},""" +
+          s""""jacobi":$j,"buffer_mb":$mb,""" +
+          s""""runs_fit":[${f.mkString(",")}]}"""
+      }.mkString(",") + s"],\"n_runs\":$runs}"
+    println(json)
+    out.foreach(p => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(p), json + "\n"))
+    spark.stop()
+  }
+}

@@ -1631,6 +1631,61 @@ object SparkEntry {
       F.lit(if (got != raw) 1 else 0).as("metric_changed_ok"))
   }
 
+  /** d54's persisted-index lifecycle composed through PCA whitening
+    * ([[operators.Embeddings.appendToWhitenedIvfIndex]], the r13 append
+    * guard): build the whitened index on the EVEN half of the corpus,
+    * append the ODD half as a segment projected through the PERSISTED
+    * model, probe every cell — the exhaustive probe must equal
+    * brute-force top-k over the whitened space of the FULL corpus (a
+    * lost, duplicated, or raw-space-appended vector breaks the
+    * identity). Also asserts BY EXECUTION that the raw-space append and
+    * search refuse the whitened layout loudly — the guard is
+    * load-bearing because at pcaK == d the dim check alone cannot tell
+    * raw vectors from whitened ones. Flags + data-bound counts, the
+    * d67/d68 oracle pattern. */
+  private val d69: (SparkSession, String) => DataFrame = (s, dir) => {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val emb = t(s, dir, "embeddings")
+    val path = scratch(s"d69_wappend_${dir.hashCode.abs}")
+    val even = emb.filter(F.col("vec_id") >= 5 && F.col("vec_id") % 2 === 0)
+    val odd = emb.filter(F.col("vec_id") >= 5 && F.col("vec_id") % 2 === 1)
+    val queries = emb.filter(F.col("vec_id") < 5)
+    operators.Embeddings.writeWhitenedIvfIndex(even, F.col("vec_id"),
+      F.col("embedding"), path, pcaK = 8, nlist = 8, seed = 7)
+    operators.Embeddings.appendToWhitenedIvfIndex(odd, F.col("vec_id"),
+      F.col("embedding"), path, "b0")
+    val rawAppendRefused = try {
+      operators.Similarity.appendToIvfIndex(odd, F.col("vec_id"),
+        F.col("embedding"), path, "b1"); false
+    } catch { case e: IllegalArgumentException =>
+      e.getMessage.contains("WHITENED") }
+    val rawSearchRefused = try {
+      operators.Similarity.searchIvfIndex(s, path, queries,
+        F.col("vec_id"), F.col("embedding"), k = 1); false
+    } catch { case e: IllegalArgumentException =>
+      e.getMessage.contains("WHITENED") }
+    def key(df: DataFrame): Set[(Long, Long, Int)] = df
+      .select("query_id", "corpus_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = key(operators.Embeddings.searchWhitenedIvfIndex(s, path,
+      queries, F.col("vec_id"), F.col("embedding"), k = 10, nprobe = 8))
+    // the truth side projects through the SAME persisted model the
+    // append path used — round-tripping the model is part of the test
+    val pm = operators.Embeddings.readPcaModel(s, path)
+    val cw = operators.Embeddings.pcaProject(emb.filter(
+        F.col("vec_id") >= 5), F.col("embedding"), pm, "wv", whiten = true)
+    val qw = operators.Embeddings.pcaProject(queries, F.col("embedding"),
+      pm, "wv", whiten = true)
+    val want = key(operators.Similarity.bruteForceTopK(cw, F.col("vec_id"),
+      F.col("wv"), qw, F.col("vec_id"), F.col("wv"), k = 10))
+    val nVecs = bridge.scalarSubquery(emb.agg(F.count(F.lit(1))))
+    s.range(1).select(nVecs.as("n_vecs"),
+      F.lit(got.size).cast("long").as("n_results"),
+      F.lit(if (got == want) 1 else 0).as("append_equals_brute_ok"),
+      F.lit(if (rawAppendRefused) 1 else 0).as("raw_append_refused_ok"),
+      F.lit(if (rawSearchRefused) 1 else 0).as("raw_search_refused_ok"))
+  }
+
   /** Training-shard export ([[io.Shards.writeShards]]): the corpus
     * deterministically shuffled into 16 shard files (shard = md5 hash
     * mod 16, in-shard position = rank of the full hash — no RNG state,
@@ -2970,6 +3025,7 @@ object SparkEntry {
     "d66_lm_logloss" -> d66,
     "d67_pca_contract" -> d67,
     "d68_whitened_ivf" -> d68,
+    "d69_whitened_append" -> d69,
     "q62_sample_contract" -> q62,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
@@ -4603,6 +4659,14 @@ object SparkEntry {
       SELECT count(*) AS n_vecs, 50::BIGINT AS n_results,
         1 AS exhaustive_equals_brute_ok, 1 AS model_roundtrip_ok,
         1 AS metric_changed_ok FROM embeddings""",
+    // whitened-append lifecycle invariants are engine-side executed
+    // identities (exhaustive probe ≡ whitened brute force over the full
+    // corpus; raw append/search refused); the oracle holds the flags
+    // constant and pins the data-bound counts
+    "d69_whitened_append" -> """
+      SELECT count(*) AS n_vecs, 50::BIGINT AS n_results,
+        1 AS append_equals_brute_ok, 1 AS raw_append_refused_ok,
+        1 AS raw_search_refused_ok FROM embeddings""",
     // the deterministic shuffle replayed verbatim: exact-integer md5
     // shard + per-shard rank of the full hash
     // both lake versions replayed flat: version 0 = the even-id base,

@@ -40,8 +40,17 @@ object Embeddings {
   /** Fit the top-`k` principal components of `vec` over `df` in one
     * distributed pass + one driver-side d×d eigensolve. Null vectors are
     * skipped; needs at least 2 non-null rows (sample covariance), and
-    * every vector must have the same length. */
-  def fitPca(df: DataFrame, vec: Column, k: Int): PcaModel = {
+    * every vector must have the same length.
+    *
+    * `maxDim` is the fit's ENVELOPE, enforced loudly: the moments buffer
+    * is d(d+1)/2 doubles PER MAP TASK (~16.8 MB at d = 2048) and the
+    * driver Jacobi eigensolve is O(d³) (measured: scaling/pca_dim.json —
+    * seconds at d = 1024, the d³ wall dominates past ~2k). Past the
+    * default, raise `maxDim` explicitly if the driver is sized for it, or
+    * reduce dimensionality upstream (random projection / chunked PCA)
+    * instead of asking a covariance eigensolve to do it. */
+  def fitPca(df: DataFrame, vec: Column, k: Int,
+      maxDim: Int = 2048): PcaModel = {
     require(k >= 1, s"fitPca k must be >= 1, got $k")
     // one probed row doubles as the dim witness AND the moment pivot:
     // moments accumulated about a point near the data keep the
@@ -69,6 +78,12 @@ object Embeddings {
     require(pivot.forall(x => !x.isNaN),
       "fitPca: probed pivot vector has NaN elements")
     val d = pivot.length
+    require(d <= maxDim,
+      s"fitPca: vector dim $d exceeds the fit envelope maxDim = $maxDim" +
+        " — the one-pass moments buffer is d(d+1)/2 doubles per map task" +
+        f" (${d.toLong * (d + 1) / 2 * 8 / 1048576.0}%.1f MB at this d)" +
+        " and the driver eigensolve is O(d³); raise maxDim explicitly if" +
+        " the driver is sized for it, or reduce dimensionality upstream")
     require(k <= d, s"fitPca k $k > dim $d")
     val row = df.select(
         AggExprs.vectorMoments(vec, d, pivot.toSeq).as("m"))
@@ -127,7 +142,7 @@ object Embeddings {
     * with their largest-magnitude component positive, so the fit is
     * bit-reproducible across runs (Jacobi itself is deterministic; the
     * convention removes the ±v ambiguity). */
-  private[operators] def jacobiEigen(
+  private[graft] def jacobiEigen(
       a: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val d = a.length
     val m = a.map(_.clone())
@@ -266,18 +281,41 @@ object Embeddings {
   def writeWhitenedIvfIndex(corpus: DataFrame, id: Column, vec: Column,
       path: String, pcaK: Int, nlist: Int = 16, iters: Int = 5,
       trainSample: Int = 10000, seed: Long = 42,
-      varFloor: Double = 1e-12): PcaModel = {
+      varFloor: Double = 1e-12, maxDim: Int = 2048): PcaModel = {
     require(!corpus.columns.exists(
         _.toLowerCase(java.util.Locale.ROOT) == "__wv"),
       "writeWhitenedIvfIndex reserves column name __wv — rename first")
     val spark = corpus.sparkSession
-    val model = fitPca(corpus, vec, pcaK)
+    val model = fitPca(corpus, vec, pcaK, maxDim)
     writePcaModel(spark, model, path)
     val projected = pcaProject(corpus, vec, model, "__wv", whiten = true,
       varFloor = varFloor)
-    Similarity.writeIvfIndex(projected, id, F.col("__wv"), path, nlist,
-      iters, trainSample, seed)
+    // whitened = true stamps the meta: raw-vector appendToIvfIndex /
+    // searchIvfIndex against this layout refuse loudly instead of
+    // silently mixing spaces (undetectable by the dim guard at pcaK == d)
+    Similarity.writeIvfIndexImpl(projected, id, F.col("__wv"), path, nlist,
+      iters, trainSample, seed, whitened = true)
     model
+  }
+
+  /** Append a batch of RAW vectors to a whitened index as segment
+    * `segment`: the batch is projected through the PERSISTED model (never
+    * a re-fit — a fit over the batch would drift the space away from the
+    * one the centroids live in), then appended with
+    * [[graft.operators.Similarity.appendToIvfIndex]]'s exact contract —
+    * assignment against stored centroids scan-side, dynamic-overwrite
+    * segment idempotency for retried streaming batches. The raw-space
+    * `appendToIvfIndex` refuses this layout loudly (and this entry point
+    * refuses a raw layout), so no append path can mix spaces. */
+  def appendToWhitenedIvfIndex(batch: DataFrame, id: Column, vec: Column,
+      path: String, segment: String): Unit = {
+    require(!batch.columns.exists(
+        _.toLowerCase(java.util.Locale.ROOT) == "__wv"),
+      "appendToWhitenedIvfIndex reserves column name __wv — rename first")
+    val model = readPcaModel(batch.sparkSession, path)
+    val projected = pcaProject(batch, vec, model, "__wv", whiten = true)
+    Similarity.appendToIvfIndexImpl(projected, id, F.col("__wv"), path,
+      segment, expectWhitened = true)
   }
 
   /** Probe a whitened index: queries are projected through the PERSISTED
@@ -287,14 +325,16 @@ object Embeddings {
     * whitened candidates). */
   def searchWhitenedIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, queryId: Column, queryVec: Column,
-      k: Int, nprobe: Int = 4): DataFrame = {
+      k: Int, nprobe: Int = 4, excludeSegment: Option[String] = None,
+      localizeQueries: Boolean = true): DataFrame = {
     require(!queries.columns.exists(
         _.toLowerCase(java.util.Locale.ROOT) == "__wv"),
       "searchWhitenedIvfIndex reserves column name __wv — rename first")
     val model = readPcaModel(spark, path)
     val projected = pcaProject(queries, queryVec, model, "__wv",
       whiten = true)
-    Similarity.searchIvfIndex(spark, path, projected, queryId,
-      F.col("__wv"), k, nprobe)
+    Similarity.searchIvfIndexImpl(spark, path, projected, queryId,
+      F.col("__wv"), k, nprobe, excludeSegment, localizeQueries,
+      expectWhitened = true)
   }
 }

@@ -444,19 +444,26 @@ object Similarity {
   //    (exactly the MinHash segment contract), cell gives the probe's
   //    static partition pruning
   //  - centroids/ one row per cell (cell, centroid)
-  //  - meta/      one row: nlist, dim, iters, train_sample, seed — readers
-  //    never re-supply build params; dim makes mismatched-width appends
-  //    fail loud instead of silently scoring partial dot products
+  //  - meta/      one row: nlist, dim, iters, train_sample, seed,
+  //    whitened — readers never re-supply build params; dim makes
+  //    mismatched-width appends fail loud instead of silently scoring
+  //    partial dot products; whitened marks a
+  //    [[graft.operators.Embeddings.writeWhitenedIvfIndex]] layout whose
+  //    centroids live in PCA-whitened space — raw-vector appends/searches
+  //    against it refuse loudly (at pcaK == d the dim guard alone cannot
+  //    catch them, and the index would silently corrupt)
 
   private val ivfMetaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Int, Seq[Seq[Double]])]()
+    String, (Int, Seq[Seq[Double]], Boolean)]()
 
-  /** (dim, centroids-by-cell) for a persisted index, cached per FILE
-    * IDENTITY of the centroids+meta tables (one listStatus RPC per read —
-    * the same per-micro-batch economics as Dedup.readIndexMeta; a
-    * RETRAINED index rewrites both tables and re-reads). */
+  /** (dim, centroids-by-cell, whitened) for a persisted index, cached per
+    * FILE IDENTITY of the centroids+meta tables (one listStatus RPC per
+    * read — the same per-micro-batch economics as Dedup.readIndexMeta; a
+    * RETRAINED index rewrites both tables and re-reads). A meta written
+    * before the whitened stamp existed reads as whitened = false — every
+    * such layout was in fact raw. */
   private def readIvfMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String): (Int, Seq[Seq[Double]]) = {
+      path: String): (Int, Seq[Seq[Double]], Boolean) = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val key = Seq("centroids", "meta").map { t =>
       val p = new org.apache.hadoop.fs.Path(s"$path/$t")
@@ -465,14 +472,39 @@ object Similarity {
         .mkString(";")
     }.mkString("#")
     ivfMetaCache.computeIfAbsent(key, _ => {
-      val dim = spark.read.parquet(s"$path/meta").collect()
-        .head.getAs[Int]("dim")
+      val meta = spark.read.parquet(s"$path/meta")
+      val metaRow = meta.collect().head
+      val dim = metaRow.getAs[Int]("dim")
+      val whitened = meta.columns.contains("whitened") &&
+        metaRow.getAs[Boolean]("whitened")
       val cents = spark.read.parquet(s"$path/centroids").collect()
         .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](
           r.fieldIndex("centroid")))
         .sortBy(_._1).map(_._2.toSeq).toSeq
-      (dim, cents)
+      (dim, cents, whitened)
     })
+  }
+
+  /** The loud space-mismatch guard every persisted-index entry point
+    * routes through: an operation declaring `expectWhitened = false`
+    * against a whitened layout would embed raw-space vectors among
+    * whitened-space ones (silently, whenever pcaK == d), and the converse
+    * would whiten-project into a raw index. */
+  private def requireSpace(whitened: Boolean, expectWhitened: Boolean,
+      path: String, what: String): Unit = {
+    require(whitened == expectWhitened,
+      if (whitened)
+        s"$what: the index at $path is WHITENED (built by " +
+          "writeWhitenedIvfIndex — centroids live in PCA-whitened " +
+          "space). Raw vectors against it would corrupt/mis-rank " +
+          "silently; use Embeddings.appendToWhitenedIvfIndex / " +
+          "searchWhitenedIvfIndex, which project through the " +
+          "persisted model"
+      else
+        s"$what: the index at $path is a RAW-space index; the whitened " +
+          "entry points would project queries/appends into a space its " +
+          "centroids don't live in — use " +
+          "appendToIvfIndex/searchIvfIndex directly")
   }
 
   /** One-row eager width probe (the TsNorm.sliceNs pattern): a vector
@@ -495,16 +527,25 @@ object Similarity {
   /** Train + assign + persist (see the layout note above). */
   def writeIvfIndex(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       path: String, nlist: Int = 16, iters: Int = 5,
-      trainSample: Int = 10000, seed: Long = 42): Unit = {
+      trainSample: Int = 10000, seed: Long = 42): Unit =
+    writeIvfIndexImpl(corpus, corpusId, corpusVec, path, nlist, iters,
+      trainSample, seed, whitened = false)
+
+  /** The stamped variant [[graft.operators.Embeddings]] builds whitened
+    * layouts through — `whitened` lands in the meta so every later
+    * append/search declares which space it speaks (see [[requireSpace]]). */
+  private[graft] def writeIvfIndexImpl(corpus: DataFrame, corpusId: Column,
+      corpusVec: Column, path: String, nlist: Int, iters: Int,
+      trainSample: Int, seed: Long, whitened: Boolean): Unit = {
     val spark = corpus.sparkSession
     val idx = ivfIndex(corpus, corpusId, corpusVec, nlist, iters,
       trainSample, seed)
-    writeIvfTables(spark, idx, path, iters, trainSample, seed)
+    writeIvfTables(spark, idx, path, iters, trainSample, seed, whitened)
   }
 
   private def writeIvfTables(spark: org.apache.spark.sql.SparkSession,
       idx: IvfIndex, path: String, iters: Int, trainSample: Int,
-      seed: Long): Unit = {
+      seed: Long, whitened: Boolean): Unit = {
     import spark.implicits._
     idx.assigned.withColumn("seg", F.lit("base"))
       .write.mode("overwrite").partitionBy("seg", "cell")
@@ -513,8 +554,8 @@ object Similarity {
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     Seq((idx.centroids.length, idx.centroids.head.length, iters,
-      trainSample, seed))
-      .toDF("nlist", "dim", "iters", "train_sample", "seed")
+      trainSample, seed, whitened))
+      .toDF("nlist", "dim", "iters", "train_sample", "seed", "whitened")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -525,12 +566,19 @@ object Similarity {
     * contract shared with [[graft.operators.Dedup.appendToMinhashIndex]].
     * An empty batch is a no-op (dynamic overwrite touches no partitions). */
   def appendToIvfIndex(batch: DataFrame, id: Column, vec: Column,
-      path: String, segment: String): Unit = {
+      path: String, segment: String): Unit =
+    appendToIvfIndexImpl(batch, id, vec, path, segment,
+      expectWhitened = false)
+
+  private[graft] def appendToIvfIndexImpl(batch: DataFrame, id: Column,
+      vec: Column, path: String, segment: String,
+      expectWhitened: Boolean): Unit = {
     require(segment.nonEmpty && segment != "base" &&
       segment.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
       s"segment '$segment' must be a filesystem-safe label != 'base'")
     val spark = batch.sparkSession
-    val (dim, centroids) = readIvfMeta(spark, path)
+    val (dim, centroids, whitened) = readIvfMeta(spark, path)
+    requireSpace(whitened, expectWhitened, path, "appendToIvfIndex")
     requireDim(batch, vec, dim, "appendToIvfIndex")
     batch.select(id.as("corpus_id"), vec.as("cv"))
       .withColumn("cell",
@@ -560,8 +608,17 @@ object Similarity {
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, nprobe: Int = 4,
       excludeSegment: Option[String] = None,
-      localizeQueries: Boolean = true): DataFrame = {
-    val (dim, centroids) = readIvfMeta(spark, path)
+      localizeQueries: Boolean = true): DataFrame =
+    searchIvfIndexImpl(spark, path, queries, queryId, queryVec, k, nprobe,
+      excludeSegment, localizeQueries, expectWhitened = false)
+
+  private[graft] def searchIvfIndexImpl(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, nprobe: Int, excludeSegment: Option[String],
+      localizeQueries: Boolean, expectWhitened: Boolean): DataFrame = {
+    val (dim, centroids, whitened) = readIvfMeta(spark, path)
+    requireSpace(whitened, expectWhitened, path, "searchIvfIndex")
     requireDim(queries, queryVec, dim, "searchIvfIndex")
     var assigned = spark.read.parquet(s"$path/assigned")
     excludeSegment.foreach(sg =>
@@ -584,15 +641,26 @@ object Similarity {
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, nlist: Int = 16, iters: Int = 5,
       trainSample: Int = 10000, seed: Long = 42): Unit = {
+    // retraining reads STORED vectors, which already live in the index's
+    // own space — the whitened stamp (and thus the space contract every
+    // later append/search declares against) carries through unchanged
+    val (_, _, whitened) = readIvfMeta(spark, path)
     val stored = spark.read.parquet(s"$path/assigned")
       .select("corpus_id", "cv")
     val idx = ivfIndex(stored, F.col("corpus_id"), F.col("cv"), nlist,
       iters, trainSample, seed)
     val staged = s"$path/__retrain"
-    writeIvfTables(spark, idx, staged, iters, trainSample, seed)
+    writeIvfTables(spark, idx, staged, iters, trainSample, seed, whitened)
     swapStaged(spark, path, staged, Seq("assigned", "centroids", "meta"),
       "retrain")
   }
+
+  /** Is the persisted index a whitened layout? (One cached meta read —
+    * [[graft.streaming.Streams.ingestEmbedStream]] checks once per run to
+    * route batches through the persisted PCA model.) */
+  private[graft] def ivfIndexIsWhitened(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    readIvfMeta(spark, path)._3
 
   /** Rename-aside table swap (crash leaves a recoverable `__<t>_old`
     * copy, the [[graft.operators.Dedup.compactMinhashIndex]] posture):

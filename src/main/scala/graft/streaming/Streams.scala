@@ -201,7 +201,11 @@ object Streams {
     * between append and checkpoint commit would otherwise make the
     * replayed batch self-match at cosine 1.0 and erase its survivors).
     * Batch-internal near-dup pairs both survive, mirroring the MinHash
-    * semantics. Returns the run's segment prefix. */
+    * semantics. A WHITENED index
+    * ([[graft.operators.Embeddings.writeWhitenedIvfIndex]]) is detected
+    * from its meta stamp and every batch is projected through the
+    * persisted PCA model for both probe and append (survivors persist to
+    * `outPath` raw). Returns the run's segment prefix. */
   def ingestEmbedStream(stream: DataFrame, id: Column, vec: Column,
       indexPath: String, outPath: String, threshold: Double,
       name: String, checkpoint: Option[String] = None,
@@ -209,6 +213,19 @@ object Streams {
     val spark = stream.sparkSession
     val ckpt = checkpoint.getOrElse(checkpointDir(name).toString)
     val prefix = segmentPrefix(ckpt)
+    // a WHITENED index (Embeddings.writeWhitenedIvfIndex) stores vectors
+    // in PCA-whitened space; its meta stamp makes the raw-space
+    // append/search refuse loudly, so the stream must project every
+    // batch through the PERSISTED model. Read once per run, not per
+    // batch — the model is immutable for the index's lifetime (retrain
+    // preserves the space) and a per-batch 1-row read would re-add a
+    // driver job to the per-batch floor the r12 job trim paid down.
+    // Survivors still land in outPath RAW: the out table is corpus data,
+    // only the index speaks whitened.
+    val pcaModel =
+      if (graft.operators.Similarity.ivfIndexIsWhitened(spark, indexPath))
+        Some(graft.operators.Embeddings.readPcaModel(spark, indexPath))
+      else None
     val step: (DataFrame, Long) => Unit = (batchDf, batchId) => {
       val seg = s"${prefix}_b$batchId"
       val batch = batchDf.select(id.as("__vid"), vec.as("__v"))
@@ -223,10 +240,17 @@ object Streams {
         // cached pass; past the bound the distributed path collects only
         // the probed cell ids (≤ nlist)
         val batchRows = batch.count()
-        val best = graft.operators.Similarity.searchIvfIndex(spark,
-          indexPath, batch, F.col("__vid"), F.col("__v"), k = 1,
+        val probeVec = pcaModel match {
+          case Some(m) => graft.operators.Embeddings.pcaProject(
+            batch, F.col("__v"), m, "__wv", whiten = true)
+          case None => batch
+        }
+        val best = graft.operators.Similarity.searchIvfIndexImpl(spark,
+          indexPath, probeVec, F.col("__vid"),
+          if (pcaModel.isDefined) F.col("__wv") else F.col("__v"), k = 1,
           nprobe = probes, excludeSegment = Some(seg),
-          localizeQueries = batchRows <= 50000L)
+          localizeQueries = batchRows <= 50000L,
+          expectWhitened = pcaModel.isDefined)
         val dead = best.filter(F.col("cosine") >= threshold)
           .select(F.col("query_id").as("__dead"))
         // no forced broadcast: dead is bounded by the micro-batch size,
@@ -237,8 +261,15 @@ object Streams {
           F.col("__vid") === F.col("__dead"), "left_anti")
           .select(F.col("__vid").as("vec_id"), F.col("__v").as("embedding"))
         survivors.write.mode("overwrite").parquet(s"$outPath/batch=$seg")
-        graft.operators.Similarity.appendToIvfIndex(survivors,
-          F.col("vec_id"), F.col("embedding"), indexPath, seg)
+        pcaModel match {
+          case Some(m) => graft.operators.Similarity.appendToIvfIndexImpl(
+            graft.operators.Embeddings.pcaProject(survivors,
+              F.col("embedding"), m, "__wv", whiten = true),
+            F.col("vec_id"), F.col("__wv"), indexPath, seg,
+            expectWhitened = true)
+          case None => graft.operators.Similarity.appendToIvfIndex(
+            survivors, F.col("vec_id"), F.col("embedding"), indexPath, seg)
+        }
       } finally { batch.unpersist(false); () }
     }
     val q = stream.writeStream

@@ -150,6 +150,13 @@ class EmbeddingsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Embeddings.fitPca(d4, F.col("v"), k = 5)
     }
+    // the dim ENVELOPE is loud (O(d³) driver eigensolve + d(d+1)/2
+    // per-task moments buffer), and the override knob admits the fit
+    val ed = intercept[IllegalArgumentException] {
+      Embeddings.fitPca(d4, F.col("v"), k = 2, maxDim = 3)
+    }
+    assert(ed.getMessage.contains("maxDim"), ed.getMessage)
+    assert(Embeddings.fitPca(d4, F.col("v"), k = 2, maxDim = 4) == mf)
     // whitening a zero-variance direction is refused: plant a constant
     // coordinate so one eigenvalue is exactly 0
     val flat = Seq(
@@ -206,6 +213,86 @@ class EmbeddingsSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       Embeddings.readPcaModel(spark, dir + "/nope")
+    }
+  }
+
+  test("whitened IVF append path: appendToWhitenedIvfIndex projects " +
+      "through the persisted model (append == fresh-build identity), raw " +
+      "append/search refuse the whitened layout even at pcaK == d, " +
+      "whitened verbs refuse a raw layout, retrain preserves the stamp") {
+    import graft.operators.Similarity
+    val d = 6
+    val data = corpus(300, d).toDF("id", "v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wappend").toString
+    val even = data.filter(F.col("id") >= 10 && F.col("id") % 2 === 0)
+    val odd = data.filter(F.col("id") >= 10 && F.col("id") % 2 === 1)
+    val queries = data.filter(F.col("id") < 10)
+    // pcaK == d (whiten-only, no reduction): raw and whitened vectors
+    // have the SAME width, so the dim guard cannot tell them apart — the
+    // meta stamp is the only thing standing between a raw append and a
+    // silently corrupted index
+    val model = Embeddings.writeWhitenedIvfIndex(even, F.col("id"),
+      F.col("v"), dir, pcaK = d, nlist = 4, seed = 7)
+    assert(model.k == d)
+    val ea = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(odd, F.col("id"), F.col("v"), dir, "bad")
+    }
+    assert(ea.getMessage.contains("WHITENED"), ea.getMessage)
+    val es = intercept[IllegalArgumentException] {
+      Similarity.searchIvfIndex(spark, dir, queries, F.col("id"),
+        F.col("v"), k = 1)
+    }
+    assert(es.getMessage.contains("WHITENED"), es.getMessage)
+    // the guarded append: odd half lands projected through the PERSISTED
+    // model; an exhaustive probe then equals brute force over the
+    // whitened space of the FULL corpus — the d54 identity composed
+    // through PCA (a raw-space append would break it)
+    Embeddings.appendToWhitenedIvfIndex(odd, F.col("id"), F.col("v"),
+      dir, "b0")
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("query_id", "corpus_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = key(Embeddings.searchWhitenedIvfIndex(spark, dir, queries,
+      F.col("id"), F.col("v"), k = 5, nprobe = 4))
+    val cw = Embeddings.pcaProject(data.filter(F.col("id") >= 10),
+      F.col("v"), model, "wv", whiten = true)
+    val qw = Embeddings.pcaProject(queries, F.col("v"), model, "wv",
+      whiten = true)
+    val want = key(Similarity.bruteForceTopK(cw, F.col("id"), F.col("wv"),
+      qw, F.col("id"), F.col("wv"), k = 5))
+    assert(got == want)
+    // appending to a layout with NO model fails loud (raw index)
+    val rawDir = java.nio.file.Files
+      .createTempDirectory("graft_wappend_raw").toString
+    Similarity.writeIvfIndex(even, F.col("id"), F.col("v"), rawDir,
+      nlist = 4, seed = 7)
+    val er = intercept[IllegalArgumentException] {
+      Embeddings.appendToWhitenedIvfIndex(odd, F.col("id"), F.col("v"),
+        rawDir, "b0")
+    }
+    assert(er.getMessage.contains("no PCA model"), er.getMessage)
+    // a model next to a RAW meta (the crash shape: whitened write, then a
+    // raw rebuild over it) refuses the whitened verbs on the stamp, not
+    // the model's presence
+    val mixDir = java.nio.file.Files
+      .createTempDirectory("graft_wappend_mix").toString
+    Embeddings.writeWhitenedIvfIndex(even, F.col("id"), F.col("v"),
+      mixDir, pcaK = d, nlist = 4, seed = 7)
+    Similarity.writeIvfIndex(even, F.col("id"), F.col("v"), mixDir,
+      nlist = 4, seed = 7) // overwrites assigned/centroids/meta, not pca/
+    val em = intercept[IllegalArgumentException] {
+      Embeddings.searchWhitenedIvfIndex(spark, mixDir, queries,
+        F.col("id"), F.col("v"), k = 1)
+    }
+    assert(em.getMessage.contains("RAW-space"), em.getMessage)
+    // retrain reads STORED (already-whitened) vectors — the stamp and
+    // the whole search contract carry through; raw append stays refused
+    Similarity.retrainIvfIndex(spark, dir, nlist = 4, seed = 7)
+    assert(key(Embeddings.searchWhitenedIvfIndex(spark, dir, queries,
+      F.col("id"), F.col("v"), k = 5, nprobe = 4)) == want)
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(odd, F.col("id"), F.col("v"), dir, "bad2")
     }
   }
 }

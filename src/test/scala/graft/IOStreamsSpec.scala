@@ -722,6 +722,60 @@ class IOStreamsSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("ingestEmbedStream over a WHITENED index: batches project through " +
+      "the persisted model for probe and append; survivors persist RAW; " +
+      "cross-batch kill works through the whitened space") {
+    import graft.operators.{Embeddings, Similarity}
+    val d = 6
+    // deterministic anisotropic corpus (ids 100+) — enough rows for the
+    // PCA fit and IVF training
+    def hv(r: Int): Seq[Double] = Seq.tabulate(d)(i =>
+      (((r * 1315423911L + i * 2654435761L) & 0xffffL).toDouble / 65536.0)
+        - 0.5 + (if (i == 0) 2.0 else 0.0) * ((r % 5) - 2))
+    val corpus = (0 until 40).map(r => ((100 + r).toLong, hv(r)))
+      .toDF("vec_id", "embedding")
+    val dir = tmp("graft_weingest")
+    val idx = dir + "/idx"
+    // pcaK == d: raw and whitened widths agree — only the meta stamp +
+    // model routing keeps the stream in the right space
+    Embeddings.writeWhitenedIvfIndex(corpus, F.col("vec_id"),
+      F.col("embedding"), idx, pcaK = d, nlist = 2, seed = 7,
+      trainSample = 50)
+    // b0: 1 = EXACT copy of corpus row 100 (identical projection →
+    //     whitened cosine exactly 1 → dies at base); 2 = fresh (survives,
+    //     appended THROUGH the model)
+    // b1: 3 = exact copy of 2 — can only die via the appended whitened
+    //     survivor (proves the append landed in the model's space);
+    //     4 = fresh (survives)
+    val b0 = Seq((1L, hv(0)), (2L, hv(97))).toDF("vec_id", "embedding")
+    val b1 = Seq((3L, hv(97)), (4L, hv(83))).toDF("vec_id", "embedding")
+    val feed = new java.io.File(dir + "/feed"); feed.mkdirs()
+    shipFeed(b0, feed, 0, dir + "/tmp0")
+    shipFeed(b1, feed, 1, dir + "/tmp1")
+    val out = dir + "/out"
+    Streams.ingestEmbedStream(
+      Streams.readParquetStream(spark, feed.toString, b0.schema,
+        maxFilesPerTrigger = 1),
+      F.col("vec_id"), F.col("embedding"), idx, out, threshold = 0.9999,
+      name = "t_weingest")
+    assert(col1[Long](spark.read.parquet(out).orderBy("vec_id"), "vec_id")
+      == Seq(2L, 4L))
+    // survivors persisted RAW (the out table is corpus data)
+    val rawOut = spark.read.parquet(out).filter(F.col("vec_id") === 2L)
+      .select("embedding").collect().head.getSeq[Double](0)
+    assert(rawOut == hv(97))
+    // ...but the INDEX holds their whitened projections, not raw vectors
+    val stored = spark.read.parquet(idx + "/assigned")
+      .filter(F.col("corpus_id") === 2L).select("cv")
+      .collect().head.getSeq[Double](0)
+    val m = Embeddings.readPcaModel(spark, idx)
+    val wantProj = Embeddings.pcaProject(
+      Seq((2L, hv(97))).toDF("vec_id", "embedding"), F.col("embedding"),
+      m, "wv", whiten = true).select("wv").collect().head.getSeq[Double](0)
+    assert(stored == wantProj && stored != hv(97))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("runningTotals custom state accumulates per key") {
     val dir = tmp("graft_state")
     val events = Seq(("u1", 1.0), ("u1", 2.0), ("u2", 10.0))
