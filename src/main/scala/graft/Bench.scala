@@ -90,6 +90,40 @@ object Bench {
       else if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
+    // drift sentinel (r12 verdict #3, automated): the median ratio of ten
+    // review-untouched CONTROL queries against a stored reference grid
+    // (scaling/bench_sentinel_ref.json — r12's idle-host medians). The
+    // ratio is this host+run's speed factor vs the grid's host; a uniform
+    // external-load spike moves it, a genuine per-query regression
+    // doesn't. benchdiff.py divides cross-round ratios by sentB/sentA so
+    // no future verdict hand-analyzes host noise again. The median over
+    // ten controls stays honest even if a round's changes touch a couple
+    // of them; absent/failed grid reads just omit the block.
+    val sentinelPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SENTINEL",
+      "/root/repo/scaling/bench_sentinel_ref.json")
+    val sentinel: Option[(Double, Int, String)] =
+      try {
+        val p = java.nio.file.Paths.get(sentinelPath)
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val node = om.readTree(p.toFile)
+          val ref = node.get("ref").asText()
+          val qs = node.get("queries")
+          val ratios = names.flatMap { n =>
+            if (qs.has(n) && samples(n).nonEmpty && qs.get(n).asDouble > 0)
+              Some(median(samples(n)) / qs.get(n).asDouble)
+            else None
+          }.toVector
+          // >= 3 overlapping controls or the median is too thin to mean
+          // anything (a focused `Bench q01` run shouldn't emit one)
+          if (ratios.size >= 3) Some((median(ratios), ratios.size, ref))
+          else None
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sentinel skipped: ${e.getMessage}")
+        None
+      }
     def obj(f: String => Double): String = names
       .map(n => s"\"" + n + "\":" + f(n)).mkString("{", ",", "}")
     val med = obj(n => median(samples(n)))
@@ -106,7 +140,11 @@ object Bench {
     val errsJson = errs.keys.toSeq.sorted.map(n =>
       jstr(n) + ":" + errs(n).map(jstr).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mins,"runs":$runsJson,"errs":$errsJson,"n_runs":$nRuns,"sf":"$sfDir"}"""
+    def sentinelJson(pat: String): String = sentinel.map { case (r, n, ref) =>
+      val v = String.format(java.util.Locale.ROOT, pat, Double.box(r))
+      s""""sentinel":{"ratio":$v,"n":$n,"ref":"$ref"},"""
+    }.getOrElse("")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mins,"runs":$runsJson,"errs":$errsJson,${sentinelJson("%.6f")}"n_runs":$nRuns,"sf":"$sfDir"}"""
     // The driver archives only the LAST 2000 CHARS of stdout and parses
     // the JSON from that tail: the full per-query line (~10 KB at 99
     // queries) was silently truncated there in every previous round
@@ -149,7 +187,7 @@ object Bench {
       else errs.keys.toSeq.sorted
         .map(n => "\"" + short.getOrElse(n, n) + "\":" + errs(n).size)
         .mkString(""""errs":{""", ",", "},")
-    val compact = s"""{"metric":"total","value":${fmt("%.1f", total)},"value_min":${fmt("%.1f", totalMin)},"unit":"sec",$errsCompact"queries":$medShort,"n_runs":$nRuns,"sf":"$sfShort","detail":"$detailPath"}"""
+    val compact = s"""{"metric":"total","value":${fmt("%.1f", total)},"value_min":${fmt("%.1f", totalMin)},"unit":"sec",$errsCompact${sentinelJson("%.3f")}"queries":$medShort,"n_runs":$nRuns,"sf":"$sfShort","detail":"$detailPath"}"""
     // spark.stop() FIRST: its shutdown logging (stderr) must not land
     // after the compact line in a 2>&1 capture. The println below is the
     // process's final output; with run/outputStrategy := StdoutOutput and
