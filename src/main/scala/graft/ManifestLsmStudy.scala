@@ -18,8 +18,11 @@ import org.apache.spark.sql.{functions => F}
   * and (b) with growing (c) is the designed shape.
   *
   * Usage: runMain graft.ManifestLsmStudy [sizesCsv] [runs] [out]
-  * (default sizes 1000,4000,16000 files — the largest is a ~16k-row
-  * manifest, past the verdict's ≥10k bar.)
+  * (default sizes 1000,4000,16000 files — the quick check; the r13
+  * envelope artifact runs `1000,16000,100000` to pin mutation flatness
+  * AND compactManifest's driver collect+rewrite at the scale where the
+  * 100 TB posture claims ~1M files would sit a decade of compactions
+  * away — scaling/manifest_lsm_100k.json.)
   */
 object ManifestLsmStudy {
   def main(args: Array[String]): Unit = {

@@ -111,33 +111,58 @@ object Shards {
   def readShards(spark: SparkSession, path: String): DataFrame = {
     val url = GraftIO.resolveUrl(path)
     val root = new org.apache.hadoop.fs.Path(url)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val shardDirs = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
-      .map(s => (s.getPath.getName.stripPrefix("shard=").toLong,
-        s.getPath.toString))
-      .sortBy(_._1)
-    require(shardDirs.nonEmpty,
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hconf)
+    // ONE recursive listing enumerates every shard file — no per-shard
+    // listStatus round trips (at object-storage latencies numShards
+    // sequential LISTs are the planning cost) and the per-shard reads
+    // below get explicit FILE paths, so their FileIndex never re-lists a
+    // directory
+    val byShard = scala.collection.mutable.SortedMap
+      .empty[Long, Vector[String]]
+    val iter = fs.listFiles(root, true)
+    while (iter.hasNext) {
+      val st = iter.next()
+      val p = st.getPath
+      val dir = p.getParent.getName
+      if (st.isFile && !p.getName.startsWith("_") &&
+          !p.getName.startsWith(".") && dir.startsWith("shard="))
+        byShard.updateWith(dir.stripPrefix("shard=").toLong)(
+          v => Some(v.getOrElse(Vector.empty) :+ p.toString))
+    }
+    require(byShard.nonEmpty,
       s"readShards: no shard=N directories under $path — not a " +
         "writeShards layout")
-    // one single-directory read per shard: coalesce(1) fuses any
+    // schema read ONCE, driver-side, from the first file's parquet
+    // FOOTER (the Manifest commit-stamp pattern — zero Spark jobs, no
+    // relation built just to infer): Spark writers stamp the exact
+    // StructType into the footer's key-value metadata; a foreign file
+    // without the stamp falls back to one relation-based inference
+    val firstFile = new org.apache.hadoop.fs.Path(byShard.head._2.head)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(firstFile, hconf))
+    val stamped =
+      try Option(reader.getFooter.getFileMetaData.getKeyValueMetaData
+          .get("org.apache.spark.sql.parquet.row.metadata"))
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      finally reader.close()
+    val schema = stamped.getOrElse(
+      spark.read.parquet(firstFile.toString).schema)
+    // one explicit-file read per shard: coalesce(1) fuses any
     // maxPartitionBytes splits of the shard file back into ONE partition
     // (a shuffle-free concatenation — the unit of trainer consumption is
     // the shard, so one task per shard is the contract, and the pos sort
     // then restores full-shard order regardless of split concat order);
     // the union preserves child order, so partition order IS shard
     // order. The shard partition column is re-attached as a literal
-    // (basePath-less leaf reads don't surface it). The plan is
-    // O(numShards) union children — fine into the thousands; beyond
-    // that, trainers read their own `shard=N` directories directly (the
-    // layout is the contract, this helper is the reference iterator).
-    // schema inferred ONCE from the first shard and applied to all:
-    // every shard file was written by the same job with one schema, and
-    // per-child inference costs numShards sequential driver footer reads
-    // (measured 3× on the whole q71 round trip at 16 shards)
-    val schema = spark.read.parquet(shardDirs.head._2).schema
-    shardDirs.map { case (sid, dir) =>
-      spark.read.schema(schema).parquet(dir)
+    // (file-level reads don't surface it). The plan is O(numShards)
+    // union children — fine into the thousands; beyond that, trainers
+    // read their own `shard=N` directories directly (the layout is the
+    // contract, this helper is the reference iterator).
+    byShard.toSeq.map { case (sid, files) =>
+      spark.read.schema(schema).parquet(files: _*)
         .coalesce(1)
         .withColumn("shard", F.lit(sid))
         .sortWithinPartitions(F.col("pos"))
