@@ -5,16 +5,18 @@ import org.apache.spark.sql.{functions => F}
 
 /** Where does [[graft.operators.Embeddings.fitPca]]'s envelope actually
   * sit? The fit ships one (1 + d + d(d+1)/2)-double moments buffer per
-  * map task and eigensolves a d×d covariance driver-side with cyclic
-  * Jacobi (O(d³) per sweep) — costs that are invisible at the testdata
-  * embedding width but are the whole story at transformer-embedding
-  * widths (768/1024+). This study pins both curves so the documented
-  * `maxDim = 2048` default is a measured bound, not an asserted one:
-  * per d it times (a) the full distributed fit over a deterministic
-  * synthetic corpus (planted dominant direction + hash noise — the
-  * EmbeddingsSpec fixture shape, generated in-plan so no testdata
-  * dependency) and (b) the driver Jacobi alone on a deterministic
-  * symmetric matrix, and reports the per-task buffer size.
+  * map task and eigensolves a d×d covariance driver-side — costs that
+  * are invisible at the testdata embedding width but are the whole
+  * story at transformer-embedding widths (768/1024+). This study pins
+  * both curves so the documented `maxDim = 2048` default is a measured
+  * bound, not an asserted one: per d it times (a) the full distributed
+  * fit over a deterministic synthetic corpus (planted dominant
+  * direction + hash noise — the EmbeddingsSpec fixture shape, generated
+  * in-plan so no testdata dependency) and (b) BOTH driver eigensolvers
+  * alone on a deterministic symmetric matrix — the original cyclic
+  * Jacobi (which this study caught hitting a cache wall: 178 s at
+  * d = 1024, 28× from 512 instead of d³'s 8×) and the tred2/tql2
+  * replacement fitPca now uses — and reports the per-task buffer size.
   *
   * Usage: runMain graft.PcaDimStudy [dimsCsv] [rows] [runs] [out]
   * (defaults 256,512,1024 × 20000 rows × 3 runs.)
@@ -59,8 +61,11 @@ object PcaDimStudy {
           maxDim = 2048))
       }
       df.unpersist(true)
-      // driver Jacobi alone on a deterministic symmetric d×d (B·Bᵀ over
-      // hash noise): the O(d³) share of the fit, isolated
+      // driver eigensolve alone on a deterministic symmetric d×d (B·Bᵀ
+      // over hash noise): the O(d³) share of the fit, isolated — BOTH
+      // solvers, so the artifact carries the jacobi→tred2/tql2 delta
+      // (the r13 fix: Jacobi hit a cache wall at transformer widths,
+      // 178 s at d = 1024; QL's tridiagonal working set doesn't)
       val b = Array.tabulate(d, d)((i, j) =>
         (((i.toLong * 2654435761L + j * 1315423911L) & 0xffffL).toDouble /
           65536.0) - 0.5)
@@ -68,17 +73,19 @@ object PcaDimStudy {
         (0 until d).map(l => b(i)(l) * b(j)(l)).sum / d)
       val tJac = time(graft.operators.Embeddings.jacobiEigen(
         a.map(_.clone())))
+      val tSym = time(graft.operators.Embeddings.symEigen(
+        a.map(_.clone())))
       val bufMb = (1L + d + d.toLong * (d + 1) / 2) * 8 / 1048576.0
       System.err.println(f"[pcadim] d=$d%5d n=$nRows " +
         f"fit=${med(tFit)}%.2fs (min ${tFit.min}%.2f) " +
-        f"jacobi=$tJac%.2fs buffer=$bufMb%.1fMB")
-      (d, tFit, tJac, bufMb)
+        f"jacobi=$tJac%.2fs symql=$tSym%.2fs buffer=$bufMb%.1fMB")
+      (d, tFit, tJac, tSym, bufMb)
     }
     val json = "{\"metric\":\"pca_dim\",\"unit\":\"sec\"," +
       s""""rows":$nRows,"k":16,"sizes":[""" +
-      results.map { case (d, f, j, mb) =>
+      results.map { case (d, f, j, sy, mb) =>
         s"""{"dim":$d,"fit_med":${med(f)},"fit_min":${f.min},""" +
-          s""""jacobi":$j,"buffer_mb":$mb,""" +
+          s""""jacobi":$j,"symql":$sy,"buffer_mb":$mb,""" +
           s""""runs_fit":[${f.mkString(",")}]}"""
       }.mkString(",") + s"],\"n_runs\":$runs}"
     println(json)

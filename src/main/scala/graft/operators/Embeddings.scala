@@ -17,9 +17,12 @@ import graft.functions.{AggExprs, VectorExprs}
   * moments pass — a custom [[graft.functions.VectorMoments]] buffer
   * (count, Σx, upper-triangle Σxxᵀ) that partial-aggregates map-side, so
   * the corpus ships exactly one (1 + d + d(d+1)/2)-double buffer per map
-  * task to the driver, never a row. The d×d eigendecomposition is driver-side cyclic Jacobi
-  * — deterministic, O(d³) on a d ≤ ~2000 matrix, the same bounded
-  * planning cost as qcut's quantiles or z-order's cut points. Projection
+  * task to the driver, never a row. The d×d eigendecomposition is
+  * driver-side Householder tridiagonalization + implicit-shift QL
+  * ([[Embeddings.symEigen]]) — deterministic, O(d³) with the small
+  * constant (4.0 s at d = 1024 vs cyclic Jacobi's 191 s, measured in
+  * scaling/pca_dim.json), the same bounded planning cost as qcut's
+  * quantiles or z-order's cut points. Projection
   * is a native per-row expression with the mean/components as plan
   * literals ([[graft.functions.PcaProject]]): no join, no second pass
   * over the corpus, whole-stage-pipelined with whatever scan feeds it.
@@ -44,11 +47,12 @@ object Embeddings {
     *
     * `maxDim` is the fit's ENVELOPE, enforced loudly: the moments buffer
     * is d(d+1)/2 doubles PER MAP TASK (~16.8 MB at d = 2048) and the
-    * driver Jacobi eigensolve is O(d³) (measured: scaling/pca_dim.json —
-    * seconds at d = 1024, the d³ wall dominates past ~2k). Past the
-    * default, raise `maxDim` explicitly if the driver is sized for it, or
-    * reduce dimensionality upstream (random projection / chunked PCA)
-    * instead of asking a covariance eigensolve to do it. */
+    * driver eigensolve ([[symEigen]]) is O(d³) (measured:
+    * scaling/pca_dim.json — 4 s at d = 1024, full fit 7.6 s over 20k
+    * rows). Past the default, raise
+    * `maxDim` explicitly if the driver is sized for it, or reduce
+    * dimensionality upstream (random projection / chunked PCA) instead
+    * of asking a covariance eigensolve to do it. */
   def fitPca(df: DataFrame, vec: Column, k: Int,
       maxDim: Int = 2048): PcaModel = {
     require(k >= 1, s"fitPca k must be >= 1, got $k")
@@ -108,7 +112,7 @@ object Embeddings {
       }
       i += 1
     }
-    val (values, vectors) = jacobiEigen(cov)
+    val (values, vectors) = symEigen(cov)
     PcaModel(mean.toSeq,
       components = (0 until k).map(j => vectors(j).toSeq),
       variances = values.take(k).toSeq)
@@ -212,19 +216,195 @@ object Embeddings {
     require(residual <= tol,
       s"jacobiEigen did not converge in $sweep sweeps on a ${d}x$d " +
         s"matrix: off-diagonal norm $residual > tolerance $tol")
-    // eigenpairs: value = diagonal, vector = COLUMN of v → emit as rows,
-    // descending by value, sign fixed by largest-|component| positive
-    val pairs = (0 until d).map { j =>
-      val vec = Array.tabulate(d)(i => v(i)(j))
+    orderEigenpairs(Array.tabulate(d)(j => m(j)(j)), v)
+  }
+
+  /** Symmetric eigendecomposition via Householder tridiagonalization +
+    * implicit-shift QL — the EISPACK tred2/tql2 pair (Wilkinson–Reinsch
+    * Handbook; the dense-symmetric driver LAPACK descends from), written
+    * from the published algorithm. Same contract and conventions as
+    * [[jacobiEigen]] (eigenvalues descending, eigenvectors as ROWS,
+    * largest-|component| positive, fully deterministic: fixed iteration
+    * order, no randomness), but one O(d³) reduction + O(d²)-per-eigenvalue
+    * QL instead of Jacobi's many O(d³) sweeps — and tridiagonal QL's
+    * working set is two d-vectors, not the full matrix, so it doesn't hit
+    * Jacobi's cache wall at transformer widths. Measured (PcaDimStudy,
+    * scaling/pca_dim.json, d = 1024): Jacobi 191 s → 4.0 s (48×).
+    * fitPca uses this; [[jacobiEigen]] stays as the independent
+    * cross-check implementation the spec replays both solvers against. */
+  private[graft] def symEigen(
+      a: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a.length
+    val z = a.map(_.clone())
+    val d = new Array[Double](n)
+    val e = new Array[Double](n)
+    // Householder reduction to tridiagonal (tred2): work row i down to
+    // row 2, storing the accumulated-transform data in z
+    var i = n - 1
+    while (i >= 1) {
+      val l = i - 1
+      var h = 0.0
+      if (l > 0) {
+        var scale = 0.0
+        var k = 0
+        while (k <= l) { scale += math.abs(z(i)(k)); k += 1 }
+        if (scale == 0.0) e(i) = z(i)(l)
+        else {
+          k = 0
+          while (k <= l) {
+            z(i)(k) /= scale; h += z(i)(k) * z(i)(k); k += 1
+          }
+          var f = z(i)(l)
+          val g = if (f >= 0.0) -math.sqrt(h) else math.sqrt(h)
+          e(i) = scale * g
+          h -= f * g
+          z(i)(l) = f - g
+          f = 0.0
+          var j = 0
+          while (j <= l) {
+            z(j)(i) = z(i)(j) / h
+            var gj = 0.0
+            k = 0
+            while (k <= j) { gj += z(j)(k) * z(i)(k); k += 1 }
+            k = j + 1
+            while (k <= l) { gj += z(k)(j) * z(i)(k); k += 1 }
+            e(j) = gj / h
+            f += e(j) * z(i)(j)
+            j += 1
+          }
+          val hh = f / (h + h)
+          j = 0
+          while (j <= l) {
+            val fj = z(i)(j)
+            val gj = e(j) - hh * fj
+            e(j) = gj
+            k = 0
+            while (k <= j) {
+              z(j)(k) -= fj * e(k) + gj * z(i)(k); k += 1
+            }
+            j += 1
+          }
+        }
+      } else e(i) = z(i)(l)
+      d(i) = h
+      i -= 1
+    }
+    d(0) = 0.0
+    e(0) = 0.0
+    // accumulate the Householder transformations into z
+    i = 0
+    while (i < n) {
+      val l = i - 1
+      if (d(i) != 0.0) {
+        var j = 0
+        while (j <= l) {
+          var g = 0.0
+          var k = 0
+          while (k <= l) { g += z(i)(k) * z(k)(j); k += 1 }
+          k = 0
+          while (k <= l) { z(k)(j) -= g * z(k)(i); k += 1 }
+          j += 1
+        }
+      }
+      d(i) = z(i)(i)
+      z(i)(i) = 1.0
+      var j = 0
+      while (j <= l) { z(j)(i) = 0.0; z(i)(j) = 0.0; j += 1 }
+      i += 1
+    }
+    // implicit-shift QL on the tridiagonal (tql2), rotations accumulated
+    // into z's columns
+    i = 1
+    while (i < n) { e(i - 1) = e(i); i += 1 }
+    e(n - 1) = 0.0
+    val eps = java.lang.Math.ulp(1.0)
+    var l = 0
+    while (l < n) {
+      var iter = 0
+      var m = l
+      do {
+        m = l
+        var found = false
+        while (m < n - 1 && !found) {
+          val dd = math.abs(d(m)) + math.abs(d(m + 1))
+          if (math.abs(e(m)) <= eps * dd) found = true else m += 1
+        }
+        if (m != l) {
+          // loud on non-convergence (same posture as jacobiEigen): a
+          // silently-approximate basis would feed wrong components
+          // downstream. 50 shifted-QL iterations per eigenvalue is far
+          // past the observed worst case (~4-8)
+          require(iter < 50,
+            s"symEigen: QL failed to converge within 50 iterations on " +
+              s"eigenvalue $l of a ${n}x$n matrix")
+          iter += 1
+          var g = (d(l + 1) - d(l)) / (2.0 * e(l))
+          var r = math.hypot(g, 1.0)
+          g = d(m) - d(l) + e(l) / (g + (if (g >= 0.0) r else -r))
+          var s = 1.0
+          var c = 1.0
+          var p = 0.0
+          var ii = m - 1
+          var underflow = false
+          while (ii >= l && !underflow) {
+            var f = s * e(ii)
+            val b = c * e(ii)
+            r = math.hypot(f, g)
+            e(ii + 1) = r
+            if (r == 0.0) {
+              // rotation annihilated early: deflate and restart this l
+              d(ii + 1) -= p
+              e(m) = 0.0
+              underflow = true
+            } else {
+              s = f / r
+              c = g / r
+              g = d(ii + 1) - p
+              r = (d(ii) - g) * s + 2.0 * c * b
+              p = s * r
+              d(ii + 1) = g + p
+              g = c * r - b
+              var k = 0
+              while (k < n) {
+                f = z(k)(ii + 1)
+                z(k)(ii + 1) = s * z(k)(ii) + c * f
+                z(k)(ii) = c * z(k)(ii) - s * f
+                k += 1
+              }
+              ii -= 1
+            }
+          }
+          if (!underflow) {
+            d(l) -= p
+            e(l) = g
+            e(m) = 0.0
+          }
+        }
+      } while (m != l)
+      l += 1
+    }
+    orderEigenpairs(d, z)
+  }
+
+  /** Shared eigenpair postprocessing: eigenvector j is COLUMN j of `v`
+    * with eigenvalue `values(j)` — emit vectors as rows, descending by
+    * value (stable, so equal values keep solver order), each vector's
+    * sign fixed by largest-|component| positive (removes the ±v
+    * ambiguity so fits are bit-reproducible). */
+  private def orderEigenpairs(values: Array[Double],
+      v: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = values.length
+    val pairs = (0 until n).map { j =>
+      val vec = Array.tabulate(n)(i => v(i)(j))
       var bi = 0
       var bm = 0.0
       var i = 0
-      while (i < d) {
+      while (i < n) {
         if (math.abs(vec(i)) > bm) { bm = math.abs(vec(i)); bi = i }
         i += 1
       }
-      if (vec(bi) < 0) { i = 0; while (i < d) { vec(i) = -vec(i); i += 1 } }
-      (m(j)(j), vec)
+      if (vec(bi) < 0) { i = 0; while (i < n) { vec(i) = -vec(i); i += 1 } }
+      (values(j), vec)
     }.sortBy(-_._1)
     (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
   }
