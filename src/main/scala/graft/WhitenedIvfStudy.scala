@@ -91,22 +91,39 @@ object WhitenedIvfStudy {
     val base = java.nio.file.Files
       .createTempDirectory(s"graft_wivf_$d").toString
 
+    val nprobes = Seq(nprobe, 2 * nprobe, 4 * nprobe)
+    def sweep(search: Int => DataFrame,
+        truth: Set[(Long, Long)]): Seq[(Int, Double, Double)] = {
+      // warmup probe: the first search against a fresh index pays its
+      // cold parquet read (OS page cache) — without this the sweep shows
+      // time DECREASING with nprobe, which is the I/O warming, not the
+      // probe cost
+      keys(search(1))
+      nprobes.map { np =>
+        val (got, t) = time(keys(search(np)))
+        (np, t, recall(got, truth))
+      }
+    }
+    def sweepJson(s: Seq[(Int, Double, Double)], rl: String): String =
+      s.map { case (np, t, r) =>
+        s"""{"nprobe":$np,"search":$t,"$rl":$r}"""
+      }.mkString("[", ",", "]")
+
     // raw IVF at full width
     val rawPath = s"$base/raw"
     val (_, tRawBuild) = time(Similarity.writeIvfIndex(corpus, F.col("id"),
       F.col("v"), rawPath, nlist = nlist, seed = 7))
-    val (rawGot, tRawSearch) = time(keys(Similarity.searchIvfIndex(spark,
-      rawPath, queries, F.col("id"), F.col("v"), k = kTop,
-      nprobe = nprobe)))
+    val rawSweep = sweep(np => Similarity.searchIvfIndex(spark, rawPath,
+      queries, F.col("id"), F.col("v"), k = kTop, nprobe = np), bruteRows)
+    rawSweep.foreach { case (np, t, r) =>
+      System.err.println(
+        f"[wivf] d=$d raw_ivf nprobe=$np search=$t%.2fs recall=$r%.3f") }
 
     // whitened IVF at pcaK = rank and 2·rank
     val whitened = Seq(rank, 2 * rank).map { pcaK =>
       val p = s"$base/w$pcaK"
       val (model, tBuild) = time(Embeddings.writeWhitenedIvfIndex(corpus,
         F.col("id"), F.col("v"), p, pcaK = pcaK, nlist = nlist, seed = 7))
-      val (got, tSearch) = time(keys(Embeddings.searchWhitenedIvfIndex(
-        spark, p, queries, F.col("id"), F.col("v"), k = kTop,
-        nprobe = nprobe)))
       // pruning-quality truth: brute force in the SAME whitened space
       val cw = Embeddings.pcaProject(corpus, F.col("v"), model, "wv",
         whiten = true)
@@ -114,26 +131,30 @@ object WhitenedIvfStudy {
         whiten = true)
       val (wTruth, tWBrute) = time(keys(Similarity.bruteForceTopK(
         cw, F.col("id"), F.col("wv"), qw, F.col("id"), F.col("wv"), kTop)))
-      val rRaw = recall(got, bruteRows)
-      val rOwn = recall(got, wTruth)
+      val own = sweep(np => Embeddings.searchWhitenedIvfIndex(spark, p,
+        queries, F.col("id"), F.col("v"), k = kTop, nprobe = np), wTruth)
+      // the raw-cosine recall of the FULL whitened ranking (its brute
+      // force) — the metric-change cost, separated from IVF probe loss
+      val rRawCeiling = recall(wTruth, bruteRows)
+      own.foreach { case (np, t, r) =>
+        System.err.println(f"[wivf] d=$d pcaK=$pcaK nprobe=$np " +
+          f"search=$t%.2fs recall_own=$r%.3f") }
       System.err.println(f"[wivf] d=$d pcaK=$pcaK build=$tBuild%.1fs " +
-        f"search=$tSearch%.2fs wbrute=$tWBrute%.2fs " +
-        f"recall_raw=$rRaw%.3f recall_own=$rOwn%.3f")
-      (pcaK, tBuild, tSearch, tWBrute, rRaw, rOwn)
+        f"wbrute=$tWBrute%.2fs raw_recall_ceiling=$rRawCeiling%.3f")
+      (pcaK, tBuild, tWBrute, rRawCeiling, own)
     }
-    val rawRecall = recall(rawGot, bruteRows)
     System.err.println(f"[wivf] d=$d n=$n brute=$tBrute%.2fs " +
-      f"raw_ivf build=$tRawBuild%.1fs search=$tRawSearch%.2fs " +
-      f"recall=$rawRecall%.3f")
+      f"raw_ivf build=$tRawBuild%.1fs")
 
     val json = s"""{"metric":"whitened_ivf","unit":"sec","d":$d,""" +
       s""""n":$n,"m":$m,"rank":$rank,"k":$kTop,"nlist":$nlist,""" +
-      s""""nprobe":$nprobe,"brute":$tBrute,""" +
-      s""""raw_ivf":{"build":$tRawBuild,"search":$tRawSearch,""" +
-      s""""recall":$rawRecall},"whitened":[""" +
-      whitened.map { case (p, b, s, wb, rr, ro) =>
-        s"""{"pcaK":$p,"build":$b,"search":$s,"whitened_brute":$wb,""" +
-          s""""recall_vs_raw":$rr,"recall_vs_own_space":$ro}"""
+      s""""brute":$tBrute,""" +
+      s""""raw_ivf":{"build":$tRawBuild,""" +
+      s""""sweep":${sweepJson(rawSweep, "recall")}},"whitened":[""" +
+      whitened.map { case (p, b, wb, rc, own) =>
+        s"""{"pcaK":$p,"build":$b,"whitened_brute":$wb,""" +
+          s""""raw_recall_ceiling":$rc,""" +
+          s""""sweep":${sweepJson(own, "recall_own")}}"""
       }.mkString(",") + "]}"
     println(json)
     out.foreach(p => java.nio.file.Files.writeString(

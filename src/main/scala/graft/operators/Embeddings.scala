@@ -462,6 +462,12 @@ object Embeddings {
       path: String, pcaK: Int, nlist: Int = 16, iters: Int = 5,
       trainSample: Int = 10000, seed: Long = 42,
       varFloor: Double = 1e-12, maxDim: Int = 2048): PcaModel = {
+    // pcaK should track the corpus's effective rank, not "as many as
+    // fit": every component past the true signal rank is a noise
+    // direction whitening amplifies to unit variance — measured
+    // (scaling/whitened_ivf_256.json, rank-32 corpus): doubling pcaK
+    // 32 → 64 dropped the whitened ranking's raw-cosine overlap from
+    // 0.22 to 0.05 and its own-space IVF recall at every nprobe
     require(!corpus.columns.exists(
         _.toLowerCase(java.util.Locale.ROOT) == "__wv"),
       "writeWhitenedIvfIndex reserves column name __wv — rename first")
@@ -502,7 +508,16 @@ object Embeddings {
     * model (never a re-fit — query-time fits would drift the space), then
     * searched with [[graft.operators.Similarity.searchIvfIndex]]'s exact
     * plan (static cell pruning, broadcast probes, exact cosine on
-    * whitened candidates). */
+    * whitened candidates).
+    *
+    * Size `nprobe` HIGHER than a raw index's: the whitened space is
+    * isotropic by construction (unit variance per direction), which
+    * weakens the cluster structure IVF's coarse quantizer prunes with —
+    * measured (scaling/whitened_ivf_256.json, rank-32 corpus at d = 256,
+    * nlist = 64): nprobe = 8 reaches 0.69 recall@10 in the whitened
+    * metric where a raw index reaches 0.97; nprobe = 32 restores 0.98
+    * and still runs 2.5× faster than the raw index at the same recall —
+    * candidates are pcaK doubles, not d. */
   def searchWhitenedIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, nprobe: Int = 4, excludeSegment: Option[String] = None,
