@@ -38,6 +38,23 @@ object Embeddings {
       "components/variances length mismatch")
     def dim: Int = mean.length
     def k: Int = components.length
+    /** Deterministic 64-bit fingerprint of the exact fitted values (bit
+      * patterns, not rounded decimals). Stamped into a whitened index's
+      * meta so long-lived callers that cache the model (a streaming
+      * ingest) detect an in-place REBUILD that changed the space under
+      * them — at equal pcaK the dim guard alone cannot (the same blind
+      * spot the `whitened` stamp closes for raw-vs-whitened). */
+    def fingerprint: Long = {
+      var h = 0xcbf29ce484222325L // FNV-1a offset basis, 64-bit
+      def mix(x: Double): Unit = {
+        var b = java.lang.Double.doubleToLongBits(x)
+        var i = 0
+        while (i < 8) { h ^= b & 0xff; h *= 0x100000001b3L; b >>>= 8; i += 1 }
+      }
+      mean.foreach(mix); components.foreach(_.foreach(mix))
+      variances.foreach(mix)
+      h
+    }
   }
 
   /** Fit the top-`k` principal components of `vec` over `df` in one
@@ -473,14 +490,37 @@ object Embeddings {
       "writeWhitenedIvfIndex reserves column name __wv — rename first")
     val spark = corpus.sparkSession
     val model = fitPca(corpus, vec, pcaK, maxDim)
-    writePcaModel(spark, model, path)
     val projected = pcaProject(corpus, vec, model, "__wv", whiten = true,
       varFloor = varFloor)
     // whitened = true stamps the meta: raw-vector appendToIvfIndex /
     // searchIvfIndex against this layout refuse loudly instead of
     // silently mixing spaces (undetectable by the dim guard at pcaK == d)
-    Similarity.writeIvfIndexImpl(projected, id, F.col("__wv"), path, nlist,
-      iters, trainSample, seed, whitened = true)
+    if (Similarity.ivfLayoutExists(spark, path)) {
+      // atomic in-place REBUILD: model + tables land under a staging dir
+      // and swap in rename-aside TOGETHER. Writing the new model over
+      // the live one first (the fresh-build order) would mis-project
+      // every search between the model write and the table write — and
+      // a crash in that window leaves the mismatch permanently, the
+      // silent-space-mixing failure the whitened stamp exists to stop.
+      val staged = s"$path/__rebuild"
+      val sp = new org.apache.hadoop.fs.Path(staged)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(sp, true) // a crashed prior rebuild's leftovers
+      writePcaModel(spark, model, staged)
+      Similarity.writeIvfIndexImpl(projected, id, F.col("__wv"), staged,
+        nlist, iters, trainSample, seed, whitened = true,
+        modelFp = model.fingerprint)
+      Similarity.swapStaged(spark, path, staged,
+        Seq("pca", "assigned", "centroids", "meta"), "rebuild")
+    } else {
+      // fresh build: the model lands BEFORE the tables, so a readable
+      // index always has its model (a crash between leaves a model with
+      // no index — searches fail loud on the missing meta)
+      writePcaModel(spark, model, path)
+      Similarity.writeIvfIndexImpl(projected, id, F.col("__wv"), path,
+        nlist, iters, trainSample, seed, whitened = true,
+        modelFp = model.fingerprint)
+    }
     model
   }
 
@@ -500,8 +540,11 @@ object Embeddings {
       "appendToWhitenedIvfIndex reserves column name __wv — rename first")
     val model = readPcaModel(batch.sparkSession, path)
     val projected = pcaProject(batch, vec, model, "__wv", whiten = true)
+    // the fingerprint guards this verb's own read-then-append window: a
+    // rebuild landing between readPcaModel and the append refuses loudly
     Similarity.appendToIvfIndexImpl(projected, id, F.col("__wv"), path,
-      segment, expectWhitened = true)
+      segment, expectWhitened = true,
+      expectedModelFp = Some(model.fingerprint))
   }
 
   /** Probe a whitened index: queries are projected through the PERSISTED
@@ -530,6 +573,6 @@ object Embeddings {
       whiten = true)
     Similarity.searchIvfIndexImpl(spark, path, projected, queryId,
       F.col("__wv"), k, nprobe, excludeSegment, localizeQueries,
-      expectWhitened = true)
+      expectWhitened = true, expectedModelFp = Some(model.fingerprint))
   }
 }

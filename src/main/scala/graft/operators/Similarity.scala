@@ -445,25 +445,28 @@ object Similarity {
   //    static partition pruning
   //  - centroids/ one row per cell (cell, centroid)
   //  - meta/      one row: nlist, dim, iters, train_sample, seed,
-  //    whitened — readers never re-supply build params; dim makes
-  //    mismatched-width appends fail loud instead of silently scoring
-  //    partial dot products; whitened marks a
+  //    whitened, model_fp — readers never re-supply build params; dim
+  //    makes mismatched-width appends fail loud instead of silently
+  //    scoring partial dot products; model_fp fingerprints the PCA model
+  //    a whitened layout was built with, so callers that cached the
+  //    model detect an in-place rebuild (0 for raw); whitened marks a
   //    [[graft.operators.Embeddings.writeWhitenedIvfIndex]] layout whose
   //    centroids live in PCA-whitened space — raw-vector appends/searches
   //    against it refuse loudly (at pcaK == d the dim guard alone cannot
   //    catch them, and the index would silently corrupt)
 
   private val ivfMetaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Int, Seq[Seq[Double]], Boolean)]()
+    String, (Int, Seq[Seq[Double]], Boolean, Long)]()
 
-  /** (dim, centroids-by-cell, whitened) for a persisted index, cached per
-    * FILE IDENTITY of the centroids+meta tables (one listStatus RPC per
-    * read — the same per-micro-batch economics as Dedup.readIndexMeta; a
-    * RETRAINED index rewrites both tables and re-reads). A meta written
-    * before the whitened stamp existed reads as whitened = false — every
-    * such layout was in fact raw. */
+  /** (dim, centroids-by-cell, whitened, modelFp) for a persisted index,
+    * cached per FILE IDENTITY of the centroids+meta tables (one
+    * listStatus RPC per read — the same per-micro-batch economics as
+    * Dedup.readIndexMeta; a RETRAINED index rewrites both tables and
+    * re-reads). A meta written before the whitened stamp existed reads
+    * as whitened = false — every such layout was in fact raw — and one
+    * written before the model fingerprint reads as fp = 0. */
   private def readIvfMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String): (Int, Seq[Seq[Double]], Boolean) = {
+      path: String): (Int, Seq[Seq[Double]], Boolean, Long) = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val key = Seq("centroids", "meta").map { t =>
       val p = new org.apache.hadoop.fs.Path(s"$path/$t")
@@ -477,11 +480,13 @@ object Similarity {
       val dim = metaRow.getAs[Int]("dim")
       val whitened = meta.columns.contains("whitened") &&
         metaRow.getAs[Boolean]("whitened")
+      val modelFp = if (meta.columns.contains("model_fp"))
+        metaRow.getAs[Long]("model_fp") else 0L
       val cents = spark.read.parquet(s"$path/centroids").collect()
         .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](
           r.fieldIndex("centroid")))
         .sortBy(_._1).map(_._2.toSeq).toSeq
-      (dim, cents, whitened)
+      (dim, cents, whitened, modelFp)
     })
   }
 
@@ -507,6 +512,23 @@ object Similarity {
           "appendToIvfIndex/searchIvfIndex directly")
   }
 
+  /** The in-place-rebuild guard for long-lived callers: an operation that
+    * CACHED the PCA model (a streaming ingest caches it per run; the
+    * one-shot whitened verbs hold it across their own read-then-act
+    * window) passes that model's fingerprint, and the meta's stamp must
+    * still match — an atomic rebuild that changed the space (same pcaK,
+    * so the dim guard is blind) is detected here instead of silently
+    * mixing projections from two different fits. */
+  private def requireModelFp(metaFp: Long, expected: Option[Long],
+      path: String, what: String): Unit = expected.foreach { fp =>
+    require(metaFp == fp,
+      s"$what: the PCA model of the whitened index at $path changed " +
+        s"under this operation (meta fingerprint $metaFp != the model " +
+        s"this caller read, $fp) — the index was rebuilt in place; " +
+        "re-read the model (restart the ingest stream) so batches " +
+        "project through the space the stored vectors live in")
+  }
+
   /** One-row eager width probe (the TsNorm.sliceNs pattern): a vector
     * column whose width disagrees with the index dim would silently score
     * PARTIAL dot products — fail loud before any write/search instead.
@@ -524,28 +546,57 @@ object Similarity {
     }
   }
 
-  /** Train + assign + persist (see the layout note above). */
+  /** Train + assign + persist (see the layout note above).
+    *
+    * On a path that ALREADY holds an index this is an atomic in-place
+    * rebuild: the new tables land under a staging dir and swap in
+    * rename-aside ([[swapStaged]], the retrain posture). A direct
+    * overwrite would expose — and on a crash PERMANENTLY leave — a
+    * mixed layout: new `assigned` cells against old `centroids` (wrong
+    * results, silently, whenever nlist or the corpus changed), the
+    * exact class of corruption the whitened stamp exists to stop. */
   def writeIvfIndex(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       path: String, nlist: Int = 16, iters: Int = 5,
       trainSample: Int = 10000, seed: Long = 42): Unit =
     writeIvfIndexImpl(corpus, corpusId, corpusVec, path, nlist, iters,
       trainSample, seed, whitened = false)
 
+  /** Does `path` already hold a persisted IVF index (a meta table)? */
+  private[graft] def ivfLayoutExists(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** The stamped variant [[graft.operators.Embeddings]] builds whitened
     * layouts through — `whitened` lands in the meta so every later
-    * append/search declares which space it speaks (see [[requireSpace]]). */
+    * append/search declares which space it speaks (see [[requireSpace]]).
+    * Existing layouts rebuild staged + swap (see [[writeIvfIndex]]). */
   private[graft] def writeIvfIndexImpl(corpus: DataFrame, corpusId: Column,
       corpusVec: Column, path: String, nlist: Int, iters: Int,
-      trainSample: Int, seed: Long, whitened: Boolean): Unit = {
+      trainSample: Int, seed: Long, whitened: Boolean,
+      modelFp: Long = 0L): Unit = {
     val spark = corpus.sparkSession
     val idx = ivfIndex(corpus, corpusId, corpusVec, nlist, iters,
       trainSample, seed)
-    writeIvfTables(spark, idx, path, iters, trainSample, seed, whitened)
+    if (ivfLayoutExists(spark, path)) {
+      val staged = s"$path/__rebuild"
+      val sp = new org.apache.hadoop.fs.Path(staged)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(sp, true) // a crashed prior rebuild's leftovers
+      writeIvfTables(spark, idx, staged, iters, trainSample, seed,
+        whitened, modelFp)
+      swapStaged(spark, path, staged, Seq("assigned", "centroids", "meta"),
+        "rebuild")
+    } else {
+      writeIvfTables(spark, idx, path, iters, trainSample, seed, whitened,
+        modelFp)
+    }
   }
 
   private def writeIvfTables(spark: org.apache.spark.sql.SparkSession,
       idx: IvfIndex, path: String, iters: Int, trainSample: Int,
-      seed: Long, whitened: Boolean): Unit = {
+      seed: Long, whitened: Boolean, modelFp: Long): Unit = {
     import spark.implicits._
     idx.assigned.withColumn("seg", F.lit("base"))
       .write.mode("overwrite").partitionBy("seg", "cell")
@@ -554,8 +605,9 @@ object Similarity {
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     Seq((idx.centroids.length, idx.centroids.head.length, iters,
-      trainSample, seed, whitened))
-      .toDF("nlist", "dim", "iters", "train_sample", "seed", "whitened")
+      trainSample, seed, whitened, modelFp))
+      .toDF("nlist", "dim", "iters", "train_sample", "seed", "whitened",
+        "model_fp")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -572,13 +624,15 @@ object Similarity {
 
   private[graft] def appendToIvfIndexImpl(batch: DataFrame, id: Column,
       vec: Column, path: String, segment: String,
-      expectWhitened: Boolean): Unit = {
+      expectWhitened: Boolean,
+      expectedModelFp: Option[Long] = None): Unit = {
     require(segment.nonEmpty && segment != "base" &&
       segment.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
       s"segment '$segment' must be a filesystem-safe label != 'base'")
     val spark = batch.sparkSession
-    val (dim, centroids, whitened) = readIvfMeta(spark, path)
+    val (dim, centroids, whitened, metaFp) = readIvfMeta(spark, path)
     requireSpace(whitened, expectWhitened, path, "appendToIvfIndex")
+    requireModelFp(metaFp, expectedModelFp, path, "appendToIvfIndex")
     requireDim(batch, vec, dim, "appendToIvfIndex")
     batch.select(id.as("corpus_id"), vec.as("cv"))
       .withColumn("cell",
@@ -616,9 +670,11 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, nprobe: Int, excludeSegment: Option[String],
-      localizeQueries: Boolean, expectWhitened: Boolean): DataFrame = {
-    val (dim, centroids, whitened) = readIvfMeta(spark, path)
+      localizeQueries: Boolean, expectWhitened: Boolean,
+      expectedModelFp: Option[Long] = None): DataFrame = {
+    val (dim, centroids, whitened, metaFp) = readIvfMeta(spark, path)
     requireSpace(whitened, expectWhitened, path, "searchIvfIndex")
+    requireModelFp(metaFp, expectedModelFp, path, "searchIvfIndex")
     requireDim(queries, queryVec, dim, "searchIvfIndex")
     var assigned = spark.read.parquet(s"$path/assigned")
     excludeSegment.foreach(sg =>
@@ -642,15 +698,16 @@ object Similarity {
       path: String, nlist: Int = 16, iters: Int = 5,
       trainSample: Int = 10000, seed: Long = 42): Unit = {
     // retraining reads STORED vectors, which already live in the index's
-    // own space — the whitened stamp (and thus the space contract every
-    // later append/search declares against) carries through unchanged
-    val (_, _, whitened) = readIvfMeta(spark, path)
+    // own space — the whitened stamp AND the model fingerprint (the
+    // space is unchanged, so cached models stay valid) carry through
+    val (_, _, whitened, modelFp) = readIvfMeta(spark, path)
     val stored = spark.read.parquet(s"$path/assigned")
       .select("corpus_id", "cv")
     val idx = ivfIndex(stored, F.col("corpus_id"), F.col("cv"), nlist,
       iters, trainSample, seed)
     val staged = s"$path/__retrain"
-    writeIvfTables(spark, idx, staged, iters, trainSample, seed, whitened)
+    writeIvfTables(spark, idx, staged, iters, trainSample, seed, whitened,
+      modelFp)
     swapStaged(spark, path, staged, Seq("assigned", "centroids", "meta"),
       "retrain")
   }
@@ -665,7 +722,7 @@ object Similarity {
   /** Rename-aside table swap (crash leaves a recoverable `__<t>_old`
     * copy, the [[graft.operators.Dedup.compactMinhashIndex]] posture):
     * each listed table under `staged` replaces its sibling under `path`. */
-  private def swapStaged(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def swapStaged(spark: org.apache.spark.sql.SparkSession,
       path: String, staged: String, tables: Seq[String],
       what: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -675,7 +732,10 @@ object Similarity {
       val old = new org.apache.hadoop.fs.Path(s"$path/__${table}_old")
       val fs = dir.getFileSystem(hconf)
       fs.delete(old, true)
-      require(fs.rename(dir, old), s"$what: move-aside failed for $table")
+      // a table the live layout doesn't have yet (e.g. `pca` when a raw
+      // index is rebuilt whitened in place) has nothing to move aside
+      require(!fs.exists(dir) || fs.rename(dir, old),
+        s"$what: move-aside failed for $table")
       require(fs.rename(tmp, dir), s"$what: swap-in failed for $table")
       fs.delete(old, true)
     }

@@ -217,9 +217,11 @@ object Streams {
     // in PCA-whitened space; its meta stamp makes the raw-space
     // append/search refuse loudly, so the stream must project every
     // batch through the PERSISTED model. Read once per run, not per
-    // batch — the model is immutable for the index's lifetime (retrain
-    // preserves the space) and a per-batch 1-row read would re-add a
-    // driver job to the per-batch floor the r12 job trim paid down.
+    // batch — retrain preserves the space, and an in-place REBUILD that
+    // changes it is caught per batch by the meta's model fingerprint
+    // (the cached-meta read the probe already pays), refusing loudly
+    // instead of mixing two fits' projections; a per-batch model re-read
+    // would re-add a driver job to the floor the r12 job trim paid down.
     // Survivors still land in outPath RAW: the out table is corpus data,
     // only the index speaks whitened.
     val pcaModel =
@@ -250,7 +252,8 @@ object Streams {
           if (pcaModel.isDefined) F.col("__wv") else F.col("__v"), k = 1,
           nprobe = probes, excludeSegment = Some(seg),
           localizeQueries = batchRows <= 50000L,
-          expectWhitened = pcaModel.isDefined)
+          expectWhitened = pcaModel.isDefined,
+          expectedModelFp = pcaModel.map(_.fingerprint))
         val dead = best.filter(F.col("cosine") >= threshold)
           .select(F.col("query_id").as("__dead"))
         // no forced broadcast: dead is bounded by the micro-batch size,
@@ -266,7 +269,8 @@ object Streams {
             graft.operators.Embeddings.pcaProject(survivors,
               F.col("embedding"), m, "__wv", whiten = true),
             F.col("vec_id"), F.col("__wv"), indexPath, seg,
-            expectWhitened = true)
+            expectWhitened = true,
+            expectedModelFp = Some(m.fingerprint))
           case None => graft.operators.Similarity.appendToIvfIndex(
             survivors, F.col("vec_id"), F.col("embedding"), indexPath, seg)
         }

@@ -284,6 +284,95 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("writeWhitenedIvfIndex on an existing layout is an atomic staged " +
+      "rebuild of model AND tables together: search + model equal a " +
+      "fresh build, stamp carried, no leftovers, raw layouts upgrade") {
+    import graft.operators.Similarity
+    val d = 6
+    val data = corpus(300, d).toDF("id", "v")
+    val evens = data.filter(F.col("id") % 2 === 0)
+    val queries = corpus(320, d).toDF("id", "v")
+      .filter(F.col("id") >= 300)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_wrebuild").toString
+    val dir = base + "/idx"
+    val fresh = base + "/fresh"
+    // v1: evens at pcaK 3 — then rebuild IN PLACE on the full corpus at
+    // pcaK 4: a different model AND different tables; writing the new
+    // model over the live one first (the old code path) would mis-project
+    // searches in the window and a crash would leave it permanently
+    Embeddings.writeWhitenedIvfIndex(evens, F.col("id"), F.col("v"), dir,
+      pcaK = 3, nlist = 4, seed = 7)
+    val m2 = Embeddings.writeWhitenedIvfIndex(data, F.col("id"),
+      F.col("v"), dir, pcaK = 4, nlist = 4, seed = 7)
+    val mf = Embeddings.writeWhitenedIvfIndex(data, F.col("id"),
+      F.col("v"), fresh, pcaK = 4, nlist = 4, seed = 7)
+    assert(m2 == mf) // deterministic fit → identical models
+    assert(Embeddings.readPcaModel(spark, dir) == mf)
+    def search(p: String) = Embeddings.searchWhitenedIvfIndex(spark, p,
+      queries, F.col("id"), F.col("v"), k = 5, nprobe = 4)
+      .collect().toSet
+    assert(search(dir) == search(fresh))
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(left == Set("pca", "assigned", "centroids", "meta"),
+      left.toString)
+    // the stamp survived the rebuild: raw verbs still refuse
+    intercept[IllegalArgumentException] {
+      Similarity.searchIvfIndex(spark, dir, queries, F.col("id"),
+        F.col("v"), k = 1)
+    }
+    // a RAW layout upgrades to whitened in place (nothing to move aside
+    // for pca) — raw search then refuses the upgraded layout
+    val up = base + "/up"
+    Similarity.writeIvfIndex(evens, F.col("id"), F.col("v"), up,
+      nlist = 4, seed = 7)
+    Embeddings.writeWhitenedIvfIndex(data, F.col("id"), F.col("v"), up,
+      pcaK = 4, nlist = 4, seed = 7)
+    assert(search(up) == search(fresh))
+    intercept[IllegalArgumentException] {
+      Similarity.searchIvfIndex(spark, up, queries, F.col("id"),
+        F.col("v"), k = 1)
+    }
+  }
+
+  test("model fingerprint: a caller holding the OLD model is refused " +
+      "after an in-place rebuild changed the space at equal pcaK; " +
+      "retrain (space-preserving) keeps cached models valid") {
+    import graft.operators.Similarity
+    val d = 6
+    val data = corpus(300, d).toDF("id", "v")
+    val evens = data.filter(F.col("id") % 2 === 0)
+    val batch = data.filter(F.col("id") % 2 === 1).limit(5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wfp").toString + "/idx"
+    val m1 = Embeddings.writeWhitenedIvfIndex(evens, F.col("id"),
+      F.col("v"), dir, pcaK = 4, nlist = 4, seed = 7)
+    // the streaming-ingest shape: model cached once, appends per batch
+    def appendWithCached(m: Embeddings.PcaModel, seg: String): Unit =
+      Similarity.appendToIvfIndexImpl(
+        Embeddings.pcaProject(batch, F.col("v"), m, "__wv",
+          whiten = true),
+        F.col("id"), F.col("__wv"), dir, seg, expectWhitened = true,
+        expectedModelFp = Some(m.fingerprint))
+    appendWithCached(m1, "b0")
+    // retrain folds segments + re-elects centroids but PRESERVES the
+    // space — the cached model stays valid
+    Similarity.retrainIvfIndex(spark, dir, nlist = 4, seed = 7)
+    appendWithCached(m1, "b1")
+    // in-place rebuild on a different corpus at the SAME pcaK: dims
+    // agree, the stamp agrees — only the fingerprint can tell the
+    // cached model no longer matches the stored vectors' space
+    val m2 = Embeddings.writeWhitenedIvfIndex(data, F.col("id"),
+      F.col("v"), dir, pcaK = 4, nlist = 4, seed = 7)
+    assert(m1 != m2 && m1.fingerprint != m2.fingerprint)
+    val e = intercept[IllegalArgumentException] { appendWithCached(m1, "b2") }
+    assert(e.getMessage.contains("rebuilt in place"), e.getMessage)
+    // the refreshed model appends (and searches) fine
+    appendWithCached(m2, "b3")
+    assert(Embeddings.searchWhitenedIvfIndex(spark, dir,
+      batch, F.col("id"), F.col("v"), k = 1, nprobe = 4).count() > 0)
+  }
+
   test("whitened IVF append path: appendToWhitenedIvfIndex projects " +
       "through the persisted model (append == fresh-build identity), raw " +
       "append/search refuse the whitened layout even at pcaK == d, " +

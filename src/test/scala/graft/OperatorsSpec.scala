@@ -306,6 +306,44 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("writeIvfIndex on an existing layout is an atomic staged rebuild: " +
+      "search equals a fresh build, no staging/move-aside leftovers, " +
+      "changed nlist never exposes mixed tables") {
+    val corpus = (for { cl <- 0 until 4; i <- 0 until 25 } yield {
+      val v = Array.tabulate(8)(d =>
+        (if (d == cl * 2) 10.0 else 0.0) + ((i * 7 + d * 3) % 5) * 0.1)
+      (cl * 100L + i, v.toSeq)
+    }).toDF("id", "v")
+    val queries = (0 until 4).map { cl =>
+      (1000L + cl, Seq.tabulate(8)(d => if (d == cl * 2) 10.0 else 0.0))
+    }.toDF("id", "v")
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfrb")
+      .toString
+    val dir = base + "/idx"
+    val fresh = base + "/fresh"
+    // build v1 on a THIRD of the corpus at nlist 2, then rebuild IN
+    // PLACE on the full corpus at nlist 4 — different corpus, cell
+    // count, and cell geometry; a non-atomic overwrite interleaving
+    // these tables would change results or crash
+    Similarity.writeIvfIndex(corpus.filter(F.col("id") % 3 === 0),
+      F.col("id"), F.col("v"), dir, nlist = 2, trainSample = 100)
+    Similarity.writeIvfIndex(corpus, F.col("id"), F.col("v"), dir,
+      nlist = 4, trainSample = 100)
+    Similarity.writeIvfIndex(corpus, F.col("id"), F.col("v"), fresh,
+      nlist = 4, trainSample = 100)
+    def search(p: String) = Similarity.searchIvfIndex(spark, p, queries,
+      F.col("id"), F.col("v"), k = 5, nprobe = 4).collect().toSet
+    assert(search(dir) == search(fresh))
+    // the swap leaves no staging dir and no move-aside copies
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(left == Set("assigned", "centroids", "meta"), left.toString)
+    // appends keep working against the rebuilt layout
+    Similarity.appendToIvfIndex(
+      Seq((9000L, Seq.tabulate(8)(d => if (d == 0) 10.0 else 0.0)))
+        .toDF("id", "v"), F.col("id"), F.col("v"), dir, "post")
+    assert(search(dir).nonEmpty)
+  }
+
   test("compactIvfIndex folds segments into base without retraining: " +
       "search-equal, one file per cell, centroids untouched, idempotent") {
     val corpus = (for { cl <- 0 until 4; i <- 0 until 25 } yield {
