@@ -850,6 +850,24 @@ object Dedup {
     require(numHashes % bands == 0,
       s"numHashes $numHashes must divide into bands $bands")
     val spark = corpus.sparkSession
+    // on a path that ALREADY holds an index this is an atomic staged
+    // rebuild (the writeIvfIndex posture): a table-by-table overwrite
+    // with changed params crash-leaves new postings under the old meta —
+    // probes then band-hash with the old (numHashes, bands) into a
+    // DISJOINT bucket space and every near-dup sails through silently
+    // (exactly the failure the meta reader's field-name check warns
+    // about, reachable without any version skew)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val hasLayout = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+      p.getFileSystem(hconf).exists(p)
+    }
+    val target = if (hasLayout) {
+      val staged = s"$path/__rebuild"
+      val sp = new org.apache.hadoop.fs.Path(staged)
+      sp.getFileSystem(hconf).delete(sp, true) // crashed prior rebuild
+      staged
+    } else path
     val base = corpus.select(asLongId(id).as("id"), text.as("__t"))
     // seg=base: both tables are SEGMENT-partitioned so incremental appends
     // ([[appendToMinhashIndex]]) land as their own dynamically-overwritten
@@ -858,7 +876,7 @@ object Dedup {
     base
       .select(F.col("id"), shingleHashes(F.col("__t"), shingleSize).as("sh"),
         F.lit("base").as("seg"))
-      .write.mode("overwrite").partitionBy("seg").parquet(s"$path/features")
+      .write.mode("overwrite").partitionBy("seg").parquet(s"$target/features")
     base
       .select(F.col("id"),
         F.posexplode(graft.functions.TextExprs.minhashBandHashes(
@@ -871,11 +889,14 @@ object Dedup {
       .select(F.col("band"), F.col("bucket"), F.col("ids"),
         F.lit("base").as("seg"))
       .write.mode("overwrite").partitionBy("seg", "band")
-      .parquet(s"$path/postings")
+      .parquet(s"$target/postings")
     import spark.implicits._
     Seq((shingleSize, numHashes, bands, maxBucket))
       .toDF("shingle_size", "num_hashes", "bands", "max_bucket")
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .write.mode("overwrite").parquet(s"$target/meta")
+    if (hasLayout)
+      Similarity.swapStaged(spark, path, target,
+        Seq("features", "postings", "meta"), "rebuild")
   }
 
   /** Near-dedup an incoming batch against a persisted [[writeMinhashIndex]]

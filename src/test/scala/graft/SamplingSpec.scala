@@ -196,6 +196,40 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("minhash disk index: rebuild on an existing layout is staged + " +
+      "atomic — probe equals a fresh build at the NEW params, no " +
+      "staging/move-aside leftovers") {
+    val a = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the sun sets slowly behind the distant purple mountains"
+    val b = "completely unrelated text about database query optimization " +
+      "and distributed systems running on large compute clusters"
+    val ref = Seq((10L, a), (11L, b)).toDF("rid", "rtext")
+    val root = java.nio.file.Files.createTempDirectory("graft_mhrb")
+      .toString
+    val dir = root + "/idx"
+    val fresh = root + "/fresh"
+    // v1 at 16 bands over doc 10 only; rebuild IN PLACE on both docs at
+    // 8 bands — changed corpus AND banding. A table-by-table overwrite
+    // crash between postings and meta would leave 8-band postings probed
+    // with 16-band hashes: a disjoint bucket space, silent pass-through
+    Dedup.writeMinhashIndex(ref.filter(F.col("rid") === 10L),
+      F.col("rid"), F.col("rtext"), dir,
+      shingleSize = 3, numHashes = 64, bands = 16)
+    Dedup.writeMinhashIndex(ref, F.col("rid"), F.col("rtext"), dir,
+      shingleSize = 3, numHashes = 64, bands = 8)
+    Dedup.writeMinhashIndex(ref, F.col("rid"), F.col("rtext"), fresh,
+      shingleSize = 3, numHashes = 64, bands = 8)
+    val batch = Seq((1L, a.replace("slowly", "quickly")), (2L, b),
+      (3L, "entirely different musings on mountain weather and gear"))
+      .toDF("id", "text")
+    def probe(p: String) = col1[Long](Dedup.dedupAgainstIndex(batch,
+      F.col("id"), F.col("text"), p, threshold = 0.5).orderBy("id"), "id")
+    assert(probe(dir) == probe(fresh))
+    assert(probe(dir) == Seq(3L)) // both near-dups killed by the rebuilt index
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(left == Set("features", "postings", "meta"), left.toString)
+  }
+
   test("minhash disk index: the per-path meta cache re-reads a REGENERATED " +
       "index (file-identity key — a raw path key would serve stale build " +
       "params)") {
