@@ -113,6 +113,17 @@ object Shards {
     val root = new org.apache.hadoop.fs.Path(url)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(hconf)
+    // a CRASHED export leaves shard dirs without the committer's
+    // _SUCCESS marker: such a layout lists fine but is silently partial
+    // (missing shards, half-written shard files) — exactly the kind of
+    // wrong-but-plausible input a trainer must never consume. Fail loud;
+    // re-run the export (it is deterministic, a rerun reproduces the
+    // layout bit-for-bit).
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS")),
+      s"readShards: no _SUCCESS marker under $path — the export did not " +
+        "commit (crashed or still running); a partial shard layout " +
+        "reads as silently wrong training data. Re-run writeShards " +
+        "(deterministic — a rerun reproduces the layout exactly)")
     // ONE recursive listing enumerates every shard file — no per-shard
     // listStatus round trips (at object-storage latencies numShards
     // sequential LISTs are the planning cost) and the per-shard reads

@@ -1568,6 +1568,13 @@ class IOStreamsSpec extends SparkSpec {
       .select("id", "shard", "pos").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(other != a1)
+    // a crashed export (shard dirs present, no _SUCCESS commit marker)
+    // refuses loudly — a partial layout must never read as training data
+    assert(new java.io.File(dir + "/t2/_SUCCESS").delete())
+    val ePartial = intercept[IllegalArgumentException] {
+      Shards.readShards(spark, dir + "/t2")
+    }
+    assert(ePartial.getMessage.contains("_SUCCESS"), ePartial.getMessage)
     // loud contracts
     intercept[IllegalArgumentException] {
       Shards.assignShards(df, F.col("id"), 0)
