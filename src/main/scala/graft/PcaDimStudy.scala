@@ -71,8 +71,12 @@ object PcaDimStudy {
           65536.0) - 0.5)
       val a = Array.tabulate(d, d)((i, j) =>
         (0 until d).map(l => b(i)(l) * b(j)(l)).sum / d)
-      val tJac = time(graft.operators.Embeddings.jacobiEigen(
-        a.map(_.clone())))
+      // Jacobi is skipped past d = 1024: its measured cache-wall curve
+      // (28-31x per doubling) puts d = 2048 at ~25 min — the point of
+      // the comparison is made well before that
+      val tJac = if (d <= 1024)
+        time(graft.operators.Embeddings.jacobiEigen(a.map(_.clone())))
+      else -1.0
       val tSym = time(graft.operators.Embeddings.symEigen(
         a.map(_.clone())))
       val bufMb = (1L + d + d.toLong * (d + 1) / 2) * 8 / 1048576.0

@@ -20,9 +20,9 @@ import graft.functions.{AggExprs, VectorExprs}
   * task to the driver, never a row. The d×d eigendecomposition is
   * driver-side Householder tridiagonalization + implicit-shift QL
   * ([[Embeddings.symEigen]]) — deterministic, O(d³) with the small
-  * constant (4.0 s at d = 1024 vs cyclic Jacobi's 191 s, measured in
-  * scaling/pca_dim.json), the same bounded planning cost as qcut's
-  * quantiles or z-order's cut points. Projection
+  * constant (1.45 s at d = 1024 vs cyclic Jacobi's 196 s; 13.1 s at
+  * d = 2048 — scaling/pca_dim.json + pca_dim_2048.json), the same
+  * bounded planning cost as qcut's quantiles or z-order's cut points. Projection
   * is a native per-row expression with the mean/components as plan
   * literals ([[graft.functions.PcaProject]]): no join, no second pass
   * over the corpus, whole-stage-pipelined with whatever scan feeds it.
@@ -64,9 +64,10 @@ object Embeddings {
     *
     * `maxDim` is the fit's ENVELOPE, enforced loudly: the moments buffer
     * is d(d+1)/2 doubles PER MAP TASK (~16.8 MB at d = 2048) and the
-    * driver eigensolve ([[symEigen]]) is O(d³) (measured:
-    * scaling/pca_dim.json — 4 s at d = 1024, full fit 7.6 s over 20k
-    * rows). Past the default, raise
+    * driver eigensolve ([[symEigen]]) is O(d³) (measured: 1.45 s at
+    * d = 1024; at the d = 2048 default the solve is 13.1 s and the
+    * full fit 21.8 s over 20k rows — scaling/pca_dim*.json). Past the
+    * default, raise
     * `maxDim` explicitly if the driver is sized for it, or reduce
     * dimensionality upstream (random projection / chunked PCA) instead
     * of asking a covariance eigensolve to do it. */
@@ -233,7 +234,8 @@ object Embeddings {
     require(residual <= tol,
       s"jacobiEigen did not converge in $sweep sweeps on a ${d}x$d " +
         s"matrix: off-diagonal norm $residual > tolerance $tol")
-    orderEigenpairs(Array.tabulate(d)(j => m(j)(j)), v)
+    orderEigenpairs(Array.tabulate(d)(j => m(j)(j)),
+      Array.tabulate(d, d)((j, i) => v(i)(j))) // columns → rows, O(d²)
   }
 
   /** Symmetric eigendecomposition via Householder tridiagonalization +
@@ -244,11 +246,15 @@ object Embeddings {
     * largest-|component| positive, fully deterministic: fixed iteration
     * order, no randomness), but one O(d³) reduction + O(d²)-per-eigenvalue
     * QL instead of Jacobi's many O(d³) sweeps — and tridiagonal QL's
-    * working set is two d-vectors, not the full matrix, so it doesn't hit
-    * Jacobi's cache wall at transformer widths. Measured (PcaDimStudy,
-    * scaling/pca_dim.json, d = 1024): Jacobi 191 s → 4.0 s (48×).
-    * fitPca uses this; [[jacobiEigen]] stays as the independent
-    * cross-check implementation the spec replays both solvers against. */
+    * working set is two d-vectors — and the two O(d³) accumulation
+    * phases are laid out for contiguous row access (loop-interchanged
+    * tred2 accumulation; QL rotations on a transposed vectors-as-rows
+    * matrix), so neither hits Jacobi's cache wall at transformer widths.
+    * Measured (PcaDimStudy, scaling/pca_dim*.json): d = 1024 Jacobi
+    * 196 s → 1.45 s (135×); d = 2048 13.1 s, an 8-9× step per doubling
+    * — the d³ constant, no wall. fitPca uses this; [[jacobiEigen]]
+    * stays as the independent cross-check implementation the spec
+    * replays both solvers against. */
   private[graft] def symEigen(
       a: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val n = a.length
@@ -308,19 +314,34 @@ object Embeddings {
     }
     d(0) = 0.0
     e(0) = 0.0
-    // accumulate the Householder transformations into z
+    // accumulate the Householder transformations into z — loop
+    // INTERCHANGED from the textbook j-then-k order: the inner sweeps
+    // walk z's ROWS (contiguous in a row-major array) instead of
+    // striding down columns, which past ~1k costs a cache miss per
+    // element (the same wall PcaDimStudy caught in Jacobi; measured on
+    // this phase + the transposed QL below: 142 s → 13.1 s at d = 2048).
+    // Summation order changes (k-major), still fixed → deterministic.
+    val gs = new Array[Double](n)
     i = 0
     while (i < n) {
       val l = i - 1
       if (d(i) != 0.0) {
-        var j = 0
-        while (j <= l) {
-          var g = 0.0
-          var k = 0
-          while (k <= l) { g += z(i)(k) * z(k)(j); k += 1 }
-          k = 0
-          while (k <= l) { z(k)(j) -= g * z(k)(i); k += 1 }
-          j += 1
+        java.util.Arrays.fill(gs, 0, l + 1, 0.0)
+        var k = 0
+        while (k <= l) {
+          val wk = z(i)(k)
+          val rowk = z(k)
+          var j = 0
+          while (j <= l) { gs(j) += wk * rowk(j); j += 1 }
+          k += 1
+        }
+        k = 0
+        while (k <= l) {
+          val vk = z(k)(i)
+          val rowk = z(k)
+          var j = 0
+          while (j <= l) { rowk(j) -= gs(j) * vk; j += 1 }
+          k += 1
         }
       }
       d(i) = z(i)(i)
@@ -329,8 +350,12 @@ object Embeddings {
       while (j <= l) { z(j)(i) = 0.0; z(i)(j) = 0.0; j += 1 }
       i += 1
     }
-    // implicit-shift QL on the tridiagonal (tql2), rotations accumulated
-    // into z's columns
+    // implicit-shift QL on the tridiagonal (tql2). Rotations are
+    // accumulated into the eigenvector matrix TRANSPOSED (vecs(j) = the
+    // j-th eigenvector as a contiguous row): each rotation updates two
+    // whole vectors, which on the column layout is two stride-n walks —
+    // the dominant O(n³) term and, past ~1k, a cache miss per element
+    val vecs = Array.tabulate(n, n)((j, k) => z(k)(j))
     i = 1
     while (i < n) { e(i - 1) = e(i); i += 1 }
     e(n - 1) = 0.0
@@ -381,11 +406,13 @@ object Embeddings {
               p = s * r
               d(ii + 1) = g + p
               g = c * r - b
+              val vHi = vecs(ii + 1)
+              val vLo = vecs(ii)
               var k = 0
               while (k < n) {
-                f = z(k)(ii + 1)
-                z(k)(ii + 1) = s * z(k)(ii) + c * f
-                z(k)(ii) = c * z(k)(ii) - s * f
+                f = vHi(k)
+                vHi(k) = s * vLo(k) + c * f
+                vLo(k) = c * vLo(k) - s * f
                 k += 1
               }
               ii -= 1
@@ -400,19 +427,20 @@ object Embeddings {
       } while (m != l)
       l += 1
     }
-    orderEigenpairs(d, z)
+    orderEigenpairs(d, vecs)
   }
 
-  /** Shared eigenpair postprocessing: eigenvector j is COLUMN j of `v`
-    * with eigenvalue `values(j)` — emit vectors as rows, descending by
-    * value (stable, so equal values keep solver order), each vector's
-    * sign fixed by largest-|component| positive (removes the ±v
-    * ambiguity so fits are bit-reproducible). */
+  /** Shared eigenpair postprocessing: eigenvector j is ROW j of `v`
+    * with eigenvalue `values(j)` — emit descending by value (stable, so
+    * equal values keep solver order), each vector's sign fixed by
+    * largest-|component| positive (removes the ±v ambiguity so fits are
+    * bit-reproducible). Mutates `v`'s rows in place (both callers own
+    * their matrices). */
   private def orderEigenpairs(values: Array[Double],
       v: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val n = values.length
     val pairs = (0 until n).map { j =>
-      val vec = Array.tabulate(n)(i => v(i)(j))
+      val vec = v(j)
       var bi = 0
       var bm = 0.0
       var i = 0
