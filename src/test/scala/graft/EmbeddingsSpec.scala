@@ -484,5 +484,19 @@ class EmbeddingsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.appendToIvfIndex(odd, F.col("id"), F.col("v"), dir, "bad2")
     }
+    // segment compaction rewrites only `assigned` (vectors already in
+    // index space, meta untouched) — search identity and the stamp
+    // survive, completing the whitened lifecycle: build, append, search,
+    // retrain, compact, rebuild all covered
+    Embeddings.appendToWhitenedIvfIndex(queries, F.col("id"), F.col("v"),
+      dir, "b9")
+    Similarity.compactIvfIndex(spark, dir)
+    assert(key(Embeddings.searchWhitenedIvfIndex(spark, dir, queries,
+      F.col("id"), F.col("v"), k = 5, nprobe = 4,
+      excludeSegment = None)).nonEmpty)
+    intercept[IllegalArgumentException] {
+      Similarity.searchIvfIndex(spark, dir, queries, F.col("id"),
+        F.col("v"), k = 1)
+    }
   }
 }
