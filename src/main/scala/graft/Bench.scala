@@ -90,40 +90,54 @@ object Bench {
       else if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    // drift sentinel (r12 verdict #3, automated): the median ratio of ten
-    // review-untouched CONTROL queries against a stored reference grid
-    // (scaling/bench_sentinel_ref.json — r12's idle-host medians). The
-    // ratio is this host+run's speed factor vs the grid's host; a uniform
-    // external-load spike moves it, a genuine per-query regression
-    // doesn't. benchdiff.py divides cross-round ratios by sentB/sentA so
-    // no future verdict hand-analyzes host noise again. The median over
-    // ten controls stays honest even if a round's changes touch a couple
-    // of them; absent/failed grid reads just omit the block.
+    // drift sentinels (r12 verdict #3, automated; r13 verdict #3 added the
+    // heavy band): the median ratio of review-untouched CONTROL queries
+    // against a stored reference grid (scaling/bench_sentinel_ref.json).
+    // Each ratio is this host+run's speed factor vs the grid's host; a
+    // uniform external-load spike moves it, a genuine per-query regression
+    // doesn't. TWO bands because r13 proved one isn't enough: the light
+    // band (ten short expression/shuffle queries) cannot see heavy-floor
+    // drift (big-shuffle spill paths, ImageIO decode floors) — d55/d11/d50
+    // drifted 1.24× while the light sentinel read 1.08×, and exonerating
+    // them cost hand-run control experiments. The heavy band (3-4
+    // untouched heavy-floor queries, `queries_heavy` in the grid) tracks
+    // that floor directly; benchdiff.py normalizes by each band and flags
+    // only queries outside BOTH. The median over controls stays honest
+    // even if a round's changes touch a couple of them; absent/failed
+    // grid reads just omit the block. The default grid path is resolved
+    // RELATIVE to the working directory (r13 ADVICE: an absolute
+    // /root/repo default silently dropped the sentinel on any other
+    // checkout); the env var stays the override.
     val sentinelPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SENTINEL",
-      "/root/repo/scaling/bench_sentinel_ref.json")
-    val sentinel: Option[(Double, Int, String)] =
+      "scaling/bench_sentinel_ref.json")
+    def sentinelBand(key: String): Option[(Double, Int, String)] =
       try {
         val p = java.nio.file.Paths.get(sentinelPath)
         if (!java.nio.file.Files.exists(p)) None
         else {
           val om = new com.fasterxml.jackson.databind.ObjectMapper()
           val node = om.readTree(p.toFile)
-          val ref = node.get("ref").asText()
-          val qs = node.get("queries")
-          val ratios = names.flatMap { n =>
-            if (qs.has(n) && samples(n).nonEmpty && qs.get(n).asDouble > 0)
-              Some(median(samples(n)) / qs.get(n).asDouble)
+          if (!node.has(key)) None
+          else {
+            val ref = node.get("ref").asText()
+            val qs = node.get(key)
+            val ratios = names.flatMap { n =>
+              if (qs.has(n) && samples(n).nonEmpty && qs.get(n).asDouble > 0)
+                Some(median(samples(n)) / qs.get(n).asDouble)
+              else None
+            }.toVector
+            // >= 3 overlapping controls or the median is too thin to mean
+            // anything (a focused `Bench q01` run shouldn't emit one)
+            if (ratios.size >= 3) Some((median(ratios), ratios.size, ref))
             else None
-          }.toVector
-          // >= 3 overlapping controls or the median is too thin to mean
-          // anything (a focused `Bench q01` run shouldn't emit one)
-          if (ratios.size >= 3) Some((median(ratios), ratios.size, ref))
-          else None
+          }
         }
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] sentinel skipped: ${e.getMessage}")
+        System.err.println(s"[bench] sentinel '$key' skipped: ${e.getMessage}")
         None
       }
+    val sentinel = sentinelBand("queries")
+    val sentinelHeavy = sentinelBand("queries_heavy")
     def obj(f: String => Double): String = names
       .map(n => s"\"" + n + "\":" + f(n)).mkString("{", ",", "}")
     val med = obj(n => median(samples(n)))
@@ -140,10 +154,16 @@ object Bench {
     val errsJson = errs.keys.toSeq.sorted.map(n =>
       jstr(n) + ":" + errs(n).map(jstr).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
-    def sentinelJson(pat: String): String = sentinel.map { case (r, n, ref) =>
+    // the ref label routes through jstr (r13 ADVICE: interpolating it
+    // unescaped corrupts the artifact line if a grid ever carries a quote)
+    def bandJson(key: String, band: Option[(Double, Int, String)],
+        pat: String): String = band.map { case (r, n, ref) =>
       val v = String.format(java.util.Locale.ROOT, pat, Double.box(r))
-      s""""sentinel":{"ratio":$v,"n":$n,"ref":"$ref"},"""
+      s""""$key":{"ratio":$v,"n":$n,"ref":${jstr(ref)}},"""
     }.getOrElse("")
+    def sentinelJson(pat: String): String =
+      bandJson("sentinel", sentinel, pat) +
+        bandJson("sentinel_heavy", sentinelHeavy, pat)
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$med,"queries_min":$mins,"runs":$runsJson,"errs":$errsJson,${sentinelJson("%.6f")}"n_runs":$nRuns,"sf":"$sfDir"}"""
     // The driver archives only the LAST 2000 CHARS of stdout and parses
     // the JSON from that tail: the full per-query line (~10 KB at 99
