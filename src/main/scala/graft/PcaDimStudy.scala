@@ -56,9 +56,17 @@ object PcaDimStudy {
             .as("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize: time the FIT, not the generator
-      val tFit = (1 to runs).map { _ =>
+      // the exact fit stops at its measured envelope (maxDim = 2048 —
+      // the full-covariance buffer is 67 MB/task at 4096 and the dense
+      // solve ~8-9× the 13.1 s d = 2048 point); the randomized top-k
+      // fit is the algorithm FOR that regime, timed at every d
+      val tFit = if (d <= 2048) (1 to runs).map { _ =>
         time(graft.operators.Embeddings.fitPca(df, F.col("v"), k = 16,
           maxDim = 2048))
+      } else Seq(-1.0)
+      val tRand = (1 to runs).map { _ =>
+        time(graft.operators.Embeddings.fitPcaTopK(df, F.col("v"),
+          k = 16))
       }
       df.unpersist(true)
       // driver eigensolve alone on a deterministic symmetric d×d (B·Bᵀ
@@ -73,24 +81,32 @@ object PcaDimStudy {
         (0 until d).map(l => b(i)(l) * b(j)(l)).sum / d)
       // Jacobi is skipped past d = 1024: its measured cache-wall curve
       // (28-31x per doubling) puts d = 2048 at ~25 min — the point of
-      // the comparison is made well before that
+      // the comparison is made well before that. The full dense solve is
+      // likewise skipped past 2048 (the exact fit's envelope).
       val tJac = if (d <= 1024)
         time(graft.operators.Embeddings.jacobiEigen(a.map(_.clone())))
       else -1.0
-      val tSym = time(graft.operators.Embeddings.symEigen(
-        a.map(_.clone())))
+      val tSym = if (d <= 2048)
+        time(graft.operators.Embeddings.symEigen(a.map(_.clone())))
+      else -1.0
       val bufMb = (1L + d + d.toLong * (d + 1) / 2) * 8 / 1048576.0
+      val bufRandMb = (1L + d + d.toLong * 24) * 8 / 1048576.0 // m = k+8
       System.err.println(f"[pcadim] d=$d%5d n=$nRows " +
         f"fit=${med(tFit)}%.2fs (min ${tFit.min}%.2f) " +
-        f"jacobi=$tJac%.2fs symql=$tSym%.2fs buffer=$bufMb%.1fMB")
-      (d, tFit, tJac, tSym, bufMb)
+        f"rand=${med(tRand)}%.2fs (min ${tRand.min}%.2f) " +
+        f"jacobi=$tJac%.2fs symql=$tSym%.2fs " +
+        f"buffer=$bufMb%.1fMB bufferRand=$bufRandMb%.2fMB")
+      (d, tFit, tRand, tJac, tSym, bufMb, bufRandMb)
     }
     val json = "{\"metric\":\"pca_dim\",\"unit\":\"sec\"," +
       s""""rows":$nRows,"k":16,"sizes":[""" +
-      results.map { case (d, f, j, sy, mb) =>
+      results.map { case (d, f, rnd, j, sy, mb, rmb) =>
         s"""{"dim":$d,"fit_med":${med(f)},"fit_min":${f.min},""" +
+          s""""rand_med":${med(rnd)},"rand_min":${rnd.min},""" +
           s""""jacobi":$j,"symql":$sy,"buffer_mb":$mb,""" +
-          s""""runs_fit":[${f.mkString(",")}]}"""
+          s""""buffer_rand_mb":$rmb,""" +
+          s""""runs_fit":[${f.mkString(",")}],""" +
+          s""""runs_rand":[${rnd.mkString(",")}]}"""
       }.mkString(",") + s"],\"n_runs\":$runs}"
     println(json)
     out.foreach(p => java.nio.file.Files.writeString(

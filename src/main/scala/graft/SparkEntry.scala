@@ -1686,6 +1686,62 @@ object SparkEntry {
       F.lit(if (rawSearchRefused) 1 else 0).as("raw_search_refused_ok"))
   }
 
+  /** Whitened + SQ8 composed disk path (r13 verdict #4): build the
+    * whitened index with `sq8 = true` (the assigned table stores pcaK
+    * int8 codes — the d/k payload win × the 8× int8 win, the 100 TB
+    * candidate-scan term), append half the corpus through the GUARDED
+    * whitened path (projected through the persisted model, quantized
+    * transparently off the meta stamp), probe every cell. Contracts,
+    * d46-style (scores are approximate by design): per query ≥ 4 of the
+    * whitened brute-force top-5 recovered, every matched cosine within
+    * 0.01 of the float-exact whitened cosine (quantization error lives
+    * in the whitened space, where scoring happens), exactly k rows —
+    * plus two executed witnesses: the on-disk payload IS int8 codes
+    * (schema check — the size claim's witness) and the raw search verb
+    * refuses the layout (both stamps live in one meta). */
+  private val d70: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val path = scratch(s"d70_wsq8_${dir.hashCode.abs}")
+    val even = emb.filter(F.col("vec_id") >= 5 && F.col("vec_id") % 2 === 0)
+    val odd = emb.filter(F.col("vec_id") >= 5 && F.col("vec_id") % 2 === 1)
+    val queries = emb.filter(F.col("vec_id") < 5)
+    operators.Embeddings.writeWhitenedIvfIndex(even, F.col("vec_id"),
+      F.col("embedding"), path, pcaK = 8, nlist = 8, seed = 7, sq8 = true)
+    operators.Embeddings.appendToWhitenedIvfIndex(odd, F.col("vec_id"),
+      F.col("embedding"), path, "b0")
+    val payload = s.read.parquet(s"$path/assigned").columns.toSet
+    val sq8Stored = payload("q") && payload("scale") && !payload("cv")
+    val rawRefused = try {
+      operators.Similarity.searchIvfIndex(s, path, queries,
+        F.col("vec_id"), F.col("embedding"), k = 1); false
+    } catch { case e: IllegalArgumentException =>
+      e.getMessage.contains("WHITENED") }
+    val approx = operators.Embeddings.searchWhitenedIvfIndex(s, path,
+      queries, F.col("vec_id"), F.col("embedding"), k = 5, nprobe = 8)
+    // float-exact truth through the SAME persisted model
+    val pm = operators.Embeddings.readPcaModel(s, path)
+    val cw = operators.Embeddings.pcaProject(emb.filter(
+        F.col("vec_id") >= 5), F.col("embedding"), pm, "wv", whiten = true)
+    val qw = operators.Embeddings.pcaProject(queries, F.col("embedding"),
+      pm, "wv", whiten = true)
+    val exact = operators.Similarity.bruteForceTopK(cw, F.col("vec_id"),
+      F.col("wv"), qw, F.col("vec_id"), F.col("wv"), k = 5)
+    approx
+      .join(exact.select(F.col("query_id"), F.col("corpus_id"),
+        F.col("cosine").as("__ec")), Seq("query_id", "corpus_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        (F.count_if(F.col("__ec").isNotNull) >= 4).cast("int")
+          .as("recall_ok"),
+        F.coalesce(
+          F.max(F.abs(F.col("cosine") - F.col("__ec"))) <= 0.01,
+          F.lit(false)).cast("int").as("cos_err_ok"),
+        (F.count(F.lit(1)) === 5).cast("int").as("full_k"))
+      .withColumn("sq8_stored_ok", F.lit(if (sq8Stored) 1 else 0))
+      .withColumn("raw_refused_ok", F.lit(if (rawRefused) 1 else 0))
+      .orderBy("query_id")
+  }
+
   /** Training-shard export ([[io.Shards.writeShards]]): the corpus
     * deterministically shuffled into 16 shard files (shard = md5 hash
     * mod 16, in-shard position = rank of the full hash — no RNG state,
@@ -3026,6 +3082,7 @@ object SparkEntry {
     "d67_pca_contract" -> d67,
     "d68_whitened_ivf" -> d68,
     "d69_whitened_append" -> d69,
+    "d70_whitened_sq8" -> d70,
     "q62_sample_contract" -> q62,
     "q53_select_shape" -> q53,
     "q54_positional" -> q54,
@@ -4667,6 +4724,13 @@ object SparkEntry {
       SELECT count(*) AS n_vecs, 50::BIGINT AS n_results,
         1 AS append_equals_brute_ok, 1 AS raw_append_refused_ok,
         1 AS raw_search_refused_ok FROM embeddings""",
+    // whitened+SQ8 composition: d46's tolerance contract in the whitened
+    // space, plus executed witnesses (int8 payload on disk, raw verb
+    // refused) held constant
+    "d70_whitened_sq8" -> """
+      SELECT vec_id AS query_id, 1 AS recall_ok, 1 AS cos_err_ok,
+        1 AS full_k, 1 AS sq8_stored_ok, 1 AS raw_refused_ok
+      FROM embeddings WHERE vec_id < 5 ORDER BY query_id""",
     // the deterministic shuffle replayed verbatim: exact-integer md5
     // shard + per-shard rank of the full hash
     // both lake versions replayed flat: version 0 = the even-id base,

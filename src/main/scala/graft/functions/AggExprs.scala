@@ -295,6 +295,131 @@ case class VectorMoments(child: Expression, dim: Int,
     copy(child = c)
 }
 
+/** Streaming PROJECTED moments of a vector column in one pass with a
+  * bounded buffer: count, element-wise sum, and G = Σ y·(yᵀΩ) for a
+  * fixed d×m test matrix Ω (y = x − shift) — the distributed matvec a
+  * randomized top-k eigensolver needs ([[graft.operators.Embeddings
+  * .fitPcaTopK]]). Where [[VectorMoments]] ships d(d+1)/2 doubles per
+  * map task (the full covariance — 67 MB at d = 4096), this ships
+  * 1 + d + d·m: the right algorithm when the caller wants k ≪ d
+  * directions, because C·Ω is computable without ever materializing C.
+  * Per-row cost is 2dm flops (m dot products + a rank-1 accumulate);
+  * partial aggregation merges map-side, so the shuffle ships ONE buffer
+  * per map task, never a row. Null vectors are skipped; a wrong-length
+  * vector fails loud. */
+private[functions] final class ProjMomentsBuf(var n: Long,
+    val sum: Array[Double], val g: Array[Double])
+
+case class VectorProjMoments(child: Expression, dim: Int, m: Int,
+    shift: Seq[Double], omega: Seq[Double],
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ProjMomentsBuf]
+    with UnaryLike[Expression] {
+  require(dim >= 1 && m >= 1, s"vector_proj_moments dim $dim, m $m")
+  require(shift.isEmpty || shift.length == dim,
+    s"vector_proj_moments shift length ${shift.length} != dim $dim")
+  require(omega.length == dim * m,
+    s"vector_proj_moments omega length ${omega.length} != dim*m ${dim * m}")
+  @transient private lazy val sh: Array[Double] =
+    if (shift.isEmpty) new Array[Double](dim) else shift.toArray
+  // row-major d×m: om(i*m + j) = Ω(i, j)
+  @transient private lazy val om: Array[Double] = omega.toArray
+
+  override def prettyName: String = "vector_proj_moments"
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("sum", ArrayType(DoubleType, containsNull = false)),
+    StructField("g", ArrayType(DoubleType, containsNull = false))))
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other =>
+      throw new IllegalArgumentException(s"vector_proj_moments over $other")
+  }
+
+  override def createAggregationBuffer(): ProjMomentsBuf =
+    new ProjMomentsBuf(0L, new Array[Double](dim),
+      new Array[Double](dim * m))
+
+  override def update(b: ProjMomentsBuf, input: InternalRow): ProjMomentsBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == dim,
+        s"vector_proj_moments: expected dim $dim, got ${arr.numElements()}")
+      val y = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        y(i) = (if (arr.isNullAt(i)) throw new IllegalArgumentException(
+            "vector_proj_moments: null vector element")
+          else if (isFloat) arr.getFloat(i).toDouble
+          else arr.getDouble(i)) - sh(i)
+        i += 1
+      }
+      b.n += 1L
+      // p = yᵀΩ (m values), then G += y·pᵀ — both loops walk the
+      // row-major Ω/G buffers contiguously
+      val p = new Array[Double](m)
+      i = 0
+      while (i < dim) {
+        val yi = y(i)
+        b.sum(i) += yi
+        val off = i * m
+        var j = 0
+        while (j < m) { p(j) += yi * om(off + j); j += 1 }
+        i += 1
+      }
+      i = 0
+      while (i < dim) {
+        val yi = y(i)
+        val off = i * m
+        var j = 0
+        while (j < m) { b.g(off + j) += yi * p(j); j += 1 }
+        i += 1
+      }
+    }
+    b
+  }
+
+  override def merge(b: ProjMomentsBuf, o: ProjMomentsBuf): ProjMomentsBuf = {
+    b.n += o.n
+    var i = 0
+    while (i < dim) { b.sum(i) += o.sum(i); i += 1 }
+    i = 0
+    while (i < b.g.length) { b.g(i) += o.g(i); i += 1 }
+    b
+  }
+
+  override def eval(b: ProjMomentsBuf): Any =
+    InternalRow(b.n, new GenericArrayData(b.sum), new GenericArrayData(b.g))
+
+  override def serialize(b: ProjMomentsBuf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(
+      8 + 8 * (b.sum.length + b.g.length))
+    bb.putLong(b.n)
+    b.sum.foreach(bb.putDouble)
+    b.g.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ProjMomentsBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getLong
+    val sum = Array.fill(dim)(bb.getDouble)
+    val g = Array.fill(dim * m)(bb.getDouble)
+    new ProjMomentsBuf(n, sum, g)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorProjMoments =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorProjMoments =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): VectorProjMoments =
+    copy(child = c)
+}
+
 object AggExprs {
   /** `sort_array(collect_list(id))` bounded at `cap`: NULL unless the
     * group's true size is in [minSize, cap] (default [2, cap]). */
@@ -314,5 +439,13 @@ object AggExprs {
       shift: Seq[Double] = Nil): Column =
     Bridge.column(
       VectorMoments(Bridge.expression(vec), dim, shift)
+        .toAggregateExpression())
+
+  /** One-pass count/sum/Σ y·(yᵀΩ) against a fixed d×m test matrix
+    * (row-major `omega`), about `shift` (see [[VectorProjMoments]]). */
+  def vectorProjMoments(vec: Column, dim: Int, m: Int,
+      shift: Seq[Double], omega: Seq[Double]): Column =
+    Bridge.column(
+      VectorProjMoments(Bridge.expression(vec), dim, m, shift, omega)
         .toAggregateExpression())
 }

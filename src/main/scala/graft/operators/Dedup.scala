@@ -856,18 +856,18 @@ object Dedup {
     // probes then band-hash with the old (numHashes, bands) into a
     // DISJOINT bucket space and every near-dup sails through silently
     // (exactly the failure the meta reader's field-name check warns
-    // about, reachable without any version skew)
+    // about, reachable without any version skew). The commit is ONE
+    // whole-layout directory swap (Similarity.swapLayout): the staged
+    // sibling holds the complete new layout, so no crash point can ever
+    // expose features/postings/meta from two builds — the per-table swap
+    // this replaced had exactly that window between table renames.
     val hconf = spark.sparkContext.hadoopConfiguration
     val hasLayout = {
       val p = new org.apache.hadoop.fs.Path(s"$path/meta")
       p.getFileSystem(hconf).exists(p)
     }
-    val target = if (hasLayout) {
-      val staged = s"$path/__rebuild"
-      val sp = new org.apache.hadoop.fs.Path(staged)
-      sp.getFileSystem(hconf).delete(sp, true) // crashed prior rebuild
-      staged
-    } else path
+    val target = if (hasLayout) Similarity.stageDir(spark, path, "__rebuild")
+      else path
     val base = corpus.select(asLongId(id).as("id"), text.as("__t"))
     // seg=base: both tables are SEGMENT-partitioned so incremental appends
     // ([[appendToMinhashIndex]]) land as their own dynamically-overwritten
@@ -895,8 +895,7 @@ object Dedup {
       .toDF("shingle_size", "num_hashes", "bands", "max_bucket")
       .write.mode("overwrite").parquet(s"$target/meta")
     if (hasLayout)
-      Similarity.swapStaged(spark, path, target,
-        Seq("features", "postings", "meta"), "rebuild")
+      Similarity.swapLayout(spark, path, target, "rebuild")
   }
 
   /** Near-dedup an incoming batch against a persisted [[writeMinhashIndex]]

@@ -71,19 +71,18 @@ object Embeddings {
     * `maxDim` explicitly if the driver is sized for it, or reduce
     * dimensionality upstream (random projection / chunked PCA) instead
     * of asking a covariance eigensolve to do it. */
-  def fitPca(df: DataFrame, vec: Column, k: Int,
-      maxDim: Int = 2048): PcaModel = {
-    require(k >= 1, s"fitPca k must be >= 1, got $k")
-    // one probed row doubles as the dim witness AND the moment pivot:
-    // moments accumulated about a point near the data keep the
-    // covariance subtraction benign where raw moments cancel
-    // catastrophically for |mean| >> std (e.g. un-centered features at
-    // 1e8 ± 1 lose all 16 significant digits to Σxxᵀ − n·μμᵀ). The pivot
-    // is elected DETERMINISTICALLY — min over (xxhash64(v), v), the
-    // array tie-break covering hash collisions — so repeated fits over
-    // the same corpus are bit-identical regardless of plan or partition
-    // order (a bare limit(1) would pick whichever partition won the
-    // race). One vec-column-only scan; the moments pass follows.
+  /** One probed row doubling as the dim witness AND the moment pivot:
+    * moments accumulated about a point near the data keep the
+    * covariance subtraction benign where raw moments cancel
+    * catastrophically for |mean| >> std (e.g. un-centered features at
+    * 1e8 ± 1 lose all 16 significant digits to Σxxᵀ − n·μμᵀ). The pivot
+    * is elected DETERMINISTICALLY — min over (xxhash64(v), v), the
+    * array tie-break covering hash collisions — so repeated fits over
+    * the same corpus are bit-identical regardless of plan or partition
+    * order (a bare limit(1) would pick whichever partition won the
+    * race). One vec-column-only scan; the moments pass follows. */
+  private def probePivot(df: DataFrame, vec: Column,
+      what: String): Array[Double] = {
     val probe = df.select(vec.cast(
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType)).as("v"))
@@ -92,20 +91,29 @@ object Embeddings {
         F.col("v").as("v"))).as("m"))
       .select(F.col("m.v")).collect()
     require(probe.nonEmpty && !probe.head.isNullAt(0),
-      "fitPca: no non-null vectors")
+      s"$what: no non-null vectors")
     val raw = probe.head.getSeq[Any](0)
     require(raw.forall(_ != null),
-      "fitPca: probed pivot vector has null elements")
+      s"$what: probed pivot vector has null elements")
     val pivot = raw.map(_.asInstanceOf[Double]).toArray
     require(pivot.forall(x => !x.isNaN),
-      "fitPca: probed pivot vector has NaN elements")
+      s"$what: probed pivot vector has NaN elements")
+    pivot
+  }
+
+  def fitPca(df: DataFrame, vec: Column, k: Int,
+      maxDim: Int = 2048): PcaModel = {
+    require(k >= 1, s"fitPca k must be >= 1, got $k")
+    val pivot = probePivot(df, vec, "fitPca")
     val d = pivot.length
     require(d <= maxDim,
       s"fitPca: vector dim $d exceeds the fit envelope maxDim = $maxDim" +
         " — the one-pass moments buffer is d(d+1)/2 doubles per map task" +
         f" (${d.toLong * (d + 1) / 2 * 8 / 1048576.0}%.1f MB at this d)" +
-        " and the driver eigensolve is O(d³); raise maxDim explicitly if" +
-        " the driver is sized for it, or reduce dimensionality upstream")
+        " and the driver eigensolve is O(d³); use fitPcaTopK (randomized" +
+        " subspace iteration, d×(k+p) buffers) at this width, raise" +
+        " maxDim explicitly if the driver is sized for it, or reduce" +
+        " dimensionality upstream")
     require(k <= d, s"fitPca k $k > dim $d")
     val row = df.select(
         AggExprs.vectorMoments(vec, d, pivot.toSeq).as("m"))
@@ -134,6 +142,180 @@ object Embeddings {
     PcaModel(mean.toSeq,
       components = (0 until k).map(j => vectors(j).toSeq),
       variances = values.take(k).toSeq)
+  }
+
+  /** Fit the top-`k` principal components by RANDOMIZED SUBSPACE
+    * ITERATION (Halko–Martinsson–Tropp 2011, arXiv:0909.4061) — the
+    * right algorithm when k ≪ d, which is exactly the whitened-index
+    * regime (pcaK = 32-64 at d = 256-4096+): [[fitPca]]'s one-pass
+    * moments buffer is d(d+1)/2 doubles per map task (67 MB at
+    * d = 4096) and its driver eigensolve O(d³) — measured to 13.1 s at
+    * the d = 2048 envelope (scaling/pca_dim_2048.json) and 8-9× per
+    * doubling past it. This fit never materializes the covariance:
+    * each pass computes C·Ω directly as one map-side-combined
+    * aggregation ([[graft.functions.VectorProjMoments]] — 1 + d + d·m
+    * doubles per map task, m = k + oversample; 2.6 MB at d = 4096,
+    * m = 80), the driver orthonormalizes d×m between passes (O(d·m²))
+    * and eigensolves only the m×m Rayleigh quotient. Passes over the
+    * corpus: 1 pivot + (powerIters + 2) matvec passes.
+    *
+    * Deterministic end-to-end: the test matrix Ω is a seeded
+    * counter-based gaussian (splitmix64 → Box–Muller — no RNG sequence
+    * state), iteration order is fixed, and components carry the same
+    * sign convention as [[fitPca]] (largest-|component| positive).
+    *
+    * Accuracy contract: with `powerIters` ≥ 2 and default oversampling,
+    * components whose eigenvalues are separated match [[fitPca]] to
+    * ~1e-5 in subspace angle, tightening with the spectral gap and
+    * powerIters (spec-pinned via subspace agreement + residuals);
+    * trailing components inside a near-degenerate cluster may span the
+    * same eigenspace in a different basis — inherent to the problem,
+    * same caveat as any eigensolver. Eigenvalue ACCURACY (not just
+    * subspace capture) is what `powerIters` buys; 2 is the published
+    * default posture for decaying spectra. */
+  def fitPcaTopK(df: DataFrame, vec: Column, k: Int, oversample: Int = 8,
+      powerIters: Int = 2, seed: Long = 42,
+      maxDim: Int = 65536): PcaModel = {
+    require(k >= 1, s"fitPcaTopK k must be >= 1, got $k")
+    require(oversample >= 2, s"fitPcaTopK oversample must be >= 2")
+    require(powerIters >= 0, s"fitPcaTopK powerIters must be >= 0")
+    val pivot = probePivot(df, vec, "fitPcaTopK")
+    val d = pivot.length
+    require(d <= maxDim,
+      s"fitPcaTopK: vector dim $d exceeds maxDim = $maxDim — the " +
+        "per-task buffer is d·(k+oversample) doubles; raise maxDim " +
+        "explicitly if the executors are sized for it")
+    require(k <= d, s"fitPcaTopK k $k > dim $d")
+    val m = math.min(d, k + oversample)
+    // seeded counter-based gaussian test matrix (column j of Ω lives at
+    // om(i*m + j)): splitmix64 of the flat index → two 53-bit uniforms
+    // → Box–Muller. No sequential RNG state, so the matrix is a pure
+    // function of (seed, d, m) regardless of fill order.
+    def gauss(idx: Long): Double = {
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val h1 = mix(seed * 0x100000001b3L + idx)
+      val h2 = mix(h1)
+      val u1 = ((h1 >>> 11).toDouble + 0.5) / 9007199254740992.0
+      val u2 = (h2 >>> 11).toDouble / 9007199254740992.0
+      math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+    }
+    // basis held COLUMN-per-row: q(j) is direction j, contiguous length-d
+    var q: Array[Array[Double]] =
+      Array.tabulate(m, d)((j, i) => gauss(i.toLong * m + j))
+    var mean: Array[Double] = null
+    var nRows = 0L
+    // one distributed pass: Y = C·Q from the shifted projected moments
+    // (shift-invariant: Σ(y−ȳ)(y−ȳ)ᵀQ = Σ y(yᵀQ) − n·ȳ(ȳᵀQ), y = x−pivot)
+    def matvecPass(): Array[Array[Double]] = {
+      val mCur = q.length
+      val omega = new Array[Double](d * mCur)
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < mCur) { omega(i * mCur + j) = q(j)(i); j += 1 }
+        i += 1
+      }
+      val row = df.select(graft.functions.AggExprs.vectorProjMoments(
+          vec, d, mCur, pivot.toSeq, omega.toSeq).as("m"))
+        .select("m.n", "m.sum", "m.g").collect().head
+      val n = row.getLong(0)
+      require(n >= 2L, s"fitPcaTopK needs >= 2 vectors, got $n")
+      nRows = n
+      val sum = row.getSeq[Double](1).toArray
+      val g = row.getSeq[Double](2).toArray
+      val ybar = sum.map(_ / n)
+      if (mean == null) mean = Array.tabulate(d)(i => pivot(i) + ybar(i))
+      val t = new Array[Double](mCur) // ȳᵀQ
+      i = 0
+      while (i < d) {
+        var j = 0
+        while (j < mCur) { t(j) += ybar(i) * q(j)(i); j += 1 }
+        i += 1
+      }
+      Array.tabulate(mCur, d)((j, i) =>
+        (g(i * mCur + j) - n * ybar(i) * t(j)) / (n - 1.0))
+    }
+    // modified Gram–Schmidt, deterministic; a column whose residual
+    // collapses (corpus rank below the sketch width) is DROPPED — the
+    // final require tells the caller to lower k rather than padding the
+    // basis with noise directions
+    def orth(y: Array[Array[Double]]): Array[Array[Double]] = {
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      var j = 0
+      while (j < y.length) {
+        val v = y(j).clone()
+        var i = 0
+        while (i < kept.length) {
+          val u = kept(i)
+          var dot = 0.0
+          var l = 0
+          while (l < d) { dot += u(l) * v(l); l += 1 }
+          l = 0
+          while (l < d) { v(l) -= dot * u(l); l += 1 }
+          i += 1
+        }
+        var n2 = 0.0
+        var l = 0
+        while (l < d) { n2 += v(l) * v(l); l += 1 }
+        val nrm = math.sqrt(n2)
+        if (nrm > 1e-12) {
+          l = 0
+          while (l < d) { v(l) /= nrm; l += 1 }
+          kept += v
+        }
+        j += 1
+      }
+      kept.toArray
+    }
+    var it = 0
+    while (it <= powerIters) { // initial range find + powerIters refines
+      q = orth(matvecPass())
+      require(q.length >= k,
+        s"fitPcaTopK: sketch rank ${q.length} < k = $k after pass $it — " +
+          "the corpus's effective rank is below k; lower k (every " +
+          "direction past the true rank is pure noise)")
+      it += 1
+    }
+    // Rayleigh–Ritz: B = QᵀCQ via one more pass, small eigensolve, map
+    // the small vectors back through Q, re-fix signs on the d-dim result
+    val z = matvecPass() // rows: (CQ) columns, i.e. z(j) = C·q(j)
+    val mFin = q.length
+    val b = Array.tabulate(mFin, mFin) { (r, c) =>
+      var dot = 0.0
+      var l = 0
+      while (l < d) { dot += q(r)(l) * z(c)(l); l += 1 }
+      dot
+    }
+    // symmetrize away the matvec's floating-point asymmetry
+    val bs = Array.tabulate(mFin, mFin)((r, c) => (b(r)(c) + b(c)(r)) / 2.0)
+    val (values, small) = symEigen(bs)
+    val comps = (0 until k).map { j =>
+      val u = new Array[Double](d)
+      var r = 0
+      while (r < mFin) {
+        val w = small(j)(r)
+        val qr = q(r)
+        var l = 0
+        while (l < d) { u(l) += w * qr(l); l += 1 }
+        r += 1
+      }
+      // the fitPca sign convention on the FULL-width vector
+      var bi = 0
+      var bm = 0.0
+      var l = 0
+      while (l < d) {
+        if (math.abs(u(l)) > bm) { bm = math.abs(u(l)); bi = l }
+        l += 1
+      }
+      if (u(bi) < 0) { l = 0; while (l < d) { u(l) = -u(l); l += 1 } }
+      u.toSeq
+    }
+    PcaModel(mean.toSeq, comps, values.take(k).toSeq)
   }
 
   /** Append `outCol` = the k-dim projection of `vec` under `model`
@@ -502,11 +684,22 @@ object Embeddings {
     * Semantic note, stated honestly: results rank by similarity in the
     * WHITENED space, not raw cosine — that is the point (boilerplate
     * directions stop dominating), but it is a different metric; use the
-    * plain index when raw cosine is the contract. */
+    * plain index when raw cosine is the contract.
+    *
+    * `sq8 = true` composes the d/k payload win with int8 storage
+    * ([[graft.operators.Similarity.writeIvfIndex]]'s sq8 stamp): the
+    * assigned table stores pcaK int8 codes instead of pcaK float64s —
+    * ~8× smaller candidate IO ON TOP of the d/pcaK reduction, the
+    * 100 TB candidate-scan term. Quantization error lives in the
+    * whitened space (where scoring happens), so the d46 tolerance
+    * contract applies unchanged; appends through
+    * [[appendToWhitenedIvfIndex]] and probes through
+    * [[searchWhitenedIvfIndex]] honor the stamp transparently. */
   def writeWhitenedIvfIndex(corpus: DataFrame, id: Column, vec: Column,
       path: String, pcaK: Int, nlist: Int = 16, iters: Int = 5,
       trainSample: Int = 10000, seed: Long = 42,
-      varFloor: Double = 1e-12, maxDim: Int = 2048): PcaModel = {
+      varFloor: Double = 1e-12, maxDim: Int = 2048,
+      sq8: Boolean = false): PcaModel = {
     // pcaK should track the corpus's effective rank, not "as many as
     // fit": every component past the true signal rank is a noise
     // direction whitening amplifies to unit variance — measured
@@ -524,22 +717,23 @@ object Embeddings {
     // searchIvfIndex against this layout refuse loudly instead of
     // silently mixing spaces (undetectable by the dim guard at pcaK == d)
     if (Similarity.ivfLayoutExists(spark, path)) {
-      // atomic in-place REBUILD: model + tables land under a staging dir
-      // and swap in rename-aside TOGETHER. Writing the new model over
-      // the live one first (the fresh-build order) would mis-project
-      // every search between the model write and the table write — and
-      // a crash in that window leaves the mismatch permanently, the
-      // silent-space-mixing failure the whitened stamp exists to stop.
-      val staged = s"$path/__rebuild"
-      val sp = new org.apache.hadoop.fs.Path(staged)
-      sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(sp, true) // a crashed prior rebuild's leftovers
+      // atomic in-place REBUILD: model + tables land COMPLETE under a
+      // sibling staging dir and the whole layout swaps in as ONE unit
+      // (Similarity.swapLayout). Writing the new model over the live one
+      // first (the fresh-build order) would mis-project every search
+      // between the model write and the table write — and the per-table
+      // swap this replaced could crash between renames and leave that
+      // mismatch permanently, the silent-space-mixing failure the
+      // whitened stamp exists to stop. A RAW layout upgrades whitened in
+      // place through the same swap (the staged layout carries the
+      // model; nothing stale can linger — the old layout is retired
+      // wholesale).
+      val staged = Similarity.stageDir(spark, path, "__rebuild")
       writePcaModel(spark, model, staged)
       Similarity.writeIvfIndexImpl(projected, id, F.col("__wv"), staged,
         nlist, iters, trainSample, seed, whitened = true,
-        modelFp = model.fingerprint)
-      Similarity.swapStaged(spark, path, staged,
-        Seq("pca", "assigned", "centroids", "meta"), "rebuild")
+        modelFp = model.fingerprint, sq8 = sq8)
+      Similarity.swapLayout(spark, path, staged, "rebuild")
     } else {
       // fresh build: the model lands BEFORE the tables, so a readable
       // index always has its model (a crash between leaves a model with
@@ -547,7 +741,7 @@ object Embeddings {
       writePcaModel(spark, model, path)
       Similarity.writeIvfIndexImpl(projected, id, F.col("__wv"), path,
         nlist, iters, trainSample, seed, whitened = true,
-        modelFp = model.fingerprint)
+        modelFp = model.fingerprint, sq8 = sq8)
     }
     model
   }
@@ -581,26 +775,35 @@ object Embeddings {
     * plan (static cell pruning, broadcast probes, exact cosine on
     * whitened candidates).
     *
-    * Size `nprobe` HIGHER than a raw index's: the whitened space is
-    * isotropic by construction (unit variance per direction), which
-    * weakens the cluster structure IVF's coarse quantizer prunes with —
-    * measured (scaling/whitened_ivf_256.json, rank-32 corpus at d = 256,
-    * nlist = 64): nprobe = 8 reaches 0.69 recall@10 in the whitened
-    * metric where a raw index reaches 0.97; nprobe = 32 restores 0.98
-    * and still runs 2.5× faster than the raw index at the same recall —
-    * candidates are pcaK doubles, not d. */
+    * `nprobe` must be sized HIGHER than a raw index's: the whitened
+    * space is isotropic by construction (unit variance per direction),
+    * which weakens the cluster structure IVF's coarse quantizer prunes
+    * with — measured (scaling/whitened_ivf_256.json, rank-32 corpus at
+    * d = 256, nlist = 64): nprobe = 8 reaches 0.69 recall@10 in the
+    * whitened metric where a raw index reaches 0.97; nprobe = 32
+    * restores 0.98 and still runs 2.5× faster than the raw index at the
+    * same recall — candidates are pcaK doubles, not d. The DEFAULT
+    * (`nprobe <= 0`) therefore resolves to `max(4, nlist / 2)` from the
+    * index's own meta — r13's measurement showed the raw verb's
+    * nprobe = 4 default is simply wrong in this space (0.69 recall@10
+    * even at twice that), and a default that contradicts the verb's own
+    * documentation is a trap. Pass an explicit nprobe to trade recall
+    * for probe cost deliberately. */
   def searchWhitenedIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, queryId: Column, queryVec: Column,
-      k: Int, nprobe: Int = 4, excludeSegment: Option[String] = None,
+      k: Int, nprobe: Int = 0, excludeSegment: Option[String] = None,
       localizeQueries: Boolean = true): DataFrame = {
     require(!queries.columns.exists(
         _.toLowerCase(java.util.Locale.ROOT) == "__wv"),
       "searchWhitenedIvfIndex reserves column name __wv — rename first")
+    val probes =
+      if (nprobe > 0) nprobe
+      else math.max(4, Similarity.ivfIndexNlist(spark, path) / 2)
     val model = readPcaModel(spark, path)
     val projected = pcaProject(queries, queryVec, model, "__wv",
       whiten = true)
     Similarity.searchIvfIndexImpl(spark, path, projected, queryId,
-      F.col("__wv"), k, nprobe, excludeSegment, localizeQueries,
+      F.col("__wv"), k, probes, excludeSegment, localizeQueries,
       expectWhitened = true, expectedModelFp = Some(model.fingerprint))
   }
 }

@@ -455,18 +455,29 @@ object Similarity {
   //    against it refuse loudly (at pcaK == d the dim guard alone cannot
   //    catch them, and the index would silently corrupt)
 
-  private val ivfMetaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Int, Seq[Seq[Double]], Boolean, Long)]()
+  /** Everything a persisted-index reader needs from the meta +
+    * centroids tables: dim, centroids-by-cell, the whitened-space stamp,
+    * the PCA model fingerprint, and the SQ8 quantization stamp (the
+    * `assigned` table stores int8 codes + scale instead of float
+    * vectors — a STORAGE property, decided at build time and honored
+    * transparently by append/search/retrain/compact). */
+  private[graft] final case class IvfMetaInfo(dim: Int,
+      centroids: Seq[Seq[Double]], whitened: Boolean, modelFp: Long,
+      sq8: Boolean)
 
-  /** (dim, centroids-by-cell, whitened, modelFp) for a persisted index,
-    * cached per FILE IDENTITY of the centroids+meta tables (one
-    * listStatus RPC per read — the same per-micro-batch economics as
-    * Dedup.readIndexMeta; a RETRAINED index rewrites both tables and
-    * re-reads). A meta written before the whitened stamp existed reads
-    * as whitened = false — every such layout was in fact raw — and one
-    * written before the model fingerprint reads as fp = 0. */
+  private val ivfMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfMetaInfo]()
+
+  /** [[IvfMetaInfo]] for a persisted index, cached per FILE IDENTITY of
+    * the centroids+meta tables (one listStatus RPC per read — the same
+    * per-micro-batch economics as Dedup.readIndexMeta; a RETRAINED index
+    * rewrites both tables and re-reads). A meta written before the
+    * whitened stamp existed reads as whitened = false — every such
+    * layout was in fact raw — one written before the model fingerprint
+    * reads as fp = 0, and one written before the sq8 stamp reads as
+    * sq8 = false (every such layout stored float vectors). */
   private def readIvfMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String): (Int, Seq[Seq[Double]], Boolean, Long) = {
+      path: String): IvfMetaInfo = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val key = Seq("centroids", "meta").map { t =>
       val p = new org.apache.hadoop.fs.Path(s"$path/$t")
@@ -482,11 +493,13 @@ object Similarity {
         metaRow.getAs[Boolean]("whitened")
       val modelFp = if (meta.columns.contains("model_fp"))
         metaRow.getAs[Long]("model_fp") else 0L
+      val sq8 = meta.columns.contains("sq8") &&
+        metaRow.getAs[Boolean]("sq8")
       val cents = spark.read.parquet(s"$path/centroids").collect()
         .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](
           r.fieldIndex("centroid")))
         .sortBy(_._1).map(_._2.toSeq).toSeq
-      (dim, cents, whitened, modelFp)
+      IvfMetaInfo(dim, cents, whitened, modelFp, sq8)
     })
   }
 
@@ -549,17 +562,37 @@ object Similarity {
   /** Train + assign + persist (see the layout note above).
     *
     * On a path that ALREADY holds an index this is an atomic in-place
-    * rebuild: the new tables land under a staging dir and swap in
-    * rename-aside ([[swapStaged]], the retrain posture). A direct
-    * overwrite would expose — and on a crash PERMANENTLY leave — a
-    * mixed layout: new `assigned` cells against old `centroids` (wrong
-    * results, silently, whenever nlist or the corpus changed), the
-    * exact class of corruption the whitened stamp exists to stop. */
+    * rebuild: the new layout lands COMPLETE under a sibling staging dir
+    * and swaps in as one unit ([[swapLayout]]) — readers never see
+    * tables from two builds, and a crash leaves either the old layout,
+    * the new one, or a loud missing-meta window, never a silent mix of
+    * new `assigned` cells against old `centroids`.
+    *
+    * A raw rebuild over a WHITENED layout is a space DOWNGRADE and is
+    * refused unless `convertWhitened = true`: the caller is almost
+    * always pointing the wrong verb at the index (use
+    * [[graft.operators.Embeddings.writeWhitenedIvfIndex]] to rebuild in
+    * the whitened space). With the opt-in, the conversion is CLEAN —
+    * the whole-layout swap retires the persisted PCA model along with
+    * the old tables, so no stale `pca` table lingers for out-of-band
+    * consumers to mistake for a live model (r13 ADVICE).
+    *
+    * `sq8 = true` stores the `assigned` table as symmetric int8 codes +
+    * per-vector scale ([[quantizeInt8]]) instead of float64 vectors —
+    * 8× smaller on disk and in candidate IO at ~0.3% cosine error, the
+    * d46 trade now meta-stamped into the layout so every later
+    * append/search/retrain/compact honors it transparently (appends
+    * quantize, searches dequantize scan-side inside the candidate
+    * scoring expression; same plan shape, smaller payload). Scores are
+    * approximate by design — no exact rescoring pass, which would
+    * re-scan the full-precision corpus and forfeit the IO win. */
   def writeIvfIndex(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       path: String, nlist: Int = 16, iters: Int = 5,
-      trainSample: Int = 10000, seed: Long = 42): Unit =
+      trainSample: Int = 10000, seed: Long = 42,
+      convertWhitened: Boolean = false, sq8: Boolean = false): Unit =
     writeIvfIndexImpl(corpus, corpusId, corpusVec, path, nlist, iters,
-      trainSample, seed, whitened = false)
+      trainSample, seed, whitened = false,
+      convertWhitened = convertWhitened, sq8 = sq8)
 
   /** Does `path` already hold a persisted IVF index (a meta table)? */
   private[graft] def ivfLayoutExists(
@@ -575,39 +608,58 @@ object Similarity {
   private[graft] def writeIvfIndexImpl(corpus: DataFrame, corpusId: Column,
       corpusVec: Column, path: String, nlist: Int, iters: Int,
       trainSample: Int, seed: Long, whitened: Boolean,
-      modelFp: Long = 0L): Unit = {
+      modelFp: Long = 0L, convertWhitened: Boolean = false,
+      sq8: Boolean = false): Unit = {
     val spark = corpus.sparkSession
-    val idx = ivfIndex(corpus, corpusId, corpusVec, nlist, iters,
-      trainSample, seed)
     if (ivfLayoutExists(spark, path)) {
-      val staged = s"$path/__rebuild"
-      val sp = new org.apache.hadoop.fs.Path(staged)
-      sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(sp, true) // a crashed prior rebuild's leftovers
+      // refuse the accidental raw-over-whitened downgrade BEFORE paying
+      // the train/assign work (and before any on-disk mutation)
+      if (!whitened && readIvfMeta(spark, path).whitened)
+        require(convertWhitened,
+          s"writeIvfIndex: the index at $path is a WHITENED layout; a " +
+            "raw rebuild would silently change the index's space AND " +
+            "retire its PCA model — use Embeddings.writeWhitenedIvfIndex " +
+            "to rebuild in the whitened space, or pass " +
+            "convertWhitened = true to convert deliberately")
+      val idx = ivfIndex(corpus, corpusId, corpusVec, nlist, iters,
+        trainSample, seed)
+      val staged = stageDir(spark, path, "__rebuild")
       writeIvfTables(spark, idx, staged, iters, trainSample, seed,
-        whitened, modelFp)
-      swapStaged(spark, path, staged, Seq("assigned", "centroids", "meta"),
-        "rebuild")
+        whitened, modelFp, sq8)
+      swapLayout(spark, path, staged, "rebuild")
     } else {
+      val idx = ivfIndex(corpus, corpusId, corpusVec, nlist, iters,
+        trainSample, seed)
       writeIvfTables(spark, idx, path, iters, trainSample, seed, whitened,
-        modelFp)
+        modelFp, sq8)
     }
   }
 
+  /** The assigned-table payload under the layout's quantization stamp:
+    * float vectors raw, or int8 codes + scale when `sq8` (the quantize
+    * happens inside the write scan — no extra pass). */
+  private def assignedPayload(assigned: DataFrame, sq8: Boolean): DataFrame =
+    if (!sq8) assigned
+    else assigned
+      .withColumn("__q8", quantizeInt8(F.col("cv")))
+      .select(F.col("corpus_id"), F.col("__q8.scale").as("scale"),
+        F.col("__q8.q").as("q"), F.col("cell"))
+
   private def writeIvfTables(spark: org.apache.spark.sql.SparkSession,
       idx: IvfIndex, path: String, iters: Int, trainSample: Int,
-      seed: Long, whitened: Boolean, modelFp: Long): Unit = {
+      seed: Long, whitened: Boolean, modelFp: Long,
+      sq8: Boolean): Unit = {
     import spark.implicits._
-    idx.assigned.withColumn("seg", F.lit("base"))
+    assignedPayload(idx.assigned, sq8).withColumn("seg", F.lit("base"))
       .write.mode("overwrite").partitionBy("seg", "cell")
       .parquet(s"$path/assigned")
     idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     Seq((idx.centroids.length, idx.centroids.head.length, iters,
-      trainSample, seed, whitened, modelFp))
+      trainSample, seed, whitened, modelFp, sq8))
       .toDF("nlist", "dim", "iters", "train_sample", "seed", "whitened",
-        "model_fp")
+        "model_fp", "sq8")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -630,13 +682,17 @@ object Similarity {
       segment.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
       s"segment '$segment' must be a filesystem-safe label != 'base'")
     val spark = batch.sparkSession
-    val (dim, centroids, whitened, metaFp) = readIvfMeta(spark, path)
-    requireSpace(whitened, expectWhitened, path, "appendToIvfIndex")
-    requireModelFp(metaFp, expectedModelFp, path, "appendToIvfIndex")
-    requireDim(batch, vec, dim, "appendToIvfIndex")
-    batch.select(id.as("corpus_id"), vec.as("cv"))
+    val meta = readIvfMeta(spark, path)
+    requireSpace(meta.whitened, expectWhitened, path, "appendToIvfIndex")
+    requireModelFp(meta.modelFp, expectedModelFp, path, "appendToIvfIndex")
+    requireDim(batch, vec, meta.dim, "appendToIvfIndex")
+    // cell assignment always happens on the FLOAT vector (against float
+    // centroids); the sq8 stamp only changes the stored payload
+    val assigned = batch.select(id.as("corpus_id"), vec.as("cv"))
       .withColumn("cell",
-        graft.functions.VectorExprs.topCells(F.col("cv"), centroids, 1)(0))
+        graft.functions.VectorExprs.topCells(F.col("cv"),
+          meta.centroids, 1)(0))
+    assignedPayload(assigned, meta.sq8)
       .withColumn("seg", F.lit(segment))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -672,14 +728,22 @@ object Similarity {
       k: Int, nprobe: Int, excludeSegment: Option[String],
       localizeQueries: Boolean, expectWhitened: Boolean,
       expectedModelFp: Option[Long] = None): DataFrame = {
-    val (dim, centroids, whitened, metaFp) = readIvfMeta(spark, path)
-    requireSpace(whitened, expectWhitened, path, "searchIvfIndex")
-    requireModelFp(metaFp, expectedModelFp, path, "searchIvfIndex")
-    requireDim(queries, queryVec, dim, "searchIvfIndex")
+    val meta = readIvfMeta(spark, path)
+    requireSpace(meta.whitened, expectWhitened, path, "searchIvfIndex")
+    requireModelFp(meta.modelFp, expectedModelFp, path, "searchIvfIndex")
+    requireDim(queries, queryVec, meta.dim, "searchIvfIndex")
     var assigned = spark.read.parquet(s"$path/assigned")
     excludeSegment.foreach(sg =>
       assigned = assigned.filter(F.col("seg") =!= sg))
-    ivfSearch(IvfIndex(centroids,
+    // an SQ8 layout dequantizes SCAN-SIDE, fused into the candidate read
+    // of only the probed cells: the whole plan (static cell pruning,
+    // broadcast probes, exact-cosine scoring) is unchanged, only the
+    // candidate payload read off disk is int8 instead of float64
+    if (meta.sq8)
+      assigned = assigned.withColumn("cv",
+        dequantizeInt8(F.struct(F.col("scale").as("scale"),
+          F.col("q").as("q"))))
+    ivfSearch(IvfIndex(meta.centroids,
       assigned.select("corpus_id", "cv", "cell")),
       queries, queryId, queryVec, k, nprobe, localizeQueries)
   }
@@ -691,25 +755,39 @@ object Similarity {
     * vector back (never the corpus source), retrains with the same
     * deterministic pipeline as [[writeIvfIndex]] (same ids + same seed ⇒
     * identical sample, identical centroids — spec-pinned), folds all
-    * segments into `base`, and swaps each table in rename-aside
-    * (crash-leaves-a-recoverable-copy, same posture as
-    * [[graft.operators.Dedup.compactMinhashIndex]]). */
+    * segments into `base`, and commits the complete new layout as ONE
+    * whole-directory swap ([[swapLayout]] — a whitened layout's PCA
+    * model is byte-copied into the stage first, so the swapped-in
+    * layout is complete and the model's fingerprint is unchanged). */
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, nlist: Int = 16, iters: Int = 5,
       trainSample: Int = 10000, seed: Long = 42): Unit = {
     // retraining reads STORED vectors, which already live in the index's
     // own space — the whitened stamp AND the model fingerprint (the
-    // space is unchanged, so cached models stay valid) carry through
-    val (_, _, whitened, modelFp) = readIvfMeta(spark, path)
-    val stored = spark.read.parquet(s"$path/assigned")
-      .select("corpus_id", "cv")
+    // space is unchanged, so cached models stay valid) carry through;
+    // an SQ8 layout retrains over the DEQUANTIZED vectors (the only
+    // vectors that exist — the ~0.3%-error quantization round trip is
+    // part of the documented SQ8 trade) and re-quantizes on write
+    val meta = readIvfMeta(spark, path)
+    var stored = spark.read.parquet(s"$path/assigned")
+    if (meta.sq8)
+      stored = stored.withColumn("cv",
+        dequantizeInt8(F.struct(F.col("scale").as("scale"),
+          F.col("q").as("q"))))
+    stored = stored.select("corpus_id", "cv")
     val idx = ivfIndex(stored, F.col("corpus_id"), F.col("cv"), nlist,
       iters, trainSample, seed)
-    val staged = s"$path/__retrain"
-    writeIvfTables(spark, idx, staged, iters, trainSample, seed, whitened,
-      modelFp)
-    swapStaged(spark, path, staged, Seq("assigned", "centroids", "meta"),
-      "retrain")
+    val staged = stageDir(spark, path, "__retrain")
+    writeIvfTables(spark, idx, staged, iters, trainSample, seed,
+      meta.whitened, meta.modelFp, meta.sq8)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val pcaSrc = new org.apache.hadoop.fs.Path(s"$path/pca")
+    val fs = pcaSrc.getFileSystem(hconf)
+    if (fs.exists(pcaSrc))
+      require(org.apache.hadoop.fs.FileUtil.copy(fs, pcaSrc, fs,
+          new org.apache.hadoop.fs.Path(s"$staged/pca"), false, hconf),
+        "retrain: copying the PCA model into the staged layout failed")
+    swapLayout(spark, path, staged, "retrain")
   }
 
   /** Is the persisted index a whitened layout? (One cached meta read —
@@ -717,11 +795,27 @@ object Similarity {
     * route batches through the persisted PCA model.) */
   private[graft] def ivfIndexIsWhitened(
       spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
-    readIvfMeta(spark, path)._3
+    readIvfMeta(spark, path).whitened
 
-  /** Rename-aside table swap (crash leaves a recoverable `__<t>_old`
-    * copy, the [[graft.operators.Dedup.compactMinhashIndex]] posture):
-    * each listed table under `staged` replaces its sibling under `path`. */
+  /** The persisted index's cell count (one cached meta read) — what the
+    * whitened search verb sizes its nprobe default from. */
+  private[graft] def ivfIndexNlist(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int =
+    readIvfMeta(spark, path).centroids.length
+
+  /** Rename-aside SINGLE-table swap (crash leaves a recoverable
+    * `__<t>_old` copy, the [[graft.operators.Dedup.compactMinhashIndex]]
+    * posture): each listed table under `staged` replaces its sibling
+    * under `path`. ONLY for swaps where every UNLISTED table is
+    * content-compatible with both the old and new listed tables —
+    * compaction ([[compactIvfIndex]]: assignments and centroids are
+    * untouched, only the file layout of `assigned` collapses). Rebuilds
+    * and retrains, whose tables change TOGETHER, go through
+    * [[swapLayout]] instead: swapping them table-by-table has a crash
+    * window per table boundary in which readers see tables from two
+    * builds (r13 ADVICE — new MinHash postings under old meta band-hash
+    * probes into a disjoint bucket space and near-dups silently pass;
+    * new IVF assigned against old centroids mis-probes the same way). */
   private[graft] def swapStaged(spark: org.apache.spark.sql.SparkSession,
       path: String, staged: String, tables: Seq[String],
       what: String): Unit = {
@@ -732,8 +826,6 @@ object Similarity {
       val old = new org.apache.hadoop.fs.Path(s"$path/__${table}_old")
       val fs = dir.getFileSystem(hconf)
       fs.delete(old, true)
-      // a table the live layout doesn't have yet (e.g. `pca` when a raw
-      // index is rebuilt whitened in place) has nothing to move aside
       require(!fs.exists(dir) || fs.rename(dir, old),
         s"$what: move-aside failed for $table")
       require(fs.rename(tmp, dir), s"$what: swap-in failed for $table")
@@ -741,6 +833,62 @@ object Similarity {
     }
     val fs = new org.apache.hadoop.fs.Path(staged).getFileSystem(hconf)
     fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+  }
+
+  /** Strip trailing slashes so sibling names (`<path>__rebuild`,
+    * `<path>__old`) attach to the directory name, not an empty
+    * trailing segment. */
+  private def normPath(path: String): String = {
+    var p = path
+    while (p.length > 1 && p.endsWith("/")) p = p.substring(0, p.length - 1)
+    p
+  }
+
+  /** Sibling staging dir for [[swapLayout]], cleared of any crashed prior
+    * attempt's leftovers. A SIBLING of `path`, not a child: the
+    * whole-directory swap could not otherwise move `path` aside without
+    * dragging the stage along with it. */
+  private[graft] def stageDir(spark: org.apache.spark.sql.SparkSession,
+      path: String, tag: String): String = {
+    val staged = normPath(path) + tag
+    val sp = new org.apache.hadoop.fs.Path(staged)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sp, true)
+    staged
+  }
+
+  /** Whole-layout atomic swap — the commit step every multi-table
+    * rebuild/retrain routes through (r13 ADVICE, medium). The new layout
+    * is staged COMPLETE at a sibling dir ([[stageDir]]) and replaces
+    * `path` wholesale: `path` → `<path>__old`, `staged` → `path`, drop
+    * the aside. Readers therefore never observe tables from two builds —
+    * the per-table sequential swap this replaces could crash between
+    * table renames and PERMANENTLY leave e.g. new MinHash postings under
+    * old meta (probes band-hash with the old (numHashes, bands) into a
+    * disjoint bucket space; near-dups silently pass) or new IVF
+    * `assigned` under old `centroids` (silent mis-probing the model_fp
+    * stamp only catches for the whitened family). The one remaining
+    * crash window — between the two directory renames — leaves NO live
+    * layout: readers fail LOUD on the missing meta, and both the old
+    * layout (at the aside) and the staged one survive intact; rename
+    * either back to recover. Fail-loud-recoverable, never silently
+    * mixed. On a rename-less object store this maps to writing a new
+    * index GENERATION and swapping a version pointer — same commit
+    * discipline, different primitive. */
+  private[graft] def swapLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, staged: String, what: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(normPath(path))
+    val tmp = new org.apache.hadoop.fs.Path(normPath(staged))
+    val old = new org.apache.hadoop.fs.Path(normPath(path) + "__old")
+    val fs = dir.getFileSystem(hconf)
+    fs.delete(old, true)
+    require(!fs.exists(dir) || fs.rename(dir, old),
+      s"$what: move-aside failed for $dir")
+    require(fs.rename(tmp, dir),
+      s"$what: swap-in failed for $dir — the old layout is preserved " +
+        s"at $old and the staged one at $tmp; rename one back to recover")
+    fs.delete(old, true)
   }
 
   /** Fold every append segment into `base` WITHOUT retraining — the cheap
@@ -770,8 +918,10 @@ object Similarity {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val staged = s"$path/__compact"
+    // payload-agnostic rewrite (float cv or SQ8 scale+q pass through
+    // untouched): only the segment layout collapses
     spark.read.parquet(s"$path/assigned")
-      .select("corpus_id", "cv", "cell")
+      .drop("seg")
       .withColumn("seg", F.lit("base"))
       .repartition(F.col("cell"))
       .write.mode("overwrite").partitionBy("seg", "cell")
