@@ -143,6 +143,39 @@ object WhitenedIvfStudy {
         f"wbrute=$tWBrute%.2fs raw_recall_ceiling=$rRawCeiling%.3f")
       (pcaK, tBuild, tWBrute, rRawCeiling, own)
     }
+    // whitened + SQ8 at pcaK = rank (r14): the composed candidate-payload
+    // claim — int8 codes of pcaK dims vs float64s of d dims. Recall is
+    // measured against the FLOAT whitened brute force (the metric
+    // target; quantization error is the gap), and the on-disk assigned
+    // sizes of the float-whitened vs sq8-whitened layouts are reported —
+    // the 100 TB candidate-IO term the stamp exists for.
+    def dirBytes(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(hp).getLength
+    }
+    val sq8Path = s"$base/wsq8"
+    val (modelQ, tBuildQ) = time(Embeddings.writeWhitenedIvfIndex(corpus,
+      F.col("id"), F.col("v"), sq8Path, pcaK = rank, nlist = nlist,
+      seed = 7, sq8 = true))
+    val cwq = Embeddings.pcaProject(corpus, F.col("v"), modelQ, "wv",
+      whiten = true)
+    val qwq = Embeddings.pcaProject(queries, F.col("v"), modelQ, "wv",
+      whiten = true)
+    val wTruthQ = keys(Similarity.bruteForceTopK(cwq, F.col("id"),
+      F.col("wv"), qwq, F.col("id"), F.col("wv"), kTop))
+    val ownQ = sweep(np => Embeddings.searchWhitenedIvfIndex(spark,
+      sq8Path, queries, F.col("id"), F.col("v"), k = kTop, nprobe = np),
+      wTruthQ)
+    val bytesFloat = dirBytes(s"$base/w$rank/assigned")
+    val bytesSq8 = dirBytes(s"$sq8Path/assigned")
+    ownQ.foreach { case (np, t, r) =>
+      System.err.println(f"[wivf] d=$d pcaK=$rank SQ8 nprobe=$np " +
+        f"search=$t%.2fs recall_vs_float=$r%.3f") }
+    System.err.println(f"[wivf] d=$d SQ8 build=$tBuildQ%.1fs assigned " +
+      f"float=${bytesFloat / 1048576.0}%.1fMB sq8=" +
+      f"${bytesSq8 / 1048576.0}%.1fMB (${
+        bytesFloat.toDouble / bytesSq8}%.1fx)")
     System.err.println(f"[wivf] d=$d n=$n brute=$tBrute%.2fs " +
       f"raw_ivf build=$tRawBuild%.1fs")
 
@@ -155,7 +188,11 @@ object WhitenedIvfStudy {
         s"""{"pcaK":$p,"build":$b,"whitened_brute":$wb,""" +
           s""""raw_recall_ceiling":$rc,""" +
           s""""sweep":${sweepJson(own, "recall_own")}}"""
-      }.mkString(",") + "]}"
+      }.mkString(",") +
+      s"""],"whitened_sq8":{"pcaK":$rank,"build":$tBuildQ,""" +
+      s""""assigned_bytes_float":$bytesFloat,""" +
+      s""""assigned_bytes_sq8":$bytesSq8,""" +
+      s""""sweep":${sweepJson(ownQ, "recall_vs_float")}}}"""
     println(json)
     out.foreach(p => java.nio.file.Files.writeString(
       java.nio.file.Paths.get(p), json + "\n"))
