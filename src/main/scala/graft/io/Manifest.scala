@@ -79,7 +79,11 @@ object Manifest {
     * later read failed "no manifest" on a table that logically still
     * exists, empty). A direct write lands a schema-only parquet file even
     * at zero rows, so the layout stays readable. */
-  private def writePart(rows: DataFrame, url: String,
+  // private[graft]: graft.ManifestFoldStudy synthesizes parts directly
+  // to measure compactManifest's driver fold at row counts (300k-1M)
+  // where building the table for real would measure file creation, not
+  // the fold. Not API — mutations go through the appenders/deleteKeys.
+  private[graft] def writePart(rows: DataFrame, url: String,
       segment: String, commit: Long): Unit =
     rows.coalesce(1)
       .withColumn("__commit", F.lit(commit))

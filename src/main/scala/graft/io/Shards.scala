@@ -169,14 +169,31 @@ object Shards {
     // the union preserves child order, so partition order IS shard
     // order. The shard partition column is re-attached as a literal
     // (file-level reads don't surface it). The plan is O(numShards)
-    // union children — fine into the thousands; beyond that, trainers
-    // read their own `shard=N` directories directly (the layout is the
-    // contract, this helper is the reference iterator).
-    byShard.toSeq.map { case (sid, files) =>
+    // union children, folded as a BALANCED tree: a left-deep
+    // `reduce(_ unionAll _)` re-analyzes the growing prefix at every
+    // step — O(n²) driver analysis, measured bending the per-shard plan
+    // cost 20 ms → 35 ms between 256 and 1024 shards (ShardPlanStudy) —
+    // while pairing neighbors re-analyzes each leaf only O(log n) times
+    // and Catalyst's CombineUnions flattens the tree back to one n-ary
+    // Union before execution, so the physical plan (and partition order:
+    // union concatenates children left-to-right at every level) is
+    // identical. The remaining plan cost is the linear per-shard
+    // relation build (~20 ms/shard local; measured in
+    // scaling/shard_plan.json) — beyond tens of thousands of shards,
+    // trainers read their own `shard=N` directories directly (the
+    // layout is the contract, this helper is the reference iterator).
+    @annotation.tailrec
+    def fold(dfs: Seq[DataFrame]): DataFrame =
+      if (dfs.lengthCompare(1) == 0) dfs.head
+      else fold(dfs.grouped(2).map {
+        case Seq(a, b) => a.unionAll(b)
+        case Seq(a) => a
+      }.toSeq)
+    fold(byShard.toSeq.map { case (sid, files) =>
       spark.read.schema(schema).parquet(files: _*)
         .coalesce(1)
         .withColumn("shard", F.lit(sid))
         .sortWithinPartitions(F.col("pos"))
-    }.reduce(_ unionAll _)
+    })
   }
 }

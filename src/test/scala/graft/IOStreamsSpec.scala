@@ -1589,4 +1589,28 @@ class IOStreamsSpec extends SparkSpec {
     }
     assert(eNull.getMessage.contains("shard key is null"), eNull.getMessage)
   }
+
+  test("training shards: balanced union fold keeps shard order and the " +
+      "round trip at a non-power-of-two shard count") {
+    // readShards folds the per-shard scans as a balanced tree (the
+    // left-deep reduce was O(n²) driver analysis — ShardPlanStudy);
+    // 5 shards exercises the odd-tail groupings at every fold level,
+    // which must still concatenate strictly left-to-right
+    val dir = tmp("graft_shards_odd")
+    val df = (0L until 300L).map(i => (i, s"doc$i")).toDF("id", "text")
+    Shards.writeShards(df, F.col("id"), 5, dir + "/t", salt = "odd")
+    val rd = Shards.readShards(spark, dir + "/t")
+    val perPart = rd.select(F.col("shard").cast("long"), F.col("pos"))
+      .rdd.mapPartitionsWithIndex { (i, it) =>
+        Iterator((i, it.map(r => (r.getLong(0), r.getLong(1))).toSeq))
+      }.collect().filter(_._2.nonEmpty)
+    assert(perPart.map(_._2.head._1).toSeq == (0L until 5L).toSeq,
+      "partitions must arrive in shard order 0..4")
+    perPart.foreach { case (_, rows) =>
+      assert(rows.map(_._1).distinct.size == 1, "one shard per partition")
+      assert(rows.map(_._2) == rows.map(_._2).sorted, "pos-ordered")
+    }
+    assert(rd.count() == 300L)
+    assert(rd.select("id").as[Long].collect().toSet == (0L until 300L).toSet)
+  }
 }
