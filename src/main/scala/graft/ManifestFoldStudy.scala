@@ -24,6 +24,14 @@ import org.apache.spark.sql.{functions => F}
   * rewrite, which is the number that decides when the sharded fold must
   * actually be built.
   *
+  * r14: measures BOTH folds per size — the driver fold (threshold
+  * forced to MaxValue) and the distributed fold (threshold 0) on twin
+  * layouts. Local-mode caveat on the distributed rows: executors share
+  * the driver JVM at local[32], so its "peak heap" is the whole
+  * process; the comparison is still the decision number (the collect's
+  * inflation vs the task-bounded fold), and on a real cluster the
+  * distributed fold's driver term is O(parts), not O(rows).
+  *
   * Usage: runMain graft.ManifestFoldStudy [sizesCsv] [runs] [out]
   * (defaults 100000,300000,1000000 × 3 runs — each run re-synthesizes a
   * fresh layout, since a fold leaves nothing left to fold.)
@@ -82,9 +90,15 @@ object ManifestFoldStudy {
           F.lit(null).cast("long").as("min_id"),
           F.lit(null).cast("long").as("max_id")),
           url, "synthtomb", commit = 2L)
+        // both folds measured on identical fresh layouts: driver-forced
+        // (threshold MaxValue) on THIS layout, distributed-forced
+        // (threshold 0) on a re-synthesized twin below — System.gc()
+        // between measurements so peak-heap reads the fold, not leftovers
+        System.gc()
         heapPools.foreach(_.resetPeakUsage())
         val t0 = System.nanoTime()
-        val live = Manifest.compactManifest(spark, path, s"fold$run")
+        val live = Manifest.compactManifest(spark, path, s"fold$run",
+          driverFoldMaxBytes = Long.MaxValue)
         val sec = (System.nanoTime() - t0) / 1e9
         val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / 1048576.0
         require(live == 64L + synth - 20,
@@ -95,19 +109,64 @@ object ManifestFoldStudy {
           "id", 100L, 199L).count()
         require(got == 100, s"post-fold banded read broke: $got != 100")
         System.err.println(
-          f"[fold] rows=$nRows%8d run=$run fold=$sec%.2fs peak=$peakMb%.0fMB")
+          f"[fold] rows=$nRows%8d run=$run driver fold=$sec%.2fs " +
+            f"peak=$peakMb%.0fMB")
+        (sec, peakMb)
+      }
+      val timingsDist = (1 to runs).map { run =>
+        val base = java.nio.file.Files
+          .createTempDirectory(s"graft_folddist_${nRows}_$run").toString
+        val path = s"$base/t"
+        val df = spark.range(6400L).select(F.col("id"),
+          F.sha2(F.concat_ws("_", F.col("id")), 256).as("p"))
+        Manifest.writeWithManifest(df, path, statsCols = Seq("id"),
+          clusterCols = Seq("id"), targetFiles = 64)
+        val url = graft.io.GraftIO.resolveUrl(path)
+        val synth = nRows - 64
+        Manifest.writePart(spark.range(synth).select(
+          F.concat(F.lit("synth/part-"), F.col("id")).as("file"),
+          F.lit(100L).as("rows"),
+          (F.col("id") * 100L + 1000000L).as("min_id"),
+          (F.col("id") * 100L + 1000099L).as("max_id")),
+          url, "synth0", commit = 1L)
+        Manifest.writePart(spark.range(20).select(
+          F.concat(F.lit("synth/part-"), F.col("id")).as("file"),
+          F.lit(null).cast("long").as("rows"),
+          F.lit(null).cast("long").as("min_id"),
+          F.lit(null).cast("long").as("max_id")),
+          url, "synthtomb", commit = 2L)
+        System.gc()
+        heapPools.foreach(_.resetPeakUsage())
+        val t0 = System.nanoTime()
+        val live = Manifest.compactManifest(spark, path, s"fold$run",
+          driverFoldMaxBytes = 0L)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / 1048576.0
+        require(live == 64L + synth - 20,
+          s"dist fold dropped rows: $live != ${64 + synth - 20}")
+        val got = Manifest.readSkipping(spark, path,
+          "id", 100L, 199L).count()
+        require(got == 100, s"post-dist-fold banded read broke: $got != 100")
+        System.err.println(
+          f"[fold] rows=$nRows%8d run=$run dist   fold=$sec%.2fs " +
+            f"peak=$peakMb%.0fMB")
         (sec, peakMb)
       }
       val secs = timings.map(_._1)
       val peaks = timings.map(_._2)
-      (nRows, secs, peaks)
+      (nRows, secs, peaks, timingsDist.map(_._1), timingsDist.map(_._2))
     }
     val json = "{\"metric\":\"manifest_fold\",\"unit\":\"sec\",\"sizes\":[" +
-      results.map { case (n, secs, peaks) =>
+      results.map { case (n, secs, peaks, dsecs, dpeaks) =>
         s"""{"manifest_rows":$n,"fold_med":${med(secs)},""" +
           s""""fold_min":${secs.min},"peak_heap_mb_med":${med(peaks)},""" +
           s""""runs_fold":[${secs.mkString(",")}],""" +
-          s""""runs_peak_mb":[${peaks.mkString(",")}]}"""
+          s""""runs_peak_mb":[${peaks.mkString(",")}],""" +
+          s""""dist_fold_med":${med(dsecs)},""" +
+          s""""dist_fold_min":${dsecs.min},""" +
+          s""""dist_peak_heap_mb_med":${med(dpeaks)},""" +
+          s""""runs_dist_fold":[${dsecs.mkString(",")}],""" +
+          s""""runs_dist_peak_mb":[${dpeaks.mkString(",")}]}"""
       }.mkString(",") + s"],\"n_runs\":$runs}"
     println(json)
     out.foreach(p => java.nio.file.Files.writeString(

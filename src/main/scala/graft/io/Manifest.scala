@@ -708,17 +708,50 @@ object Manifest {
     * partial as-of (the floor refuses commits the surviving parts can no
     * longer faithfully reconstruct). An ALL-ROWS-DELETED table compacts
     * to an empty-but-present part (see [[writePart]]) — the layout stays
-    * readable and appendable, never "no manifest". */
+    * readable and appendable, never "no manifest".
+    *
+    * The fold is size-routed: manifests up to `driverFoldMaxBytes` of
+    * parquet fold on the driver ([[compactDriverFold]] — one collect,
+    * job-light, measured flat to 300k rows), bigger ones fold
+    * distributed ([[compactDistributedFold]] — never materialized on
+    * the driver; the 1M-row driver fold measured 4-5.5 GB of peak heap,
+    * scaling/manifest_fold.json). Identical semantics either side of
+    * the threshold; specs pin equality. */
   def compactManifest(spark: SparkSession, path: String,
-      segment: String, keepLast: Int = 0): Long = {
+      segment: String, keepLast: Int = 0,
+      driverFoldMaxBytes: Long = 8L << 20): Long = {
     requireSafeSegment(segment, "compactManifest")
     require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
     val url = GraftIO.resolveUrl(path)
-    // the fold itself is driver-side and file-count-bound — the posture
-    // of a Delta checkpoint: periodic, never per-mutation (a distributed
-    // self-read-then-overwrite of the parts root would trip Spark's
-    // read/write-overlap guard).
     val raw = rawParts(spark, url, keepSeg = true)
+    // route by manifest size, measured from the same bounded listing
+    // every maintenance verb pays (zero Spark jobs): small manifests
+    // fold on the driver (one collect, job-light — the Delta-checkpoint
+    // posture, and the path every in-line streaming compaction takes);
+    // big ones fold DISTRIBUTED — ManifestFoldStudy at 1M rows: driver
+    // fold 7.9 s at 1.7-2.1 GB of collect-inflated heap vs distributed
+    // 3.8 s with the driver doing only O(parts) footer reads + a rename.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val partBytes = segDirs(spark, partsPath(url)).map { d =>
+      val dp = new org.apache.hadoop.fs.Path(d)
+      dp.getFileSystem(hconf).listStatus(dp)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(_.getLen).sum
+    }.sum
+    if (partBytes <= driverFoldMaxBytes)
+      compactDriverFold(spark, url, raw, segment, keepLast)
+    else
+      compactDistributedFold(spark, url, raw, segment, keepLast)
+  }
+
+  /** The small-manifest fold: one collect, file-count-bound driver work.
+    * Kept for manifests up to [[compactManifest]]'s `driverFoldMaxBytes`
+    * because it is JOB-LIGHT (one read job + one write job — the in-line
+    * streaming compaction path s10 pays every `compactEvery` batches)
+    * and measured flat to 300k rows (scaling/manifest_fold.json). */
+  private def compactDriverFold(spark: SparkSession, url: String,
+      raw: DataFrame, segment: String, keepLast: Int): Long = {
     val schema = raw.schema
     val all = raw.collect()
     val fileIdx = schema.fieldIndex("file")
@@ -782,6 +815,159 @@ object Manifest {
     writeFloor(spark, url, stamp)
     val fs = new org.apache.hadoop.fs.Path(url)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    segDirs(spark, partsPath(url)).foreach { d =>
+      val sg = d.substring(d.lastIndexOf("/seg=") + 5)
+      if (sg != segment && !keptSegs.contains(sg))
+        fs.delete(new org.apache.hadoop.fs.Path(d), true)
+    }
+    liveCount
+  }
+
+  /** The big-manifest fold: same semantics as [[compactDriverFold]]
+    * (same live/tombstone/carry/stamp rules, same crash ordering) with
+    * the manifest never materialized on the driver — the fold is a
+    * dedup + two anti/semi joins over the parts DataFrame, staged to
+    * `_manifest/stage_compact` and committed into `parts/seg=<segment>`
+    * by ONE rename (writing the fold's own input root directly would
+    * race the read; the stage dir is invisible to readers until the
+    * rename, so a crash before it leaves the old layout fully intact).
+    * Per-part commit stamps come from the parts' parquet footer
+    * statistics (the [[nextCommit]] discipline — zero Spark jobs;
+    * `__commit` is constant per part), falling back to one distributed
+    * DISTINCT for foreign-written parts without statistics. The
+    * keep-first duplicate choice of the driver fold degrades to
+    * dropDuplicates' arbitrary winner here, which is already the read
+    * path's contract — manifest rows for one immutable file path are
+    * identical (see [[manifest]]). Live count is read from the written
+    * part's own footer (row count minus the carried tombstones' null
+    * count) on the full-fold path; a retention fold pays one count job.
+    * ManifestFoldStudy at 1M rows: 3.8 s here vs the driver fold's
+    * 7.9 s, with no row-bound driver materialization. */
+  private def compactDistributedFold(spark: SparkSession, url: String,
+      raw: DataFrame, segment: String, keepLast: Int): Long = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // (segment, commit) per part from footer stats — zero jobs
+    var fallback = false
+    val segCommits0 = segDirs(spark, partsPath(url)).flatMap { d =>
+      val dp = new org.apache.hadoop.fs.Path(d)
+      val segName = dp.getName.stripPrefix("seg=")
+      val fs = dp.getFileSystem(hconf)
+      var commit = Long.MinValue
+      var any = false
+      fs.listStatus(dp)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .foreach { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, hconf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            r.getFooter.getBlocks.forEach { b =>
+              b.getColumns.forEach { c =>
+                if (c.getPath.toDotString == "__commit") {
+                  val stats = c.getStatistics
+                  if (stats == null || !stats.hasNonNullValue) fallback = true
+                  else {
+                    commit = math.max(commit,
+                      stats.genericGetMax.asInstanceOf[java.lang.Long])
+                    any = true
+                  }
+                }
+              }
+            }
+          } finally r.close()
+        }
+      // a zero-row part (all-deleted fold) has no commit to address and
+      // no rows to fold — same invisibility as in the driver fold
+      if (any) Some((segName, commit)) else None
+    }
+    val segCommits =
+      if (!fallback) segCommits0
+      else raw.select("seg", "__commit").distinct().collect()
+        .map(r => (String.valueOf(r.get(0)), r.getLong(1))).toSeq
+    val commits = segCommits.map(_._2).distinct.sorted
+    val liveAll = raw.filter(F.col("rows").isNotNull).select("file").distinct()
+    def liveCountNow(): Long = liveAll
+      .join(raw.filter(F.col("rows").isNull).select("file").distinct(),
+        Seq("file"), "left_anti").count()
+    if (commits.size <= keepLast) return liveCountNow() // nothing to fold
+    // max folded commit = the fold's stamp (as-of reads at it keep working)
+    val stamp = commits(commits.size - keepLast - 1)
+    val keptSegs = segCommits.filter(_._2 > stamp).map(_._1).toSet
+    val folded = raw.filter(F.col("__commit") <= stamp)
+    // same carry rule as the driver fold: live rows of the folded prefix
+    // minus the prefix's own tombstones, plus every folded tombstone that
+    // still kills a row listed ANYWHERE in the current parts
+    val foldedTomb = folded.filter(F.col("rows").isNull)
+      .select("file").distinct()
+    val liveOut = folded.filter(F.col("rows").isNotNull)
+      .join(foldedTomb, Seq("file"), "left_anti")
+      .dropDuplicates("file")
+    val carried = folded.filter(F.col("rows").isNull)
+      .join(liveAll, Seq("file"), "left_semi")
+      .dropDuplicates("file")
+    val outCols = raw.schema.fieldNames
+      .filterNot(n => n == "__commit" || n == "seg").toSeq
+    val out = liveOut.select(outCols.map(F.col): _*)
+      .unionAll(carried.select(outCols.map(F.col): _*))
+    val stagePath = new org.apache.hadoop.fs.Path(
+      url + "/_manifest/stage_compact")
+    val fs = stagePath.getFileSystem(hconf)
+    fs.delete(stagePath, true) // a crashed prior attempt's leftovers
+    out.coalesce(1).withColumn("__commit", F.lit(stamp))
+      .write.mode("overwrite").parquet(stagePath.toString)
+    // the retention fold's live count needs the kept parts too — one
+    // distributed count, taken BEFORE any rename/delete (raw's file
+    // listing is already pinned; re-executing it later would read files
+    // a retried compaction just replaced)
+    val liveCountKept = if (keepLast > 0) liveCountNow() else -1L
+    val target = new org.apache.hadoop.fs.Path(
+      s"${partsPath(url)}/seg=$segment")
+    fs.delete(target, true) // a retried compaction replaces its own output
+    require(fs.rename(stagePath, target),
+      s"compactManifest: staged part swap-in failed for $target — the " +
+        s"staged fold is intact at $stagePath")
+    writeFloor(spark, url, stamp)
+    // live count on the full-fold path: from the written part's footer
+    // (its live rows ARE the table; carried tombstones are the null-rows
+    // rows) — zero jobs
+    val liveCount =
+      if (keepLast > 0) liveCountKept
+      else {
+        var total = 0L
+        var nulls = 0L
+        var haveNulls = true
+        fs.listStatus(target)
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .foreach { st =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(st, hconf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              r.getFooter.getBlocks.forEach { b =>
+                total += b.getRowCount
+                b.getColumns.forEach { c =>
+                  if (c.getPath.toDotString == "rows") {
+                    val stats = c.getStatistics
+                    if (stats == null) haveNulls = false
+                    else nulls += stats.getNumNulls
+                  }
+                }
+              }
+            } finally r.close()
+          }
+        if (haveNulls) total - nulls
+        else {
+          // stat-less footer (shouldn't happen for our own writer): a
+          // FRESH parts read — the old parts still coexist with the
+          // compact part here and dedup-by-file heals the duplicates
+          val fresh = rawParts(spark, url)
+          fresh.filter(F.col("rows").isNotNull).select("file").distinct()
+            .join(fresh.filter(F.col("rows").isNull).select("file")
+              .distinct(), Seq("file"), "left_anti").count()
+        }
+      }
     segDirs(spark, partsPath(url)).foreach { d =>
       val sg = d.substring(d.lastIndexOf("/seg=") + 5)
       if (sg != segment && !keptSegs.contains(sg))

@@ -1398,6 +1398,78 @@ class IOStreamsSpec extends SparkSpec {
     assert(e2.getMessage.contains("compacted away"), e2.getMessage)
   }
 
+  test("compactManifest distributed fold (forced via driverFoldMaxBytes " +
+      "= 0) matches the driver fold: view equality, retry idempotence, " +
+      "keepLast window, empty table") {
+    // the size-routed big-manifest fold never materializes the manifest
+    // on the driver; its semantics must be indistinguishable from the
+    // collect-based fold the other specs pin
+    val dir = tmp("graft_man_dist")
+    val df = (0L until 400L).map(i => (i, s"r$i")).toDF("id", "payload")
+    Manifest.writeWithManifest(df, dir + "/t", statsCols = Seq("id"),
+      clusterCols = Seq("id"), targetFiles = 4) // commit 0
+    Manifest.appendWithManifest(
+      (400L until 450L).map(i => (i, s"a$i")).toDF("id", "payload"),
+      dir + "/t", segment = "b1") // commit 1
+    Manifest.deleteKeys(spark, dir + "/t", "id",
+      (10L until 20L).toDF("id"), segment = "d1",
+      retainFiles = true) // commit 2
+    Manifest.deleteKeys(spark, dir + "/t", "id",
+      (30L until 35L).toDF("id"), segment = "d2",
+      retainFiles = true) // commit 3
+    def ids(asOf: Option[Long] = None): Seq[Long] = col1[Long](
+      Manifest.readSkipping(spark, dir + "/t", "id", 0L, 5000L,
+        asOf = asOf).orderBy("id"), "id")
+    val expect = (0L until 450L)
+      .filterNot(i => (i >= 10 && i < 20) || (i >= 30 && i < 35))
+    assert(ids() == expect)
+    val manBefore = Manifest.manifest(spark, dir + "/t")
+      .orderBy("file").collect().toSeq
+    def partDirs(): Set[String] = new java.io.File(dir + "/t/_manifest/parts")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    // keepLast = 1 through the DISTRIBUTED path: commit 3 stays
+    // servable, the fold's stamp is commit 2, older is refused
+    val live = Manifest.compactManifest(spark, dir + "/t", "c1",
+      keepLast = 1, driverFoldMaxBytes = 0L)
+    assert(live == manBefore.size, s"$live != ${manBefore.size}")
+    assert(Manifest.manifest(spark, dir + "/t")
+      .orderBy("file").collect().toSeq == manBefore)
+    assert(ids() == expect)
+    assert(ids(Some(2L)) == (0L until 450L)
+      .filterNot(i => i >= 10 && i < 20))
+    assert(ids(Some(3L)) == expect)
+    assert(partDirs() == Set("seg=c1", "seg=d2"), partDirs().toString)
+    intercept[IllegalArgumentException] { ids(Some(1L)) }
+    // full distributed fold, then an identical RETRY: converges, drops
+    // targetless carried tombstones, view stays equal
+    val n2 = Manifest.compactManifest(spark, dir + "/t", "c2",
+      driverFoldMaxBytes = 0L)
+    assert(n2 == manBefore.size)
+    assert(Manifest.compactManifest(spark, dir + "/t", "c2",
+      driverFoldMaxBytes = 0L) == n2)
+    assert(partDirs() == Set("seg=c2"), partDirs().toString)
+    assert(Manifest.manifest(spark, dir + "/t")
+      .orderBy("file").collect().toSeq == manBefore)
+    assert(spark.read.parquet(dir + "/t/_manifest/parts")
+      .filter("rows is null").count() == 0) // self-cleaned
+    assert(ids() == expect)
+    // no stage leftovers after a committed fold
+    assert(!new java.io.File(dir + "/t/_manifest/stage_compact").exists())
+    // post-fold mutations still work
+    Manifest.upsert(Seq((15L, "back"), (600L, "new")).toDF("id", "payload"),
+      dir + "/t", "id", segment = "b2")
+    assert(ids() == (expect :+ 15L :+ 600L).sorted)
+    // all-rows-deleted through the distributed path: empty-but-present
+    // compact part, layout stays readable, retry stays at zero
+    Manifest.deleteKeys(spark, dir + "/t", "id",
+      ids().toDF("id"), segment = "dAll")
+    assert(Manifest.compactManifest(spark, dir + "/t", "c3",
+      driverFoldMaxBytes = 0L) == 0L)
+    assert(Manifest.compactManifest(spark, dir + "/t", "c3",
+      driverFoldMaxBytes = 0L) == 0L)
+    assert(Manifest.manifest(spark, dir + "/t").count() == 0)
+  }
+
   test("manifest operations accept column names needing backtick quoting " +
       "(dots): write, skip-read, deleteKeys, upsert") {
     val dir = tmp("graft_lake_dotcol")
