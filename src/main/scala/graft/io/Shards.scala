@@ -196,4 +196,39 @@ object Shards {
         .sortWithinPartitions(F.col("pos"))
     })
   }
+
+  /** Read ONE shard of an exported layout — the production path past
+    * [[readShards]]' measured plan envelope (scaling/shard_plan.json:
+    * ~14-20 ms/shard of driver planning; fine into the low thousands of
+    * shards, wrong at the 100k-1M shards a 100 TB export lands). The
+    * layout is the contract: a distributed trainer assigns shard ids to
+    * workers and each worker pays ONLY its own shard's LIST + plan —
+    * this helper is that worker-side read, with the same per-shard
+    * contracts as the full iterator (one partition, rows in `pos`
+    * order, the `shard` column re-attached) and the same committed
+    * (`_SUCCESS`) and existence guards, so a mistyped or out-of-range
+    * shard id fails loud instead of reading as an empty shard. */
+  def readShard(spark: SparkSession, path: String, shardId: Long): DataFrame = {
+    require(shardId >= 0, s"readShard: shard id must be >= 0, got $shardId")
+    val url = GraftIO.resolveUrl(path)
+    val root = new org.apache.hadoop.fs.Path(url)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS")),
+      s"readShard: no _SUCCESS marker under $path — the export did not " +
+        "commit (crashed or still running); re-run writeShards " +
+        "(deterministic — a rerun reproduces the layout exactly)")
+    val dir = new org.apache.hadoop.fs.Path(root, s"shard=$shardId")
+    require(fs.exists(dir),
+      s"readShard: no shard=$shardId under $path — shard ids run " +
+        "0..numShards-1 of the export")
+    val files = fs.listStatus(dir)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).sorted
+    require(files.nonEmpty, s"readShard: shard=$shardId is empty on disk")
+    spark.read.parquet(files: _*)
+      .coalesce(1)
+      .withColumn("shard", F.lit(shardId))
+      .sortWithinPartitions(F.col("pos"))
+  }
 }

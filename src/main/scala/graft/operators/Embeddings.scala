@@ -672,11 +672,15 @@ object Embeddings {
     * cuts both centroid-assignment flops and candidate exact-scoring
     * flops by d/k).
     *
-    * Scale shape: the PCA fit is the bounded two-pass of [[fitPca]]; the
-    * projection fuses into the SAME scan that feeds IVF training and
-    * assignment (a native expression — no join, no extra pass); index
-    * build/probe inherit [[graft.operators.Similarity]]'s segment
-    * contracts unchanged. The model lands under `path/pca` BEFORE the
+    * Scale shape: the PCA fit is the bounded two-pass of [[fitPca]] up
+    * to `maxDim`, and the randomized [[fitPcaTopK]] PAST it (r14) — the
+    * whitened regime is pcaK ≪ d, exactly the randomized solver's, so
+    * modern embedding widths (d = 4096+) build instead of refusing; the
+    * lifecycle is unchanged because search/append bind to the PERSISTED
+    * model, whichever fit produced it. The projection fuses into the
+    * SAME scan that feeds IVF training and assignment (a native
+    * expression — no join, no extra pass); index build/probe inherit
+    * [[graft.operators.Similarity]]'s segment contracts unchanged. The model lands under `path/pca` BEFORE the
     * index tables, so a readable index always has its model (a crash
     * between leaves a model with no index — searches fail loud on the
     * missing meta, the same posture as an un-manifested lake).
@@ -710,7 +714,18 @@ object Embeddings {
         _.toLowerCase(java.util.Locale.ROOT) == "__wv"),
       "writeWhitenedIvfIndex reserves column name __wv — rename first")
     val spark = corpus.sparkSession
-    val model = fitPca(corpus, vec, pcaK, maxDim)
+    // fit routing (r14): the exact one-pass fit up to its measured
+    // envelope (maxDim — scaling/pca_dim.json), the randomized top-k
+    // solver past it instead of a refusal: the whitened regime IS
+    // pcaK ≪ d, exactly where fitPcaTopK's d×(k+p) buffers replace the
+    // exact fit's d(d+1)/2 (d = 4096 fits in ~6 s where fitPca refuses —
+    // scaling/pca_dim_rand.json). Both fits are deterministic, and the
+    // search/append contract is the PERSISTED model either way
+    // (model_fp guards drift), so the route changes no lifecycle rule.
+    val model =
+      if (probePivot(corpus, vec, "writeWhitenedIvfIndex").length <= maxDim)
+        fitPca(corpus, vec, pcaK, maxDim)
+      else fitPcaTopK(corpus, vec, pcaK)
     val projected = pcaProject(corpus, vec, model, "__wv", whiten = true,
       varFloor = varFloor)
     // whitened = true stamps the meta: raw-vector appendToIvfIndex /

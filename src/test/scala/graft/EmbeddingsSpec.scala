@@ -416,6 +416,51 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("whitened IVF index past the exact-fit envelope routes through " +
+      "fitPcaTopK: same lifecycle identities through the persisted model") {
+    import graft.operators.Similarity
+    // maxDim = 8 below the corpus's d = 12 forces the randomized fit —
+    // the d = 4096 production shape at spec scale; every lifecycle rule
+    // must hold identically because the contract is the PERSISTED model
+    val data = corpus(400, 12).toDF("id", "v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wivf_topk").toString
+    val model = Embeddings.writeWhitenedIvfIndex(
+      data.filter(F.col("id") >= 10), F.col("id"), F.col("v"),
+      dir, pcaK = 4, nlist = 4, seed = 7, maxDim = 8)
+    assert(model.k == 4 && model.dim == 12)
+    assert(Embeddings.readPcaModel(spark, dir) == model)
+    // the routed model must BE the randomized fit (not a silently
+    // raised envelope): exact same values as calling fitPcaTopK directly
+    assert(model == Embeddings.fitPcaTopK(
+      data.filter(F.col("id") >= 10), F.col("v"), k = 4))
+    // exhaustive probe ≡ whitened brute force through the same model
+    val queries = data.filter(F.col("id") < 10)
+    val got = Embeddings.searchWhitenedIvfIndex(spark, dir, queries,
+      F.col("id"), F.col("v"), k = 5, nprobe = 4)
+      .select("query_id", "corpus_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val cw = Embeddings.pcaProject(data.filter(F.col("id") >= 10),
+      F.col("v"), model, "wv", whiten = true)
+    val qw = Embeddings.pcaProject(queries, F.col("v"), model, "wv",
+      whiten = true)
+    val want = Similarity.bruteForceTopK(cw, F.col("id"), F.col("wv"),
+      qw, F.col("id"), F.col("wv"), k = 5)
+      .select("query_id", "corpus_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+    // append still projects through the persisted (randomized) model
+    Embeddings.appendToWhitenedIvfIndex(
+      data.filter(F.col("id") < 10), F.col("id"), F.col("v"),
+      dir, segment = "a1")
+    val after = Embeddings.searchWhitenedIvfIndex(spark, dir, queries,
+      F.col("id"), F.col("v"), k = 1, nprobe = 4)
+      .select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every appended vector finds itself at rank 1 in its own space
+    assert(after.forall { case (q, c) => q == c }, after.mkString(", "))
+  }
+
   test("writeWhitenedIvfIndex on an existing layout is an atomic staged " +
       "rebuild of model AND tables together: search + model equal a " +
       "fresh build, stamp carried, no leftovers, raw layouts upgrade") {

@@ -1684,5 +1684,24 @@ class IOStreamsSpec extends SparkSpec {
     }
     assert(rd.count() == 300L)
     assert(rd.select("id").as[Long].collect().toSet == (0L until 300L).toSet)
+    // single-shard worker read (the documented path past the full
+    // iterator's plan envelope): identical rows and order as that
+    // shard's slice of the full read, same contracts
+    val full3 = rd.filter(F.col("shard") === 3)
+      .select("id", "pos").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val one3 = Shards.readShard(spark, dir + "/t", 3L)
+    assert(one3.rdd.getNumPartitions == 1)
+    assert(one3.select("id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == full3.toSeq)
+    assert(one3.select(F.col("shard").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // out-of-range and negative ids fail loud, not empty
+    val eRange = intercept[IllegalArgumentException] {
+      Shards.readShard(spark, dir + "/t", 99L)
+    }
+    assert(eRange.getMessage.contains("shard=99"), eRange.getMessage)
+    intercept[IllegalArgumentException] {
+      Shards.readShard(spark, dir + "/t", -1L)
+    }
   }
 }
