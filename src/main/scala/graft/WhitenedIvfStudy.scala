@@ -47,6 +47,12 @@ object WhitenedIvfStudy {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.sizeOfNull", "false")
+      // the RAW-IVF comparison arm's k-means training collect is
+      // trainSample × d doubles (+ Row inflation) — ~1 GB at d = 4096,
+      // past the 1 GiB maxResultSize default. Itself a width datapoint:
+      // the whitened arm's training sample lives in pcaK space (2.5 MB
+      // at pcaK = 32), two orders of magnitude below the raw arm's.
+      .config("spark.driver.maxResultSize", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.{Embeddings, Similarity}
