@@ -404,6 +404,79 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("driver and distributed manifest folds agree over random " +
+      "mutation sequences on twin tables") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    import graft.io.Manifest
+    // the distributed fold (r14) must be observationally identical to
+    // the collect-based fold: same live count, same data reads, same
+    // as-of behavior at the fold stamp and kept commits. File paths
+    // differ between the twins, so equality is checked on everything
+    // EXCEPT paths: data, counts, stats multisets, commit windows.
+    val upsertG: Gen[Either[List[(Long, Long)], List[Long]]] =
+      Gen.nonEmptyListOf(for {
+        id <- Gen.chooseNum(0L, 40L)
+        v <- Gen.chooseNum(0L, 1000L)
+      } yield (id, v)).map(l => Left(l.take(8).distinctBy(_._1)))
+    val deleteG: Gen[Either[List[(Long, Long)], List[Long]]] =
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 40L))
+        .map(l => Right(l.take(8).distinct))
+    val caseG = for {
+      ops <- Gen.listOfN(4, Gen.oneOf(upsertG, deleteG).flatMap(g => g))
+      keep <- Gen.chooseNum(0, 2)
+    } yield (ops, keep)
+    forAll(caseG, n = 3) { case (ops, keep) =>
+      val roots = Seq("a", "b").map { tag =>
+        java.nio.file.Files
+          .createTempDirectory(s"prop_foldtwin_$tag").toString + "/t"
+      }
+      val base = (0L until 10L).map(i => (i, i * 100L))
+      roots.foreach { dir =>
+        Manifest.writeWithManifest(base.toDF("id", "v"), dir,
+          statsCols = Seq("id"), clusterCols = Seq("id"), targetFiles = 2)
+        // retainFiles: as-of reads at KEPT commits must stay physically
+        // servable after later mutations retire files (the time-travel
+        // contract's own requirement, not a fold artifact)
+        ops.zipWithIndex.foreach {
+          case (Left(batch), i) =>
+            Manifest.upsert(batch.toDF("id", "v"), dir, "id", s"u$i",
+              clusterCols = Seq("id"), targetFiles = 1,
+              retainFiles = true)
+          case (Right(dels), i) =>
+            Manifest.deleteKeys(spark, dir, "id", dels.toDF("id"), s"d$i",
+              retainFiles = true)
+        }
+      }
+      val Seq(nA, nB) = roots.zip(Seq(Long.MaxValue, 0L)).map {
+        case (dir, thresh) => Manifest.compactManifest(spark, dir, "c",
+          keepLast = keep, driverFoldMaxBytes = thresh)
+      }
+      assert(nA == nB, s"live counts: $nA != $nB; ops $ops keep $keep")
+      def data(dir: String, asOf: Option[Long]): Seq[(Long, Long)] =
+        Manifest.readSkipping(spark, dir, "id", 0L, 1000L, asOf = asOf)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(data(roots(0), None) == data(roots(1), None))
+      // path-free manifest comparison: stats multiset + tombstone count
+      def statsOf(dir: String) = Manifest.manifest(spark, dir)
+        .select("rows", "min_id", "max_id")
+        .collect().map(_.toSeq).toSeq
+        .sortBy(_.mkString(","))
+      assert(statsOf(roots(0)) == statsOf(roots(1)))
+      // both folds expose the same commit window
+      def commitsOf(dir: String) =
+        Manifest.manifestCommits(spark, dir).select("commit")
+          .collect().map(_.getLong(0)).toSet
+      assert(commitsOf(roots(0)) == commitsOf(roots(1)),
+        s"${commitsOf(roots(0))} != ${commitsOf(roots(1))}")
+      // as-of at every surviving commit agrees
+      commitsOf(roots(0)).foreach { c =>
+        assert(data(roots(0), Some(c)) == data(roots(1), Some(c)),
+          s"as-of $c; ops $ops keep $keep")
+      }
+    }
+  }
+
   test("rollup combined view equals direct aggregation on random splits") {
     import org.apache.spark.sql.{functions => F}
     import spark.implicits._
