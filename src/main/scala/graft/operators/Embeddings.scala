@@ -102,9 +102,16 @@ object Embeddings {
   }
 
   def fitPca(df: DataFrame, vec: Column, k: Int,
-      maxDim: Int = 2048): PcaModel = {
+      maxDim: Int = 2048): PcaModel =
+    fitPcaPivoted(df, vec, k, maxDim, probePivot(df, vec, "fitPca"))
+
+  /** [[fitPca]] with the pivot already probed — callers that must know
+    * `d` BEFORE choosing a fit (the whitened index's exact-vs-randomized
+    * route) probe once and hand the pivot down instead of paying the
+    * probe's full-corpus aggregation twice. */
+  private[graft] def fitPcaPivoted(df: DataFrame, vec: Column, k: Int,
+      maxDim: Int, pivot: Array[Double]): PcaModel = {
     require(k >= 1, s"fitPca k must be >= 1, got $k")
-    val pivot = probePivot(df, vec, "fitPca")
     val d = pivot.length
     require(d <= maxDim,
       s"fitPca: vector dim $d exceeds the fit envelope maxDim = $maxDim" +
@@ -175,11 +182,20 @@ object Embeddings {
     * default posture for decaying spectra. */
   def fitPcaTopK(df: DataFrame, vec: Column, k: Int, oversample: Int = 8,
       powerIters: Int = 2, seed: Long = 42,
+      maxDim: Int = 65536): PcaModel =
+    fitPcaTopKPivoted(df, vec, k,
+      probePivot(df, vec, "fitPcaTopK"), oversample, powerIters, seed,
+      maxDim)
+
+  /** [[fitPcaTopK]] with the pivot already probed — see
+    * [[fitPcaPivoted]]. */
+  private[graft] def fitPcaTopKPivoted(df: DataFrame, vec: Column, k: Int,
+      pivot: Array[Double], oversample: Int = 8,
+      powerIters: Int = 2, seed: Long = 42,
       maxDim: Int = 65536): PcaModel = {
     require(k >= 1, s"fitPcaTopK k must be >= 1, got $k")
     require(oversample >= 2, s"fitPcaTopK oversample must be >= 2")
     require(powerIters >= 0, s"fitPcaTopK powerIters must be >= 0")
-    val pivot = probePivot(df, vec, "fitPcaTopK")
     val d = pivot.length
     require(d <= maxDim,
       s"fitPcaTopK: vector dim $d exceeds maxDim = $maxDim — the " +
@@ -722,10 +738,15 @@ object Embeddings {
     // scaling/pca_dim_rand.json). Both fits are deterministic, and the
     // search/append contract is the PERSISTED model either way
     // (model_fp guards drift), so the route changes no lifecycle rule.
-    val model =
-      if (probePivot(corpus, vec, "writeWhitenedIvfIndex").length <= maxDim)
-        fitPca(corpus, vec, pcaK, maxDim)
-      else fitPcaTopK(corpus, vec, pcaK)
+    val model = {
+      // one probe decides the route AND seeds the chosen fit — the
+      // route must not cost an extra full-corpus pass (the probe is a
+      // corpus-wide min-hash aggregation, not a head())
+      val pivot = probePivot(corpus, vec, "writeWhitenedIvfIndex")
+      if (pivot.length <= maxDim)
+        fitPcaPivoted(corpus, vec, pcaK, maxDim, pivot)
+      else fitPcaTopKPivoted(corpus, vec, pcaK, pivot)
+    }
     val projected = pcaProject(corpus, vec, model, "__wv", whiten = true,
       varFloor = varFloor)
     // whitened = true stamps the meta: raw-vector appendToIvfIndex /
