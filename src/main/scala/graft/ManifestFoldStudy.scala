@@ -60,98 +60,68 @@ object ManifestFoldStudy {
       .getMemoryPoolMXBeans.asScala
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
 
+    // ONE synthesis + measurement harness for both folds, so the
+    // driver-vs-distributed comparison can never silently measure two
+    // different layouts (the threshold and label are the ONLY knobs)
+    def measureFold(nRows: Int, run: Int, threshold: Long,
+        label: String): (Double, Double) = {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_fold_${label}_${nRows}_$run").toString
+      val path = s"$base/t"
+      // a REAL 64-file manifested table pins the part schema (file,
+      // rows, min_id, max_id) — synthetic parts below must merge with
+      // it or the fold's read fails loud
+      val df = spark.range(6400L).select(F.col("id"),
+        F.sha2(F.concat_ws("_", F.col("id")), 256).as("p"))
+      Manifest.writeWithManifest(df, path, statsCols = Seq("id"),
+        clusterCols = Seq("id"), targetFiles = 64)
+      val url = graft.io.GraftIO.resolveUrl(path)
+      val synth = nRows - 64
+      // one big live part: unique synthetic file names, disjoint id
+      // envelopes above the real table's
+      Manifest.writePart(spark.range(synth).select(
+        F.concat(F.lit("synth/part-"), F.col("id")).as("file"),
+        F.lit(100L).as("rows"),
+        (F.col("id") * 100L + 1000000L).as("min_id"),
+        (F.col("id") * 100L + 1000099L).as("max_id")),
+        url, "synth0", commit = 1L)
+      // a tombstone part killing 20 synthetic files keeps the
+      // carried-tombstone scan in the measured path
+      Manifest.writePart(spark.range(20).select(
+        F.concat(F.lit("synth/part-"), F.col("id")).as("file"),
+        F.lit(null).cast("long").as("rows"),
+        F.lit(null).cast("long").as("min_id"),
+        F.lit(null).cast("long").as("max_id")),
+        url, "synthtomb", commit = 2L)
+      // System.gc() before the measured window so peak-heap reads the
+      // fold, not the layout-synthesis garbage
+      System.gc()
+      heapPools.foreach(_.resetPeakUsage())
+      val t0 = System.nanoTime()
+      val live = Manifest.compactManifest(spark, path, s"fold$run",
+        driverFoldMaxBytes = threshold)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / 1048576.0
+      require(live == 64L + synth - 20,
+        s"$label fold dropped rows: $live != ${64 + synth - 20}")
+      // the folded manifest still answers a banded read (liveness
+      // witness beyond the count)
+      val got = Manifest.readSkipping(spark, path,
+        "id", 100L, 199L).count()
+      require(got == 100,
+        s"post-$label-fold banded read broke: $got != 100")
+      System.err.println(
+        f"[fold] rows=$nRows%8d run=$run $label%-6s fold=$sec%.2fs " +
+          f"peak=$peakMb%.0fMB")
+      (sec, peakMb)
+    }
     val results = sizes.map { nRows =>
-      val timings = (1 to runs).map { run =>
-        val base = java.nio.file.Files
-          .createTempDirectory(s"graft_fold_${nRows}_$run").toString
-        val path = s"$base/t"
-        // a REAL 64-file manifested table pins the part schema (file,
-        // rows, min_id, max_id) — synthetic parts below must merge with
-        // it or the fold's read fails loud
-        val df = spark.range(6400L).select(F.col("id"),
-          F.sha2(F.concat_ws("_", F.col("id")), 256).as("p"))
-        Manifest.writeWithManifest(df, path, statsCols = Seq("id"),
-          clusterCols = Seq("id"), targetFiles = 64)
-        val url = graft.io.GraftIO.resolveUrl(path)
-        val synth = nRows - 64
-        // one big live part: unique synthetic file names, disjoint id
-        // envelopes above the real table's
-        Manifest.writePart(spark.range(synth).select(
-          F.concat(F.lit("synth/part-"), F.col("id")).as("file"),
-          F.lit(100L).as("rows"),
-          (F.col("id") * 100L + 1000000L).as("min_id"),
-          (F.col("id") * 100L + 1000099L).as("max_id")),
-          url, "synth0", commit = 1L)
-        // a tombstone part killing 20 synthetic files keeps the
-        // carried-tombstone scan in the measured path
-        Manifest.writePart(spark.range(20).select(
-          F.concat(F.lit("synth/part-"), F.col("id")).as("file"),
-          F.lit(null).cast("long").as("rows"),
-          F.lit(null).cast("long").as("min_id"),
-          F.lit(null).cast("long").as("max_id")),
-          url, "synthtomb", commit = 2L)
-        // both folds measured on identical fresh layouts: driver-forced
-        // (threshold MaxValue) on THIS layout, distributed-forced
-        // (threshold 0) on a re-synthesized twin below — System.gc()
-        // between measurements so peak-heap reads the fold, not leftovers
-        System.gc()
-        heapPools.foreach(_.resetPeakUsage())
-        val t0 = System.nanoTime()
-        val live = Manifest.compactManifest(spark, path, s"fold$run",
-          driverFoldMaxBytes = Long.MaxValue)
-        val sec = (System.nanoTime() - t0) / 1e9
-        val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / 1048576.0
-        require(live == 64L + synth - 20,
-          s"fold dropped rows: $live != ${64 + synth - 20}")
-        // the folded manifest still answers a banded read (liveness
-        // witness beyond the count)
-        val got = Manifest.readSkipping(spark, path,
-          "id", 100L, 199L).count()
-        require(got == 100, s"post-fold banded read broke: $got != 100")
-        System.err.println(
-          f"[fold] rows=$nRows%8d run=$run driver fold=$sec%.2fs " +
-            f"peak=$peakMb%.0fMB")
-        (sec, peakMb)
-      }
-      val timingsDist = (1 to runs).map { run =>
-        val base = java.nio.file.Files
-          .createTempDirectory(s"graft_folddist_${nRows}_$run").toString
-        val path = s"$base/t"
-        val df = spark.range(6400L).select(F.col("id"),
-          F.sha2(F.concat_ws("_", F.col("id")), 256).as("p"))
-        Manifest.writeWithManifest(df, path, statsCols = Seq("id"),
-          clusterCols = Seq("id"), targetFiles = 64)
-        val url = graft.io.GraftIO.resolveUrl(path)
-        val synth = nRows - 64
-        Manifest.writePart(spark.range(synth).select(
-          F.concat(F.lit("synth/part-"), F.col("id")).as("file"),
-          F.lit(100L).as("rows"),
-          (F.col("id") * 100L + 1000000L).as("min_id"),
-          (F.col("id") * 100L + 1000099L).as("max_id")),
-          url, "synth0", commit = 1L)
-        Manifest.writePart(spark.range(20).select(
-          F.concat(F.lit("synth/part-"), F.col("id")).as("file"),
-          F.lit(null).cast("long").as("rows"),
-          F.lit(null).cast("long").as("min_id"),
-          F.lit(null).cast("long").as("max_id")),
-          url, "synthtomb", commit = 2L)
-        System.gc()
-        heapPools.foreach(_.resetPeakUsage())
-        val t0 = System.nanoTime()
-        val live = Manifest.compactManifest(spark, path, s"fold$run",
-          driverFoldMaxBytes = 0L)
-        val sec = (System.nanoTime() - t0) / 1e9
-        val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / 1048576.0
-        require(live == 64L + synth - 20,
-          s"dist fold dropped rows: $live != ${64 + synth - 20}")
-        val got = Manifest.readSkipping(spark, path,
-          "id", 100L, 199L).count()
-        require(got == 100, s"post-dist-fold banded read broke: $got != 100")
-        System.err.println(
-          f"[fold] rows=$nRows%8d run=$run dist   fold=$sec%.2fs " +
-            f"peak=$peakMb%.0fMB")
-        (sec, peakMb)
-      }
+      // driver-forced (threshold MaxValue) and distributed-forced
+      // (threshold 0) on twin fresh layouts
+      val timings = (1 to runs)
+        .map(run => measureFold(nRows, run, Long.MaxValue, "driver"))
+      val timingsDist = (1 to runs)
+        .map(run => measureFold(nRows, run, 0L, "dist"))
       val secs = timings.map(_._1)
       val peaks = timings.map(_._2)
       (nRows, secs, peaks, timingsDist.map(_._1), timingsDist.map(_._2))

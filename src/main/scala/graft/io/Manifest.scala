@@ -729,20 +729,24 @@ object Manifest {
     // fold on the driver (one collect, job-light — the Delta-checkpoint
     // posture, and the path every in-line streaming compaction takes);
     // big ones fold DISTRIBUTED — ManifestFoldStudy at 1M rows: driver
-    // fold 7.9 s at 1.7-2.1 GB of collect-inflated heap vs distributed
-    // 3.8 s with the driver doing only O(parts) footer reads + a rename.
+    // fold ~9 s at ~2 GB of collect-inflated heap vs distributed ~3.9 s
+    // with the driver doing only O(parts) footer reads + renames.
     val hconf = spark.sparkContext.hadoopConfiguration
-    val partBytes = segDirs(spark, partsPath(url)).map { d =>
+    // ONE listing feeds both the route decision and (on the distributed
+    // path) the footer commit reads — object-storage LIST economics, the
+    // module's own discipline
+    val partFiles = segDirs(spark, partsPath(url)).map { d =>
       val dp = new org.apache.hadoop.fs.Path(d)
-      dp.getFileSystem(hconf).listStatus(dp)
-        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
-        .map(_.getLen).sum
-    }.sum
+      (dp.getName.stripPrefix("seg="),
+        dp.getFileSystem(hconf).listStatus(dp)
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")))
+    }
+    val partBytes = partFiles.iterator.flatMap(_._2).map(_.getLen).sum
     if (partBytes <= driverFoldMaxBytes)
       compactDriverFold(spark, url, raw, segment, keepLast)
     else
-      compactDistributedFold(spark, url, raw, segment, keepLast)
+      compactDistributedFold(spark, url, raw, segment, keepLast, partFiles)
   }
 
   /** The small-manifest fold: one collect, file-count-bound driver work.
@@ -828,9 +832,10 @@ object Manifest {
     * the manifest never materialized on the driver — the fold is a
     * dedup + two anti/semi joins over the parts DataFrame, staged to
     * `_manifest/stage_compact` and committed into `parts/seg=<segment>`
-    * by ONE rename (writing the fold's own input root directly would
-    * race the read; the stage dir is invisible to readers until the
-    * rename, so a crash before it leaves the old layout fully intact).
+    * by rename-aside (prior part aside, staged fold in, aside dropped —
+    * writing the fold's own input root directly would race the read;
+    * the stage dir is invisible to readers until the renames, and no
+    * live part is deleted before its replacement is durably staged).
     * Per-part commit stamps come from the parts' parquet footer
     * statistics (the [[nextCommit]] discipline — zero Spark jobs;
     * `__commit` is constant per part), falling back to one distributed
@@ -841,42 +846,39 @@ object Manifest {
     * identical (see [[manifest]]). Live count is read from the written
     * part's own footer (row count minus the carried tombstones' null
     * count) on the full-fold path; a retention fold pays one count job.
-    * ManifestFoldStudy at 1M rows: 3.8 s here vs the driver fold's
-    * 7.9 s, with no row-bound driver materialization. */
+    * ManifestFoldStudy at 1M rows: ~3.9 s here vs the driver fold's
+    * ~9 s, with no row-bound driver materialization. */
   private def compactDistributedFold(spark: SparkSession, url: String,
-      raw: DataFrame, segment: String, keepLast: Int): Long = {
+      raw: DataFrame, segment: String, keepLast: Int,
+      partFiles: Seq[(String, Array[org.apache.hadoop.fs.FileStatus])])
+      : Long = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    // (segment, commit) per part from footer stats — zero jobs
+    // (segment, commit) per part from footer stats — zero jobs, over the
+    // FileStatuses the routing pass already listed
     var fallback = false
-    val segCommits0 = segDirs(spark, partsPath(url)).flatMap { d =>
-      val dp = new org.apache.hadoop.fs.Path(d)
-      val segName = dp.getName.stripPrefix("seg=")
-      val fs = dp.getFileSystem(hconf)
+    val segCommits0 = partFiles.flatMap { case (segName, statuses) =>
       var commit = Long.MinValue
       var any = false
-      fs.listStatus(dp)
-        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
-        .foreach { st =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(st, hconf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try {
-            r.getFooter.getBlocks.forEach { b =>
-              b.getColumns.forEach { c =>
-                if (c.getPath.toDotString == "__commit") {
-                  val stats = c.getStatistics
-                  if (stats == null || !stats.hasNonNullValue) fallback = true
-                  else {
-                    commit = math.max(commit,
-                      stats.genericGetMax.asInstanceOf[java.lang.Long])
-                    any = true
-                  }
+      statuses.foreach { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, hconf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          r.getFooter.getBlocks.forEach { b =>
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == "__commit") {
+                val stats = c.getStatistics
+                if (stats == null || !stats.hasNonNullValue) fallback = true
+                else {
+                  commit = math.max(commit,
+                    stats.genericGetMax.asInstanceOf[java.lang.Long])
+                  any = true
                 }
               }
             }
-          } finally r.close()
-        }
+          }
+        } finally r.close()
+      }
       // a zero-row part (all-deleted fold) has no commit to address and
       // no rows to fold — same invisibility as in the driver fold
       if (any) Some((segName, commit)) else None
@@ -906,10 +908,14 @@ object Manifest {
     val carried = folded.filter(F.col("rows").isNull)
       .join(liveAll, Seq("file"), "left_semi")
       .dropDuplicates("file")
+    // qcol, not F.col: stats columns inherit the data column's name
+    // (min_doc.id for statsCols = Seq("doc.id")) and a bare F.col would
+    // parse the dot as struct-field access — the same contract every
+    // other manifest read honors
     val outCols = raw.schema.fieldNames
       .filterNot(n => n == "__commit" || n == "seg").toSeq
-    val out = liveOut.select(outCols.map(F.col): _*)
-      .unionAll(carried.select(outCols.map(F.col): _*))
+    val out = liveOut.select(outCols.map(GraftIO.qcol): _*)
+      .unionAll(carried.select(outCols.map(GraftIO.qcol): _*))
     val stagePath = new org.apache.hadoop.fs.Path(
       url + "/_manifest/stage_compact")
     val fs = stagePath.getFileSystem(hconf)
@@ -923,10 +929,24 @@ object Manifest {
     val liveCountKept = if (keepLast > 0) liveCountNow() else -1L
     val target = new org.apache.hadoop.fs.Path(
       s"${partsPath(url)}/seg=$segment")
-    fs.delete(target, true) // a retried compaction replaces its own output
+    // a RETRIED compaction replaces its own output — but never by
+    // deleting the (possibly only) live part before its replacement is
+    // in place: the old part moves ASIDE to a dot-prefixed sibling
+    // (invisible to Spark's listing), the staged fold renames in, then
+    // the aside drops. A crash between the renames leaves no live part
+    // under this segment (readers fail loud), with BOTH the aside and
+    // the staged fold intact — rename either back to recover.
+    val aside = new org.apache.hadoop.fs.Path(
+      s"${partsPath(url)}/.seg_${segment}_old")
+    fs.delete(aside, true)
+    if (fs.exists(target))
+      require(fs.rename(target, aside),
+        s"compactManifest: move-aside failed for $target")
     require(fs.rename(stagePath, target),
       s"compactManifest: staged part swap-in failed for $target — the " +
-        s"staged fold is intact at $stagePath")
+        s"staged fold is intact at $stagePath and the prior part " +
+        s"(if any) at $aside; rename either back to recover")
+    fs.delete(aside, true)
     writeFloor(spark, url, stamp)
     // live count on the full-fold path: from the written part's footer
     // (its live rows ARE the table; carried tombstones are the null-rows
@@ -950,7 +970,12 @@ object Manifest {
                 b.getColumns.forEach { c =>
                   if (c.getPath.toDotString == "rows") {
                     val stats = c.getStatistics
-                    if (stats == null) haveNulls = false
+                    // parquet-mr returns an EMPTY Statistics (numNulls
+                    // == -1) when the count is unset — not null; both
+                    // shapes must take the recount fallback or the
+                    // count silently inflates by -1 per block
+                    if (stats == null || !stats.isNumNullsSet)
+                      haveNulls = false
                     else nulls += stats.getNumNulls
                   }
                 }

@@ -241,7 +241,14 @@ object Embeddings {
         .select("m.n", "m.sum", "m.g").collect().head
       val n = row.getLong(0)
       require(n >= 2L, s"fitPcaTopK needs >= 2 vectors, got $n")
-      nRows = n
+      // the randomized fit makes SEVERAL passes over the corpus; a
+      // source whose row count drifts between them (non-deterministic
+      // frame, concurrent writer) would silently corrupt the subspace
+      if (nRows == 0L) nRows = n
+      else require(n == nRows,
+        s"fitPcaTopK: corpus row count changed between passes " +
+          s"($nRows -> $n) — the randomized fit needs a stable input; " +
+          "cache or checkpoint the frame first")
       val sum = row.getSeq[Double](1).toArray
       val g = row.getSeq[Double](2).toArray
       val ybar = sum.map(_ / n)
@@ -261,6 +268,21 @@ object Embeddings {
     // final require tells the caller to lower k rather than padding the
     // basis with noise directions
     def orth(y: Array[Array[Double]]): Array[Array[Double]] = {
+      // RELATIVE rank tolerance: columns of Y = C·Q scale with the
+      // corpus variance, so an absolute cutoff would misread any
+      // small-magnitude corpus (entries ~1e-7 → column norms ~1e-14)
+      // as rank-deficient and refuse a full-rank fit the exact fitPca
+      // accepts; residuals are judged against the largest input column
+      var scale = 0.0
+      var jj = 0
+      while (jj < y.length) {
+        var n2 = 0.0
+        var l = 0
+        while (l < d) { n2 += y(jj)(l) * y(jj)(l); l += 1 }
+        if (n2 > scale) scale = n2
+        jj += 1
+      }
+      val tol = math.sqrt(scale) * 1e-10
       val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
       var j = 0
       while (j < y.length) {
@@ -279,7 +301,7 @@ object Embeddings {
         var l = 0
         while (l < d) { n2 += v(l) * v(l); l += 1 }
         val nrm = math.sqrt(n2)
-        if (nrm > 1e-12) {
+        if (tol > 0 && nrm > tol) {
           l = 0
           while (l < d) { v(l) /= nrm; l += 1 }
           kept += v
@@ -819,7 +841,8 @@ object Embeddings {
     * whitened metric where a raw index reaches 0.97; nprobe = 32
     * restores 0.98 and still runs 2.5× faster than the raw index at the
     * same recall — candidates are pcaK doubles, not d. The DEFAULT
-    * (`nprobe <= 0`) therefore resolves to `max(4, nlist / 2)` from the
+    * (`nprobe = 0`; negative is refused loud) resolves to
+    * `max(4, nlist / 2)` from the
     * index's own meta — r13's measurement showed the raw verb's
     * nprobe = 4 default is simply wrong in this space (0.69 recall@10
     * even at twice that), and a default that contradicts the verb's own
@@ -832,6 +855,12 @@ object Embeddings {
     require(!queries.columns.exists(
         _.toLowerCase(java.util.Locale.ROOT) == "__wv"),
       "searchWhitenedIvfIndex reserves column name __wv — rename first")
+    // 0 is the documented resolve-the-default sentinel; a NEGATIVE
+    // nprobe is almost certainly broken caller arithmetic (e.g.
+    // nlist - 70 gone negative) and silently defaulting would mask it
+    require(nprobe >= 0,
+      s"searchWhitenedIvfIndex: nprobe must be >= 0 (0 resolves the " +
+        s"measured default max(4, nlist/2)), got $nprobe")
     val probes =
       if (nprobe > 0) nprobe
       else math.max(4, Similarity.ivfIndexNlist(spark, path) / 2)

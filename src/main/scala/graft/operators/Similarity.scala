@@ -844,6 +844,28 @@ object Similarity {
     p
   }
 
+  /** Recursive-delete `p` ONLY if it is absent, empty, or every child
+    * is a recognizable index table (meta/assigned/centroids/pca/
+    * postings) or hidden — i.e. a crashed prior stage/aside of OUR own
+    * making. The stage and aside live in a SIBLING namespace
+    * (`<path>__rebuild`, `<path>__old`), so a user's unrelated
+    * directory that happens to sit at that name must refuse loudly,
+    * never be silently destroyed. */
+  private def clearOwnedDir(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, what: String): Unit = {
+    if (!fs.exists(p)) return
+    val known = Set("meta", "assigned", "centroids", "pca", "postings")
+    val foreign = fs.listStatus(p).map(_.getPath.getName)
+      .filterNot(n => known.contains(n) ||
+        n.startsWith("_") || n.startsWith("."))
+    require(foreign.isEmpty,
+      s"$what: $p exists and does not look like a crashed index " +
+        s"stage/aside (unrecognized entries: ${foreign.mkString(", ")})" +
+        " — move it out of the way; refusing to delete foreign data")
+    fs.delete(p, true)
+    ()
+  }
+
   /** Sibling staging dir for [[swapLayout]], cleared of any crashed prior
     * attempt's leftovers. A SIBLING of `path`, not a child: the
     * whole-directory swap could not otherwise move `path` aside without
@@ -852,8 +874,9 @@ object Similarity {
       path: String, tag: String): String = {
     val staged = normPath(path) + tag
     val sp = new org.apache.hadoop.fs.Path(staged)
-    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(sp, true)
+    clearOwnedDir(
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration), sp,
+      "stageDir")
     staged
   }
 
@@ -882,7 +905,7 @@ object Similarity {
     val tmp = new org.apache.hadoop.fs.Path(normPath(staged))
     val old = new org.apache.hadoop.fs.Path(normPath(path) + "__old")
     val fs = dir.getFileSystem(hconf)
-    fs.delete(old, true)
+    clearOwnedDir(fs, old, what)
     require(!fs.exists(dir) || fs.rename(dir, old),
       s"$what: move-aside failed for $dir")
     require(fs.rename(tmp, dir),

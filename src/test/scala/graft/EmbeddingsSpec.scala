@@ -461,6 +461,40 @@ class EmbeddingsSpec extends SparkSpec {
     assert(after.forall { case (q, c) => q == c }, after.mkString(", "))
   }
 
+  test("index guards: negative nprobe refused loud; a foreign directory " +
+      "at the stage/aside name refuses the rebuild instead of being wiped") {
+    val data = corpus(200, 8).toDF("id", "v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wivf_guards").toString + "/idx"
+    Embeddings.writeWhitenedIvfIndex(data, F.col("id"), F.col("v"),
+      dir, pcaK = 3, nlist = 4, seed = 7)
+    // nprobe = 0 is the documented resolve-the-default sentinel;
+    // NEGATIVE is broken caller arithmetic and must not silently default
+    val eN = intercept[IllegalArgumentException] {
+      Embeddings.searchWhitenedIvfIndex(spark, dir, data.limit(2),
+        F.col("id"), F.col("v"), k = 2, nprobe = -3)
+    }
+    assert(eN.getMessage.contains("nprobe"), eN.getMessage)
+    // a user directory that happens to sit at the rebuild's sibling
+    // stage name must refuse the rebuild loudly, never be deleted
+    val foreign = new java.io.File(dir + "__rebuild")
+    assert(foreign.mkdirs())
+    val marker = new java.io.File(foreign, "precious.txt")
+    java.nio.file.Files.writeString(marker.toPath, "not yours")
+    val eF = intercept[IllegalArgumentException] {
+      Embeddings.writeWhitenedIvfIndex(data, F.col("id"), F.col("v"),
+        dir, pcaK = 3, nlist = 4, seed = 7)
+    }
+    assert(eF.getMessage.contains("precious.txt"), eF.getMessage)
+    assert(marker.exists(), "foreign data must survive the refusal")
+    // moved out of the way, the rebuild proceeds
+    assert(marker.delete() && foreign.delete())
+    Embeddings.writeWhitenedIvfIndex(data, F.col("id"), F.col("v"),
+      dir, pcaK = 3, nlist = 4, seed = 7)
+    assert(Embeddings.searchWhitenedIvfIndex(spark, dir, data.limit(2),
+      F.col("id"), F.col("v"), k = 2, nprobe = 4).count() == 4)
+  }
+
   test("writeWhitenedIvfIndex on an existing layout is an atomic staged " +
       "rebuild of model AND tables together: search + model equal a " +
       "fresh build, stamp carried, no leftovers, raw layouts upgrade") {

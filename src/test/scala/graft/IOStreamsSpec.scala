@@ -1488,9 +1488,18 @@ class IOStreamsSpec extends SparkSpec {
     assert(ids() == (0L until 200L).filterNot(i => i >= 50 && i < 60))
     val batch = Seq((55L, "u55"), (300L, "n300")).toDF("doc.id", "payload")
     Manifest.upsert(batch, dir + "/t", "doc.id", segment = "b1")
-    assert(ids() ==
+    val afterUpsert =
       ((0L until 200L).filterNot(i => i >= 50 && i < 60 && i != 55) :+
-        300L).sorted)
+        300L).sorted
+    assert(ids() == afterUpsert)
+    // the DISTRIBUTED fold must route the envelope columns (literally
+    // "min_doc.id") through qcol too — a bare F.col would parse the dot
+    // as struct access and make big-manifest compaction impossible for
+    // dotted layouts
+    val live = Manifest.compactManifest(spark, dir + "/t", "c0",
+      driverFoldMaxBytes = 0L)
+    assert(live == Manifest.manifest(spark, dir + "/t").count())
+    assert(ids() == afterUpsert)
   }
 
   test("upsertSink: CDC stream into the manifested lake — latestBy " +
