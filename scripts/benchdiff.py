@@ -35,10 +35,57 @@ def load(path):
     return d
 
 
+def find_grid(ref):
+    """Grid file for a sentinel ref label: the archived generation
+    (bench_sentinel_ref_<label>.json) or the live grid if its internal
+    ref matches."""
+    import os
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for p in (os.path.join(here, "scaling", f"bench_sentinel_ref_{ref}.json"),
+              os.path.join(here, "scaling", "bench_sentinel_ref.json")):
+        try:
+            g = json.load(open(p))
+            if g.get("ref") == ref:
+                return g
+        except OSError:
+            pass
+    return None
+
+
+def grid_factor(refa, refb, key):
+    """Conversion between two grid GENERATIONS (r14 verdict #2): a
+    sentinel ratio is median/grid, so when A and B normalized against
+    different grids, B's ratio re-expressed on A's grid is
+    ratio_B x median(gridB[q]/gridA[q]) over the shared controls —
+    keeping the longitudinal chain computable across a refresh."""
+    if refa == refb:
+        return 1.0
+    ga, gb = find_grid(refa), find_grid(refb)
+    if not ga or not gb:
+        return None
+    shared = sorted(set(ga.get(key, {})) & set(gb.get(key, {})))
+    ratios = sorted(gb[key][q] / ga[key][q] for q in shared
+                    if ga[key].get(q))
+    return ratios[len(ratios) // 2] if ratios else None
+
+
 def band_factor(a, b, key):
     sa = (a.get(key) or {}).get("ratio")
     sb = (b.get(key) or {}).get("ratio")
-    return (sb / sa) if (sa and sb) else None, sa, sb
+    if not (sa and sb):
+        return None, sa, sb
+    conv = grid_factor((a.get(key) or {}).get("ref"),
+                       (b.get(key) or {}).get("ref"), key)
+    if conv is None:
+        print(f"WARNING: {key}: A and B normalized against DIFFERENT "
+              "grids and no archived grid pair found — band factor "
+              "not comparable, skipping it")
+        return None, sa, sb
+    if conv != 1.0:
+        print(f"note: {key}: chained across grid generations "
+              f"({(a.get(key) or {}).get('ref')} -> "
+              f"{(b.get(key) or {}).get('ref')}, factor {conv:.3f})")
+    return (sb * conv) / sa, sa, sb * conv
 
 
 a = load(sys.argv[1])

@@ -113,6 +113,11 @@ object ManifestFoldStudy {
       System.err.println(
         f"[fold] rows=$nRows%8d run=$run $label%-6s fold=$sec%.2fs " +
           f"peak=$peakMb%.0fMB")
+      // delete the synthesized layout (r14 ADVICE: the study accreted
+      // millions of synthetic manifest rows of parquet under tmpdir per
+      // invocation — runs × labels × sizes temp dirs, never cleaned)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
       (sec, peakMb)
     }
     val results = sizes.map { nRows =>

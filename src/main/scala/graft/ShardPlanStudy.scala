@@ -69,6 +69,10 @@ object ShardPlanStudy {
       System.err.println(f"[shardplan] shards=$n%5d write=$tWrite%.2fs " +
         f"plan=${med(tPlan)}%.3fs (${med(tPlan) / n * 1000}%.3f ms/shard) " +
         f"consume=${med(tConsume)}%.2fs")
+      // drop the synthesized layout (same tmpdir hygiene as
+      // ManifestFoldStudy, r14 ADVICE #4)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
       (n, tWrite, tPlan, tConsume)
     }
     val json = "{\"metric\":\"shard_plan\",\"unit\":\"sec\"," +

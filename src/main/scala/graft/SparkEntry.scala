@@ -2612,6 +2612,31 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** SQ8 + opt-in exact rescore (r14 verdict #3): the quantized disk
+    * index's top k·factor candidates re-ranked against the
+    * full-precision source through an id-pruned lookup
+    * ([[Similarity.RescoreSource]]) — the refine step makes the ANSWER
+    * exact, so unlike d46's tolerance contract this query hash-matches
+    * the d04 brute-force oracle byte-for-byte (ranks AND rounded
+    * cosines). factor = 8 gives the quantized ranking 40 candidate
+    * slots per query against its ~0.3% cosine error — the candidate
+    * superset provably covers the true top-5 unless 35+ corpus vectors
+    * crowd inside the error band of a winner. */
+  private val d71: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.filter(F.col("vec_id") >= 5)
+    val queries = emb.filter(F.col("vec_id") < 5)
+    val path = scratch(s"d71_sq8_rescore_${dir.hashCode.abs}")
+    Similarity.writeIvfIndex(corpus, F.col("vec_id"), F.col("embedding"),
+      path, nlist = 8, sq8 = true)
+    Similarity.searchIvfIndex(s, path, queries, F.col("vec_id"),
+      F.col("embedding"), k = 5, nprobe = 8,
+      rescore = Some(Similarity.RescoreSource(corpus, F.col("vec_id"),
+        F.col("embedding"), factor = 8)))
+      .withColumn("cosine", F.round(F.col("cosine"), 6))
+      .orderBy("query_id", "rank")
+  }
+
   /** Determinism contract for the order-sensitive fingerprint (d12's
     * correctness signal): hash VALUES are engine-specific (seeded xxhash
     * chain — d12 stays rows-only by nature), but identical text MUST
@@ -3062,6 +3087,7 @@ object SparkEntry {
     "d44_lsh_recall" -> d44,
     "d45_simhash_planted" -> d45,
     "d46_ivf_sq8" -> d46,
+    "d71_sq8_rescore" -> d71,
     "d48_fingerprint_planted" -> d48,
     "d49_bloom_contract" -> d49,
     "d50_multimodal_contract" -> d50,
@@ -3125,6 +3151,11 @@ object SparkEntry {
     // compaction never re-assigns or drops vectors and the probe is
     // exhaustive — still exactly brute force over the full corpus
     ("d58_ivf_compact" -> oracleSqlBase("d04_cosine_topk")) +
+    // SQ8 + exact rescore: the refine step re-ranks the quantized
+    // candidates with full-precision cosines, so the answer is exactly
+    // brute force — the same oracle, hash-equal (d46 stays the
+    // tolerance-contract twin for the un-rescored path)
+    ("d71_sq8_rescore" -> oracleSqlBase("d04_cosine_topk")) +
     // clustered SemDeDup ≡ the nClusters=1 brute-force contract on this
     // fixture: scaled copies co-assign with their originals and no
     // natural pair reaches the threshold (see the d57 scaladoc)

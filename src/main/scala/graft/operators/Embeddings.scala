@@ -77,10 +77,16 @@ object Embeddings {
     * catastrophically for |mean| >> std (e.g. un-centered features at
     * 1e8 ± 1 lose all 16 significant digits to Σxxᵀ − n·μμᵀ). The pivot
     * is elected DETERMINISTICALLY — min over (xxhash64(v), v), the
-    * array tie-break covering hash collisions — so repeated fits over
-    * the same corpus are bit-identical regardless of plan or partition
-    * order (a bare limit(1) would pick whichever partition won the
-    * race). One vec-column-only scan; the moments pass follows. */
+    * array tie-break covering hash collisions — never whichever
+    * partition won the race (a bare limit(1) would). Reproducibility
+    * contract, stated precisely (r14 verdict #5): the PIVOT is
+    * bit-identical under ANY plan or partition order (min is fully
+    * commutative), so repeated fits over the same corpus AT THE SAME
+    * PARTITIONING are bit-identical end-to-end; across RE-partitionings
+    * the moments pass's float sums re-associate and the fitted values
+    * may differ in the last ulps — `model_fp` is the detector a
+    * persisted index uses to notice exactly that. One vec-column-only
+    * scan; the moments pass follows. */
   private def probePivot(df: DataFrame, vec: Column,
       what: String): Array[Double] = {
     val probe = df.select(vec.cast(
@@ -166,10 +172,15 @@ object Embeddings {
     * and eigensolves only the m×m Rayleigh quotient. Passes over the
     * corpus: 1 pivot + (powerIters + 2) matvec passes.
     *
-    * Deterministic end-to-end: the test matrix Ω is a seeded
-    * counter-based gaussian (splitmix64 → Box–Muller — no RNG sequence
-    * state), iteration order is fixed, and components carry the same
-    * sign convention as [[fitPca]] (largest-|component| positive).
+    * Deterministic for a FIXED partitioning: the test matrix Ω is a
+    * seeded counter-based gaussian (splitmix64 → Box–Muller — no RNG
+    * sequence state), iteration order is fixed, and components carry
+    * the same sign convention as [[fitPca]] (largest-|component|
+    * positive) — so same corpus + same partitioning + same seed ⇒
+    * bit-identical model. Across RE-partitionings the matvec passes'
+    * float sums re-associate and the model may differ in the last ulps
+    * (r14 verdict #5) — `model_fp` stamps the exact fitted bits into a
+    * persisted index so long-lived callers detect any such drift.
     *
     * Accuracy contract: with `powerIters` ≥ 2 and default oversampling,
     * components whose eigenvalues are separated match [[fitPca]] to
@@ -847,11 +858,20 @@ object Embeddings {
     * nprobe = 4 default is simply wrong in this space (0.69 recall@10
     * even at twice that), and a default that contradicts the verb's own
     * documentation is a trap. Pass an explicit nprobe to trade recall
-    * for probe cost deliberately. */
+    * for probe cost deliberately.
+    *
+    * `rescore` (opt-in, SQ8 layouts only): the caller's full-precision
+    * source holds RAW d-dim vectors — it is projected through the SAME
+    * persisted model as the queries, so the refine step re-ranks with
+    * exact float cosines in the index's own whitened space (quantization
+    * error removed; the metric change stays, by design). Only the
+    * quantized top `k·factor` ids are looked up — an id-pruned read,
+    * never a corpus re-scan ([[graft.operators.Similarity.RescoreSource]]). */
   def searchWhitenedIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, nprobe: Int = 0, excludeSegment: Option[String] = None,
-      localizeQueries: Boolean = true): DataFrame = {
+      localizeQueries: Boolean = true,
+      rescore: Option[Similarity.RescoreSource] = None): DataFrame = {
     require(!queries.columns.exists(
         _.toLowerCase(java.util.Locale.ROOT) == "__wv"),
       "searchWhitenedIvfIndex reserves column name __wv — rename first")
@@ -867,8 +887,21 @@ object Embeddings {
     val model = readPcaModel(spark, path)
     val projected = pcaProject(queries, queryVec, model, "__wv",
       whiten = true)
+    // the rescore source enters the index's space through the same
+    // persisted model (never a re-fit); the projection fuses into the
+    // id-pruned lookup scan, so only candidate rows ever project
+    val rescoreW = rescore.map { rs =>
+      require(!rs.source.columns.exists(
+          _.toLowerCase(java.util.Locale.ROOT) == "__rwv"),
+        "searchWhitenedIvfIndex reserves column name __rwv in the " +
+          "rescore source — rename first")
+      Similarity.RescoreSource(
+        pcaProject(rs.source, rs.vec, model, "__rwv", whiten = true),
+        rs.id, F.col("__rwv"), rs.factor)
+    }
     Similarity.searchIvfIndexImpl(spark, path, projected, queryId,
       F.col("__wv"), k, probes, excludeSegment, localizeQueries,
-      expectWhitened = true, expectedModelFp = Some(model.fingerprint))
+      expectWhitened = true, expectedModelFp = Some(model.fingerprint),
+      rescore = rescoreW)
   }
 }

@@ -1470,6 +1470,90 @@ class IOStreamsSpec extends SparkSpec {
     assert(Manifest.manifest(spark, dir + "/t").count() == 0)
   }
 
+  test("manifest compaction aside: an orphaned .seg_*_old (crash between " +
+      "the fold's renames) fails loud at read time instead of serving a " +
+      "partial manifest; a stale aside WITH its twin is harmless") {
+    val dir = tmp("graft_man_aside")
+    Manifest.writeWithManifest((0L until 100L).map(i => (i, s"r$i"))
+      .toDF("id", "payload"), dir + "/t", statsCols = Seq("id"),
+      clusterCols = Seq("id"), targetFiles = 2) // commit 0
+    Manifest.appendWithManifest((100L until 120L).map(i => (i, s"a$i"))
+      .toDF("id", "payload"), dir + "/t", segment = "b1") // commit 1
+    Manifest.compactManifest(spark, dir + "/t", "c1", keepLast = 1,
+      driverFoldMaxBytes = 0L)
+    val parts = new java.io.File(dir + "/t/_manifest/parts")
+    assert(parts.listFiles().map(_.getName).toSet == Set("seg=c1", "seg=b1"))
+    // crash-between-renames simulation: the compact part moved aside,
+    // its replacement never swapped in — kept parts (seg=b1) survive,
+    // which is exactly the silently-partial window (r14 ADVICE)
+    val c1 = new java.io.File(parts, "seg=c1")
+    val aside = new java.io.File(parts, ".seg_c1_old")
+    assert(c1.renameTo(aside))
+    val e = intercept[IllegalArgumentException] {
+      Manifest.manifest(spark, dir + "/t").collect()
+    }
+    assert(e.getMessage.contains(".seg_c1_old"), e.getMessage)
+    // the documented recovery rename restores reads
+    assert(aside.renameTo(c1))
+    assert(Manifest.manifest(spark, dir + "/t").count() > 0)
+    // a stale aside WITH its twin (crash after swap-in, before the
+    // aside drop) reads fine, and the next compaction clears it
+    org.apache.commons.io.FileUtils.copyDirectory(c1, aside)
+    val live = Manifest.manifest(spark, dir + "/t").count()
+    assert(live > 0)
+    assert(Manifest.compactManifest(spark, dir + "/t", "c1",
+      driverFoldMaxBytes = 0L) > 0)
+    assert(!aside.exists())
+  }
+
+  test("distributed fold detects a multi-commit foreign part via footer " +
+      "min/max and falls back to per-row commits — semantics equal the " +
+      "driver fold (same stamp, same refused as-of window)") {
+    val dir = tmp("graft_man_multicommit")
+    // twin layouts; the fold label and threshold are the only knobs
+    def build(t: String): Unit = {
+      Manifest.writeWithManifest((0L until 100L).map(i => (i, s"r$i"))
+        .toDF("id", "payload"), dir + t, statsCols = Seq("id"),
+        clusterCols = Seq("id"), targetFiles = 2) // commit 0
+      // one FOREIGN part holding commits {1, 2} in a single file: commit
+      // 1 tombstones a synthetic file, commit 2 lists another — per-ROW
+      // fold semantics the footer max alone would mangle (the pre-fix
+      // distributed fold read this part as "commit 2" and stamped the
+      // fold at 0 instead of the driver fold's 1)
+      Seq(("synth/f1", Option.empty[Long], 1L),
+        ("synth/f2", Some(50L), 2L))
+        .toDF("file", "rows", "__commit")
+        .select(F.col("file"), F.col("rows"),
+          F.col("rows").as("min_id"), F.col("rows").as("max_id"),
+          F.col("__commit"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(dir + t + "/_manifest/parts/seg=foreign")
+    }
+    build("/tA"); build("/tB")
+    val liveDist = Manifest.compactManifest(spark, dir + "/tA", "cX",
+      keepLast = 1, driverFoldMaxBytes = 0L)
+    val liveDriver = Manifest.compactManifest(spark, dir + "/tB", "cX",
+      keepLast = 1, driverFoldMaxBytes = Long.MaxValue)
+    assert(liveDist == liveDriver)
+    // twin layouts live at different roots — compare path-normalized
+    def man(t: String) = Manifest.manifest(spark, dir + t)
+      .withColumn("file",
+        F.regexp_extract(F.col("file"), "(part-\\d+|synth/.*)", 1))
+      .orderBy("file").collect().toSeq
+    assert(man("/tA") == man("/tB"))
+    // both folds stamp at commit 1 (the max FOLDED commit under
+    // keepLast = 1 over per-row commits {0, 1, 2}); as-of 0 is refused
+    // on BOTH — the pre-fix distributed fold stamped 0 and kept serving
+    // it, silently diverging from the driver fold's history window
+    Seq("/tA", "/tB").foreach { t =>
+      assert(Manifest.manifestAsOf(spark, dir + t, 1).count() > 0)
+      val e = intercept[IllegalArgumentException] {
+        Manifest.manifestAsOf(spark, dir + t, 0).collect()
+      }
+      assert(e.getMessage.contains("compacted away"), e.getMessage)
+    }
+  }
+
   test("manifest operations accept column names needing backtick quoting " +
       "(dots): write, skip-read, deleteKeys, upsert") {
     val dir = tmp("graft_lake_dotcol")

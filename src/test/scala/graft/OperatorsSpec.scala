@@ -823,6 +823,135 @@ class OperatorsSpec extends SparkSpec {
       F.col("id"), F.col("v"), k = 5, nprobe = 4)) == exact)
   }
 
+  test("searchIvfIndex wide-probe route: a RAW layout probing >= half " +
+      "its cells scans everything (measured cheaper at width — " +
+      "scaling/whitened_ivf_4096.json); results stay identical at " +
+      "nprobe = nlist and upgrade to exact below it; whitened layouts " +
+      "and distributed query sets keep probing") {
+    // the factored route decision, pinned against the measured curve
+    assert(!Similarity.shouldRouteBrute(1, 4, whitened = false,
+      localizeQueries = true)) // frac 0.25: probed path measured 2.6x
+    assert(Similarity.shouldRouteBrute(2, 4, whitened = false,
+      localizeQueries = true)) // frac 0.5: the measured cliff
+    assert(Similarity.shouldRouteBrute(8, 4, whitened = false,
+      localizeQueries = true)) // nprobe > nlist clamps to 1.0
+    assert(!Similarity.shouldRouteBrute(4, 4, whitened = true,
+      localizeQueries = true)) // whitened candidates are pcaK-wide
+    assert(!Similarity.shouldRouteBrute(4, 4, whitened = false,
+      localizeQueries = false)) // big query sets can't broadcast
+    val corpus = (for { cl <- 0 until 4; i <- 0 until 25 } yield {
+      val v = Array.tabulate(8)(d =>
+        (if (d == cl * 2) 10.0 else 0.0) + ((i * 7 + d * 3) % 5) * 0.1)
+      (cl * 100L + i, v.toSeq)
+    }).toDF("id", "v")
+    val queries = (0 until 4).map { cl =>
+      (1000L + cl, Seq.tabulate(8)(d => if (d == cl * 2) 10.0 else 0.0))
+    }.toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfroute")
+      .toString + "/idx"
+    Similarity.writeIvfIndex(corpus, F.col("id"), F.col("v"), dir,
+      nlist = 4, trainSample = 100)
+    def ids(d: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      d.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+    val exact = ids(Similarity.bruteForceTopK(corpus, F.col("id"),
+      F.col("v"), queries, F.col("id"), F.col("v"), k = 5))
+    // routed (frac 1.0): the plan is the brute shape — no cell probe
+    // join, a broadcast nested-loop over the full assigned scan
+    val routed = Similarity.searchIvfIndex(spark, dir, queries,
+      F.col("id"), F.col("v"), k = 5, nprobe = 4)
+    assert(ids(routed) == exact)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"wide probe not routed to the full scan:\n$plan")
+    assert(plan.contains("PartitionFilters: []"),
+      s"routed scan should carry no cell partition filter:\n$plan")
+    // routed at frac in [0.5, 1): the EXACT answer — a strict recall
+    // upgrade over what the probed path would have returned
+    assert(ids(Similarity.searchIvfIndex(spark, dir, queries,
+      F.col("id"), F.col("v"), k = 5, nprobe = 2)) == exact)
+    // under the fraction the probed plan survives untouched
+    val probed = Similarity.searchIvfIndex(spark, dir, queries,
+      F.col("id"), F.col("v"), k = 5, nprobe = 1)
+    probed.collect()
+    assert(probed.queryExecution.executedPlan.toString.linesIterator
+      .exists(l => l.contains("PartitionFilters") && l.contains("cell")))
+  }
+
+  test("SQ8 rescore: the opt-in exact re-rank against the full-precision " +
+      "source matches the float path's cosines bit-for-bit, the lookup " +
+      "is id-pruned at the scan, and a float layout refuses") {
+    val corpus = (for { cl <- 0 until 4; i <- 0 until 25 } yield {
+      val v = Array.tabulate(8)(d =>
+        (if (d == cl * 2) 10.0 else 0.0) + ((i * 7 + d * 3) % 5) * 0.1)
+      (cl * 100L + i, v.toSeq)
+    }).toDF("id", "v")
+    val queries = (0 until 4).map { cl =>
+      (1000L + cl, Seq.tabulate(8)(d => if (d == cl * 2) 10.0 else 0.0))
+    }.toDF("id", "v")
+    val root = java.nio.file.Files.createTempDirectory("graft_rescore")
+      .toString
+    // the full-precision source round-trips through parquet so the
+    // id-prune is observable as a pushed scan filter
+    corpus.write.parquet(root + "/source")
+    val source = spark.read.parquet(root + "/source")
+    Similarity.writeIvfIndex(corpus, F.col("id"), F.col("v"),
+      root + "/sq8", nlist = 4, trainSample = 100, sq8 = true)
+    // float truth: exact cosines over the full-precision corpus
+    val truth = Similarity.bruteForceTopK(corpus, F.col("id"), F.col("v"),
+      queries, F.col("id"), F.col("v"), k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val rescored = Similarity.searchIvfIndex(spark, root + "/sq8",
+      queries, F.col("id"), F.col("v"), k = 5, nprobe = 4,
+      rescore = Some(Similarity.RescoreSource(source, F.col("id"),
+        F.col("v"))))
+    val got = rescored.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    // BIT equality, ranks and cosines included: the refine step scores
+    // the same doubles through the same expression as the float path
+    assert(got == truth, s"\n$got\nvs\n$truth")
+    // without rescore the SQ8 scores differ from the float path (the
+    // ~0.3% quantization error the rescore removes) — the opt-in is
+    // load-bearing, not a no-op
+    val quant = Similarity.searchIvfIndex(spark, root + "/sq8", queries,
+      F.col("id"), F.col("v"), k = 5, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(quant != truth)
+    // the full-precision lookup is pruned by candidate ids AT THE SCAN
+    val plan = rescored.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("In(id"),
+      s"rescore lookup not id-pruned at the source scan:\n$plan")
+    // the in-memory SQ8 verb takes the same opt-in
+    val idx = Similarity.ivfIndex(corpus, F.col("id"), F.col("v"),
+      nlist = 4, trainSample = 100)
+    val viaQ = Similarity.ivfSearchQuantized(idx.centroids,
+      Similarity.ivfIndexQuantized(idx), queries, F.col("id"), F.col("v"),
+      k = 5, nprobe = 4,
+      rescore = Some(Similarity.RescoreSource(source, F.col("id"),
+        F.col("v")))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(viaQ == truth)
+    // a float layout refuses: its scores are already exact
+    Similarity.writeIvfIndex(corpus, F.col("id"), F.col("v"),
+      root + "/float", nlist = 4, trainSample = 100)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.searchIvfIndex(spark, root + "/float", queries,
+        F.col("id"), F.col("v"), k = 5,
+        rescore = Some(Similarity.RescoreSource(source, F.col("id"),
+          F.col("v"))))
+    }
+    assert(e.getMessage.contains("SQ8"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Similarity.RescoreSource(source, F.col("id"), F.col("v"), factor = 0)
+    }
+  }
+
   test("ivfSearchQuantized: SQ8 disk index prunes to probed partitions " +
       "and scores within quantization tolerance of the float path") {
     val corpus = (for { cl <- 0 until 4; i <- 0 until 25 } yield {

@@ -230,6 +230,45 @@ class SamplingSpec extends SparkSpec {
     assert(left == Set("features", "postings", "meta"), left.toString)
   }
 
+  test("minhash disk index: a crashed rebuild's stage/aside leftovers " +
+      "(which hold a features table) are recognized as our own and " +
+      "cleared on retry; genuinely foreign data still refuses") {
+    val a = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the sun sets slowly behind the distant purple mountains"
+    val ref = Seq((1L, a)).toDF("rid", "rtext")
+    val root = java.nio.file.Files.createTempDirectory("graft_mhcrash")
+      .toString
+    val dir = root + "/idx"
+    Dedup.writeMinhashIndex(ref, F.col("rid"), F.col("rtext"), dir,
+      shingleSize = 3, numHashes = 64, bands = 16)
+    // crashed-rebuild simulation: a COMPLETE minhash layout (features +
+    // postings + meta) left at the sibling stage dir — r14 ADVICE: the
+    // known-table set omitted `features`, so this read as "foreign
+    // data" and the documented crash-retry refused instead of recovering
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(dir), new java.io.File(root + "/idx__rebuild"))
+    Dedup.writeMinhashIndex(ref, F.col("rid"), F.col("rtext"), dir,
+      shingleSize = 3, numHashes = 64, bands = 8)
+    assert(!new java.io.File(root + "/idx__rebuild").exists())
+    // same for a crashed swap's move-aside leftover
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(dir), new java.io.File(root + "/idx__old"))
+    Dedup.writeMinhashIndex(ref, F.col("rid"), F.col("rtext"), dir,
+      shingleSize = 3, numHashes = 64, bands = 16)
+    assert(!new java.io.File(root + "/idx__old").exists())
+    // the rebuilt index is live end-to-end
+    assert(Dedup.dedupAgainstIndex(Seq((2L, a)).toDF("id", "text"),
+      F.col("id"), F.col("text"), dir, threshold = 0.9).count() == 0)
+    // a user's unrelated directory at the stage name still refuses loudly
+    val foreign = new java.io.File(root + "/idx__rebuild/my_data")
+    assert(foreign.mkdirs())
+    val e = intercept[IllegalArgumentException] {
+      Dedup.writeMinhashIndex(ref, F.col("rid"), F.col("rtext"), dir,
+        shingleSize = 3, numHashes = 64, bands = 8)
+    }
+    assert(e.getMessage.contains("my_data"), e.getMessage)
+  }
+
   test("minhash disk index: the per-path meta cache re-reads a REGENERATED " +
       "index (file-identity key — a raw path key would serve stale build " +
       "params)") {
