@@ -880,9 +880,10 @@ object Manifest {
     * #4): each open is an independent metadata round trip, and at the
     * ~1M-file posture's thousands of parts a serial loop is thousands
     * of sequential RTTs — on object storage the whole harvest's wall
-    * clock (measured locally: 16.5× over serial at 1024 parts,
-    * scaling/manifest_harvest.json). Results fold back deterministically
-    * by part order, so parallelism changes no outcome.
+    * clock (measured locally: ~10× over serial at every size 64-1024
+    * parts, 7.1 s → 0.73 s at 1024 — scaling/manifest_harvest.json).
+    * Results fold back deterministically by part order, so parallelism
+    * changes no outcome.
     *
     * Each file yields its __commit (min, max) — BOTH stats, because the
     * fold's commit windowing addresses whole SEGMENTS: a foreign-written

@@ -207,7 +207,14 @@ object Shards {
     * contracts as the full iterator (one partition, rows in `pos`
     * order, the `shard` column re-attached) and the same committed
     * (`_SUCCESS`) and existence guards, so a mistyped or out-of-range
-    * shard id fails loud instead of reading as an empty shard. */
+    * shard id fails loud instead of reading as an empty shard.
+    *
+    * MEASURED constant in the layout's total size (r14 verdict #7,
+    * scaling/shard_worker.json): the full verb — guards + single-dir
+    * LIST + plan + a consume of the shard — holds a flat ~0.15 s
+    * median from 1k through 131k sibling `shard=N` dirs on a local
+    * fs; nothing in the path enumerates siblings, so dir count only
+    * enters through the filesystem's own name-lookup cost. */
   def readShard(spark: SparkSession, path: String, shardId: Long): DataFrame = {
     require(shardId >= 0, s"readShard: shard id must be >= 0, got $shardId")
     val url = GraftIO.resolveUrl(path)
