@@ -63,9 +63,11 @@ def grid_factor(refa, refb, key):
     ga, gb = find_grid(refa), find_grid(refb)
     if not ga or not gb:
         return None
-    shared = sorted(set(ga.get(key, {})) & set(gb.get(key, {})))
-    ratios = sorted(gb[key][q] / ga[key][q] for q in shared
-                    if ga[key].get(q))
+    # artifact band key -> grid control-list key
+    gkey = {"sentinel": "queries", "sentinel_heavy": "queries_heavy"}[key]
+    shared = sorted(set(ga.get(gkey, {})) & set(gb.get(gkey, {})))
+    ratios = sorted(gb[gkey][q] / ga[gkey][q] for q in shared
+                    if ga[gkey].get(q))
     return ratios[len(ratios) // 2] if ratios else None
 
 

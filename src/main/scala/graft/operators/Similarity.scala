@@ -262,6 +262,16 @@ object Similarity {
       queryId: Column, queryVec: Column,
       k: Int, nprobe: Int = 4,
       localizeQueries: Boolean = true): DataFrame = {
+    // exhaustive probe (nprobe >= nlist, the exact-search idiom) scans
+    // every cell anyway — skip the probe explode + candidate join
+    // entirely and stream the corpus through the brute scorer: same
+    // scoring expression, same tie-break, IDENTICAL results, strictly
+    // less machinery (the persisted verb routes earlier and wider —
+    // [[bruteRouteFraction]]; here only the always-win case applies,
+    // because an in-memory index carries no whitened stamp to consult)
+    if (localizeQueries && nprobe >= index.centroids.length)
+      return bruteForceTopK(index.assigned, F.col("corpus_id"),
+        F.col("cv"), queries, queryId, queryVec, k)
     val pairs = if (localizeQueries) {
       val probed = collectProbes(index.centroids, queries, queryId,
         queryVec, nprobe)

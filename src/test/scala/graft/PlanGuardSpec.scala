@@ -276,6 +276,14 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  /** Queries whose BroadcastNestedLoopJoin is DELIBERATE, not an
+    * accidental degeneration: exhaustive-probe IVF (r15) routes to the
+    * brute scorer — a broadcast of the driver-small query set streamed
+    * against the corpus scan, the same sanctioned shape as d04's
+    * bruteForceTopK (which was never guarded for exactly this reason).
+    * The single-partition-window guard still applies to them. */
+  private val deliberateBnlj = Set("d14_ivf_topk", "d43_ivf_disk_index")
+
   for (name <- guarded)
     test(s"$name: no single-partition window, no nested-loop join") {
       val plan = SparkEntry.queries(name)(spark, dir)
@@ -283,7 +291,12 @@ class PlanGuardSpec extends SparkSpec {
       val offenders = singlePartitionWindows(plan)
       assert(offenders.isEmpty,
         s"single-partition window in $name:\n${offenders.mkString("\n")}\n$plan")
-      assert(!plan.contains("NestedLoop"),
-        s"nested-loop join in $name:\n$plan")
+      if (!deliberateBnlj.contains(name))
+        assert(!plan.contains("NestedLoop"),
+          s"nested-loop join in $name:\n$plan")
+      else
+        assert(plan.contains("BroadcastNestedLoopJoin"),
+          s"$name expected the routed brute shape (broadcast queries " +
+            s"against the corpus scan):\n$plan")
     }
 }
