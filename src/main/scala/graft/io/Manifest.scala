@@ -937,7 +937,14 @@ object Manifest {
               Foot(segName, lo, hi, ok)
             }
           }
-        }.asJava).asScala.map(_.get()).toSeq
+        }.asJava).asScala.map(f =>
+          try f.get()
+          catch {
+            // surface the footer reader's own exception (corrupt file,
+            // missing permission), not the pool's wrapper
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }).toSeq
       } finally pool.shutdown()
     // per-SEGMENT fold of the per-file stats: the segment's commit is
     // max(max); a segment whose min(min) disagrees is multi-commit.

@@ -327,7 +327,12 @@ object Similarity {
     * corpus is never re-scanned). The exact top-k within that candidate
     * set is returned; a true neighbor the quantized ranking dropped
     * below rank k·factor stays dropped — factor buys that recall, the
-    * standard refine-step trade (FAISS's re-rank). */
+    * standard refine-step trade (FAISS's re-rank).
+    *
+    * The query frame is evaluated once more on the rescore path (its
+    * collected (id, vector) rows feed the re-rank join) — the same
+    * deterministic-plan expectation every search verb already places on
+    * its inputs; snapshot a sample/rand-derived query frame first. */
   final case class RescoreSource(source: DataFrame, id: Column,
       vec: Column, factor: Int = 4) {
     require(factor >= 1, s"rescore factor must be >= 1, got $factor")
@@ -355,8 +360,29 @@ object Similarity {
     val qDf = spark.createDataFrame(
       java.util.Arrays.asList(qRows: _*), qSel.schema)
     val ids = cand.map(_.get(1)).distinct.toSeq
+    // no candidates (empty query set / empty index): the re-rank of
+    // nothing is nothing — skip the source scan entirely
+    if (ids.isEmpty) return quantTop.limit(0)
     val pruned = rs.source.select(rs.id.as("corpus_id"), rs.vec.as("__rv"))
       .filter(F.col("corpus_id").isin(ids: _*))
+    // a source that does not COVER the candidate ids (stale snapshot,
+    // wrong table) would silently drop those candidates from the
+    // re-ranked top-k, and one that holds DUPLICATE rows per id would
+    // double-list a candidate at two ranks — fail loud on both. One
+    // aggregation over the already id-pruned scan (bounded by the
+    // candidate set), paid only on the opt-in rescore path.
+    val cov = pruned.filter(F.col("__rv").isNotNull)
+      .agg(F.count_distinct(F.col("corpus_id")).as("d"),
+        F.count(F.lit(1)).as("n")).collect().head
+    require(cov.getLong(0) == ids.size,
+      s"rescore: the full-precision source covers ${cov.getLong(0)} of " +
+        s"${ids.size} candidate ids — a stale or wrong source would " +
+        "silently drop the missing candidates from the re-ranked " +
+        "top-k; pass the same corpus the index was built/appended from")
+    require(cov.getLong(1) == cov.getLong(0),
+      s"rescore: the full-precision source holds ${cov.getLong(1)} rows " +
+        s"for ${cov.getLong(0)} candidate ids — duplicate ids would " +
+        "double-list a candidate at two ranks; dedup the source first")
     topKByQuery(pruned
       .join(F.broadcast(candDf), Seq("corpus_id"))
       .join(F.broadcast(qDf), Seq("query_id"))

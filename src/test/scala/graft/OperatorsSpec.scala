@@ -937,6 +937,31 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
       .sortBy(t => (t._1, t._3)).toSeq
     assert(viaQ == truth)
+    // a STALE source (missing candidate ids) fails loud — silently
+    // dropping candidates from the re-ranked top-k is the failure the
+    // coverage guard exists for — and so does a source with DUPLICATE
+    // rows per id (a candidate would list at two ranks)
+    val stale = intercept[IllegalArgumentException] {
+      Similarity.searchIvfIndex(spark, root + "/sq8", queries,
+        F.col("id"), F.col("v"), k = 5, nprobe = 4,
+        rescore = Some(Similarity.RescoreSource(
+          source.filter(F.col("id") % 2 === 0), F.col("id"), F.col("v"))))
+    }
+    assert(stale.getMessage.contains("covers"), stale.getMessage)
+    val duped = intercept[IllegalArgumentException] {
+      Similarity.searchIvfIndex(spark, root + "/sq8", queries,
+        F.col("id"), F.col("v"), k = 5, nprobe = 4,
+        rescore = Some(Similarity.RescoreSource(
+          source.unionAll(source), F.col("id"), F.col("v"))))
+    }
+    assert(duped.getMessage.contains("duplicate"), duped.getMessage)
+    // empty query set: the re-rank of nothing is nothing, same schema
+    val empty = Similarity.searchIvfIndex(spark, root + "/sq8",
+      queries.filter(F.col("id") < 0), F.col("id"), F.col("v"), k = 5,
+      nprobe = 4, rescore = Some(Similarity.RescoreSource(source,
+        F.col("id"), F.col("v"))))
+    assert(empty.columns.toSeq ==
+      Seq("query_id", "corpus_id", "rank", "cosine") && empty.count() == 0)
     // a float layout refuses: its scores are already exact
     Similarity.writeIvfIndex(corpus, F.col("id"), F.col("v"),
       root + "/float", nlist = 4, trainSample = 100)
