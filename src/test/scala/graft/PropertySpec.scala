@@ -514,4 +514,45 @@ class PropertySpec extends SparkSpec {
       assert(got == want)
     }
   }
+
+  test("SQ8 rescore at a covering factor equals float brute force " +
+      "bit-for-bit on random corpora (exhaustive probe: candidates = " +
+      "everything, so the refine must reproduce the exact ranking)") {
+    import org.apache.spark.sql.{functions => F}
+    import graft.operators.Similarity
+    import spark.implicits._
+    // random small corpora: n vectors of width d, values in [-1, 1];
+    // ids 0..n-1, queries = 2 held-out random vectors
+    val corpusGen = for {
+      n <- Gen.chooseNum(12, 40)
+      d <- Gen.chooseNum(3, 8)
+      vals <- Gen.listOfN((n + 2) * d, Gen.chooseNum(-1.0, 1.0))
+    } yield (n, d, vals)
+    forAll(corpusGen, n = 5) { case (n, d, vals) =>
+      val vecs = vals.grouped(d).toSeq
+      val corpus = vecs.take(n).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val queries = vecs.slice(n, n + 2).zipWithIndex
+        .map { case (v, i) => (1000L + i, v) }.toDF("id", "v")
+      val truth = Similarity.bruteForceTopK(corpus, F.col("id"),
+        F.col("v"), queries, F.col("id"), F.col("v"), k = 3)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      val idx = Similarity.ivfIndex(corpus, F.col("id"), F.col("v"),
+        nlist = 4, trainSample = 100)
+      // factor covers the whole corpus: ceil(n/k) so k·factor >= n —
+      // the quantized ranking's candidate set is EVERYTHING and the
+      // refine must reproduce the float ranking exactly, whatever the
+      // quantization did to the intermediate order
+      val factor = (n + 2) / 3
+      val got = Similarity.ivfSearchQuantized(idx.centroids,
+        Similarity.ivfIndexQuantized(idx), queries, F.col("id"),
+        F.col("v"), k = 3, nprobe = 4,
+        rescore = Some(Similarity.RescoreSource(corpus, F.col("id"),
+          F.col("v"), factor)))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(got == truth, s"n=$n d=$d:\n$got\nvs\n$truth")
+    }
+  }
 }
