@@ -92,16 +92,24 @@ object RescoreStudy {
         F.col("v"), k = kTop, nprobe = np, rescore = rs)
     keys(search(1, None)) // cold-read warmup
 
-    val sweep = Seq(8, 32).map { np =>
+    // nprobe 8/16 sit UNDER the wide-probe route (frac 0.125/0.25 of
+    // nlist = 64) so the baseline genuinely times the quantized PROBE;
+    // 64 is the exhaustive point and rides the brute route by design —
+    // labeled `routed` in the artifact so nobody reads it as a probe
+    // datapoint (r15 review: the first cut used 32, whose baseline was
+    // silently the routed full scan)
+    val sweep = Seq(8, 16, 64).map { np =>
+      val routed = Similarity.shouldRouteBrute(np, nlist,
+        whitened = false, localizeQueries = true)
       val (quant, tQ) = time(keys(search(np, None)))
       val rQ = recall(quant, truth)
       val rescored = Seq(2, 4).map { factor =>
         val (got, t) = time(keys(search(np, Some(Similarity.RescoreSource(
           corpus, F.col("id"), F.col("v"), factor)))))
         val r = recall(got, truth)
-        System.err.println(f"[rescore] nprobe=$np factor=$factor " +
-          f"search=$t%.2fs (+${t - tQ}%.2fs) recall=$r%.3f " +
-          f"(quant $rQ%.3f)")
+        System.err.println(f"[rescore] nprobe=$np routed=$routed " +
+          f"factor=$factor search=$t%.2fs (+${t - tQ}%.2fs) " +
+          f"recall=$r%.3f (quant $rQ%.3f)")
         // the refine can only help: candidates ⊇ nothing it can lose
         require(r >= rQ - 1e-9,
           f"rescore LOWERED recall at nprobe=$np factor=$factor: " +
@@ -114,13 +122,14 @@ object RescoreStudy {
         require(t - tQ < 0.75 * tBrute,
           f"rescore overhead ${t - tQ}%.1fs at factor=$f approaches the " +
             f"full-scan cost $tBrute%.1fs — the id-prune is not pruning") }
-      (np, tQ, rQ, rescored)
+      (np, routed, tQ, rQ, rescored)
     }
     val json = s"""{"metric":"sq8_rescore","unit":"sec","d":$d,"n":$n,""" +
       s""""m":$m,"nlist":$nlist,"k":$kTop,"brute":$tBrute,""" +
       s""""build":$tBuild,"sweep":[""" +
-      sweep.map { case (np, tQ, rQ, rescored) =>
-        s"""{"nprobe":$np,"quant_search":$tQ,"quant_recall":$rQ,""" +
+      sweep.map { case (np, routed, tQ, rQ, rescored) =>
+        s"""{"nprobe":$np,"routed":$routed,"quant_search":$tQ,""" +
+          s""""quant_recall":$rQ,""" +
           s""""rescored":[""" + rescored.map { case (f, t, r) =>
             s"""{"factor":$f,"search":$t,"recall":$r}"""
           }.mkString(",") + "]}"

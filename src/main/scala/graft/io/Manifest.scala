@@ -845,13 +845,36 @@ object Manifest {
     writeFloor(spark, url, stamp)
     val fs = new org.apache.hadoop.fs.Path(url)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    segDirs(spark, partsPath(url)).foreach { d =>
+    sweepFoldedSegs(fs, partsPath(url),
+      segDirs(spark, partsPath(url)), segment, keptSegs)
+    liveCount
+  }
+
+  /** End-of-fold cleanup shared by both folds: delete every folded-away
+    * `seg=` dir — and, WITH each, any `.seg_<sg>_old` compaction aside
+    * a previous distributed fold's crash left next to it (the
+    * documented crash-after-swap-in state, harmless while its twin
+    * lives). Deleting only the twin would orphan the aside, and
+    * [[segDirs]]' aside guard would then fail every subsequent read of
+    * a healthy table — with recovery advice (rename the aside back)
+    * that would RESURRECT stale pre-fold parts beside the committed
+    * fold. The fold's own output segment and every kept segment also
+    * get their stale asides swept (their twins are live and committed;
+    * the aside is pure leftover). */
+  private def sweepFoldedSegs(fs: org.apache.hadoop.fs.FileSystem,
+      partsRoot: String, dirs: Seq[String], segment: String,
+      keptSegs: Set[String]): Unit =
+    dirs.foreach { d =>
       val sg = d.substring(d.lastIndexOf("/seg=") + 5)
       if (sg != segment && !keptSegs.contains(sg))
         fs.delete(new org.apache.hadoop.fs.Path(d), true)
+      // the aside (if any) goes regardless of kept/folded: its twin is
+      // either committed (stale aside) or deleted just above (orphan
+      // otherwise)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$partsRoot/.seg_${sg}_old"), true)
+      ()
     }
-    liveCount
-  }
 
   /** The big-manifest fold: same semantics as [[compactDriverFold]]
     * (same live/tombstone/carry/stamp rules, same crash ordering) with
@@ -1080,11 +1103,8 @@ object Manifest {
               .distinct(), Seq("file"), "left_anti").count()
         }
       }
-    segDirs(spark, partsPath(url)).foreach { d =>
-      val sg = d.substring(d.lastIndexOf("/seg=") + 5)
-      if (sg != segment && !keptSegs.contains(sg))
-        fs.delete(new org.apache.hadoop.fs.Path(d), true)
-    }
+    sweepFoldedSegs(fs, partsPath(url),
+      segDirs(spark, partsPath(url)), segment, keptSegs)
     liveCount
   }
 

@@ -211,7 +211,7 @@ object Shards {
     *
     * MEASURED constant in the layout's total size (r14 verdict #7,
     * scaling/shard_worker.json): the full verb — guards + single-dir
-    * LIST + plan + a consume of the shard — holds a flat ~0.15 s
+    * LIST + plan + a consume of the shard — holds a flat ~0.13-0.22 s
     * median from 1k through 131k sibling `shard=N` dirs on a local
     * fs; nothing in the path enumerates siblings, so dir count only
     * enters through the filesystem's own name-lookup cost. */

@@ -332,7 +332,15 @@ object Similarity {
     * The query frame is evaluated once more on the rescore path (its
     * collected (id, vector) rows feed the re-rank join) — the same
     * deterministic-plan expectation every search verb already places on
-    * its inputs; snapshot a sample/rand-derived query frame first. */
+    * its inputs; snapshot a sample/rand-derived query frame first.
+    *
+    * Laziness caveat, stated plainly: unlike the plain search verbs
+    * (which return an unevaluated plan), a rescored search runs the
+    * quantized ranking EAGERLY inside the verb call — the candidate
+    * top k·factor, the query vectors, and the coverage guard are
+    * driver-collected jobs (each bounded by the small-queries
+    * contract) before the returned frame exists. Requires
+    * `localizeQueries = true` for exactly that reason. */
   final case class RescoreSource(source: DataFrame, id: Column,
       vec: Column, factor: Int = 4) {
     require(factor >= 1, s"rescore factor must be >= 1, got $factor")
@@ -860,6 +868,16 @@ object Similarity {
       s"searchIvfIndex: rescore only applies to an SQ8 layout — the " +
         s"index at $path stores full-precision vectors, its scores are " +
         "already exact")
+    // the refine step drives off DRIVER-COLLECTED candidates and query
+    // vectors (bounded by |queries|·k·factor — the small-queries
+    // contract); a caller declaring the query side NOT driver-small
+    // must not reach a path that collects it
+    require(rescore.isEmpty || localizeQueries,
+      "searchIvfIndex: rescore collects the query set and its " +
+        "candidates to the driver (the small-queries contract) — it " +
+        "cannot combine with localizeQueries = false; re-rank large " +
+        "query batches distributed instead (join the quantized top-k " +
+        "back to the source yourself)")
     var assigned = spark.read.parquet(s"$path/assigned")
     excludeSegment.foreach(sg =>
       assigned = assigned.filter(F.col("seg") =!= sg))
@@ -887,11 +905,13 @@ object Similarity {
         bruteForceTopK(assigned, F.col("corpus_id"), F.col("cv"),
           queries, queryId, queryVec, kq)
       } else {
-        if (!meta.whitened &&
-            math.min(nprobe, nlist).toDouble / nlist >= bruteRouteFraction)
+        if (!localizeQueries && shouldRouteBrute(nprobe, nlist,
+            meta.whitened, localizeQueries = true))
           // frac says route, but the query side is declared NOT
           // driver-small (localizeQueries = false) — brute force would
-          // broadcast it; warn instead of silently paying the cliff
+          // broadcast it; warn instead of silently paying the cliff.
+          // (Same predicate as the route itself, just re-asked as if
+          // localized — keeping the warning and the route from drifting.)
           log.warn(s"searchIvfIndex at $path probes $nprobe of $nlist " +
             "cells — measured slower than a full scan at this fraction " +
             "(scaling/whitened_ivf_4096.json); with a driver-small " +

@@ -1504,6 +1504,29 @@ class IOStreamsSpec extends SparkSpec {
     assert(Manifest.compactManifest(spark, dir + "/t", "c1",
       driverFoldMaxBytes = 0L) > 0)
     assert(!aside.exists())
+    // the orphaning hazard (r15 review): a later fold under a DIFFERENT
+    // label folds seg=c1 away — it must sweep c1's stale aside WITH the
+    // twin, or the aside guard would brick every later read of a
+    // healthy table (and its recovery advice would resurrect stale
+    // pre-fold parts). Exercised through BOTH folds.
+    for ((label, thr) <- Seq(("c2", 0L), ("c3", Long.MaxValue))) {
+      Manifest.appendWithManifest(
+        (200L until 210L).map(i => (i, s"x$i")).toDF("id", "payload"),
+        dir + "/t", segment = s"b_$label")
+      val prior = parts.listFiles().map(_.getName)
+        .filter(_.startsWith("seg=")).toSeq
+      assert(prior.nonEmpty)
+      val victim = prior.head.stripPrefix("seg=")
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(parts, s"seg=$victim"),
+        new java.io.File(parts, s".seg_${victim}_old"))
+      assert(Manifest.compactManifest(spark, dir + "/t", label,
+        driverFoldMaxBytes = thr) > 0)
+      assert(!new java.io.File(parts, s"seg=$victim").exists())
+      assert(!new java.io.File(parts, s".seg_${victim}_old").exists(),
+        s"orphaned aside survived the $label fold")
+      assert(Manifest.manifest(spark, dir + "/t").count() > 0)
+    }
   }
 
   test("distributed fold detects a multi-commit foreign part via footer " +

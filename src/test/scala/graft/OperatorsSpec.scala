@@ -962,6 +962,16 @@ class OperatorsSpec extends SparkSpec {
         F.col("id"), F.col("v"))))
     assert(empty.columns.toSeq ==
       Seq("query_id", "corpus_id", "rank", "cosine") && empty.count() == 0)
+    // a query set declared NOT driver-small cannot take the rescore
+    // path — the refine drives off driver-collected candidates
+    val eLoc = intercept[IllegalArgumentException] {
+      Similarity.searchIvfIndex(spark, root + "/sq8", queries,
+        F.col("id"), F.col("v"), k = 5, nprobe = 4,
+        localizeQueries = false,
+        rescore = Some(Similarity.RescoreSource(source, F.col("id"),
+          F.col("v"))))
+    }
+    assert(eLoc.getMessage.contains("localizeQueries"), eLoc.getMessage)
     // a float layout refuses: its scores are already exact
     Similarity.writeIvfIndex(corpus, F.col("id"), F.col("v"),
       root + "/float", nlist = 4, trainSample = 100)
