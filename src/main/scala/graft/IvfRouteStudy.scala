@@ -90,7 +90,8 @@ object IvfRouteStudy {
       F.col("v"), k = kTop, nprobe = 1))
     val sweep = Seq(16, 32, 64).map { np =>
       val routed = Similarity.shouldRouteBrute(np, nlist,
-        whitened = false, localizeQueries = true)
+        widthBytes = d.toLong * 8 /* raw float64 */,
+        localizeQueries = true)
       val (_, t) = time(consume(Similarity.searchIvfIndex(spark, path,
         queries, F.col("id"), F.col("v"), k = kTop, nprobe = np)))
       System.err.println(

@@ -100,7 +100,8 @@ object RescoreStudy {
     // silently the routed full scan)
     val sweep = Seq(8, 16, 64).map { np =>
       val routed = Similarity.shouldRouteBrute(np, nlist,
-        whitened = false, localizeQueries = true)
+        widthBytes = d.toLong /* SQ8: 1 B/element */,
+        localizeQueries = true)
       val (quant, tQ) = time(keys(search(np, None)))
       val rQ = recall(quant, truth)
       val rescored = Seq(2, 4).map { factor =>

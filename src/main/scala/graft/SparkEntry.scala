@@ -1281,6 +1281,76 @@ object SparkEntry {
     s.read.parquet(out).select("vec_id").orderBy("vec_id")
   }
 
+  private val s11Run = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** s07's exact fold over an SQ8 index (r15 verdicts #2/#3 composed):
+    * the same feed, the same two-step ingest — but the persisted index
+    * stores int8 codes (`sq8 = true`), the kill decision runs on EXACT
+    * cosines via the per-batch rescore (`rescoreSource` — the
+    * full-precision source is the base corpus ∪ this stream's own
+    * accreting survivors, re-listed per trigger), and the index
+    * compacts IN-LINE after every batch with the in-flight segment
+    * excluded (`compactEvery = 1`). Because the refine removes the
+    * ~0.3% quantization error, the survivor set must equal the float
+    * path's exactly — s07's own exact-cosine SQL oracle, hash-equal; a
+    * quantization-biased kill, a rescore that misses an appended
+    * segment, or a compaction that folds the in-flight segment each
+    * hash-fail. */
+  private val s11: (SparkSession, String) => DataFrame = (s, dir) => {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try s11Body(s, dir)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private val s11Body: (SparkSession, String) => DataFrame = (s, dir) => {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      .filter(F.col("vec_id") >= 5)
+    val run = s11Run.incrementAndGet()
+    def scaled(df: DataFrame) = df.select(
+      (F.col("vec_id") + 10000).as("vec_id"),
+      F.transform(F.col("embedding"), x => x * F.lit(2.0f)).as("embedding"))
+    val idx = scratch(s"s11_index_${dir.hashCode.abs}_$run")
+    val baseCorpus = e.filter(F.col("vec_id") % 3 === 0)
+    operators.Similarity.writeIvfIndex(baseCorpus,
+      F.col("vec_id"), F.col("embedding"), idx, nlist = 8, sq8 = true)
+    val feed = new java.io.File(scratch(s"s11_feed_${dir.hashCode.abs}_$run"))
+    feed.mkdirs()
+    val b1 = e.filter(F.col("vec_id") % 3 === 1)
+      .unionAll(scaled(e.filter(F.col("vec_id") % 3 === 0 &&
+        F.col("vec_id") < 20)))
+      .unionAll(scaled(e.filter(F.col("vec_id") % 3 === 2 &&
+        F.col("vec_id") < 35)))
+    val b2 = e.filter(F.col("vec_id") % 3 === 2)
+      .unionAll(scaled(e.filter(F.col("vec_id") % 3 === 1 &&
+        F.col("vec_id") < 20)))
+    Seq(b1, b2).zipWithIndex.foreach { case (b, k) =>
+      shipFeedFile(b, feed, k, s"s11_tmp_${dir.hashCode.abs}_$run")
+    }
+    val out = scratch(s"s11_out_${dir.hashCode.abs}_$run")
+    // the full-precision side of the refine: base corpus plus every
+    // COMMITTED batch's survivors — re-evaluated per trigger, so the
+    // listing is fresh each time (the out dir accretes batch= dirs)
+    val mkSource = () => {
+      val outDir = new java.io.File(out)
+      val hasOut = outDir.isDirectory &&
+        Option(outDir.listFiles).exists(_.nonEmpty)
+      val src = if (hasOut)
+        baseCorpus.unionByName(s.read.parquet(out)
+          .select(F.col("vec_id"), F.col("embedding")))
+      else baseCorpus
+      operators.Similarity.RescoreSource(src, F.col("vec_id"),
+        F.col("embedding"), factor = 4)
+    }
+    streaming.Streams.ingestEmbedStream(
+      streaming.Streams.readParquetStream(s, feed.toString, b1.schema,
+        maxFilesPerTrigger = 1),
+      F.col("vec_id"), F.col("embedding"), idx, out, threshold = 0.999,
+      name = s"s11_${dir.hashCode.abs}_$run", compactEvery = 1,
+      rescoreSource = Some(mkSource))
+    s.read.parquet(out).select("vec_id").orderBy("vec_id")
+  }
+
   /** Incrementally-maintained day rollup ([[operators.Rollup]]): base
     * built from one third of events (split by id, so every DAY spans all
     * segments and the read-side merge is load-bearing), two batch
@@ -2637,6 +2707,56 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Whitened × SQ8 × exact rescore, the full composition (r15 verdict
+    * #4 — d71 covers only the raw-SQ8 refine; this closes the last
+    * tolerance-contract-only path in the SQ8 family): build the whitened
+    * index with `sq8 = true`, search with the rescore driving the
+    * caller's RAW full-precision source through the PERSISTED model
+    * ([[operators.Embeddings.searchWhitenedIvfIndex]]), and assert by
+    * EXECUTION that the refined ranking equals float brute force over
+    * the whitened space EXACTLY — ranks and unrounded cosines (the
+    * refine removes the quantization error; both sides project through
+    * the same model and score through the same expression, so equality
+    * is bit-level, unlike d70's 0.01-tolerance contract). The
+    * distributed refine (`localizeQueries = false`, r15 verdict #2's
+    * no-collect path) must return the identical set. Flags +
+    * data-bound counts, the d68 oracle pattern. */
+  private val d72: (SparkSession, String) => DataFrame = (s, dir) => {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val emb = t(s, dir, "embeddings")
+    val path = scratch(s"d72_wsq8_rescore_${dir.hashCode.abs}")
+    val corpus = emb.filter(F.col("vec_id") >= 5)
+    val queries = emb.filter(F.col("vec_id") < 5)
+    operators.Embeddings.writeWhitenedIvfIndex(corpus, F.col("vec_id"),
+      F.col("embedding"), path, pcaK = 8, nlist = 8, seed = 7, sq8 = true)
+    def key(df: DataFrame): Set[(Long, Long, Int, Double)] = df
+      .select("query_id", "corpus_id", "rank", "cosine")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val rs = operators.Similarity.RescoreSource(corpus, F.col("vec_id"),
+      F.col("embedding"), factor = 8)
+    val got = key(operators.Embeddings.searchWhitenedIvfIndex(s, path,
+      queries, F.col("vec_id"), F.col("embedding"), k = 5, nprobe = 8,
+      rescore = Some(rs)))
+    val gotDist = key(operators.Embeddings.searchWhitenedIvfIndex(s, path,
+      queries, F.col("vec_id"), F.col("embedding"), k = 5, nprobe = 8,
+      localizeQueries = false, rescore = Some(rs)))
+    // float-exact truth through the SAME persisted model
+    val pm = operators.Embeddings.readPcaModel(s, path)
+    val cw = operators.Embeddings.pcaProject(corpus, F.col("embedding"),
+      pm, "wv", whiten = true)
+    val qw = operators.Embeddings.pcaProject(queries, F.col("embedding"),
+      pm, "wv", whiten = true)
+    val want = key(operators.Similarity.bruteForceTopK(cw, F.col("vec_id"),
+      F.col("wv"), qw, F.col("vec_id"), F.col("wv"), k = 5))
+    val nVecs = bridge.scalarSubquery(emb.agg(F.count(F.lit(1))))
+    s.range(1).select(nVecs.as("n_vecs"),
+      F.lit(got.size).cast("long").as("n_results"),
+      F.lit(if (got == want) 1 else 0).as("rescore_equals_brute_ok"),
+      F.lit(if (gotDist == want) 1 else 0).as("dist_equals_local_ok"))
+  }
+
   /** Determinism contract for the order-sensitive fingerprint (d12's
     * correctness signal): hash VALUES are engine-specific (seeded xxhash
     * chain — d12 stays rows-only by nature), but identical text MUST
@@ -3041,6 +3161,7 @@ object SparkEntry {
     "s08_rollup_merge" -> s08,
     "s09_stream_rollup" -> s09,
     "s10_stream_upsert" -> s10,
+    "s11_sq8_rescore_ingest" -> s11,
     "d01_exact_dedup" -> d01,
     "d02_token_counts" -> d02,
     "d03_langid_quality" -> d03,
@@ -3088,6 +3209,7 @@ object SparkEntry {
     "d45_simhash_planted" -> d45,
     "d46_ivf_sq8" -> d46,
     "d71_sq8_rescore" -> d71,
+    "d72_whitened_sq8_rescore" -> d72,
     "d48_fingerprint_planted" -> d48,
     "d49_bloom_contract" -> d49,
     "d50_multimodal_contract" -> d50,
@@ -3156,6 +3278,12 @@ object SparkEntry {
     // brute force — the same oracle, hash-equal (d46 stays the
     // tolerance-contract twin for the un-rescored path)
     ("d71_sq8_rescore" -> oracleSqlBase("d04_cosine_topk")) +
+    // SQ8-indexed streaming ingest WITH per-batch exact rescore: the
+    // refine removes the quantization error from the kill decision, so
+    // the survivor fold is exactly the float path's — s07's own
+    // exact-cosine oracle, hash-equal
+    ("s11_sq8_rescore_ingest" ->
+      oracleSqlBase("s07_stream_embed_ingest")) +
     // clustered SemDeDup ≡ the nClusters=1 brute-force contract on this
     // fixture: scaled copies co-assign with their originals and no
     // natural pair reaches the threshold (see the d57 scaladoc)
@@ -4762,6 +4890,15 @@ object SparkEntry {
       SELECT vec_id AS query_id, 1 AS recall_ok, 1 AS cos_err_ok,
         1 AS full_k, 1 AS sq8_stored_ok, 1 AS raw_refused_ok
       FROM embeddings WHERE vec_id < 5 ORDER BY query_id""",
+    // whitened+SQ8+rescore: the refine removes the quantization error,
+    // so the executed identity is EXACT equality with whitened brute
+    // force (bit-level, both paths score the same projected doubles);
+    // the oracle holds the flags constant and pins the data-bound
+    // counts (5 queries x k=5 refined results)
+    "d72_whitened_sq8_rescore" -> """
+      SELECT count(*) AS n_vecs, 25::BIGINT AS n_results,
+        1 AS rescore_equals_brute_ok, 1 AS dist_equals_local_ok
+      FROM embeddings""",
     // the deterministic shuffle replayed verbatim: exact-integer md5
     // shard + per-shard rank of the full hash
     // both lake versions replayed flat: version 0 = the even-id base,

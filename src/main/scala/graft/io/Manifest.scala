@@ -851,30 +851,46 @@ object Manifest {
   }
 
   /** End-of-fold cleanup shared by both folds: delete every folded-away
-    * `seg=` dir — and, WITH each, any `.seg_<sg>_old` compaction aside
-    * a previous distributed fold's crash left next to it (the
+    * `seg=` dir — and, BEFORE each, any `.seg_<sg>_old` compaction
+    * aside a previous distributed fold's crash left next to it (the
     * documented crash-after-swap-in state, harmless while its twin
     * lives). Deleting only the twin would orphan the aside, and
     * [[segDirs]]' aside guard would then fail every subsequent read of
     * a healthy table — with recovery advice (rename the aside back)
     * that would RESURRECT stale pre-fold parts beside the committed
-    * fold. The fold's own output segment and every kept segment also
-    * get their stale asides swept (their twins are live and committed;
-    * the aside is pure leftover). */
+    * fold. The ORDER is load-bearing (r15 ADVICE): aside first, twin
+    * second — a crash between the two deletes then leaves a live twin
+    * with no aside (a plain not-yet-folded segment, re-folded next
+    * time), never the orphan-aside state the guard bricks reads on.
+    * Any-order deletion of the old PARTS themselves is already safe
+    * per the carried-tombstone contract; only the aside/twin pairing
+    * is ordered. The fold's own output segment and every kept segment
+    * also get their stale asides swept (their twins are live and
+    * committed; the aside is pure leftover). One listing of the parts
+    * root identifies which asides actually exist, so the per-segment
+    * delete RPC is paid only for them — at thousands of folded
+    * segments a blind delete-per-segment doubles the sweep's RPC
+    * count for nothing. */
   private def sweepFoldedSegs(fs: org.apache.hadoop.fs.FileSystem,
       partsRoot: String, dirs: Seq[String], segment: String,
-      keptSegs: Set[String]): Unit =
+      keptSegs: Set[String]): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(partsRoot)
+    val asides =
+      if (!fs.exists(rootPath)) Set.empty[String]
+      else fs.listStatus(rootPath).map(_.getPath.getName)
+        .filter(n => n.startsWith(".seg_") && n.endsWith("_old")).toSet
     dirs.foreach { d =>
       val sg = d.substring(d.lastIndexOf("/seg=") + 5)
+      // aside first (see ordering note above); skip the RPC when the
+      // listing already shows none exists
+      if (asides.contains(s".seg_${sg}_old"))
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$partsRoot/.seg_${sg}_old"), true)
       if (sg != segment && !keptSegs.contains(sg))
         fs.delete(new org.apache.hadoop.fs.Path(d), true)
-      // the aside (if any) goes regardless of kept/folded: its twin is
-      // either committed (stale aside) or deleted just above (orphan
-      // otherwise)
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$partsRoot/.seg_${sg}_old"), true)
       ()
     }
+  }
 
   /** The big-manifest fold: same semantics as [[compactDriverFold]]
     * (same live/tombstone/carry/stamp rules, same crash ordering) with

@@ -1074,9 +1074,20 @@ object Dedup {
     * replayed batch's own-segment exclusion
     * ([[dedupAgainstIndexManaged]]) no longer matches it, and the replay
     * self-kills its survivors, exactly the hazard the exclusion exists
-    * to prevent. */
+    * to prevent. The EXCEPTION that makes in-line stream compaction
+    * safe (`excludeSegment`, r15 verdict #3): the ingest stream's own
+    * `foreachBatch` IS the single writer between triggers, and passing
+    * its in-flight segment keeps that segment intact through the
+    * rewrite — its features keep their `seg=` label and its postings
+    * rows pass through byte-identical (they are already exactly what
+    * the segment appender wrote; only the OTHER segments' features are
+    * folded and re-banded into the base postings). A batch replayed
+    * after a crash anywhere around the compaction still finds its
+    * earlier attempt as a standalone segment its probe exclusion
+    * matches; the skipped segment folds on the NEXT compaction, so
+    * steady state is base + at most one live segment. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String, excludeSegment: Option[String] = None): Unit = {
     val IndexMeta(_, numHashes, bands, maxBucket) =
       readIndexMeta(spark, path)
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -1091,12 +1102,27 @@ object Dedup {
       require(fs.rename(tmp, dir), s"compact: swap-in failed for $table")
       fs.delete(old, true)
     }
-    swap("features", out =>
-      spark.read.parquet(s"$path/features").drop("seg")
-        .withColumn("seg", F.lit("base"))
-        .write.mode("overwrite").partitionBy("seg").parquet(out))
-    swap("postings", out =>
-      spark.read.parquet(s"$path/features").drop("seg")
+    // the excluded segment's postings must pass through from the OLD
+    // postings table — bind the frame before the features swap below
+    // retires the layout state it rides on (the read is lazy; the
+    // listing is captured at plan time)
+    val keptPostings = excludeSegment.map(ex =>
+      spark.read.parquet(s"$path/postings").filter(F.col("seg") === ex)
+        .localCheckpoint())
+    swap("features", out => {
+      val f = spark.read.parquet(s"$path/features")
+      (excludeSegment match {
+        case None => f.drop("seg").withColumn("seg", F.lit("base"))
+        case Some(ex) => f.withColumn("seg",
+          F.when(F.col("seg") === ex, F.col("seg"))
+            .otherwise(F.lit("base")))
+      }).write.mode("overwrite").partitionBy("seg").parquet(out)
+    })
+    swap("postings", out => {
+      var feats = spark.read.parquet(s"$path/features")
+      excludeSegment.foreach(ex =>
+        feats = feats.filter(F.col("seg") =!= ex))
+      val rebuilt = feats.drop("seg")
         .select(F.col("id"),
           F.posexplode(graft.functions.TextExprs
             .minhashBandHashesFromHashes(F.col("sh"), numHashes, bands))
@@ -1107,7 +1133,10 @@ object Dedup {
         .filter(F.col("ids").isNotNull)
         .select(F.col("band"), F.col("bucket"), F.col("ids"),
           F.lit("base").as("seg"))
-        .write.mode("overwrite").partitionBy("seg", "band").parquet(out))
+      keptPostings.fold(rebuilt)(kp => rebuilt.unionByName(
+          kp.select("band", "bucket", "ids", "seg")))
+        .write.mode("overwrite").partitionBy("seg", "band").parquet(out)
+    })
   }
 
   /** Membership gate against a reference key set WITHOUT a join: build a

@@ -55,18 +55,15 @@ object Similarity {
     * — 4× smaller than float32 at ~0.3% cosine error, the standard
     * storage/IO trade for corpus-scale embedding tables. All arithmetic
     * is double (deterministic, oracle-checkable); zero vectors quantize
-    * to scale 0 with all-zero codes. */
-  def quantizeInt8(a: Column): Column = {
-    val absMax = F.aggregate(a, F.lit(0.0),
-      (acc, x) => F.greatest(acc, F.abs(x.cast(DoubleType))))
-    val scale = absMax / 127.0
-    F.struct(
-      scale.as("scale"),
-      F.when(scale > 0,
-        F.transform(a, x =>
-          F.round(x.cast(DoubleType) / scale).cast(ByteType)))
-        .otherwise(F.transform(a, x => F.lit(0).cast(ByteType))).as("q"))
-  }
+    * to scale 0 with all-zero codes. Native one-pass expression
+    * ([[graft.functions.QuantizeInt8]], r16): the HOF formulation this
+    * replaces re-evaluated the O(d) absMax aggregate inside the
+    * per-element rounding lambda — O(d²) interpreted evals per row,
+    * which turned wide-vector SQ8 index builds into the job's dominant
+    * cost (measured: ~20 min to quantize 50k d = 4096 vectors; the
+    * native pass takes seconds). Values bit-identical. */
+  def quantizeInt8(a: Column): Column =
+    graft.functions.VectorExprs.quantizeInt8(a)
 
   /** Reconstruct approximate float values from [[quantizeInt8]] output. */
   def dequantizeInt8(quantized: Column): Column =
@@ -336,11 +333,13 @@ object Similarity {
     *
     * Laziness caveat, stated plainly: unlike the plain search verbs
     * (which return an unevaluated plan), a rescored search runs the
-    * quantized ranking EAGERLY inside the verb call — the candidate
-    * top k·factor, the query vectors, and the coverage guard are
-    * driver-collected jobs (each bounded by the small-queries
-    * contract) before the returned frame exists. Requires
-    * `localizeQueries = true` for exactly that reason. */
+    * quantized ranking EAGERLY inside the verb call — on the localized
+    * path the candidate top k·factor, the query vectors, and the
+    * coverage guard are driver-collected jobs (each bounded by the
+    * small-queries contract); with `localizeQueries = false` the
+    * candidates snapshot executor-side instead and only the two
+    * bounded guard probes run eagerly — no query-scale collect
+    * anywhere (see [[rescoreExactDistributed]]). */
   final case class RescoreSource(source: DataFrame, id: Column,
       vec: Column, factor: Int = 4) {
     require(factor >= 1, s"rescore factor must be >= 1, got $factor")
@@ -371,15 +370,19 @@ object Similarity {
     // no candidates (empty query set / empty index): the re-rank of
     // nothing is nothing — skip the source scan entirely
     if (ids.isEmpty) return quantTop.limit(0)
+    // null-vector rows are dropped BEFORE both the guards and the join
+    // (one binding — r15 ADVICE: guarding a filtered frame but joining
+    // the unfiltered one let a duplicate row carrying a null vector
+    // slip past both guards and surface as a null-cosine rank row)
     val pruned = rs.source.select(rs.id.as("corpus_id"), rs.vec.as("__rv"))
-      .filter(F.col("corpus_id").isin(ids: _*))
+      .filter(F.col("corpus_id").isin(ids: _*) && F.col("__rv").isNotNull)
     // a source that does not COVER the candidate ids (stale snapshot,
     // wrong table) would silently drop those candidates from the
     // re-ranked top-k, and one that holds DUPLICATE rows per id would
     // double-list a candidate at two ranks — fail loud on both. One
     // aggregation over the already id-pruned scan (bounded by the
     // candidate set), paid only on the opt-in rescore path.
-    val cov = pruned.filter(F.col("__rv").isNotNull)
+    val cov = pruned
       .agg(F.count_distinct(F.col("corpus_id")).as("d"),
         F.count(F.lit(1)).as("n")).collect().head
     require(cov.getLong(0) == ids.size,
@@ -394,6 +397,59 @@ object Similarity {
     topKByQuery(pruned
       .join(F.broadcast(candDf), Seq("corpus_id"))
       .join(F.broadcast(qDf), Seq("query_id"))
+      .withColumn("cosine", cosine(F.col("__rv"), F.col("qv"))), k)
+  }
+
+  /** The rescore for query sets declared NOT driver-small
+    * (`localizeQueries = false` — r15 verdict #2): nothing query-scale
+    * ever collects. The quantized top-`k·factor` is snapshotted
+    * executor-side (`localCheckpoint`, bounded by |queries|·k·factor —
+    * the same consistent-snapshot price the distributed probe path
+    * already pays), candidate ids semi-join-prune the full-precision
+    * source (a shuffle/broadcast prune the size estimator orients — the
+    * distributed trade for the localized path's pushed-`In` scan
+    * filter), the queries re-enter as a distributed join side, and the
+    * exact cosine re-ranks per query in the same window as every search
+    * verb. The coverage and duplicate guards run as bounded `limit(1)`
+    * probes over candidate-scale frames — two cheap jobs, never a
+    * query-scale collect. Eager like the localized rescore: the guards
+    * execute inside the verb call. */
+  private def rescoreExactDistributed(quantTop: DataFrame,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      rs: RescoreSource, k: Int): DataFrame = {
+    // one consistent snapshot: the guards and the re-rank join must see
+    // the SAME candidate set (a sample/rand-derived upstream would
+    // otherwise disagree between evaluations), and the quantized
+    // search should not re-run once per consumer
+    val cand = quantTop.select("query_id", "corpus_id").localCheckpoint()
+    val ids = cand.select("corpus_id").distinct()
+    val pruned = rs.source.select(rs.id.as("corpus_id"), rs.vec.as("__rv"))
+      .filter(F.col("__rv").isNotNull)
+      .join(ids, Seq("corpus_id"), "left_semi")
+      .localCheckpoint()
+    // same fail-loud contracts as the localized rescore, distributed:
+    // a non-covering source silently drops candidates from the re-rank;
+    // a duplicated one double-lists a candidate at two ranks
+    val dup = pruned.groupBy("corpus_id")
+      .agg(F.count(F.lit(1)).as("__n")).filter(F.col("__n") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"rescore: the full-precision source holds ${dup.head.getLong(1)} " +
+        s"rows for candidate id ${dup.head.get(0)} — duplicate ids " +
+        "would double-list a candidate at two ranks; dedup the source " +
+        "first")
+    val miss = ids.join(pruned, Seq("corpus_id"), "left_anti")
+      .limit(1).collect()
+    require(miss.isEmpty,
+      s"rescore: the full-precision source does not cover candidate " +
+        s"id ${miss.headOption.map(_.get(0)).orNull} — a stale or " +
+        "wrong source would silently drop the missing candidates from " +
+        "the re-ranked top-k; pass the same corpus the index was " +
+        "built/appended from")
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    topKByQuery(cand
+      .join(pruned, Seq("corpus_id"))
+      .join(q, Seq("query_id"))
       .withColumn("cosine", cosine(F.col("__rv"), F.col("qv"))), k)
   }
 
@@ -826,30 +882,67 @@ object Similarity {
       excludeSegment, localizeQueries, expectWhitened = false,
       rescore = rescore)
 
-  /** The wide-probe fraction past which a RAW index's probed candidate
-    * path measured SLOWER than scanning everything
-    * (scaling/whitened_ivf_4096.json, d = 4096, n = 50k, nlist = 64:
-    * nprobe/nlist = 0.25 searched 3.1 s — 2.6× under brute force's
-    * 8.1 s — while 0.5 took 15.9 s, 2× OVER it). The plan-time flop
-    * model is (nprobe/nlist)·N·d candidate flops against brute force's
-    * N·d; both terms carry the same N·d, so the route reduces to the
-    * probed FRACTION crossing the measured per-candidate overhead of
-    * the probe machinery (cell-pruned multi-file reads + the broadcast
-    * candidate join vs one streaming scan) — zero extra jobs, nothing
-    * to measure at search time. Whitened layouts are exempt: their
-    * candidates are pcaK-wide, and the same study measured their
-    * half-probe search UNDER their own brute force (1.64 s vs 1.85 s at
-    * pcaK = 32) — the cliff is a wide-candidate phenomenon. */
-  private[graft] val bruteRouteFraction = 0.5
+  /** Measured wide-probe cliff anchors: (candidate payload bytes per
+    * row, probed fraction nprobe/nlist at which the probed path crosses
+    * the full scan). The cliff is a CANDIDATE-WIDTH phenomenon — the
+    * probe machinery (cell-pruned multi-file reads + the broadcast
+    * candidate join) pays per candidate BYTE where the brute scan
+    * streams once — so the route threshold must track the layout's
+    * stored width, not its space stamp (r15 verdict #1: a pcaK = 512
+    * whitened index re-creates the raw cliff exactly; r15 ADVICE: an
+    * SQ8 layout reads 1/8 the bytes and keeps probing far past the raw
+    * threshold). Anchors, all at n = 50k / nlist = 64 / m = 50:
+    *  - 32768 B (raw float64 d = 4096, whitened_ivf_4096.json): probed
+    *    0.25 ran 2.6× UNDER brute, 0.5 ran 2× OVER → cliff 0.5.
+    *  - 4096 B (SQ8 d = 4096 and whitened float64 pcaK = 512,
+    *    ivf_route_width.json — two independent layouts at one width):
+    *    probed 0.75 still under the brute floor, 1.0 ≈ floor → no
+    *    interior cliff; threshold 1.0 (route only the exhaustive
+    *    always-win case).
+    *  - 256 B (whitened float64 pcaK = 32, whitened_ivf_4096.json):
+    *    probed 0.5 under brute (1.64 s vs 1.85 s) → no interior cliff.
+    * Between anchors the threshold interpolates linearly in log2(width)
+    * — the measured transition is monotone in width and spans octaves,
+    * so log-width is the natural axis; outside it clamps flat. Float32
+    * payloads are modeled at 8 B/element like float64 (meta stores no
+    * element width): that overestimates their width ≤ 2× — well inside
+    * one log2 step of the anchor grid. */
+  private[graft] val routeAnchors: Seq[(Double, Double)] =
+    Seq((4096.0, 1.0), (32768.0, 0.5))
+
+  /** The route threshold for a layout whose stored candidate rows are
+    * `widthBytes` wide: the probed fraction at or past which
+    * [[searchIvfIndexImpl]] scans everything instead. 1.0 for every
+    * narrow layout (only the exhaustive always-win case routes);
+    * descends to the measured 0.5 at the raw-float64-d4096 width. */
+  private[graft] def bruteRouteFraction(widthBytes: Long): Double = {
+    val lw = math.log(math.max(widthBytes, 1L).toDouble) / math.log(2.0)
+    val (loW, loF) = routeAnchors.head
+    val (hiW, hiF) = routeAnchors.last
+    val (loL, hiL) = (math.log(loW) / math.log(2.0),
+      math.log(hiW) / math.log(2.0))
+    if (lw <= loL) loF
+    else if (lw >= hiL) hiF
+    else loF + (hiF - loF) * (lw - loL) / (hiL - loL)
+  }
+
+  /** Candidate payload width of a persisted layout, from its meta alone:
+    * dim × 8 B for float vectors (dim IS pcaK on a whitened layout —
+    * the stored vectors are the projected ones), dim × 1 B for SQ8
+    * codes. */
+  private[graft] def candidateWidthBytes(meta: IvfMetaInfo): Long =
+    meta.dim.toLong * (if (meta.sq8) 1L else 8L)
 
   /** Route decision for [[searchIvfIndexImpl]], factored for the spec:
-    * a RAW layout probing >= [[bruteRouteFraction]] of its cells scans
-    * everything instead (exact answer — ANN callers get at least the
-    * recall they asked for, at the measured-lower cost). */
+    * a layout probing >= [[bruteRouteFraction]] of its cells — the
+    * threshold a function of its candidate WIDTH, not its space stamp —
+    * scans everything instead (exact answer — ANN callers get at least
+    * the recall they asked for, at the measured-lower cost). */
   private[graft] def shouldRouteBrute(nprobe: Int, nlist: Int,
-      whitened: Boolean, localizeQueries: Boolean): Boolean =
-    !whitened && localizeQueries &&
-      math.min(nprobe, nlist).toDouble / nlist >= bruteRouteFraction
+      widthBytes: Long, localizeQueries: Boolean): Boolean =
+    localizeQueries &&
+      math.min(nprobe, nlist).toDouble / nlist >=
+        bruteRouteFraction(widthBytes)
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -859,7 +952,8 @@ object Similarity {
       k: Int, nprobe: Int, excludeSegment: Option[String],
       localizeQueries: Boolean, expectWhitened: Boolean,
       expectedModelFp: Option[Long] = None,
-      rescore: Option[RescoreSource] = None): DataFrame = {
+      rescore: Option[RescoreSource] = None,
+      routeEnabled: Boolean = true): DataFrame = {
     val meta = readIvfMeta(spark, path)
     requireSpace(meta.whitened, expectWhitened, path, "searchIvfIndex")
     requireModelFp(meta.modelFp, expectedModelFp, path, "searchIvfIndex")
@@ -868,16 +962,10 @@ object Similarity {
       s"searchIvfIndex: rescore only applies to an SQ8 layout — the " +
         s"index at $path stores full-precision vectors, its scores are " +
         "already exact")
-    // the refine step drives off DRIVER-COLLECTED candidates and query
-    // vectors (bounded by |queries|·k·factor — the small-queries
-    // contract); a caller declaring the query side NOT driver-small
-    // must not reach a path that collects it
-    require(rescore.isEmpty || localizeQueries,
-      "searchIvfIndex: rescore collects the query set and its " +
-        "candidates to the driver (the small-queries contract) — it " +
-        "cannot combine with localizeQueries = false; re-rank large " +
-        "query batches distributed instead (join the quantized top-k " +
-        "back to the source yourself)")
+    // rescore works on BOTH query postures (r15 verdict #2): localized
+    // refines off driver-collected candidates (pushed-`In` source scan),
+    // distributed refines with a semi-join prune and a per-query window
+    // — no query-scale collect anywhere on that path
     var assigned = spark.read.parquet(s"$path/assigned")
     excludeSegment.foreach(sg =>
       assigned = assigned.filter(F.col("seg") =!= sg))
@@ -890,11 +978,14 @@ object Similarity {
         dequantizeInt8(F.struct(F.col("scale").as("scale"),
           F.col("q").as("q"))))
     val nlist = meta.centroids.length
+    val widthB = candidateWidthBytes(meta)
     // the quantized (or float) ranking at `kq` per query — the rescore
     // path asks for k·factor candidates, the plain path for k
     def ranked(kq: Int): DataFrame =
-      if (shouldRouteBrute(nprobe, nlist, meta.whitened, localizeQueries)) {
-        // wide-probe route (r14 verdict #1): past [[bruteRouteFraction]]
+      if (routeEnabled &&
+          shouldRouteBrute(nprobe, nlist, widthB, localizeQueries)) {
+        // wide-probe route (r14 verdict #1; width-aware since r16):
+        // past [[bruteRouteFraction]] of this layout's candidate WIDTH
         // the probe machinery costs more than it prunes — scan
         // everything. Same scoring expression, same tie-break, and for
         // an SQ8 layout the same dequantized vectors, so at nprobe =
@@ -905,8 +996,8 @@ object Similarity {
         bruteForceTopK(assigned, F.col("corpus_id"), F.col("cv"),
           queries, queryId, queryVec, kq)
       } else {
-        if (!localizeQueries && shouldRouteBrute(nprobe, nlist,
-            meta.whitened, localizeQueries = true))
+        if (routeEnabled && !localizeQueries && shouldRouteBrute(nprobe,
+            nlist, widthB, localizeQueries = true))
           // frac says route, but the query side is declared NOT
           // driver-small (localizeQueries = false) — brute force would
           // broadcast it; warn instead of silently paying the cliff.
@@ -923,9 +1014,12 @@ object Similarity {
       }
     rescore match {
       case None => ranked(k)
-      case Some(rs) =>
+      case Some(rs) if localizeQueries =>
         rescoreExact(ranked(k * rs.factor), queries, queryId, queryVec,
           rs, k)
+      case Some(rs) =>
+        rescoreExactDistributed(ranked(k * rs.factor), queries, queryId,
+          queryVec, rs, k)
     }
   }
 
@@ -1124,18 +1218,80 @@ object Similarity {
     * no ingest stream is mid-batch: folding a not-yet-committed
     * in-flight segment into `base` defeats the replayed batch's
     * own-segment exclusion ([[searchIvfIndex]]'s `excludeSegment`) and
-    * the replay would self-match at cosine 1.0 and erase its survivors. */
+    * the replay would self-match at cosine 1.0 and erase its survivors.
+    * The EXCEPTION that makes in-line stream compaction safe
+    * (`excludeSegment`, r15 verdict #3): the ingest stream's own
+    * `foreachBatch` IS the single writer between triggers, and passing
+    * its in-flight segment keeps that segment's rows under their own
+    * `seg=` label through the rewrite — a batch replayed after a crash
+    * anywhere around the compaction still finds its earlier attempt as
+    * a standalone segment its probe exclusion matches. The skipped
+    * segment folds on the NEXT compaction (by then its batch is
+    * committed), so steady state is base + at most one live segment.
+    *
+    * `maxCellRowsPerFile` (r15 verdict #5, measured in
+    * scaling/ivf_hotcell.json): the plain rewrite hash-partitions on
+    * `cell`, so each cell lands in ONE task and emits ONE file — which
+    * serializes both the compaction write AND every later probe of a
+    * HOT cell (a cell owning half the corpus compacts to a single
+    * file whose single row group no scan can split; the probe then
+    * runs on one task while the fresh multi-file layout parallelized).
+    * A cell past the cap re-splits into `ceil(rows / cap)` hash blocks
+    * of its ids, each block its own task and file; cells under the cap
+    * keep one file (the file-count economics compaction exists for).
+    * The default 0 derives the cap from the layout's own candidate
+    * width as ~512 MB of payload per file — a few row groups, scan-
+    * splittable either way; pass `Long.MaxValue` to force the old
+    * one-file-per-cell layout. Costs one extra counting scan over the
+    * assigned table, paid only inside compaction. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String, excludeSegment: Option[String] = None,
+      maxCellRowsPerFile: Long = 0L): Unit = {
+    require(maxCellRowsPerFile >= 0L,
+      s"maxCellRowsPerFile must be >= 0, got $maxCellRowsPerFile")
     val staged = s"$path/__compact"
     // payload-agnostic rewrite (float cv or SQ8 scale+q pass through
     // untouched): only the segment layout collapses
-    spark.read.parquet(s"$path/assigned")
-      .drop("seg")
-      .withColumn("seg", F.lit("base"))
-      .repartition(F.col("cell"))
-      .write.mode("overwrite").partitionBy("seg", "cell")
-      .parquet(s"$staged/assigned")
+    val folded = excludeSegment match {
+      case None => spark.read.parquet(s"$path/assigned")
+        .drop("seg").withColumn("seg", F.lit("base"))
+      case Some(ex) => spark.read.parquet(s"$path/assigned")
+        .withColumn("seg",
+          F.when(F.col("seg") === ex, F.col("seg")).otherwise(F.lit("base")))
+    }
+    val cap =
+      if (maxCellRowsPerFile > 0L) maxCellRowsPerFile
+      else math.max(1L,
+        (512L << 20) / candidateWidthBytes(readIvfMeta(spark, path)))
+    val (writable, fileCap) =
+      if (cap == Long.MaxValue) (folded.repartition(F.col("cell")), 0L)
+      else {
+        val sizes = folded.groupBy("cell")
+          .agg(F.count(F.lit(1)).as("__n")).collect()
+          .map(r => r.getInt(0) ->
+            math.ceil(r.getLong(1).toDouble / cap).toInt.max(1))
+        if (sizes.forall(_._2 == 1)) (folded.repartition(F.col("cell")), 0L)
+        else {
+          // two halves of the split, both needed: the block repartition
+          // spreads a hot cell's REWRITE over B tasks (one straggler task
+          // otherwise writes the whole cell serially), while the
+          // per-file record cap guarantees the FILE split itself — task
+          // layout alone can't (a small shuffle-partition count or AQE
+          // coalescing can land several blocks in one task, which would
+          // silently merge them back into one file)
+          val bMap = F.map(sizes.sortBy(_._1).flatMap { case (c, b) =>
+            Seq(F.lit(c), F.lit(b)) }.toSeq: _*)
+          (folded
+            .withColumn("__blk", F.pmod(F.xxhash64(F.col("corpus_id")),
+              F.element_at(bMap, F.col("cell"))))
+            .repartition(F.col("cell"), F.col("__blk"))
+            .drop("__blk"), cap)
+        }
+      }
+    var writer = writable.write.mode("overwrite")
+    if (fileCap > 0L)
+      writer = writer.option("maxRecordsPerFile", fileCap)
+    writer.partitionBy("seg", "cell").parquet(s"$staged/assigned")
     swapStaged(spark, path, staged, Seq("assigned"), "compact")
   }
 

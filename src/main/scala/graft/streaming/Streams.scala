@@ -138,10 +138,24 @@ object Streams {
     * near-dup pairs both survive, mirroring [[graft.operators.Dedup
     * .dedupAgainstIndex]]; order across batches is the file-source's
     * modification-time order, so the semantics are deterministic for a
-    * deterministic feed. */
+    * deterministic feed.
+    *
+    * `compactEvery = n` (r15 verdict #3) runs
+    * [[graft.operators.Dedup.compactMinhashIndex]] after every n-th
+    * batch, INSIDE `foreachBatch` — the window where this stream is the
+    * index's only writer, so the documented live-ingest compaction race
+    * cannot occur — with the batch's own in-flight segment EXCLUDED
+    * from the fold (it is not yet checkpoint-committed; folding it
+    * would defeat a replayed batch's own-segment exclusion and the
+    * replay would self-kill its survivors). Probe latency degrades
+    * ~35% by 64 segments (scaling/mh_segments.json); the in-line
+    * trigger restores the floor automatically at the cadence a 24/7
+    * stream needs — the default 0 keeps compaction a manual,
+    * between-triggers operation. */
   def ingestDedupStream(stream: DataFrame, id: Column, text: Column,
       indexPath: String, outPath: String, threshold: Double,
-      name: String, checkpoint: Option[String] = None): String = {
+      name: String, checkpoint: Option[String] = None,
+      compactEvery: Int = 0): String = {
     val spark = stream.sparkSession
     val ckpt = checkpoint.getOrElse(checkpointDir(name).toString)
     // segment identity = (checkpoint identity, batchId). batchIds restart
@@ -173,6 +187,9 @@ object Streams {
         survivors.unpersist(false)
         release()
       }
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        graft.operators.Dedup.compactMinhashIndex(spark, indexPath,
+          excludeSegment = Some(seg))
     }
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
@@ -205,11 +222,31 @@ object Streams {
     * ([[graft.operators.Embeddings.writeWhitenedIvfIndex]]) is detected
     * from its meta stamp and every batch is projected through the
     * persisted PCA model for both probe and append (survivors persist to
-    * `outPath` raw). Returns the run's segment prefix. */
+    * `outPath` raw). Returns the run's segment prefix.
+    *
+    * `compactEvery = n` (r15 verdict #3) runs
+    * [[graft.operators.Similarity.compactIvfIndex]] after every n-th
+    * batch inside `foreachBatch` — the single-writer window — with the
+    * in-flight segment excluded from the fold (same replay-safety
+    * contract as [[ingestDedupStream]]); 0 keeps compaction manual.
+    *
+    * `rescoreSource` (r15 verdict #2): over an SQ8 layout the quantized
+    * probe's best-match cosines carry ~0.3% error, so the kill decision
+    * at `threshold` is approximate. Pass a thunk producing the
+    * full-precision (id, vector) source — re-evaluated per batch, so an
+    * accreting source (original corpus ∪ this stream's own `outPath`
+    * survivors) lists fresh files each trigger — and every batch's
+    * best-match is REFINED to the exact cosine before the threshold
+    * applies ([[graft.operators.Similarity.RescoreSource]]; the
+    * distributed re-rank when the batch is not driver-small — no
+    * query-scale collect either way). A whitened layout's source is
+    * projected through the same persisted model as the queries. */
   def ingestEmbedStream(stream: DataFrame, id: Column, vec: Column,
       indexPath: String, outPath: String, threshold: Double,
       name: String, checkpoint: Option[String] = None,
-      nprobe: Option[Int] = None): String = {
+      nprobe: Option[Int] = None, compactEvery: Int = 0,
+      rescoreSource: Option[() => graft.operators.Similarity.RescoreSource]
+        = None): String = {
     val spark = stream.sparkSession
     val ckpt = checkpoint.getOrElse(checkpointDir(name).toString)
     val prefix = segmentPrefix(ckpt)
@@ -247,13 +284,28 @@ object Streams {
             batch, F.col("__v"), m, "__wv", whiten = true)
           case None => batch
         }
+        // the opt-in exact refine: the full-precision source enters the
+        // index's own space (projected through the cached model on a
+        // whitened layout), evaluated fresh per batch so an accreting
+        // source sees this trigger's file listing
+        val rescore = rescoreSource.map { mk =>
+          val rs = mk()
+          pcaModel match {
+            case Some(m) => graft.operators.Similarity.RescoreSource(
+              graft.operators.Embeddings.pcaProject(rs.source, rs.vec, m,
+                "__rwv", whiten = true),
+              rs.id, F.col("__rwv"), rs.factor)
+            case None => rs
+          }
+        }
         val best = graft.operators.Similarity.searchIvfIndexImpl(spark,
           indexPath, probeVec, F.col("__vid"),
           if (pcaModel.isDefined) F.col("__wv") else F.col("__v"), k = 1,
           nprobe = probes, excludeSegment = Some(seg),
           localizeQueries = batchRows <= 50000L,
           expectWhitened = pcaModel.isDefined,
-          expectedModelFp = pcaModel.map(_.fingerprint))
+          expectedModelFp = pcaModel.map(_.fingerprint),
+          rescore = rescore)
         val dead = best.filter(F.col("cosine") >= threshold)
           .select(F.col("query_id").as("__dead"))
         // no forced broadcast: dead is bounded by the micro-batch size,
@@ -274,6 +326,9 @@ object Streams {
           case None => graft.operators.Similarity.appendToIvfIndex(
             survivors, F.col("vec_id"), F.col("embedding"), indexPath, seg)
         }
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          graft.operators.Similarity.compactIvfIndex(spark, indexPath,
+            excludeSegment = Some(seg))
       } finally { batch.unpersist(false); () }
     }
     val q = stream.writeStream

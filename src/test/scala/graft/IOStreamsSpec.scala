@@ -722,6 +722,100 @@ class IOStreamsSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("ingest streams compactEvery: in-line compaction folds committed " +
+      "segments with the in-flight one EXCLUDED — a batch replayed after " +
+      "the compaction still finds its earlier attempt as a standalone " +
+      "segment, so the own-segment exclusion keeps working") {
+    import graft.operators.{Dedup, Similarity}
+    // ---- MinHash side ----------------------------------------------------
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the sun sets slowly behind the distant purple mountains"
+    val other = "completely unrelated text about database query optimization " +
+      "and distributed systems running on large compute clusters"
+    val pasta = "short interlude about cooking pasta properly al dente " +
+      "tonight with garlic and fresh basil from the garden"
+    val dir = tmp("graft_compactevery")
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    val idx = dir + "/idx"
+    Dedup.writeMinhashIndex(corpus, F.col("doc_id"), F.col("text"), idx,
+      shingleSize = 3, numHashes = 64, bands = 16)
+    val b0 = Seq((1L, base.replace("slowly", "quickly")), (2L, pasta))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, pasta), (4L, other)).toDF("doc_id", "text")
+    val feed = new java.io.File(dir + "/feed"); feed.mkdirs()
+    shipFeed(b0, feed, 0, dir + "/tmp0")
+    shipFeed(b1, feed, 1, dir + "/tmp1")
+    val out = dir + "/out"
+    val prefix = Streams.ingestDedupStream(
+      Streams.readParquetStream(spark, feed.toString, b0.schema,
+        maxFilesPerTrigger = 1),
+      F.col("doc_id"), F.col("text"), idx, out, threshold = 0.5,
+      name = "t_cingest", compactEvery = 1)
+    // same survivors as the no-compaction twin
+    assert(col1[Long](spark.read.parquet(out).orderBy("doc_id"), "doc_id")
+      == Seq(2L, 4L))
+    // steady state: base + ONLY the last (in-flight at compact time)
+    // segment — earlier segments folded
+    def segsOf(table: String): Set[String] =
+      spark.read.parquet(s"$idx/$table").select("seg").distinct()
+        .collect().map(_.getString(0)).toSet
+    assert(segsOf("features") == Set("base", s"${prefix}_b1"),
+      segsOf("features").toString)
+    assert(segsOf("postings").subsetOf(Set("base", s"${prefix}_b1")))
+    // the replay contract AFTER an in-line compaction: batch 1's own
+    // segment is still standalone, so its exclusion matches and the
+    // replayed probe recomputes the same survivors; the re-append
+    // dynamic-overwrites (count stable)
+    val preFeatures = spark.read.parquet(idx + "/features").count()
+    val s1Retry = Dedup.dedupAgainstIndex(b1, F.col("doc_id"),
+      F.col("text"), idx, threshold = 0.5,
+      excludeSegment = Some(s"${prefix}_b1"))
+    assert(col1[Long](s1Retry.orderBy("doc_id"), "doc_id") == Seq(4L))
+    Dedup.appendToMinhashIndex(s1Retry, F.col("doc_id"), F.col("text"),
+      idx, segment = s"${prefix}_b1")
+    assert(spark.read.parquet(idx + "/features").count() == preFeatures)
+    // ...and the replayed COMPACTION re-runs idempotently (same exclusion)
+    Dedup.compactMinhashIndex(spark, idx,
+      excludeSegment = Some(s"${prefix}_b1"))
+    assert(segsOf("features") == Set("base", s"${prefix}_b1"))
+    assert(col1[Long](Dedup.dedupAgainstIndex(b1, F.col("doc_id"),
+      F.col("text"), idx, threshold = 0.5,
+      excludeSegment = Some(s"${prefix}_b1")).orderBy("doc_id"), "doc_id")
+      == Seq(4L))
+    // ---- IVF side --------------------------------------------------------
+    def axis(d: Int): Seq[Double] =
+      Seq.tabulate(8)(i => if (i == d) 1.0 else 0.01 * (i + 1))
+    def x2(v: Seq[Double]): Seq[Double] = v.map(_ * 2.0)
+    val ecorpus = Seq((100L, axis(0))).toDF("vec_id", "embedding")
+    val eidx = dir + "/eidx"
+    Similarity.writeIvfIndex(ecorpus, F.col("vec_id"), F.col("embedding"),
+      eidx, nlist = 2, trainSample = 10)
+    val e0 = Seq((1L, x2(axis(0))), (2L, axis(2))).toDF("vec_id", "embedding")
+    val e1 = Seq((3L, x2(axis(2))), (4L, axis(4))).toDF("vec_id", "embedding")
+    val efeed = new java.io.File(dir + "/efeed"); efeed.mkdirs()
+    shipFeed(e0, efeed, 0, dir + "/etmp0")
+    shipFeed(e1, efeed, 1, dir + "/etmp1")
+    val eout = dir + "/eout"
+    val eprefix = Streams.ingestEmbedStream(
+      Streams.readParquetStream(spark, efeed.toString, e0.schema,
+        maxFilesPerTrigger = 1),
+      F.col("vec_id"), F.col("embedding"), eidx, eout, threshold = 0.999,
+      name = "t_ceingest", compactEvery = 1)
+    assert(col1[Long](spark.read.parquet(eout).orderBy("vec_id"), "vec_id")
+      == Seq(2L, 4L))
+    val esegs = spark.read.parquet(eidx + "/assigned").select("seg")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(esegs == Set("base", s"${eprefix}_b1"), esegs.toString)
+    // replayed probe post-compaction: own segment still excluded; only 3
+    // (copy of appended survivor 2, now folded into base) dies
+    val retry = Similarity.searchIvfIndex(spark, eidx, e1, F.col("vec_id"),
+      F.col("embedding"), k = 1, nprobe = Int.MaxValue,
+      excludeSegment = Some(s"${eprefix}_b1"))
+      .filter(F.col("cosine") >= 0.999).select("query_id")
+    assert(retry.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("ingestEmbedStream over a WHITENED index: batches project through " +
       "the persisted model for probe and append; survivors persist RAW; " +
       "cross-batch kill works through the whitened space") {

@@ -395,6 +395,14 @@ class OperatorsSpec extends SparkSpec {
     Similarity.compactIvfIndex(spark, dir)
     assert(search() == before)
     assert(files().length == cellsPopulated)
+    // hot-cell file cap (r15 verdict #5): a cap under the cell size
+    // re-splits each cell into ceil(rows/cap) hash-block files — the
+    // probe-parallelism repair measured in scaling/ivf_hotcell.json —
+    // with search results untouched
+    Similarity.compactIvfIndex(spark, dir, maxCellRowsPerFile = 10L)
+    assert(search() == before)
+    assert(files().length > cellsPopulated,
+      s"${files().length} files for $cellsPopulated cells under the cap")
   }
 
   test("ngram Jaccard exact pairs") {
@@ -823,21 +831,38 @@ class OperatorsSpec extends SparkSpec {
       F.col("id"), F.col("v"), k = 5, nprobe = 4)) == exact)
   }
 
-  test("searchIvfIndex wide-probe route: a RAW layout probing >= half " +
-      "its cells scans everything (measured cheaper at width — " +
-      "scaling/whitened_ivf_4096.json); results stay identical at " +
-      "nprobe = nlist and upgrade to exact below it; whitened layouts " +
-      "and distributed query sets keep probing") {
-    // the factored route decision, pinned against the measured curve
-    assert(!Similarity.shouldRouteBrute(1, 4, whitened = false,
+  test("searchIvfIndex wide-probe route is WIDTH-aware: the threshold " +
+      "tracks candidate payload bytes (raw d4096 routes at 0.5, narrow " +
+      "and SQ8 layouts keep probing to the exhaustive point); results " +
+      "stay identical at nprobe = nlist and upgrade to exact above the " +
+      "threshold; distributed query sets keep probing") {
+    // the width model, pinned against the measured anchors
+    // (whitened_ivf_4096.json + ivf_route_width.json)
+    assert(Similarity.bruteRouteFraction(32768L) == 0.5) // raw f64 d4096
+    assert(Similarity.bruteRouteFraction(65536L) == 0.5) // wider clamps
+    assert(Similarity.bruteRouteFraction(4096L) == 1.0)  // sq8 d4096 /
+                                                         // whitened pcaK512
+    assert(Similarity.bruteRouteFraction(256L) == 1.0)   // whitened pcaK32
+    assert(Similarity.bruteRouteFraction(64L) == 1.0)    // narrow clamps
+    // monotone non-increasing between the anchors (log-width interp)
+    val mid = Similarity.bruteRouteFraction(11585L) // ~2^13.5
+    assert(mid < 1.0 && mid > 0.5)
+    assert(Similarity.bruteRouteFraction(8192L) >=
+      Similarity.bruteRouteFraction(16384L))
+    // the factored route decision
+    assert(!Similarity.shouldRouteBrute(1, 4, widthBytes = 32768L,
       localizeQueries = true)) // frac 0.25: probed path measured 2.6x
-    assert(Similarity.shouldRouteBrute(2, 4, whitened = false,
-      localizeQueries = true)) // frac 0.5: the measured cliff
-    assert(Similarity.shouldRouteBrute(8, 4, whitened = false,
+    assert(Similarity.shouldRouteBrute(2, 4, widthBytes = 32768L,
+      localizeQueries = true)) // frac 0.5: the measured raw-wide cliff
+    assert(Similarity.shouldRouteBrute(8, 4, widthBytes = 32768L,
       localizeQueries = true)) // nprobe > nlist clamps to 1.0
-    assert(!Similarity.shouldRouteBrute(4, 4, whitened = true,
-      localizeQueries = true)) // whitened candidates are pcaK-wide
-    assert(!Similarity.shouldRouteBrute(4, 4, whitened = false,
+    assert(!Similarity.shouldRouteBrute(2, 4, widthBytes = 256L,
+      localizeQueries = true)) // narrow at frac 0.5: keeps probing
+    assert(Similarity.shouldRouteBrute(4, 4, widthBytes = 256L,
+      localizeQueries = true)) // exhaustive always-win routes at ANY width
+    assert(!Similarity.shouldRouteBrute(3, 4, widthBytes = 4096L,
+      localizeQueries = true)) // sq8-d4096-width at 0.75: keeps probing
+    assert(!Similarity.shouldRouteBrute(4, 4, widthBytes = 32768L,
       localizeQueries = false)) // big query sets can't broadcast
     val corpus = (for { cl <- 0 until 4; i <- 0 until 25 } yield {
       val v = Array.tabulate(8)(d =>
@@ -856,8 +881,9 @@ class OperatorsSpec extends SparkSpec {
         .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
     val exact = ids(Similarity.bruteForceTopK(corpus, F.col("id"),
       F.col("v"), queries, F.col("id"), F.col("v"), k = 5))
-    // routed (frac 1.0): the plan is the brute shape — no cell probe
-    // join, a broadcast nested-loop over the full assigned scan
+    // routed (frac 1.0 — always-win at any width): the plan is the brute
+    // shape — no cell probe join, a broadcast nested-loop over the full
+    // assigned scan
     val routed = Similarity.searchIvfIndex(spark, dir, queries,
       F.col("id"), F.col("v"), k = 5, nprobe = 4)
     assert(ids(routed) == exact)
@@ -866,16 +892,41 @@ class OperatorsSpec extends SparkSpec {
       s"wide probe not routed to the full scan:\n$plan")
     assert(plan.contains("PartitionFilters: []"),
       s"routed scan should carry no cell partition filter:\n$plan")
-    // routed at frac in [0.5, 1): the EXACT answer — a strict recall
-    // upgrade over what the probed path would have returned
-    assert(ids(Similarity.searchIvfIndex(spark, dir, queries,
-      F.col("id"), F.col("v"), k = 5, nprobe = 2)) == exact)
+    // this layout is 64 B wide — frac 0.5 sits UNDER its threshold
+    // (1.0), so the probed plan survives untouched where the old
+    // space-blind rule would have force-routed it (r15 ADVICE: narrow
+    // layouts at frac 0.5 read half the bytes of the full scan)
+    val probedHalf = Similarity.searchIvfIndex(spark, dir, queries,
+      F.col("id"), F.col("v"), k = 5, nprobe = 2)
+    probedHalf.collect()
+    assert(probedHalf.queryExecution.executedPlan.toString.linesIterator
+      .exists(l => l.contains("PartitionFilters") && l.contains("cell")))
     // under the fraction the probed plan survives untouched
     val probed = Similarity.searchIvfIndex(spark, dir, queries,
       F.col("id"), F.col("v"), k = 5, nprobe = 1)
     probed.collect()
     assert(probed.queryExecution.executedPlan.toString.linesIterator
       .exists(l => l.contains("PartitionFilters") && l.contains("cell")))
+    // a WIDE raw layout (d = 4096 → 32 KiB rows) routes at frac 0.5:
+    // the exact answer — a strict recall upgrade — at the measured-
+    // cheaper full scan
+    val wideCorpus = (0 until 24).map { i =>
+      (i.toLong, Seq.tabulate(4096)(j =>
+        math.sin(i * 131 + j * 7).abs + (if (j % 24 == i) 5.0 else 0.0)))
+    }.toDF("id", "v")
+    val wideQ = Seq((1000L,
+      Seq.tabulate(4096)(j => if (j % 24 == 3) 5.0 else 0.1)))
+      .toDF("id", "v")
+    val wideDir = java.nio.file.Files.createTempDirectory("graft_widert")
+      .toString + "/idx"
+    Similarity.writeIvfIndex(wideCorpus, F.col("id"), F.col("v"), wideDir,
+      nlist = 4, trainSample = 100)
+    val wideRouted = Similarity.searchIvfIndex(spark, wideDir, wideQ,
+      F.col("id"), F.col("v"), k = 3, nprobe = 2)
+    assert(ids(wideRouted) == ids(Similarity.bruteForceTopK(wideCorpus,
+      F.col("id"), F.col("v"), wideQ, F.col("id"), F.col("v"), k = 3)))
+    assert(wideRouted.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
   }
 
   test("SQ8 rescore: the opt-in exact re-rank against the full-precision " +
@@ -962,16 +1013,47 @@ class OperatorsSpec extends SparkSpec {
         F.col("id"), F.col("v"))))
     assert(empty.columns.toSeq ==
       Seq("query_id", "corpus_id", "rank", "cosine") && empty.count() == 0)
-    // a query set declared NOT driver-small cannot take the rescore
-    // path — the refine drives off driver-collected candidates
-    val eLoc = intercept[IllegalArgumentException] {
+    // a query set declared NOT driver-small takes the DISTRIBUTED
+    // refine (r15 verdict #2): semi-join-pruned source, per-query
+    // window re-rank, no query-scale collect — and the result equals
+    // the localized rescore bit-for-bit (same doubles, same tie-break).
+    // Queries ride through parquet so the no-local-relation plan guard
+    // below observes the genuine distributed shape
+    queries.write.parquet(root + "/queries")
+    val queriesDisk = spark.read.parquet(root + "/queries")
+    val distRescored = Similarity.searchIvfIndex(spark, root + "/sq8",
+      queriesDisk, F.col("id"), F.col("v"), k = 5, nprobe = 4,
+      localizeQueries = false,
+      rescore = Some(Similarity.RescoreSource(source, F.col("id"),
+        F.col("v"))))
+    val distGot = distRescored.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(distGot == truth, s"\n$distGot\nvs\n$truth")
+    // plan guard: the distributed refine carries NO driver-built local
+    // relation — the localized path's signature is a LocalTableScan of
+    // collected candidates/queries; here candidates snapshot
+    // executor-side (ExistingRDD) and queries stay a plain scan
+    val distPlan = distRescored.queryExecution.executedPlan.toString
+    assert(!distPlan.contains("LocalTableScan"),
+      s"distributed rescore built a driver-local relation:\n$distPlan")
+    // the distributed path keeps the fail-loud source contracts
+    val distStale = intercept[IllegalArgumentException] {
       Similarity.searchIvfIndex(spark, root + "/sq8", queries,
         F.col("id"), F.col("v"), k = 5, nprobe = 4,
         localizeQueries = false,
-        rescore = Some(Similarity.RescoreSource(source, F.col("id"),
-          F.col("v"))))
+        rescore = Some(Similarity.RescoreSource(
+          source.filter(F.col("id") % 2 === 0), F.col("id"), F.col("v"))))
     }
-    assert(eLoc.getMessage.contains("localizeQueries"), eLoc.getMessage)
+    assert(distStale.getMessage.contains("cover"), distStale.getMessage)
+    val distDuped = intercept[IllegalArgumentException] {
+      Similarity.searchIvfIndex(spark, root + "/sq8", queries,
+        F.col("id"), F.col("v"), k = 5, nprobe = 4,
+        localizeQueries = false,
+        rescore = Some(Similarity.RescoreSource(
+          source.unionAll(source), F.col("id"), F.col("v"))))
+    }
+    assert(distDuped.getMessage.contains("duplicate"), distDuped.getMessage)
     // a float layout refuses: its scores are already exact
     Similarity.writeIvfIndex(corpus, F.col("id"), F.col("v"),
       root + "/float", nlist = 4, trainSample = 100)
@@ -1205,6 +1287,41 @@ class OperatorsSpec extends SparkSpec {
       Similarity.norm(Similarity.l2Normalize(F.col("v"))).as("nn"))
       .orderBy("id").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(approx(n(1L), 1.0) && approx(n(3L), 1.0) && n(2L) == 0.0)
+  }
+
+  test("QuantizeInt8 native expression equals the HOF formulation " +
+      "bit-for-bit (r16: the HOF form re-evaluated the O(d) absMax " +
+      "aggregate per element — O(d^2) per row on wide vectors)") {
+    // the exact HOF twin the native expression replaced
+    def hof(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val absMax = F.aggregate(a, F.lit(0.0),
+        (acc, x) => F.greatest(acc, F.abs(x.cast("double"))))
+      val scale = absMax / 127.0
+      F.struct(
+        scale.as("scale"),
+        F.when(scale > 0,
+          F.transform(a, x =>
+            F.round(x.cast("double") / scale).cast("byte")))
+          .otherwise(F.transform(a, x => F.lit(0).cast("byte"))).as("q"))
+    }
+    // doubles with genuine HALF_UP ties (scale 1.0 → 2.5/-2.5), floats,
+    // negatives, a zero vector, and a null element
+    val rows = spark.range(1).select(
+      F.array(F.lit(127.0), F.lit(2.5), F.lit(-2.5), F.lit(0.3),
+        F.lit(null).cast("double")).as("vd"),
+      F.array(F.lit(0.5f), F.lit(-1.0f), F.lit(0.127f)).as("vf"),
+      F.array(F.lit(0.0), F.lit(0.0)).as("vz"))
+    def key(c: org.apache.spark.sql.Column) = rows.select(c.as("s"))
+      .select(F.col("s.scale"), F.col("s.q")).collect().map(r =>
+        (r.getDouble(0), r.getSeq[Any](1).toList)).toList
+    for (col <- Seq("vd", "vf", "vz"))
+      assert(key(Similarity.quantizeInt8(F.col(col))) ==
+        key(hof(F.col(col))), s"mismatch on $col")
+    // the tie rows really exercise HALF_UP: 2.5 → 3, -2.5 → -3
+    val tie = rows.select(Similarity.quantizeInt8(F.col("vd")).as("s"))
+      .select(F.col("s.q")).collect().head.getSeq[Any](0)
+    assert(tie(1) == 3.toByte && tie(2) == (-3).toByte && tie(4) == null,
+      tie.toString)
   }
 
   test("corpusStats: one-row profile with exact percentiles and en share") {
