@@ -23,9 +23,14 @@ import org.apache.spark.sql.{functions => F}
 object SegmentStudy {
   def synthDocs(spark: SparkSession, n: Long, idOffset: Long = 0L,
       words: Int = 40, vocab: Int = 5000): DataFrame = {
+    // text keys on the OFFSET id (r16 fix): the original derived words
+    // from the pre-offset range id, so `idOffset` changed only doc_id
+    // and every "fresh" batch was an exact textual copy of corpus docs
+    // 0..n-1 — IngestCompactStudy's all-dead survivors exposed it
     val wordCols = (0 until words).map(k =>
-      F.concat(F.lit("w"), F.pmod(F.xxhash64(F.col("id") * 31 + k),
-        F.lit(vocab.toLong))))
+      F.concat(F.lit("w"),
+        F.pmod(F.xxhash64((F.col("id") + idOffset) * 31 + k),
+          F.lit(vocab.toLong))))
     spark.range(n).select((F.col("id") + idOffset).as("doc_id"),
       F.concat_ws(" ", wordCols: _*).as("text"))
   }
