@@ -933,7 +933,7 @@ object SparkEntry {
   private val d13: (SparkSession, String) => DataFrame = (s, dir) => {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
     val aug = e.unionAll(e.filter(F.col("vec_id") < 100).select(
-      (F.col("vec_id") + 10000).as("vec_id"),
+      (F.col("vec_id") + 10000000L).as("vec_id"),
       F.transform(F.col("embedding"), x => x * F.lit(2.0f)).as("embedding")))
     Dedup.embeddingDuplicatePairs(aug, F.col("vec_id"), F.col("embedding"),
         threshold = 0.999, planes = 64, bands = 4)
@@ -1254,7 +1254,7 @@ object SparkEntry {
       .filter(F.col("vec_id") >= 5)
     val run = s07Run.incrementAndGet()
     def scaled(df: DataFrame) = df.select(
-      (F.col("vec_id") + 10000).as("vec_id"),
+      (F.col("vec_id") + 10000000L).as("vec_id"),
       F.transform(F.col("embedding"), x => x * F.lit(2.0f)).as("embedding"))
     val idx = scratch(s"s07_index_${dir.hashCode.abs}_$run")
     operators.Similarity.writeIvfIndex(e.filter(F.col("vec_id") % 3 === 0),
@@ -1308,7 +1308,7 @@ object SparkEntry {
       .filter(F.col("vec_id") >= 5)
     val run = s11Run.incrementAndGet()
     def scaled(df: DataFrame) = df.select(
-      (F.col("vec_id") + 10000).as("vec_id"),
+      (F.col("vec_id") + 10000000L).as("vec_id"),
       F.transform(F.col("embedding"), x => x * F.lit(2.0f)).as("embedding"))
     val idx = scratch(s"s11_index_${dir.hashCode.abs}_$run")
     val baseCorpus = e.filter(F.col("vec_id") % 3 === 0)
@@ -2448,7 +2448,7 @@ object SparkEntry {
   private def semanticAug(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
     e.unionAll(e.filter(F.col("vec_id") < 100).select(
-        (F.col("vec_id") + 10000).as("vec_id"),
+        (F.col("vec_id") + 10000000L).as("vec_id"),
         F.transform(F.col("embedding"), x => x * F.lit(2.0f))
           .as("embedding")))
       .unionAll(e.filter(F.col("vec_id") < 50).select(
@@ -3771,10 +3771,10 @@ object SparkEntry {
       base AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 0),
       b1 AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 1
              UNION ALL
-             SELECT vec_id + 10000, list_transform(v, x -> x * 2)
+             SELECT vec_id + 10000000, list_transform(v, x -> x * 2)
              FROM e WHERE vec_id % 3 = 0 AND vec_id < 20
              UNION ALL
-             SELECT vec_id + 10000, list_transform(v, x -> x * 2)
+             SELECT vec_id + 10000000, list_transform(v, x -> x * 2)
              FROM e WHERE vec_id % 3 = 2 AND vec_id < 35),
       s1 AS (SELECT x.vec_id, x.v FROM b1 x WHERE NOT EXISTS (
                SELECT 1 FROM base c
@@ -3785,7 +3785,7 @@ object SparkEntry {
              UNION ALL SELECT vec_id, v FROM s1),
       b2 AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 2
              UNION ALL
-             SELECT vec_id + 10000, list_transform(v, x -> x * 2)
+             SELECT vec_id + 10000000, list_transform(v, x -> x * 2)
              FROM e WHERE vec_id % 3 = 1 AND vec_id < 20),
       s2 AS (SELECT x.vec_id, x.v FROM b2 x WHERE NOT EXISTS (
                SELECT 1 FROM i1 c
@@ -4145,7 +4145,7 @@ object SparkEntry {
       WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            aug AS (SELECT vec_id, v FROM base
                    UNION ALL
-                   SELECT vec_id + 10000, list_transform(v, x -> x * 2)
+                   SELECT vec_id + 10000000, list_transform(v, x -> x * 2)
                    FROM base WHERE vec_id < 100),
            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                         list_dot_product(a.v, b.v) /
@@ -4353,7 +4353,7 @@ object SparkEntry {
       WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            aug AS (SELECT vec_id, v FROM base
                    UNION ALL
-                   SELECT vec_id + 10000, list_transform(v, x -> x * 2)
+                   SELECT vec_id + 10000000, list_transform(v, x -> x * 2)
                    FROM base WHERE vec_id < 100
                    UNION ALL
                    SELECT vec_id + 20000, list_transform(v, x -> x * 0.5)

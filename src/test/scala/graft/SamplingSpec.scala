@@ -390,6 +390,39 @@ class SamplingSpec extends SparkSpec {
       rows(fresh2 + "/postings", "band", "bucket", "ids", "seg"))
     assert(col1[Long](Dedup.dedupAgainstIndex(probe, F.col("id"),
       F.col("text"), seg2, threshold = 0.8).orderBy("id"), "id") == Seq(1L))
+    // excludeSegment (r16, the in-line stream-compaction contract): the
+    // fold skips the named segment — its features keep their seg label
+    // and its postings rows pass through byte-identical to what the
+    // appender wrote (NOT re-derived) — and a later fold that includes
+    // it converges onto the fresh-build identity
+    val seg3 = dir + "/seg3"
+    Dedup.writeMinhashIndex(a, F.col("id"), F.col("text"), seg3,
+      shingleSize = 3, numHashes = 64, bands = 16, maxBucket = 3)
+    Dedup.appendToMinhashIndex(b, F.col("id"), F.col("text"), seg3,
+      segment = "b0")
+    def segRows(p: String): Seq[String] =
+      spark.read.parquet(p).filter(F.col("seg") === "b0")
+        .collect().map(_.toString).toSeq.sorted
+    val keptPostingsBefore = segRows(seg3 + "/postings")
+    val keptFeaturesBefore = segRows(seg3 + "/features")
+    Dedup.compactMinhashIndex(spark, seg3, excludeSegment = Some("b0"))
+    def segsOf(p: String): Set[String] =
+      spark.read.parquet(p).select("seg").distinct()
+        .collect().map(_.getString(0)).toSet
+    assert(segsOf(seg3 + "/features") == Set("base", "b0"))
+    assert(segRows(seg3 + "/postings") == keptPostingsBefore)
+    assert(segRows(seg3 + "/features") == keptFeaturesBefore)
+    // the excluded segment still probes (candidate generation is
+    // segment-transparent): same all-dead probe as the segmented index,
+    // because the cap erosion is intact while b0 stays unfolded
+    assert(col1[Long](Dedup.dedupAgainstIndex(probe, F.col("id"),
+      F.col("text"), seg3, threshold = 0.8), "id").isEmpty)
+    // the NEXT (unexcluded) fold converges on the fresh-build identity
+    Dedup.compactMinhashIndex(spark, seg3)
+    assert(rows(seg3 + "/features", "id", "sh", "seg") ==
+      rows(fresh + "/features", "id", "sh", "seg"))
+    assert(rows(seg3 + "/postings", "band", "bucket", "ids", "seg") ==
+      rows(fresh + "/postings", "band", "bucket", "ids", "seg"))
   }
 
   test("dedupAgainstNear fails loudly on a negative id instead of " +
