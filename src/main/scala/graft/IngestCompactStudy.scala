@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Does `compactEvery` actually hold the ingest stream's probe latency at
   * the compacted floor? (r15 verdict #3's measurement leg — SegmentStudy
-  * measured the floor and the ~35%-at-64-segments degradation for MANUAL
+  * measured the floor and the ~75%-at-64-segments degradation for MANUAL
   * compaction; this study runs the real streaming path with the IN-LINE
   * trigger and checks the steady state it leaves behind.)
   *

@@ -2452,7 +2452,7 @@ object SparkEntry {
         F.transform(F.col("embedding"), x => x * F.lit(2.0f))
           .as("embedding")))
       .unionAll(e.filter(F.col("vec_id") < 50).select(
-        (F.col("vec_id") + 20000).as("vec_id"),
+        (F.col("vec_id") + 20000000L).as("vec_id"),
         F.transform(F.col("embedding"), x => x * F.lit(0.5f))
           .as("embedding")))
   }
@@ -4356,7 +4356,7 @@ object SparkEntry {
                    SELECT vec_id + 10000000, list_transform(v, x -> x * 2)
                    FROM base WHERE vec_id < 100
                    UNION ALL
-                   SELECT vec_id + 20000, list_transform(v, x -> x * 0.5)
+                   SELECT vec_id + 20000000, list_transform(v, x -> x * 0.5)
                    FROM base WHERE vec_id < 50),
            losers AS (SELECT DISTINCT b.vec_id AS id
              FROM aug a JOIN aug b ON a.vec_id < b.vec_id

@@ -279,9 +279,15 @@ case class VectorCosine(left: Expression, right: Expression)
   * (`aggregate` absMax + `transform(round(x / (absMax/127)))`): the
   * absMax fold keeps Spark's greatest semantics (NaN orders above every
   * number; nulls don't lower the fold), rounding is HALF_UP through
-  * BigDecimal exactly like Spark's `Round`, a non-positive or NaN scale
-  * yields ALL-ZERO codes (nulls included — the `transform(_ => 0)`
-  * branch), and a null element carries through as a null code.
+  * BigDecimal exactly like Spark's `Round`, a zero scale yields
+  * ALL-ZERO codes (nulls included — the `transform(_ => 0)` branch),
+  * and a null element otherwise carries through as a null code. A NaN
+  * scale (some element was NaN) takes the QUANTIZE branch like the HOF
+  * did — Spark's `>` orders NaN above every number, so `scale > 0` was
+  * TRUE there — every division yields NaN, Round passes it through,
+  * and the byte cast lands 0, with null elements PRESERVED (unlike the
+  * zero-scale branch; a review of the first cut caught the two NaN
+  * branches swapped, which silently turned null codes into 0s).
   *
   * Why native (r16, found by IvfRouteWidthStudy): in the HOF form the
   * `scale` operand of the per-element divide is the whole O(d) absMax
@@ -300,6 +306,21 @@ case class QuantizeInt8(child: Expression)
   override def prettyName: String = "quantize_int8"
   override protected def withNewChildInternal(c: Expression): QuantizeInt8 =
     copy(child = c)
+
+  // analysis-time rejection (the HOF form cast any numeric element to
+  // double; this expression reads float/double directly — an int or
+  // decimal array must be cast by the caller, and should learn that at
+  // plan time, not hours into a write stage)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize_int8 expects array<float>/array<double>, got " +
+            s"${other.catalogString} — cast the column first")
+    }
 
   private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -325,8 +346,8 @@ case class QuantizeInt8(child: Expression)
     }
     val scale = absMax / 127.0
     val codes = new Array[Any](n)
-    if (scale > 0) { // false for 0 AND NaN — both take the all-zero branch
-      i = 0
+    if (scale > 0 || scale.isNaN) { // Spark's `>` puts NaN above 0: the
+      i = 0                         // HOF quantize branch fired for NaN too
       while (i < n) {
         if (arr.isNullAt(i)) codes(i) = null
         else {

@@ -1005,7 +1005,7 @@ object Dedup {
     * accumulate. At high segment counts, compact ([[compactMinhashIndex]])
     * — the same posture as any LSM-shaped index. Measured trigger
     * (`graft.SegmentStudy`, scaling/mh_segments.json): at 20k docs probe
-    * latency is flat through ~16 segments and ~35% over the floor by 64
+    * latency is flat through ~16 segments and ~75% over the floor by 64
     * (per-segment posting rows + file-listing overhead); compaction cost
     * ~1.8 s and restored the floor, paying for itself within a handful
     * of probes — compact when the segment count reaches the tens, or on
@@ -1105,7 +1105,11 @@ object Dedup {
     // the excluded segment's postings must pass through from the OLD
     // postings table — bind the frame before the features swap below
     // retires the layout state it rides on (the read is lazy; the
-    // listing is captured at plan time)
+    // listing is captured at plan time). The snapshot blocks are
+    // released at the end of this method (localCheckpoint lives outside
+    // the CacheManager — an in-line stream compaction would otherwise
+    // accrete one batch-sized block per trigger)
+    val preRdds = spark.sparkContext.getPersistentRDDs.keySet
     val keptPostings = excludeSegment.map(ex =>
       spark.read.parquet(s"$path/postings").filter(F.col("seg") === ex)
         .localCheckpoint())
@@ -1137,6 +1141,11 @@ object Dedup {
           kp.select("band", "bucket", "ids", "seg")))
         .write.mode("overwrite").partitionBy("seg", "band").parquet(out)
     })
+    // release the pass-through snapshot's blocks (consumed by the
+    // postings write above)
+    val post = spark.sparkContext.getPersistentRDDs
+    (post.keySet -- preRdds).foreach(rid =>
+      post.get(rid).foreach(_.unpersist(false)))
   }
 
   /** Membership gate against a reference key set WITHOUT a join: build a

@@ -413,7 +413,12 @@ object Similarity {
     * verb. The coverage and duplicate guards run as bounded `limit(1)`
     * probes over candidate-scale frames — two cheap jobs, never a
     * query-scale collect. Eager like the localized rescore: the guards
-    * execute inside the verb call. */
+    * execute inside the verb call. The two snapshots back the RETURNED
+    * frame, so their blocks stay pinned until the caller is done with
+    * it — long-running callers must release them (the ingest stream
+    * sweeps its batch-scoped persistent RDDs per trigger; Verify/Bench
+    * sweep per query); one-shot callers can leave them to session
+    * teardown. */
   private def rescoreExactDistributed(quantTop: DataFrame,
       queries: DataFrame, queryId: Column, queryVec: Column,
       rs: RescoreSource, k: Int): DataFrame = {
@@ -1203,7 +1208,7 @@ object Similarity {
     * file per segment × cell. MEASURED (scaling/ivf_segments.json, fixed
     * centroids so only layout varies): on a local warm filesystem search
     * latency is FLAT 1→64 segments — unlike the MinHash index
-    * (mh_segments.json, 35% over floor at 64 segments) there is no
+    * (mh_segments.json, ~75% over floor at 64 segments) there is no
     * per-segment aggregation state to merge, so segment count only costs
     * file-count economics. Compact for those economics where they bite —
     * object-storage LIST/OPEN round trips and metadata-server pressure at

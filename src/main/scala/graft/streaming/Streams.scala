@@ -148,7 +148,7 @@ object Streams {
     * from the fold (it is not yet checkpoint-committed; folding it
     * would defeat a replayed batch's own-segment exclusion and the
     * replay would self-kill its survivors). Probe latency degrades
-    * ~35% by 64 segments (scaling/mh_segments.json); the in-line
+    * ~75% by 64 segments (scaling/mh_segments.json); the in-line
     * trigger restores the floor automatically at the cadence a 24/7
     * stream needs — the default 0 keeps compaction a manual,
     * between-triggers operation. */
@@ -267,6 +267,15 @@ object Streams {
       else None
     val step: (DataFrame, Long) => Unit = (batchDf, batchId) => {
       val seg = s"${prefix}_b$batchId"
+      // snapshot the persistent-RDD ids so every batch-scoped block —
+      // the pinned batch below, the distributed probe's localCheckpoint,
+      // the distributed rescore's candidate/pruned snapshots — is
+      // released when the batch's writes are done. localCheckpoint
+      // blocks live OUTSIDE the CacheManager, so a per-batch sweep is
+      // the only release path; without it a 24/7 stream on the
+      // distributed posture accretes candidate-scale blocks per trigger
+      // (the same leak class the dedup stream's managed release closes).
+      val preRdds = spark.sparkContext.getPersistentRDDs.keySet
       val batch = batchDf.select(id.as("__vid"), vec.as("__v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -291,10 +300,18 @@ object Streams {
         val rescore = rescoreSource.map { mk =>
           val rs = mk()
           pcaModel match {
-            case Some(m) => graft.operators.Similarity.RescoreSource(
-              graft.operators.Embeddings.pcaProject(rs.source, rs.vec, m,
-                "__rwv", whiten = true),
-              rs.id, F.col("__rwv"), rs.factor)
+            case Some(m) =>
+              // same reserve-column guard as searchWhitenedIvfIndex's
+              // rescore wrapper: silently overwriting a caller's __rwv
+              // is the failure the sibling path refuses loudly
+              require(!rs.source.columns.exists(
+                  _.toLowerCase(java.util.Locale.ROOT) == "__rwv"),
+                "ingestEmbedStream reserves column name __rwv in the " +
+                  "rescore source — rename first")
+              graft.operators.Similarity.RescoreSource(
+                graft.operators.Embeddings.pcaProject(rs.source, rs.vec, m,
+                  "__rwv", whiten = true),
+                rs.id, F.col("__rwv"), rs.factor)
             case None => rs
           }
         }
@@ -329,7 +346,13 @@ object Streams {
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
           graft.operators.Similarity.compactIvfIndex(spark, indexPath,
             excludeSegment = Some(seg))
-      } finally { batch.unpersist(false); () }
+      } finally {
+        batch.unpersist(false)
+        val post = spark.sparkContext.getPersistentRDDs
+        (post.keySet -- preRdds).foreach(rid =>
+          post.get(rid).foreach(_.unpersist(false)))
+        ()
+      }
     }
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)

@@ -1310,18 +1310,28 @@ class OperatorsSpec extends SparkSpec {
       F.array(F.lit(127.0), F.lit(2.5), F.lit(-2.5), F.lit(0.3),
         F.lit(null).cast("double")).as("vd"),
       F.array(F.lit(0.5f), F.lit(-1.0f), F.lit(0.127f)).as("vf"),
-      F.array(F.lit(0.0), F.lit(0.0)).as("vz"))
+      F.array(F.lit(0.0), F.lit(0.0)).as("vz"),
+      F.array(F.lit(1.0), F.lit(Double.NaN),
+        F.lit(null).cast("double")).as("vn"))
     def key(c: org.apache.spark.sql.Column) = rows.select(c.as("s"))
       .select(F.col("s.scale"), F.col("s.q")).collect().map(r =>
         (r.getDouble(0), r.getSeq[Any](1).toList)).toList
-    for (col <- Seq("vd", "vf", "vz"))
-      assert(key(Similarity.quantizeInt8(F.col(col))) ==
-        key(hof(F.col(col))), s"mismatch on $col")
+    for (col <- Seq("vd", "vf", "vz", "vn"))
+      assert(key(Similarity.quantizeInt8(F.col(col))).toString ==
+        key(hof(F.col(col))).toString, s"mismatch on $col")
     // the tie rows really exercise HALF_UP: 2.5 → 3, -2.5 → -3
     val tie = rows.select(Similarity.quantizeInt8(F.col("vd")).as("s"))
       .select(F.col("s.q")).collect().head.getSeq[Any](0)
     assert(tie(1) == 3.toByte && tie(2) == (-3).toByte && tie(4) == null,
       tie.toString)
+    // a NaN element: Spark's `>` orders NaN above 0, so the HOF took the
+    // QUANTIZE branch — codes 0 via the NaN-division passthrough, but
+    // null elements PRESERVED (the zero-scale branch would zero them;
+    // the review pass caught the first cut swapping these)
+    val nan = rows.select(Similarity.quantizeInt8(F.col("vn")).as("s"))
+      .select(F.col("s.q")).collect().head.getSeq[Any](0)
+    assert(nan(0) == 0.toByte && nan(1) == 0.toByte && nan(2) == null,
+      nan.toString)
   }
 
   test("corpusStats: one-row profile with exact percentiles and en share") {
