@@ -120,6 +120,20 @@ object IvfRouteWidthStudy {
         expectWhitened = false, routeEnabled = route),
       widthBytes = 4096L)
 
+    // the interpolation band's midpoint-ish witness: raw float64 at
+    // d = 1024 → 8 KiB rows, where the log-width model reads a ~0.83
+    // threshold — the probed sweep through 0.75 must therefore stay
+    // under the route (and under the 1.5× floor check below), while
+    // the 32 KiB anchor's cliff is expected to be absent at this width
+    val raw1k = runLayout("raw1k", d = 1024, rank = 32,
+      build = (c, p) => Similarity.writeIvfIndex(c, F.col("id"),
+        F.col("v"), p, nlist = nlist, seed = 7),
+      search = (p, q, np, route) => Similarity.searchIvfIndexImpl(spark,
+        p, q, F.col("id"), F.col("v"), k = kTop, nprobe = np,
+        excludeSegment = None, localizeQueries = true,
+        expectWhitened = false, routeEnabled = route),
+      widthBytes = 8192L)
+
     def whitened(label: String, pcaK: Int): LayoutRun = {
       var model: Embeddings.PcaModel = null
       runLayout(label, d = 1024, rank = pcaK,
@@ -141,7 +155,7 @@ object IvfRouteWidthStudy {
     val w512 = whitened("w512", pcaK = 512)
     val w256 = whitened("w256", pcaK = 256)
 
-    val runs = Seq(sq8, w512, w256)
+    val runs = Seq(sq8, raw1k, w512, w256)
     // self-check: no interior cliff at or under 4 KiB — probing through
     // frac 0.75 never crosses 1.5x the brute floor, and the exhaustive
     // probe lands near the floor; the model's threshold 1.0 for these

@@ -906,6 +906,11 @@ object Similarity {
     *    always-win case).
     *  - 256 B (whitened float64 pcaK = 32, whitened_ivf_4096.json):
     *    probed 0.5 under brute (1.64 s vs 1.85 s) → no interior cliff.
+    *  - 8192 B (raw float64 d = 1024 — the interpolation band's
+    *    witness, ivf_route_width.json): probed 0.25/0.5/0.75 at
+    *    1.53/1.88/2.20 s vs brute 2.41 s — under the floor through
+    *    0.75 and closing on it, consistent with the interpolated ~0.83
+    *    threshold at this width.
     * Between anchors the threshold interpolates linearly in log2(width)
     * — the measured transition is monotone in width and spans octaves,
     * so log-width is the natural axis; outside it clamps flat. Float32
