@@ -17,6 +17,7 @@ mass that the dedup/ANN queries never see in driver data).
 Usage: python3 scripts/gen_sf1.py <out_dir>
 """
 import os
+import shutil
 import subprocess
 import sys
 
@@ -25,6 +26,36 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 REPLICAS = 10
+
+# r16 verdict #2: the first sf1 set wrote each generated table as ONE
+# parquet file with ONE row group (pyarrow's default at these sizes), so
+# every scan-heavy query ran its sf1 scan on ONE Spark task and the
+# sweep's text-family ratios measured single-core throughput, not
+# parallel plans. Spark assigns one task per <=maxPartitionBytes file
+# SLICE, so multiple row groups inside one 16 MB file still scan on one
+# task — the tables that need parallel scans must be MULTIPLE FILES.
+# `<name>.parquet` becomes a DIRECTORY of part files (Spark and pyarrow
+# both read it transparently); row_group_size keeps groups small enough
+# for in-file pruning.
+SPLIT_FILES = 16
+
+
+def resplit(out_dir: str, name: str, files: int = SPLIT_FILES) -> None:
+    path = f"{out_dir}/{name}.parquet"
+    t = pq.read_table(path)
+    tmp = path + ".split"
+    os.makedirs(tmp, exist_ok=True)
+    n = t.num_rows
+    step = (n + files - 1) // files
+    for i in range(files):
+        chunk = t.slice(i * step, step)
+        if chunk.num_rows == 0:
+            break
+        pq.write_table(chunk, f"{tmp}/part-{i:05d}.parquet",
+                       row_group_size=max(1, step // 4))
+    os.remove(path)
+    shutil.move(tmp, path)
+    print(f"resplit {name}: {n} rows -> {files} files")
 
 
 def replicate(name: str, out_dir: str, offsets: dict[str, int]) -> None:
@@ -76,6 +107,10 @@ def main() -> None:
                    check=True)
     subprocess.run([sys.executable, gen, "--events", "1000000", out_dir,
                     "420", "us"], check=True)
+    # multi-file layout for every scan-heavy table (see SPLIT_FILES note)
+    for name in ("documents", "embeddings", "events", "lineitem",
+                 "orders"):
+        resplit(out_dir, name)
 
 
 if __name__ == "__main__":

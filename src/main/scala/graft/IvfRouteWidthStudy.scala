@@ -22,13 +22,24 @@ import org.apache.spark.sql.{functions => F}
   *    says needs big pcaK, and the exact shape the r15 blanket exemption
   *    would mis-route
   *  - `w256`: whitened float64 at pcaK = 256 → 2 KiB candidate rows
+  *  - `raw1k`: raw float64 at d = 1024 → 8 KiB rows, the interpolation
+  *    band's midpoint witness
+  *  - `f32_8k`: raw FLOAT32 at d = 2048 → the same 8 KiB rows by the
+  *    meta's `elem_bytes` stamp (r16 verdict #3) — twice raw1k's
+  *    dimension count at the identical byte width, witnessing that the
+  *    route axis is BYTES, not dimensions (the pre-stamp model read
+  *    this layout as 16 KiB and would route it early)
   *
-  * Self-checks (REQUIREd): at every measured width-4 KiB-and-under
-  * point, the probed path stays under 1.5× the brute floor through
-  * fraction 0.75 — i.e. there is NO interior cliff at these widths, so
-  * the model's threshold 1.0 (route only the exhaustive always-win
-  * case) never force-routes a fraction where probing measured faster;
-  * and the exhaustive point itself lands within 1.5× of the floor.
+  * Self-checks (REQUIREd): at every measured point the probed path
+  * stays under 1.5× the brute floor through fraction 0.75 — i.e. there
+  * is NO interior cliff at these widths, so the model's threshold
+  * (1.0 at ≤ 4 KiB, ~0.83 interpolated at 8 KiB) never force-routes a
+  * fraction where probing measured faster; the EXHAUSTIVE PROBED path
+  * (nprobe = nlist with the route disabled — the genuine all-cells
+  * probe machinery, not the routed floor) also lands within 1.5× of
+  * the floor (r16 ADVICE: this clause was previously stated but
+  * measured against the floor itself, i.e. vacuously); and the f32_8k
+  * layout's meta-derived candidate width is exactly 8192 B.
   *
   * Usage: runMain graft.IvfRouteWidthStudy [n] [m] [out]
   */
@@ -80,7 +91,8 @@ object IvfRouteWidthStudy {
     val probeFracs = Seq(16, 32, 48) // of nlist = 64
 
     final case class LayoutRun(label: String, widthBytes: Long,
-      brute: Double, build: Double, sweep: Seq[(Int, Double)])
+      brute: Double, build: Double, sweep: Seq[(Int, Double)],
+      exhaustiveProbed: Double)
 
     def runLayout(label: String, d: Int, rank: Int,
         build: (DataFrame, String) => Unit,
@@ -107,8 +119,14 @@ object IvfRouteWidthStudy {
           f"(brute $tBrute%.2fs)")
         (np, t)
       }
+      // the genuine exhaustive PROBED path (route disabled): all-cells
+      // probe machinery over the same payload — the non-vacuous twin of
+      // the routed floor above (r16 ADVICE #5)
+      val (_, tExh) = time(consume(search(path, queries, nlist, false)))
+      System.err.println(f"[width] $label exhaustive-probed=$tExh%.2fs " +
+        f"(brute $tBrute%.2fs)")
       corpus.unpersist(); queries.unpersist()
-      LayoutRun(label, widthBytes, tBrute, tBuild, sweep)
+      LayoutRun(label, widthBytes, tBrute, tBuild, sweep, tExh)
     }
 
     val sq8 = runLayout("sq8", d = 4096, rank = 32,
@@ -134,6 +152,53 @@ object IvfRouteWidthStudy {
         expectWhitened = false, routeEnabled = route),
       widthBytes = 8192L)
 
+    // float32 witness at the SAME 8 KiB byte width (d = 2048 × 4 B):
+    // the elem_bytes stamp (r16 verdict #3) must put this layout on the
+    // same route point as raw1k — double the dimensions, identical
+    // bytes. The corpus/queries cast to float32 BEFORE the build so the
+    // stored payload (and the stamp) is genuinely 4 B/element.
+    val f32 = {
+      val toF32 = (df: DataFrame) => df.withColumn("v", F.col("v").cast(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)))
+      val corpus = toF32(lowRank(spark.range(n).toDF("id"), 2048, 32))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val queries = toF32(lowRank(spark.range(n, n + m).toDF("id"),
+        2048, 32))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpus.count(); queries.count()
+      val path = s"$base/f32_8k"
+      val (_, tBuild) = time(Similarity.writeIvfIndex(corpus, F.col("id"),
+        F.col("v"), path, nlist = nlist, seed = 7))
+      // the stamp witness: meta-derived candidate width is the true
+      // float32 byte width, not the pre-stamp 8 B/element reading
+      val metaWidth = Similarity.candidateWidthBytes(
+        Similarity.readIvfMeta(spark, path))
+      require(metaWidth == 8192L,
+        s"f32_8k: meta-derived candidate width $metaWidth B != 8192 B — " +
+          "the elem_bytes stamp is not reaching the route model")
+      def search(np: Int, route: Boolean) =
+        Similarity.searchIvfIndexImpl(spark, path, queries, F.col("id"),
+          F.col("v"), k = kTop, nprobe = np, excludeSegment = None,
+          localizeQueries = true, expectWhitened = false,
+          routeEnabled = route)
+      consume(search(1, false))
+      val (_, tBrute) = time(consume(search(nlist, true)))
+      System.err.println(f"[width] f32_8k w=8192B build=$tBuild%.1fs " +
+        f"brute=$tBrute%.2fs")
+      val sweep = probeFracs.map { np =>
+        val (_, t) = time(consume(search(np, false)))
+        System.err.println(f"[width] f32_8k nprobe=$np probed=$t%.2fs " +
+          f"(brute $tBrute%.2fs)")
+        (np, t)
+      }
+      val (_, tExh) = time(consume(search(nlist, false)))
+      System.err.println(f"[width] f32_8k exhaustive-probed=$tExh%.2fs " +
+        f"(brute $tBrute%.2fs)")
+      corpus.unpersist(); queries.unpersist()
+      LayoutRun("f32_8k", 8192L, tBrute, tBuild, sweep, tExh)
+    }
+
     def whitened(label: String, pcaK: Int): LayoutRun = {
       var model: Embeddings.PcaModel = null
       runLayout(label, d = 1024, rank = pcaK,
@@ -155,24 +220,33 @@ object IvfRouteWidthStudy {
     val w512 = whitened("w512", pcaK = 512)
     val w256 = whitened("w256", pcaK = 256)
 
-    val runs = Seq(sq8, raw1k, w512, w256)
-    // self-check: no interior cliff at or under 4 KiB — probing through
-    // frac 0.75 never crosses 1.5x the brute floor, and the exhaustive
-    // probe lands near the floor; the model's threshold 1.0 for these
-    // widths therefore never force-routes a faster probe
+    val runs = Seq(sq8, raw1k, f32, w512, w256)
+    // self-check: no interior cliff at these widths — probing through
+    // frac 0.75 never crosses 1.5x the brute floor; the model's
+    // threshold for these widths therefore never force-routes a
+    // fraction where probing measured faster. The exhaustive PROBED
+    // point (route off) must also land within 1.5x of the floor — the
+    // previously-stated-but-vacuous clause, now measured on its own
+    // path (r16 ADVICE #5).
     runs.foreach { r =>
       r.sweep.foreach { case (np, t) =>
         require(t <= 1.5 * r.brute,
           f"${r.label}: probed nprobe=$np took $t%.1fs vs brute " +
             f"${r.brute}%.1fs — an interior cliff at width " +
             f"${r.widthBytes}B; the route anchors must move") }
+      require(r.exhaustiveProbed <= 1.5 * r.brute,
+        f"${r.label}: exhaustive PROBED path took " +
+          f"${r.exhaustiveProbed}%.1fs vs brute ${r.brute}%.1fs — the " +
+          "all-cells probe machinery is supposed to sit near the floor " +
+          "at these widths")
     }
 
     val json = s"""{"metric":"ivf_route_width","unit":"sec","n":$n,""" +
       s""""m":$m,"nlist":$nlist,"k":$kTop,"layouts":[""" +
       runs.map { r =>
         s"""{"label":"${r.label}","width_bytes":${r.widthBytes},""" +
-          s""""brute":${r.brute},"build":${r.build},"sweep":[""" +
+          s""""brute":${r.brute},"build":${r.build},""" +
+          s""""exhaustive_probed":${r.exhaustiveProbed},"sweep":[""" +
           r.sweep.map { case (np, t) =>
             s"""{"nprobe":$np,"probed":$t}""" }.mkString(",") + "]}"
       }.mkString(",") + "]}"

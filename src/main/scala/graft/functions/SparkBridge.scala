@@ -176,6 +176,23 @@ object Bridge {
       df.schema.add(out, LongType, nullable = false))
   }
 
+  /** The EXACT RDD a `Dataset.localCheckpoint()` materialized — the
+    * handle [[graft.Scratch]] releases blocks through. `unpersist` only
+    * frees anything when called on the very RDD that was persisted, and
+    * a checkpointed Dataset's `.rdd`/`.queryExecution.toRdd` are fresh
+    * DERIVED RDDs, so the releaser must reach the `LogicalRDD` the
+    * checkpoint wrapped (private[sql], hence here). None when `df` is
+    * not a checkpoint result — callers treat that as "nothing to
+    * release" rather than falling back to a session-global sweep, which
+    * would free OTHER threads' blocks (the concurrent-caller hazard this
+    * accessor exists to end). */
+  def checkpointedRdd(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
   /** A single-row/single-column DataFrame as a scalar Column — catalyst's
     * `ScalarSubquery`, the exact plan shape `spark.sql` gives a
     * `(SELECT count(*) FROM t)` predicate: the subquery executes once and

@@ -289,6 +289,16 @@ case class VectorCosine(left: Expression, right: Expression)
   * zero-scale branch; a review of the first cut caught the two NaN
   * branches swapped, which silently turned null codes into 0s).
   *
+  * ONE declared departure (r16 ADVICE #4): a NULL input ARRAY. The HOF
+  * struct() was non-null with null `scale`/`q` FIELDS; this
+  * UnaryExpression's default null handling returns a null STRUCT (and
+  * declares the fields non-nullable accordingly). Identical after
+  * field extraction — `s.scale`/`s.q` are null either way, which is
+  * all the index write path reads — but a caller comparing WHOLE
+  * structs (or pattern-matching struct nullability) sees the
+  * difference; the bit-identity claim above is per-field, conditional
+  * on a non-null input.
+  *
   * Why native (r16, found by IvfRouteWidthStudy): in the HOF form the
   * `scale` operand of the per-element divide is the whole O(d) absMax
   * aggregate, and the interpreted lambda path re-evaluates it for EVERY

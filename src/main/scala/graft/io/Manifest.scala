@@ -1194,8 +1194,13 @@ object Manifest {
     // just-written parquet, the upsert path — so the envelope prune and
     // the anti-join may each evaluate it directly, skipping one
     // distinct+materialization job per mutation
-    val k = if (keysDeterministic) kBase
-      else kBase.distinct().localCheckpoint()
+    // handle-exact release at method end (every consumer below executes
+    // eagerly inside this call): a streaming upsert runs this per batch,
+    // and without the release each trigger would accrete one key-set
+    // block for the session's lifetime
+    val (k, releaseK) = if (keysDeterministic) (kBase, () => ())
+      else graft.Scratch.snapshotManaged(kBase.distinct())
+    try {
     // candidate files: envelope overlaps some key, and never this
     // operation's own rewrite segment (retry self-exclusion) or a
     // caller-excluded one (upsert's just-appended batch)
@@ -1251,6 +1256,7 @@ object Manifest {
       affected.foreach(f =>
         fs.delete(new org.apache.hadoop.fs.Path(f), false))
     affected.length
+    } finally releaseK()
   }
 
   /** Keyed upsert — the MERGE shape: `batch` replaces any existing rows

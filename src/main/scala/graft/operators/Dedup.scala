@@ -1044,7 +1044,13 @@ object Dedup {
   }
 
   /** Compact a segmented [[writeMinhashIndex]] index back to ONE base
-    * segment — the LSM compaction step closing the loop on
+    * segment — a FULL rewrite, O(index) per call: right as a manual
+    * maintenance step or at a cadence amortized against the base size;
+    * for a 24/7 ingest stream's per-trigger cadence use
+    * [[tierCompactMinhashIndex]] (r16 verdict #1), whose size-tiered
+    * folds cost O(new data) per trigger and delegate HERE only when the
+    * accumulated tiers justify a base rewrite. This is the LSM
+    * compaction step closing the loop on
     * [[appendToMinhashIndex]]'s documented degradation: with many
     * segments the `maxBucket` union-cap is enforced per segment pair, so
     * a boilerplate bucket split across segments can slip under the cap it
@@ -1103,16 +1109,21 @@ object Dedup {
       fs.delete(old, true)
     }
     // the excluded segment's postings must pass through from the OLD
-    // postings table — bind the frame before the features swap below
-    // retires the layout state it rides on (the read is lazy; the
-    // listing is captured at plan time). The snapshot blocks are
-    // released at the end of this method (localCheckpoint lives outside
-    // the CacheManager — an in-line stream compaction would otherwise
-    // accrete one batch-sized block per trigger)
-    val preRdds = spark.sparkContext.getPersistentRDDs.keySet
-    val keptPostings = excludeSegment.map(ex =>
-      spark.read.parquet(s"$path/postings").filter(F.col("seg") === ex)
-        .localCheckpoint())
+    // postings table, and the snapshot is materialized EAGERLY, HERE,
+    // before the swap below renames and deletes the source directory —
+    // that eagerness is LOAD-BEARING: Dataset.localCheckpoint executes
+    // the read at the call, so the pass-through rows exist as blocks
+    // when the old table retires. A lazy variant
+    // (localCheckpoint(eager = false)) would read files the swap
+    // already deleted. Released at the end of this method through the
+    // exact RDD handle (localCheckpoint lives outside the CacheManager —
+    // an in-line stream compaction would otherwise accrete one
+    // batch-sized block per trigger; handle-exact beats a
+    // getPersistentRDDs diff, which would free concurrent session
+    // users' blocks too)
+    val kept = excludeSegment.map(ex => graft.Scratch.snapshotManaged(
+      spark.read.parquet(s"$path/postings").filter(F.col("seg") === ex)))
+    val keptPostings = kept.map(_._1)
     swap("features", out => {
       val f = spark.read.parquet(s"$path/features")
       (excludeSegment match {
@@ -1142,10 +1153,106 @@ object Dedup {
         .write.mode("overwrite").partitionBy("seg", "band").parquet(out)
     })
     // release the pass-through snapshot's blocks (consumed by the
-    // postings write above)
-    val post = spark.sparkContext.getPersistentRDDs
-    (post.keySet -- preRdds).foreach(rid =>
-      post.get(rid).foreach(_.unpersist(false)))
+    // postings write above) — by exact handle, never a session sweep
+    kept.foreach(_._2())
+  }
+
+  /** Size-tiered compaction of a segmented [[writeMinhashIndex]] index —
+    * the scale-safe cadence for 24/7 ingest (r16 verdict #1), replacing
+    * "fold EVERYTHING into base every time" with the LSM shape
+    * ([[TierCompact]]): segments whose byte-size class holds ≥ `fanout`
+    * members fold into ONE tier segment (cascading until no class is
+    * full), and `base` is rewritten ONLY when the accumulated non-base
+    * bytes reach `baseFoldRatio` of it (then this delegates to
+    * [[compactMinhashIndex]], whose full fold restores the exact
+    * fresh-build cap semantics). Driven per trigger by a stream, the
+    * amortized cost is O(batch · log(corpus/batch)) — flat in the base
+    * size ([[graft.TieredCompactStudy]], scaling/tiered_compact.json) —
+    * where the full fold per trigger was O(index).
+    *
+    * Contract per fold: the tier segment is ROW-IDENTICAL to the folded
+    * docs having been appended as ONE segment ([[appendToMinhashIndex]]
+    * semantics, spec-pinned) — features pass through unchanged and
+    * postings are REBUILT from the folded features through the same
+    * band fold with the saturating `maxBucket` cap applied to the
+    * merged bucket (a boilerplate bucket split across folded segments
+    * trips the cap exactly as a single-segment append would; full
+    * cap-semantics restoration across ALL segments remains the base
+    * fold's job). Probe results therefore degrade NO FASTER than the
+    * documented per-segment cap granularity, while the segment count —
+    * what the mh_segments.json study showed costs ~75% probe latency by
+    * 64 — stays bounded at fanout · O(log) levels.
+    *
+    * Crash safety: every fold commits through [[TierCompact]]'s intent
+    * marker protocol; entry-time [[TierCompact.recover]] rolls a crashed
+    * fold forward (tier fully renamed in → finish source deletes) or
+    * back (partial tier → drop it; sources untouched). Same single-writer
+    * contract as [[compactMinhashIndex]]: run between triggers or
+    * in-line from the ingest stream's own `foreachBatch`, with the
+    * in-flight segment passed as `excludeSegment` (never listed, never
+    * folded). */
+  def tierCompactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, excludeSegment: Option[String] = None,
+      fanout: Int = 4, baseFoldRatio: Double = 0.25)
+      : TierCompact.Report = {
+    require(fanout >= 2, s"fanout must be >= 2, got $fanout")
+    require(baseFoldRatio > 0.0,
+      s"baseFoldRatio must be > 0, got $baseFoldRatio")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val healed = TierCompact.recover(fs, root, Seq("features", "postings"))
+    val IndexMeta(_, numHashes, bands, maxBucket) =
+      readIndexMeta(spark, path)
+    val exclude = Set("base") ++ excludeSegment
+    def sizes() = TierCompact.segmentBytes(fs,
+      new org.apache.hadoop.fs.Path(root, "features"), exclude)
+    val baseBytes = {
+      val p = new org.apache.hadoop.fs.Path(root, "features/seg=base")
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }
+    val current = sizes()
+    if (current.nonEmpty &&
+        current.values.sum >= baseFoldRatio * baseBytes) {
+      compactMinhashIndex(spark, path, excludeSegment)
+      return TierCompact.Report(Seq.empty, baseFolded = true, healed)
+    }
+    val done = scala.collection.mutable.ArrayBuffer.empty[TierCompact.Fold]
+    var round = TierCompact.plan(sizes(), fanout)
+    while (round.nonEmpty) {
+      round.foreach { fold =>
+        val stage = new org.apache.hadoop.fs.Path(root,
+          s"__tierstage_${fold.tier}")
+        fs.delete(stage, true)
+        val stagedFeatures =
+          new org.apache.hadoop.fs.Path(stage, "features")
+        val stagedPostings =
+          new org.apache.hadoop.fs.Path(stage, "postings")
+        spark.read.parquet(s"$path/features")
+          .filter(F.col("seg").isin(fold.sources: _*)).drop("seg")
+          .write.mode("overwrite").parquet(stagedFeatures.toString)
+        // postings REBUILT from the staged features (one clean read of
+        // exactly the fold set), through the same stored-hash band fold
+        // as the full compaction — cap on the MERGED bucket, the
+        // single-segment-append contract
+        spark.read.parquet(stagedFeatures.toString)
+          .select(F.col("id"),
+            F.posexplode(graft.functions.TextExprs
+              .minhashBandHashesFromHashes(F.col("sh"), numHashes, bands))
+              .as(Seq("band", "bucket")))
+          .groupBy("band", "bucket")
+          .agg(graft.functions.AggExprs
+            .cappedSortedIds(F.col("id"), maxBucket, minSize = 1).as("ids"))
+          .filter(F.col("ids").isNotNull)
+          .write.mode("overwrite").partitionBy("band")
+          .parquet(stagedPostings.toString)
+        TierCompact.commitFold(fs, root, fold,
+          Seq("features" -> stagedFeatures, "postings" -> stagedPostings))
+        fs.delete(stage, true)
+        done += fold
+      }
+      round = TierCompact.plan(sizes(), fanout)
+    }
+    TierCompact.Report(done.toSeq, baseFolded = false, healed)
   }
 
   /** Membership gate against a reference key set WITHOUT a join: build a

@@ -284,9 +284,12 @@ object Similarity {
       // IN-filter stale and silently dropping those cells' index rows.
       // localCheckpoint is executor-distributed storage bounded by
       // |queries|·nprobe rows — the price of a consistent snapshot on the
-      // arbitrarily-large-batch path this flag exists for.
-      val probed = probedFrame(index.centroids, queries, queryId, queryVec,
-        nprobe).localCheckpoint()
+      // arbitrarily-large-batch path this flag exists for. Scratch
+      // registers the exact RDD handle with the caller's scope (the
+      // ingest stream's per-batch scope), so release never touches a
+      // concurrent session user's blocks.
+      val probed = graft.Scratch.snapshot(
+        probedFrame(index.centroids, queries, queryId, queryVec, nprobe))
       val cells = probed.select("cell").distinct().collect()
         .map(_.getInt(0)).sorted
       index.assigned
@@ -415,10 +418,11 @@ object Similarity {
     * query-scale collect. Eager like the localized rescore: the guards
     * execute inside the verb call. The two snapshots back the RETURNED
     * frame, so their blocks stay pinned until the caller is done with
-    * it — long-running callers must release them (the ingest stream
-    * sweeps its batch-scoped persistent RDDs per trigger; Verify/Bench
-    * sweep per query); one-shot callers can leave them to session
-    * teardown. */
+    * it — they register with the caller's [[graft.Scratch]] scope (the
+    * ingest stream's per-batch scope releases them by exact handle once
+    * the batch's writes land); scope-less one-shot callers leave them
+    * to their own lifecycle (Verify/Bench sweep per query from their
+    * single-tenant sessions) or session teardown. */
   private def rescoreExactDistributed(quantTop: DataFrame,
       queries: DataFrame, queryId: Column, queryVec: Column,
       rs: RescoreSource, k: Int): DataFrame = {
@@ -426,12 +430,13 @@ object Similarity {
     // the SAME candidate set (a sample/rand-derived upstream would
     // otherwise disagree between evaluations), and the quantized
     // search should not re-run once per consumer
-    val cand = quantTop.select("query_id", "corpus_id").localCheckpoint()
+    val cand = graft.Scratch.snapshot(
+      quantTop.select("query_id", "corpus_id"))
     val ids = cand.select("corpus_id").distinct()
-    val pruned = rs.source.select(rs.id.as("corpus_id"), rs.vec.as("__rv"))
-      .filter(F.col("__rv").isNotNull)
-      .join(ids, Seq("corpus_id"), "left_semi")
-      .localCheckpoint()
+    val pruned = graft.Scratch.snapshot(
+      rs.source.select(rs.id.as("corpus_id"), rs.vec.as("__rv"))
+        .filter(F.col("__rv").isNotNull)
+        .join(ids, Seq("corpus_id"), "left_semi"))
     // same fail-loud contracts as the localized rescore, distributed:
     // a non-covering source silently drops candidates from the re-rank;
     // a duplicated one double-lists a candidate at two ranks
@@ -577,15 +582,15 @@ object Similarity {
         .withColumn("__ba",
           F.explode(F.sequence(F.lit(0), F.col("__bb"))))
         .drop("__B")
-      val losers = a.join(b, Seq("cell", "__ba", "__bb"))
+      val losers = graft.Scratch.snapshot(a
+        .join(b, Seq("cell", "__ba", "__bb"))
         .filter(F.col("__ba") =!= F.col("__bb") ||
           F.col("__a_id") < F.col("__b_id"))
         .filter(dot(F.col("__a_v"), F.col("__b_v")) >= threshold)
         .select(F.greatest(F.col("__a_id"), F.col("__b_id")).as("__loser"))
-        .distinct()
         // materialize the loser set BEFORE unpersist: the anti-join below
         // executes lazily, after this method returns
-        .localCheckpoint()
+        .distinct())
       df.join(losers, id === F.col("__loser"), "left_anti")
     } finally assigned.unpersist(false)
   }
@@ -620,13 +625,21 @@ object Similarity {
 
   /** Everything a persisted-index reader needs from the meta +
     * centroids tables: dim, centroids-by-cell, the whitened-space stamp,
-    * the PCA model fingerprint, and the SQ8 quantization stamp (the
+    * the PCA model fingerprint, the SQ8 quantization stamp (the
     * `assigned` table stores int8 codes + scale instead of float
     * vectors — a STORAGE property, decided at build time and honored
-    * transparently by append/search/retrain/compact). */
+    * transparently by append/search/retrain/compact), and the stored
+    * ELEMENT width in bytes (4 for a float32 corpus, 8 for float64 —
+    * r16 verdict #3: the route threshold is a candidate-WIDTH function,
+    * and modeling float32 at 8 B fired the brute route one log₂ step
+    * late). `elemBytes = None` marks a pre-stamp layout: width modeling
+    * falls back to the conservative 8 B and appends preserve the
+    * batch's own element type (no cast target is known). */
   private[graft] final case class IvfMetaInfo(dim: Int,
       centroids: Seq[Seq[Double]], whitened: Boolean, modelFp: Long,
-      sq8: Boolean)
+      sq8: Boolean, elemBytes: Option[Int]) {
+    def widthElemBytes: Int = elemBytes.getOrElse(8)
+  }
 
   private val ivfMetaCache =
     new java.util.concurrent.ConcurrentHashMap[String, IvfMetaInfo]()
@@ -637,9 +650,13 @@ object Similarity {
     * rewrites both tables and re-reads). A meta written before the
     * whitened stamp existed reads as whitened = false — every such
     * layout was in fact raw — one written before the model fingerprint
-    * reads as fp = 0, and one written before the sq8 stamp reads as
-    * sq8 = false (every such layout stored float vectors). */
-  private def readIvfMeta(spark: org.apache.spark.sql.SparkSession,
+    * reads as fp = 0, one written before the sq8 stamp reads as
+    * sq8 = false (every such layout stored float vectors), and one
+    * written before the element-width stamp reads as elem_bytes = 8 —
+    * the conservative default (the route fires no earlier than the old
+    * model did; a narrower true width only DELAYS the exact brute
+    * fallback, never wrongly triggers it). */
+  private[graft] def readIvfMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfMetaInfo = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val key = Seq("centroids", "meta").map { t =>
@@ -658,11 +675,13 @@ object Similarity {
         metaRow.getAs[Long]("model_fp") else 0L
       val sq8 = meta.columns.contains("sq8") &&
         metaRow.getAs[Boolean]("sq8")
+      val elemBytes = if (meta.columns.contains("elem_bytes"))
+        Some(metaRow.getAs[Int]("elem_bytes")) else None
       val cents = spark.read.parquet(s"$path/centroids").collect()
         .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](
           r.fieldIndex("centroid")))
         .sortBy(_._1).map(_._2.toSeq).toSeq
-      IvfMetaInfo(dim, cents, whitened, modelFp, sq8)
+      IvfMetaInfo(dim, cents, whitened, modelFp, sq8, elemBytes)
     })
   }
 
@@ -808,6 +827,15 @@ object Similarity {
       .select(F.col("corpus_id"), F.col("__q8.scale").as("scale"),
         F.col("__q8.q").as("q"), F.col("cell"))
 
+  /** Stored element width of a float-payload vector column: 4 for
+    * float32 arrays, 8 otherwise. Drives the meta's `elem_bytes` stamp
+    * and the append-side homogeneity cast. */
+  private def vecElemBytes(dt: org.apache.spark.sql.types.DataType): Int =
+    dt match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) => 4
+      case _ => 8
+    }
+
   private def writeIvfTables(spark: org.apache.spark.sql.SparkSession,
       idx: IvfIndex, path: String, iters: Int, trainSample: Int,
       seed: Long, whitened: Boolean, modelFp: Long,
@@ -819,10 +847,17 @@ object Similarity {
     idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // elem_bytes: the TRUE stored width of the float payload (a float32
+    // corpus writes float32 arrays — r16 verdict #3: the old 8 B/element
+    // assumption overestimated such layouts' candidate width 2× and
+    // fired the brute route one log₂ step late). Stamped even on SQ8
+    // layouts (whose candidate width is 1 B/element regardless) so a
+    // later exact-rescore story knows the full-precision width.
+    val elemBytes = vecElemBytes(idx.assigned.schema("cv").dataType)
     Seq((idx.centroids.length, idx.centroids.head.length, iters,
-      trainSample, seed, whitened, modelFp, sq8))
+      trainSample, seed, whitened, modelFp, sq8, elemBytes))
       .toDF("nlist", "dim", "iters", "train_sample", "seed", "whitened",
-        "model_fp", "sq8")
+        "model_fp", "sq8", "elem_bytes")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -855,7 +890,22 @@ object Similarity {
       .withColumn("cell",
         graft.functions.VectorExprs.topCells(F.col("cv"),
           meta.centroids, 1)(0))
-    assignedPayload(assigned, meta.sq8)
+    // homogeneity cast (r16 verdict #3 follow-through): the stored
+    // float payload keeps the LAYOUT's element width — a float64 batch
+    // appended to a float32 index (or vice versa) would otherwise write
+    // parquet files whose physical vector type differs from base's,
+    // breaking later whole-table reads. Assignment above ran on the
+    // uncast vector, so a narrowing cast cannot move a boundary tie's
+    // cell. Pre-stamp layouts (elemBytes None) keep the old
+    // preserve-the-batch-type behavior — no cast target is known.
+    val stored = (meta.sq8, meta.elemBytes) match {
+      case (false, Some(w)) => assigned.withColumn("cv",
+        F.col("cv").cast(ArrayType(
+          if (w == 4) org.apache.spark.sql.types.FloatType
+          else DoubleType)))
+      case _ => assigned
+    }
+    assignedPayload(stored, meta.sq8)
       .withColumn("seg", F.lit(segment))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -914,9 +964,14 @@ object Similarity {
     * Between anchors the threshold interpolates linearly in log2(width)
     * — the measured transition is monotone in width and spans octaves,
     * so log-width is the natural axis; outside it clamps flat. Float32
-    * payloads are modeled at 8 B/element like float64 (meta stores no
-    * element width): that overestimates their width ≤ 2× — well inside
-    * one log2 step of the anchor grid. */
+    * payloads enter at their TRUE 4 B/element width (the meta's
+    * `elem_bytes` stamp, r16 verdict #3 — previously modeled at 8 B,
+    * which fired the route one log2 step late); a float32 witness at
+    * the 8 KiB midpoint (d = 2048 × 4 B ≡ d = 1024 × 8 B, same probed
+    * sweep shape — scaling/ivf_route_width.json `f32_8k` rows) measured
+    * consistent with the float64 witness at that width, confirming the
+    * axis is BYTES, not dimension count. Pre-stamp layouts read as
+    * 8 B/element, the old conservative behavior. */
   private[graft] val routeAnchors: Seq[(Double, Double)] =
     Seq((4096.0, 1.0), (32768.0, 0.5))
 
@@ -937,11 +992,13 @@ object Similarity {
   }
 
   /** Candidate payload width of a persisted layout, from its meta alone:
-    * dim × 8 B for float vectors (dim IS pcaK on a whitened layout —
-    * the stored vectors are the projected ones), dim × 1 B for SQ8
-    * codes. */
+    * dim × elem_bytes for float vectors (dim IS pcaK on a whitened
+    * layout — the stored vectors are the projected ones; elem_bytes is
+    * the STORED element width, 4 on float32 corpora — r16 verdict #3),
+    * dim × 1 B for SQ8 codes. Pre-stamp layouts model 8 B/element, the
+    * old conservative behavior. */
   private[graft] def candidateWidthBytes(meta: IvfMetaInfo): Long =
-    meta.dim.toLong * (if (meta.sq8) 1L else 8L)
+    meta.dim.toLong * (if (meta.sq8) 1L else meta.widthElemBytes.toLong)
 
   /** Route decision for [[searchIvfIndexImpl]], factored for the spec:
     * a layout probing >= [[bruteRouteFraction]] of its cells — the
@@ -1205,8 +1262,12 @@ object Similarity {
     fs.delete(old, true)
   }
 
-  /** Fold every append segment into `base` WITHOUT retraining — the cheap
-    * maintenance step between [[retrainIvfIndex]] runs. Assignments and
+  /** Fold every append segment into `base` WITHOUT retraining — a FULL
+    * rewrite of the assigned table, O(index) per call (for a 24/7
+    * stream's per-trigger cadence use [[tierCompactIvfIndex]], r16
+    * verdict #1 — O(new data) folds that delegate here only at the
+    * base-ratio trigger); the maintenance step between
+    * [[retrainIvfIndex]] runs. Assignments and
     * centroids are untouched (probe results are segment-layout-independent
     * by construction, so search equality is structural, and the spec pins
     * it), only the file layout collapses: a streaming ingest leaves one
@@ -1303,6 +1364,78 @@ object Similarity {
       writer = writer.option("maxRecordsPerFile", fileCap)
     writer.partitionBy("seg", "cell").parquet(s"$staged/assigned")
     swapStaged(spark, path, staged, Seq("assigned"), "compact")
+  }
+
+  /** Size-tiered compaction of a segmented persisted IVF index — the
+    * embedding-side twin of
+    * [[graft.operators.Dedup.tierCompactMinhashIndex]] (r16 verdict #1,
+    * shared machinery in [[TierCompact]]): segments whose byte-size
+    * class holds ≥ `fanout` members fold into one tier segment
+    * (cascading until no class is full); `base` rewrites only when the
+    * accumulated non-base bytes reach `baseFoldRatio` of it — that full
+    * fold delegates to [[compactIvfIndex]] and inherits its hot-cell
+    * file cap. Per-trigger cost driven by a stream is amortized
+    * O(batch · log(corpus/batch)), flat in the base size
+    * (scaling/tiered_compact.json), where the full fold was O(index).
+    *
+    * Correctness is STRUCTURAL here, stronger than the MinHash side:
+    * assignment is per-vector state and nothing aggregates per segment,
+    * so any segment relabeling — tier folds included — leaves search
+    * results IDENTICAL (the spec pins it). The fold is payload-agnostic
+    * (float `cv` or SQ8 `scale`+`q` pass through untouched) and keeps
+    * the `cell` partitioning, so probe-time static cell pruning works
+    * on tier segments exactly as on base. Crash safety: the
+    * [[TierCompact]] intent-marker protocol, recovered at every entry;
+    * single-writer contract as [[compactIvfIndex]] (in-line from the
+    * ingest stream's `foreachBatch` with the in-flight segment
+    * excluded). */
+  def tierCompactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, excludeSegment: Option[String] = None,
+      fanout: Int = 4, baseFoldRatio: Double = 0.25)
+      : TierCompact.Report = {
+    require(fanout >= 2, s"fanout must be >= 2, got $fanout")
+    require(baseFoldRatio > 0.0,
+      s"baseFoldRatio must be > 0, got $baseFoldRatio")
+    val root = new org.apache.hadoop.fs.Path(normPath(path))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val healed = TierCompact.recover(fs, root, Seq("assigned"))
+    val exclude = Set("base") ++ excludeSegment
+    def sizes() = TierCompact.segmentBytes(fs,
+      new org.apache.hadoop.fs.Path(root, "assigned"), exclude)
+    val baseBytes = {
+      val p = new org.apache.hadoop.fs.Path(root, "assigned/seg=base")
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }
+    val current = sizes()
+    if (current.nonEmpty &&
+        current.values.sum >= baseFoldRatio * baseBytes) {
+      compactIvfIndex(spark, path, excludeSegment)
+      return TierCompact.Report(Seq.empty, baseFolded = true, healed)
+    }
+    val done = scala.collection.mutable.ArrayBuffer.empty[TierCompact.Fold]
+    var round = TierCompact.plan(sizes(), fanout)
+    while (round.nonEmpty) {
+      round.foreach { fold =>
+        val stage = new org.apache.hadoop.fs.Path(root,
+          s"__tierstage_${fold.tier}")
+        fs.delete(stage, true)
+        val stagedAssigned =
+          new org.apache.hadoop.fs.Path(stage, "assigned")
+        // payload-agnostic: every non-seg column passes through; the
+        // cell partitioning survives the fold so probe pruning is
+        // unchanged on the tier
+        spark.read.parquet(s"$path/assigned")
+          .filter(F.col("seg").isin(fold.sources: _*)).drop("seg")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(stagedAssigned.toString)
+        TierCompact.commitFold(fs, root, fold,
+          Seq("assigned" -> stagedAssigned))
+        fs.delete(stage, true)
+        done += fold
+      }
+      round = TierCompact.plan(sizes(), fanout)
+    }
+    TierCompact.Report(done.toSeq, baseFolded = false, healed)
   }
 
   private final case class Probes(frame: DataFrame, cells: Seq[Int])

@@ -151,11 +151,26 @@ object Streams {
     * ~75% by 64 segments (scaling/mh_segments.json); the in-line
     * trigger restores the floor automatically at the cadence a 24/7
     * stream needs — the default 0 keeps compaction a manual,
-    * between-triggers operation. */
+    * between-triggers operation.
+    *
+    * `tieredCompaction = true` (r16 verdict #1) swaps the per-cadence
+    * FULL fold — O(index) per trigger, cumulative O(T²/n) over a 24/7
+    * stream's lifetime — for the size-tiered LSM fold
+    * ([[graft.operators.Dedup.tierCompactMinhashIndex]]): per-trigger
+    * cost amortized O(batch · log), flat in the base size, with `base`
+    * itself rewritten only when the accumulated tiers reach a quarter
+    * of it. The cadence question answers itself under tiering — run it
+    * EVERY trigger (`compactEvery = 1`): a trigger that fills no size
+    * class costs one directory listing, so there is no per-batch knob
+    * to tune against a probe-degradation/compaction-cost break-even;
+    * the class-fill rule IS that break-even, derived from the index's
+    * own sizes (r16 verdict #6). Same replay contract: the in-flight
+    * segment is excluded, folds commit through intent markers, and a
+    * crashed fold heals at the next trigger's entry. */
   def ingestDedupStream(stream: DataFrame, id: Column, text: Column,
       indexPath: String, outPath: String, threshold: Double,
       name: String, checkpoint: Option[String] = None,
-      compactEvery: Int = 0): String = {
+      compactEvery: Int = 0, tieredCompaction: Boolean = false): String = {
     val spark = stream.sparkSession
     val ckpt = checkpoint.getOrElse(checkpointDir(name).toString)
     // segment identity = (checkpoint identity, batchId). batchIds restart
@@ -187,9 +202,14 @@ object Streams {
         survivors.unpersist(false)
         release()
       }
-      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-        graft.operators.Dedup.compactMinhashIndex(spark, indexPath,
-          excludeSegment = Some(seg))
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+        if (tieredCompaction)
+          graft.operators.Dedup.tierCompactMinhashIndex(spark, indexPath,
+            excludeSegment = Some(seg))
+        else
+          graft.operators.Dedup.compactMinhashIndex(spark, indexPath,
+            excludeSegment = Some(seg))
+      }
     }
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
@@ -240,13 +260,22 @@ object Streams {
     * applies ([[graft.operators.Similarity.RescoreSource]]; the
     * distributed re-rank when the batch is not driver-small — no
     * query-scale collect either way). A whitened layout's source is
-    * projected through the same persisted model as the queries. */
+    * projected through the same persisted model as the queries.
+    *
+    * `tieredCompaction = true` (r16 verdict #1): the compaction cadence
+    * runs [[graft.operators.Similarity.tierCompactIvfIndex]] instead of
+    * the full fold — per-trigger cost amortized O(batch · log), flat in
+    * the base size, `base` rewritten only at the size-ratio trigger.
+    * Under tiering run it every trigger (`compactEvery = 1`); the
+    * size-class fill rule replaces any hand-tuned cadence (r16 verdict
+    * #6). Search results are structurally identical across tier folds
+    * (per-vector state, nothing aggregates per segment). */
   def ingestEmbedStream(stream: DataFrame, id: Column, vec: Column,
       indexPath: String, outPath: String, threshold: Double,
       name: String, checkpoint: Option[String] = None,
       nprobe: Option[Int] = None, compactEvery: Int = 0,
       rescoreSource: Option[() => graft.operators.Similarity.RescoreSource]
-        = None): String = {
+        = None, tieredCompaction: Boolean = false): String = {
     val spark = stream.sparkSession
     val ckpt = checkpoint.getOrElse(checkpointDir(name).toString)
     val prefix = segmentPrefix(ckpt)
@@ -265,17 +294,20 @@ object Streams {
       if (graft.operators.Similarity.ivfIndexIsWhitened(spark, indexPath))
         Some(graft.operators.Embeddings.readPcaModel(spark, indexPath))
       else None
-    val step: (DataFrame, Long) => Unit = (batchDf, batchId) => {
+    val step: (DataFrame, Long) => Unit = (batchDf, batchId) =>
+        graft.Scratch.scoped {
       val seg = s"${prefix}_b$batchId"
-      // snapshot the persistent-RDD ids so every batch-scoped block —
-      // the pinned batch below, the distributed probe's localCheckpoint,
-      // the distributed rescore's candidate/pruned snapshots — is
-      // released when the batch's writes are done. localCheckpoint
-      // blocks live OUTSIDE the CacheManager, so a per-batch sweep is
-      // the only release path; without it a 24/7 stream on the
+      // every batch-scoped localCheckpoint — the distributed probe's
+      // snapshot, the distributed rescore's candidate/pruned snapshots —
+      // registers its exact RDD handle with this scope and is released
+      // when the batch's writes are done ([[graft.Scratch]]).
+      // localCheckpoint blocks live OUTSIDE the CacheManager, so the
+      // scope is the only release path; without it a 24/7 stream on the
       // distributed posture accretes candidate-scale blocks per trigger
       // (the same leak class the dedup stream's managed release closes).
-      val preRdds = spark.sparkContext.getPersistentRDDs.keySet
+      // Handle-exact release replaced the r16 getPersistentRDDs diff,
+      // which could free CONCURRENT session users' blocks — fatal for a
+      // victim's localCheckpoint, whose lineage cannot recompute.
       val batch = batchDf.select(id.as("__vid"), vec.as("__v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -315,11 +347,23 @@ object Streams {
             case None => rs
           }
         }
+        // the localize cutoff bounds DRIVER-side plan state. Without
+        // rescore that state is the |batch|-row collected probe frame
+        // (50k rows). WITH rescore the localized path additionally
+        // builds a pushed-In source prune of |batch|·factor driver-side
+        // literals (Similarity.rescoreExact) — at the bare cutoff and
+        // factor 4 that is ~200k literals of plan construction exactly
+        // at the boundary the cutoff protects (r16 ADVICE) — so the
+        // cutoff shrinks by the factor, keeping the literal count at
+        // the same ~50k bound; larger batches take the distributed
+        // semi-join refine, which collects nothing query-scale.
+        val localizeCutoff =
+          rescore.fold(50000L)(rs => 50000L / math.max(rs.factor, 1))
         val best = graft.operators.Similarity.searchIvfIndexImpl(spark,
           indexPath, probeVec, F.col("__vid"),
           if (pcaModel.isDefined) F.col("__wv") else F.col("__v"), k = 1,
           nprobe = probes, excludeSegment = Some(seg),
-          localizeQueries = batchRows <= 50000L,
+          localizeQueries = batchRows <= localizeCutoff,
           expectWhitened = pcaModel.isDefined,
           expectedModelFp = pcaModel.map(_.fingerprint),
           rescore = rescore)
@@ -343,14 +387,16 @@ object Streams {
           case None => graft.operators.Similarity.appendToIvfIndex(
             survivors, F.col("vec_id"), F.col("embedding"), indexPath, seg)
         }
-        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          graft.operators.Similarity.compactIvfIndex(spark, indexPath,
-            excludeSegment = Some(seg))
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          if (tieredCompaction)
+            graft.operators.Similarity.tierCompactIvfIndex(spark,
+              indexPath, excludeSegment = Some(seg))
+          else
+            graft.operators.Similarity.compactIvfIndex(spark, indexPath,
+              excludeSegment = Some(seg))
+        }
       } finally {
         batch.unpersist(false)
-        val post = spark.sparkContext.getPersistentRDDs
-        (post.keySet -- preRdds).foreach(rid =>
-          post.get(rid).foreach(_.unpersist(false)))
         ()
       }
     }

@@ -929,6 +929,68 @@ class OperatorsSpec extends SparkSpec {
       .contains("BroadcastNestedLoopJoin"))
   }
 
+  test("IVF meta elem_bytes stamp (r16 verdict #3): float32 layouts " +
+      "model their TRUE 4 B/element candidate width, appends cast to " +
+      "the layout's element type, pre-stamp metas read as 8 B") {
+    val f32 = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType)
+    val corpus = (for { cl <- 0 until 4; i <- 0 until 10 } yield {
+      val v = Array.tabulate(8)(d =>
+        (if (d == cl * 2) 10.0 else 0.0) + ((i * 7 + d * 3) % 5) * 0.1)
+      (cl * 100L + i, v.toSeq)
+    }).toDF("id", "v")
+    val base = java.nio.file.Files.createTempDirectory("graft_elemb")
+      .toString
+    // float32 build: meta width = dim × 4
+    val f32dir = base + "/f32"
+    Similarity.writeIvfIndex(corpus.withColumn("v", F.col("v").cast(f32)),
+      F.col("id"), F.col("v"), f32dir, nlist = 4, trainSample = 100)
+    assert(Similarity.candidateWidthBytes(
+      Similarity.readIvfMeta(spark, f32dir)) === 8L * 4)
+    // float64 build: dim × 8
+    val f64dir = base + "/f64"
+    Similarity.writeIvfIndex(corpus, F.col("id"), F.col("v"), f64dir,
+      nlist = 4, trainSample = 100)
+    assert(Similarity.candidateWidthBytes(
+      Similarity.readIvfMeta(spark, f64dir)) === 8L * 8)
+    // homogeneity cast: a float64 batch appended to the float32 layout
+    // stores float32 (and vice versa) — the whole assigned table keeps
+    // ONE physical vector type, so later whole-table reads can't hit
+    // mixed parquet schemas
+    Similarity.appendToIvfIndex(
+      Seq((9000L, Seq.tabulate(8)(d => if (d == 0) 10.0 else 0.0)))
+        .toDF("id", "v"),
+      F.col("id"), F.col("v"), f32dir, "post")
+    assert(spark.read.parquet(s"$f32dir/assigned").schema("cv").dataType
+      === f32)
+    Similarity.appendToIvfIndex(
+      Seq((9000L, Seq.tabulate(8)(d => if (d == 0) 10.0 else 0.0)))
+        .toDF("id", "v").withColumn("v", F.col("v").cast(f32)),
+      F.col("id"), F.col("v"), f64dir, "post")
+    assert(spark.read.parquet(s"$f64dir/assigned").schema("cv").dataType
+      === org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    // search still exact across the cast append on both layouts
+    val q = Seq((1L, Seq.tabulate(8)(d => if (d == 0) 10.0 else 0.0)))
+      .toDF("id", "v")
+    for (dir <- Seq(f32dir, f64dir)) {
+      val top = Similarity.searchIvfIndex(spark, dir, q, F.col("id"),
+        F.col("v"), k = 1, nprobe = 4).collect()
+      assert(top.head.getLong(1) === 9000L, s"$dir: ${top.toSeq}")
+    }
+    // back-compat: a meta WITHOUT elem_bytes (pre-r17 layout) reads as
+    // the conservative 8 B/element
+    val meta = spark.read.parquet(s"$f32dir/meta").drop("elem_bytes")
+    meta.write.mode("overwrite").parquet(s"$f32dir/meta_new")
+    val fs = new org.apache.hadoop.fs.Path(f32dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$f32dir/meta"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$f32dir/meta_new"),
+      new org.apache.hadoop.fs.Path(s"$f32dir/meta"))
+    assert(Similarity.candidateWidthBytes(
+      Similarity.readIvfMeta(spark, f32dir)) === 8L * 8)
+  }
+
   test("SQ8 rescore: the opt-in exact re-rank against the full-precision " +
       "source matches the float path's cosines bit-for-bit, the lookup " +
       "is id-pruned at the scan, and a float layout refuses") {
