@@ -73,10 +73,30 @@ object Similarity {
   /** Exact top-k nearest corpus rows per query row, by cosine.
     * `queries` is broadcast; result columns: query id, corpus id, rank,
     * cosine. Ties broken by corpus id for determinism. */
+  /** Corpus-side frames at or under this size are row-balanced with a
+    * round-robin shuffle before the broadcast product. The scored side's
+    * cost is per ROW (one dim-wide cosine per broadcast query), but scan
+    * splits pack by BYTES plus a per-file open cost — a fresh
+    * post-append index is many tiny cell files whose open-cost padding
+    * swamps their real bytes, so split ROW counts go wildly uneven and
+    * one straggler task carries the whole scan (measured on the s07
+    * sf1 probe: 28 tasks, 197 s of task time in a 60 s span — ~3×
+    * parallelism on 32 cores; row-balanced it spans near run/cores).
+    * Shuffling ≤ 2 GB is trivial next to the product compute it
+    * balances; big corpora keep their scan splits — bytes-per-split is
+    * even at scan scale, and reshuffling a 100 TB corpus to dodge a
+    * straggler would be the bug. */
+  private val bruteRebalanceMaxBytes = 2L << 30
+
   def bruteForceTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int): DataFrame = {
-    val c = corpus.select(corpusId.as("corpus_id"), corpusVec.as("cv"))
+    val cRaw = corpus.select(corpusId.as("corpus_id"), corpusVec.as("cv"))
+    val small = cRaw.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      bruteRebalanceMaxBytes
+    val c = if (small)
+      cRaw.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    else cRaw
     val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
     val scored = c.crossJoin(F.broadcast(q))
       .withColumn("cosine", cosine(F.col("cv"), F.col("qv")))
