@@ -1249,17 +1249,30 @@ object SparkEntry {
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  private val s07Body: (SparkSession, String) => DataFrame = (s, dir) => {
+  private val s07Body: (SparkSession, String) => DataFrame = (s, dir) =>
+    embedIngestRun(s, dir, "s07", s07Run.incrementAndGet(),
+      tieredCompaction = false)
+
+  /** The shared s07/s12 fixture: build the float IVF index on a third
+    * of the corpus, stream the other two thirds (plus planted
+    * ×2-scaled copies) through [[streaming.Streams.ingestEmbedStream]]
+    * in two mtime-ordered batches, return the survivor fold. s12 runs
+    * the identical fold with the size-tiered in-line compaction
+    * (`tieredCompaction = true, compactEvery = 1`) — tier folds are
+    * structurally search-invariant, so the survivors must hash-equal
+    * s07's. */
+  private def embedIngestRun(s: SparkSession, dir: String, tag: String,
+      run: Int, tieredCompaction: Boolean): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       .filter(F.col("vec_id") >= 5)
-    val run = s07Run.incrementAndGet()
     def scaled(df: DataFrame) = df.select(
       (F.col("vec_id") + 10000000L).as("vec_id"),
       F.transform(F.col("embedding"), x => x * F.lit(2.0f)).as("embedding"))
-    val idx = scratch(s"s07_index_${dir.hashCode.abs}_$run")
+    val idx = scratch(s"${tag}_index_${dir.hashCode.abs}_$run")
     operators.Similarity.writeIvfIndex(e.filter(F.col("vec_id") % 3 === 0),
       F.col("vec_id"), F.col("embedding"), idx, nlist = 8)
-    val feed = new java.io.File(scratch(s"s07_feed_${dir.hashCode.abs}_$run"))
+    val feed = new java.io.File(
+      scratch(s"${tag}_feed_${dir.hashCode.abs}_$run"))
     feed.mkdirs()
     val b1 = e.filter(F.col("vec_id") % 3 === 1)
       .unionAll(scaled(e.filter(F.col("vec_id") % 3 === 0 &&
@@ -1270,15 +1283,37 @@ object SparkEntry {
       .unionAll(scaled(e.filter(F.col("vec_id") % 3 === 1 &&
         F.col("vec_id") < 20)))
     Seq(b1, b2).zipWithIndex.foreach { case (b, k) =>
-      shipFeedFile(b, feed, k, s"s07_tmp_${dir.hashCode.abs}_$run")
+      shipFeedFile(b, feed, k, s"${tag}_tmp_${dir.hashCode.abs}_$run")
     }
-    val out = scratch(s"s07_out_${dir.hashCode.abs}_$run")
+    val out = scratch(s"${tag}_out_${dir.hashCode.abs}_$run")
     streaming.Streams.ingestEmbedStream(
       streaming.Streams.readParquetStream(s, feed.toString, b1.schema,
         maxFilesPerTrigger = 1),
       F.col("vec_id"), F.col("embedding"), idx, out, threshold = 0.999,
-      name = s"s07_${dir.hashCode.abs}_$run")
+      name = s"${tag}_${dir.hashCode.abs}_$run",
+      compactEvery = if (tieredCompaction) 1 else 0,
+      tieredCompaction = tieredCompaction)
     s.read.parquet(out).select("vec_id").orderBy("vec_id")
+  }
+
+  private val s12Run = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** s07's fold under the round's SIZE-TIERED in-line compaction
+    * ([[operators.Similarity.tierCompactIvfIndex]] after EVERY batch,
+    * inside the single-writer `foreachBatch` window, with the in-flight
+    * segment excluded): the scale-safe O(new data)-per-trigger cadence
+    * (r16 verdict #1), driven end-to-end through the stream against the
+    * same exact-cosine oracle as s07, hash-equal. A tier fold that
+    * lost, duplicated, or re-assigned a stored vector, folded the
+    * in-flight segment (the replay poison the exclusion exists for), or
+    * mis-fired the base-ratio escalation would change a kill decision
+    * and hash-fail. */
+  private val s12: (SparkSession, String) => DataFrame = (s, dir) => {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try embedIngestRun(s, dir, "s12", s12Run.incrementAndGet(),
+      tieredCompaction = true)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   private val s11Run = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -3173,6 +3208,7 @@ object SparkEntry {
     "s09_stream_rollup" -> s09,
     "s10_stream_upsert" -> s10,
     "s11_sq8_rescore_ingest" -> s11,
+    "s12_tiered_embed_ingest" -> s12,
     "d01_exact_dedup" -> d01,
     "d02_token_counts" -> d02,
     "d03_langid_quality" -> d03,
@@ -3294,6 +3330,11 @@ object SparkEntry {
     // the survivor fold is exactly the float path's — s07's own
     // exact-cosine oracle, hash-equal
     ("s11_sq8_rescore_ingest" ->
+      oracleSqlBase("s07_stream_embed_ingest")) +
+    // size-tiered in-line compaction (r17): tier folds are structurally
+    // search-invariant, so the tiered stream's survivor fold is exactly
+    // s07's — the same exact-cosine oracle, hash-equal
+    ("s12_tiered_embed_ingest" ->
       oracleSqlBase("s07_stream_embed_ingest")) +
     // clustered SemDeDup ≡ the nClusters=1 brute-force contract on this
     // fixture: scaled copies co-assign with their originals and no

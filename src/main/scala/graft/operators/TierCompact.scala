@@ -148,6 +148,10 @@ private[graft] object TierCompact {
           // partial fold — drop it; sources are still whole
           tierDirs.foreach(fs.delete(_, true))
         }
+        // a crashed fold's stage dir would otherwise linger forever
+        // (a different source set hashes to a different tier name, so
+        // nothing re-stages over it)
+        fs.delete(new Path(root, s"__tierstage_$tier"), true)
         fs.delete(st.getPath, false)
         tier
       }
