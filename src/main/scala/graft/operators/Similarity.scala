@@ -1354,37 +1354,49 @@ object Similarity {
       if (maxCellRowsPerFile > 0L) maxCellRowsPerFile
       else math.max(1L,
         (512L << 20) / candidateWidthBytes(readIvfMeta(spark, path)))
-    val (writable, fileCap) =
-      if (cap == Long.MaxValue) (folded.repartition(F.col("cell")), 0L)
-      else {
-        val sizes = folded.groupBy("cell")
-          .agg(F.count(F.lit(1)).as("__n")).collect()
-          .map(r => r.getInt(0) ->
-            math.ceil(r.getLong(1).toDouble / cap).toInt.max(1))
-        if (sizes.forall(_._2 == 1)) (folded.repartition(F.col("cell")), 0L)
-        else {
-          // two halves of the split, both needed: the block repartition
-          // spreads a hot cell's REWRITE over B tasks (one straggler task
-          // otherwise writes the whole cell serially), while the
-          // per-file record cap guarantees the FILE split itself — task
-          // layout alone can't (a small shuffle-partition count or AQE
-          // coalescing can land several blocks in one task, which would
-          // silently merge them back into one file)
-          val bMap = F.map(sizes.sortBy(_._1).flatMap { case (c, b) =>
-            Seq(F.lit(c), F.lit(b)) }.toSeq: _*)
-          (folded
-            .withColumn("__blk", F.pmod(F.xxhash64(F.col("corpus_id")),
-              F.element_at(bMap, F.col("cell"))))
-            .repartition(F.col("cell"), F.col("__blk"))
-            .drop("__blk"), cap)
-        }
-      }
+    val (writable, fileCap) = cellBalancedFold(folded, cap)
     var writer = writable.write.mode("overwrite")
     if (fileCap > 0L)
       writer = writer.option("maxRecordsPerFile", fileCap)
     writer.partitionBy("seg", "cell").parquet(s"$staged/assigned")
     swapStaged(spark, path, staged, Seq("assigned"), "compact")
   }
+
+  /** The cell-balanced shape of an assigned-table fold write, shared by
+    * [[compactIvfIndex]] and [[tierCompactIvfIndex]]: repartition on
+    * `cell` so each cell lands in one task and emits one file (the
+    * file-count economics the fold exists for) — UNLESS some cell
+    * exceeds `cap` rows, in which case that cell re-splits into
+    * ceil(rows/cap) hash blocks of its ids. Two halves of the split,
+    * both needed: the block repartition spreads a hot cell's REWRITE
+    * over B tasks (one straggler task otherwise writes the whole cell
+    * serially), while the returned per-file record cap guarantees the
+    * FILE split itself — task layout alone can't (a small
+    * shuffle-partition count or AQE coalescing can land several blocks
+    * in one task, which would silently merge them back into one file).
+    * The counting scan is one `groupBy(cell)` over the fold's own rows —
+    * O(fold), which keeps the tier path's O(new data) cost model.
+    * Returns the writable frame and the `maxRecordsPerFile` value (0 =
+    * no cap needed). `cap = Long.MaxValue` forces one-file-per-cell. */
+  private def cellBalancedFold(folded: DataFrame, cap: Long)
+      : (DataFrame, Long) =
+    if (cap == Long.MaxValue) (folded.repartition(F.col("cell")), 0L)
+    else {
+      val sizes = folded.groupBy("cell")
+        .agg(F.count(F.lit(1)).as("__n")).collect()
+        .map(r => r.getInt(0) ->
+          math.ceil(r.getLong(1).toDouble / cap).toInt.max(1))
+      if (sizes.forall(_._2 == 1)) (folded.repartition(F.col("cell")), 0L)
+      else {
+        val bMap = F.map(sizes.sortBy(_._1).flatMap { case (c, b) =>
+          Seq(F.lit(c), F.lit(b)) }.toSeq: _*)
+        (folded
+          .withColumn("__blk", F.pmod(F.xxhash64(F.col("corpus_id")),
+            F.element_at(bMap, F.col("cell"))))
+          .repartition(F.col("cell"), F.col("__blk"))
+          .drop("__blk"), cap)
+      }
+    }
 
   /** Size-tiered compaction of a segmented persisted IVF index — the
     * embedding-side twin of
@@ -1404,18 +1416,25 @@ object Similarity {
     * results IDENTICAL (the spec pins it). The fold is payload-agnostic
     * (float `cv` or SQ8 `scale`+`q` pass through untouched) and keeps
     * the `cell` partitioning, so probe-time static cell pruning works
-    * on tier segments exactly as on base. Crash safety: the
+    * on tier segments exactly as on base. Tier writes are cell-balanced
+    * under the SAME `maxCellRowsPerFile` cap as the base fold (default
+    * auto ~512 MB payload from the layout's stored width) — a tier can
+    * reach `baseFoldRatio` of the index, big enough for an uncapped
+    * hot cell to recreate the scaling/ivf_hotcell.json straggler
+    * mid-tier. Crash safety: the
     * [[TierCompact]] intent-marker protocol, recovered at every entry;
     * single-writer contract as [[compactIvfIndex]] (in-line from the
     * ingest stream's `foreachBatch` with the in-flight segment
     * excluded). */
   def tierCompactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, excludeSegment: Option[String] = None,
-      fanout: Int = 4, baseFoldRatio: Double = 0.25)
-      : TierCompact.Report = {
+      fanout: Int = 4, baseFoldRatio: Double = 0.25,
+      maxCellRowsPerFile: Long = 0L): TierCompact.Report = {
     require(fanout >= 2, s"fanout must be >= 2, got $fanout")
     require(baseFoldRatio > 0.0,
       s"baseFoldRatio must be > 0, got $baseFoldRatio")
+    require(maxCellRowsPerFile >= 0L,
+      s"maxCellRowsPerFile must be >= 0, got $maxCellRowsPerFile")
     val root = new org.apache.hadoop.fs.Path(normPath(path))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val healed = TierCompact.recover(fs, root, Seq("assigned"))
@@ -1429,9 +1448,15 @@ object Similarity {
     val current = sizes()
     if (current.nonEmpty &&
         current.values.sum >= baseFoldRatio * baseBytes) {
-      compactIvfIndex(spark, path, excludeSegment)
+      compactIvfIndex(spark, path, excludeSegment, maxCellRowsPerFile)
       return TierCompact.Report(Seq.empty, baseFolded = true, healed)
     }
+    // same auto-derivation as the base fold: ~512 MB of candidate
+    // payload per file from the layout's own stored width
+    val cap =
+      if (maxCellRowsPerFile > 0L) maxCellRowsPerFile
+      else math.max(1L,
+        (512L << 20) / candidateWidthBytes(readIvfMeta(spark, path)))
     val done = scala.collection.mutable.ArrayBuffer.empty[TierCompact.Fold]
     var round = TierCompact.plan(sizes(), fanout)
     while (round.nonEmpty) {
@@ -1443,11 +1468,21 @@ object Similarity {
           new org.apache.hadoop.fs.Path(stage, "assigned")
         // payload-agnostic: every non-seg column passes through; the
         // cell partitioning survives the fold so probe pruning is
-        // unchanged on the tier
-        spark.read.parquet(s"$path/assigned")
+        // unchanged on the tier. The write is cell-balanced with the
+        // SAME hot-cell cap as the base fold (scaling/ivf_hotcell.json):
+        // a tier can reach baseFoldRatio of the index, so an uncapped
+        // one-file-per-cell tier write would recreate exactly the
+        // probe/rewrite straggler the cap fixed — and without any
+        // repartition the staged write would instead emit one file per
+        // (scan task × cell), re-accreting the file count the fold
+        // exists to collapse.
+        val folded = spark.read.parquet(s"$path/assigned")
           .filter(F.col("seg").isin(fold.sources: _*)).drop("seg")
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(stagedAssigned.toString)
+        val (writable, fileCap) = cellBalancedFold(folded, cap)
+        var writer = writable.write.mode("overwrite")
+        if (fileCap > 0L)
+          writer = writer.option("maxRecordsPerFile", fileCap)
+        writer.partitionBy("cell").parquet(stagedAssigned.toString)
         TierCompact.commitFold(fs, root, fold,
           Seq("assigned" -> stagedAssigned))
         fs.delete(stage, true)

@@ -225,6 +225,62 @@ class TierCompactSpec extends SparkSpec {
     }
   }
 
+  test("tierCompactIvfIndex: tier writes are cell-balanced — a hot cell " +
+      "past maxCellRowsPerFile splits into ceil(rows/cap) files inside " +
+      "the tier segment, cold cells keep one, search unchanged") {
+    // 110 of 120 vectors share one direction -> one HOT cell; the rest
+    // land in the other. Mirrors the compactIvfIndex hot-cell spec
+    // (scaling/ivf_hotcell.json): a tier can reach baseFoldRatio of the
+    // index, so an uncapped tier write would recreate the straggler.
+    val corpus = (0 until 120).map { i =>
+      val hot = i < 110
+      val v = Seq.tabulate(8)(d =>
+        (if (d == (if (hot) 0 else 4)) 10.0 else 0.0) + (i % 7) * 0.01)
+      (i.toLong, v)
+    }.toDF("id", "v")
+    val queries = Seq(
+      (1000L, Seq.tabulate(8)(d => if (d == 0) 10.0 else 0.0)),
+      (1001L, Seq.tabulate(8)(d => if (d == 4) 10.0 else 0.0)))
+      .toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivftierhot")
+      .toString + "/idx"
+    // training slice spans BOTH directions (ids 0,29,58,87 hot; 116 cold)
+    Similarity.writeIvfIndex(corpus.filter(F.col("id") % 29 === 0),
+      F.col("id"), F.col("v"), dir, nlist = 2, trainSample = 200)
+    // append the other 115: hot cell gets ~106 tier rows (>> cap 10),
+    // cold gets 9 (under it)
+    (0 until 4).foreach(m => Similarity.appendToIvfIndex(
+      corpus.filter(F.col("id") % 29 =!= 0 && F.col("id") % 4 === m),
+      F.col("id"), F.col("v"), dir, s"b$m"))
+    def search() = Similarity.searchIvfIndex(spark, dir, queries,
+      F.col("id"), F.col("v"), k = 3, nprobe = 1).collect().toSet
+    val before = search()
+    val report = Similarity.tierCompactIvfIndex(spark, dir, fanout = 4,
+      baseFoldRatio = 1e9, maxCellRowsPerFile = 10L)
+    assert(!report.baseFolded && report.folds.size === 1, report.toString)
+    val tier = report.folds.head.tier
+    assert(search() === before, "capped tier fold changed results")
+    // per-cell file counts inside the tier segment
+    def cellFiles(cell: String): Int = {
+      val d = new java.io.File(s"$dir/assigned/seg=$tier/cell=$cell")
+      assert(d.isDirectory, s"missing $d")
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val cellRows = spark.read.parquet(s"$dir/assigned")
+      .filter(F.col("seg") === tier).groupBy("cell")
+      .agg(F.count(F.lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cellRows.values.max >= 90L, s"fixture: no hot cell in $cellRows")
+    cellRows.foreach { case (cell, n) =>
+      val expect = math.ceil(n.toDouble / 10.0).toInt
+      val got = cellFiles(cell.toString)
+      if (n <= 10L) assert(got === 1,
+        s"cold cell $cell: $got files for $n rows")
+      else assert(got >= expect,
+        s"hot cell $cell: $got files for $n rows, cap 10 needs >= $expect")
+    }
+  }
+
   test("ingest streams run the tiered compactor in-line: segment count " +
       "stays bounded and the out table equals the untiered run's") {
     val docs = (0 until 40).map(i =>
