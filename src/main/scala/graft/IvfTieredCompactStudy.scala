@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.SparkSession
+
+/** Is the IVF tiered compactor's per-trigger cost FLAT in the base size?
+  * ([[TieredCompactStudy]] measured the claim for the MinHash index;
+  * the IVF side shares the [[graft.operators.TierCompact]] engine but
+  * has its OWN staged write — since r17 a cell-balanced shuffle with
+  * the hot-cell file cap and a per-fold cell-counting scan — so its
+  * O(new data) claim deserves its own measurement, not inheritance by
+  * analogy. r16's pattern stands: both of that round's real finds came
+  * from measuring a path that was "obviously fine" structurally.)
+  *
+  * Procedure, per base size (N and 10N vectors, dim 64 float64): build
+  * an IVF index over the base corpus, append `nBatches` fresh segments
+  * and run [[graft.operators.Similarity.tierCompactIvfIndex]] after
+  * every append (the stream's `compactEvery = 1, tieredCompaction =
+  * true` cadence, driven directly so the compaction calls time in
+  * isolation), `baseFoldRatio = 1.0` so every measured cost is pure
+  * tier maintenance. Separately, time ONE full
+  * [[graft.operators.Similarity.compactIvfIndex]] over an identically
+  * appended copy — the pre-r17 per-cadence cost.
+  *
+  * REQUIREd claims:
+  *  - FLAT: total tiered compaction wall across all triggers at 10N is
+  *    ≤ 2.5× the total at N
+  *  - ECONOMICS: at EACH size, the ENTIRE `nBatches`-trigger tiered run
+  *    costs ≤ 2× ONE full fold — i.e. per-trigger tiered maintenance is
+  *    ~nBatches× cheaper than the full-fold-per-trigger cadence it
+  *    replaces
+  *  - BOUNDED: the tiered run ends with ≤ 6 `assigned` segments
+  *  - EQUIVALENT: top-k search results over the tiered index equal the
+  *    accreted (never-compacted) copy's exactly — segment relabeling
+  *    must be search-invisible
+  *
+  * The MinHash study's O(index) CONTRAST claim (full fold ≥ 3× at 10×
+  * base) is deliberately NOT gated here, because it does not
+  * materialize at affordable fixture sizes — measured honestly: dim 64
+  * 50k→500k (26→256 MB) read 6.0 vs 5.8 s, dim 256 100k→1M
+  * (200 MB → 2 GB) read 6.3 vs 8.0 s. The IVF full fold is a
+  * pass-through shuffle+rewrite with NO per-row rebuild (unlike the
+  * MinHash postings re-aggregation), so its data term stays under the
+  * ~6 s fixed job floor until the index is tens of GB; the asymptote is
+  * still O(index) — visible as the 6.3 → 8.0 s slope — but the
+  * per-trigger ECONOMICS gate above is the claim tiering actually
+  * needs, and it is already decisive at 2 GB (12 triggers for ~1× the
+  * price of ONE full fold).
+  *
+  * Usage: runMain graft.IvfTieredCompactStudy [nVecs] [nBatches] [out]
+  */
+object IvfTieredCompactStudy {
+  def main(args: Array[String]): Unit = {
+    // same sizing rationale as the MinHash study, and the first run
+    // proved it the hard way: at dim 64 / 50k→500k (26→256 MB) the full
+    // IVF fold read 6.0 s vs 5.8 s at 10× — ENTIRELY job floor, no data
+    // term visible (its own honest datapoint: this index's full fold is
+    // cheap far later than the MinHash one, whose per-row shingle
+    // rebuild dominates early). dim 256 / 100k→1M puts 200 MB → 2 GB
+    // of payload through the fold, which clears the floor.
+    val nVecs = args.lift(0).map(_.toLong).getOrElse(100000L)
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(12)
+    val out = args.lift(2)
+    val batchRows = 400L
+    val dims = 256
+    val nlist = 32
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.sizeOfNull", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Similarity
+
+    val base = java.nio.file.Files.createTempDirectory("graft_ivftiered")
+      .toString
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def vecs(n: Long, off: Long) =
+      SemanticStudy.synthVecs(spark, n, dims, idOffset = off)
+
+    final case class Sized(n: Long, tieredTriggers: Seq[Double],
+      fullFold: Double, folds: Int, baseFolds: Int, endSegs: Int)
+
+    def runAt(n: Long, tag: String): Sized = {
+      vecs(n, 0L).write.mode("overwrite").parquet(s"$base/corpus_$tag")
+      val corpus = spark.read.parquet(s"$base/corpus_$tag")
+      val batchDfs = (0 until nBatches).map(k =>
+        vecs(batchRows, n * 4 + k * batchRows))
+      val tiered = s"$base/tiered_$tag"
+      Similarity.writeIvfIndex(corpus, F.col("vec_id"),
+        F.col("embedding"), tiered, nlist = nlist, seed = 11)
+      var folds = 0
+      var baseFolds = 0
+      val triggers = batchDfs.zipWithIndex.map { case (b, k) =>
+        Similarity.appendToIvfIndex(b, F.col("vec_id"),
+          F.col("embedding"), tiered, s"b$k")
+        time {
+          val r = Similarity.tierCompactIvfIndex(spark, tiered,
+            fanout = 4, baseFoldRatio = 1.0)
+          folds += r.folds.size
+          if (r.baseFolded) baseFolds += 1
+        }
+      }
+      // accreted copy: same appends, no maintenance — the full-fold
+      // subject AND the search-equivalence baseline
+      val accreted = s"$base/accreted_$tag"
+      Similarity.writeIvfIndex(corpus, F.col("vec_id"),
+        F.col("embedding"), accreted, nlist = nlist, seed = 11)
+      batchDfs.zipWithIndex.foreach { case (b, k) =>
+        Similarity.appendToIvfIndex(b, F.col("vec_id"),
+          F.col("embedding"), accreted, s"b$k")
+      }
+      // search equivalence BEFORE the full fold consumes the copy:
+      // queries spanning base, appended, and unseen id ranges
+      val queries = vecs(40, 0L)
+        .unionAll(vecs(40, n * 4 + batchRows / 2))
+        .unionAll(vecs(20, n * 9000))
+      def results(path: String) = {
+        val r = Similarity.searchIvfIndex(spark, path, queries,
+          F.col("vec_id"), F.col("embedding"), k = 5, nprobe = 4)
+          .collect().toSet
+        spark.catalog.clearCache()
+        r
+      }
+      val rTiered = results(tiered)
+      val rAccreted = results(accreted)
+      require(rTiered == rAccreted,
+        s"$tag: tiered search results (${rTiered.size}) differ from " +
+          s"accreted (${rAccreted.size}) — tier folds changed search")
+      val fullFold = time {
+        Similarity.compactIvfIndex(spark, accreted)
+      }
+      val endSegs = spark.read.parquet(s"$tiered/assigned")
+        .select("seg").distinct().collect().length
+      val r = Sized(n, triggers, fullFold, folds, baseFolds, endSegs)
+      System.err.println(f"[ivftiered] $tag n=$n folds=$folds " +
+        f"tieredTotal=${triggers.sum}%.1fs fullFold=$fullFold%.1fs " +
+        f"endSegs=$endSegs triggers=" +
+        triggers.map(t => f"$t%.2f").mkString(" "))
+      r
+    }
+
+    val small = runAt(nVecs, "n1")
+    val big = runAt(nVecs * 10, "n10")
+
+    require(big.tieredTriggers.sum <= 2.5 * small.tieredTriggers.sum,
+      f"IVF tiered compaction total grew ${big.tieredTriggers.sum}%.1fs " +
+        f"vs ${small.tieredTriggers.sum}%.1fs at 10x base — not flat; " +
+        "the fold (or its cell-counting scan) is reading the index")
+    Seq(small, big).foreach { s =>
+      require(s.tieredTriggers.sum <= 2.0 * s.fullFold,
+        f"n=${s.n}: $nBatches tiered triggers cost " +
+          f"${s.tieredTriggers.sum}%.1fs vs one full fold " +
+          f"${s.fullFold}%.1fs — per-trigger tiering is not beating the " +
+          "full-fold cadence it replaces")
+    }
+    require(small.baseFolds == 0 && big.baseFolds == 0,
+      "ratio 1.0 runs must not base-fold — the measurement would mix " +
+        "cost models")
+    require(small.folds >= 2 && big.folds >= 2,
+      s"too few tier folds fired (${small.folds}/${big.folds}) — the " +
+        "fixture never fills a size class")
+    require(small.endSegs <= 6 && big.endSegs <= 6,
+      s"segment count not bounded (${small.endSegs}/${big.endSegs})")
+
+    def sized(s: Sized): String =
+      s"""{"n":${s.n},"tiered_triggers":[""" +
+        s.tieredTriggers.map(t => f"$t%.3f").mkString(",") +
+        s"""],"tiered_total":${f"${s.tieredTriggers.sum}%.3f"},""" +
+        s""""full_fold":${f"${s.fullFold}%.3f"},"folds":${s.folds},""" +
+        s""""end_segments":${s.endSegs}}"""
+    val json = s"""{"metric":"ivf_tiered_compact","unit":"sec",""" +
+      s""""batch_rows":$batchRows,"n_batches":$nBatches,"dims":$dims,""" +
+      s""""nlist":$nlist,"small":${sized(small)},"big":${sized(big)}}"""
+    println(json)
+    out.foreach(p => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(p), json + "\n"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    spark.stop()
+  }
+}
