@@ -1016,28 +1016,63 @@ object SparkEntry {
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  private val s04Body: (SparkSession, String) => DataFrame = (s, dir) => {
+  private val s04Body: (SparkSession, String) => DataFrame = (s, dir) =>
+    dedupIngestRun(s, dir, "s04", s04Run.incrementAndGet(),
+      tieredCompaction = false)
+
+  /** The shared s04/s13 fixture: index the even-doc_id corpus once,
+    * stream the odd doc_ids through
+    * [[streaming.Streams.ingestDedupStream]] as three mtime-ordered
+    * micro-batches, return the survivor fold. s13 runs the identical
+    * fold with the size-tiered in-line compaction
+    * (`tieredCompaction = true, compactEvery = 1`) — a MinHash tier
+    * fold is row-identical to a one-segment append, so the survivors
+    * must hash-equal s04's. */
+  private def dedupIngestRun(s: SparkSession, dir: String, tag: String,
+      run: Int, tieredCompaction: Boolean): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
-    val run = s04Run.incrementAndGet()
-    val idx = scratch(s"s04_index_${dir.hashCode.abs}_$run")
+    val idx = scratch(s"${tag}_index_${dir.hashCode.abs}_$run")
     Dedup.writeMinhashIndex(docs.filter(F.col("doc_id") % 2 === 0),
       F.col("doc_id"), F.col("text"), idx,
       shingleSize = 3, numHashes = 64, bands = 8)
     // one FILE per micro-batch, mtime-ordered: the batch order (and with
     // it the fold) is deterministic
-    val feed = new java.io.File(scratch(s"s04_feed_${dir.hashCode.abs}_$run"))
+    val feed = new java.io.File(
+      scratch(s"${tag}_feed_${dir.hashCode.abs}_$run"))
     feed.mkdirs()
     Seq(1, 3, 5).zipWithIndex.foreach { case (m, k) =>
       shipFeedFile(docs.filter(F.col("doc_id") % 6 === m), feed, k,
-        s"s04_tmp_${dir.hashCode.abs}_$run")
+        s"${tag}_tmp_${dir.hashCode.abs}_$run")
     }
-    val out = scratch(s"s04_out_${dir.hashCode.abs}_$run")
+    val out = scratch(s"${tag}_out_${dir.hashCode.abs}_$run")
     val stream = streaming.Streams.readParquetStream(s, feed.toString,
       docs.schema, maxFilesPerTrigger = 1)
     streaming.Streams.ingestDedupStream(stream, F.col("doc_id"),
       F.col("text"), idx, out, threshold = 0.8,
-      name = s"s04_${dir.hashCode.abs}_$run")
+      name = s"${tag}_${dir.hashCode.abs}_$run",
+      compactEvery = if (tieredCompaction) 1 else 0,
+      tieredCompaction = tieredCompaction)
     s.read.parquet(out).select("doc_id").orderBy("doc_id")
+  }
+
+  private val s13Run = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** s04's fold under the size-tiered in-line compaction
+    * ([[operators.Dedup.tierCompactMinhashIndex]] after EVERY batch,
+    * inside the single-writer `foreachBatch` window, in-flight segment
+    * excluded) — the MinHash twin of s12's IVF gate. A tier fold is
+    * REQUIREd row-identical to a one-segment append (features pass
+    * through, postings rebuilt with the cap on the merged bucket), so
+    * a fold that lost, duplicated, or relabeled a feature row — or
+    * folded the in-flight segment, defeating the replay exclusion —
+    * would change a batch's probe result and hash-fail against s04's
+    * exact shingle-Jaccard oracle. */
+  private val s13: (SparkSession, String) => DataFrame = (s, dir) => {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try dedupIngestRun(s, dir, "s13", s13Run.incrementAndGet(),
+      tieredCompaction = true)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** RANGE join (point-in-interval, NO equality key): clicks falling inside
@@ -3209,6 +3244,7 @@ object SparkEntry {
     "s10_stream_upsert" -> s10,
     "s11_sq8_rescore_ingest" -> s11,
     "s12_tiered_embed_ingest" -> s12,
+    "s13_tiered_ingest_dedup" -> s13,
     "d01_exact_dedup" -> d01,
     "d02_token_counts" -> d02,
     "d03_langid_quality" -> d03,
@@ -3336,6 +3372,11 @@ object SparkEntry {
     // s07's — the same exact-cosine oracle, hash-equal
     ("s12_tiered_embed_ingest" ->
       oracleSqlBase("s07_stream_embed_ingest")) +
+    // MinHash twin of the s12 gate: a tier fold is row-identical to a
+    // one-segment append, so the tiered dedup-ingest survivor fold is
+    // exactly s04's — the same exact shingle-Jaccard oracle, hash-equal
+    ("s13_tiered_ingest_dedup" ->
+      oracleSqlBase("s04_stream_ingest_dedup")) +
     // clustered SemDeDup ≡ the nClusters=1 brute-force contract on this
     // fixture: scaled copies co-assign with their originals and no
     // natural pair reaches the threshold (see the d57 scaladoc)
