@@ -1190,7 +1190,19 @@ object Dedup {
     * contract as [[compactMinhashIndex]]: run between triggers or
     * in-line from the ingest stream's own `foreachBatch`, with the
     * in-flight segment passed as `excludeSegment` (never listed, never
-    * folded). */
+    * folded).
+    *
+    * Operational note for VERY large bases: when the base-ratio
+    * escalation fires it pays the full O(index) fold INSIDE the calling
+    * trigger — at a multi-TB base that is one long stall while later
+    * micro-batches queue (exactly once per geometric doubling of the
+    * corpus, so amortized cost stays O(log), but the latency lands on
+    * one batch). Where that stall is unacceptable, raise
+    * `baseFoldRatio` (a very large value defers the base fold
+    * indefinitely — tiers keep folding into higher classes, bounded at
+    * fanout·levels segments) and run [[compactMinhashIndex]] in a
+    * maintenance window between stream restarts, when the single-writer
+    * window is free. */
   def tierCompactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, excludeSegment: Option[String] = None,
       fanout: Int = 4, baseFoldRatio: Double = 0.25)

@@ -1425,7 +1425,14 @@ object Similarity {
     * [[TierCompact]] intent-marker protocol, recovered at every entry;
     * single-writer contract as [[compactIvfIndex]] (in-line from the
     * ingest stream's `foreachBatch` with the in-flight segment
-    * excluded). */
+    * excluded). Operational note for VERY large bases: the base-ratio
+    * escalation pays its O(index) fold inside the calling trigger —
+    * once per geometric doubling, but the latency lands on one batch;
+    * where that stall is unacceptable, raise `baseFoldRatio` to defer
+    * (tiers stay bounded at fanout·levels segments) and run
+    * [[compactIvfIndex]] in a maintenance window between stream
+    * restarts (see [[graft.operators.Dedup.tierCompactMinhashIndex]]'s
+    * fuller note). */
   def tierCompactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, excludeSegment: Option[String] = None,
       fanout: Int = 4, baseFoldRatio: Double = 0.25,

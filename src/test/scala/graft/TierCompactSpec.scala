@@ -225,6 +225,60 @@ class TierCompactSpec extends SparkSpec {
     }
   }
 
+  test("tierCompactIvfIndex crash recovery: roll-forward finishes the " +
+      "source deletes, roll-back drops a stage leftover, search correct " +
+      "after heal") {
+    // the MinHash crash test exercises the shared protocol over a
+    // two-table index; this pins the IVF entry's wiring (single
+    // `assigned` table, normalized root) through the same two paths
+    val corpus = (for { cl <- 0 until 2; i <- 0 until 10 } yield {
+      val v = Seq.tabulate(8)(d =>
+        (if (d == cl * 4) 10.0 else 0.0) + (i % 3) * 0.1)
+      (cl * 100L + i, v)
+    }).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivftierr")
+      .toString + "/idx"
+    Similarity.writeIvfIndex(corpus.filter(F.col("id") % 5 === 0),
+      F.col("id"), F.col("v"), dir, nlist = 2, trainSample = 100)
+    (1 to 4).foreach(m => Similarity.appendToIvfIndex(
+      corpus.filter(F.col("id") % 5 === m), F.col("id"), F.col("v"),
+      dir, s"b$m"))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def search() = {
+      val q = Seq((1000L, Seq.tabulate(8)(d => if (d == 0) 10.0 else 0.0)))
+        .toDF("id", "v")
+      Similarity.searchIvfIndex(spark, dir, q, F.col("id"), F.col("v"),
+        k = 3, nprobe = 2).collect().toSet
+    }
+    val want = search()
+    val pre = Similarity.tierCompactIvfIndex(spark, dir, fanout = 4,
+      baseFoldRatio = 1e9)
+    val tier = pre.folds.head.tier
+    // roll-forward: marker present, a stale (already-folded) source back
+    TierCompact.writeMarker(fs, root, TierCompact.Fold(Seq("b1"), tier))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "assigned/seg=b1"))
+    val fwd = Similarity.tierCompactIvfIndex(spark, dir, fanout = 4,
+      baseFoldRatio = 1e9)
+    assert(fwd.healed === Seq(tier))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
+      "assigned/seg=b1")), "roll-forward must finish the source deletes")
+    assert(search() === want, "heal changed results")
+    // roll-back: marker for a tier that never landed, stage dir leftover
+    TierCompact.writeMarker(fs, root,
+      TierCompact.Fold(Seq("never"), "tfdeadbeef00"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir,
+      "__tierstage_tfdeadbeef00/assigned"))
+    val back = Similarity.tierCompactIvfIndex(spark, dir, fanout = 4,
+      baseFoldRatio = 1e9)
+    assert(back.healed === Seq("tfdeadbeef00"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
+      "assigned/seg=tfdeadbeef00")), "partial tier must be absent")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
+      "__tierstage_tfdeadbeef00")), "crashed stage dir must be cleaned")
+    assert(search() === want, "roll-back changed results")
+  }
+
   test("tierCompactIvfIndex: tier writes are cell-balanced — a hot cell " +
       "past maxCellRowsPerFile splits into ceil(rows/cap) files inside " +
       "the tier segment, cold cells keep one, search unchanged") {
