@@ -37,15 +37,16 @@ import org.apache.spark.sql.SparkSession
   * The MinHash study's O(index) CONTRAST claim (full fold ≥ 3× at 10×
   * base) is deliberately NOT gated here, because it does not
   * materialize at affordable fixture sizes — measured honestly: dim 64
-  * 50k→500k (26→256 MB) read 6.0 vs 5.8 s, dim 256 100k→1M
-  * (200 MB → 2 GB) read 6.3 vs 8.0 s. The IVF full fold is a
-  * pass-through shuffle+rewrite with NO per-row rebuild (unlike the
-  * MinHash postings re-aggregation), so its data term stays under the
-  * ~6 s fixed job floor until the index is tens of GB; the asymptote is
-  * still O(index) — visible as the 6.3 → 8.0 s slope — but the
-  * per-trigger ECONOMICS gate above is the claim tiering actually
-  * needs, and it is already decisive at 2 GB (12 triggers for ~1× the
-  * price of ONE full fold).
+  * 50k→500k (26→256 MB) read 6.0 vs 5.8 s (pure floor), and the
+  * recorded dim 256 100k→1M artifact (200 MB → 2 GB,
+  * scaling/ivf_tiered_compact.json) reads 6.6 vs 10.0 s — a visible
+  * slope, still nowhere near 3×. The IVF full fold is a pass-through
+  * shuffle+rewrite with NO per-row rebuild (unlike the MinHash
+  * postings re-aggregation), so its data term stays under the ~6 s
+  * fixed job floor until the index is tens of GB; the asymptote is
+  * still O(index) — but the per-trigger ECONOMICS gate above is the
+  * claim tiering actually needs, and it is already decisive at 2 GB
+  * (12 triggers for under the price of ONE full fold).
   *
   * Usage: runMain graft.IvfTieredCompactStudy [nVecs] [nBatches] [out]
   */
