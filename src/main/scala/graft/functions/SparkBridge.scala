@@ -303,4 +303,92 @@ object Bridge {
       case other => Column(SO(other, SO.Descending, SO.NullsLast))
     }
   }
+
+  /** The exact file-identity string `input_file_name()` yields for a
+    * scanned file (Spark's url-encoded [[org.apache.spark.paths.SparkPath]]
+    * form) — so metadata harvested driver-side from footers and metadata
+    * harvested by a scan agree byte-for-byte on file identity. */
+  def fileUrl(st: org.apache.hadoop.fs.FileStatus): String =
+    org.apache.spark.paths.SparkPath.fromFileStatus(st).urlEncoded
+
+  /** Write driver-local rows as ONE parquet file through Spark's own
+    * [[org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport]]
+    * — byte-compatible with what an executor task would write for the same
+    * schema (same type mapping, logical annotations, rebase handling), with
+    * ZERO Spark jobs and no output-committer round (no `_temporary`
+    * staging, no job-commit renames, no `_SUCCESS`).
+    *
+    * Why it exists (r17 optimization): metadata-sized writes — a lake
+    * mutation's manifest part (a handful of per-file stats rows), an
+    * index's one-row meta — were going through `df.coalesce(1).write`,
+    * paying a full driver-scheduled job plus the commit protocol to move a
+    * few hundred bytes. Per-mutation floors like the streaming CDC upsert
+    * pay that repeatedly per trigger (guide §5: the job floor is driver
+    * work; on a busy cluster the scheduling round trip dwarfs the write).
+    * Delta's commit log takes the same stance: transaction metadata is
+    * written by the driver, not by a distributed job.
+    *
+    * Only for BOUNDED row sets (mutation-scale metadata — the caller's
+    * contract); data tables keep the distributed writer. The file lands
+    * via temp-name + rename so a concurrent lister never sees a partial
+    * file under its final name. */
+  def writeParquetDriverSide(session: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row], dir: String,
+      overwriteDir: Boolean): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+    import org.apache.spark.sql.internal.SQLConf
+    val cs = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val sqlConf = cs.sessionState.conf
+    val conf = cs.sessionState.newHadoopConf()
+    ParquetWriteSupport.setSchema(schema, conf)
+    // the same write-path session confs ParquetFileFormat.prepareWrite
+    // pins into the task configuration — init()/construction read them
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sqlConf.writeLegacyParquetFormat.toString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sqlConf.parquetOutputTimestampType.toString)
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sqlConf.parquetFieldIdWriteEnabled.toString)
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    if (overwriteDir) fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    val codec = org.apache.parquet.hadoop.metadata.CompressionCodecName
+      .fromConf(sqlConf.parquetCompressionCodec.toUpperCase(
+        java.util.Locale.ROOT) match {
+        case "UNCOMPRESSED" | "NONE" => "UNCOMPRESSED"
+        case c => c
+      })
+    val ext = if (codec == org.apache.parquet.hadoop.metadata
+        .CompressionCodecName.UNCOMPRESSED) ""
+      else "." + codec.name.toLowerCase(java.util.Locale.ROOT)
+    val name = s"part-00000-${java.util.UUID.randomUUID()}$ext.parquet"
+    val tmp = new Path(dirPath, s".$name.inprogress")
+    val fin = new Path(dirPath, name)
+    final class B(p: Path) extends org.apache.parquet.hadoop.ParquetWriter
+        .Builder[InternalRow, B](p) {
+      override def self(): B = this
+      override def getWriteSupport(c: org.apache.hadoop.conf.Configuration)
+          : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+        new ParquetWriteSupport
+    }
+    val writer = new B(tmp).withConf(conf).withCompressionCodec(codec).build()
+    try {
+      val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+      rows.foreach(r => writer.write(conv(r).asInstanceOf[InternalRow]))
+    } finally writer.close()
+    if (!fs.rename(tmp, fin)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"writeParquetDriverSide: rename to $fin failed")
+    }
+  }
 }

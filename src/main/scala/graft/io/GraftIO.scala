@@ -25,6 +25,23 @@ object GraftIO {
   private[io] def parquetCodec(compression: String): String =
     if (compression == "lz4") "lz4_raw" else compression
 
+  /** Write DRIVER-LOCAL rows as one parquet file under `dir` (replacing
+    * the directory) with zero Spark jobs — the metadata-write fast path
+    * (r17 optimization, guide §5: index metas, centroid tables and
+    * manifest parts are a handful of driver-resident rows; a full
+    * driver-scheduled job plus the commit protocol per tiny file is the
+    * per-mutation floor the streaming paths pay every trigger). Bytes go
+    * through Spark's own parquet write support
+    * ([[org.apache.spark.sql.graftbridge.Bridge.writeParquetDriverSide]]),
+    * so readers see exactly what a `coalesce(1).write` would have
+    * produced. Callers own the BOUNDED-rows contract. */
+  private[graft] def writeSmallParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row], dir: String): Unit =
+    org.apache.spark.sql.graftbridge.Bridge.writeParquetDriverSide(
+      spark, schema, rows, dir, overwriteDir = true)
+
   // ======== cloud / remote URLs (reference lib/explorer/fss.ex:53-223,
   // cloud_writer.rs) ==========================================================
   // Every reader/writer accepts the reference's URL schemes:

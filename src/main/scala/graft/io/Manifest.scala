@@ -372,6 +372,171 @@ object Manifest {
       .groupBy("file").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The part-row schema [[harvest]] produces, built without a scan:
+    * (file, rows, then min/max pairs at the data columns' types). */
+  private def partSchema(statsCols: Seq[String],
+      types: Map[String, org.apache.spark.sql.types.DataType])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+      // nullable: a deleteKeys part carries tombstones (rows IS NULL)
+      org.apache.spark.sql.types.StructField("rows",
+        org.apache.spark.sql.types.LongType, nullable = true) +:
+      statsCols.flatMap(c => Seq(
+        org.apache.spark.sql.types.StructField(s"min_$c", types(c)),
+        org.apache.spark.sql.types.StructField(s"max_$c", types(c)))))
+
+  /** [[harvest]] from parquet FOOTER statistics — zero Spark jobs, zero
+    * data reads (guide §6: stats the write already computed must not cost
+    * a second scan; at 100 TB the post-write harvest scan re-reads the
+    * entire appended batch, while footers are O(files) metadata round
+    * trips). Returns None — caller falls back to the scan harvest —
+    * whenever exactness cannot be GUARANTEED from footers alone:
+    * a stats column of any type but the integral/floating primitives
+    * (binary min/max may be truncated by the writer), a chunk with
+    * absent/indeterminate statistics, a float/double chunk whose
+    * recorded bounds carry NaN (parquet writers disagree on NaN
+    * handling, and Spark's own max() orders NaN greatest — only a scan
+    * reproduces that), or a physical type that does not match the
+    * declared Spark type. File identities use the same url-encoded form
+    * `input_file_name()` yields (pinned by ManifestSpec), so footer- and
+    * scan-harvested parts are interchangeable rows of one manifest.
+    * Row counts come from block metadata and are always exact; an
+    * all-null chunk (numNulls == valueCount) contributes no bounds,
+    * matching min()/max() null semantics. Footer opens run in the same
+    * bounded pool as [[harvestFooterCommits]] (r14 verdict #4: serial
+    * footer RTTs dominate on object storage). */
+  private def harvestFromFooters(spark: SparkSession, files: Seq[String],
+      statsCols: Seq[String],
+      types: Map[String, org.apache.spark.sql.types.DataType])
+      : Option[Seq[org.apache.spark.sql.Row]] = {
+    import org.apache.spark.sql.types._
+    val supported = statsCols.forall(c => types(c) match {
+      case LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType | BooleanType => true
+      case _ => false
+    })
+    if (!supported || files.isEmpty) return None
+    val expectedPhysical: Map[String,
+        org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] = {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      statsCols.map(c => c -> (types(c) match {
+        case LongType => INT64
+        case IntegerType | ShortType | ByteType => INT32
+        case DoubleType => DOUBLE
+        case FloatType => FLOAT
+        case BooleanType => BOOLEAN
+        case t => throw new IllegalStateException(s"unreachable: $t")
+      })).toMap
+    }
+    val hconf = spark.sparkContext.hadoopConfiguration
+    final case class FileStats(file: String, rows: Long,
+      mins: Array[Any], maxs: Array[Any], exact: Boolean)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, files.size)))
+    val stats: Seq[FileStats] =
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(files.map { f =>
+          new java.util.concurrent.Callable[FileStats] {
+            def call(): FileStats = {
+              val p = new org.apache.hadoop.fs.Path(f)
+              val fs = p.getFileSystem(hconf)
+              val st = fs.getFileStatus(p)
+              val url = org.apache.spark.sql.graftbridge.Bridge.fileUrl(st)
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromStatus(st, hconf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try {
+                var rows = 0L
+                val mins = new Array[Any](statsCols.length)
+                val maxs = new Array[Any](statsCols.length)
+                var exact = true
+                r.getFooter.getBlocks.forEach { b =>
+                  rows += b.getRowCount
+                  b.getColumns.forEach { c =>
+                    val dotted = c.getPath.toDotString
+                    val i = statsCols.indexOf(dotted)
+                    if (i >= 0 && exact) {
+                      val cs = c.getStatistics
+                      if (cs == null ||
+                          c.getPrimitiveType.getPrimitiveTypeName !=
+                            expectedPhysical(dotted)) exact = false
+                      else if (!cs.hasNonNullValue) {
+                        // distinguish "all null" (contributes no bounds,
+                        // like min()/max() over nulls) from "no stats"
+                        if (!(cs.isNumNullsSet &&
+                            cs.getNumNulls == c.getValueCount)) exact = false
+                      } else {
+                        val (lo, hi) = (cs.genericGetMin, cs.genericGetMax)
+                        val nan = (v: Any) => v match {
+                          case d: java.lang.Double => d.isNaN
+                          case fl: java.lang.Float => fl.isNaN
+                          case _ => false
+                        }
+                        if (nan(lo) || nan(hi)) exact = false
+                        else {
+                          def cmp(a: Any, b: Any): Int =
+                            a.asInstanceOf[Comparable[Any]].compareTo(b)
+                          if (mins(i) == null || cmp(lo, mins(i)) < 0)
+                            mins(i) = lo
+                          if (maxs(i) == null || cmp(hi, maxs(i)) > 0)
+                            maxs(i) = hi
+                        }
+                      }
+                    }
+                  }
+                }
+                FileStats(url, rows, mins, maxs, exact)
+              } finally r.close()
+            }
+          }
+        }.asJava).asScala.map(f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }).toSeq
+      } finally pool.shutdown()
+    if (stats.exists(!_.exact)) return None
+    // INT32-backed narrow types surface from parquet as Integer — cast
+    // back to the declared Spark type so part rows match the scan harvest
+    def narrow(c: String, v: Any): Any =
+      if (v == null) null
+      else types(c) match {
+        case ShortType => v.asInstanceOf[java.lang.Integer].shortValue()
+        case ByteType => v.asInstanceOf[java.lang.Integer].byteValue()
+        case _ => v
+      }
+    Some(stats.map { fsx =>
+      org.apache.spark.sql.Row.fromSeq(
+        fsx.file +: fsx.rows +: statsCols.zipWithIndex.flatMap {
+          case (c, i) => Seq(narrow(c, fsx.mins(i)), narrow(c, fsx.maxs(i)))
+        })
+    })
+  }
+
+  /** [[writePart]] for DRIVER-LOCAL part rows (mutation-scale metadata:
+    * per-file stats, tombstones) — written through Spark's own parquet
+    * write support with zero Spark jobs and no committer round
+    * ([[org.apache.spark.sql.graftbridge.Bridge.writeParquetDriverSide]]).
+    * Same layout contract as [[writePart]]: one file, direct into
+    * `seg=<segment>` (a retried mutation REPLACES its part), readable
+    * even at zero rows. */
+  private def writePartRows(spark: SparkSession,
+      rows: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType, url: String,
+      segment: String, commit: Long): Unit = {
+    val full = schema.add("__commit",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val stamped = rows.map(r =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ commit))
+    org.apache.spark.sql.graftbridge.Bridge.writeParquetDriverSide(
+      spark, full, stamped, s"${partsPath(url)}/seg=$segment",
+      overwriteDir = true)
+  }
+
   /** Write `df` at `path` (overwrite), optionally range-clustered by
     * `clusterCols` into `targetFiles` files, then record the per-file
     * manifest for `statsCols` under `path/_manifest` (an underscore path
@@ -401,10 +566,20 @@ object Manifest {
       .partitionBy("seg")
       .parquet(url)
     val spark = df.sparkSession
-    val files = spark.read.parquet(url).inputFiles.toSeq
+    val files = segmentFiles(spark, url, "base")
     // the data overwrite above wiped any previous _manifest with the rest
-    // of the directory; the fresh layout starts from one base part
-    writePart(harvest(spark, files, statsCols), url, "base", commit = 0L)
+    // of the directory; the fresh layout starts from one base part.
+    // Stats come from the written files' parquet FOOTERS when the column
+    // types allow exactness (zero jobs, no re-scan of the data just
+    // written — the r17 optimization); the column-pruned scan stays the
+    // fallback for types whose footer stats can be inexact.
+    val types = statsCols.map(c => c -> df.schema(c).dataType).toMap
+    harvestFromFooters(spark, files, statsCols, types) match {
+      case Some(rows) => writePartRows(spark, rows,
+        partSchema(statsCols, types), url, "base", commit = 0L)
+      case None =>
+        writePart(harvest(spark, files, statsCols), url, "base", commit = 0L)
+    }
   }
 
   /** Append a batch to an existing manifested layout incrementally,
@@ -447,8 +622,16 @@ object Manifest {
     // an EMPTY retried batch must clear its earlier rows explicitly — a
     // zero-row dynamic overwrite would leave them listed
     if (segFiles.isEmpty) dropPart(spark, url, segment)
-    else writePart(harvest(spark, segFiles, statsCols), url, segment,
-      commit = nextCommit(spark, url))
+    else {
+      val types = statsCols.map(c => c -> df.schema(c).dataType).toMap
+      val commit = nextCommit(spark, url)
+      harvestFromFooters(spark, segFiles, statsCols, types) match {
+        case Some(rows) => writePartRows(spark, rows,
+          partSchema(statsCols, types), url, segment, commit)
+        case None =>
+          writePart(harvest(spark, segFiles, statsCols), url, segment, commit)
+      }
+    }
   }
 
   /** The declared stats columns of a manifested layout, read from the
@@ -489,8 +672,14 @@ object Manifest {
       .parquet(url)
     val spark = df.sparkSession
     val files = spark.read.parquet(url).inputFiles.toSeq
-    writePart(harvest(spark, files, Seq(tsNsCol, secondary)), url,
-      "base", commit = 0L)
+    val statsCols = Seq(tsNsCol, secondary)
+    val types = statsCols.map(c => c -> df.schema(c).dataType).toMap
+    harvestFromFooters(spark, files, statsCols, types) match {
+      case Some(rows) => writePartRows(spark, rows,
+        partSchema(statsCols, types), url, "base", commit = 0L)
+      case None => writePart(harvest(spark, files, statsCols), url,
+        "base", commit = 0L)
+    }
   }
 
   /** Z-ORDERED manifested write — multi-column data skipping done right:
@@ -839,9 +1028,10 @@ object Manifest {
     val outIdx = outSchema.fieldNames.map(schema.fieldIndex)
     val outRows = (liveOut ++ carried).toSeq.map(r =>
       org.apache.spark.sql.Row.fromSeq(outIdx.toSeq.map(r.get)))
-    writePart(spark.createDataFrame(
-      spark.sparkContext.parallelize(outRows, 1),
-      outSchema), url, segment, commit = stamp)
+    // rows are already driver-local — the fold's write job (and its
+    // committer round) was pure overhead; the in-line streaming
+    // compaction (s10's compactEvery) pays this per cadence
+    writePartRows(spark, outRows, outSchema, url, segment, commit = stamp)
     writeFloor(spark, url, stamp)
     val fs = new org.apache.hadoop.fs.Path(url)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1239,16 +1429,29 @@ object Manifest {
     // only leaves orphans for vacuum). Nothing here reads, collects, or
     // rewrites the rest of the manifest — cost tracks the affected
     // files, not the table.
-    val tombs = tombRows(man, affected.toSeq)
     // commitOverride: upsert stamps its delete part with the SAME commit
     // as its batch part, so the MERGE is ONE addressable version — no
     // as-of commit exposes the mid-merge duplicate state (Delta exposes
     // one version per MERGE; so does this)
-    writePart(
-      if (rwFiles.isEmpty) tombs
-      else harvest(spark, rwFiles, statsCols).unionByName(tombs),
-      url, segment,
-      commit = commitOverride.getOrElse(nextCommit(spark, url)))
+    val commit = commitOverride.getOrElse(nextCommit(spark, url))
+    val types = statsCols.map(c => c -> man.schema(s"min_$c").dataType).toMap
+    val sch = partSchema(statsCols, types)
+    val harvested =
+      if (rwFiles.isEmpty) Some(Seq.empty[org.apache.spark.sql.Row])
+      else harvestFromFooters(spark, rwFiles, statsCols, types)
+    harvested match {
+      case Some(live) =>
+        // tombstones as driver rows: file + all-null stats, the same
+        // `rows IS NULL` marker tombRows emits — with the footer harvest
+        // the whole part is driver-local and writes with zero jobs
+        val tombsLocal = affected.toSeq.map(f => org.apache.spark.sql.Row
+          .fromSeq(f +: Seq.fill(sch.length - 1)(null)))
+        writePartRows(spark, live ++ tombsLocal, sch, url, segment, commit)
+      case None => writePart(
+        harvest(spark, rwFiles, statsCols)
+          .unionByName(tombRows(man, affected.toSeq)),
+        url, segment, commit)
+    }
     // retainFiles = true keeps the retired (tombstoned, invisible) files
     // on disk so manifestAsOf reads of earlier commits stay servable —
     // the Delta posture: history lives until vacuum reclaims it
@@ -1367,9 +1570,10 @@ object Manifest {
     // shows duplicates at this commit until the at-least-once retry
     // heals it — transient, like the current view)
     val commit = nextCommit(spark, url)
-    writePart(spark.createDataFrame(
-      spark.sparkContext.parallelize(partRows, 1), partSchema),
-      url, segment, commit = commit)
+    // partRows are driver-local (batch-file-count bound) — write the part
+    // directly (zero jobs, no committer round): a streaming CDC upsert
+    // pays this per trigger
+    writePartRows(spark, partRows, partSchema, url, segment, commit)
     deleteKeys(spark, path, keyCol,
       spark.read.parquet(appended: _*).select(kc), s"rw_$segment",
       excludeSegments = Set(segment),

@@ -890,10 +890,20 @@ object Dedup {
         F.lit("base").as("seg"))
       .write.mode("overwrite").partitionBy("seg", "band")
       .parquet(s"$target/postings")
-    import spark.implicits._
-    Seq((shingleSize, numHashes, bands, maxBucket))
-      .toDF("shingle_size", "num_hashes", "bands", "max_bucket")
-      .write.mode("overwrite").parquet(s"$target/meta")
+    // one-row meta, driver-side (zero jobs — r17 optimization)
+    graft.io.GraftIO.writeSmallParquet(spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("shingle_size",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("num_hashes",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("bands",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("max_bucket",
+          org.apache.spark.sql.types.IntegerType, nullable = false))),
+      Seq(org.apache.spark.sql.Row(shingleSize, numHashes, bands,
+        maxBucket)),
+      s"$target/meta")
     if (hasLayout)
       Similarity.swapLayout(spark, path, target, "rebuild")
   }

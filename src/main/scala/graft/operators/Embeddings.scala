@@ -691,10 +691,20 @@ object Embeddings {
     * `path/pca` (mean, components, variances). */
   private def writePcaModel(spark: org.apache.spark.sql.SparkSession,
       model: PcaModel, path: String): Unit = {
-    import spark.implicits._
-    Seq((model.mean, model.components, model.variances))
-      .toDF("mean", "components", "variances")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/pca")
+    import org.apache.spark.sql.types._
+    // one driver-resident row (O(dim²) doubles) — written driver-side
+    // with zero jobs (r17 optimization)
+    graft.io.GraftIO.writeSmallParquet(spark,
+      StructType(Seq(
+        StructField("mean", ArrayType(DoubleType, containsNull = false)),
+        StructField("components", ArrayType(
+          ArrayType(DoubleType, containsNull = false),
+          containsNull = false)),
+        StructField("variances",
+          ArrayType(DoubleType, containsNull = false)))),
+      Seq(org.apache.spark.sql.Row(
+        model.mean, model.components, model.variances)),
+      s"$path/pca")
   }
 
   /** Read a persisted [[PcaModel]] back. Loud when absent — searching a

@@ -860,13 +860,22 @@ object Similarity {
       idx: IvfIndex, path: String, iters: Int, trainSample: Int,
       seed: Long, whitened: Boolean, modelFp: Long,
       sq8: Boolean): Unit = {
-    import spark.implicits._
+    import org.apache.spark.sql.types._
     assignedPayload(idx.assigned, sq8).withColumn("seg", F.lit("base"))
       .write.mode("overwrite").partitionBy("seg", "cell")
       .parquet(s"$path/assigned")
-    idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // centroids + meta are DRIVER-RESIDENT (O(nlist) and one row) —
+    // written driver-side with zero jobs (r17 optimization; every index
+    // build/rebuild previously paid two scheduled jobs + committer
+    // rounds to move a few KB)
+    graft.io.GraftIO.writeSmallParquet(spark,
+      StructType(Seq(
+        StructField("cell", IntegerType, nullable = false),
+        StructField("centroid",
+          ArrayType(DoubleType, containsNull = false)))),
+      idx.centroids.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i, c) },
+      s"$path/centroids")
     // elem_bytes: the TRUE stored width of the float payload (a float32
     // corpus writes float32 arrays — r16 verdict #3: the old 8 B/element
     // assumption overestimated such layouts' candidate width 2× and
@@ -874,11 +883,21 @@ object Similarity {
     // layouts (whose candidate width is 1 B/element regardless) so a
     // later exact-rescore story knows the full-precision width.
     val elemBytes = vecElemBytes(idx.assigned.schema("cv").dataType)
-    Seq((idx.centroids.length, idx.centroids.head.length, iters,
-      trainSample, seed, whitened, modelFp, sq8, elemBytes))
-      .toDF("nlist", "dim", "iters", "train_sample", "seed", "whitened",
-        "model_fp", "sq8", "elem_bytes")
-      .write.mode("overwrite").parquet(s"$path/meta")
+    graft.io.GraftIO.writeSmallParquet(spark,
+      StructType(Seq(
+        StructField("nlist", IntegerType, nullable = false),
+        StructField("dim", IntegerType, nullable = false),
+        StructField("iters", IntegerType, nullable = false),
+        StructField("train_sample", IntegerType, nullable = false),
+        StructField("seed", LongType, nullable = false),
+        StructField("whitened", BooleanType, nullable = false),
+        StructField("model_fp", LongType, nullable = false),
+        StructField("sq8", BooleanType, nullable = false),
+        StructField("elem_bytes", IntegerType, nullable = false))),
+      Seq(org.apache.spark.sql.Row(idx.centroids.length,
+        idx.centroids.head.length, iters, trainSample, seed, whitened,
+        modelFp, sq8, elemBytes)),
+      s"$path/meta")
   }
 
   /** Append a batch as segment `segment`: vectors are assigned to the

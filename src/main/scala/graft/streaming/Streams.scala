@@ -195,21 +195,26 @@ object Streams {
           excludeSegment = Some(seg))
       val survivors = deduped.persist()
       try {
-        survivors.write.mode("overwrite").parquet(s"$outPath/batch=$seg")
-        graft.operators.Dedup.appendToMinhashIndex(survivors, id, text,
-          indexPath, seg)
+        phased(s"$name b$batchId survivors-write") {
+          survivors.write.mode("overwrite").parquet(s"$outPath/batch=$seg")
+        }
+        phased(s"$name b$batchId index-append") {
+          graft.operators.Dedup.appendToMinhashIndex(survivors, id, text,
+            indexPath, seg)
+        }
       } finally {
         survivors.unpersist(false)
         release()
       }
-      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
-        if (tieredCompaction)
-          graft.operators.Dedup.tierCompactMinhashIndex(spark, indexPath,
-            excludeSegment = Some(seg))
-        else
-          graft.operators.Dedup.compactMinhashIndex(spark, indexPath,
-            excludeSegment = Some(seg))
-      }
+      if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        phased(s"$name b$batchId compact") {
+          if (tieredCompaction)
+            graft.operators.Dedup.tierCompactMinhashIndex(spark, indexPath,
+              excludeSegment = Some(seg))
+          else
+            graft.operators.Dedup.compactMinhashIndex(spark, indexPath,
+              excludeSegment = Some(seg))
+        }
     }
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
@@ -376,25 +381,30 @@ object Streams {
         val survivors = batch.join(dead,
           F.col("__vid") === F.col("__dead"), "left_anti")
           .select(F.col("__vid").as("vec_id"), F.col("__v").as("embedding"))
-        survivors.write.mode("overwrite").parquet(s"$outPath/batch=$seg")
-        pcaModel match {
-          case Some(m) => graft.operators.Similarity.appendToIvfIndexImpl(
-            graft.operators.Embeddings.pcaProject(survivors,
-              F.col("embedding"), m, "__wv", whiten = true),
-            F.col("vec_id"), F.col("__wv"), indexPath, seg,
-            expectWhitened = true,
-            expectedModelFp = Some(m.fingerprint))
-          case None => graft.operators.Similarity.appendToIvfIndex(
-            survivors, F.col("vec_id"), F.col("embedding"), indexPath, seg)
+        phased(s"$name b$batchId probe+survivors-write") {
+          survivors.write.mode("overwrite").parquet(s"$outPath/batch=$seg")
         }
-        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
-          if (tieredCompaction)
-            graft.operators.Similarity.tierCompactIvfIndex(spark,
-              indexPath, excludeSegment = Some(seg))
-          else
-            graft.operators.Similarity.compactIvfIndex(spark, indexPath,
-              excludeSegment = Some(seg))
+        phased(s"$name b$batchId index-append") {
+          pcaModel match {
+            case Some(m) => graft.operators.Similarity.appendToIvfIndexImpl(
+              graft.operators.Embeddings.pcaProject(survivors,
+                F.col("embedding"), m, "__wv", whiten = true),
+              F.col("vec_id"), F.col("__wv"), indexPath, seg,
+              expectWhitened = true,
+              expectedModelFp = Some(m.fingerprint))
+            case None => graft.operators.Similarity.appendToIvfIndex(
+              survivors, F.col("vec_id"), F.col("embedding"), indexPath, seg)
+          }
         }
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          phased(s"$name b$batchId compact") {
+            if (tieredCompaction)
+              graft.operators.Similarity.tierCompactIvfIndex(spark,
+                indexPath, excludeSegment = Some(seg))
+            else
+              graft.operators.Similarity.compactIvfIndex(spark, indexPath,
+                excludeSegment = Some(seg))
+          }
       } finally {
         batch.unpersist(false)
         ()
@@ -572,6 +582,18 @@ object Streams {
     q.stop()
     prefix
   }
+
+  /** Phase timer for the ingest loops' per-batch work — prints to stderr
+    * only under SPARK_GRAFT_STREAM_DEBUG (builder profiling; a production
+    * run pays one env check). */
+  private def phased[A](label: String)(body: => A): A =
+    if (!sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")) body
+    else {
+      val t0 = System.nanoTime()
+      try body
+      finally System.err.println(
+        f"[stream-phase] $label ${(System.nanoTime() - t0) / 1e9}%.3fs")
+    }
 
   /** Truncated SHA-256 of the checkpoint path, not String.hashCode: a
     * 32-bit hash collision between two runs' checkpoints would make the
