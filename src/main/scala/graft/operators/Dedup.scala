@@ -939,6 +939,24 @@ object Dedup {
       path: String, threshold: Double,
       probeBands: Option[Int] = None,
       excludeSegment: Option[String] = None): (DataFrame, () => Unit) = {
+    val (deduped, _, release) = dedupAgainstIndexWithSigs(df, id, text,
+      path, threshold, probeBands, excludeSegment)
+    (deduped, release)
+  }
+
+  /** [[dedupAgainstIndexManaged]] that ALSO exposes the probe's cached
+    * per-doc signature frame (`bid`, `bsh` shingle hashes, `__bb` band
+    * hashes) so the ingest loop's append step can reuse it
+    * ([[appendSurvivorsFromSigs]]) instead of re-shingling and re-hashing
+    * the batch text a second time (r17 optimization — the append phase
+    * carried a full repeat of the batch's text processing per trigger).
+    * The sigs frame is backed by the SAME cache the release thunk frees:
+    * consume it before calling release. */
+  private[graft] def dedupAgainstIndexWithSigs(df: DataFrame, id: Column,
+      text: Column, path: String, threshold: Double,
+      probeBands: Option[Int] = None,
+      excludeSegment: Option[String] = None)
+      : (DataFrame, DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val IndexMeta(shingleSize, numHashes, bands, maxBucket) =
       readIndexMeta(spark, path)
@@ -992,7 +1010,43 @@ object Dedup {
       .filter(F.col("jaccard") >= threshold)
       .select(F.col("bid").as("__loser")).distinct()
     (df.join(losers, asLongId(id) === F.col("__loser"), "left_anti"),
-      () => { batch.unpersist(false); () })
+      batch, () => { batch.unpersist(false); () })
+  }
+
+  /** Append an ingest batch's SURVIVORS to the index from the probe's own
+    * cached signature frame ([[dedupAgainstIndexWithSigs]]) — row-identical
+    * to `appendToMinhashIndex(survivors, id, text, …)` by construction
+    * (`bsh`/`__bb` are the very expressions the text append computes, built
+    * from the same meta parameters), minus the second shingling +
+    * minhashing pass over the batch text. Private plumbing for the
+    * streaming ingest loop: `sigs` must come from the same batch `survivors`
+    * was filtered from, and the sigs cache must still be alive. */
+  private[graft] def appendSurvivorsFromSigs(sigs: DataFrame,
+      survivors: DataFrame, id: Column, path: String,
+      segment: String): Unit = {
+    require(segment.nonEmpty && segment != "base" &&
+      segment.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"segment '$segment' must be a filesystem-safe label != 'base'")
+    val spark = sigs.sparkSession
+    val IndexMeta(_, _, _, maxBucket) = readIndexMeta(spark, path)
+    val survIds = survivors.select(asLongId(id).as("bid"))
+    val s = sigs.join(survIds, Seq("bid"), "left_semi")
+    s.select(F.col("bid").as("id"), F.col("bsh").as("sh"),
+        F.lit(segment).as("seg"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("seg").parquet(s"$path/features")
+    s.select(F.col("bid").as("id"),
+        F.posexplode(F.col("__bb")).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket")
+      .agg(graft.functions.AggExprs
+        .cappedSortedIds(F.col("id"), maxBucket, minSize = 1).as("ids"))
+      .filter(F.col("ids").isNotNull)
+      .select(F.col("band"), F.col("bucket"), F.col("ids"),
+        F.lit(segment).as("seg"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("seg", "band").parquet(s"$path/postings")
   }
 
   /** Append newly-accepted docs to a persisted [[writeMinhashIndex]] index —

@@ -190,17 +190,21 @@ object Streams {
       // CacheManager entry too, where an RDD-level sweep frees blocks but
       // leaves an entry (analyzed plan + file listing) accreting per
       // batch on a 24/7 stream
-      val (deduped, release) = graft.operators.Dedup
-        .dedupAgainstIndexManaged(batchDf, id, text, indexPath, threshold,
+      val (deduped, sigs, release) = graft.operators.Dedup
+        .dedupAgainstIndexWithSigs(batchDf, id, text, indexPath, threshold,
           excludeSegment = Some(seg))
       val survivors = deduped.persist()
       try {
         phased(s"$name b$batchId survivors-write") {
           survivors.write.mode("overwrite").parquet(s"$outPath/batch=$seg")
         }
+        // append from the probe's own cached signatures — row-identical
+        // to the from-text append, minus a second shingling + minhashing
+        // pass over the batch (r17 optimization; the phase timers put
+        // that repeat at roughly half the append phase per trigger)
         phased(s"$name b$batchId index-append") {
-          graft.operators.Dedup.appendToMinhashIndex(survivors, id, text,
-            indexPath, seg)
+          graft.operators.Dedup.appendSurvivorsFromSigs(sigs, survivors,
+            id, indexPath, seg)
         }
       } finally {
         survivors.unpersist(false)
@@ -378,23 +382,39 @@ object Streams {
         // which the trigger usually keeps broadcast-small (auto-broadcast
         // fires), but a backlog-replay batch can be arbitrarily large —
         // let the size estimate decide instead of pinning the driver
+        // PERSIST the survivor set (r17 optimization): it has two
+        // consumers — the outPath write and the index append — and
+        // without the cache the SECOND consumer re-executes the entire
+        // probe pipeline (index scan, cosine ranking, rescore refine)
+        // inside the append write. Measured per batch (stream-phase
+        // timers): the append phase carried 1.4-2.5 s of repeated probe
+        // work at sf0.1 — at production batch sizes the probe is the
+        // dominant per-trigger cost and would simply double. The dedup
+        // twin below has always persisted its survivors; this aligns
+        // the embed stream.
         val survivors = batch.join(dead,
           F.col("__vid") === F.col("__dead"), "left_anti")
           .select(F.col("__vid").as("vec_id"), F.col("__v").as("embedding"))
-        phased(s"$name b$batchId probe+survivors-write") {
-          survivors.write.mode("overwrite").parquet(s"$outPath/batch=$seg")
-        }
-        phased(s"$name b$batchId index-append") {
-          pcaModel match {
-            case Some(m) => graft.operators.Similarity.appendToIvfIndexImpl(
-              graft.operators.Embeddings.pcaProject(survivors,
-                F.col("embedding"), m, "__wv", whiten = true),
-              F.col("vec_id"), F.col("__wv"), indexPath, seg,
-              expectWhitened = true,
-              expectedModelFp = Some(m.fingerprint))
-            case None => graft.operators.Similarity.appendToIvfIndex(
-              survivors, F.col("vec_id"), F.col("embedding"), indexPath, seg)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          phased(s"$name b$batchId probe+survivors-write") {
+            survivors.write.mode("overwrite").parquet(s"$outPath/batch=$seg")
           }
+          phased(s"$name b$batchId index-append") {
+            pcaModel match {
+              case Some(m) => graft.operators.Similarity.appendToIvfIndexImpl(
+                graft.operators.Embeddings.pcaProject(survivors,
+                  F.col("embedding"), m, "__wv", whiten = true),
+                F.col("vec_id"), F.col("__wv"), indexPath, seg,
+                expectWhitened = true,
+                expectedModelFp = Some(m.fingerprint))
+              case None => graft.operators.Similarity.appendToIvfIndex(
+                survivors, F.col("vec_id"), F.col("embedding"), indexPath, seg)
+            }
+          }
+        } finally {
+          survivors.unpersist(false)
+          ()
         }
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
           phased(s"$name b$batchId compact") {
