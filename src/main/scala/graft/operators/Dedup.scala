@@ -872,24 +872,39 @@ object Dedup {
     // seg=base: both tables are SEGMENT-partitioned so incremental appends
     // ([[appendToMinhashIndex]]) land as their own dynamically-overwritten
     // partitions — a retried ingest batch rewrites its segment instead of
-    // double-appending (the exactly-once half the streaming path needs)
-    base
-      .select(F.col("id"), shingleHashes(F.col("__t"), shingleSize).as("sh"),
-        F.lit("base").as("seg"))
-      .write.mode("overwrite").partitionBy("seg").parquet(s"$target/features")
-    base
-      .select(F.col("id"),
-        F.posexplode(graft.functions.TextExprs.minhashBandHashes(
-          F.col("__t"), shingleSize, numHashes, bands))
-          .as(Seq("band", "bucket")))
-      .groupBy("band", "bucket")
-      .agg(graft.functions.AggExprs
-        .cappedSortedIds(F.col("id"), maxBucket, minSize = 1).as("ids"))
-      .filter(F.col("ids").isNotNull)
-      .select(F.col("band"), F.col("bucket"), F.col("ids"),
-        F.lit("base").as("seg"))
-      .write.mode("overwrite").partitionBy("seg", "band")
-      .parquet(s"$target/postings")
+    // double-appending (the exactly-once half the streaming path needs).
+    // ONE text-processing pass (r17 optimization): the shingle hashes are
+    // computed once, cached across the two table writes, and postings
+    // band-hash FROM THE HASHES ([[graft.functions.TextExprs
+    // .minhashBandHashesFromHashes]]) — the identity the compactor's
+    // row-identity spec already pins (MinHash over stored distinct
+    // shingle hashes equals MinHash over text). The previous shape
+    // normalized + tokenized + hashed the whole corpus text twice.
+    val feats = base
+      .select(F.col("id"), shingleHashes(F.col("__t"), shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      feats
+        .withColumn("seg", F.lit("base"))
+        .write.mode("overwrite").partitionBy("seg")
+        .parquet(s"$target/features")
+      feats
+        .select(F.col("id"),
+          F.posexplode(graft.functions.TextExprs
+            .minhashBandHashesFromHashes(F.col("sh"), numHashes, bands))
+            .as(Seq("band", "bucket")))
+        .groupBy("band", "bucket")
+        .agg(graft.functions.AggExprs
+          .cappedSortedIds(F.col("id"), maxBucket, minSize = 1).as("ids"))
+        .filter(F.col("ids").isNotNull)
+        .select(F.col("band"), F.col("bucket"), F.col("ids"),
+          F.lit("base").as("seg"))
+        .write.mode("overwrite").partitionBy("seg", "band")
+        .parquet(s"$target/postings")
+    } finally {
+      feats.unpersist(false)
+      ()
+    }
     // one-row meta, driver-side (zero jobs — r17 optimization)
     graft.io.GraftIO.writeSmallParquet(spark,
       org.apache.spark.sql.types.StructType(Seq(
@@ -965,12 +980,19 @@ object Dedup {
       s"probeBands $probe out of [1, $bands]")
     // one batch scan: shingle hashes (verification) and band buckets
     // (candidates) computed together and persisted — the two consumers
-    // are separate subtrees
+    // are separate subtrees. Band hashes derive FROM the shingle hashes
+    // (r17: one text normalization/tokenization pass instead of two;
+    // minhashBandHashesFromHashes ≡ minhashBandHashes-over-text is the
+    // identity the compactor's row-identity spec pins). The chained
+    // select keeps the hash reuse visible to Catalyst (CollapseProject
+    // does not merge projects that would duplicate a non-cheap
+    // expression).
     val batch = df
       .select(asLongId(id).as("bid"),
-        shingleHashes(text, shingleSize).as("bsh"),
-        graft.functions.TextExprs.minhashBandHashes(
-          text, shingleSize, numHashes, bands).as("__bb"))
+        shingleHashes(text, shingleSize).as("bsh"))
+      .select(F.col("bid"), F.col("bsh"),
+        graft.functions.TextExprs.minhashBandHashesFromHashes(
+          F.col("bsh"), numHashes, bands).as("__bb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // batch side aggregated under the SAME saturating cap as the index
     // side, and the pair drops any bucket whose corpus+batch UNION
@@ -1084,6 +1106,20 @@ object Dedup {
     val spark = batch.sparkSession
     val IndexMeta(shingleSize, numHashes, bands, maxBucket) =
       readIndexMeta(spark, path)
+    // DELIBERATELY two independent from-text passes — do NOT "optimize"
+    // this into a persist-once shape (r17 finding, reproduced in
+    // IOStreamsSpec's lazy-probe parity assert): callers legitimately
+    // pass a LAZY probe result over THIS SAME index (probe → append is
+    // the canonical sequence), and caching a frame derived from that
+    // input pins it into the CacheManager, whose write-triggered refresh
+    // (`refreshByPath` at the end of the features insert) RE-EXECUTES the
+    // cached plan against the refreshed file listing — the probe then
+    // sees the segment this very append just wrote, self-matches at
+    // Jaccard 1, and the postings pass writes an empty (or the caller's
+    // later re-read returns a self-killed) survivor set. The streaming
+    // loop avoids the double text pass differently and safely:
+    // [[appendSurvivorsFromSigs]] writes from the probe's own already-
+    // materialized signature cache.
     val base = batch.select(asLongId(id).as("id"), text.as("__t"))
     base
       .select(F.col("id"), shingleHashes(F.col("__t"), shingleSize).as("sh"),
