@@ -456,7 +456,11 @@ object Manifest {
                 r.getFooter.getBlocks.forEach { b =>
                   rows += b.getRowCount
                   b.getColumns.forEach { c =>
-                    val dotted = c.getPath.toDotString
+                    // single-segment paths only: a nested field a.b and a
+                    // top-level column literally named "a.b" share a dotted
+                    // string — stats columns are top-level by construction
+                    val segs = c.getPath.toArray
+                    val dotted = if (segs.length == 1) segs(0) else ""
                     val i = statsCols.indexOf(dotted)
                     if (i >= 0 && exact) {
                       val cs = c.getStatistics
