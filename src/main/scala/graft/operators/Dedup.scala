@@ -150,26 +150,63 @@ object Dedup {
       .minBy { case (_, _, mid) => math.abs(mid - threshold) }
   }
 
+  /** LSH candidate pairs from a pre-hashed shingle frame (`id` bigint,
+    * `sh` array<bigint> — [[shingleHashes]] output): band hashes derive
+    * FROM the stored hashes ([[graft.functions.TextExprs
+    * .minhashBandHashesFromHashes]] ≡ [[graft.functions.TextExprs
+    * .minhashBandHashes]]-over-text, the identity the index compactor's
+    * row-identity spec pins), so a caller that already paid the corpus
+    * text pass never re-normalizes/re-tokenizes (r18 optimization — the
+    * pair family processed the corpus text once for candidates and twice
+    * more for verification). */
+  private def lshCandidatesFromHashes(hashed: DataFrame, numHashes: Int,
+      bands: Int, maxBucket: Int): DataFrame =
+    hashed.select(F.col("id"), F.posexplode(
+        graft.functions.TextExprs.minhashBandHashesFromHashes(
+          F.col("sh"), numHashes, bands)).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket")
+      .agg(graft.functions.AggExprs.cappedSortedIds(F.col("id"), maxBucket)
+        .as("ids"))
+      .filter(F.col("ids").isNotNull)
+      .select(F.explode(bucketPairs(F.col("ids"))).as("p"))
+      .select("p.*").distinct()
+
+  /** The shared one-text-pass scan of the pair family (r18): the corpus is
+    * normalized + tokenized + shingle-hashed ONCE and cached; candidates
+    * band-hash from the cache and verification joins it — the same shape
+    * (and the same trade) as the r17 index build. MEMORY_AND_DISK: at
+    * corpus scale the hash arrays spill rather than evict. */
+  private def hashedShingles(df: DataFrame, id: Column, text: Column,
+      shingleSize: Int): DataFrame =
+    df.select(asLongId(id).as("id"),
+        shingleHashes(text, shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Near-dedup via MinHash LSH + exact Jaccard verification: candidates
-    * from [[minhashLshCandidates]], verified against true shingle-set
-    * Jaccard ≥ threshold. Returns (id_a, id_b, jaccard) confirmed pairs. */
+    * from the shared shingle-hash scan (one text-processing pass — see
+    * [[hashedShingles]]), verified against true shingle-set Jaccard ≥
+    * threshold. Returns (id_a, id_b, jaccard) confirmed pairs. */
   def minhashDuplicatePairs(df: DataFrame, id: Column, text: Column,
       threshold: Double, shingleSize: Int = 3, numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
-    val cands = minhashLshCandidates(df, id, text, shingleSize, numHashes, bands)
-    verifyJaccard(df, id, text, cands, shingleSize, threshold)
+    val hashed = hashedShingles(df, id, text, shingleSize)
+    val cands = lshCandidatesFromHashes(hashed, numHashes, bands,
+      maxBucket = 1000)
+    verifyJaccardHashed(hashed, cands, threshold)
   }
 
-  /** Exact-Jaccard verification of candidate pairs. Shingles are computed
-    * ONLY for docs appearing in a candidate pair (semi-join pruning) — at
-    * scale the candidate set is orders of magnitude smaller than the corpus,
-    * so this turns two full-corpus shingling passes into two tiny ones. */
-  private def verifyJaccard(df: DataFrame, id: Column, text: Column,
-      cands0: DataFrame, shingleSize: Int, threshold: Double): DataFrame = {
+  /** Exact-Jaccard verification of candidate pairs against a cached
+    * shingle-hash frame ([[hashedShingles]]). Hash arrays are pulled ONLY
+    * for docs appearing in a candidate pair (semi-join pruning) — at scale
+    * the candidate set is orders of magnitude smaller than the corpus —
+    * and no text is touched at all: the hashes come from the shared scan
+    * the candidate generation already paid for. */
+  private def verifyJaccardHashed(hashed: DataFrame, cands0: DataFrame,
+      threshold: Double): DataFrame = {
     // the candidate table is consumed twice (id pruning + the pair join);
-    // without persisting, the whole candidate-generation subtree (shingling,
-    // signatures, LSH shuffle) would execute twice. It is the small end of
-    // the pipeline by construction — pairs of ids — so it caches cheaply
+    // without persisting, the whole candidate-generation subtree (banding,
+    // LSH shuffle) would execute twice. It is the small end of the
+    // pipeline by construction — pairs of ids — so it caches cheaply
     // even at corpus scale. The explicit repartition PINS the cached
     // partitioning: without it, whichever consumer materializes the cache
     // first decides it, and when the broadcast-subquery thread (computing
@@ -187,15 +224,18 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cands.select(F.explode(F.array(
       F.col("id_a"), F.col("id_b"))).as("id")).distinct()
-    // the shingle side gets the same binding repartition: the pair join
-    // below is borderline-broadcastable from EITHER side, and whichever
-    // side AQE probes from must not inherit the raw scan's partition
-    // count (a small parquet corpus reads as 1-2 splits — the probe would
-    // run near-single-threaded on a 32-core executor)
-    val verifySh = df.select(id.as("id"), text.as("__t"))
+    // the hash side gets the same binding repartition AND its own persist:
+    // it feeds BOTH pair-join sides (sh_a, sh_b), and without the cache
+    // the corpus-scale hashed frame would be re-scanned + semi-joined
+    // twice (the r17 plans showed two full shingle subtrees here). It is
+    // candidate-scale, so it caches cheaply. The binding repartition
+    // matters as before: the pair join is borderline-broadcastable from
+    // EITHER side, and whichever side AQE probes from must not inherit a
+    // near-single-partition layout on a 32-core executor.
+    val verifySh = hashed
       .join(candIds, Seq("id"), "left_semi")
-      .select(F.col("id"), shingleHashes(F.col("__t"), shingleSize).as("sh"))
       .repartition(nPart, F.col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(verifySh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(verifySh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
@@ -219,10 +259,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       shingleSize: Int = 3, threshold: Double = 0.5,
       maxDf: Int = 20, minCooccur: Int = 2): DataFrame = {
+    // one text pass (r18): postings explode from the shared cached
+    // shingle-hash scan and verification joins the same cache
+    val hashed = hashedShingles(df, id, text, shingleSize)
     // postings carry the 8-byte shingle hash, not the string — the shuffle
     // and groupBy key stays fixed-width regardless of shingle length
-    val postings = df.select(asLongId(id).as("id"),
-      F.explode(shingleHashes(text, shingleSize)).as("g"))
+    val postings = hashed.select(F.col("id"), F.explode(F.col("sh")).as("g"))
     // saturating collect: common shingles (df ≫ maxDf — boilerplate) never
     // materialize their posting lists; see CappedSortedIds
     val rare = postings.groupBy("g")
@@ -235,7 +277,7 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).as("__cooccur"))
       .filter(F.col("__cooccur") >= minCooccur)
       .select("id_a", "id_b")
-    verifyJaccard(df, id, text, cands, shingleSize, threshold)
+    verifyJaccardHashed(hashed, cands, threshold)
   }
 
   /** Candidate-volume diagnostics for [[ngramJaccardPairs]]: one row per
@@ -354,32 +396,42 @@ object Dedup {
     // components — the shape near-dup families take — then converge at
     // iteration 0 and pay only the confirming round, instead of one full
     // propagation round to learn what the groupBy already knew
-    var labels = edges.groupBy("src")
-      .agg(F.least(F.col("src"), F.min(F.col("dst"))).as("cluster"))
-      .withColumnRenamed("src", "id")
-      .localCheckpoint() // eager: materializes (and caches) edges + pairs
-    p.unpersist(false)
     // convergence probe: labels are MONOTONE non-increasing per id (next =
     // min over a union that includes the previous label) over a fixed id
     // set, so the exact decimal label sum is strictly decreasing until the
-    // fixed point — sum unchanged ⟺ every label unchanged. One cheap
-    // aggregate job per round over the checkpointed label table, replacing
-    // the old join-based changed-row probe (same exactness, fewer stages).
-    def labelSum(l: DataFrame): java.math.BigDecimal = {
-      val r = l.agg(F.sum(F.col("cluster").cast("decimal(38,0)"))).collect().head
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    // fixed point — sum unchanged ⟺ every label unchanged. The sum rides
+    // the SAME job that materializes the round's label table (r18, guide
+    // §5 job floor: `observe` plants a CollectMetrics pass-through whose
+    // accumulator fills during the localCheckpoint action, read back
+    // synchronously from the executed plan) — replacing the separate
+    // aggregate job per round, i.e. ONE scheduled job per iteration
+    // instead of two. Exactness is unchanged: the metric is the same
+    // decimal sum the dedicated job computed.
+    def materializeWithSum(l: DataFrame, tag: String)
+        : (DataFrame, java.math.BigDecimal) = {
+      val named = l.observe(tag,
+        F.sum(F.col("cluster").cast("decimal(38,0)")).as("s"))
+      val ck = named.localCheckpoint() // eager: runs the job, fills the metric
+      val row = named.queryExecution.observedMetrics(tag)
+      (ck, if (row.isNullAt(0)) java.math.BigDecimal.ZERO
+           else row.getDecimal(0))
     }
-    var prevSum = labelSum(labels)
+    var (labels, prevSum) = materializeWithSum(
+      edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min(F.col("dst"))).as("cluster"))
+        .withColumnRenamed("src", "id"),
+      "cc_seed") // eager: materializes (and caches) edges + pairs
+    p.unpersist(false)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(F.col("dst").as("id"), F.col("cluster"))
-      val next = labels.union(neighborMin)
-        .groupBy("id").agg(F.min("cluster").as("cluster"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
+      val (next, nextSum) = materializeWithSum(
+        labels.union(neighborMin)
+          .groupBy("id").agg(F.min("cluster").as("cluster")),
+        s"cc_$iter")
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
@@ -768,13 +820,15 @@ object Dedup {
       (-checkedNonNegId(refId, "dedupAgainstNear: ref id") - 1).as("__uid"),
       refText.as("__ut"))
     val union = newSide.unionAll(refSide)
-    val cross = minhashLshCandidates(union, F.col("__uid"), F.col("__ut"),
-      shingleSize, numHashes, bands, maxBucket)
+    // one text pass over the union (r18): candidates band-hash from the
+    // shared cached shingle scan, verification joins the same cache
+    val hashed = hashedShingles(union, F.col("__uid"), F.col("__ut"),
+      shingleSize)
+    val cross = lshCandidatesFromHashes(hashed, numHashes, bands, maxBucket)
       // pairs come out sorted (id_a < id_b): a cross-side pair is exactly
       // "negative (reference) first, non-negative (new) second"
       .filter(F.col("id_a") < 0 && F.col("id_b") >= 0)
-    val contaminated = verifyJaccard(union, F.col("__uid"), F.col("__ut"),
-      cross, shingleSize, threshold)
+    val contaminated = verifyJaccardHashed(hashed, cross, threshold)
       .select(F.col("id_b").as("__loser")).distinct()
     df.join(contaminated, asLongId(id) === F.col("__loser"), "left_anti")
   }
@@ -967,10 +1021,15 @@ object Dedup {
     * carried a full repeat of the batch's text processing per trigger).
     * The sigs frame is backed by the SAME cache the release thunk frees:
     * consume it before calling release. */
+  /** `indexFrames`: pre-scanned (features, postings) frames — the ingest
+    * loop's cross-trigger segment snapshots ([[graft.streaming
+    * .SegmentScanCache]], r18), row-identical to the plain reads minus
+    * the excluded segment. None keeps the per-call parquet reads. */
   private[graft] def dedupAgainstIndexWithSigs(df: DataFrame, id: Column,
       text: Column, path: String, threshold: Double,
       probeBands: Option[Int] = None,
-      excludeSegment: Option[String] = None)
+      excludeSegment: Option[String] = None,
+      indexFrames: Option[(DataFrame, DataFrame)] = None)
       : (DataFrame, DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val IndexMeta(shingleSize, numHashes, bands, maxBucket) =
@@ -1014,14 +1073,16 @@ object Dedup {
     // filters are partition pruning.
     def dropSeg(t: DataFrame): DataFrame =
       excludeSegment.fold(t)(s => t.filter(F.col("seg") =!= s))
-    val postings = dropSeg(spark.read.parquet(s"$path/postings"))
+    val postings = dropSeg(indexFrames.map(_._2)
+        .getOrElse(spark.read.parquet(s"$path/postings")))
       .filter(F.col("band") < probe) // static partition pruning
     val cands = batchBuckets.join(postings, Seq("band", "bucket"))
       .filter(F.size(F.col("bids")) + F.size(F.col("ids")) <= maxBucket)
       .select(F.explode(F.col("bids")).as("bid"), F.col("ids"))
       .select(F.col("bid"), F.explode(F.col("ids")).as("iid"))
       .distinct()
-    val feats = dropSeg(spark.read.parquet(s"$path/features"))
+    val feats = dropSeg(indexFrames.map(_._1)
+        .getOrElse(spark.read.parquet(s"$path/features")))
       .drop("seg")
     val losers = cands
       .join(feats.withColumnsRenamed(Map("id" -> "iid", "sh" -> "ish")), "iid")
@@ -1042,33 +1103,71 @@ object Dedup {
     * from the same meta parameters), minus the second shingling +
     * minhashing pass over the batch text. Private plumbing for the
     * streaming ingest loop: `sigs` must come from the same batch `survivors`
-    * was filtered from, and the sigs cache must still be alive. */
+    * was filtered from, and the sigs cache must still be alive.
+    *
+    * `probeExcludedSegment` is the exclusion the PROBE that produced
+    * `sigs`/`survivors` ran with, REQUIRED to equal `segment` (r17 ADVICE):
+    * `survivors` reads the index through the probe's anti-join, so any
+    * re-execution against the listing this append refreshes must still
+    * exclude the segment being written — a caller without the exclusion
+    * would self-match at Jaccard 1 and write features with empty postings,
+    * the silent-index-corruption hazard [[appendToMinhashIndex]]'s
+    * in-body comment documents. Enforced, not conventional. */
   private[graft] def appendSurvivorsFromSigs(sigs: DataFrame,
       survivors: DataFrame, id: Column, path: String,
-      segment: String): Unit = {
+      segment: String, probeExcludedSegment: Option[String]): Unit = {
     require(segment.nonEmpty && segment != "base" &&
       segment.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
       s"segment '$segment' must be a filesystem-safe label != 'base'")
+    require(probeExcludedSegment.contains(segment),
+      s"appendSurvivorsFromSigs: the probe that produced the survivors " +
+        s"must have excluded the segment being written (excluded " +
+        s"$probeExcludedSegment, writing '$segment') — without the " +
+        "exclusion a plan re-execution against the refreshed listing " +
+        "self-matches at Jaccard 1 and corrupts the index")
     val spark = sigs.sparkSession
     val IndexMeta(_, _, _, maxBucket) = readIndexMeta(spark, path)
-    val survIds = survivors.select(asLongId(id).as("bid"))
+    // survivor ids pinned OUTSIDE the CacheManager before any index write
+    // (r18, closing the r17 ADVICE residue): `survivors`' plan reads the
+    // index through the probe's anti-join, so the features insert's
+    // refreshByPath clears its cache entry and the postings pass would
+    // RE-EXECUTE the entire probe (pruned index scan, banding join, exact
+    // Jaccard) against the refreshed listing — correct under the enforced
+    // exclusion, but a full repeat of the dominant per-trigger cost. A
+    // localCheckpoint is invisible to the refresh and O(survivor ids);
+    // handle-exact release (Scratch) because checkpoint blocks live
+    // outside the CacheManager.
+    val (survIds, releaseIds) = graft.Scratch.snapshotManaged(
+      survivors.select(asLongId(id).as("bid")))
+    // the semi-joined signature frame feeds BOTH table writes; persist it
+    // so the second write replays cached rows instead of re-running the
+    // semi-join (and its AQE materializations — measured +5 driver jobs
+    // per trigger on the dedup ingest stream). Its plan holds only the
+    // sigs cache and the checkpointed ids — no file source under `path` —
+    // so the features insert's refresh cannot touch it.
     val s = sigs.join(survIds, Seq("bid"), "left_semi")
-    s.select(F.col("bid").as("id"), F.col("bsh").as("sh"),
-        F.lit(segment).as("seg"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("seg").parquet(s"$path/features")
-    s.select(F.col("bid").as("id"),
-        F.posexplode(F.col("__bb")).as(Seq("band", "bucket")))
-      .groupBy("band", "bucket")
-      .agg(graft.functions.AggExprs
-        .cappedSortedIds(F.col("id"), maxBucket, minSize = 1).as("ids"))
-      .filter(F.col("ids").isNotNull)
-      .select(F.col("band"), F.col("bucket"), F.col("ids"),
-        F.lit(segment).as("seg"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("seg", "band").parquet(s"$path/postings")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      s.select(F.col("bid").as("id"), F.col("bsh").as("sh"),
+          F.lit(segment).as("seg"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("seg").parquet(s"$path/features")
+      s.select(F.col("bid").as("id"),
+          F.posexplode(F.col("__bb")).as(Seq("band", "bucket")))
+        .groupBy("band", "bucket")
+        .agg(graft.functions.AggExprs
+          .cappedSortedIds(F.col("id"), maxBucket, minSize = 1).as("ids"))
+        .filter(F.col("ids").isNotNull)
+        .select(F.col("band"), F.col("bucket"), F.col("ids"),
+          F.lit(segment).as("seg"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("seg", "band").parquet(s"$path/postings")
+    } finally {
+      s.unpersist(false)
+      releaseIds()
+    }
   }
 
   /** Append newly-accepted docs to a persisted [[writeMinhashIndex]] index —

@@ -1052,6 +1052,13 @@ object Similarity {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** `assignedOverride`: a pre-scanned `assigned` frame — the ingest
+    * loop's cross-trigger segment snapshots ([[graft.streaming
+    * .SegmentScanCache]], r18), row-identical to the plain read. Callers
+    * pass it ONLY when the probe reads every cell (nprobe ≥ nlist — the
+    * ingest streams' exact posture), where the plain read's static cell
+    * pruning has nothing to prune; a selective probe keeps the parquet
+    * partition filter instead. */
   private[graft] def searchIvfIndexImpl(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, queryId: Column, queryVec: Column,
@@ -1059,7 +1066,8 @@ object Similarity {
       localizeQueries: Boolean, expectWhitened: Boolean,
       expectedModelFp: Option[Long] = None,
       rescore: Option[RescoreSource] = None,
-      routeEnabled: Boolean = true): DataFrame = {
+      routeEnabled: Boolean = true,
+      assignedOverride: Option[DataFrame] = None): DataFrame = {
     val meta = readIvfMeta(spark, path)
     requireSpace(meta.whitened, expectWhitened, path, "searchIvfIndex")
     requireModelFp(meta.modelFp, expectedModelFp, path, "searchIvfIndex")
@@ -1072,7 +1080,8 @@ object Similarity {
     // refines off driver-collected candidates (pushed-`In` source scan),
     // distributed refines with a semi-join prune and a per-query window
     // — no query-scale collect anywhere on that path
-    var assigned = spark.read.parquet(s"$path/assigned")
+    var assigned = assignedOverride
+      .getOrElse(spark.read.parquet(s"$path/assigned"))
     excludeSegment.foreach(sg =>
       assigned = assigned.filter(F.col("seg") =!= sg))
     // an SQ8 layout dequantizes SCAN-SIDE, fused into the candidate read

@@ -183,8 +183,24 @@ object Streams {
     // overwrite, as designed); a new run gets a new prefix (appends).
     // Returned so callers can address this run's segments (e.g. replay).
     val prefix = segmentPrefix(ckpt)
+    // cross-trigger snapshots of the index's committed segments (r18,
+    // [[SegmentScanCache]]): the probe previously re-listed, re-inferred
+    // and re-read BOTH index tables every micro-batch; all but the
+    // in-flight segment is immutable between folds, so each segment is
+    // snapshotted once and reused until its file identity changes (the
+    // tier fold and a replayed batch's own-segment rewrite both
+    // invalidate exactly the segments they touched). localCheckpoint
+    // blocks are immune to the appends' refreshByPath — the hazard that
+    // made a CacheManager-based variant unsafe (appendToMinhashIndex's
+    // in-body note).
+    val featCache = new SegmentScanCache(spark, s"$indexPath/features")
+    val postCache = new SegmentScanCache(spark, s"$indexPath/postings")
     val step: (DataFrame, Long) => Unit = (batchDf, batchId) => {
       val seg = s"${prefix}_b$batchId"
+      val idxFrames = for {
+        f <- featCache.frame(Some(seg))
+        p <- postCache.frame(Some(seg))
+      } yield (f, p)
       // every cache a batch pins is released through the DATASET API once
       // its two writes are done — Dataset.unpersist drops the
       // CacheManager entry too, where an RDD-level sweep frees blocks but
@@ -192,7 +208,7 @@ object Streams {
       // batch on a 24/7 stream
       val (deduped, sigs, release) = graft.operators.Dedup
         .dedupAgainstIndexWithSigs(batchDf, id, text, indexPath, threshold,
-          excludeSegment = Some(seg))
+          excludeSegment = Some(seg), indexFrames = idxFrames)
       val survivors = deduped.persist()
       try {
         phased(s"$name b$batchId survivors-write") {
@@ -201,10 +217,13 @@ object Streams {
         // append from the probe's own cached signatures — row-identical
         // to the from-text append, minus a second shingling + minhashing
         // pass over the batch (r17 optimization; the phase timers put
-        // that repeat at roughly half the append phase per trigger)
+        // that repeat at roughly half the append phase per trigger). The
+        // probe's own-segment exclusion is passed through and ENFORCED
+        // (r18): the append's correctness under plan re-execution
+        // depends on it.
         phased(s"$name b$batchId index-append") {
           graft.operators.Dedup.appendSurvivorsFromSigs(sigs, survivors,
-            id, indexPath, seg)
+            id, indexPath, seg, probeExcludedSegment = Some(seg))
         }
       } finally {
         survivors.unpersist(false)
@@ -224,8 +243,13 @@ object Streams {
       .option("checkpointLocation", ckpt)
       .foreachBatch(step)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try {
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      featCache.close()
+      postCache.close()
+    }
     prefix
   }
 
@@ -303,6 +327,19 @@ object Streams {
       if (graft.operators.Similarity.ivfIndexIsWhitened(spark, indexPath))
         Some(graft.operators.Embeddings.readPcaModel(spark, indexPath))
       else None
+    // cross-trigger snapshots of the index's committed segments (r18,
+    // [[SegmentScanCache]] — see ingestDedupStream's note). Used ONLY
+    // where it pays: the probe must read every cell (nprobe ≥ nlist, the
+    // streams' exact posture — a selective probe keeps the parquet cell
+    // pruning), and a full-fold-per-cadence run (compactEvery > 0 without
+    // tiering) rewrites the whole table every trigger, which would thrash
+    // the snapshots instead of reusing them.
+    val assignedCache =
+      if ((compactEvery == 0 || tieredCompaction) &&
+          nprobe.getOrElse(Int.MaxValue) >=
+            graft.operators.Similarity.ivfIndexNlist(spark, indexPath))
+        Some(new SegmentScanCache(spark, s"$indexPath/assigned"))
+      else None
     val step: (DataFrame, Long) => Unit = (batchDf, batchId) =>
         graft.Scratch.scoped {
       val seg = s"${prefix}_b$batchId"
@@ -375,7 +412,8 @@ object Streams {
           localizeQueries = batchRows <= localizeCutoff,
           expectWhitened = pcaModel.isDefined,
           expectedModelFp = pcaModel.map(_.fingerprint),
-          rescore = rescore)
+          rescore = rescore,
+          assignedOverride = assignedCache.flatMap(_.frame(Some(seg))))
         val dead = best.filter(F.col("cosine") >= threshold)
           .select(F.col("query_id").as("__dead"))
         // no forced broadcast: dead is bounded by the micro-batch size,
@@ -434,8 +472,10 @@ object Streams {
       .option("checkpointLocation", ckpt)
       .foreachBatch(step)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try {
+      q.processAllAvailable()
+      q.stop()
+    } finally assignedCache.foreach(_.close())
     prefix
   }
 
